@@ -1,0 +1,30 @@
+"""tpu-av: a TPU-native batched multimedia transcoding framework.
+
+Design (see SURVEY.md for the structural analysis of the libav reference):
+
+- The host does everything serial: container demux/mux, bitstream entropy
+  coding (VLC/CABAC), header parsing, DPB/reference management, rate control.
+- The device (TPU) does everything numeric, batched over macroblocks and
+  frames resident in HBM: dequant, 8x8 DCT/IDCT, motion compensation,
+  intra prediction, deblocking, MDCT/FFT filterbanks, colorspace
+  conversion/scaling, FIR resampling — as Pallas/XLA kernels.
+
+This inverts libav's execution model (per-macroblock function-pointer DSP on
+the host CPU, reference: libavcodec/*dsp*.h) into "entropy-decode the whole
+frame into coefficient/MV/mode tensors, then run the numeric pipeline as a
+handful of fused device kernels" — the split libav itself defines for
+hardware acceleration (reference: libavcodec/avcodec.h:3062-3086 AVHWAccel).
+
+Public API parity targets (reference file:line cited in each module):
+  - avutil   -> libav_tpu.avutil   (frames, packets, pixfmt, rational, opt)
+  - avcodec  -> libav_tpu.codecs   (send_packet/receive_frame state machine)
+  - avformat -> libav_tpu.formats  (open_input/read_frame/mux)
+  - swscale  -> libav_tpu.swscale
+  - avresample -> libav_tpu.avresample
+  - avfilter -> libav_tpu.filters
+  - avconv/avprobe -> libav_tpu.tools
+"""
+
+__version__ = "0.1.0"
+
+from libav_tpu.avutil.error import AVError  # noqa: F401
