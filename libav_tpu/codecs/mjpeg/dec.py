@@ -1,0 +1,381 @@
+"""MJPEG / baseline JPEG decoder (reference: libavcodec/mjpegdec.c:
+ff_mjpeg_decode_frame :1488, scan loop mjpeg_decode_scan :859, per-block
+Huffman decode_block :467 -> idct_put :923).
+
+Host: marker parse + Huffman scan decode into per-component
+(nb_blocks, 64) zigzag-order coefficient tensors (raster block order).
+Device: dequant -> dezigzag -> exact int IDCT -> clamp -> plane reshape,
+jitted once per (blocks_h, blocks_w) shape.
+
+The Python scan decoder is the reference implementation; the C fast path
+(libav_tpu/native/mjpeg_scan.c) decodes identical tensors and is used
+automatically when built.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import AVError, INVALIDDATA
+from libav_tpu.avutil.frame import Frame, Packet, PictureType
+from libav_tpu.bitstream import GetBits, VLC
+from libav_tpu.bitstream.vlc import build_huffman_codes
+from libav_tpu.codecs.api import Decoder, MediaType, register_codec
+
+# JPEG markers (ITU-T T.81 table B.1)
+SOI, EOI, SOS, DQT, DHT, DRI, COM = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xFE
+SOF0, SOF1, SOF2, SOF3 = 0xC0, 0xC1, 0xC2, 0xC3
+RST0, RST7 = 0xD0, 0xD7
+APP0 = 0xE0
+
+
+@dataclass
+class Component:
+    id: int = 0
+    h: int = 1
+    v: int = 1
+    quant_idx: int = 0
+    dc_idx: int = 0
+    ac_idx: int = 0
+    # derived per frame
+    blocks_w: int = 0
+    blocks_h: int = 0
+
+
+def build_jpeg_vlc(bits: List[int], values: List[int]) -> VLC:
+    """DHT (bits, values) -> VLC (reference: mjpegdec.c build_vlc)."""
+    codes = build_huffman_codes(bits)
+    lengths = []
+    for ln, c in enumerate(bits, 1):
+        lengths += [ln] * c
+    return VLC(9, codes=codes, lengths=lengths, values=values)
+
+
+def _receive_signed(gb: GetBits, n: int) -> int:
+    """JPEG 'receive and extend' (T.81 F.2.2.1): n-bit value, MSB 0 means
+    negative: v - (2^n - 1)."""
+    if n == 0:
+        return 0
+    v = gb.get_bits(n)
+    if v < (1 << (n - 1)):
+        v -= (1 << n) - 1
+    return v
+
+
+def destuff(data: bytes) -> Tuple[List[bytes], int]:
+    """Split entropy-coded data at RST markers and remove 0xFF00 stuffing.
+    Returns (segments, bytes_consumed_including_terminating_marker_offset).
+    """
+    segments = []
+    cur = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            if i + 1 >= n:
+                break
+            m = data[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if RST0 <= m <= RST7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            # real marker terminates the scan
+            break
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+@register_codec
+class MJPEGDecoder(Decoder):
+    NAME = "mjpeg"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "Motion JPEG (TPU-batched reconstruction)"
+
+    def _init(self):
+        self.quant_tables: Dict[int, np.ndarray] = {}
+        self.vlcs: Dict[Tuple[int, int], VLC] = {}   # (class, id)
+        self.restart_interval = 0
+        self._use_native = None  # resolved lazily
+
+    def _flush(self):
+        pass
+
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, pkt: Packet) -> List[Frame]:
+        frame = self.decode_jpeg(pkt.data)
+        frame.pts = pkt.pts
+        frame.time_base = pkt.time_base
+        frame.pict_type = PictureType.I
+        frame.key_frame = True
+        return [frame]
+
+    # ------------------------------------------------------------------ #
+
+    def decode_jpeg(self, data: bytes) -> Frame:
+        if len(data) < 4 or data[0] != 0xFF or data[1] != SOI:
+            raise AVError(INVALIDDATA, "no SOI marker")
+        pos = 2
+        components: List[Component] = []
+        width = height = 0
+        precision = 8
+        self.restart_interval = 0
+        frame = None
+        progressive = False
+
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            pos += 2
+            if marker == SOI or (RST0 <= marker <= RST7) or marker == 0xFF:
+                continue
+            if marker == EOI:
+                break
+            if pos + 2 > len(data):
+                raise AVError(INVALIDDATA, "truncated marker segment")
+            seglen = (data[pos] << 8) | data[pos + 1]
+            seg = data[pos + 2:pos + seglen]
+            if marker == DQT:
+                self._parse_dqt(seg)
+            elif marker == DHT:
+                self._parse_dht(seg)
+            elif marker == DRI:
+                self.restart_interval = (seg[0] << 8) | seg[1]
+            elif marker in (SOF0, SOF1):
+                precision, height, width, components = self._parse_sof(seg)
+            elif marker == SOF2:
+                raise AVError(INVALIDDATA, "progressive JPEG not yet supported")
+            elif marker == SOS:
+                scan_data = data[pos + seglen:]
+                frame, consumed = self._decode_scan(
+                    seg, scan_data, width, height, components)
+                pos = pos + seglen + consumed
+                continue
+            pos += seglen
+        if frame is None:
+            raise AVError(INVALIDDATA, "no scan decoded")
+        return frame
+
+    # ------------------------------------------------------------------ #
+
+    def _parse_dqt(self, seg: bytes):
+        """reference: mjpegdec.c ff_mjpeg_decode_dqt"""
+        i = 0
+        while i < len(seg):
+            pq = seg[i] >> 4
+            tq = seg[i] & 15
+            i += 1
+            if pq:
+                vals = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(np.int32)
+                i += 128
+            else:
+                vals = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(np.int32)
+                i += 64
+            self.quant_tables[tq] = vals  # zigzag order, as transmitted
+
+    def _parse_dht(self, seg: bytes):
+        """reference: mjpegdec.c ff_mjpeg_decode_dht"""
+        i = 0
+        while i < len(seg):
+            tc = seg[i] >> 4   # 0=DC, 1=AC
+            th = seg[i] & 15
+            i += 1
+            bits = list(seg[i:i + 16])
+            i += 16
+            n = sum(bits)
+            values = list(seg[i:i + n])
+            i += n
+            self.vlcs[(tc, th)] = build_jpeg_vlc(bits, values)
+
+    def _parse_sof(self, seg: bytes):
+        """reference: mjpegdec.c ff_mjpeg_decode_sof"""
+        precision = seg[0]
+        height = (seg[1] << 8) | seg[2]
+        width = (seg[3] << 8) | seg[4]
+        ncomp = seg[5]
+        comps = []
+        for c in range(ncomp):
+            o = 6 + c * 3
+            comps.append(Component(
+                id=seg[o], h=seg[o + 1] >> 4, v=seg[o + 1] & 15,
+                quant_idx=seg[o + 2]))
+        self.width = width
+        self.height = height
+        return precision, height, width, comps
+
+    # ------------------------------------------------------------------ #
+
+    def _decode_scan(self, sos: bytes, scan_data: bytes, width: int,
+                     height: int, components: List[Component]):
+        """reference: mjpegdec.c ff_mjpeg_decode_sos + mjpeg_decode_scan"""
+        ns = sos[0]
+        scan_comps = []
+        for i in range(ns):
+            cid = sos[1 + 2 * i]
+            tabs = sos[2 + 2 * i]
+            comp = next((c for c in components if c.id == cid), None)
+            if comp is None:
+                raise AVError(INVALIDDATA, f"SOS references unknown component {cid}")
+            comp.dc_idx = tabs >> 4
+            comp.ac_idx = tabs & 15
+            scan_comps.append(comp)
+
+        hmax = max(c.h for c in components)
+        vmax = max(c.v for c in components)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+        if ns == 1 and len(components) > 1:
+            # non-interleaved single-component scan
+            c = scan_comps[0]
+            cw = (width * c.h + hmax - 1) // hmax
+            ch = (height * c.v + vmax - 1) // vmax
+            c.blocks_w = (cw + 7) // 8
+            c.blocks_h = (ch + 7) // 8
+        else:
+            for c in scan_comps:
+                c.blocks_w = mcus_x * c.h
+                c.blocks_h = mcus_y * c.v
+
+        segments, consumed = destuff(scan_data)
+        coeffs = {c.id: np.zeros((c.blocks_h * c.blocks_w, 64), dtype=np.int16)
+                  for c in scan_comps}
+
+        self._huffman_scan(segments, scan_comps, mcus_x, mcus_y, ns, coeffs)
+
+        frame = self._reconstruct(width, height, components, coeffs)
+        return frame, consumed
+
+    def _huffman_scan(self, segments, scan_comps, mcus_x, mcus_y, ns, coeffs):
+        """Entropy decode all MCUs (host-serial). Tries the native C fast
+        path first; falls back to the Python reference loop."""
+        from libav_tpu.native import mjpeg_scan as native
+        if native.available():
+            native.decode_scan(segments, scan_comps, self.vlcs,
+                               mcus_x, mcus_y, ns, coeffs,
+                               self.restart_interval)
+            return
+        self._huffman_scan_py(segments, scan_comps, mcus_x, mcus_y, ns, coeffs)
+
+    def _huffman_scan_py(self, segments, scan_comps, mcus_x, mcus_y, ns, coeffs):
+        n_mcus = (mcus_x * mcus_y if ns > 1 or len(scan_comps) == 1
+                  else scan_comps[0].blocks_w * scan_comps[0].blocks_h)
+        if ns == 1:
+            c = scan_comps[0]
+            n_mcus = c.blocks_w * c.blocks_h
+        ri = self.restart_interval or n_mcus
+        seg_idx = 0
+        gb = GetBits(segments[0])
+        dc_pred = {c.id: 0 for c in scan_comps}
+        mcu = 0
+        while mcu < n_mcus:
+            if mcu and mcu % ri == 0:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    gb = GetBits(segments[seg_idx])
+                dc_pred = {c.id: 0 for c in scan_comps}
+            if ns == 1:
+                c = scan_comps[0]
+                self._decode_block(gb, c, dc_pred, coeffs[c.id][mcu])
+            else:
+                mx, my = mcu % mcus_x, mcu // mcus_x
+                for c in scan_comps:
+                    for v in range(c.v):
+                        for h in range(c.h):
+                            bx = mx * c.h + h
+                            by = my * c.v + v
+                            blk = coeffs[c.id][by * c.blocks_w + bx]
+                            self._decode_block(gb, c, dc_pred, blk)
+            mcu += 1
+
+    def _decode_block(self, gb: GetBits, c: Component, dc_pred, out):
+        """reference: mjpegdec.c decode_block :467"""
+        dc_vlc = self.vlcs[(0, c.dc_idx)]
+        ac_vlc = self.vlcs[(1, c.ac_idx)]
+        s = dc_vlc.read(gb)
+        diff = _receive_signed(gb, s)
+        dc_pred[c.id] += diff
+        out[0] = dc_pred[c.id]
+        k = 0
+        while k < 63:
+            rs = ac_vlc.read(gb)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r + 1
+            if k > 63:
+                raise AVError(INVALIDDATA, "AC coefficient index overflow")
+            out[k] = _receive_signed(gb, s)
+
+    # ------------------------------------------------------------------ #
+    # Device reconstruction
+    # ------------------------------------------------------------------ #
+
+    def _reconstruct(self, width, height, components, coeffs) -> Frame:
+        hmax = max(c.h for c in components)
+        vmax = max(c.v for c in components)
+        planes = []
+        for c in components:
+            qmat = self.quant_tables[c.quant_idx]
+            plane = _reconstruct_plane_jit(c.blocks_h, c.blocks_w)(
+                coeffs[c.id], qmat)
+            cw = -(-width * c.h // hmax)
+            ch = -(-height * c.v // vmax)
+            planes.append(plane[:ch, :cw])
+
+        fmt = self._pick_pix_fmt(components, hmax, vmax)
+        f = Frame(width=width, height=height, format=fmt,
+                  color_range="pc")
+        f.planes = list(planes)
+        return f
+
+    @staticmethod
+    def _pick_pix_fmt(components, hmax, vmax) -> str:
+        if len(components) == 1:
+            return "gray"
+        if len(components) == 3:
+            c1 = components[1]
+            sub_w = hmax // max(c1.h, 1)
+            sub_h = vmax // max(c1.v, 1)
+            return {(2, 2): "yuvj420p", (2, 1): "yuvj422p",
+                    (1, 1): "yuvj444p", (4, 1): "yuv411p",
+                    (4, 4): "yuv410p"}.get((sub_w, sub_h), "yuvj420p")
+        raise AVError(INVALIDDATA, f"unsupported component count {len(components)}")
+
+
+@functools.lru_cache(maxsize=64)
+def _reconstruct_plane_jit(blocks_h: int, blocks_w: int):
+    """Jitted device pipeline for one plane shape:
+    (nb, 64) zigzag coeffs + (64,) zigzag qmat -> (H, W) uint8."""
+    import jax
+    import jax.numpy as jnp
+
+    from libav_tpu.ops import idct, quant
+
+    def fn(coeffs_zz, qmat_zz):
+        deq = coeffs_zz.astype(jnp.int32) * qmat_zz.astype(jnp.int32)
+        blocks = quant.dezigzag(deq)
+        pix = idct.idct_put(blocks, bias=128)
+        return (pix.reshape(blocks_h, blocks_w, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(blocks_h * 8, blocks_w * 8))
+
+    return jax.jit(fn)

@@ -1,0 +1,300 @@
+"""Format (de)mux core (reference: libavformat/utils.c:284
+avformat_open_input, :1021 av_read_frame, :2200 avformat_find_stream_info;
+mux.c:234 avformat_write_header, :644 av_interleaved_write_frame;
+avformat.h:912 AVFormatContext, :686 AVStream, :505 AVInputFormat, :430
+AVOutputFormat).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Type
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import (AVError, DEMUXER_NOT_FOUND, EAGAIN, EOF_,
+                                    EINVAL, MUXER_NOT_FOUND, INVALIDDATA)
+from libav_tpu.avutil.frame import Packet
+from libav_tpu.avutil.opt import OptionedObject
+from libav_tpu.avutil.rational import NOPTS_VALUE, Rational, rescale_q
+from libav_tpu.codecs.api import CodecParameters, MediaType
+from libav_tpu.formats.io import IOContext, url_open
+
+
+@dataclass
+class Stream:
+    """reference: avformat.h:686 AVStream"""
+    index: int = 0
+    id: int = 0
+    codecpar: CodecParameters = field(default_factory=CodecParameters)
+    time_base: Rational = field(default_factory=lambda: Rational(1, 90000))
+    start_time: int = NOPTS_VALUE
+    duration: int = NOPTS_VALUE
+    nb_frames: int = 0
+    avg_frame_rate: Rational = field(default_factory=lambda: Rational(0, 1))
+    metadata: Dict[str, str] = field(default_factory=dict)
+    # mux state (reference: mux.c dts continuity checks)
+    cur_dts: int = NOPTS_VALUE
+    # index for seeking (reference: avformat.h:644 AVIndexEntry)
+    index_entries: List[Tuple[int, int, int]] = field(default_factory=list)
+    # (timestamp, pos, flags)
+
+
+# ---------------------------------------------------------------------- #
+# Registries (reference: allformats.c)
+# ---------------------------------------------------------------------- #
+
+_INPUT_FORMATS: Dict[str, Type["InputFormat"]] = {}
+_OUTPUT_FORMATS: Dict[str, Type["OutputFormat"]] = {}
+
+
+def register_input(cls):
+    _INPUT_FORMATS[cls.NAME] = cls
+    return cls
+
+
+def register_output(cls):
+    _OUTPUT_FORMATS[cls.NAME] = cls
+    return cls
+
+
+def find_input_format(name: str) -> Type["InputFormat"]:
+    for key, cls in _INPUT_FORMATS.items():
+        if name in key.split(","):
+            return cls
+    raise AVError(DEMUXER_NOT_FOUND, name)
+
+
+def guess_format(name: Optional[str] = None, url: Optional[str] = None):
+    """reference: avformat.h av_guess_format"""
+    if name:
+        for key, cls in _OUTPUT_FORMATS.items():
+            if name in key.split(","):
+                return cls
+        raise AVError(MUXER_NOT_FOUND, name)
+    if url:
+        ext = url.rsplit(".", 1)[-1].lower() if "." in url else ""
+        for cls in _OUTPUT_FORMATS.values():
+            if ext and ext in getattr(cls, "EXTENSIONS", ()):
+                return cls
+    raise AVError(MUXER_NOT_FOUND, url or "?")
+
+
+def probe_input(data: bytes, url: str = ""):
+    """reference: utils.c av_probe_input_format2 — score-based probing."""
+    best, best_score = None, 0
+    for cls in _INPUT_FORMATS.values():
+        score = cls.probe(data, url)
+        if score > best_score:
+            best, best_score = cls, score
+    if best is None:
+        raise AVError(DEMUXER_NOT_FOUND, f"cannot probe format of {url!r}")
+    return best
+
+
+class InputFormat(OptionedObject):
+    """reference: avformat.h:505 AVInputFormat"""
+    NAME = "none"
+    LONG_NAME = ""
+    EXTENSIONS: tuple = ()
+    FLAG_NOFILE = False
+
+    def __init__(self, options: Optional[Dict[str, Any]] = None):
+        self.init_defaults()
+        if options:
+            self.set_opts(options)
+        self.streams: List[Stream] = []
+        self.pb: Optional[IOContext] = None
+        self.url = ""
+
+    @classmethod
+    def probe(cls, data: bytes, url: str = "") -> int:
+        """Return probe score 0..100 (reference: AVPROBE_SCORE_MAX)."""
+        ext = url.rsplit(".", 1)[-1].lower() if "." in url else ""
+        if ext and ext in cls.EXTENSIONS:
+            return 50
+        return 0
+
+    def read_header(self, pb: IOContext):
+        raise NotImplementedError
+
+    def read_packet(self) -> Packet:
+        """Return next packet or raise AVError(EOF_)."""
+        raise NotImplementedError
+
+    def read_seek(self, stream_index: int, timestamp: int, flags: int = 0):
+        raise AVError(EINVAL, f"{self.NAME}: seeking not supported")
+
+    def close(self):
+        pass
+
+
+class OutputFormat(OptionedObject):
+    """reference: avformat.h:430 AVOutputFormat"""
+    NAME = "none"
+    LONG_NAME = ""
+    EXTENSIONS: tuple = ()
+    VIDEO_CODEC = "none"
+    AUDIO_CODEC = "none"
+    FLAG_NOFILE = False   # reference: AVFMT_NOFILE (muxer does its own I/O)
+
+    def __init__(self, options: Optional[Dict[str, Any]] = None):
+        self.init_defaults()
+        if options:
+            self.set_opts(options)
+        self.streams: List[Stream] = []
+        self.pb: Optional[IOContext] = None
+        self.url = ""
+
+    def write_header(self, pb: IOContext):
+        self.pb = pb
+
+    def write_packet(self, pkt: Packet):
+        raise NotImplementedError
+
+    def write_trailer(self):
+        pass
+
+
+# ---------------------------------------------------------------------- #
+# FormatContext
+# ---------------------------------------------------------------------- #
+
+class FormatContext:
+    """reference: avformat.h:912 AVFormatContext — one context drives either
+    demux (opened via open_input) or mux (opened via open_output)."""
+
+    def __init__(self):
+        self.iformat: Optional[InputFormat] = None
+        self.oformat: Optional[OutputFormat] = None
+        self.pb: Optional[IOContext] = None
+        self.url = ""
+        self.streams: List[Stream] = []
+        self.duration = NOPTS_VALUE
+        self.bit_rate = 0
+        self.metadata: Dict[str, str] = {}
+        # interleave state (reference: mux.c:644 per-stream FIFOs)
+        self._mux_queue: List[Tuple[int, int, int, Packet]] = []
+        self._mux_seq = 0
+        self._header_written = False
+
+    # -- demux side ----------------------------------------------------- #
+
+    @staticmethod
+    def open_input(url: str, format_name: Optional[str] = None,
+                   options: Optional[Dict[str, Any]] = None) -> "FormatContext":
+        """reference: utils.c:284 avformat_open_input"""
+        ctx = FormatContext()
+        ctx.url = url
+        pb = url_open(url, "r")
+        if format_name:
+            cls = find_input_format(format_name)
+        else:
+            probe_len = 4096
+            head = pb.read(probe_len)
+            if pb.seekable:
+                pb.seek(0)
+            else:
+                import io as _io
+                rest = pb.read_all()
+                pb = IOContext(_io.BytesIO(head + rest), seekable=True, url=url)
+            cls = probe_input(head, url)
+        ctx.iformat = cls(options)
+        ctx.iformat.url = url
+        ctx.pb = pb
+        ctx.iformat.read_header(pb)
+        ctx.streams = ctx.iformat.streams
+        return ctx
+
+    def read_frame(self) -> Packet:
+        """reference: utils.c:1021 av_read_frame — returns one packet or
+        raises AVError(EOF_)."""
+        pkt = self.iformat.read_packet()
+        st = self.streams[pkt.stream_index]
+        pkt.time_base = st.time_base
+        return pkt
+
+    def packets(self):
+        """Iterate all packets (generator convenience)."""
+        while True:
+            try:
+                yield self.read_frame()
+            except AVError as e:
+                if e.code == EOF_:
+                    return
+                raise
+
+    def seek(self, stream_index: int, timestamp: int, flags: int = 0):
+        """reference: avformat.h:1620 avformat_seek_file"""
+        return self.iformat.read_seek(stream_index, timestamp, flags)
+
+    # -- mux side --------------------------------------------------------#
+
+    @staticmethod
+    def open_output(url: str, format_name: Optional[str] = None,
+                    options: Optional[Dict[str, Any]] = None) -> "FormatContext":
+        ctx = FormatContext()
+        ctx.url = url
+        cls = guess_format(format_name, url)
+        ctx.oformat = cls(options)
+        ctx.oformat.url = url
+        if not cls.FLAG_NOFILE:
+            ctx.pb = url_open(url, "w")
+        return ctx
+
+    def new_stream(self, codecpar: CodecParameters,
+                   time_base: Rational = Rational(1, 90000)) -> Stream:
+        st = Stream(index=len(self.streams), codecpar=codecpar,
+                    time_base=time_base)
+        self.streams.append(st)
+        return st
+
+    def write_header(self):
+        """reference: mux.c:234 avformat_write_header"""
+        self.oformat.streams = self.streams
+        self.oformat.write_header(self.pb)
+        self._header_written = True
+
+    def write_packet(self, pkt: Packet):
+        """reference: mux.c:644 av_interleaved_write_frame — interleave by
+        dts across streams."""
+        if not self._header_written:
+            self.write_header()
+        if len(self.streams) == 1:
+            self.oformat.write_packet(pkt)
+            return
+        st = self.streams[pkt.stream_index]
+        key = pkt.dts if pkt.dts != NOPTS_VALUE else pkt.pts
+        # normalize to microseconds for cross-stream comparison
+        key_us = rescale_q(key, st.time_base, Rational(1, 1000000)) \
+            if key != NOPTS_VALUE else 0
+        heapq.heappush(self._mux_queue, (key_us, self._mux_seq, pkt.stream_index, pkt))
+        self._mux_seq += 1
+        # drain: hold back at most one queue per stream like the FIFO model
+        have = set(p[2] for p in self._mux_queue)
+        while len(have) == len(self.streams) and self._mux_queue:
+            _, _, _, p = heapq.heappop(self._mux_queue)
+            self.oformat.write_packet(p)
+            have = set(q[2] for q in self._mux_queue)
+
+    def write_trailer(self):
+        while self._mux_queue:
+            _, _, _, p = heapq.heappop(self._mux_queue)
+            self.oformat.write_packet(p)
+        self.oformat.write_trailer()
+        if self.pb is not None and hasattr(self.pb._f, "close"):
+            self.pb.close()
+
+    def close(self):
+        if self.iformat:
+            self.iformat.close()
+        if self.pb:
+            try:
+                self.pb.close()
+            except Exception:
+                pass
+
+
+def open_input(url: str, format_name: Optional[str] = None,
+               options: Optional[Dict[str, Any]] = None) -> FormatContext:
+    return FormatContext.open_input(url, format_name, options)

@@ -1,0 +1,242 @@
+"""Byte I/O over URL protocols (reference: libavformat/avio.h:111
+AVIOContext, aviobuf.c buffered reader, url.h:55 URLProtocol, protocols.c
+registry; file.c, pipe (fd), http.c, tcp.c, concat, md5 protocols).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import socket
+import sys
+import hashlib
+from typing import Dict, Optional, Type
+from urllib.parse import urlparse
+
+from libav_tpu.avutil.error import AVError, PROTOCOL_NOT_FOUND, EINVAL
+
+SEEK_SET, SEEK_CUR, SEEK_END = 0, 1, 2
+
+
+class URLProtocol:
+    """reference: url.h:55 URLProtocol"""
+    NAME = "none"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> "IOContext":
+        raise NotImplementedError
+
+
+_PROTOCOLS: Dict[str, Type[URLProtocol]] = {}
+
+
+def register_protocol(cls):
+    _PROTOCOLS[cls.NAME] = cls
+    return cls
+
+
+class IOContext:
+    """reference: avio.h:111 AVIOContext — buffered, seekable byte stream."""
+
+    def __init__(self, fobj, seekable: bool = True, url: str = ""):
+        self._f = fobj
+        self.seekable = seekable
+        self.url = url
+        self.error = 0
+
+    def read(self, n: int = -1) -> bytes:
+        return self._f.read(n)
+
+    def read_all(self) -> bytes:
+        return self._f.read()
+
+    def write(self, data: bytes) -> int:
+        return self._f.write(data)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def seek(self, pos: int, whence: int = SEEK_SET) -> int:
+        if not self.seekable:
+            raise AVError(EINVAL, "stream not seekable")
+        return self._f.seek(pos, whence)
+
+    def size(self) -> int:
+        if not self.seekable:
+            return -1
+        cur = self.tell()
+        end = self._f.seek(0, SEEK_END)
+        self._f.seek(cur, SEEK_SET)
+        return end
+
+    def close(self):
+        if self._f not in (sys.stdin.buffer, sys.stdout.buffer):
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    # big-endian helpers (reference: avio.h avio_rb16/rb32/...)
+    def rb16(self) -> int:
+        return int.from_bytes(self.read(2), "big")
+
+    def rb24(self) -> int:
+        return int.from_bytes(self.read(3), "big")
+
+    def rb32(self) -> int:
+        return int.from_bytes(self.read(4), "big")
+
+    def rb64(self) -> int:
+        return int.from_bytes(self.read(8), "big")
+
+    def rl16(self) -> int:
+        return int.from_bytes(self.read(2), "little")
+
+    def rl32(self) -> int:
+        return int.from_bytes(self.read(4), "little")
+
+    def wb16(self, v: int):
+        self.write(v.to_bytes(2, "big"))
+
+    def wb32(self, v: int):
+        self.write(v.to_bytes(4, "big"))
+
+    def wl16(self, v: int):
+        self.write(v.to_bytes(2, "little"))
+
+    def wl32(self, v: int):
+        self.write(v.to_bytes(4, "little"))
+
+
+@register_protocol
+class FileProtocol(URLProtocol):
+    """reference: libavformat/file.c"""
+    NAME = "file"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        path = url[len("file:"):] if url.startswith("file:") else url
+        f = open(path, "rb" if mode == "r" else "wb")
+        return IOContext(f, seekable=True, url=url)
+
+
+@register_protocol
+class PipeProtocol(URLProtocol):
+    """reference: libavformat/file.c pipe branch ('pipe:0'/'pipe:1' or '-')"""
+    NAME = "pipe"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        spec = url[len("pipe:"):] if url.startswith("pipe:") else ""
+        if mode == "r":
+            fd = int(spec) if spec else 0
+            f = sys.stdin.buffer if fd == 0 else os.fdopen(fd, "rb")
+        else:
+            fd = int(spec) if spec else 1
+            f = sys.stdout.buffer if fd == 1 else os.fdopen(fd, "wb")
+        return IOContext(f, seekable=False, url=url)
+
+
+@register_protocol
+class DataProtocol(URLProtocol):
+    """In-memory buffers (test/tooling convenience)."""
+    NAME = "mem"
+    _store: Dict[str, io.BytesIO] = {}
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        key = url[len("mem:"):]
+        if mode == "r":
+            buf = cls._store.get(key)
+            if buf is None:
+                raise AVError(EINVAL, f"no mem buffer {key}")
+            return IOContext(io.BytesIO(buf.getvalue()), seekable=True, url=url)
+        b = io.BytesIO()
+        cls._store[key] = b
+
+        class _Keep(io.BytesIO):
+            pass
+        return IOContext(b, seekable=True, url=url)
+
+    @classmethod
+    def get(cls, key: str) -> bytes:
+        return cls._store[key].getvalue()
+
+
+@register_protocol
+class MD5Protocol(URLProtocol):
+    """reference: libavformat/md5proto.c — write sink that emits the md5 of
+    everything written (FATE 'md5:' output)."""
+    NAME = "md5"
+
+    class _MD5Writer:
+        def __init__(self, out):
+            self.h = hashlib.md5()
+            self.out = out
+            self.pos = 0
+
+        def write(self, data):
+            self.h.update(data)
+            self.pos += len(data)
+            return len(data)
+
+        def tell(self):
+            return self.pos
+
+        def close(self):
+            self.out.write(self.h.hexdigest().encode() + b"\n")
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "w":
+            raise AVError(EINVAL, "md5: is write-only")
+        return IOContext(cls._MD5Writer(sys.stdout.buffer), seekable=False, url=url)
+
+
+@register_protocol
+class TCPProtocol(URLProtocol):
+    """reference: libavformat/tcp.c (tcp://host:port)"""
+    NAME = "tcp"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        u = urlparse(url)
+        sock = socket.create_connection((u.hostname, u.port or 80))
+        f = sock.makefile("rb" if mode == "r" else "wb")
+        return IOContext(f, seekable=False, url=url)
+
+
+@register_protocol
+class HTTPProtocol(URLProtocol):
+    """reference: libavformat/http.c — read side via urllib."""
+    NAME = "http"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "r":
+            raise AVError(EINVAL, "http write not supported")
+        import urllib.request
+        resp = urllib.request.urlopen(url)
+        data = resp.read()
+        return IOContext(io.BytesIO(data), seekable=True, url=url)
+
+
+class HTTPSProtocol(HTTPProtocol):
+    NAME = "https"
+
+
+_PROTOCOLS["https"] = HTTPSProtocol
+
+
+def url_open(url: str, mode: str = "r") -> IOContext:
+    """reference: avio.h avio_open2 -> URLProtocol dispatch"""
+    if url == "-":
+        return PipeProtocol.open("pipe:", mode)
+    scheme = url.split(":", 1)[0] if ":" in url else "file"
+    if len(scheme) <= 1:   # windows-style path or plain file
+        scheme = "file"
+    proto = _PROTOCOLS.get(scheme, FileProtocol)
+    return proto.open(url, mode)

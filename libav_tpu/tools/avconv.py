@@ -1,0 +1,401 @@
+"""avconv-semantics transcoder CLI (reference: avtools/avconv.c:2770
+transcode loop, avconv_opt.c option grammar).
+
+Usage mirrors avconv:
+  avconv [global opts] -i INPUT [input opts before -i apply to it]
+         [output opts] OUTPUT
+
+Supported now: -i, -f, -c:v/-vcodec/-c:a/-acodec/-codec ('copy' works),
+-pix_fmt, -s WxH, -q/-q:v (quality), -r (rate), -frames/-vframes, -an/-vn,
+-y, -threads, -benchmark, -flags, -video_size, -pixel_format, -framerate
+(rawvideo input), pipe ('-') and md5:/null outputs.
+
+Pipeline per output stream: demux -> decode -> (filters: scale/format) ->
+encode -> mux, with decode/encode device-batched inside the codecs.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import AVError, EAGAIN, EOF_
+from libav_tpu.avutil.frame import Frame, Packet
+from libav_tpu.avutil.rational import NOPTS_VALUE, Rational, rescale_q
+from libav_tpu.codecs import (CodecParameters, find_decoder, find_encoder)
+from libav_tpu.codecs.api import MediaType
+import libav_tpu.codecs.rawvideo  # noqa: F401 (registration)
+from libav_tpu.formats import FormatContext
+
+
+@dataclass
+class OutputStreamSpec:
+    codec: Optional[str] = None      # None = default for format, 'copy'
+    pix_fmt: Optional[str] = None
+    size: Optional[str] = None
+    quality: Optional[int] = None
+    rate: Optional[str] = None
+    max_frames: Optional[int] = None
+
+
+@dataclass
+class Options:
+    inputs: List[Dict[str, Any]] = field(default_factory=list)
+    output_url: Optional[str] = None
+    output_format: Optional[str] = None
+    video: OutputStreamSpec = field(default_factory=OutputStreamSpec)
+    audio: OutputStreamSpec = field(default_factory=OutputStreamSpec)
+    no_video: bool = False
+    no_audio: bool = False
+    overwrite: bool = False
+    benchmark: bool = False
+    threads: int = 1
+    extra: Dict[str, str] = field(default_factory=dict)
+
+
+def parse_args(argv: List[str]) -> Options:
+    """reference: avconv_opt.c (subset of the option grammar)"""
+    o = Options()
+    pending: Dict[str, str] = {}   # input options accumulated before -i
+    i = 0
+
+    def take():
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            raise AVError(-22, f"missing argument for {argv[i-1]}")
+        return argv[i]
+
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            url = take()
+            o.inputs.append({"url": url, "opts": pending})
+            pending = {}
+        elif a in ("-f",):
+            v = take()
+            if o.inputs and o.output_url is None and not pending:
+                o.output_format = v
+            if not o.inputs:
+                pending["format"] = v
+            else:
+                o.output_format = v
+        elif a in ("-c", "-codec", "-c:v", "-vcodec", "-codec:v"):
+            v = take()
+            if a in ("-c", "-codec"):
+                o.video.codec = o.audio.codec = v
+            else:
+                o.video.codec = v
+        elif a in ("-c:a", "-acodec", "-codec:a"):
+            o.audio.codec = take()
+        elif a == "-pix_fmt":
+            o.video.pix_fmt = take()
+        elif a == "-s":
+            v = take()
+            if not o.inputs:
+                pending["video_size"] = v
+            else:
+                o.video.size = v
+        elif a in ("-q", "-q:v", "-qscale", "-qscale:v"):
+            o.video.quality = int(float(take()))
+        elif a == "-r":
+            v = take()
+            if not o.inputs:
+                pending["framerate"] = v
+            else:
+                o.video.rate = v
+        elif a in ("-frames", "-vframes", "-frames:v"):
+            o.video.max_frames = int(take())
+        elif a in ("-aframes", "-frames:a"):
+            o.audio.max_frames = int(take())
+        elif a == "-an":
+            o.no_audio = True
+        elif a == "-vn":
+            o.no_video = True
+        elif a == "-y":
+            o.overwrite = True
+        elif a == "-n":
+            o.overwrite = False
+        elif a == "-benchmark":
+            o.benchmark = True
+        elif a == "-threads":
+            o.threads = int(take())
+        elif a in ("-video_size",):
+            pending["video_size"] = take()
+        elif a in ("-pixel_format",):
+            pending["pixel_format"] = take()
+        elif a in ("-framerate",):
+            pending["framerate"] = take()
+        elif a in ("-loglevel", "-v"):
+            lvl = take()
+            levels = {"quiet": log.QUIET, "error": log.ERROR,
+                      "warning": log.WARNING, "info": log.INFO,
+                      "verbose": log.VERBOSE, "debug": log.DEBUG}
+            log.set_level(levels.get(lvl, log.INFO))
+        elif a == "-flags":
+            o.extra["flags"] = take()
+        elif a == "-b:v" or a == "-b":
+            o.extra["bit_rate"] = take()
+        elif a == "-g":
+            o.extra["gop_size"] = take()
+        elif a == "-bf":
+            o.extra["max_b_frames"] = take()
+        elif a.startswith("-") and a != "-":
+            # unknown option with a value? consume conservatively
+            o.extra[a[1:]] = take()
+        else:
+            o.output_url = a
+        i += 1
+    return o
+
+
+_DEFAULT_VCODEC_FOR_FMT = {
+    "framecrc": "rawvideo", "framemd5": "rawvideo", "crc": "rawvideo",
+    "md5": "rawvideo", "rawvideo": "rawvideo", "yuv4mpegpipe": "rawvideo",
+    "y4m": "rawvideo", "null": "rawvideo",
+    "image2": "mjpeg", "mjpeg": "mjpeg", "avi": "mpeg4", "mp4": "mpeg4",
+    "mov": "mpeg4", "mpegts": "mpeg2video", "wav": "pcm_s16le",
+}
+
+
+def transcode(o: Options) -> int:
+    """reference: avconv.c:2770 transcode()"""
+    t0 = time.time()
+    if not o.inputs:
+        raise AVError(-22, "no input specified (-i)")
+    if o.output_url is None:
+        raise AVError(-22, "no output specified")
+
+    ic = FormatContext.open_input(
+        o.inputs[0]["url"],
+        o.inputs[0]["opts"].pop("format", None),
+        o.inputs[0]["opts"] or None)
+
+    # stream selection: first video + first audio (reference:
+    # avconv_opt.c choose_output default mapping)
+    vin = next((s for s in ic.streams
+                if s.codecpar.codec_type == MediaType.VIDEO and not o.no_video), None)
+    ain = next((s for s in ic.streams
+                if s.codecpar.codec_type == MediaType.AUDIO and not o.no_audio), None)
+
+    oc = FormatContext.open_output(o.output_url, o.output_format)
+
+    chains = {}
+    if vin is not None:
+        chains[vin.index] = _VideoChain(vin, oc, o)
+    if ain is not None:
+        chains[ain.index] = _AudioChain(ain, oc, o)
+    if not chains:
+        raise AVError(-22, "no streams selected")
+
+    packets_read = 0
+    for pkt in ic.packets():
+        ch = chains.get(pkt.stream_index)
+        if ch is None:
+            continue
+        packets_read += 1
+        ch.send(pkt)
+        if all(c.done for c in chains.values()):
+            break
+    for ch in chains.values():
+        ch.drain()
+    oc.write_trailer()
+    ic.close()
+
+    if packets_read == 0:
+        sys.stderr.write("avconv: no packets read from input — "
+                         "output file is empty\n")
+        return 1
+
+    if o.benchmark:
+        dt = time.time() - t0
+        total = sum(c.frame_count for c in chains.values())
+        sys.stderr.write(f"bench: utime={dt:.3f}s frames={total} "
+                         f"fps={total/dt if dt else 0:.1f}\n")
+    return 0
+
+
+class _VideoChain:
+    def __init__(self, ist, oc: FormatContext, o: Options):
+        self.ist = ist
+        self.oc = oc
+        self.spec = o.video
+        self.done = False
+        self.frame_count = 0
+
+        par = ist.codecpar
+        codec_name = self.spec.codec
+        if codec_name is None:
+            fmt_name = oc.oformat.NAME.split(",")[0]
+            codec_name = _DEFAULT_VCODEC_FOR_FMT.get(fmt_name,
+                                                     oc.oformat.VIDEO_CODEC)
+        self.copy = codec_name == "copy"
+
+        out_par = CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id=codec_name if not self.copy
+            else par.codec_id,
+            width=par.width, height=par.height, pix_fmt=par.pix_fmt)
+        self.ost = oc.new_stream(out_par, time_base=ist.time_base)
+        self.ost.avg_frame_rate = ist.avg_frame_rate
+
+        if self.copy:
+            self.dec = self.enc = None
+            return
+        self.dec = find_decoder(par.codec_id)(par).open()
+        if self.spec.size:
+            w, h = (int(x) for x in self.spec.size.lower().split("x"))
+            out_par.width, out_par.height = w, h
+        enc_opts = {}
+        if self.spec.quality is not None:
+            enc_opts["quality"] = self.spec.quality
+        self.enc = None
+        self.enc_name = codec_name
+        self.enc_opts = enc_opts
+        self.out_par = out_par
+
+    def _ensure_encoder(self, frame: Frame):
+        if self.enc is not None or self.copy:
+            return
+        self.out_par.width = self.out_par.width or frame.width
+        self.out_par.height = self.out_par.height or frame.height
+        self.out_par.pix_fmt = self.spec.pix_fmt or frame.format
+        self.enc = find_encoder(self.enc_name)(self.out_par, self.enc_opts).open()
+
+    def send(self, pkt: Packet):
+        if self.done:
+            return
+        if self.copy:
+            self._write(pkt)
+            return
+        self.dec.send_packet(pkt)
+        self._pump_frames()
+
+    def _pump_frames(self):
+        while True:
+            try:
+                frame = self.dec.receive_frame()
+            except AVError as e:
+                if e.code in (EAGAIN, EOF_):
+                    return
+                raise
+            frame = self._filter(frame)
+            self._encode_frame(frame)
+            if self.done:
+                return
+
+    def _filter(self, frame: Frame) -> Frame:
+        spec = self.spec
+        if spec.size or (spec.pix_fmt and spec.pix_fmt != frame.format):
+            from libav_tpu.swscale import SwsContext
+            w = frame.width
+            h = frame.height
+            if spec.size:
+                w, h = (int(x) for x in spec.size.lower().split("x"))
+            dst_fmt = spec.pix_fmt or frame.format
+            sws = SwsContext.get(frame.width, frame.height, frame.format,
+                                 w, h, dst_fmt)
+            frame = sws.scale_frame(frame)
+        return frame
+
+    def _encode_frame(self, frame: Frame):
+        self._ensure_encoder(frame)
+        self.enc.send_frame(frame)
+        self._pump_packets()
+
+    def _pump_packets(self):
+        while True:
+            try:
+                pkt = self.enc.receive_packet()
+            except AVError as e:
+                if e.code in (EAGAIN, EOF_):
+                    return
+                raise
+            self._write(pkt)
+
+    def _write(self, pkt: Packet):
+        pkt = pkt.clone()
+        pkt.stream_index = self.ost.index
+        self.oc.write_packet(pkt)
+        self.frame_count += 1
+        if (self.spec.max_frames is not None
+                and self.frame_count >= self.spec.max_frames):
+            self.done = True
+
+    def drain(self):
+        if self.copy or self.done:
+            return
+        try:
+            self.dec.send_packet(None)
+        except AVError:
+            pass
+        self._pump_frames()
+        if self.enc is not None:
+            try:
+                self.enc.send_frame(None)
+            except AVError:
+                pass
+            self._pump_packets()
+
+
+class _AudioChain(_VideoChain):
+    def __init__(self, ist, oc, o: Options):
+        self.ist = ist
+        self.oc = oc
+        self.spec = o.audio
+        self.done = False
+        self.frame_count = 0
+        par = ist.codecpar
+        codec_name = self.spec.codec
+        if codec_name is None:
+            fmt_name = oc.oformat.NAME.split(",")[0]
+            codec_name = {"wav": "pcm_s16le", "framecrc": "pcm_s16le",
+                          "framemd5": "pcm_s16le", "null": "pcm_s16le",
+                          }.get(fmt_name, oc.oformat.AUDIO_CODEC)
+        self.copy = codec_name == "copy" or codec_name == par.codec_id
+        out_par = CodecParameters(
+            codec_type=MediaType.AUDIO,
+            codec_id=par.codec_id if self.copy else codec_name,
+            sample_fmt=par.sample_fmt, sample_rate=par.sample_rate,
+            channels=par.channels, channel_layout=par.channel_layout)
+        self.ost = oc.new_stream(out_par, time_base=ist.time_base)
+        if self.copy:
+            self.dec = self.enc = None
+            return
+        self.dec = find_decoder(par.codec_id)(par).open()
+        self.enc_name = codec_name
+        self.enc_opts = {}
+        self.out_par = out_par
+        self.enc = None
+
+    def _filter(self, frame: Frame) -> Frame:
+        return frame
+
+    def _ensure_encoder(self, frame: Frame):
+        if self.enc is not None or self.copy:
+            return
+        self.out_par.sample_fmt = frame.format
+        self.out_par.sample_rate = frame.sample_rate
+        self.out_par.channels = frame.channels
+        self.enc = find_encoder(self.enc_name)(self.out_par, self.enc_opts).open()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        sys.stderr.write(__doc__ + "\n")
+        return 0
+    try:
+        return transcode(parse_args(argv))
+    except AVError as e:
+        sys.stderr.write(f"avconv: {e}\n")
+        return 1
+    except OSError as e:
+        sys.stderr.write(f"avconv: {e}\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,167 @@
+"""Container + CLI integration tests (mirrors FATE's end-to-end avconv
+runs, SURVEY.md §4 tier 1: decode -> framecrc lines; enc_dec round trips)."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from libav_tpu.avutil.frame import Frame, Packet
+from libav_tpu.avutil.imgutils import frame_to_bytes
+from libav_tpu.formats import FormatContext
+from libav_tpu.tools import avconv, avprobe
+
+from tests.test_mjpeg import synth_frame, encode as encode_jpeg
+
+
+@pytest.fixture()
+def jpeg_file(tmp_path):
+    p = tmp_path / "in.jpg"
+    p.write_bytes(encode_jpeg(synth_frame(96, 80, "yuvj420p"), quality=90))
+    return str(p)
+
+
+@pytest.fixture()
+def y4m_file(tmp_path):
+    p = tmp_path / "in.y4m"
+    frames = [synth_frame(64, 48, "yuv420p", seed=i) for i in range(3)]
+    oc = FormatContext.open_output(str(p), "y4m")
+    from libav_tpu.codecs.api import CodecParameters, MediaType
+    from libav_tpu.avutil.rational import Rational
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="rawvideo",
+                          width=64, height=48, pix_fmt="yuv420p")
+    st = oc.new_stream(par, time_base=Rational(1, 25))
+    st.avg_frame_rate = Rational(25, 1)
+    oc.write_header()
+    for i, f in enumerate(frames):
+        oc.write_packet(Packet(data=frame_to_bytes(f), pts=i, dts=i,
+                               duration=1, stream_index=0))
+    oc.write_trailer()
+    return str(p)
+
+
+def run_avconv(args, capsys):
+    rc = avconv.main(args)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+class TestAvconv:
+    def test_jpeg_to_framecrc(self, jpeg_file, capsys, monkeypatch):
+        # capture stdout bytes via mem: not available -> use a temp file
+        rc = avconv.main(["-i", jpeg_file, "-f", "framecrc",
+                          "/dev/stdout"])
+        assert rc == 0
+
+    def test_jpeg_to_framecrc_file(self, jpeg_file, tmp_path):
+        out = tmp_path / "out.crc"
+        rc = avconv.main(["-i", jpeg_file, "-f", "framecrc", str(out)])
+        assert rc == 0
+        line = out.read_text().strip()
+        parts = [p.strip() for p in line.split(",")]
+        assert parts[0] == "0"
+        assert int(parts[4]) == 96 * 80 * 3 // 2
+        assert parts[5].startswith("0x")
+
+    def test_framecrc_deterministic(self, jpeg_file, tmp_path):
+        a, b = tmp_path / "a.crc", tmp_path / "b.crc"
+        avconv.main(["-i", jpeg_file, "-f", "framecrc", str(a)])
+        avconv.main(["-i", jpeg_file, "-f", "framecrc", str(b)])
+        assert a.read_text() == b.read_text()
+
+    def test_y4m_to_framecrc(self, y4m_file, tmp_path):
+        out = tmp_path / "out.crc"
+        rc = avconv.main(["-i", y4m_file, "-f", "framecrc", str(out)])
+        assert rc == 0
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == 3
+
+    def test_y4m_to_jpeg_roundtrip(self, y4m_file, tmp_path):
+        out = tmp_path / "out_%03d.jpg"
+        rc = avconv.main(["-i", y4m_file, "-c:v", "mjpeg", "-q:v", "95",
+                          "-f", "image2", str(out)])
+        assert rc == 0
+        files = sorted(tmp_path.glob("out_*.jpg"))
+        assert len(files) == 3
+        # decode one back
+        from libav_tpu.codecs.mjpeg import MJPEGDecoder
+        dec = MJPEGDecoder()
+        f = dec.decode_all([Packet(data=files[0].read_bytes())])[0].to_host()
+        assert f.width == 64 and f.height == 48
+
+    def test_scale(self, jpeg_file, tmp_path):
+        out = tmp_path / "out.crc"
+        rc = avconv.main(["-i", jpeg_file, "-s", "48x40", "-f",
+                          "framecrc", str(out)])
+        assert rc == 0
+        parts = out.read_text().split(",")
+        assert int(parts[4]) == 48 * 40 * 3 // 2
+
+    def test_vframes_limit(self, y4m_file, tmp_path):
+        out = tmp_path / "out.crc"
+        rc = avconv.main(["-i", y4m_file, "-frames", "2", "-f",
+                          "framecrc", str(out)])
+        assert rc == 0
+        assert len(out.read_text().strip().splitlines()) == 2
+
+    def test_rawvideo_input(self, tmp_path):
+        f = synth_frame(32, 24, "yuv420p")
+        raw = tmp_path / "in.yuv"
+        raw.write_bytes(frame_to_bytes(f) * 2)
+        out = tmp_path / "out.crc"
+        rc = avconv.main(["-f", "rawvideo", "-video_size", "32x24",
+                          "-pixel_format", "yuv420p", "-i", str(raw),
+                          "-f", "framecrc", str(out)])
+        assert rc == 0
+        assert len(out.read_text().strip().splitlines()) == 2
+
+    def test_null_output(self, y4m_file):
+        assert avconv.main(["-i", y4m_file, "-f", "null", "-"]) == 0
+
+    def test_benchmark_flag(self, y4m_file, capsys):
+        assert avconv.main(["-benchmark", "-i", y4m_file, "-f", "null", "-"]) == 0
+        assert "bench:" in capsys.readouterr().err
+
+
+class TestAvprobe:
+    def test_probe_jpeg(self, jpeg_file, capsys):
+        rc = avprobe.main([jpeg_file])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "codec_name=mjpeg" in out
+        assert "format_name=image2" in out
+
+    def test_probe_y4m(self, y4m_file, capsys):
+        rc = avprobe.main(["-show_packets", y4m_file])
+        out = capsys.readouterr().out
+        assert "width=64" in out
+        assert out.count("stream=0 ") == 3
+
+
+class TestWav:
+    def test_wav_roundtrip(self, tmp_path):
+        from libav_tpu.avutil.rational import Rational
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        rng = np.random.default_rng(0)
+        samples = (rng.standard_normal(4800) * 8000).astype("<i2")
+        p = tmp_path / "t.wav"
+        oc = FormatContext.open_output(str(p), "wav")
+        par = CodecParameters(codec_type=MediaType.AUDIO,
+                              codec_id="pcm_s16le", sample_rate=48000,
+                              channels=2)
+        oc.new_stream(par, time_base=Rational(1, 48000))
+        oc.write_header()
+        oc.write_packet(Packet(data=samples.tobytes(), pts=0, dts=0,
+                               duration=2400, stream_index=0))
+        oc.write_trailer()
+
+        ic = FormatContext.open_input(str(p))
+        st = ic.streams[0]
+        assert st.codecpar.codec_id == "pcm_s16le"
+        assert st.codecpar.sample_rate == 48000
+        assert st.codecpar.channels == 2
+        data = b"".join(pkt.data for pkt in ic.packets())
+        assert data == samples.tobytes()
