@@ -62,10 +62,16 @@ class MJPEGEncoder(Encoder):
 
     OPTIONS = Encoder.OPTIONS + [
         Option("quality", "JPEG quality 1-100", "int", 90, 1, 100),
+        Option("qscale", "mpeg-style qscale 1-31 (overrides quality)",
+               "int", 0, 0, 31),
     ]
 
     def _init(self):
         q = self.quality
+        if self.qscale:
+            # map qscale 1..31 -> IJG quality, same spirit as the
+            # reference's ff_convert_matrix qscale scaling
+            q = max(2, min(97, int(round(100 - (self.qscale - 1) * 97 / 30))))
         self.qmat = [T.scale_quant_table(T.STD_LUMINANCE_QUANT, q),
                      T.scale_quant_table(T.STD_CHROMINANCE_QUANT, q)]
         self.dc_tabs = [huff_code_table(*T.STD_DC_LUMINANCE, 16),

@@ -1,0 +1,420 @@
+"""MPEG-1 video encoder (reference: libavcodec/mpeg12enc.c +
+mpegvideo_enc.c driver ff_mpv_encode_picture :1654 — SURVEY.md §3.3).
+
+Device (all FLOPs): diamond+hpel motion search (ops/me.py), prediction,
+FDCT, quantization, and the decoder-identical reconstruction for the
+reference frame loop. Host (serial): slice/MB VLC packing.
+
+GOP structure: I + (gop_size-1) P frames (B frames TODO). Rate control:
+fixed qscale (CBR model comes with ratecontrol.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.frame import Frame, Packet, PictureType, PKT_FLAG_KEY
+from libav_tpu.avutil.opt import Option
+from libav_tpu.avutil.rational import Rational
+from libav_tpu.bitstream import PutBits
+from libav_tpu.codecs.api import Encoder, MediaType, register_codec
+from libav_tpu.codecs.mpeg12 import tables as T
+from libav_tpu.codecs.mpeg12.dec import _recon_jit, PICT_I, PICT_P
+from libav_tpu.ops.quant import zigzag_scan
+
+
+@functools.lru_cache(maxsize=None)
+def _rl_encode_map() -> Dict[Tuple[int, int], Tuple[int, int]]:
+    """(run, level>0) -> (code, bits) from table B.14 (sign bit appended
+    by the packer)."""
+    m = {}
+    for i in range(111):
+        run = T.RUN_LEVEL[0][i]
+        level = T.RUN_LEVEL[1][i]
+        code, bits = T.DCT_VLC_MPEG1[i]
+        m[(run, level)] = (code, bits)
+    return m
+
+
+def _encode_motion(pb: PutBits, delta: int, fcode: int):
+    """Inverse of dec._decode_motion (ISO 11172-2 §2.4.4.2)."""
+    shift = fcode - 1
+    lim = 1 << (shift + 4)
+    if delta < -lim:
+        delta += 2 * lim
+    elif delta >= lim:
+        delta -= 2 * lim
+    if delta == 0:
+        pb.put_bits(T.MOTION_CODE[1][0], T.MOTION_CODE[0][0])
+        return
+    a = abs(delta)
+    code = ((a - 1) >> shift) + 1
+    residual = a - 1 - ((code - 1) << shift)
+    pb.put_bits(T.MOTION_CODE[1][code], T.MOTION_CODE[0][code])
+    pb.put_bits(1, 1 if delta < 0 else 0)
+    if shift:
+        pb.put_bits(shift, residual)
+
+
+def _encode_dc(pb: PutBits, diff: int, lum: bool):
+    """Table B.5a/b DC size + differential."""
+    size = abs(diff).bit_length()
+    codes, bits = T.DC_LUM if lum else T.DC_CHROMA
+    pb.put_bits(bits[size], codes[size])
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        pb.put_bits(size, v)
+
+
+def _encode_block_ac(pb: PutBits, levels: np.ndarray, start: int,
+                     first_inter: bool):
+    """Run-level coding, table B.14 + escapes; levels in zigzag order."""
+    m = _rl_encode_map()
+    run = 0
+    first = first_inter
+    for k in range(start, 64):
+        lvl = int(levels[k])
+        if lvl == 0:
+            run += 1
+            continue
+        a = abs(lvl)
+        if first and run == 0 and a == 1:
+            # dct_coeff_first special case: '1' + sign
+            pb.put_bits(1, 1)
+            pb.put_bits(1, 1 if lvl < 0 else 0)
+        elif (run, a) in m:
+            code, bits = m[(run, a)]
+            pb.put_bits(bits, code)
+            pb.put_bits(1, 1 if lvl < 0 else 0)
+        else:
+            # escape: 000001 run(6) level(8/16)
+            pb.put_bits(6, 0x1)
+            pb.put_bits(6, run)
+            if -127 <= lvl <= 127:
+                pb.put_sbits(8, lvl)
+            elif lvl > 0:
+                pb.put_bits(8, 0x00)
+                pb.put_bits(8, lvl)
+            else:
+                pb.put_bits(8, 0x80)
+                pb.put_bits(8, lvl + 256)
+        run = 0
+        first = False
+    pb.put_bits(2, 0x2)  # EOB
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_jit(mb_w: int, mb_h: int, inter: bool):
+    """Device program: pixels (+ref) -> quantized levels, MVs, modes."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import EDGE, mc_hpel, chroma_mv_div2
+    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    zz = zigzag_scan()
+    mbx = jnp.asarray((np.arange(nmb) % mb_w) * 16, dtype=jnp.int32)
+    mby = jnp.asarray((np.arange(nmb) // mb_w) * 16, dtype=jnp.int32)
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        """(nmb, 6, 8, 8) int32 in MPEG block order."""
+        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    def quantize(coeffs8, qscale, qmat, intra_b):
+        """coeffs8: (n, 64) x8-scale DCT; -> levels int32 (zigzag order)."""
+        q = qscale[:, None] * qmat[None, :]
+        if intra_b:
+            lv = jnp.sign(coeffs8) * ((jnp.abs(coeffs8) + q // 2) // q)
+        else:
+            lv = jnp.sign(coeffs8) * (jnp.abs(coeffs8) // q)
+        return jnp.clip(lv, -255, 255)
+
+    def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
+           r0y, r0u, r0v):
+        cy = cur_y.astype(jnp.int32)
+        blocks = mb_blocks(cy, cur_u.astype(jnp.int32),
+                           cur_v.astype(jnp.int32))
+
+        if inter:
+            cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                       .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+            fmv, _ = _search_jit(mb_w, mb_h, 15)(cur_mbs, r0y)
+            mv, sad = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r0y, fmv)
+            # intra/inter decision (reference: mpegvideo_enc mb decision):
+            mb_mean = cur_mbs.mean(axis=(1, 2), keepdims=True)
+            intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
+            use_intra = intra_cost.astype(jnp.int32) + 256 < sad
+            # prediction
+            pred_y = mc_hpel(r0y, mbx, mby, mv[:, 0], mv[:, 1], 16)
+            cmv = chroma_mv_div2(mv)
+            pred_u = mc_hpel(r0u, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            pred_v = mc_hpel(r0v, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            pred_blocks = mb_blocks(
+                (pred_y.reshape(mb_h, mb_w, 16, 16)
+                 .transpose(0, 2, 1, 3).reshape(H, W)),
+                (pred_u.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)),
+                (pred_v.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)))
+            resid = blocks - pred_blocks
+            src = jnp.where(use_intra[:, None, None, None], blocks, resid)
+        else:
+            mv = jnp.zeros((nmb, 2), dtype=jnp.int32)
+            use_intra = jnp.ones((nmb,), dtype=bool)
+            src = blocks
+
+        coeffs8 = fdct_ops.fdct8x8_int(src.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        qs6 = jnp.repeat(qscale, 6)
+        lv_i = quantize(czz, qs6, intra_qmat_zz, True)
+        lv_p = quantize(czz, qs6, inter_qmat_zz, False)
+        intra6 = jnp.repeat(use_intra, 6)
+        levels = jnp.where(intra6[:, None], lv_i, lv_p)
+        # intra DC in pixel units (dequant scales x8): dc = coeff8/64
+        dc8 = coeffs8.reshape(nmb * 6, 64)[:, 0]
+        dc_pix = jnp.clip((dc8 + 32) >> 6, 0, 255)
+        levels = levels.at[:, 0].set(
+            jnp.where(intra6, dc_pix, levels[:, 0]))
+        return levels.reshape(nmb, 6, 64), mv, use_intra
+
+    return jax.jit(fn)
+
+
+@register_codec
+class MPEG1Encoder(Encoder):
+    NAME = "mpeg1video"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "MPEG-1 video (TPU ME/DCT/quant)"
+
+    OPTIONS = Encoder.OPTIONS + [
+        Option("qscale", "fixed quantizer 1-31", "int", 8, 1, 31),
+        Option("gop_size", "GOP length", "int", 12, 1, 600),
+    ]
+
+    F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
+
+    def _init(self):
+        if self.width <= 0 or self.height <= 0:
+            raise AVError(EINVAL, "mpeg1video: width/height required")
+        self.mb_w = (self.width + 15) >> 4
+        self.mb_h = (self.height + 15) >> 4
+        self.intra_q = T.DEFAULT_INTRA_MATRIX.copy()
+        self.inter_q = T.DEFAULT_NON_INTRA_MATRIX.copy()
+        zz = zigzag_scan()
+        self.intra_q_zz = self.intra_q[zz].astype(np.int32)
+        self.inter_q_zz = self.inter_q[zz].astype(np.int32)
+        self._frame_idx = 0
+        self._refs = None      # padded recon planes (device)
+        self._fr = self.params.framerate if self.params.framerate else Rational(25, 1)
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, frame: Frame) -> List[Packet]:
+        seq, pic = None, None
+        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
+        pict_type = PICT_I if is_i else PICT_P
+
+        y, u, v = self._padded_input(frame)
+        nmb = self.mb_w * self.mb_h
+        qscale = np.full(nmb, self.qscale, dtype=np.int32)
+
+        enc = _encode_jit(self.mb_w, self.mb_h, not is_i)
+        if is_i:
+            import jax.numpy as jnp
+            zero = _zero_pad_refs(self.mb_w, self.mb_h)
+            levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
+                                     self.inter_q_zz, *zero)
+        else:
+            levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
+                                     self.inter_q_zz, *self._refs)
+        levels = np.asarray(levels).astype(np.int16)
+        mvs = np.asarray(mvs)
+        intra = np.asarray(intra)
+
+        # reconstruction through the decoder's own device program
+        recon = _recon_jit(self.mb_w, self.mb_h, False, False, not is_i)
+        use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
+        coeffs_dec = levels.copy()
+        _, padded = recon(coeffs_dec, qscale, intra, use_fwd,
+                          np.zeros(nmb, dtype=bool), mvs,
+                          np.zeros((nmb, 2), np.int32),
+                          self.intra_q_zz, self.inter_q_zz,
+                          *(self._refs if not is_i else
+                            _zero_pad_refs(self.mb_w, self.mb_h)),
+                          *_zero_pad_refs(self.mb_w, self.mb_h))
+        self._refs = padded
+
+        data = self._pack(levels, mvs, intra, pict_type, qscale)
+        pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
+                     flags=PKT_FLAG_KEY if is_i else 0,
+                     time_base=frame.time_base)
+        self._frame_idx += 1
+        return [pkt]
+
+    def _padded_input(self, frame: Frame):
+        H, W = self.mb_h * 16, self.mb_w * 16
+        y = np.asarray(frame.planes[0])
+        u = np.asarray(frame.planes[1])
+        v = np.asarray(frame.planes[2])
+        y = np.pad(y, ((0, H - y.shape[0]), (0, W - y.shape[1])), mode="edge")
+        u = np.pad(u, ((0, H // 2 - u.shape[0]), (0, W // 2 - u.shape[1])), mode="edge")
+        v = np.pad(v, ((0, H // 2 - v.shape[0]), (0, W // 2 - v.shape[1])), mode="edge")
+        return y, u, v
+
+    # ------------------------------------------------------------------ #
+
+    def _pack(self, levels, mvs, intra, pict_type, qscale) -> bytes:
+        pb = PutBits()
+        out = bytearray()
+        if self._frame_idx % self.gop_size == 0:
+            out += self._seq_header()
+        out += self._picture_header(pict_type)
+        out += self._slices(levels, mvs, intra, pict_type, qscale)
+        if (self._frame_idx + 1) % self.gop_size == 0:
+            pass
+        return bytes(out)
+
+    def _seq_header(self) -> bytes:
+        """ISO 11172-2 §2.4.2.3 (reference: mpeg12enc.c
+        mpeg1_encode_sequence_header)."""
+        pb = PutBits()
+        pb.put_bits(12, self.width)
+        pb.put_bits(12, self.height)
+        pb.put_bits(4, 1)            # aspect: square pixels
+        frc = _frame_rate_code(self._fr)
+        pb.put_bits(4, frc)
+        pb.put_bits(18, 0x3FFFF)     # bit_rate: variable
+        pb.put_bits(1, 1)            # marker
+        pb.put_bits(10, 0)           # vbv buffer size
+        pb.put_bits(1, 0)            # constrained
+        pb.put_bits(1, 0)            # no custom intra matrix
+        pb.put_bits(1, 0)            # no custom inter matrix
+        return b"\x00\x00\x01\xB3" + pb.flush()
+
+    def _picture_header(self, pict_type) -> bytes:
+        pb = PutBits()
+        pb.put_bits(10, self._frame_idx % 1024)   # temporal ref (no B: = order)
+        pb.put_bits(3, pict_type)
+        pb.put_bits(16, 0xFFFF)      # vbv_delay: variable
+        if pict_type == PICT_P:
+            pb.put_bits(1, 0)        # full_pel_forward
+            pb.put_bits(3, self.F_CODE)
+        return b"\x00\x00\x01\x00" + pb.flush()
+
+    def _slices(self, levels, mvs, intra, pict_type, qscale) -> bytes:
+        out = bytearray()
+        for mb_y in range(self.mb_h):
+            pb = PutBits()
+            pb.put_bits(5, int(qscale[mb_y * self.mb_w]))
+            pb.put_bits(1, 0)        # extra_bit_slice
+            self._slice_mbs(pb, mb_y, levels, mvs, intra, pict_type, qscale)
+            # zero-pad to byte alignment: slice end is detected by the
+            # >=23 zero bits of the next start code (ISO 11172-2 §2.3)
+            pb.align(pad_bit=0)
+            out += b"\x00\x00\x01" + bytes([1 + mb_y]) + pb.flush()
+        return bytes(out)
+
+    def _slice_mbs(self, pb, mb_y, levels, mvs, intra, pict_type, qscale):
+        mw = self.mb_w
+        dc_pred = [128, 128, 128]
+        pmv = np.zeros(2, dtype=np.int32)
+        pending_skip = 0
+        for mb_x in range(mw):
+            idx = mb_y * mw + mb_x
+            lv = levels[idx]
+            is_intra = bool(intra[idx])
+            mv = mvs[idx]
+            cbp = 0
+            for b in range(6):
+                if np.any(lv[b][1:] if is_intra else lv[b]):
+                    cbp |= 0x20 >> b
+                if is_intra:
+                    cbp |= 0x20 >> b     # intra blocks always coded
+            # skip decision (P only, not first/last MB of slice)
+            can_skip = (pict_type == PICT_P and not is_intra and cbp == 0
+                        and mv[0] == 0 and mv[1] == 0
+                        and 0 < mb_x < mw - 1)
+            if can_skip:
+                pending_skip += 1
+                pmv[:] = 0
+                dc_pred = [128, 128, 128]
+                continue
+            # address increment
+            inc = pending_skip + 1
+            pending_skip = 0
+            while inc > 33:
+                pb.put_bits(T.MB_ADDR_INC[1][T.MB_ADDR_ESCAPE],
+                            T.MB_ADDR_INC[0][T.MB_ADDR_ESCAPE])
+                inc -= 33
+            pb.put_bits(T.MB_ADDR_INC[1][inc - 1], T.MB_ADDR_INC[0][inc - 1])
+
+            if pict_type == PICT_I:
+                pb.put_bits(1, 1)    # intra, no quant change
+                flags = T.MB_INTRA
+            else:
+                if is_intra:
+                    pb.put_bits(5, 0b00011)     # MB_INTRA ptype code
+                    flags = T.MB_INTRA
+                elif cbp:
+                    pb.put_bits(1, 1)           # MB_FOR|MB_PAT
+                    flags = T.MB_FOR | T.MB_PAT
+                else:
+                    pb.put_bits(3, 0b001)       # MB_FOR only
+                    flags = T.MB_FOR
+            if flags & T.MB_INTRA and pict_type == PICT_P:
+                pmv[:] = 0
+            if flags & T.MB_FOR:
+                _encode_motion(pb, int(mv[0]) - int(pmv[0]), self.F_CODE)
+                _encode_motion(pb, int(mv[1]) - int(pmv[1]), self.F_CODE)
+                pmv[:] = mv
+            if flags & T.MB_PAT:
+                code, bits = T.MB_PAT_CODES[cbp]
+                pb.put_bits(bits, code)
+            if not (flags & T.MB_INTRA):
+                dc_pred = [128, 128, 128]
+            for b in range(6):
+                if not (cbp & (0x20 >> b)):
+                    continue
+                if flags & T.MB_INTRA:
+                    comp = 0 if b < 4 else (1 if b == 4 else 2)
+                    dc = int(lv[b][0])
+                    _encode_dc(pb, dc - dc_pred[comp], lum=b < 4)
+                    dc_pred[comp] = dc
+                    _encode_block_ac(pb, lv[b], start=1, first_inter=False)
+                else:
+                    _encode_block_ac(pb, lv[b], start=0, first_inter=True)
+
+
+def _frame_rate_code(fr: Rational) -> int:
+    best, bc = 1e9, 3
+    for code in range(1, 9):
+        n, d = T.FRAME_RATES[code]
+        err = abs(float(fr) - n / d)
+        if err < best:
+            best, bc = err, code
+    return bc
+
+
+@functools.lru_cache(maxsize=8)
+def _zero_pad_refs(mb_w: int, mb_h: int):
+    import jax.numpy as jnp
+    from libav_tpu.ops.mc import EDGE
+    H, W = mb_h * 16, mb_w * 16
+    y = jnp.full((H + 2 * EDGE, W + 2 * EDGE), 128, dtype=jnp.uint8)
+    c = jnp.full((H // 2 + 2 * EDGE, W // 2 + 2 * EDGE), 128, dtype=jnp.uint8)
+    return (y, c, c)

@@ -1,0 +1,271 @@
+"""Video filters (reference: libavfilter/vf_*.c — scale wraps swscale
+vf_scale.c:240,291; crop, pad, transpose, hflip/vflip, fps, format,
+yadif)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.frame import Frame
+from libav_tpu.avutil.opt import Option
+from libav_tpu.avutil.pixfmt import chroma_sub, plane_dims
+from libav_tpu.avutil.rational import NOPTS_VALUE, Rational
+from libav_tpu.filters.graph import Filter, register_filter
+
+
+@register_filter
+class NullFilter(Filter):
+    """reference: vf_null.c"""
+    NAME = "null"
+
+
+@register_filter
+class FormatFilter(Filter):
+    """reference: vf_format.c — pixel format conversion."""
+    NAME = "format"
+    OPTIONS = [Option("pix_fmt", "target pixel format", "string", "yuv420p")]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if frame.format == self.pix_fmt:
+            return [frame]
+        from libav_tpu.swscale import SwsContext
+        sws = SwsContext.get(frame.width, frame.height, frame.format,
+                             frame.width, frame.height, self.pix_fmt)
+        return [sws.scale_frame(frame)]
+
+
+@register_filter
+class ScaleFilter(Filter):
+    """reference: vf_scale.c (wraps the swscale context)."""
+    NAME = "scale"
+    OPTIONS = [
+        Option("w", "output width (0=keep, -1=keep aspect)", "int", 0, -16, 1 << 14),
+        Option("h", "output height", "int", 0, -16, 1 << 14),
+        Option("flags", "scaler flags", "string", "bicubic"),
+    ]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        w, h = self.w, self.h
+        if w <= 0 and h <= 0:
+            return [frame]
+        if w <= 0:
+            w = frame.width * h // frame.height
+        if h <= 0:
+            h = frame.height * w // frame.width
+        if (w, h) == (frame.width, frame.height):
+            return [frame]
+        from libav_tpu import swscale as S
+        flags = {"bilinear": S.BILINEAR, "bicubic": S.BICUBIC,
+                 "neighbor": S.POINT, "lanczos": S.LANCZOS,
+                 "area": S.AREA}.get(self.flags, S.BICUBIC)
+        sws = S.SwsContext.get(frame.width, frame.height, frame.format,
+                               w, h, frame.format, flags)
+        return [sws.scale_frame(frame)]
+
+
+@register_filter
+class CropFilter(Filter):
+    """reference: vf_crop.c"""
+    NAME = "crop"
+    OPTIONS = [
+        Option("w", "crop width", "int", 0, 0, 1 << 14),
+        Option("h", "crop height", "int", 0, 0, 1 << 14),
+        Option("x", "left offset (-1 = center)", "int", -1, -1, 1 << 14),
+        Option("y", "top offset (-1 = center)", "int", -1, -1, 1 << 14),
+    ]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        w = self.w or frame.width
+        h = self.h or frame.height
+        x = (frame.width - w) // 2 if self.x < 0 else self.x
+        y = (frame.height - h) // 2 if self.y < 0 else self.y
+        lw, lh = chroma_sub(frame.format)
+        # keep chroma alignment
+        x &= ~((1 << lw) - 1)
+        y &= ~((1 << lh) - 1)
+        out = frame.clone_props()
+        out.width, out.height = w, h
+        planes = []
+        for i, p in enumerate(frame.planes):
+            if i in (1, 2):
+                planes.append(p[y >> lh:(y + h) >> lh, x >> lw:(x + w) >> lw])
+            else:
+                planes.append(p[y:y + h, x:x + w])
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class PadFilter(Filter):
+    """reference: vf_pad.c"""
+    NAME = "pad"
+    OPTIONS = [
+        Option("w", "padded width", "int", 0, 0, 1 << 14),
+        Option("h", "padded height", "int", 0, 0, 1 << 14),
+        Option("x", "left offset", "int", 0, 0, 1 << 14),
+        Option("y", "top offset", "int", 0, 0, 1 << 14),
+        Option("color", "fill luma value", "int", 0, 0, 255),
+    ]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        w = self.w or frame.width
+        h = self.h or frame.height
+        lw, lh = chroma_sub(frame.format)
+        out = frame.clone_props()
+        out.width, out.height = w, h
+        planes = []
+        for i, p in enumerate(frame.planes):
+            arr = np.asarray(p)
+            if i in (1, 2):
+                big = np.full(((h + (1 << lh) - 1) >> lh,
+                               (w + (1 << lw) - 1) >> lw), 128, arr.dtype)
+                big[self.y >> lh:(self.y >> lh) + arr.shape[0],
+                    self.x >> lw:(self.x >> lw) + arr.shape[1]] = arr
+            else:
+                big = np.full((h, w), self.color, arr.dtype)
+                big[self.y:self.y + arr.shape[0],
+                    self.x:self.x + arr.shape[1]] = arr
+            planes.append(big)
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class TransposeFilter(Filter):
+    """reference: vf_transpose.c (dir: 0=ccw+vflip 1=cw 2=ccw 3=cw+vflip)"""
+    NAME = "transpose"
+    OPTIONS = [Option("dir", "direction", "int", 1, 0, 3)]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.width, out.height = frame.height, frame.width
+        planes = []
+        for p in frame.planes:
+            a = np.asarray(p).T
+            if self.dir == 1:      # clockwise
+                a = a[:, ::-1]
+            elif self.dir == 2:    # counterclockwise
+                a = a[::-1, :]
+            elif self.dir == 3:
+                a = a[::-1, ::-1]
+            planes.append(np.ascontiguousarray(a))
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class HFlipFilter(Filter):
+    """reference: vf_hflip.c"""
+    NAME = "hflip"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = [np.ascontiguousarray(np.asarray(p)[:, ::-1])
+                      for p in frame.planes]
+        return [out]
+
+
+@register_filter
+class VFlipFilter(Filter):
+    """reference: vf_vflip.c"""
+    NAME = "vflip"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = [np.ascontiguousarray(np.asarray(p)[::-1])
+                      for p in frame.planes]
+        return [out]
+
+
+@register_filter
+class FpsFilter(Filter):
+    """reference: vf_fps.c — duplicate/drop to constant output rate."""
+    NAME = "fps"
+    OPTIONS = [Option("fps", "target rate", "rational", Rational(25, 1))]
+
+    def configure(self, frame: Frame):
+        self._next_pts = None
+        self._last = None
+        self._out_idx = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if frame.pts == NOPTS_VALUE or not frame.time_base:
+            return [frame]
+        out_tb = self.fps.inv()
+        t = frame.pts * frame.time_base.num / frame.time_base.den
+        out = []
+        if self._last is None:
+            self._last = frame
+            self._t0 = t
+            return []
+        # emit frames for every output tick in [last_t, t)
+        while True:
+            tick = self._t0 + self._out_idx * out_tb.num / out_tb.den
+            if tick >= t - 1e-9:
+                break
+            f = self._last.clone_props()
+            f.planes = list(self._last.planes)
+            f.pts = self._out_idx
+            f.time_base = out_tb
+            out.append(f)
+            self._out_idx += 1
+        self._last = frame
+        self._last_t = t
+        return out
+
+    def flush(self) -> List[Frame]:
+        if self._last is None:
+            return []
+        f = self._last.clone_props()
+        f.planes = list(self._last.planes)
+        f.pts = self._out_idx
+        f.time_base = self.fps.inv()
+        return [f]
+
+
+@register_filter
+class YadifFilter(Filter):
+    """Deinterlacer (reference: vf_yadif.c) — bob-blend simplification:
+    spatial interpolation of the missing field with temporal blend
+    (mode 0 output = 1 frame per frame). Full edge-directed yadif kernel
+    is a round-2 Pallas candidate."""
+    NAME = "yadif"
+    OPTIONS = [Option("mode", "0=frame 1=field", "int", 0, 0, 3)]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if not frame.interlaced_frame:
+            return [frame]
+        out = frame.clone_props()
+        out.interlaced_frame = False
+        planes = []
+        for p in frame.planes:
+            a = np.asarray(p).astype(np.int32)
+            b = a.copy()
+            # interpolate the second field from the first
+            if a.shape[0] >= 3:
+                b[1:-1:2] = (a[0:-2:2] + a[2::2] + 1) >> 1
+            planes.append(b.astype(np.uint8))
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class SetPtsFilter(Filter):
+    """reference: vf_setpts.c (expression subset: PTS, N, constants)"""
+    NAME = "setpts"
+    OPTIONS = [Option("expr", "pts expression", "string", "PTS")]
+
+    def configure(self, frame):
+        self._n = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        from libav_tpu.avutil.eval import expr_eval
+        out = frame.clone_props()
+        out.planes = list(frame.planes)
+        v = expr_eval(self.expr, {"PTS": float(frame.pts), "N": float(self._n)})
+        out.pts = int(v)
+        self._n += 1
+        return [out]

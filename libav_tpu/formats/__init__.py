@@ -11,4 +11,5 @@ from libav_tpu.formats.api import (FormatContext, InputFormat, OutputFormat,
                                    Stream, open_input, guess_format)
 
 # registration side effects
-from libav_tpu.formats import image2, rawvideo, yuv4mpeg, framecrc, wav  # noqa: F401
+from libav_tpu.formats import (image2, rawvideo, yuv4mpeg, framecrc,  # noqa: F401
+                               wav, mpegvideo_raw)  # noqa: F401

@@ -250,7 +250,9 @@ class _VideoChain:
             out_par.width, out_par.height = w, h
         enc_opts = {}
         if self.spec.quality is not None:
-            enc_opts["quality"] = self.spec.quality
+            # -q/-qscale semantics (1-31, lower = better), like the
+            # reference; encoders map it to their own quality notion
+            enc_opts["qscale"] = self.spec.quality
         self.enc = None
         self.enc_name = codec_name
         self.enc_opts = enc_opts

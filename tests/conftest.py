@@ -1,18 +1,27 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware (the driver separately dry-runs the multichip
-path; bench.py runs on the real chip).
+Tests run on CPU. NOTE this environment pre-sets JAX_PLATFORMS=axon (the
+real-TPU tunnel) and the axon plugin ignores later JAX_PLATFORMS
+overrides — JAX_PLATFORM_NAME (and jax.config.update) do work, so we use
+those. Running the test matrix through the tunnel is 10-50x slower per
+compile (and the integer kernels were incidentally validated bit-exact on
+the real chip before this was pinned to CPU).
+
+Multi-chip sharding tests spawn a subprocess with
+--xla_force_host_platform_device_count=8 (see test_parallel.py) instead of
+forcing it globally: 8 virtual devices multiply XLA's thread pools per
+compile and can starve single-core machines.
 """
 
 import os
 import sys
 
 # Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -81,7 +81,7 @@ class TestAvconv:
 
     def test_y4m_to_jpeg_roundtrip(self, y4m_file, tmp_path):
         out = tmp_path / "out_%03d.jpg"
-        rc = avconv.main(["-i", y4m_file, "-c:v", "mjpeg", "-q:v", "95",
+        rc = avconv.main(["-i", y4m_file, "-c:v", "mjpeg", "-q:v", "2",
                           "-f", "image2", str(out)])
         assert rc == 0
         files = sorted(tmp_path.glob("out_*.jpg"))

@@ -1,0 +1,192 @@
+"""MPEG-1 codec tests: enc->dec round trip with PSNR floor — the FATE
+vcodec enc_dec pattern (SURVEY.md §4 tier 2; reference fate-run.sh:131-155),
+plus MC kernel golden tests."""
+
+import numpy as np
+import pytest
+
+from libav_tpu.avutil.frame import Frame, Packet
+from libav_tpu.codecs.mpeg12 import MPEG1Decoder, MPEG1Encoder
+from libav_tpu.codecs.api import CodecParameters, MediaType
+from libav_tpu.avutil.rational import Rational
+
+
+def vsynth_frame(w, h, t=0, seed=0):
+    """Moving-gradient synthetic source (videogen.c spirit)."""
+    f = Frame.alloc_video(w, h, "yuv420p")
+    yy, xx = np.mgrid[0:h, 0:w]
+    f.planes[0] = ((xx * 2 + yy + t * 3) % 256 // 2 + 64).astype(np.uint8)
+    ch, cw = f.planes[1].shape
+    yy, xx = np.mgrid[0:ch, 0:cw]
+    f.planes[1] = (128 + 32 * np.sin((xx + t * 2) / 9.0)).astype(np.uint8)
+    f.planes[2] = (128 + 32 * np.cos((yy - t) / 7.0)).astype(np.uint8)
+    return f
+
+
+def psnr(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+
+def make_encoder(w, h, qscale=4, gop=12):
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mpeg1video",
+                          width=w, height=h, pix_fmt="yuv420p",
+                          framerate=Rational(25, 1))
+    enc = MPEG1Encoder(par)
+    enc.set_opt("qscale", qscale)
+    enc.set_opt("gop_size", gop)
+    return enc
+
+
+def roundtrip(frames, qscale=4, gop=12):
+    w, h = frames[0].width, frames[0].height
+    enc = make_encoder(w, h, qscale, gop)
+    pkts = enc.encode_all(frames)
+    assert len(pkts) == len(frames)
+    dec = MPEG1Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                       codec_id="mpeg1video"))
+    out = dec.decode_all([Packet(data=p.data, pts=i)
+                          for i, p in enumerate(pkts)])
+    assert len(out) == len(frames)
+    return [f.to_host() for f in out]
+
+
+class TestMC:
+    def test_mc_hpel_matches_golden(self):
+        import jax.numpy as jnp
+        from libav_tpu.ops import mc
+        rng = np.random.default_rng(0)
+        plane = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        padded_np = mc.pad_plane_ref(plane)
+        B = 8
+        xs = rng.integers(0, 48, B).astype(np.int32)
+        ys = rng.integers(0, 48, B).astype(np.int32)
+        mvx = rng.integers(-20, 21, B).astype(np.int32)
+        mvy = rng.integers(-20, 21, B).astype(np.int32)
+        ref = mc.mc_hpel_ref(padded_np, xs, ys, mvx, mvy, 16)
+        got = np.asarray(mc.mc_hpel(jnp.asarray(padded_np), jnp.asarray(xs),
+                                    jnp.asarray(ys), jnp.asarray(mvx),
+                                    jnp.asarray(mvy), 16))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_chroma_mv_trunc(self):
+        from libav_tpu.ops.mc import chroma_mv_div2, chroma_mv_div2_ref
+        mv = np.arange(-9, 10, dtype=np.int32)
+        np.testing.assert_array_equal(chroma_mv_div2(mv),
+                                      chroma_mv_div2_ref(mv))
+
+    def test_motion_search_finds_shift(self):
+        import jax.numpy as jnp
+        from libav_tpu.ops import mc, me
+        # smooth textured image — gradient-descent search needs a smooth
+        # SAD landscape (same assumption as the reference's EPZS/diamond)
+        yy, xx = np.mgrid[0:96, 0:96].astype(np.float64)
+        ref_img = (128 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0) +
+                   40 * np.sin((xx + yy) / 11.0)).astype(np.uint8)
+        # current frame = reference shifted by (+3, -2)
+        cur = ref_img[16 - 2:16 - 2 + 64, 16 + 3:16 + 3 + 64]
+        refp = jnp.asarray(mc.pad_plane_ref(ref_img[16:80, 16:80]))
+        cur_mbs = (cur.reshape(4, 16, 4, 16).transpose(0, 2, 1, 3)
+                   .reshape(16, 16, 16).astype(np.int32))
+        mv, sad = me.motion_search(jnp.asarray(cur_mbs), refp, 4, 4)
+        mv = np.asarray(mv)
+        # interior MBs must find the exact displacement (x=+3, y=-2 full
+        # pel = (6, -4) half-pel)
+        interior = [5, 6, 9, 10]
+        for i in interior:
+            assert tuple(mv[i]) == (6, -4), f"mb {i}: {mv[i]}"
+
+
+class TestRoundTripIntra:
+    def test_single_i_frame(self):
+        src = vsynth_frame(64, 48)
+        out = roundtrip([src], qscale=2)
+        p = psnr(src.planes[0], out[0].planes[0])
+        assert p > 30, f"luma psnr {p}"
+
+    def test_flat_frame_exact_dc(self):
+        f = Frame.alloc_video(32, 32, "yuv420p")
+        f.planes[0][:] = 100
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+        out = roundtrip([f], qscale=2)
+        assert np.abs(out[0].planes[0].astype(int) - 100).max() <= 1
+
+    def test_odd_dimensions(self):
+        src = vsynth_frame(60, 36)   # not multiple of 16
+        out = roundtrip([src], qscale=2)
+        assert out[0].planes[0].shape == (36, 60)
+        assert psnr(src.planes[0], out[0].planes[0]) > 30
+
+
+class TestRoundTripInter:
+    def test_ip_sequence(self):
+        frames = [vsynth_frame(64, 48, t) for t in range(5)]
+        out = roundtrip(frames, qscale=3, gop=12)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.planes[0])
+            assert p > 28, f"frame {i} luma psnr {p}"
+
+    def test_static_scene_p_frames_cheap(self):
+        """P frames of a static scene should be mostly skipped (tiny)."""
+        frames = [vsynth_frame(64, 48, 0) for _ in range(4)]
+        enc = make_encoder(64, 48, qscale=4)
+        pkts = enc.encode_all(frames)
+        assert len(pkts[1].data) < len(pkts[0].data) // 3
+
+    def test_motion_tracked(self):
+        """A translating textured block must decode well through P frames."""
+        rng = np.random.default_rng(2)
+        blob = (rng.integers(0, 2, (8, 12)) * 200 + 30).astype(np.uint8)
+        blob = np.kron(blob, np.ones((4, 4), dtype=np.uint8))  # 32x48
+        frames = []
+        for t in range(4):
+            f = Frame.alloc_video(96, 64, "yuv420p")
+            f.planes[0][:] = 80
+            f.planes[0][10:42, 10 + 3 * t:58 + 3 * t] = blob
+            f.planes[1][:] = 128
+            f.planes[2][:] = 128
+            frames.append(f)
+        out = roundtrip(frames, qscale=3)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.planes[0])
+            assert p > 30, f"frame {i} psnr {p}"
+
+    def test_gop_restart(self):
+        frames = [vsynth_frame(48, 32, t) for t in range(6)]
+        out = roundtrip(frames, qscale=3, gop=3)  # I P P I P P
+        for s, o in zip(frames, out):
+            assert psnr(s.planes[0], o.planes[0]) > 28
+
+
+class TestCLI:
+    def test_avconv_m1v(self, tmp_path):
+        from libav_tpu.tools import avconv
+        from libav_tpu.avutil.imgutils import frame_to_bytes
+        from libav_tpu.formats import FormatContext
+        # y4m -> m1v -> framecrc
+        frames = [vsynth_frame(48, 32, t) for t in range(3)]
+        y4m = tmp_path / "in.y4m"
+        oc = FormatContext.open_output(str(y4m), "y4m")
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="rawvideo",
+                              width=48, height=32, pix_fmt="yuv420p")
+        st = oc.new_stream(par, time_base=Rational(1, 25))
+        st.avg_frame_rate = Rational(25, 1)
+        oc.write_header()
+        for i, f in enumerate(frames):
+            oc.write_packet(Packet(data=frame_to_bytes(f), pts=i, dts=i,
+                                   duration=1, stream_index=0))
+        oc.write_trailer()
+
+        m1v = tmp_path / "out.m1v"
+        rc = avconv.main(["-i", str(y4m), "-c:v", "mpeg1video",
+                          "-q", "3", str(m1v)])
+        assert rc == 0
+        data = m1v.read_bytes()
+        assert data[:4] == b"\x00\x00\x01\xB3"
+
+        crc = tmp_path / "out.crc"
+        rc = avconv.main(["-i", str(m1v), "-f", "framecrc", str(crc)])
+        assert rc == 0
+        assert len(crc.read_text().strip().splitlines()) == 3
