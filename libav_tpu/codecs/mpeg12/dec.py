@@ -587,11 +587,11 @@ class MPEG1Decoder(Decoder):
     # ------------------------------------------------------------------ #
 
     def _reconstruct(self, mb: MBData) -> Frame:
-        import jax.numpy as jnp
+        from libav_tpu.codecs.mpegvideo import recon_jit
         seq, pic = self.seq, self.pic
-        key = (seq.mb_width, seq.mb_height, seq.mpeg2,
-               pic.alternate_scan, pic.pict_type != PICT_I)
-        fn = _recon_jit(*key)
+        fn = recon_jit(seq.mb_width, seq.mb_height,
+                       "mpeg2" if seq.mpeg2 else "mpeg1",
+                       bool(pic.alternate_scan), pic.pict_type != PICT_I)
 
         scan = alternate_scan() if pic.alternate_scan else zigzag_scan()
         # qmat in scan order to match coefficient layout
@@ -633,102 +633,5 @@ register_codec(MPEG1Decoder)
 
 
 def _zero_refs(seq: SeqContext):
-    import jax.numpy as jnp
-    from libav_tpu.ops.mc import EDGE
-    H, W = seq.mb_height * 16, seq.mb_width * 16
-    y = jnp.full((H + 2 * EDGE, W + 2 * EDGE), 128, dtype=jnp.uint8)
-    c = jnp.full((H // 2 + 2 * EDGE, W // 2 + 2 * EDGE), 128, dtype=jnp.uint8)
-    return (y, c, c)
-
-
-@functools.lru_cache(maxsize=32)
-def _recon_jit(mb_w: int, mb_h: int, mpeg2: bool, alt_scan: bool,
-               inter_frame: bool):
-    """Jitted whole-frame reconstruction program."""
-    import jax
-    import jax.numpy as jnp
-
-    from libav_tpu.ops import idct as idct_ops, quant as quant_ops
-    from libav_tpu.ops.mc import EDGE, avg_pred, mc_hpel, chroma_mv_div2
-
-    nmb = mb_w * mb_h
-    scan = alternate_scan() if alt_scan else zigzag_scan()
-    pos = np.empty(64, dtype=np.int64)
-    pos[np.asarray(scan)] = np.arange(64)
-    H, W = mb_h * 16, mb_w * 16
-
-    mbx = (np.arange(nmb, dtype=np.int32) % mb_w)
-    mby = (np.arange(nmb, dtype=np.int32) // mb_w)
-
-    def fn(coeffs, qscale, intra, use_fwd, use_bwd, mv_fwd, mv_bwd,
-           intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v):
-        c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
-        qs = jnp.repeat(qscale, 6)
-        intra_b = jnp.repeat(intra, 6)
-
-        if mpeg2:
-            deq_i = quant_ops.mpeg2_dequant_intra(c, qs, intra_q)
-            deq_p = quant_ops.mpeg2_dequant_inter(c, qs, inter_q)
-        else:
-            deq_i = quant_ops.mpeg1_dequant_intra(c, qs, intra_q)
-            deq_p = quant_ops.mpeg1_dequant_inter(c, qs, inter_q)
-        deq = jnp.where(intra_b[:, None], deq_i, deq_p)
-        blocks = deq[:, pos].reshape(nmb * 6, 8, 8)
-        if mpeg2:
-            blocks = quant_ops.mpeg2_mismatch_control(blocks)
-        resid = idct_ops.idct8x8_int(blocks).reshape(nmb, 6, 8, 8)
-
-        # ---- prediction ---- #
-        if inter_frame:
-            xs = jnp.asarray(mbx * 16)
-            ys = jnp.asarray(mby * 16)
-            fy = mc_hpel(r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1], 16)
-            by = mc_hpel(r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1], 16)
-            cxs = jnp.asarray(mbx * 8)
-            cys = jnp.asarray(mby * 8)
-            cmf = chroma_mv_div2(mv_fwd)
-            cmb = chroma_mv_div2(mv_bwd)
-            fu = mc_hpel(r0u, cxs, cys, cmf[:, 0], cmf[:, 1], 8)
-            fv = mc_hpel(r0v, cxs, cys, cmf[:, 0], cmf[:, 1], 8)
-            bu = mc_hpel(r1u, cxs, cys, cmb[:, 0], cmb[:, 1], 8)
-            bv = mc_hpel(r1v, cxs, cys, cmb[:, 0], cmb[:, 1], 8)
-
-            both = (use_fwd & use_bwd)[:, None, None]
-            f_only = (use_fwd & ~use_bwd)[:, None, None]
-            b_only = (~use_fwd & use_bwd)[:, None, None]
-
-            def combine(pf, pb):
-                return jnp.where(both, avg_pred(pf, pb),
-                                 jnp.where(f_only, pf,
-                                           jnp.where(b_only, pb, 0)))
-            pred_y = combine(fy, by)
-            pred_u = combine(fu, bu)
-            pred_v = combine(fv, bv)
-            im = intra[:, None, None]
-            pred_y = jnp.where(im, 0, pred_y)
-            pred_u = jnp.where(im, 0, pred_u)
-            pred_v = jnp.where(im, 0, pred_v)
-        else:
-            pred_y = jnp.zeros((nmb, 16, 16), jnp.int32)
-            pred_u = jnp.zeros((nmb, 8, 8), jnp.int32)
-            pred_v = jnp.zeros((nmb, 8, 8), jnp.int32)
-
-        # ---- assemble ---- #
-        luma_res = (resid[:, :4].reshape(nmb, 2, 2, 8, 8)
-                    .transpose(0, 1, 3, 2, 4).reshape(nmb, 16, 16))
-        yblk = jnp.clip(pred_y + luma_res, 0, 255).astype(jnp.uint8)
-        ublk = jnp.clip(pred_u + resid[:, 4], 0, 255).astype(jnp.uint8)
-        vblk = jnp.clip(pred_v + resid[:, 5], 0, 255).astype(jnp.uint8)
-
-        yplane = (yblk.reshape(mb_h, mb_w, 16, 16)
-                  .transpose(0, 2, 1, 3).reshape(H, W))
-        uplane = (ublk.reshape(mb_h, mb_w, 8, 8)
-                  .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
-        vplane = (vblk.reshape(mb_h, mb_w, 8, 8)
-                  .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
-
-        pad = lambda p: jnp.pad(p, EDGE, mode="edge")
-        return (yplane, uplane, vplane), (pad(yplane), pad(uplane),
-                                          pad(vplane))
-
-    return jax.jit(fn)
+    from libav_tpu.codecs.mpegvideo import zero_pad_refs
+    return zero_pad_refs(seq.mb_width, seq.mb_height)

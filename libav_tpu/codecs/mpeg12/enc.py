@@ -23,7 +23,8 @@ from libav_tpu.avutil.rational import Rational
 from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg12 import tables as T
-from libav_tpu.codecs.mpeg12.dec import _recon_jit, PICT_I, PICT_P
+from libav_tpu.codecs.mpeg12.dec import PICT_I, PICT_P
+from libav_tpu.codecs.mpegvideo import recon_jit, zero_pad_refs
 from libav_tpu.ops.quant import zigzag_scan
 
 
@@ -236,7 +237,7 @@ class MPEG1Encoder(Encoder):
         enc = _encode_jit(self.mb_w, self.mb_h, not is_i)
         if is_i:
             import jax.numpy as jnp
-            zero = _zero_pad_refs(self.mb_w, self.mb_h)
+            zero = zero_pad_refs(self.mb_w, self.mb_h)
             levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
                                      self.inter_q_zz, *zero)
         else:
@@ -247,7 +248,7 @@ class MPEG1Encoder(Encoder):
         intra = np.asarray(intra)
 
         # reconstruction through the decoder's own device program
-        recon = _recon_jit(self.mb_w, self.mb_h, False, False, not is_i)
+        recon = recon_jit(self.mb_w, self.mb_h, 'mpeg1', False, not is_i)
         use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
         coeffs_dec = levels.copy()
         _, padded = recon(coeffs_dec, qscale, intra, use_fwd,
@@ -255,8 +256,8 @@ class MPEG1Encoder(Encoder):
                           np.zeros((nmb, 2), np.int32),
                           self.intra_q_zz, self.inter_q_zz,
                           *(self._refs if not is_i else
-                            _zero_pad_refs(self.mb_w, self.mb_h)),
-                          *_zero_pad_refs(self.mb_w, self.mb_h))
+                            zero_pad_refs(self.mb_w, self.mb_h)),
+                          *zero_pad_refs(self.mb_w, self.mb_h))
         self._refs = padded
 
         data = self._pack(levels, mvs, intra, pict_type, qscale)
@@ -408,13 +409,3 @@ def _frame_rate_code(fr: Rational) -> int:
         if err < best:
             best, bc = err, code
     return bc
-
-
-@functools.lru_cache(maxsize=8)
-def _zero_pad_refs(mb_w: int, mb_h: int):
-    import jax.numpy as jnp
-    from libav_tpu.ops.mc import EDGE
-    H, W = mb_h * 16, mb_w * 16
-    y = jnp.full((H + 2 * EDGE, W + 2 * EDGE), 128, dtype=jnp.uint8)
-    c = jnp.full((H // 2 + 2 * EDGE, W // 2 + 2 * EDGE), 128, dtype=jnp.uint8)
-    return (y, c, c)

@@ -191,6 +191,60 @@ def mpeg2_mismatch_control(blocks):
     return blocks.at[:, 7, 7].set(toggle)
 
 
+def h263_dequant(coeffs, qscale, dc_scaler, intra: bool):
+    """H.263 / MPEG-4 short-header dequant (reference: mpegvideo.c
+    dct_unquantize_h263_intra/inter): |rec| = qscale*(2|L|+1) - (qscale
+    even ? 1 : 0); intra DC = L * dc_scaler.
+    coeffs (B, 64); qscale, dc_scaler broadcastable (B,) or scalars."""
+    import jax.numpy as jnp
+    c = coeffs.astype(jnp.int32)
+    q = jnp.asarray(qscale, dtype=jnp.int32)
+    while q.ndim < c.ndim:
+        q = q[..., None]
+    even = 1 - (q & 1)
+    mag = q * (2 * jnp.abs(c) + 1) - even
+    lvl = jnp.sign(c) * mag
+    if intra:
+        d = jnp.asarray(dc_scaler, dtype=jnp.int32)
+        while d.ndim < c.ndim:
+            d = d[..., None]
+        dc_mask = jnp.zeros((64,), dtype=bool).at[0].set(True)
+        lvl = jnp.where(dc_mask, c * d, lvl)
+    return jnp.clip(lvl, -2048, 2047)
+
+
+def h263_dequant_ref(coeffs: np.ndarray, qscale, dc_scaler,
+                     intra: bool) -> np.ndarray:
+    c = coeffs.astype(np.int64)
+    q = np.asarray(qscale, dtype=np.int64)
+    while q.ndim < c.ndim:
+        q = q[..., None]
+    even = 1 - (q & 1)
+    lvl = np.sign(c) * (q * (2 * np.abs(c) + 1) - even)
+    if intra:
+        d = np.asarray(dc_scaler, dtype=np.int64)
+        while d.ndim < c.ndim:
+            d = d[..., None]
+        mask = np.zeros(64, dtype=bool)
+        mask[0] = True
+        lvl = np.where(mask, c * d, lvl)
+    return np.clip(lvl, -2048, 2047).astype(np.int32)
+
+
+def mpeg4_dc_scaler(qscale, luma: bool):
+    """ISO 14496-2 §7.4.1 table 7-2 DC scaler (works on ints or arrays)."""
+    import numpy as _np
+    q = _np.asarray(qscale)
+    if luma:
+        s = _np.where(q < 5, 8,
+                      _np.where(q < 9, 2 * q,
+                                _np.where(q < 25, q + 8, 2 * q - 16)))
+    else:
+        s = _np.where(q < 5, 8,
+                      _np.where(q < 25, (q + 13) // 2, q - 6))
+    return s.astype(_np.int32) if s.ndim else int(s)
+
+
 # ---------------------------------------------------------------------- #
 # Encoder-side quantization (reference: mpegvideo_enc.c dct_quantize)
 # ---------------------------------------------------------------------- #
