@@ -24,7 +24,8 @@ from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg12 import tables as T
 from libav_tpu.codecs.mpeg12.dec import PICT_I, PICT_P
-from libav_tpu.codecs.mpegvideo import recon_jit, zero_pad_refs
+from libav_tpu.codecs.mpegvideo import (recon_jit, zero_pad_refs,
+                                        encode_jit)
 from libav_tpu.ops.quant import zigzag_scan
 
 
@@ -108,94 +109,6 @@ def _encode_block_ac(pb: PutBits, levels: np.ndarray, start: int,
     pb.put_bits(2, 0x2)  # EOB
 
 
-@functools.lru_cache(maxsize=16)
-def _encode_jit(mb_w: int, mb_h: int, inter: bool):
-    """Device program: pixels (+ref) -> quantized levels, MVs, modes."""
-    import jax
-    import jax.numpy as jnp
-    from libav_tpu.ops import fdct as fdct_ops
-    from libav_tpu.ops.mc import EDGE, mc_hpel, chroma_mv_div2
-    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
-
-    nmb = mb_w * mb_h
-    H, W = mb_h * 16, mb_w * 16
-    zz = zigzag_scan()
-    mbx = jnp.asarray((np.arange(nmb) % mb_w) * 16, dtype=jnp.int32)
-    mby = jnp.asarray((np.arange(nmb) // mb_w) * 16, dtype=jnp.int32)
-
-    def blockify(plane, bs):
-        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
-        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
-                .reshape(bh * bw, bs, bs))
-
-    def mb_blocks(y, u, v):
-        """(nmb, 6, 8, 8) int32 in MPEG block order."""
-        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
-        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
-        ub = blockify(u, 8)[:, None]
-        vb = blockify(v, 8)[:, None]
-        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
-
-    def quantize(coeffs8, qscale, qmat, intra_b):
-        """coeffs8: (n, 64) x8-scale DCT; -> levels int32 (zigzag order)."""
-        q = qscale[:, None] * qmat[None, :]
-        if intra_b:
-            lv = jnp.sign(coeffs8) * ((jnp.abs(coeffs8) + q // 2) // q)
-        else:
-            lv = jnp.sign(coeffs8) * (jnp.abs(coeffs8) // q)
-        return jnp.clip(lv, -255, 255)
-
-    def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
-           r0y, r0u, r0v):
-        cy = cur_y.astype(jnp.int32)
-        blocks = mb_blocks(cy, cur_u.astype(jnp.int32),
-                           cur_v.astype(jnp.int32))
-
-        if inter:
-            cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
-                       .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
-            fmv, _ = _search_jit(mb_w, mb_h, 15)(cur_mbs, r0y)
-            mv, sad = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r0y, fmv)
-            # intra/inter decision (reference: mpegvideo_enc mb decision):
-            mb_mean = cur_mbs.mean(axis=(1, 2), keepdims=True)
-            intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
-            use_intra = intra_cost.astype(jnp.int32) + 256 < sad
-            # prediction
-            pred_y = mc_hpel(r0y, mbx, mby, mv[:, 0], mv[:, 1], 16)
-            cmv = chroma_mv_div2(mv)
-            pred_u = mc_hpel(r0u, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
-            pred_v = mc_hpel(r0v, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
-            pred_blocks = mb_blocks(
-                (pred_y.reshape(mb_h, mb_w, 16, 16)
-                 .transpose(0, 2, 1, 3).reshape(H, W)),
-                (pred_u.reshape(mb_h, mb_w, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)),
-                (pred_v.reshape(mb_h, mb_w, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)))
-            resid = blocks - pred_blocks
-            src = jnp.where(use_intra[:, None, None, None], blocks, resid)
-        else:
-            mv = jnp.zeros((nmb, 2), dtype=jnp.int32)
-            use_intra = jnp.ones((nmb,), dtype=bool)
-            src = blocks
-
-        coeffs8 = fdct_ops.fdct8x8_int(src.reshape(nmb * 6, 8, 8))
-        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
-        qs6 = jnp.repeat(qscale, 6)
-        lv_i = quantize(czz, qs6, intra_qmat_zz, True)
-        lv_p = quantize(czz, qs6, inter_qmat_zz, False)
-        intra6 = jnp.repeat(use_intra, 6)
-        levels = jnp.where(intra6[:, None], lv_i, lv_p)
-        # intra DC in pixel units (dequant scales x8): dc = coeff8/64
-        dc8 = coeffs8.reshape(nmb * 6, 64)[:, 0]
-        dc_pix = jnp.clip((dc8 + 32) >> 6, 0, 255)
-        levels = levels.at[:, 0].set(
-            jnp.where(intra6, dc_pix, levels[:, 0]))
-        return levels.reshape(nmb, 6, 64), mv, use_intra
-
-    return jax.jit(fn)
-
-
 @register_codec
 class MPEG1Encoder(Encoder):
     NAME = "mpeg1video"
@@ -234,7 +147,7 @@ class MPEG1Encoder(Encoder):
         nmb = self.mb_w * self.mb_h
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
 
-        enc = _encode_jit(self.mb_w, self.mb_h, not is_i)
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, 'mpeg1')
         if is_i:
             import jax.numpy as jnp
             zero = zero_pad_refs(self.mb_w, self.mb_h)

@@ -1,0 +1,372 @@
+"""MPEG-4 part 2 decoder (reference: libavcodec/mpeg4videodec.c (2642) —
+SURVEY.md §2.2; needed for the FATE-style enc_dec round trip of config 3).
+
+Host: VOS/VOL/VOP parse + MB layer entropy decode (MCBPC/CBPY, median MV
+prediction, gradient DC prediction, 3D RL tables with all three escape
+types); device: shared recon_jit 'h263' kind.
+
+Supported: simple profile I/P VOPs, quant_type 0, 1MV. Not yet: B-VOPs,
+4MV, AC prediction, qpel, GMC, data partitioning, MPEG quant (round 2).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import AVError, EOF_, INVALIDDATA
+from libav_tpu.avutil.frame import Frame, Packet, PictureType
+from libav_tpu.avutil.rational import Rational
+from libav_tpu.bitstream import GetBits
+from libav_tpu.codecs.api import Decoder, MediaType, register_codec
+from libav_tpu.codecs.mpeg4 import tables as T
+from libav_tpu.codecs.mpeg12.dec import MBData, find_start_codes
+from libav_tpu.codecs.mpegvideo import recon_jit, zero_pad_refs
+from libav_tpu.ops.quant import mpeg4_dc_scaler
+
+PICT_I, PICT_P, PICT_B, PICT_S = 0, 1, 2, 3
+
+
+@register_codec
+class MPEG4Decoder(Decoder):
+    NAME = "mpeg4"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "MPEG-4 part 2 (TPU-batched reconstruction)"
+
+    def _init(self):
+        self.vol_width = 0
+        self.vol_height = 0
+        self.mb_w = self.mb_h = 0
+        self.time_res = 25
+        self.time_inc_bits = 5
+        self.quant_type = 0
+        self._refs = None
+        self._dummy_q = np.ones(64, dtype=np.int32)
+
+    def _flush(self):
+        self._refs = None
+
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, pkt: Packet) -> List[Frame]:
+        data = pkt.data
+        if self.extradata and self.vol_width == 0:
+            self._parse_headers(self.extradata)
+        frames = []
+        codes = find_start_codes(data)
+        for i, (off, code) in enumerate(codes):
+            end = codes[i + 1][0] - 3 if i + 1 < len(codes) else len(data)
+            seg = data[off + 1:end]
+            if code == 0x20 or (0x20 <= code <= 0x2F):
+                self._parse_vol(seg)
+            elif code == 0xB6:
+                f = self._decode_vop(seg)
+                if f is not None:
+                    f.pts = pkt.pts
+                    f.time_base = pkt.time_base
+                    frames.append(f)
+        return frames
+
+    def _parse_headers(self, data: bytes):
+        codes = find_start_codes(data)
+        for i, (off, code) in enumerate(codes):
+            end = codes[i + 1][0] - 3 if i + 1 < len(codes) else len(data)
+            if 0x20 <= code <= 0x2F:
+                self._parse_vol(data[off + 1:end])
+
+    # ------------------------------------------------------------------ #
+
+    def _parse_vol(self, seg: bytes):
+        """reference: mpeg4videodec.c decode_vol_header"""
+        gb = GetBits(seg)
+        gb.get_bits(1)          # random_accessible
+        gb.get_bits(8)          # type indication
+        if gb.get_bits(1):      # is_object_layer_identifier
+            gb.get_bits(4 + 3)
+        aspect = gb.get_bits(4)
+        if aspect == 15:
+            gb.get_bits(16)
+        if gb.get_bits(1):      # vol_control_parameters
+            gb.get_bits(2 + 1)  # chroma_format, low_delay
+            if gb.get_bits(1):  # vbv_parameters
+                gb.get_bits(15 + 1 + 15 + 1 + 15 + 1 + 3 + 11 + 1 + 15 + 1)
+        shape = gb.get_bits(2)
+        if shape != 0:
+            raise AVError(INVALIDDATA, "only rectangular VOL supported")
+        gb.get_bits(1)          # marker
+        self.time_res = gb.get_bits(16) or 1
+        self.time_inc_bits = max(1, (self.time_res - 1).bit_length())
+        gb.get_bits(1)          # marker
+        if gb.get_bits(1):      # fixed_vop_rate
+            gb.get_bits(self.time_inc_bits)
+        gb.get_bits(1)          # marker
+        self.vol_width = gb.get_bits(13)
+        gb.get_bits(1)
+        self.vol_height = gb.get_bits(13)
+        gb.get_bits(1)
+        gb.get_bits(1)          # interlaced
+        gb.get_bits(1)          # obmc_disable
+        sprite = gb.get_bits(1)
+        if sprite:
+            raise AVError(INVALIDDATA, "sprite/GMC not supported yet")
+        if gb.get_bits(1):      # not_8_bit
+            raise AVError(INVALIDDATA, "only 8-bit supported")
+        self.quant_type = gb.get_bits(1)
+        if self.quant_type:
+            raise AVError(INVALIDDATA, "MPEG quant_type=1 not supported yet")
+        if not gb.get_bits(1):  # complexity_estimation_disable
+            raise AVError(INVALIDDATA, "complexity estimation not supported")
+        gb.get_bits(1)          # resync_marker_disable
+        if gb.get_bits(1):      # data_partitioned
+            raise AVError(INVALIDDATA, "data partitioning not supported yet")
+        if gb.get_bits(1):      # scalability
+            raise AVError(INVALIDDATA, "scalability not supported")
+        self.width = self.vol_width
+        self.height = self.vol_height
+        self.mb_w = (self.vol_width + 15) >> 4
+        self.mb_h = (self.vol_height + 15) >> 4
+
+    # ------------------------------------------------------------------ #
+
+    def _decode_vop(self, seg: bytes) -> Optional[Frame]:
+        """reference: mpeg4videodec.c ff_mpeg4_decode_picture_header +
+        ff_h263_decode_mba loop"""
+        if self.mb_w == 0:
+            raise AVError(INVALIDDATA, "VOP before VOL header")
+        gb = GetBits(seg)
+        pict_type = gb.get_bits(2)
+        if pict_type not in (PICT_I, PICT_P):
+            raise AVError(INVALIDDATA, f"VOP type {pict_type} not supported yet")
+        while gb.get_bits(1):   # modulo_time_base
+            pass
+        gb.get_bits(1)          # marker
+        gb.get_bits(self.time_inc_bits)
+        gb.get_bits(1)          # marker
+        if not gb.get_bits(1):  # vop_coded
+            return None
+        rounding = 0
+        if pict_type == PICT_P:
+            rounding = gb.get_bits(1)
+        intra_dc_thr = gb.get_bits(3)
+        qscale = gb.get_bits(5)
+        fcode = 1
+        if pict_type == PICT_P:
+            fcode = gb.get_bits(3)
+
+        nmb = self.mb_w * self.mb_h
+        mb = MBData(nmb)
+        mb.qscale[:] = max(qscale, 1)
+        self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr, qscale)
+
+        fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
+                       pict_type == PICT_P, rounding)
+        refs = self._refs or zero_pad_refs(self.mb_w, self.mb_h)
+        planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
+                            mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
+                            self._dummy_q, self._dummy_q,
+                            *refs, *zero_pad_refs(self.mb_w, self.mb_h))
+        self._refs = padded
+        f = Frame(width=self.vol_width, height=self.vol_height,
+                  format="yuv420p")
+        cw, ch = (self.vol_width + 1) // 2, (self.vol_height + 1) // 2
+        f.planes = [planes[0][:self.vol_height, :self.vol_width],
+                    planes[1][:ch, :cw], planes[2][:ch, :cw]]
+        f.pict_type = PictureType.I if pict_type == PICT_I else PictureType.P
+        f.key_frame = pict_type == PICT_I
+        return f
+
+    # ------------------------------------------------------------------ #
+
+    def _decode_mbs(self, gb, mb: MBData, pict_type, fcode, intra_dc_thr,
+                    qscale):
+        mw, mh = self.mb_w, self.mb_h
+        dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
+        dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+        dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+
+        for mb_y in range(mh):
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                if pict_type == PICT_P:
+                    if gb.get_bits(1):      # not_coded: skip MB
+                        mb.use_fwd[idx] = True
+                        mb.mv_fwd[idx] = 0
+                        continue
+                    v = T.inter_mcbpc_vlc().read(gb)
+                    group, cbpc = v >> 2, v & 3
+                    if group == 5:          # stuffing
+                        continue
+                    if group in (T.MBT_INTER4V, 6):   # 4MV / 4MV+Q
+                        raise AVError(INVALIDDATA, "4MV not supported yet")
+                    is_intra = group in (T.MBT_INTRA, T.MBT_INTRAQ)
+                    has_q = group in (T.MBT_INTERQ, T.MBT_INTRAQ)
+                else:
+                    v = T.intra_mcbpc_vlc().read(gb)
+                    if v == 8:
+                        continue            # stuffing
+                    is_intra = True
+                    has_q = v >= 4
+                    cbpc = v & 3
+
+                ac_pred = 0
+                if is_intra:
+                    ac_pred = gb.get_bits(1)
+                    if ac_pred:
+                        raise AVError(INVALIDDATA, "AC prediction not supported yet")
+                cbpy_code = T.cbpy_vlc().read(gb)
+                cbpy = cbpy_code if is_intra else 15 - cbpy_code
+                if has_q:
+                    dq = gb.get_bits(2)
+                    qscale = max(1, min(31, qscale + (-1, -2, 1, 2)[dq]))
+                mb.qscale[idx] = qscale
+
+                if is_intra:
+                    mb.intra[idx] = True
+                else:
+                    px, py = self._mv_pred(mb, mb_x, mb_y)
+                    dx = self._decode_mv(gb, fcode)
+                    dy = self._decode_mv(gb, fcode)
+                    rng = 32 << (fcode - 1)
+                    vx = px + dx
+                    vy = py + dy
+                    if vx < -rng:
+                        vx += 2 * rng
+                    elif vx >= rng:
+                        vx -= 2 * rng
+                    if vy < -rng:
+                        vy += 2 * rng
+                    elif vy >= rng:
+                        vy -= 2 * rng
+                    mb.use_fwd[idx] = True
+                    mb.mv_fwd[idx] = (vx, vy)
+
+                cbp = (cbpy << 2) | cbpc
+                for b in range(6):
+                    coded = bool(cbp & (0x20 >> b))
+                    if is_intra:
+                        self._decode_intra_block(
+                            gb, mb.coeffs[idx, b], b, mb_x, mb_y,
+                            qscale, dc_y, dc_u, dc_v, coded)
+                    elif coded:
+                        self._decode_rl_block(gb, mb.coeffs[idx, b], 0, False)
+
+    def _mv_pred(self, mb: MBData, mb_x, mb_y) -> Tuple[int, int]:
+        """Must mirror MPEG4Encoder._mv_pred exactly."""
+        mw = self.mb_w
+
+        def cand(x, y):
+            if x < 0 or y < 0 or x >= mw:
+                return None
+            i = y * mw + x
+            if mb.intra[i]:
+                return (0, 0)
+            return (int(mb.mv_fwd[i][0]), int(mb.mv_fwd[i][1]))
+
+        A = cand(mb_x - 1, mb_y)
+        B = cand(mb_x, mb_y - 1)
+        C = cand(mb_x + 1, mb_y - 1)
+        if B is None and C is None:
+            return A if A is not None else (0, 0)
+        A = A or (0, 0)
+        B = B or (0, 0)
+        C = C or (0, 0)
+        return (int(np.median([A[0], B[0], C[0]])),
+                int(np.median([A[1], B[1], C[1]])))
+
+    def _decode_mv(self, gb, fcode: int) -> int:
+        code = T.mv_vlc().read(gb)
+        if code == 0:
+            return 0
+        sign = 0
+        shift = fcode - 1
+        if fcode == 1:
+            sign = gb.get_bits(1)
+            return -code if sign else code
+        sign = gb.get_bits(1)
+        residual = gb.get_bits(shift) if shift else 0
+        val = ((code - 1) << shift) + residual + 1
+        return -val if sign else val
+
+    def _decode_intra_block(self, gb, out, b, mb_x, mb_y, qscale,
+                            dc_y, dc_u, dc_v, coded):
+        luma = b < 4
+        dcs = mpeg4_dc_scaler(qscale, luma)
+        vlc = T.dc_lum_vlc() if luma else T.dc_chrom_vlc()
+        size = vlc.read(gb)
+        diff = 0
+        if size:
+            diff = gb.get_bits(size)
+            if diff < (1 << (size - 1)):
+                diff -= (1 << size) - 1
+            if size > 8:
+                gb.get_bits(1)  # marker
+        pred, store = _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y)
+        pred_lvl = (pred + dcs // 2) // dcs
+        lvl = int(pred_lvl) + diff
+        out[0] = lvl
+        store(lvl * dcs)
+        if coded:
+            self._decode_rl_block(gb, out, 1, True)
+
+    def _decode_rl_block(self, gb, out, start, intra):
+        """3D RL decode incl. ESC1/2/3 (reference: mpeg4videodec.c
+        mpeg4_decode_block)."""
+        vlc = T.rl_vlc(intra)
+        tuples = T.rl_decode_tuple(intra)
+        lmax = T.rl_max_level(intra)
+        rmax = T.rl_max_run(intra)
+        k = start
+        while True:
+            v = vlc.read(gb)
+            if v == T.ESC_INDEX:
+                mode = 0
+                if gb.get_bits(1):
+                    mode = 2 if gb.get_bits(1) else 1
+                if mode == 2:   # ESC3: fixed length
+                    last = gb.get_bits(1)
+                    run = gb.get_bits(6)
+                    gb.get_bits(1)
+                    level = gb.get_sbits(12)
+                    gb.get_bits(1)
+                else:
+                    v2 = vlc.read(gb)
+                    if v2 == T.ESC_INDEX:
+                        raise AVError(INVALIDDATA, "double escape")
+                    last, run, level = tuples[v2]
+                    if gb.get_bits(1):
+                        level = -level
+                    if mode == 0:     # ESC1: level offset by LMAX
+                        level += np.sign(level) * lmax.get((last, run), 0)
+                    else:             # ESC2: run offset by RMAX+1
+                        run += rmax.get((last, abs(level)), 0) + 1
+            else:
+                last, run, level = tuples[v]
+                if gb.get_bits(1):
+                    level = -level
+            k += run
+            if k > 63:
+                raise AVError(INVALIDDATA, "AC index overflow")
+            out[k] = level
+            k += 1
+            if last:
+                break
+
+
+def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):
+    if b < 4:
+        bx = 2 * mb_x + (b & 1) + 1
+        by = 2 * mb_y + (b >> 1) + 1
+        grid = dc_y
+    else:
+        bx, by = mb_x + 1, mb_y + 1
+        grid = dc_u if b == 4 else dc_v
+    A = grid[by, bx - 1]
+    B = grid[by - 1, bx - 1]
+    C = grid[by - 1, bx]
+    pred = C if abs(A - B) < abs(B - C) else A
+
+    def store(val):
+        grid[by, bx] = val
+    return pred, store

@@ -1,0 +1,374 @@
+"""MPEG-4 part 2 simple-profile encoder (reference:
+libavcodec/mpeg4videoenc.c: header writer ff_mpeg4_encode_picture_header,
+MB layer mpeg4_encode_mb; driver shared with mpegvideo_enc.c — SURVEY §3.3).
+
+Device: ME + prediction + FDCT + H.263-quant via codecs/mpegvideo.encode_jit
+('h263' kind) and reference reconstruction via recon_jit ('h263').
+Host: VOS/VOL/VOP headers, MCBPC/CBPY, gradient DC prediction, median MV
+prediction, 3D run-level VLC with ESC3 fallback.
+
+Emits: rectangular VOL, quant_type 0, no B-VOPs/4MV/qpel/GMC/AC-pred yet
+(round-2 items), resync markers disabled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+
+from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.frame import Frame, Packet, PKT_FLAG_KEY
+from libav_tpu.avutil.opt import Option
+from libav_tpu.avutil.rational import Rational
+from libav_tpu.bitstream import PutBits
+from libav_tpu.codecs.api import Encoder, MediaType, register_codec
+from libav_tpu.codecs.mpeg4 import tables as T
+from libav_tpu.codecs.mpegvideo import encode_jit, recon_jit, zero_pad_refs
+from libav_tpu.ops.quant import mpeg4_dc_scaler
+
+VOS_STARTCODE = b"\x00\x00\x01\xB0"
+VISOBJ_STARTCODE = b"\x00\x00\x01\xB5"
+VO_STARTCODE = b"\x00\x00\x01\x00"
+VOL_STARTCODE = b"\x00\x00\x01\x20"
+VOP_STARTCODE = b"\x00\x00\x01\xB6"
+
+PICT_I, PICT_P = 0, 1
+
+
+def encode_mv_component(pb: PutBits, delta: int, fcode: int = 1):
+    """ISO 14496-2 §7.6.3 MV coding; fcode=1 => no residual bits."""
+    rng = 32 << (fcode - 1)
+    if delta < -rng:
+        delta += 2 * rng
+    elif delta >= rng:
+        delta -= 2 * rng
+    if fcode == 1:
+        a = abs(delta)
+        code, bits = T.MVTAB[a]
+        pb.put_bits(bits, code)
+        if a:
+            pb.put_bits(1, 1 if delta < 0 else 0)
+        return
+    if delta == 0:
+        code, bits = T.MVTAB[0]
+        pb.put_bits(bits, code)
+        return
+    shift = fcode - 1
+    a = abs(delta)
+    mc = ((a - 1) >> shift) + 1
+    residual = a - 1 - ((mc - 1) << shift)
+    code, bits = T.MVTAB[mc]
+    pb.put_bits(bits, code)
+    pb.put_bits(1, 1 if delta < 0 else 0)
+    pb.put_bits(shift, residual)
+
+
+def encode_dc(pb: PutBits, diff: int, luma: bool):
+    """Intra DC differential (14496-2 §7.4.1 tables B-13/14)."""
+    size = abs(diff).bit_length()
+    code, bits = (T.DC_LUM if luma else T.DC_CHROM)[size]
+    pb.put_bits(bits, code)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        pb.put_bits(size, v)
+        if size > 8:
+            pb.put_bits(1, 1)   # marker bit
+
+
+def encode_block_rl(pb: PutBits, levels: np.ndarray, start: int,
+                    intra: bool):
+    """3D (last, run, level) coding with ESC type-3 fallback."""
+    m = T.rl_encode_map(intra)
+    nz = [(k, int(levels[k])) for k in range(start, 64) if levels[k]]
+    for i, (k, lvl) in enumerate(nz):
+        prev_k = nz[i - 1][0] if i else start - 1
+        run = k - prev_k - 1
+        last = 1 if i == len(nz) - 1 else 0
+        a = abs(lvl)
+        key = (last, run, a)
+        if key in m:
+            code, bits = m[key]
+            pb.put_bits(bits, code)
+            pb.put_bits(1, 1 if lvl < 0 else 0)
+        else:
+            # ESC3: escape + '11' + last(1) run(6) marker level(12s) marker
+            ec, eb = (T.INTRA_VLC if intra else T.INTER_VLC)[T.ESC_INDEX]
+            pb.put_bits(eb, ec)
+            pb.put_bits(2, 0b11)
+            pb.put_bits(1, last)
+            pb.put_bits(6, run)
+            pb.put_bits(1, 1)
+            pb.put_sbits(12, lvl)
+            pb.put_bits(1, 1)
+
+
+@register_codec
+class MPEG4Encoder(Encoder):
+    NAME = "mpeg4"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "MPEG-4 part 2 (TPU ME/DCT/quant)"
+
+    OPTIONS = Encoder.OPTIONS + [
+        Option("qscale", "fixed quantizer 1-31", "int", 6, 1, 31),
+        Option("gop_size", "GOP length", "int", 12, 1, 600),
+    ]
+
+    F_CODE = 1
+
+    def _init(self):
+        if self.width <= 0 or self.height <= 0:
+            raise AVError(EINVAL, "mpeg4: width/height required")
+        self.mb_w = (self.width + 15) >> 4
+        self.mb_h = (self.height + 15) >> 4
+        self._frame_idx = 0
+        self._refs = None
+        fr = self.params.framerate
+        self._fr = fr if fr else Rational(25, 1)
+        self._time_res = max(self._fr.num, 1)
+        self._time_inc_bits = max(1, (self._time_res - 1).bit_length())
+        self._dummy_q = np.ones(64, dtype=np.int32)
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, frame: Frame) -> List[Packet]:
+        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
+        nmb = self.mb_w * self.mb_h
+        qscale = np.full(nmb, self.qscale, dtype=np.int32)
+
+        y, u, v = self._padded_input(frame)
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, "h263")
+        refs = self._refs if not is_i else zero_pad_refs(self.mb_w, self.mb_h)
+        levels, mvs, intra = enc(y, u, v, qscale, self._dummy_q,
+                                 self._dummy_q, *refs)
+        levels = np.asarray(levels).astype(np.int16)
+        mvs = np.asarray(mvs)
+        intra = np.asarray(intra)
+
+        recon = recon_jit(self.mb_w, self.mb_h, "h263", False, not is_i)
+        use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
+        _, padded = recon(levels, qscale, intra, use_fwd,
+                          np.zeros(nmb, dtype=bool), mvs,
+                          np.zeros((nmb, 2), np.int32),
+                          self._dummy_q, self._dummy_q,
+                          *refs, *zero_pad_refs(self.mb_w, self.mb_h))
+        self._refs = padded
+
+        data = self._pack(levels, mvs, intra, qscale,
+                          PICT_I if is_i else PICT_P)
+        pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
+                     flags=PKT_FLAG_KEY if is_i else 0,
+                     time_base=frame.time_base)
+        self._frame_idx += 1
+        return [pkt]
+
+    def _padded_input(self, frame: Frame):
+        H, W = self.mb_h * 16, self.mb_w * 16
+        y = np.asarray(frame.planes[0])
+        u = np.asarray(frame.planes[1])
+        v = np.asarray(frame.planes[2])
+        y = np.pad(y, ((0, H - y.shape[0]), (0, W - y.shape[1])), mode="edge")
+        u = np.pad(u, ((0, H // 2 - u.shape[0]), (0, W // 2 - u.shape[1])), mode="edge")
+        v = np.pad(v, ((0, H // 2 - v.shape[0]), (0, W // 2 - v.shape[1])), mode="edge")
+        return y, u, v
+
+    # ------------------------------------------------------------------ #
+    # Headers (reference: mpeg4videoenc.c mpeg4_encode_vol_header /
+    # ff_mpeg4_encode_picture_header)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _stuff(pb: PutBits):
+        """next_start_code() stuffing (ISO 14496-2 §5.2.3): one 0 bit then
+        1s to the byte boundary; a full '01111111' byte if aligned."""
+        pb.put_bits(1, 0)
+        pb.align(pad_bit=1)
+
+    def _vol_headers(self) -> bytes:
+        out = bytearray()
+        out += VOS_STARTCODE + bytes([0x01])      # profile: simple@L1
+        # visual_object: is_identifier(1)=0, type(4)=1 video, signal(1)=0
+        pb2 = PutBits()
+        pb2.put_bits(1, 0)
+        pb2.put_bits(4, 1)      # video object type
+        pb2.put_bits(1, 0)      # video_signal_type absent
+        self._stuff(pb2)
+        out += VISOBJ_STARTCODE + pb2.flush()
+        out += VO_STARTCODE     # video_object 0
+        pb = PutBits()
+        pb.put_bits(1, 0)       # random_accessible_vol
+        pb.put_bits(8, 0x01)    # video_object_type_indication: simple
+        pb.put_bits(1, 0)       # is_object_layer_identifier
+        pb.put_bits(4, 1)       # aspect_ratio_info: 1:1
+        pb.put_bits(1, 0)       # vol_control_parameters
+        pb.put_bits(2, 0)       # shape: rectangular
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(16, self._time_res)
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(1, 0)       # fixed_vop_rate = 0
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(13, self.width)
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(13, self.height)
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(1, 0)       # interlaced
+        pb.put_bits(1, 1)       # obmc_disable
+        pb.put_bits(1, 0)       # sprite_enable: none
+        pb.put_bits(1, 0)       # not_8_bit
+        pb.put_bits(1, 0)       # quant_type = 0 (H.263)
+        pb.put_bits(1, 1)       # complexity_estimation_disable
+        pb.put_bits(1, 1)       # resync_marker_disable
+        pb.put_bits(1, 0)       # data_partitioned
+        pb.put_bits(1, 0)       # scalability
+        self._stuff(pb)
+        out += VOL_STARTCODE + pb.flush()
+        return bytes(out)
+
+    def _vop_header(self, pb: PutBits, pict_type: int):
+        pb.put_bits(2, pict_type)
+        # modulo_time_base: number of whole seconds since last sync
+        t_num = self._frame_idx * self._fr.den
+        secs = t_num // self._fr.num
+        prev_secs = getattr(self, "_prev_secs", 0)
+        for _ in range(max(0, secs - prev_secs)):
+            pb.put_bits(1, 1)
+        self._prev_secs = secs
+        pb.put_bits(1, 0)
+        pb.put_bits(1, 1)       # marker
+        tinc = (self._frame_idx * self._fr.den * self._time_res
+                // self._fr.num) % self._time_res if self._fr.num else 0
+        pb.put_bits(self._time_inc_bits, tinc)
+        pb.put_bits(1, 1)       # marker
+        pb.put_bits(1, 1)       # vop_coded
+        if pict_type == PICT_P:
+            pb.put_bits(1, 0)   # vop_rounding_type
+        pb.put_bits(3, 0)       # intra_dc_vlc_thr: always intra DC VLC
+        pb.put_bits(5, self.qscale)
+        if pict_type == PICT_P:
+            pb.put_bits(3, self.F_CODE)
+
+    # ------------------------------------------------------------------ #
+
+    def _pack(self, levels, mvs, intra, qscale, pict_type) -> bytes:
+        out = bytearray()
+        if pict_type == PICT_I:
+            out += self._vol_headers()
+        pb = PutBits()
+        self._vop_header(pb, pict_type)
+        self._mb_layer(pb, levels, mvs, intra, qscale, pict_type)
+        self._stuff(pb)
+        return bytes(out) + VOP_STARTCODE + pb.flush()
+
+    def _mb_layer(self, pb, levels, mvs, intra, qscale, pict_type):
+        mw, mh = self.mb_w, self.mb_h
+        nmb = mw * mh
+        # DC predictor store: luma block grid + chroma MB grids, in
+        # dequantized units; 1024 = reset (ISO 14496-2 §7.4.1)
+        dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
+        dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+        dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+
+        for mb_y in range(mh):
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                lv = levels[idx]
+                is_intra = bool(intra[idx]) or pict_type == PICT_I
+                mv = mvs[idx]
+                q = int(qscale[idx])
+
+                cbp = 0
+                for b in range(6):
+                    start = 1 if is_intra else 0
+                    if np.any(lv[b][start:]):
+                        cbp |= 0x20 >> b
+                cbpc = cbp & 3
+                cbpy = cbp >> 2
+
+                if pict_type == PICT_P:
+                    not_coded = (not is_intra and cbp == 0
+                                 and mv[0] == 0 and mv[1] == 0)
+                    if not_coded:
+                        pb.put_bits(1, 1)   # not_coded = skip
+                        continue
+                    pb.put_bits(1, 0)
+                    group = T.MBT_INTRA if is_intra else T.MBT_INTER
+                    i = group * 4 + cbpc
+                    pb.put_bits(T.INTER_MCBPC_BITS[i], T.INTER_MCBPC_CODE[i])
+                else:
+                    i = cbpc            # intra group
+                    pb.put_bits(T.INTRA_MCBPC[1][i], T.INTRA_MCBPC[0][i])
+
+                if is_intra:
+                    pb.put_bits(1, 0)   # ac_pred_flag
+                    code, bits = T.CBPY[cbpy]
+                    pb.put_bits(bits, code)
+                else:
+                    code, bits = T.CBPY[15 - cbpy]
+                    pb.put_bits(bits, code)
+                    # motion vector, median predicted
+                    px, py = self._mv_pred(mvs, intra, mb_x, mb_y, pict_type)
+                    encode_mv_component(pb, int(mv[0]) - px, self.F_CODE)
+                    encode_mv_component(pb, int(mv[1]) - py, self.F_CODE)
+
+                for b in range(6):
+                    coded = bool(cbp & (0x20 >> b))
+                    if is_intra:
+                        luma = b < 4
+                        dcs = mpeg4_dc_scaler(q, luma)
+                        lvl_dc = int(lv[b][0])
+                        pred, store = self._dc_ctx(dc_y, dc_u, dc_v, b,
+                                                   mb_x, mb_y)
+                        pred_lvl = (pred + dcs // 2) // dcs
+                        encode_dc(pb, lvl_dc - int(pred_lvl), luma)
+                        store(lvl_dc * dcs)
+                        if coded:
+                            encode_block_rl(pb, lv[b], 1, True)
+                    elif coded:
+                        encode_block_rl(pb, lv[b], 0, False)
+
+    @staticmethod
+    def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):
+        """Gradient DC prediction (ISO 14496-2 §7.4.3.2): pick A (left) or
+        C (above) based on |A-B| vs |B-C| with B = above-left. Grids are
+        +1-offset so index 0 is the out-of-bound column/row (=1024)."""
+        if b < 4:
+            bx = 2 * mb_x + (b & 1) + 1
+            by = 2 * mb_y + (b >> 1) + 1
+            grid = dc_y
+        else:
+            bx, by = mb_x + 1, mb_y + 1
+            grid = dc_u if b == 4 else dc_v
+        A = grid[by, bx - 1]
+        B = grid[by - 1, bx - 1]
+        C = grid[by - 1, bx]
+        pred = C if abs(A - B) < abs(B - C) else A
+
+        def store(val):
+            grid[by, bx] = val
+        return pred, store
+
+    def _mv_pred(self, mvs, intra, mb_x, mb_y, pict_type):
+        """Median MV prediction (ISO 14496-2 §7.6.5; H.263 style)."""
+        mw = self.mb_w
+
+        def cand(x, y):
+            if x < 0 or y < 0 or x >= mw:
+                return None
+            i = y * mw + x
+            if intra[i]:
+                return (0, 0)
+            return (int(mvs[i][0]), int(mvs[i][1]))
+
+        A = cand(mb_x - 1, mb_y)
+        B = cand(mb_x, mb_y - 1)
+        C = cand(mb_x + 1, mb_y - 1)
+        if B is None and C is None:
+            # top row: predictor is A (or 0)
+            return A if A is not None else (0, 0)
+        A = A or (0, 0)
+        B = B or (0, 0)
+        C = C or (0, 0)
+        px = int(np.median([A[0], B[0], C[0]]))
+        py = int(np.median([A[1], B[1], C[1]]))
+        return px, py

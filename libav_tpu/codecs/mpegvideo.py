@@ -133,3 +133,112 @@ def zero_pad_refs(mb_w: int, mb_h: int):
     y = jnp.full((H + 2 * EDGE, W + 2 * EDGE), 128, dtype=jnp.uint8)
     c = jnp.full((H // 2 + 2 * EDGE, W // 2 + 2 * EDGE), 128, dtype=jnp.uint8)
     return (y, c, c)
+
+
+@functools.lru_cache(maxsize=32)
+def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
+               search_range: int = 15):
+    """Device encode program: pixels (+ref) -> quantized levels (zigzag
+    order), MVs (half-pel), intra decisions (reference: the device half of
+    mpegvideo_enc.c encode_picture :3393 — ME, prediction, FDCT, quant).
+
+    quant_kind 'mpeg1': qmat-weighted quant, intra DC in pixel units.
+    quant_kind 'h263' (MPEG-4 quant_type=0): uniform (2q) quant, intra DC
+    by DC scaler (ISO 14496-2 table 7-2).
+    """
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import mc_hpel, chroma_mv_div2
+    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    zz = zigzag_scan()
+    # closure constants stay numpy (see ops/me.py note on tracer leaks)
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    luma_blk = np.tile(np.array([1, 1, 1, 1, 0, 0], dtype=bool), nmb)
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    def quantize_mpeg(coeffs8, qs6, qmat, intra_b):
+        q = qs6[:, None] * qmat[None, :]
+        if intra_b:
+            lv = jnp.sign(coeffs8) * ((jnp.abs(coeffs8) + q // 2) // q)
+        else:
+            lv = jnp.sign(coeffs8) * (jnp.abs(coeffs8) // q)
+        return jnp.clip(lv, -255, 255)
+
+    def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
+           r0y, r0u, r0v):
+        cy = cur_y.astype(jnp.int32)
+        blocks = mb_blocks(cy, cur_u.astype(jnp.int32),
+                           cur_v.astype(jnp.int32))
+
+        if inter:
+            cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                       .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, r0y)
+            mv, sad = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r0y, fmv)
+            mb_mean = cur_mbs.mean(axis=(1, 2), keepdims=True)
+            intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
+            use_intra = intra_cost.astype(jnp.int32) + 256 < sad
+            pred_y = mc_hpel(r0y, mbx, mby, mv[:, 0], mv[:, 1], 16)
+            cmv = chroma_mv_div2(mv)
+            pred_u = mc_hpel(r0u, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            pred_v = mc_hpel(r0v, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            pred_blocks = mb_blocks(
+                (pred_y.reshape(mb_h, mb_w, 16, 16)
+                 .transpose(0, 2, 1, 3).reshape(H, W)),
+                (pred_u.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)),
+                (pred_v.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)))
+            resid = blocks - pred_blocks
+            src = jnp.where(use_intra[:, None, None, None], blocks, resid)
+        else:
+            mv = jnp.zeros((nmb, 2), dtype=jnp.int32)
+            use_intra = jnp.ones((nmb,), dtype=bool)
+            src = blocks
+
+        coeffs8 = fdct_ops.fdct8x8_int(src.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        qs6 = jnp.repeat(qscale, 6)
+        intra6 = jnp.repeat(use_intra, 6)
+        dc8 = coeffs8.reshape(nmb * 6, 64)[:, 0]
+
+        if quant_kind == "h263":
+            q16 = 16 * qs6
+            lv = jnp.sign(czz) * (jnp.abs(czz) // q16[:, None])
+            levels = jnp.clip(lv, -255, 255)
+            # intra DC by DC scaler (true DCT scale = coeffs8/8)
+            dcs_l = jnp.where(qs6 < 5, 8, jnp.where(qs6 < 9, 2 * qs6,
+                              jnp.where(qs6 < 25, qs6 + 8, 2 * qs6 - 16)))
+            dcs_c = jnp.where(qs6 < 5, 8,
+                              jnp.where(qs6 < 25, (qs6 + 13) // 2, qs6 - 6))
+            dcs = jnp.where(luma_blk, dcs_l, dcs_c)
+            qdc = 8 * dcs
+            dc_lvl = jnp.sign(dc8) * ((jnp.abs(dc8) + qdc // 2) // qdc)
+            levels = levels.at[:, 0].set(
+                jnp.where(intra6, dc_lvl, levels[:, 0]))
+        else:
+            lv_i = quantize_mpeg(czz, qs6, intra_qmat_zz, True)
+            lv_p = quantize_mpeg(czz, qs6, inter_qmat_zz, False)
+            levels = jnp.where(intra6[:, None], lv_i, lv_p)
+            dc_pix = jnp.clip((dc8 + 32) >> 6, 0, 255)
+            levels = levels.at[:, 0].set(
+                jnp.where(intra6, dc_pix, levels[:, 0]))
+        return levels.reshape(nmb, 6, 64), mv, use_intra
+
+    return jax.jit(fn)

@@ -38,8 +38,11 @@ def _search_jit(mb_w: int, mb_h: int, search_range: int):
     import jax.numpy as jnp
 
     nmb = mb_w * mb_h
-    xs = jnp.asarray((np.arange(nmb) % mb_w) * 16, dtype=jnp.int32)
-    ys = jnp.asarray((np.arange(nmb) // mb_w) * 16, dtype=jnp.int32)
+    # NOTE: closure constants stay numpy — a jnp array created while some
+    # outer jit is tracing would capture that trace's tracer and poison
+    # this lru-cached closure for later callers.
+    xs = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    ys = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
     steps = []
     s = 1
     while s * 2 <= search_range:
@@ -47,7 +50,7 @@ def _search_jit(mb_w: int, mb_h: int, search_range: int):
     while s >= 1:
         steps.append(s)
         s //= 2
-    offsets = jnp.asarray(_DIAMOND)
+    offsets = _DIAMOND
 
     def gather16(padded, y, x):
         return jax.lax.dynamic_slice(padded, (y, x), (16, 16))
@@ -90,9 +93,9 @@ def _hpel_refine_jit(mb_w: int, mb_h: int):
     from libav_tpu.ops.mc import mc_hpel
 
     nmb = mb_w * mb_h
-    xs = jnp.asarray((np.arange(nmb) % mb_w) * 16, dtype=jnp.int32)
-    ys = jnp.asarray((np.arange(nmb) // mb_w) * 16, dtype=jnp.int32)
-    offsets = jnp.asarray(_DIAMOND)
+    xs = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    ys = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    offsets = _DIAMOND
 
     def fn(cur_mbs, padded_ref, fullpel_mv):
         mv = fullpel_mv * 2      # to half-pel units

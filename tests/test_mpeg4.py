@@ -1,0 +1,84 @@
+"""MPEG-4 enc_dec round trip (FATE vcodec.mak:140-147 mpeg4 suite pattern)."""
+
+import numpy as np
+import pytest
+
+from libav_tpu.avutil.frame import Frame, Packet
+from libav_tpu.avutil.rational import Rational
+from libav_tpu.codecs.api import CodecParameters, MediaType
+from libav_tpu.codecs.mpeg4 import MPEG4Decoder, MPEG4Encoder
+
+from tests.test_mpeg12 import psnr, vsynth_frame
+
+
+def roundtrip(frames, qscale=4, gop=12):
+    w, h = frames[0].width, frames[0].height
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mpeg4",
+                          width=w, height=h, pix_fmt="yuv420p",
+                          framerate=Rational(25, 1))
+    enc = MPEG4Encoder(par)
+    enc.set_opt("qscale", qscale)
+    enc.set_opt("gop_size", gop)
+    pkts = enc.encode_all(frames)
+    assert len(pkts) == len(frames)
+    dec = MPEG4Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                       codec_id="mpeg4"))
+    out = dec.decode_all([Packet(data=p.data, pts=i)
+                          for i, p in enumerate(pkts)])
+    assert len(out) == len(frames)
+    return pkts, [f.to_host() for f in out]
+
+
+class TestMPEG4RoundTrip:
+    def test_single_i_vop(self):
+        src = vsynth_frame(64, 48)
+        _, out = roundtrip([src], qscale=2)
+        p = psnr(src.planes[0], out[0].planes[0])
+        assert p > 30, f"luma psnr {p}"
+
+    def test_flat(self):
+        f = Frame.alloc_video(32, 32, "yuv420p")
+        f.planes[0][:] = 100
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+        _, out = roundtrip([f], qscale=2)
+        assert np.abs(out[0].planes[0].astype(int) - 100).max() <= 2
+
+    def test_ip_sequence(self):
+        frames = [vsynth_frame(64, 48, t) for t in range(5)]
+        _, out = roundtrip(frames, qscale=4)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.planes[0])
+            assert p > 27, f"frame {i} luma psnr {p}"
+
+    def test_static_scene_skips(self):
+        frames = [vsynth_frame(64, 48, 0) for _ in range(4)]
+        pkts, out = roundtrip(frames, qscale=4)
+        assert len(pkts[1].data) < len(pkts[0].data) // 4
+        for s, o in zip(frames, out):
+            assert psnr(s.planes[0], o.planes[0]) > 27
+
+    def test_dc_prediction_chain(self):
+        """Strong horizontal gradient exercises the gradient DC predictor."""
+        f = Frame.alloc_video(128, 32, "yuv420p")
+        yy, xx = np.mgrid[0:32, 0:128]
+        f.planes[0] = (xx * 2).astype(np.uint8)
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+        _, out = roundtrip([f], qscale=2)
+        assert psnr(f.planes[0], out[0].planes[0]) > 32
+
+    def test_qscale_quality_ladder(self):
+        src = vsynth_frame(64, 48)
+        _, hi = roundtrip([src], qscale=2)
+        _, lo = roundtrip([src], qscale=20)
+        assert psnr(src.planes[0], hi[0].planes[0]) > \
+            psnr(src.planes[0], lo[0].planes[0])
+
+    def test_startcodes_present(self):
+        src = vsynth_frame(32, 32)
+        pkts, _ = roundtrip([src])
+        data = pkts[0].data
+        assert data.startswith(b"\x00\x00\x01\xB0")       # VOS
+        assert b"\x00\x00\x01\x20" in data                # VOL
+        assert b"\x00\x00\x01\xB6" in data                # VOP
