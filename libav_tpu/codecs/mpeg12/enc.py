@@ -73,8 +73,10 @@ def _encode_dc(pb: PutBits, diff: int, lum: bool):
 
 
 def _encode_block_ac(pb: PutBits, levels: np.ndarray, start: int,
-                     first_inter: bool):
-    """Run-level coding, table B.14 + escapes; levels in zigzag order."""
+                     first_inter: bool, mpeg2: bool = False):
+    """Run-level coding, table B.14 + escapes; levels in zigzag order.
+    MPEG-2 escapes carry a single 12-bit signed level (ISO 13818-2
+    §7.2.2.3); MPEG-1 uses the 8/16-bit two-step form."""
     m = _rl_encode_map()
     run = 0
     first = first_inter
@@ -93,10 +95,11 @@ def _encode_block_ac(pb: PutBits, levels: np.ndarray, start: int,
             pb.put_bits(bits, code)
             pb.put_bits(1, 1 if lvl < 0 else 0)
         else:
-            # escape: 000001 run(6) level(8/16)
-            pb.put_bits(6, 0x1)
+            pb.put_bits(6, 0x1)      # escape
             pb.put_bits(6, run)
-            if -127 <= lvl <= 127:
+            if mpeg2:
+                pb.put_sbits(12, lvl)
+            elif -127 <= lvl <= 127:
                 pb.put_sbits(8, lvl)
             elif lvl > 0:
                 pb.put_bits(8, 0x00)
@@ -121,6 +124,13 @@ class MPEG1Encoder(Encoder):
     ]
 
     F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
+    QUANT_KIND = "mpeg1"
+
+    def _qscale_code(self, q: int) -> int:
+        return q              # MPEG-1: quantizer_scale_code == qscale
+
+    def _dc_for_pack(self, dc: int) -> int:
+        return dc             # MPEG-1 levels carry DC in pixel units
 
     def _init(self):
         if self.width <= 0 or self.height <= 0:
@@ -147,7 +157,7 @@ class MPEG1Encoder(Encoder):
         nmb = self.mb_w * self.mb_h
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
 
-        enc = encode_jit(self.mb_w, self.mb_h, not is_i, 'mpeg1')
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND)
         if is_i:
             import jax.numpy as jnp
             zero = zero_pad_refs(self.mb_w, self.mb_h)
@@ -161,7 +171,7 @@ class MPEG1Encoder(Encoder):
         intra = np.asarray(intra)
 
         # reconstruction through the decoder's own device program
-        recon = recon_jit(self.mb_w, self.mb_h, 'mpeg1', False, not is_i)
+        recon = recon_jit(self.mb_w, self.mb_h, self.QUANT_KIND, False, not is_i)
         use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
         coeffs_dec = levels.copy()
         _, padded = recon(coeffs_dec, qscale, intra, use_fwd,
@@ -234,7 +244,7 @@ class MPEG1Encoder(Encoder):
         out = bytearray()
         for mb_y in range(self.mb_h):
             pb = PutBits()
-            pb.put_bits(5, int(qscale[mb_y * self.mb_w]))
+            pb.put_bits(5, self._qscale_code(int(qscale[mb_y * self.mb_w])))
             pb.put_bits(1, 0)        # extra_bit_slice
             self._slice_mbs(pb, mb_y, levels, mvs, intra, pict_type, qscale)
             # zero-pad to byte alignment: slice end is detected by the
@@ -306,12 +316,14 @@ class MPEG1Encoder(Encoder):
                     continue
                 if flags & T.MB_INTRA:
                     comp = 0 if b < 4 else (1 if b == 4 else 2)
-                    dc = int(lv[b][0])
+                    dc = self._dc_for_pack(int(lv[b][0]))
                     _encode_dc(pb, dc - dc_pred[comp], lum=b < 4)
                     dc_pred[comp] = dc
-                    _encode_block_ac(pb, lv[b], start=1, first_inter=False)
+                    _encode_block_ac(pb, lv[b], start=1, first_inter=False,
+                                     mpeg2=self.QUANT_KIND == "mpeg2")
                 else:
-                    _encode_block_ac(pb, lv[b], start=0, first_inter=True)
+                    _encode_block_ac(pb, lv[b], start=0, first_inter=True,
+                                     mpeg2=self.QUANT_KIND == "mpeg2")
 
 
 def _frame_rate_code(fr: Rational) -> int:
@@ -322,3 +334,68 @@ def _frame_rate_code(fr: Rational) -> int:
         if err < best:
             best, bc = err, code
     return bc
+
+
+@register_codec
+class MPEG2Encoder(MPEG1Encoder):
+    """MPEG-2 main-profile encoder (reference: mpeg12enc.c MPEG-2 branches:
+    sequence/picture-coding extensions, linear q_scale_type 0)."""
+
+    NAME = "mpeg2video"
+    LONG_NAME = "MPEG-2 video (TPU ME/DCT/quant)"
+
+    QUANT_KIND = "mpeg2"
+
+    def _init(self):
+        super()._init()
+        # linear MPEG-2 qscale = 2 * code -> keep qscale even
+        if self.qscale & 1:
+            self.qscale += 1
+
+    def _seq_header(self) -> bytes:
+        out = super()._seq_header()
+        # sequence extension (ISO 13818-2 §6.2.2.3)
+        pb = PutBits()
+        pb.put_bits(4, 1)        # extension id: sequence
+        pb.put_bits(8, 0x48)     # profile_and_level: main@main
+        pb.put_bits(1, 1)        # progressive_sequence
+        pb.put_bits(2, 1)        # chroma_format 4:2:0
+        pb.put_bits(2, 0)        # horizontal_size_extension
+        pb.put_bits(2, 0)        # vertical_size_extension
+        pb.put_bits(12, 0)       # bit_rate_extension
+        pb.put_bits(1, 1)        # marker
+        pb.put_bits(8, 0)        # vbv_buffer_size_extension
+        pb.put_bits(1, 0)        # low_delay
+        pb.put_bits(2, 0)        # frame_rate_extension_n
+        pb.put_bits(5, 0)        # frame_rate_extension_d
+        return out + b"\x00\x00\x01\xB5" + pb.flush()
+
+    def _picture_header(self, pict_type) -> bytes:
+        out = super()._picture_header(pict_type)
+        # picture coding extension (ISO 13818-2 §6.2.3.1)
+        pb = PutBits()
+        pb.put_bits(4, 8)        # extension id: picture coding
+        fc = self.F_CODE if pict_type == PICT_P else 15
+        pb.put_bits(4, fc)       # f_code[0][0]
+        pb.put_bits(4, fc)       # f_code[0][1]
+        pb.put_bits(4, 15)       # f_code[1][0]
+        pb.put_bits(4, 15)       # f_code[1][1]
+        pb.put_bits(2, 0)        # intra_dc_precision (8 bit)
+        pb.put_bits(2, 3)        # picture_structure: frame
+        pb.put_bits(1, 0)        # top_field_first
+        pb.put_bits(1, 1)        # frame_pred_frame_dct
+        pb.put_bits(1, 0)        # concealment_motion_vectors
+        pb.put_bits(1, 0)        # q_scale_type: linear
+        pb.put_bits(1, 0)        # intra_vlc_format
+        pb.put_bits(1, 0)        # alternate_scan
+        pb.put_bits(1, 0)        # repeat_first_field
+        pb.put_bits(1, 1)        # chroma_420_type
+        pb.put_bits(1, 1)        # progressive_frame
+        pb.put_bits(1, 0)        # composite_display_flag
+        return out + b"\x00\x00\x01\xB5" + pb.flush()
+
+    def _qscale_code(self, q: int) -> int:
+        return max(1, q >> 1)    # linear: qscale = 2*code
+
+    def _dc_for_pack(self, dc: int) -> int:
+        return dc >> 3           # levels carry pixel*8 (IDCT units)

@@ -173,12 +173,17 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
         return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
 
     def quantize_mpeg(coeffs8, qs6, qmat, intra_b):
+        # MPEG-2 dequant carries one more fractional bit (>>4 / >>5 vs
+        # MPEG-1's >>3 / >>4), so its effective divisor is halved
         q = qs6[:, None] * qmat[None, :]
+        if quant_kind == "mpeg2":
+            q = jnp.maximum(q // 2, 1)
         if intra_b:
             lv = jnp.sign(coeffs8) * ((jnp.abs(coeffs8) + q // 2) // q)
         else:
             lv = jnp.sign(coeffs8) * (jnp.abs(coeffs8) // q)
-        return jnp.clip(lv, -255, 255)
+        lim = 2047 if quant_kind == "mpeg2" else 255
+        return jnp.clip(lv, -lim, lim)
 
     def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
            r0y, r0u, r0v):
@@ -237,6 +242,10 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
             lv_p = quantize_mpeg(czz, qs6, inter_qmat_zz, False)
             levels = jnp.where(intra6[:, None], lv_i, lv_p)
             dc_pix = jnp.clip((dc8 + 32) >> 6, 0, 255)
+            if quant_kind == "mpeg2":
+                # mpeg2 dequant passes DC through in IDCT units
+                # (pixel * 8 at intra_dc_precision 0)
+                dc_pix = dc_pix * 8
             levels = levels.at[:, 0].set(
                 jnp.where(intra6, dc_pix, levels[:, 0]))
         return levels.reshape(nmb, 6, 64), mv, use_intra

@@ -190,3 +190,51 @@ class TestCLI:
         rc = avconv.main(["-i", str(m1v), "-f", "framecrc", str(crc)])
         assert rc == 0
         assert len(crc.read_text().strip().splitlines()) == 3
+
+
+class TestMPEG2RoundTrip:
+    def _roundtrip(self, frames, qscale=4, gop=12):
+        from libav_tpu.codecs.mpeg12.enc import MPEG2Encoder
+        from libav_tpu.codecs.mpeg12 import MPEG2Decoder
+        w, h = frames[0].width, frames[0].height
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", width=w, height=h,
+                              pix_fmt="yuv420p", framerate=Rational(25, 1))
+        enc = MPEG2Encoder(par)
+        enc.set_opt("qscale", qscale)
+        enc.set_opt("gop_size", gop)
+        pkts = enc.encode_all(frames)
+        dec = MPEG2Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mpeg2video"))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        assert len(out) == len(frames)
+        return pkts, [f.to_host() for f in out]
+
+    def test_mpeg2_marker_present(self):
+        src = vsynth_frame(48, 32)
+        pkts, _ = self._roundtrip([src], qscale=4)
+        # sequence extension must follow the sequence header => MPEG-2
+        assert b"\x00\x00\x01\xB5" in pkts[0].data
+
+    def test_mpeg2_i_frame(self):
+        src = vsynth_frame(64, 48)
+        _, out = self._roundtrip([src], qscale=2)
+        p = psnr(src.planes[0], out[0].planes[0])
+        assert p > 30, f"luma psnr {p}"
+
+    def test_mpeg2_ip_sequence(self):
+        frames = [vsynth_frame(64, 48, t) for t in range(4)]
+        _, out = self._roundtrip(frames, qscale=4)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.planes[0])
+            assert p > 27, f"frame {i} psnr {p}"
+
+    def test_decoder_detects_mpeg2(self):
+        from libav_tpu.codecs.mpeg12 import MPEG2Decoder
+        src = vsynth_frame(48, 32)
+        pkts, _ = self._roundtrip([src], qscale=4)
+        dec = MPEG2Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mpeg2video"))
+        dec.decode_all([Packet(data=pkts[0].data, pts=0)])
+        assert dec.seq.mpeg2 is True
