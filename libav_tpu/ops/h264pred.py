@@ -1,0 +1,207 @@
+"""H.264 intra prediction (reference: libavcodec/h264pred.c +
+h264pred_template.c (1354) — all modes as batched tensor ops; spec
+ISO 14496-10 §8.3).
+
+Called from inside the decoder's wavefront scan: each invocation predicts
+a batch of macroblocks from their neighbor pixel vectors (top row, left
+column, top-left corner) gathered from the partially-reconstructed frame.
+Mode selection is per-MB via masks — no data-dependent branching.
+
+Round-1 coverage: I_16x16 (V/H/DC/Plane), chroma 8x8 (DC/H/V/Plane).
+I_4x4's nine modes follow in round 2 (they add an in-MB 16-step wavefront).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pred16x16_ref(mode, top, left, topleft, avail_top, avail_left):
+    """Golden. mode,avail_*: (B,), top/left: (B,16), topleft: (B,).
+    Modes: 0=V 1=H 2=DC 3=Plane. Returns (B,16,16) int32."""
+    B = len(mode)
+    out = np.zeros((B, 16, 16), dtype=np.int32)
+    for i in range(B):
+        t = top[i].astype(np.int64)
+        l = left[i].astype(np.int64)
+        at, al = bool(avail_top[i]), bool(avail_left[i])
+        m = int(mode[i])
+        if m == 0:
+            out[i] = np.broadcast_to(t, (16, 16))
+        elif m == 1:
+            out[i] = np.broadcast_to(l[:, None], (16, 16))
+        elif m == 2:
+            if at and al:
+                dc = (t.sum() + l.sum() + 16) >> 5
+            elif at:
+                dc = (t.sum() + 8) >> 4
+            elif al:
+                dc = (l.sum() + 8) >> 4
+            else:
+                dc = 128
+            out[i] = dc
+        else:
+            tl = int(topleft[i])
+            tt = np.concatenate([[tl], t])
+            ll = np.concatenate([[tl], l])
+            Hsum = sum(x * (tt[8 + x] - tt[8 - x]) for x in range(1, 9))
+            Vsum = sum(y * (ll[8 + y] - ll[8 - y]) for y in range(1, 9))
+            b = (5 * Hsum + 32) >> 6
+            c = (5 * Vsum + 32) >> 6
+            a = 16 * (t[15] + l[15])
+            yy, xx = np.mgrid[0:16, 0:16]
+            out[i] = np.clip((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5,
+                             0, 255)
+    return out
+
+
+def pred16x16(mode, top, left, topleft, avail_top, avail_left):
+    """Batched device version; same contract as pred16x16_ref."""
+    import jax.numpy as jnp
+    B = top.shape[0]
+    t = top.astype(jnp.int32)
+    l = left.astype(jnp.int32)
+    at = avail_top.astype(bool)
+    al = avail_left.astype(bool)
+
+    v = jnp.broadcast_to(t[:, None, :], (B, 16, 16))
+    h = jnp.broadcast_to(l[:, :, None], (B, 16, 16))
+
+    ts = t.sum(axis=1)
+    ls = l.sum(axis=1)
+    dc = jnp.where(at & al, (ts + ls + 16) >> 5,
+                   jnp.where(at, (ts + 8) >> 4,
+                             jnp.where(al, (ls + 8) >> 4, 128)))
+    dcp = jnp.broadcast_to(dc[:, None, None], (B, 16, 16))
+
+    tl = topleft.astype(jnp.int32)
+    tt = jnp.concatenate([tl[:, None], t], axis=1)       # (B, 17)
+    ll = jnp.concatenate([tl[:, None], l], axis=1)
+    xw = np.arange(1, 9)
+    Hsum = sum(int(x) * (tt[:, 8 + x] - tt[:, 8 - x]) for x in xw)
+    Vsum = sum(int(y) * (ll[:, 8 + y] - ll[:, 8 - y]) for y in xw)
+    b = (5 * Hsum + 32) >> 6
+    c = (5 * Vsum + 32) >> 6
+    a = 16 * (t[:, 15] + l[:, 15])
+    yy, xx = np.mgrid[0:16, 0:16]
+    plane = jnp.clip((a[:, None, None] + b[:, None, None] * (xx - 7) +
+                      c[:, None, None] * (yy - 7) + 16) >> 5, 0, 255)
+
+    m = mode[:, None, None]
+    return jnp.where(m == 0, v,
+                     jnp.where(m == 1, h,
+                               jnp.where(m == 2, dcp, plane)))
+
+
+def pred8x8_chroma_ref(mode, top, left, topleft, avail_top, avail_left):
+    """Golden chroma pred. Modes: 0=DC 1=H 2=V 3=Plane. top/left: (B,8)."""
+    B = len(mode)
+    out = np.zeros((B, 8, 8), dtype=np.int32)
+    for i in range(B):
+        t = top[i].astype(np.int64)
+        l = left[i].astype(np.int64)
+        at, al = bool(avail_top[i]), bool(avail_left[i])
+        m = int(mode[i])
+        if m == 1:
+            out[i] = np.broadcast_to(l[:, None], (8, 8))
+        elif m == 2:
+            out[i] = np.broadcast_to(t, (8, 8))
+        elif m == 3:
+            tl = int(topleft[i])
+            tt = np.concatenate([[tl], t])
+            ll = np.concatenate([[tl], l])
+            Hs = sum(x * (tt[4 + x] - tt[4 - x]) for x in range(1, 5))
+            Vs = sum(y * (ll[4 + y] - ll[4 - y]) for y in range(1, 5))
+            b = (17 * Hs + 16) >> 5
+            c = (17 * Vs + 16) >> 5
+            a = 16 * (t[7] + l[7])
+            yy, xx = np.mgrid[0:8, 0:8]
+            out[i] = np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5,
+                             0, 255)
+        else:
+            # DC per 4x4 quadrant (spec 8.3.4.1)
+            for qy in range(2):
+                for qx in range(2):
+                    tq = t[qx * 4:qx * 4 + 4]
+                    lq = l[qy * 4:qy * 4 + 4]
+                    if qx == 0 and qy == 0 or qx == 1 and qy == 1:
+                        if at and al:
+                            dc = (tq.sum() + lq.sum() + 4) >> 3
+                        elif at:
+                            dc = (tq.sum() + 2) >> 2
+                        elif al:
+                            dc = (lq.sum() + 2) >> 2
+                        else:
+                            dc = 128
+                    elif qx == 1:   # top-right: prefers top
+                        if at:
+                            dc = (tq.sum() + 2) >> 2
+                        elif al:
+                            dc = (lq.sum() + 2) >> 2
+                        else:
+                            dc = 128
+                    else:           # bottom-left: prefers left
+                        if al:
+                            dc = (lq.sum() + 2) >> 2
+                        elif at:
+                            dc = (tq.sum() + 2) >> 2
+                        else:
+                            dc = 128
+                    out[i, qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
+    return out
+
+
+def pred8x8_chroma(mode, top, left, topleft, avail_top, avail_left):
+    import jax.numpy as jnp
+    B = top.shape[0]
+    t = top.astype(jnp.int32)
+    l = left.astype(jnp.int32)
+    at = avail_top.astype(bool)
+    al = avail_left.astype(bool)
+
+    hpred = jnp.broadcast_to(l[:, :, None], (B, 8, 8))
+    vpred = jnp.broadcast_to(t[:, None, :], (B, 8, 8))
+
+    # DC quadrants
+    ts = [t[:, 0:4].sum(axis=1), t[:, 4:8].sum(axis=1)]
+    ls = [l[:, 0:4].sum(axis=1), l[:, 4:8].sum(axis=1)]
+
+    def dc_both(qx, qy):
+        return jnp.where(at & al, (ts[qx] + ls[qy] + 4) >> 3,
+                         jnp.where(at, (ts[qx] + 2) >> 2,
+                                   jnp.where(al, (ls[qy] + 2) >> 2, 128)))
+
+    def dc_top_pref(qx, qy):
+        return jnp.where(at, (ts[qx] + 2) >> 2,
+                         jnp.where(al, (ls[qy] + 2) >> 2, 128))
+
+    def dc_left_pref(qx, qy):
+        return jnp.where(al, (ls[qy] + 2) >> 2,
+                         jnp.where(at, (ts[qx] + 2) >> 2, 128))
+
+    q00 = dc_both(0, 0)
+    q10 = dc_top_pref(1, 0)
+    q01 = dc_left_pref(0, 1)
+    q11 = dc_both(1, 1)
+    dcp = jnp.zeros((B, 8, 8), jnp.int32)
+    dcp = dcp.at[:, 0:4, 0:4].set(q00[:, None, None])
+    dcp = dcp.at[:, 0:4, 4:8].set(q10[:, None, None])
+    dcp = dcp.at[:, 4:8, 0:4].set(q01[:, None, None])
+    dcp = dcp.at[:, 4:8, 4:8].set(q11[:, None, None])
+
+    tl = topleft.astype(jnp.int32)
+    tt = jnp.concatenate([tl[:, None], t], axis=1)
+    ll = jnp.concatenate([tl[:, None], l], axis=1)
+    Hs = sum(int(x) * (tt[:, 4 + x] - tt[:, 4 - x]) for x in range(1, 5))
+    Vs = sum(int(y) * (ll[:, 4 + y] - ll[:, 4 - y]) for y in range(1, 5))
+    b = (17 * Hs + 16) >> 5
+    c = (17 * Vs + 16) >> 5
+    a = 16 * (t[:, 7] + l[:, 7])
+    yy, xx = np.mgrid[0:8, 0:8]
+    plane = jnp.clip((a[:, None, None] + b[:, None, None] * (xx - 3) +
+                      c[:, None, None] * (yy - 3) + 16) >> 5, 0, 255)
+
+    m = mode[:, None, None]
+    return jnp.where(m == 1, hpred,
+                     jnp.where(m == 2, vpred,
+                               jnp.where(m == 3, plane, dcp)))

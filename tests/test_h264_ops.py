@@ -1,0 +1,160 @@
+"""H.264 kernel tests — checkasm pattern: jitted vs golden, plus spec
+sanity (round trips through the integer transform)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libav_tpu.ops import h264mc, h264pred, h264transform as ht
+from libav_tpu.ops.mc import pad_plane_ref
+
+
+class TestTransform:
+    def test_idct_matches_ref(self):
+        rng = np.random.default_rng(0)
+        blocks = rng.integers(-512, 512, (64, 4, 4)).astype(np.int32)
+        ref = ht.idct4x4_ref(blocks)
+        got = np.asarray(ht.idct4x4(jnp.asarray(blocks)))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_fdct_matches_ref(self):
+        rng = np.random.default_rng(1)
+        blocks = rng.integers(-255, 256, (64, 4, 4)).astype(np.int32)
+        np.testing.assert_array_equal(
+            ht.fdct4x4_ref(blocks),
+            np.asarray(ht.fdct4x4(jnp.asarray(blocks))))
+
+    @pytest.mark.parametrize("qp", [0, 10, 20, 26, 35, 51])
+    def test_quant_dequant_idct_roundtrip(self, qp):
+        """fdct -> quant -> dequant -> idct must approximate input within
+        the quantizer step size."""
+        rng = np.random.default_rng(qp)
+        resid = rng.integers(-100, 101, (32, 4, 4)).astype(np.int32)
+        w = ht.fdct4x4_ref(resid)
+        lv = ht.quant4x4_ref(w, qp, intra=True)
+        deq = ht.dequant4x4_ref(lv, qp)
+        rec = ht.idct4x4_ref(deq)
+        step = (2 ** (qp / 6.0))
+        err = np.abs(rec - resid)
+        assert err.mean() <= max(1.0, step), f"qp {qp}: mean {err.mean()}"
+
+    @pytest.mark.parametrize("qp", [0, 12, 26, 40])
+    def test_quant_jax_matches_ref(self, qp):
+        rng = np.random.default_rng(2)
+        w = rng.integers(-20000, 20000, (32, 4, 4)).astype(np.int32)
+        np.testing.assert_array_equal(
+            ht.quant4x4_ref(w, qp, True),
+            np.asarray(ht.quant4x4(jnp.asarray(w), qp, True)))
+        np.testing.assert_array_equal(
+            ht.dequant4x4_ref(w // 64, qp),
+            np.asarray(ht.dequant4x4(jnp.asarray(w // 64), qp)))
+
+    def test_luma_dc_jax_matches_ref(self):
+        rng = np.random.default_rng(3)
+        dc = rng.integers(-200, 200, (16, 4, 4)).astype(np.int32)
+        for qp in (0, 10, 26, 43):
+            np.testing.assert_array_equal(
+                ht.luma_dc_dequant_ref(dc, qp),
+                np.asarray(ht.luma_dc_transform(jnp.asarray(dc), qp)))
+
+    def test_chroma_dc_jax_matches_ref(self):
+        rng = np.random.default_rng(4)
+        dc = rng.integers(-200, 200, (16, 2, 2)).astype(np.int32)
+        for qp in (0, 10, 26, 39):
+            np.testing.assert_array_equal(
+                ht.chroma_dc_transform_ref(dc, qp),
+                np.asarray(ht.chroma_dc_transform(jnp.asarray(dc), qp)))
+
+
+class TestQpelMC:
+    def test_all_16_phases_match_ref(self):
+        rng = np.random.default_rng(5)
+        plane = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        padded = pad_plane_ref(plane)
+        B = 16
+        xs = np.full(B, 16, dtype=np.int32)
+        ys = np.full(B, 16, dtype=np.int32)
+        mvx = np.array([(i % 4) + 4 for i in range(B)], dtype=np.int32)
+        mvy = np.array([(i // 4) - 8 for i in range(B)], dtype=np.int32)
+        ref = h264mc.qpel_mc_ref(padded, xs, ys, mvx, mvy, 16)
+        got = np.asarray(h264mc.qpel_mc(jnp.asarray(padded), jnp.asarray(xs),
+                                        jnp.asarray(ys), jnp.asarray(mvx),
+                                        jnp.asarray(mvy), 16))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_integer_mv_is_copy(self):
+        rng = np.random.default_rng(6)
+        plane = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+        padded = pad_plane_ref(plane)
+        xs = np.array([8], dtype=np.int32)
+        ys = np.array([8], dtype=np.int32)
+        out = h264mc.qpel_mc_ref(padded, xs, ys,
+                                 np.array([8], np.int32),
+                                 np.array([-4], np.int32), 16)
+        np.testing.assert_array_equal(out[0], plane[7:23, 10:26])
+
+    def test_chroma_mc_matches_ref(self):
+        rng = np.random.default_rng(7)
+        plane = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        padded = pad_plane_ref(plane)
+        B = 8
+        xs = rng.integers(0, 24, B).astype(np.int32)
+        ys = rng.integers(0, 24, B).astype(np.int32)
+        mvx = rng.integers(-30, 31, B).astype(np.int32)
+        mvy = rng.integers(-30, 31, B).astype(np.int32)
+        ref = h264mc.chroma_mc_ref(padded, xs, ys, mvx, mvy, 8)
+        got = np.asarray(h264mc.chroma_mc(jnp.asarray(padded),
+                                          jnp.asarray(xs), jnp.asarray(ys),
+                                          jnp.asarray(mvx), jnp.asarray(mvy),
+                                          8))
+        np.testing.assert_array_equal(ref, got)
+
+
+class TestIntraPred:
+    def _neighbors(self, B, seed=0):
+        rng = np.random.default_rng(seed)
+        top = rng.integers(0, 256, (B, 16)).astype(np.int32)
+        left = rng.integers(0, 256, (B, 16)).astype(np.int32)
+        tl = rng.integers(0, 256, B).astype(np.int32)
+        return top, left, tl
+
+    def test_pred16x16_all_modes(self):
+        B = 12
+        top, left, tl = self._neighbors(B)
+        mode = np.array([0, 1, 2, 3] * 3, dtype=np.int32)
+        at = np.ones(B, dtype=bool)
+        al = np.ones(B, dtype=bool)
+        ref = h264pred.pred16x16_ref(mode, top, left, tl, at, al)
+        got = np.asarray(h264pred.pred16x16(
+            jnp.asarray(mode), jnp.asarray(top), jnp.asarray(left),
+            jnp.asarray(tl), jnp.asarray(at), jnp.asarray(al)))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_pred16x16_dc_availability(self):
+        B = 4
+        top, left, tl = self._neighbors(B, 1)
+        mode = np.full(B, 2, dtype=np.int32)
+        at = np.array([True, True, False, False])
+        al = np.array([True, False, True, False])
+        ref = h264pred.pred16x16_ref(mode, top, left, tl, at, al)
+        got = np.asarray(h264pred.pred16x16(
+            jnp.asarray(mode), jnp.asarray(top), jnp.asarray(left),
+            jnp.asarray(tl), jnp.asarray(at), jnp.asarray(al)))
+        np.testing.assert_array_equal(ref, got)
+        assert got[3, 0, 0] == 128   # nothing available -> mid gray
+
+    def test_pred8x8_chroma_all_modes(self):
+        B = 8
+        rng = np.random.default_rng(2)
+        top = rng.integers(0, 256, (B, 8)).astype(np.int32)
+        left = rng.integers(0, 256, (B, 8)).astype(np.int32)
+        tl = rng.integers(0, 256, B).astype(np.int32)
+        mode = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.int32)
+        at = np.array([True] * 6 + [False] * 2)
+        al = np.array([True, True, False, True] * 2)
+        ref = h264pred.pred8x8_chroma_ref(mode, top, left, tl, at, al)
+        got = np.asarray(h264pred.pred8x8_chroma(
+            jnp.asarray(mode), jnp.asarray(top), jnp.asarray(left),
+            jnp.asarray(tl), jnp.asarray(at), jnp.asarray(al)))
+        np.testing.assert_array_equal(ref, got)
