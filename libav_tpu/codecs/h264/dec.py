@@ -1,0 +1,327 @@
+"""H.264 decoder host side (reference: h264dec.c decode_nal_units :520,
+h264_slice.c slice header + per-MB loop :2361-2428, h264_cavlc.c
+ff_h264_decode_mb_cavlc :699; device half in device.py).
+
+Round-1 subset: CAVLC; I slices of I_16x16 MBs; P slices of
+P_L0_16x16/P_Skip; single reference; frame_mbs_only; deblocking honored
+only when the stream disables it (our encoder does) — enabled-deblock
+streams decode with a warning and skip the loop filter (round 2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import AVError, INVALIDDATA
+from libav_tpu.avutil.frame import Frame, Packet, PictureType
+from libav_tpu.bitstream import GetBits
+from libav_tpu.codecs.api import Decoder, MediaType, register_codec
+from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
+from libav_tpu.codecs.h264.device import recon_h264_jit, zero_refs_h264
+from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
+
+GOLOMB_TO_INTRA_CBP = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+GOLOMB_TO_INTER_CBP = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+
+SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
+
+_BLK_XY = [(2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
+           for i in range(16)]
+
+
+class FrameData:
+    def __init__(self, nmb):
+        self.intra = np.zeros(nmb, dtype=bool)
+        self.luma_mode = np.zeros(nmb, dtype=np.int32)
+        self.chroma_mode = np.zeros(nmb, dtype=np.int32)
+        self.mv = np.zeros((nmb, 2), dtype=np.int32)
+        self.qp = np.full(nmb, 26, dtype=np.int32)
+        self.luma_dc = np.zeros((nmb, 16), dtype=np.int32)
+        self.luma_ac = np.zeros((nmb, 16, 16), dtype=np.int32)
+        self.chroma_dc = np.zeros((nmb, 2, 4), dtype=np.int32)
+        self.chroma_ac = np.zeros((nmb, 8, 16), dtype=np.int32)
+        self.coded = np.zeros(nmb, dtype=bool)
+
+
+@register_codec
+class H264Decoder(Decoder):
+    NAME = "h264"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "H.264/AVC (TPU wavefront reconstruction)"
+
+    def _init(self):
+        self.sps: Dict[int, sets.SPS] = {}
+        self.pps: Dict[int, sets.PPS] = {}
+        self.active_sps: Optional[sets.SPS] = None
+        self.active_pps: Optional[sets.PPS] = None
+        self._ref = None
+        self._deblock_warned = False
+
+    def _flush(self):
+        self._ref = None
+
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, pkt: Packet) -> List[Frame]:
+        nals = nal_mod.split_annexb(pkt.data)
+        frames = []
+        fd = None
+        slice_info = None
+        for n in nals:
+            ref_idc, ntype = nal_mod.nal_header(n)
+            rbsp = nal_mod.unescape(n[1:])
+            if ntype == nal_mod.NAL_SPS:
+                s = sets.parse_sps(rbsp)
+                self.sps[s.sps_id] = s
+            elif ntype == nal_mod.NAL_PPS:
+                p = sets.parse_pps(rbsp)
+                self.pps[p.pps_id] = p
+            elif ntype in (nal_mod.NAL_SLICE, nal_mod.NAL_IDR):
+                fd, slice_info = self._decode_slice(
+                    rbsp, ntype == nal_mod.NAL_IDR, fd)
+        if fd is not None:
+            f = self._reconstruct(fd, slice_info)
+            f.pts = pkt.pts
+            f.time_base = pkt.time_base
+            frames.append(f)
+        return frames
+
+    # ------------------------------------------------------------------ #
+
+    def _decode_slice(self, rbsp: bytes, idr: bool, fd):
+        gb = GetBits(rbsp)
+        first_mb = gb.get_ue_golomb()
+        slice_type = gb.get_ue_golomb() % 5
+        if slice_type not in (SLICE_P, SLICE_I):
+            raise AVError(INVALIDDATA, f"slice type {slice_type} not supported yet")
+        pps_id = gb.get_ue_golomb()
+        pps = self.pps.get(pps_id)
+        if pps is None:
+            raise AVError(INVALIDDATA, f"unknown PPS {pps_id}")
+        sps = self.sps.get(pps.sps_id)
+        if sps is None:
+            raise AVError(INVALIDDATA, f"unknown SPS {pps.sps_id}")
+        self.active_sps, self.active_pps = sps, pps
+        self.width, self.height = sps.width, sps.height
+
+        gb.get_bits(sps.log2_max_frame_num)      # frame_num
+        if idr:
+            gb.get_ue_golomb()                   # idr_pic_id
+        if sps.poc_type == 0:
+            gb.get_bits(sps.log2_max_poc_lsb)
+        num_ref_l0 = pps.num_ref_idx_l0_active
+        if slice_type == SLICE_P:
+            if gb.get_bits(1):                   # num_ref_idx_override
+                num_ref_l0 = gb.get_ue_golomb() + 1
+            if gb.get_bits(1):                   # ref_pic_list_modification
+                raise AVError(INVALIDDATA, "ref list modification unsupported")
+        # dec_ref_pic_marking
+        if idr:
+            gb.get_bits(1)                       # no_output_of_prior_pics
+            gb.get_bits(1)                       # long_term_reference
+        else:
+            if gb.get_bits(1):                   # adaptive marking
+                raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
+        qp = pps.pic_init_qp + gb.get_se_golomb()
+        disable_deblock = 0
+        if pps.deblocking_filter_control_present:
+            disable_deblock = gb.get_ue_golomb()
+            if disable_deblock != 1:
+                gb.get_se_golomb()
+                gb.get_se_golomb()
+        if disable_deblock != 1 and not self._deblock_warned:
+            log.warning(self, "in-loop deblocking requested by stream but "
+                              "not applied yet (round-2 item) — output "
+                              "will deviate")
+            self._deblock_warned = True
+
+        nmb = sps.mb_width * sps.mb_height
+        if fd is None:
+            fd = FrameData(nmb)
+            fd.nnz_y = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
+                                dtype=np.int32)
+            fd.nnz_u = np.zeros((2 * sps.mb_height, 2 * sps.mb_width),
+                                dtype=np.int32)
+            fd.nnz_v = np.zeros_like(fd.nnz_u)
+        self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp, num_ref_l0)
+        return fd, (slice_type, idr)
+
+    # ------------------------------------------------------------------ #
+
+    def _nc(self, grid, bx, by):
+        a = grid[by, bx - 1] if bx > 0 else None
+        b = grid[by - 1, bx] if by > 0 else None
+        if a is not None and b is not None:
+            return (int(a) + int(b) + 1) >> 1
+        if a is not None:
+            return int(a)
+        if b is not None:
+            return int(b)
+        return 0
+
+    def _decode_mbs(self, gb, fd: FrameData, sps, first_mb, slice_type,
+                    qp, num_ref_l0):
+        mb_w = sps.mb_width
+        nmb = mb_w * sps.mb_height
+        i = first_mb
+        while i < nmb:
+            if gb.bits_left() <= 0:
+                break
+            if slice_type == SLICE_P:
+                skip_run = gb.get_ue_golomb()
+                for _ in range(skip_run):
+                    if i >= nmb:
+                        break
+                    self._pskip_mb(fd, i, mb_w, qp)
+                    i += 1
+                if i >= nmb or gb.bits_left() <= 1:
+                    break
+            mb_type = gb.get_ue_golomb()
+            qp = self._decode_mb(gb, fd, i, mb_w, slice_type, mb_type, qp,
+                                 num_ref_l0)
+            i += 1
+            # rbsp stop detection: a single set bit then zeros
+            if gb.bits_left() < 8 and (gb.bits_left() <= 0 or
+                                       gb.show_bits(gb.bits_left()) ==
+                                       (1 << (gb.bits_left() - 1))):
+                break
+
+    def _pskip_mb(self, fd, i, mb_w, qp):
+        mb_x, mb_y = i % mb_w, i // mb_w
+        mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w)
+        fd.mv[i] = mv
+        fd.qp[i] = qp
+        fd.coded[i] = True
+
+    def _decode_mb(self, gb, fd: FrameData, i, mb_w, slice_type, mb_type,
+                   qp, num_ref_l0) -> int:
+        mb_x, mb_y = i % mb_w, i // mb_w
+        if slice_type == SLICE_P:
+            if mb_type < 5:
+                if mb_type != 0:
+                    raise AVError(INVALIDDATA,
+                                  f"P partitions (type {mb_type}) unsupported")
+                return self._decode_p16(gb, fd, i, mb_x, mb_y, mb_w, qp,
+                                        num_ref_l0)
+            mb_type -= 5
+        if mb_type == 0:
+            raise AVError(INVALIDDATA, "I_4x4 not supported yet")
+        if mb_type == 25:
+            raise AVError(INVALIDDATA, "I_PCM not supported")
+        m = mb_type - 1
+        pred_mode = m % 4
+        cbp_chroma = (m // 4) % 3
+        cbp_luma = (m // 12) * 15
+
+        fd.intra[i] = True
+        fd.luma_mode[i] = pred_mode
+        fd.chroma_mode[i] = gb.get_ue_golomb()
+        qp += gb.get_se_golomb()
+        fd.qp[i] = qp
+        self._residual_i16(gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma)
+        fd.coded[i] = True
+        return qp
+
+    def _decode_p16(self, gb, fd, i, mb_x, mb_y, mb_w, qp, num_ref_l0):
+        if num_ref_l0 > 1:
+            # te(v) ref_idx — with >1 refs unsupported
+            raise AVError(INVALIDDATA, "multi-ref not supported yet")
+        mvdx = gb.get_se_golomb()
+        mvdy = gb.get_se_golomb()
+        px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w)
+        fd.mv[i] = (px + mvdx, py + mvdy)
+        cbp_code = gb.get_ue_golomb()
+        if cbp_code >= 48:
+            raise AVError(INVALIDDATA, "bad CBP code")
+        cbp = GOLOMB_TO_INTER_CBP[cbp_code]
+        cbp_luma = cbp & 15
+        cbp_chroma = cbp >> 4
+        if cbp:
+            qp += gb.get_se_golomb()
+        fd.qp[i] = qp
+        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma)
+        fd.coded[i] = True
+        return qp
+
+    # -- residuals -------------------------------------------------------#
+
+    def _residual_i16(self, gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma):
+        nnz = fd.nnz_y
+        bx0, by0 = 4 * mb_x, 4 * mb_y
+        # luma DC: nC from block 0 context
+        nc = self._nc(nnz, bx0, by0)
+        dc, _ = cavlc.decode_residual(gb, nc, 16)
+        fd.luma_dc[i] = dc
+        # luma AC
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            if cbp_luma:
+                nc = self._nc(nnz, bx0 + dx, by0 + dy)
+                lv, tc = cavlc.decode_residual(gb, nc, 15)
+                fd.luma_ac[i, b, 1:16] = lv
+                nnz[by0 + dy, bx0 + dx] = tc
+            else:
+                nnz[by0 + dy, bx0 + dx] = 0
+        self._residual_chroma(gb, fd, i, mb_x, mb_y, cbp_chroma)
+
+    def _residual_inter(self, gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma):
+        nnz = fd.nnz_y
+        bx0, by0 = 4 * mb_x, 4 * mb_y
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            if cbp_luma & (1 << (b >> 2)):
+                nc = self._nc(nnz, bx0 + dx, by0 + dy)
+                lv, tc = cavlc.decode_residual(gb, nc, 16)
+                fd.luma_ac[i, b, :] = lv
+                nnz[by0 + dy, bx0 + dx] = tc
+            else:
+                nnz[by0 + dy, bx0 + dx] = 0
+        self._residual_chroma(gb, fd, i, mb_x, mb_y, cbp_chroma)
+
+    def _residual_chroma(self, gb, fd, i, mb_x, mb_y, cbp_chroma):
+        if cbp_chroma:
+            for c in range(2):
+                dc, _ = cavlc.decode_residual(gb, -1, 4)
+                fd.chroma_dc[i, c] = dc
+        for c, grid in ((0, fd.nnz_u), (1, fd.nnz_v)):
+            bx0, by0 = 2 * mb_x, 2 * mb_y
+            for b in range(4):
+                dx, dy = b & 1, b >> 1
+                if cbp_chroma == 2:
+                    nc = self._nc(grid, bx0 + dx, by0 + dy)
+                    lv, tc = cavlc.decode_residual(gb, nc, 15)
+                    fd.chroma_ac[i, 4 * c + b, 1:16] = lv
+                    grid[by0 + dy, bx0 + dx] = tc
+                else:
+                    grid[by0 + dy, bx0 + dx] = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
+        sps = self.active_sps
+        fn = recon_h264_jit(sps.mb_width, sps.mb_height)
+        refs = self._ref or zero_refs_h264(sps.mb_width, sps.mb_height)
+        planes, padded = fn(fd.intra, fd.luma_mode, fd.chroma_mode, fd.mv,
+                            fd.qp, fd.luma_dc, fd.luma_ac, fd.chroma_dc,
+                            fd.chroma_ac, *refs)
+        self._ref = padded
+        slice_type, idr = slice_info
+        f = Frame(width=sps.width, height=sps.height, format="yuv420p")
+        cl, cr, ct, cb = sps.crop
+        W, H = sps.width, sps.height
+        y = planes[0][2 * ct:2 * ct + H, 2 * cl:2 * cl + W]
+        u = planes[1][ct:ct + (H + 1) // 2, cl:cl + (W + 1) // 2]
+        v = planes[2][ct:ct + (H + 1) // 2, cl:cl + (W + 1) // 2]
+        f.planes = [y, u, v]
+        f.pict_type = PictureType.I if slice_type == SLICE_I else PictureType.P
+        f.key_frame = bool(idr)
+        return f

@@ -1,0 +1,251 @@
+"""H.264 device reconstruction program (the 'device half' of the hwaccel
+split — reference: h264_mb.c ff_h264_hl_decode_mb :798 restructured as
+whole-frame batched stages).
+
+Stages per frame:
+  1. residual: dequant + 4x4 IDCT for all macroblocks at once (luma DC
+     Hadamard for I_16x16, 2x2 chroma DC) — no dependencies.
+  2. inter prediction: quarter-pel luma + eighth-pel chroma MC for all
+     MBs at once — depends only on the reference frame.
+  3. assembly: a lax.scan over anti-diagonal MB wavefronts; each step
+     predicts its MBs' intra modes from already-reconstructed neighbor
+     pixels, selects intra/inter, adds residual, clamps, and scatters the
+     wave into the frame with one batched index update. Wave slots are
+     padded to a fixed width so every step has static shapes; padded
+     slots write into a scratch margin.
+
+This replaces the reference's per-MB serial loop: the serial depth is
+mb_w + mb_h - 1 wavefront steps instead of mb_w * mb_h macroblocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from libav_tpu.codecs.h264.cavlc import SCAN4x4
+
+# chroma QP mapping (spec table 8-15 upper row), index by clipped qp
+CHROMA_QP = np.array(
+    list(range(30)) + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+                       36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39],
+    dtype=np.int32)
+
+# 4x4 luma block index -> (blkX, blkY) in 4x4 units (spec 6.4.3)
+_BLK_XY = np.array([(2 * ((i >> 2) & 1) + (i & 1),
+                     2 * (i >> 3) + ((i >> 1) & 1)) for i in range(16)],
+                   dtype=np.int32)
+
+from libav_tpu.ops.h264transform import _V, _pos_class  # noqa: E402
+
+
+def _dequant_tables():
+    """(52, 4, 4) dequant scale per qp."""
+    out = np.zeros((52, 4, 4), dtype=np.int32)
+    cls = _pos_class()
+    for qp in range(52):
+        out[qp] = _V[qp % 6][cls] << (qp // 6)
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def recon_h264_jit(mb_w: int, mb_h: int):
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import h264mc, h264pred
+    from libav_tpu.ops.mc import EDGE
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    mbx_all = (np.arange(nmb) % mb_w).astype(np.int32)
+    mby_all = (np.arange(nmb) // mb_w).astype(np.int32)
+
+    # scan -> raster positions for 4x4 blocks
+    pos4 = np.empty(16, dtype=np.int64)
+    pos4[np.asarray(SCAN4x4)] = np.arange(16)
+
+    dq_tab = _dequant_tables()              # (52,4,4)
+    v0 = _V[:, 0]                           # for DC scaling
+
+    # wavefront tables
+    n_waves = mb_w + mb_h - 1
+    maxw = min(mb_w, mb_h)
+    wave_idx = np.zeros((n_waves, maxw), dtype=np.int32)
+    wave_mask = np.zeros((n_waves, maxw), dtype=bool)
+    for w in range(n_waves):
+        slot = 0
+        for y in range(mb_h):
+            x = w - y
+            if 0 <= x < mb_w:
+                wave_idx[w, slot] = y * mb_w + x
+                wave_mask[w, slot] = True
+                slot += 1
+
+    blk_x = _BLK_XY[:, 0]
+    blk_y = _BLK_XY[:, 1]
+
+    def residual_stage(intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac):
+        """-> resid_y (nmb,16,16), resid_u/v (nmb,8,8) int32"""
+        qp = jnp.clip(qp, 0, 51)
+        qpc = jnp.asarray(CHROMA_QP)[qp]
+        scale_y = jnp.asarray(dq_tab)[qp]          # (nmb,4,4)
+        scale_c = jnp.asarray(dq_tab)[qpc]
+
+        # ---- luma ----
+        ac = luma_ac[:, :, pos4].reshape(nmb, 16, 4, 4).astype(jnp.int32)
+        ac = ac * scale_y[:, None]
+        # I_16x16 DC: hadamard over the (4,4) DC grid
+        dcs = luma_dc[:, pos4].reshape(nmb, 4, 4).astype(jnp.int32)
+        Hm = jnp.asarray([[1, 1, 1, 1], [1, 1, -1, -1],
+                          [1, -1, -1, 1], [1, -1, 1, -1]], dtype=jnp.int32)
+        f = jnp.einsum("ki,bij,lj->bkl", Hm, dcs, Hm,
+                       preferred_element_type=jnp.int32)
+        vv = jnp.asarray(v0)[qp % 6]
+        shift_up = (qp // 6 - 2)[:, None, None]
+        dc_deq = jnp.where(shift_up >= 0,
+                           (f * vv[:, None, None]) << jnp.maximum(shift_up, 0),
+                           (f * vv[:, None, None] +
+                            (1 << jnp.maximum(-shift_up - 1, 0)))
+                           >> jnp.maximum(-shift_up, 0))
+        # place DC into block position 0 for intra16 MBs
+        dc_per_block = dc_deq[:, blk_y, blk_x]     # (nmb, 16)
+        ac = ac.reshape(nmb, 16, 16)
+        ac = ac.at[:, :, 0].set(
+            jnp.where(intra16[:, None], dc_per_block, ac[:, :, 0]))
+        blocks = ac.reshape(nmb * 16, 4, 4)
+        from libav_tpu.ops.h264transform import idct4x4
+        r = idct4x4(blocks).reshape(nmb, 16, 4, 4)
+        resid_y = jnp.zeros((nmb, 16, 16), jnp.int32)
+        for b in range(16):
+            bx, by = int(blk_x[b]), int(blk_y[b])
+            resid_y = resid_y.at[:, by * 4:by * 4 + 4,
+                                 bx * 4:bx * 4 + 4].set(r[:, b])
+
+        # ---- chroma ----
+        a = chroma_dc[:, :, 0]
+        b_ = chroma_dc[:, :, 1]
+        c = chroma_dc[:, :, 2]
+        d = chroma_dc[:, :, 3]
+        f00 = a + b_ + c + d
+        f01 = a - b_ + c - d
+        f10 = a + b_ - c - d
+        f11 = a - b_ - c + d
+        vvc = jnp.asarray(v0)[qpc % 6][:, None]
+        dc_c = jnp.stack([f00, f01, f10, f11], axis=-1)   # (nmb,2,4)
+        dc_c = ((dc_c * vvc[..., None]) << (qpc // 6)[:, None, None]) >> 1
+
+        cac = chroma_ac[:, :, pos4].reshape(nmb, 8, 4, 4).astype(jnp.int32)
+        cac = cac * scale_c[:, None]
+        cac = cac.reshape(nmb, 8, 16)
+        # DC order within each component: blocks (0,0),(0,1),(1,0),(1,1)
+        cac = cac.at[:, 0:4, 0].set(dc_c[:, 0])
+        cac = cac.at[:, 4:8, 0].set(dc_c[:, 1])
+        rc = idct4x4(cac.reshape(nmb * 8, 4, 4)).reshape(nmb, 8, 4, 4)
+        resid_u = jnp.zeros((nmb, 8, 8), jnp.int32)
+        resid_v = jnp.zeros((nmb, 8, 8), jnp.int32)
+        for b in range(4):
+            bx, by = b & 1, b >> 1
+            resid_u = resid_u.at[:, by * 4:by * 4 + 4,
+                                 bx * 4:bx * 4 + 4].set(rc[:, b])
+            resid_v = resid_v.at[:, by * 4:by * 4 + 4,
+                                 bx * 4:bx * 4 + 4].set(rc[:, 4 + b])
+        return resid_y, resid_u, resid_v
+
+    def fn(intra, luma_mode, chroma_mode, mv, qp,
+           luma_dc, luma_ac, chroma_dc, chroma_ac,
+           ry, ru, rv):
+        resid_y, resid_u, resid_v = residual_stage(
+            intra, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
+
+        # inter prediction for all MBs
+        xs = jnp.asarray(mbx_all * 16)
+        ys = jnp.asarray(mby_all * 16)
+        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv[:, 0], mv[:, 1], 16)
+        cxs = jnp.asarray(mbx_all * 8)
+        cys = jnp.asarray(mby_all * 8)
+        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv[:, 0], mv[:, 1], 8)
+        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv[:, 0], mv[:, 1], 8)
+
+        # frame buffers with 1px top/left border + 16px scratch margin
+        fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
+        fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+
+        widx = jnp.asarray(wave_idx)
+        wmask = jnp.asarray(wave_mask)
+        r16 = np.arange(16)
+        r8 = np.arange(8)
+
+        def step(carry, wave):
+            fy, fu, fv = carry
+            idx, mask = wave                   # (maxw,), (maxw,)
+            bx = jnp.asarray(mbx_all)[idx]
+            by = jnp.asarray(mby_all)[idx]
+            # padded slots target the scratch margin
+            bx = jnp.where(mask, bx, mb_w)
+            by = jnp.where(mask, by, 0)
+            y0 = by * 16 + 1
+            x0 = bx * 16 + 1
+            cy0 = by * 8 + 1
+            cx0 = bx * 8 + 1
+
+            # neighbors
+            top = fy[y0[:, None] - 1, x0[:, None] + r16]        # (maxw,16)
+            left = fy[y0[:, None] + r16, x0[:, None] - 1]
+            tl = fy[y0 - 1, x0 - 1]
+            at = by > 0
+            al = bx > 0
+            ctop_u = fu[cy0[:, None] - 1, cx0[:, None] + r8]
+            cleft_u = fu[cy0[:, None] + r8, cx0[:, None] - 1]
+            ctl_u = fu[cy0 - 1, cx0 - 1]
+            ctop_v = fv[cy0[:, None] - 1, cx0[:, None] + r8]
+            cleft_v = fv[cy0[:, None] + r8, cx0[:, None] - 1]
+            ctl_v = fv[cy0 - 1, cx0 - 1]
+
+            lm = luma_mode[idx]
+            cm = chroma_mode[idx]
+            ipred_y = h264pred.pred16x16(lm, top, left, tl, at, al)
+            ipred_u = h264pred.pred8x8_chroma(cm, ctop_u, cleft_u, ctl_u,
+                                              at, al)
+            ipred_v = h264pred.pred8x8_chroma(cm, ctop_v, cleft_v, ctl_v,
+                                              at, al)
+
+            isin = intra[idx][:, None, None]
+            py = jnp.where(isin, ipred_y, pred_inter_y[idx])
+            pu = jnp.where(isin, ipred_u, pred_inter_u[idx])
+            pv = jnp.where(isin, ipred_v, pred_inter_v[idx])
+
+            oy = jnp.clip(py + resid_y[idx], 0, 255)
+            ou = jnp.clip(pu + resid_u[idx], 0, 255)
+            ov = jnp.clip(pv + resid_v[idx], 0, 255)
+
+            fy = fy.at[y0[:, None, None] + r16[None, :, None],
+                       x0[:, None, None] + r16[None, None, :]].set(oy)
+            fu = fu.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ou)
+            fv = fv.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ov)
+            return (fy, fu, fv), None
+
+        (fy, fu, fv), _ = jax.lax.scan(step, (fy, fu, fv), (widx, wmask))
+
+        yplane = fy[1:1 + H, 1:1 + W].astype(jnp.uint8)
+        uplane = fu[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8)
+        vplane = fv[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8)
+        pad = lambda p: jnp.pad(p, EDGE, mode="edge")
+        return (yplane, uplane, vplane), (pad(yplane), pad(uplane),
+                                          pad(vplane))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def zero_refs_h264(mb_w: int, mb_h: int):
+    import jax.numpy as jnp
+    from libav_tpu.ops.mc import EDGE
+    H, W = mb_h * 16, mb_w * 16
+    y = jnp.full((H + 2 * EDGE, W + 2 * EDGE), 128, dtype=jnp.uint8)
+    c = jnp.full((H // 2 + 2 * EDGE, W // 2 + 2 * EDGE), 128,
+                 dtype=jnp.uint8)
+    return (y, c, c)

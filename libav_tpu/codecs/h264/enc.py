@@ -1,0 +1,613 @@
+"""H.264 encoder (reference role: there is no H.264 encoder in libav's
+tree either (x264 is external) — this minimal CAVLC encoder exists to
+round-trip-validate the decoder without FATE sample files, mirroring the
+FATE enc_dec strategy).
+
+Subset emitted: IDR I slices of I_16x16 (DC luma + DC chroma prediction),
+P slices of P_L0_16x16/P_Skip, CAVLC, qp fixed, deblocking disabled
+(disable_deblocking_filter_idc = 1), poc_type 2, single reference.
+
+Device: I-frame wavefront encode scan (pred -> transform -> quant ->
+reconstruct in one pass) and P-frame ME + transform/quant; both reuse the
+decoder's exact dequant/IDCT math so the prediction loop is closed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+
+from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.frame import Frame, Packet, PKT_FLAG_KEY
+from libav_tpu.avutil.opt import Option
+from libav_tpu.bitstream import PutBits
+from libav_tpu.codecs.api import Encoder, MediaType, register_codec
+from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
+from libav_tpu.codecs.h264.dec import (GOLOMB_TO_INTER_CBP, _BLK_XY,
+                                       FrameData, SLICE_I, SLICE_P)
+from libav_tpu.codecs.h264.device import (CHROMA_QP, recon_h264_jit,
+                                          zero_refs_h264)
+from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
+
+_INTER_CBP_TO_GOLOMB = {cbp: i for i, cbp in enumerate(GOLOMB_TO_INTER_CBP)}
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
+    """Wavefront I_16x16 encode: DC-prediction, forward transform, quant,
+    and decoder-identical reconstruction in one scan.
+    Returns (luma_dc, luma_ac, chroma_dc, chroma_ac) level tensors."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops.h264transform import (fdct4x4, idct4x4, quant_mf,
+                                             dequant_scale, _V)
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    qpc = int(CHROMA_QP[qp])
+    mfy = jnp.asarray(quant_mf(qp))
+    mfc = jnp.asarray(quant_mf(qpc))
+    sy = jnp.asarray(dequant_scale(qp))
+    sc = jnp.asarray(dequant_scale(qpc))
+    qbits_y = 15 + qp // 6
+    qbits_c = 15 + qpc // 6
+    fy_ = (1 << qbits_y) // 3
+    fc_ = (1 << qbits_c) // 3
+    v0y = int(_V[qp % 6, 0])
+    v0c = int(_V[qpc % 6, 0])
+
+    n_waves = mb_w + mb_h - 1
+    maxw = min(mb_w, mb_h)
+    wave_idx = np.zeros((n_waves, maxw), dtype=np.int32)
+    wave_mask = np.zeros((n_waves, maxw), dtype=bool)
+    for w in range(n_waves):
+        s = 0
+        for y in range(mb_h):
+            x = w - y
+            if 0 <= x < mb_w:
+                wave_idx[w, s] = y * mb_w + x
+                wave_mask[w, s] = True
+                s += 1
+    mbx_all = (np.arange(nmb) % mb_w).astype(np.int32)
+    mby_all = (np.arange(nmb) // mb_w).astype(np.int32)
+    blk_x = np.array([b[0] for b in _BLK_XY])
+    blk_y = np.array([b[1] for b in _BLK_XY])
+    r16 = np.arange(16)
+    r8 = np.arange(8)
+    Hm = jnp.asarray([[1, 1, 1, 1], [1, 1, -1, -1],
+                      [1, -1, -1, 1], [1, -1, 1, -1]], dtype=jnp.int32)
+
+    def quant(wv, mf, f, qbits):
+        return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
+
+    def fn(src_y, src_u, src_v):
+        fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
+        fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        sy_blocks = (src_y.astype(jnp.int32)
+                     .reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 16, 16))
+        su_blocks = (src_u.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+        sv_blocks = (src_v.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+
+        def luma_path(resid):
+            """resid (B,16,16) -> (dc_levels (B,4,4), ac_levels (B,16,16
+            raster), recon resid)."""
+            B = resid.shape[0]
+            blocks = jnp.stack(
+                [resid[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                 for bx, by in zip(blk_x, blk_y)], axis=1)  # (B,16,4,4)
+            wv = fdct4x4(blocks.reshape(B * 16, 4, 4)).reshape(B, 16, 4, 4)
+            # DC: forward hadamard of per-block DCs arranged in (4,4)
+            dcw = wv[:, :, 0, 0]                       # (B,16) block order
+            dcg = jnp.zeros((B, 4, 4), jnp.int32)
+            dcg = dcg.at[:, blk_y, blk_x].set(dcw)
+            had = jnp.einsum("ki,bij,lj->bkl", Hm, dcg, Hm,
+                             preferred_element_type=jnp.int32)
+            # calibrated against the decoder dequant: quant at qbits+2,
+            # no pre-halving (see commit message / tests)
+            dc_lv = quant(had, mfy[0, 0],
+                          (1 << (qbits_y + 2)) // 3, qbits_y + 2)
+            # AC quant (pos0 zeroed)
+            ac_lv = quant(wv, mfy, fy_, qbits_y)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            # reconstruction: DC dequant (decoder-identical)
+            f2 = jnp.einsum("ki,bij,lj->bkl", Hm, dc_lv, Hm,
+                            preferred_element_type=jnp.int32)
+            shift = 2 - qp // 6
+            if shift > 0:
+                dc_deq = (f2 * v0y + (1 << (shift - 1))) >> shift
+            else:
+                dc_deq = (f2 * v0y) << (-shift)
+            deq = ac_lv * sy
+            deq = deq.at[:, :, 0, 0].set(dc_deq[:, blk_y, blk_x])
+            rec = idct4x4(deq.reshape(B * 16, 4, 4)).reshape(B, 16, 4, 4)
+            rr = jnp.zeros((B, 16, 16), jnp.int32)
+            for b in range(16):
+                bx, by = int(blk_x[b]), int(blk_y[b])
+                rr = rr.at[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].set(rec[:, b])
+            return dc_lv, ac_lv, rr
+
+        def chroma_path(resid, mf, fq, qb, scale, v0, qc):
+            B = resid.shape[0]
+            blocks = jnp.stack(
+                [resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                       (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)],
+                axis=1)
+            wv = fdct4x4(blocks.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            dcw = wv[:, :, 0, 0]                       # (B,4): 00,01,10,11
+            a, b_, c, d = dcw[:, 0], dcw[:, 1], dcw[:, 2], dcw[:, 3]
+            had = jnp.stack([a + b_ + c + d, a - b_ + c - d,
+                             a + b_ - c - d, a - b_ - c + d], axis=1)
+            dc_lv = quant(had, mf[0, 0], (1 << (qb + 1)) // 3, qb + 1)
+            ac_lv = quant(wv, mf, fq, qb)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            # recon
+            la, lb, lc, ld = dc_lv[:, 0], dc_lv[:, 1], dc_lv[:, 2], dc_lv[:, 3]
+            f2 = jnp.stack([la + lb + lc + ld, la - lb + lc - ld,
+                            la + lb - lc - ld, la - lb - lc + ld], axis=1)
+            dc_deq = ((f2 * v0) << (qc // 6)) >> 1
+            deq = ac_lv * scale
+            deq = deq.at[:, :, 0, 0].set(dc_deq)
+            rec = idct4x4(deq.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            rr = jnp.zeros((B, 8, 8), jnp.int32)
+            for b in range(4):
+                rr = rr.at[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                           (b & 1) * 4:(b & 1) * 4 + 4].set(rec[:, b])
+            return dc_lv, ac_lv, rr
+
+        def step(carry, wave):
+            fy, fu, fv = carry
+            idx, mask = wave
+            bx = jnp.where(mask, jnp.asarray(mbx_all)[idx], mb_w)
+            by = jnp.where(mask, jnp.asarray(mby_all)[idx], 0)
+            y0 = by * 16 + 1
+            x0 = bx * 16 + 1
+            cy0 = by * 8 + 1
+            cx0 = bx * 8 + 1
+            at = by > 0
+            al = bx > 0
+
+            def dc_pred(frame, yy, xx, n, has_t, has_l):
+                top = frame[yy[:, None] - 1, xx[:, None] + np.arange(n)]
+                left = frame[yy[:, None] + np.arange(n), xx[:, None] - 1]
+                ts = top.sum(axis=1)
+                ls = left.sum(axis=1)
+                half = n // 2
+                return jnp.where(has_t & has_l, (ts + ls + n) >> (half.bit_length() + 1 if False else int(np.log2(n)) + 1),
+                                 jnp.where(has_t, (ts + n // 2) >> int(np.log2(n)),
+                                           jnp.where(has_l, (ls + n // 2) >> int(np.log2(n)), 128)))
+
+            dcy = dc_pred(fy, y0, x0, 16, at, al)
+            dcu = dc_pred(fu, cy0, cx0, 8, at, al)
+            dcv = dc_pred(fv, cy0, cx0, 8, at, al)
+
+            ry = sy_blocks[idx] - dcy[:, None, None]
+            ru = su_blocks[idx] - dcu[:, None, None]
+            rv = sv_blocks[idx] - dcv[:, None, None]
+
+            ydc, yac, yrr = luma_path(ry)
+            udc, uac, urr = chroma_path(ru, mfc, fc_, qbits_c, sc, v0c, qpc)
+            vdc, vac, vrr = chroma_path(rv, mfc, fc_, qbits_c, sc, v0c, qpc)
+
+            oy = jnp.clip(dcy[:, None, None] + yrr, 0, 255)
+            ou = jnp.clip(dcu[:, None, None] + urr, 0, 255)
+            ov = jnp.clip(dcv[:, None, None] + vrr, 0, 255)
+
+            fy = fy.at[y0[:, None, None] + r16[None, :, None],
+                       x0[:, None, None] + r16[None, None, :]].set(oy)
+            fu = fu.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ou)
+            fv = fv.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ov)
+            return (fy, fu, fv), (ydc, yac, udc, uac, vdc, vac)
+
+        (fy, fu, fv), outs = jax.lax.scan(
+            step, (fy, fu, fv), (jnp.asarray(wave_idx), jnp.asarray(wave_mask)))
+        return outs, (fy[1:1 + H, 1:1 + W].astype(jnp.uint8),
+                      fu[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8),
+                      fv[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8))
+
+    return jax.jit(fn), (wave_idx, wave_mask)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
+    """P-frame encode: full-pel diamond + quarter-pel refine on the padded
+    reference, qpel prediction, transform/quant, levels out."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import h264mc
+    from libav_tpu.ops.me import _search_jit
+    from libav_tpu.ops.h264transform import fdct4x4, quant_mf
+    from libav_tpu.ops.mc import EDGE
+
+    nmb = mb_w * mb_h
+    qpc = int(CHROMA_QP[qp])
+    mfy = jnp.asarray(quant_mf(qp))
+    mfc = jnp.asarray(quant_mf(qpc))
+    qbits_y = 15 + qp // 6
+    qbits_c = 15 + qpc // 6
+    fy_ = (1 << qbits_y) // 6
+    fc_ = (1 << qbits_c) // 6
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    blk_x = np.array([b[0] for b in _BLK_XY])
+    blk_y = np.array([b[1] for b in _BLK_XY])
+    offs = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                     (1, 1), (1, -1), (-1, 1), (-1, -1)], dtype=np.int32)
+
+    def quant(wv, mf, f, qbits):
+        return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
+
+    def fn(src_y, src_u, src_v, ry, ru, rv):
+        cy = src_y.astype(jnp.int32)
+        cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+        fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ry)
+        # quarter-pel refine (two rounds of +-1 qpel diamond)
+        mv = fmv * 4
+        best = jnp.full((nmb,), 1 << 30, jnp.int32)
+        out_mv = mv
+        for scale in (2, 1):
+            mv = out_mv
+            for k in range(len(offs)):
+                cand = mv + jnp.asarray(offs[k]) * scale
+                pred = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
+                                      cand[:, 0], cand[:, 1], 16)
+                sad = jnp.abs(cur_mbs - pred).sum(axis=(1, 2))
+                better = sad < best
+                out_mv = jnp.where(better[:, None], cand, out_mv)
+                best = jnp.minimum(sad, best)
+        mv = out_mv
+
+        pred_y = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
+                                mv[:, 0], mv[:, 1], 16)
+        pred_u = h264mc.chroma_mc(ru, jnp.asarray(mbx // 2),
+                                  jnp.asarray(mby // 2), mv[:, 0], mv[:, 1], 8)
+        pred_v = h264mc.chroma_mc(rv, jnp.asarray(mbx // 2),
+                                  jnp.asarray(mby // 2), mv[:, 0], mv[:, 1], 8)
+
+        su = (src_u.astype(jnp.int32).reshape(mb_h, 8, mb_w, 8)
+              .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+        sv = (src_v.astype(jnp.int32).reshape(mb_h, 8, mb_w, 8)
+              .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+        resid_y = cur_mbs - pred_y
+        resid_u = su - pred_u
+        resid_v = sv - pred_v
+
+        yb = jnp.stack([resid_y[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                        for bx, by in zip(blk_x, blk_y)], axis=1)
+        wy = fdct4x4(yb.reshape(nmb * 16, 4, 4)).reshape(nmb, 16, 4, 4)
+        luma_lv = quant(wy, mfy, fy_, qbits_y)
+
+        def chroma_levels(resid):
+            cb = jnp.stack([resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                                  (b & 1) * 4:(b & 1) * 4 + 4]
+                            for b in range(4)], axis=1)
+            wv = fdct4x4(cb.reshape(nmb * 4, 4, 4)).reshape(nmb, 4, 4, 4)
+            dcw = wv[:, :, 0, 0]
+            a, b_, c, d = dcw[:, 0], dcw[:, 1], dcw[:, 2], dcw[:, 3]
+            had = jnp.stack([a + b_ + c + d, a - b_ + c - d,
+                             a + b_ - c - d, a - b_ - c + d], axis=1)
+            dc_lv = quant(had, mfc[0, 0], (1 << (qbits_c + 1)) // 6,
+                          qbits_c + 1)
+            ac_lv = quant(wv, mfc, fc_, qbits_c)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            return dc_lv, ac_lv
+
+        udc, uac = chroma_levels(resid_u)
+        vdc, vac = chroma_levels(resid_v)
+        return mv, luma_lv, udc, uac, vdc, vac
+
+    return jax.jit(fn)
+
+
+@register_codec
+class H264Encoder(Encoder):
+    NAME = "h264"
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "H.264/AVC (TPU wavefront encode)"
+
+    OPTIONS = Encoder.OPTIONS + [
+        Option("qp", "fixed QP 0-51", "int", 28, 0, 51),
+        Option("qscale", "qscale alias (maps 1-31 -> qp)", "int", 0, 0, 31),
+        Option("gop_size", "GOP length", "int", 12, 1, 600),
+    ]
+
+    def _init(self):
+        if self.width <= 0 or self.height <= 0:
+            raise AVError(EINVAL, "h264: width/height required")
+        if self.qscale:
+            self.qp = min(51, 12 + self.qscale)
+        self.mb_w = (self.width + 15) >> 4
+        self.mb_h = (self.height + 15) >> 4
+        crop_r = (self.mb_w * 16 - self.width) // 2
+        crop_b = (self.mb_h * 16 - self.height) // 2
+        if (self.mb_w * 16 - self.width) % 2 or \
+                (self.mb_h * 16 - self.height) % 2:
+            # crop units are 2 luma pixels in 4:2:0; require even sizes
+            raise AVError(EINVAL, "h264: width/height must be even")
+        self.sps = sets.SPS(mb_width=self.mb_w, mb_height=self.mb_h,
+                            crop=(0, crop_r, 0, crop_b))
+        self.pps = sets.PPS()
+        self.pps.pic_init_qp = self.qp
+        self._frame_idx = 0
+        self._refs = None
+        self._idr_id = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, frame: Frame) -> List[Packet]:
+        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
+        y, u, v = self._padded_input(frame)
+        nmb = self.mb_w * self.mb_h
+
+        if is_i:
+            fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+            outs, recon = fn(y, u, v)
+            data = self._pack_i(outs, recon)
+        else:
+            fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp)
+            mv, luma_lv, udc, uac, vdc, vac = fn(y, u, v, *self._refs)
+            data = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
+                                np.asarray(udc), np.asarray(uac),
+                                np.asarray(vdc), np.asarray(vac))
+
+        pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
+                     flags=PKT_FLAG_KEY if is_i else 0,
+                     time_base=frame.time_base)
+        self._frame_idx += 1
+        return [pkt]
+
+    def _padded_input(self, frame: Frame):
+        H, W = self.mb_h * 16, self.mb_w * 16
+        y = np.asarray(frame.planes[0])
+        u = np.asarray(frame.planes[1])
+        v = np.asarray(frame.planes[2])
+        y = np.pad(y, ((0, H - y.shape[0]), (0, W - y.shape[1])), mode="edge")
+        u = np.pad(u, ((0, H // 2 - u.shape[0]), (0, W // 2 - u.shape[1])),
+                   mode="edge")
+        v = np.pad(v, ((0, H // 2 - v.shape[0]), (0, W // 2 - v.shape[1])),
+                   mode="edge")
+        return y, u, v
+
+    def _update_ref_from_levels(self, fd: FrameData):
+        """Reconstruct the reference through the decoder's device program
+        (closed loop by construction)."""
+        fn = recon_h264_jit(self.mb_w, self.mb_h)
+        refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
+        _, padded = fn(fd.intra, fd.luma_mode, fd.chroma_mode, fd.mv, fd.qp,
+                       fd.luma_dc, fd.luma_ac, fd.chroma_dc, fd.chroma_ac,
+                       *refs)
+        self._refs = padded
+
+    # ------------------------------------------------------------------ #
+    # Packing
+    # ------------------------------------------------------------------ #
+
+    def _slice_header(self, pb: PutBits, slice_type: int, idr: bool):
+        pb.put_ue_golomb(0)                      # first_mb_in_slice
+        pb.put_ue_golomb(slice_type)             # 0=P, 2=I (per spec: +5 ok)
+        pb.put_ue_golomb(0)                      # pps_id
+        pb.put_bits(self.sps.log2_max_frame_num,
+                    self._frame_idx % (1 << self.sps.log2_max_frame_num))
+        if idr:
+            pb.put_ue_golomb(self._idr_id & 0xFFFF)
+        if slice_type == SLICE_P:
+            pb.put_bits(1, 0)                    # num_ref_idx_override
+            pb.put_bits(1, 0)                    # ref list modification
+        if idr:
+            pb.put_bits(1, 0)
+            pb.put_bits(1, 0)
+        else:
+            pb.put_bits(1, 0)                    # adaptive marking
+        pb.put_se_golomb(self.qp - self.pps.pic_init_qp)
+        pb.put_ue_golomb(1)                      # disable deblocking
+
+    def _finish_nal(self, pb: PutBits, nal_type: int) -> bytes:
+        pb.put_bits(1, 1)                        # rbsp stop bit
+        pb.align(0)
+        return nal_mod.make_nal(nal_type, pb.flush())
+
+    def _pack_i(self, outs, recon) -> bytes:
+        nmb = self.mb_w * self.mb_h
+        _, (wave_idx, wave_mask) = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+        ydc_w, yac_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o) for o in outs]
+        # un-wave: scatter back to MB order
+        fd = FrameData(nmb)
+        fd.intra[:] = True
+        fd.luma_mode[:] = 2
+        fd.chroma_mode[:] = 0
+        fd.qp[:] = self.qp
+        scan = cavlc.SCAN4x4
+        blk_x = np.array([b[0] for b in _BLK_XY])
+        blk_y = np.array([b[1] for b in _BLK_XY])
+        flat = wave_idx.reshape(-1)
+        maskf = wave_mask.reshape(-1)
+        ydc = np.zeros((nmb, 4, 4), np.int32)
+        yac = np.zeros((nmb, 16, 4, 4), np.int32)
+        udc = np.zeros((nmb, 4), np.int32)
+        uac = np.zeros((nmb, 4, 4, 4), np.int32)
+        vdc = np.zeros((nmb, 4), np.int32)
+        vac = np.zeros((nmb, 4, 4, 4), np.int32)
+        ydc[flat[maskf]] = ydc_w.reshape(-1, 4, 4)[maskf]
+        yac[flat[maskf]] = yac_w.reshape(-1, 16, 4, 4)[maskf]
+        udc[flat[maskf]] = udc_w.reshape(-1, 4)[maskf]
+        uac[flat[maskf]] = uac_w.reshape(-1, 4, 4, 4)[maskf]
+        vdc[flat[maskf]] = vdc_w.reshape(-1, 4)[maskf]
+        vac[flat[maskf]] = vac_w.reshape(-1, 4, 4, 4)[maskf]
+
+        # to scan-order level tensors for the recon program + packing
+        dc_flat = ydc.reshape(nmb, 16)                     # raster (4x4)
+        fd.luma_dc = dc_flat[:, scan]
+        ac_flat = yac.reshape(nmb, 16, 16)
+        fd.luma_ac = ac_flat[:, :, scan]
+        fd.luma_ac[:, :, 0] = 0
+        fd.chroma_dc[:, 0] = udc
+        fd.chroma_dc[:, 1] = vdc
+        cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
+        fd.chroma_ac = cac[:, :, scan]
+        fd.chroma_ac[:, :, 0] = 0
+
+        out = bytearray()
+        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
+        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
+        pb = PutBits()
+        self._slice_header(pb, SLICE_I, idr=True)
+        self._pack_mbs(pb, fd, SLICE_I)
+        out += self._finish_nal(pb, nal_mod.NAL_IDR)
+        self._idr_id += 1
+        self._update_ref_from_levels(fd)
+        return bytes(out)
+
+    def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac) -> bytes:
+        nmb = self.mb_w * self.mb_h
+        scan = cavlc.SCAN4x4
+        fd = FrameData(nmb)
+        fd.mv = mv.astype(np.int32)
+        fd.qp[:] = self.qp
+        fd.luma_ac = luma_lv.reshape(nmb, 16, 16)[:, :, scan]
+        fd.chroma_dc[:, 0] = udc
+        fd.chroma_dc[:, 1] = vdc
+        cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
+        fd.chroma_ac = cac[:, :, scan]
+        fd.chroma_ac[:, :, 0] = 0
+
+        pb = PutBits()
+        self._slice_header(pb, SLICE_P, idr=False)
+        self._pack_mbs(pb, fd, SLICE_P)
+        data = self._finish_nal(pb, nal_mod.NAL_SLICE)
+        self._update_ref_from_levels(fd)
+        return data
+
+    # ------------------------------------------------------------------ #
+
+    def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int):
+        mb_w, mb_h = self.mb_w, self.mb_h
+        nmb = mb_w * mb_h
+        nnz_y = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int32)
+        nnz_u = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int32)
+        nnz_v = np.zeros_like(nnz_u)
+        skip_run = 0
+        blk = _BLK_XY
+
+        for i in range(nmb):
+            mb_x, mb_y = i % mb_w, i // mb_w
+            if slice_type == SLICE_P:
+                # compute cbp to decide skip
+                cbp_luma = 0
+                for b in range(16):
+                    if np.any(fd.luma_ac[i, b]):
+                        cbp_luma |= 1 << (b >> 2)
+                has_cdc = np.any(fd.chroma_dc[i])
+                has_cac = np.any(fd.chroma_ac[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                skip_mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
+                                     mb_w)
+                if cbp_luma == 0 and cbp_chroma == 0 and \
+                        tuple(fd.mv[i]) == skip_mv:
+                    skip_run += 1
+                    fd.coded[i] = True
+                    self._zero_nnz(nnz_y, nnz_u, nnz_v, mb_x, mb_y)
+                    continue
+                pb.put_ue_golomb(skip_run)
+                skip_run = 0
+                pb.put_ue_golomb(0)              # mb_type P_L0_16x16
+                px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
+                                       mb_y, mb_w)
+                pb.put_se_golomb(int(fd.mv[i][0]) - px)
+                pb.put_se_golomb(int(fd.mv[i][1]) - py)
+                cbp = cbp_luma | (cbp_chroma << 4)
+                pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
+                if cbp:
+                    pb.put_se_golomb(0)          # mb_qp_delta
+                fd.coded[i] = True
+                self._pack_residual_inter(pb, fd, i, mb_x, mb_y, cbp_luma,
+                                          cbp_chroma, nnz_y, nnz_u, nnz_v)
+            else:
+                # I_16x16: mb_type from pred mode/cbp
+                cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
+                has_cac = np.any(fd.chroma_ac[i])
+                has_cdc = np.any(fd.chroma_dc[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                m = (int(fd.luma_mode[i]) + 4 * cbp_chroma +
+                     12 * (1 if cbp_luma15 else 0))
+                pb.put_ue_golomb(1 + m)
+                pb.put_ue_golomb(int(fd.chroma_mode[i]))
+                pb.put_se_golomb(0)              # mb_qp_delta
+                fd.coded[i] = True
+                self._pack_residual_i16(pb, fd, i, mb_x, mb_y,
+                                        15 if cbp_luma15 else 0, cbp_chroma,
+                                        nnz_y, nnz_u, nnz_v)
+        if slice_type == SLICE_P and skip_run:
+            pb.put_ue_golomb(skip_run)
+
+    def _zero_nnz(self, nnz_y, nnz_u, nnz_v, mb_x, mb_y):
+        nnz_y[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 0
+        nnz_u[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 0
+        nnz_v[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 0
+
+    def _nc(self, grid, bx, by):
+        a = grid[by, bx - 1] if bx > 0 else None
+        b = grid[by - 1, bx] if by > 0 else None
+        if a is not None and b is not None:
+            return (int(a) + int(b) + 1) >> 1
+        if a is not None:
+            return int(a)
+        if b is not None:
+            return int(b)
+        return 0
+
+    def _pack_residual_i16(self, pb, fd, i, mb_x, mb_y, cbp_luma,
+                           cbp_chroma, nnz_y, nnz_u, nnz_v):
+        bx0, by0 = 4 * mb_x, 4 * mb_y
+        nc = self._nc(nnz_y, bx0, by0)
+        cavlc.encode_residual(pb, fd.luma_dc[i], nc, 16)
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            if cbp_luma:
+                nc = self._nc(nnz_y, bx0 + dx, by0 + dy)
+                tc = cavlc.encode_residual(pb, fd.luma_ac[i, b, 1:16], nc, 15)
+                nnz_y[by0 + dy, bx0 + dx] = tc
+            else:
+                nnz_y[by0 + dy, bx0 + dx] = 0
+        self._pack_residual_chroma(pb, fd, i, mb_x, mb_y, cbp_chroma,
+                                   nnz_u, nnz_v)
+
+    def _pack_residual_inter(self, pb, fd, i, mb_x, mb_y, cbp_luma,
+                             cbp_chroma, nnz_y, nnz_u, nnz_v):
+        bx0, by0 = 4 * mb_x, 4 * mb_y
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            if cbp_luma & (1 << (b >> 2)):
+                nc = self._nc(nnz_y, bx0 + dx, by0 + dy)
+                tc = cavlc.encode_residual(pb, fd.luma_ac[i, b], nc, 16)
+                nnz_y[by0 + dy, bx0 + dx] = tc
+            else:
+                nnz_y[by0 + dy, bx0 + dx] = 0
+        self._pack_residual_chroma(pb, fd, i, mb_x, mb_y, cbp_chroma,
+                                   nnz_u, nnz_v)
+
+    def _pack_residual_chroma(self, pb, fd, i, mb_x, mb_y, cbp_chroma,
+                              nnz_u, nnz_v):
+        if cbp_chroma:
+            cavlc.encode_residual(pb, fd.chroma_dc[i, 0], -1, 4)
+            cavlc.encode_residual(pb, fd.chroma_dc[i, 1], -1, 4)
+        for c, grid in ((0, nnz_u), (1, nnz_v)):
+            bx0, by0 = 2 * mb_x, 2 * mb_y
+            for b in range(4):
+                dx, dy = b & 1, b >> 1
+                if cbp_chroma == 2:
+                    nc = self._nc(grid, bx0 + dx, by0 + dy)
+                    tc = cavlc.encode_residual(
+                        pb, fd.chroma_ac[i, 4 * c + b, 1:16], nc, 15)
+                    grid[by0 + dy, bx0 + dx] = tc
+                else:
+                    grid[by0 + dy, bx0 + dx] = 0

@@ -1,0 +1,77 @@
+"""NAL unit layer (reference: libavcodec/h2645_parse.c — Annex-B/AVCC
+splitting + emulation prevention)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+NAL_SLICE = 1
+NAL_IDR = 5
+NAL_SEI = 6
+NAL_SPS = 7
+NAL_PPS = 8
+NAL_AUD = 9
+
+
+def split_annexb(data: bytes) -> List[bytes]:
+    """Split an Annex-B byte stream into NAL units (without start codes)."""
+    nals = []
+    i = 0
+    n = len(data)
+    # find first start code
+    starts = []
+    while i < n - 2:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else n
+        # trailing zeros of the next start code (possibly 4-byte code)
+        while e > s and data[e - 1] == 0:
+            e -= 1
+        if e > s:
+            nals.append(data[s:e])
+    return nals
+
+
+def unescape(nal: bytes) -> bytes:
+    """Remove emulation prevention bytes (00 00 03 xx -> 00 00 xx)."""
+    if b"\x00\x00\x03" not in nal:
+        return nal
+    out = bytearray()
+    i = 0
+    n = len(nal)
+    while i < n:
+        if i + 2 < n and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
+            out += nal[i:i + 2]
+            i += 3
+        else:
+            out.append(nal[i])
+            i += 1
+    return bytes(out)
+
+
+def escape(rbsp: bytes) -> bytes:
+    """Insert emulation prevention bytes."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal_header(nal: bytes) -> Tuple[int, int]:
+    """(nal_ref_idc, nal_unit_type)"""
+    return (nal[0] >> 5) & 3, nal[0] & 0x1F
+
+
+def make_nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    """Start code + header + escaped payload."""
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + \
+        escape(rbsp)

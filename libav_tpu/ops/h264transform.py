@@ -188,7 +188,9 @@ def chroma_dc_transform_ref(dc: np.ndarray, qp: int) -> np.ndarray:
     f[..., 1, 0] = x[..., 0, 0] + x[..., 0, 1] - x[..., 1, 0] - x[..., 1, 1]
     f[..., 1, 1] = x[..., 0, 0] - x[..., 0, 1] - x[..., 1, 0] + x[..., 1, 1]
     v = int(_V[qp % 6, 0])
-    return (((f * v) << (qp // 6)) >> 5).astype(np.int32)
+    # (f * V << qp/6) >> 1 — equal to the reference's
+    # (f * dequant4_coeff) >> 7 with its <<(qp/6+6)-scaled tables
+    return (((f * v) << (qp // 6)) >> 1).astype(np.int32)
 
 
 def chroma_dc_transform(dc, qp: int):
@@ -202,4 +204,4 @@ def chroma_dc_transform(dc, qp: int):
                    jnp.stack([a + b - c - d, a - b - c + d], axis=-1)],
                   axis=-2)
     v = int(_V[qp % 6, 0])
-    return ((f * v) << (qp // 6)) >> 5
+    return ((f * v) << (qp // 6)) >> 1

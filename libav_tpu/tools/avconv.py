@@ -159,6 +159,7 @@ _DEFAULT_VCODEC_FOR_FMT = {
     "image2": "mjpeg", "mjpeg": "mjpeg", "avi": "mpeg4", "mp4": "mpeg4",
     "mov": "mpeg4", "mpegts": "mpeg2video", "wav": "pcm_s16le",
     "m4v": "mpeg4", "mpeg1video": "mpeg1video", "mpeg2video": "mpeg2video",
+    "h264": "h264",
 }
 
 

@@ -1,0 +1,88 @@
+"""H.264 enc->dec round trip (FATE enc_dec pattern for config 4)."""
+
+import numpy as np
+import pytest
+
+from libav_tpu.avutil.frame import Frame, Packet
+from libav_tpu.avutil.rational import Rational
+from libav_tpu.codecs.api import CodecParameters, MediaType
+from libav_tpu.codecs.h264 import H264Decoder, H264Encoder
+
+from tests.test_mpeg12 import psnr, vsynth_frame
+
+
+def roundtrip(frames, qp=24, gop=12):
+    w, h = frames[0].width, frames[0].height
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                          width=w, height=h, pix_fmt="yuv420p",
+                          framerate=Rational(25, 1))
+    enc = H264Encoder(par)
+    enc.set_opt("qp", qp)
+    enc.set_opt("gop_size", gop)
+    pkts = enc.encode_all(frames)
+    assert len(pkts) == len(frames)
+    dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                      codec_id="h264"))
+    out = dec.decode_all([Packet(data=p.data, pts=i)
+                          for i, p in enumerate(pkts)])
+    assert len(out) == len(frames)
+    return pkts, [f.to_host() for f in out]
+
+
+class TestH264RoundTrip:
+    def test_flat_i_frame(self):
+        f = Frame.alloc_video(32, 32, "yuv420p")
+        f.planes[0][:] = 200
+        f.planes[1][:] = 100
+        f.planes[2][:] = 60
+        _, out = roundtrip([f], qp=20)
+        assert np.abs(out[0].planes[0].astype(int) - 200).max() <= 3
+        assert np.abs(out[0].planes[1].astype(int) - 100).max() <= 3
+        assert np.abs(out[0].planes[2].astype(int) - 60).max() <= 3
+
+    def test_single_i_frame(self):
+        src = vsynth_frame(64, 48)
+        _, out = roundtrip([src], qp=18)
+        p = psnr(src.planes[0], out[0].planes[0])
+        assert p > 32, f"luma psnr {p}"
+
+    def test_gradient_i_frame(self):
+        f = Frame.alloc_video(128, 32, "yuv420p")
+        yy, xx = np.mgrid[0:32, 0:128]
+        f.planes[0] = (xx * 2).astype(np.uint8)
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+        _, out = roundtrip([f], qp=18)
+        assert psnr(f.planes[0], out[0].planes[0]) > 34
+
+    def test_ip_sequence(self):
+        frames = [vsynth_frame(64, 48, t) for t in range(4)]
+        _, out = roundtrip(frames, qp=24)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.planes[0])
+            assert p > 30, f"frame {i} luma psnr {p}"
+
+    def test_static_scene_skips(self):
+        frames = [vsynth_frame(64, 48, 0) for _ in range(3)]
+        pkts, out = roundtrip(frames, qp=24)
+        # frame 1 may code small corrections toward the source; by frame 2
+        # the scene is fully skipped
+        assert len(pkts[2].data) < len(pkts[0].data) // 4
+        for s, o in zip(frames, out):
+            assert psnr(s.planes[0], o.planes[0]) > 30
+
+    def test_qp_ladder(self):
+        src = vsynth_frame(64, 48)
+        _, hi = roundtrip([src], qp=16)
+        _, lo = roundtrip([src], qp=40)
+        assert psnr(src.planes[0], hi[0].planes[0]) > \
+            psnr(src.planes[0], lo[0].planes[0]) + 3
+
+    def test_nal_structure(self):
+        src = vsynth_frame(32, 32)
+        pkts, _ = roundtrip([src])
+        data = pkts[0].data
+        from libav_tpu.codecs.h264 import nal
+        nals = nal.split_annexb(data)
+        types = [nal.nal_header(n)[1] for n in nals]
+        assert types[:3] == [7, 8, 5]   # SPS, PPS, IDR

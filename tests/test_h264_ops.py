@@ -158,3 +158,37 @@ class TestIntraPred:
             jnp.asarray(mode), jnp.asarray(top), jnp.asarray(left),
             jnp.asarray(tl), jnp.asarray(at), jnp.asarray(al)))
         np.testing.assert_array_equal(ref, got)
+
+
+class TestDeblock:
+    def test_edge_filter_matches_ref(self):
+        from libav_tpu.ops import h264deblock as db
+        rng = np.random.default_rng(8)
+        for qp in (20, 30, 40, 51):
+            lines = rng.integers(0, 256, (64, 8)).astype(np.int32)
+            # make half the edges smooth so the filter activates
+            lines[::2] = lines[::2, :1] + rng.integers(-3, 4, (32, 8))
+            lines = np.clip(lines, 0, 255)
+            bs = rng.integers(0, 5, 64).astype(np.int32)
+            ref = db.filter_edge_ref(lines, qp, bs, chroma=False)
+            got = np.asarray(db.filter_edge(jnp.asarray(lines), qp,
+                                            jnp.asarray(bs), chroma=False))
+            np.testing.assert_array_equal(ref, got)
+
+    def test_chroma_edge_filter_matches_ref(self):
+        from libav_tpu.ops import h264deblock as db
+        rng = np.random.default_rng(9)
+        lines = np.clip(rng.integers(0, 256, (32, 1)) +
+                        rng.integers(-4, 5, (32, 8)), 0, 255).astype(np.int32)
+        bs = rng.integers(0, 5, 32).astype(np.int32)
+        ref = db.filter_edge_ref(lines, 30, bs, chroma=True)
+        got = np.asarray(db.filter_edge(jnp.asarray(lines), 30,
+                                        jnp.asarray(bs), chroma=True))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_flat_edge_untouched_when_bs0(self):
+        from libav_tpu.ops import h264deblock as db
+        lines = np.full((4, 8), 100, dtype=np.int32)
+        bs = np.zeros(4, dtype=np.int32)
+        out = db.filter_edge_ref(lines, 30, bs)
+        np.testing.assert_array_equal(out, lines)
