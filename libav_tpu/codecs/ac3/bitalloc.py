@@ -1,0 +1,142 @@
+"""A/52 §7.2.2 parametric bit allocation — shared bit-exact by encoder and
+decoder (the decoder re-derives the encoder's allocation from the
+transmitted exponents; reference: libavcodec/ac3.c
+ff_ac3_bit_alloc_calc_psd / calc_mask / ac3_calc_bap)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libav_tpu.codecs.ac3 import tables as T
+
+
+def calc_psd(exps: np.ndarray, start: int, end: int):
+    """exponents -> fine-grain PSD + log-added band PSD.
+    Returns (psd (end,), band_psd (50,))."""
+    psd = np.zeros(end, dtype=np.int32)
+    psd[start:end] = 3072 - (exps[start:end].astype(np.int32) << 7)
+    band_psd = np.zeros(T.N_BANDS, dtype=np.int32)
+    b2b = T.bin_to_band()
+    bin_ = start
+    band = int(b2b[start])
+    while True:
+        v = int(psd[bin_])
+        bin_ += 1
+        band_end = min(int(T.BAND_START[band + 1]), end)
+        while bin_ < band_end:
+            mx = max(v, int(psd[bin_]))
+            adr = min(mx - ((v + int(psd[bin_]) + 1) >> 1), 255)
+            v = mx + int(T.LOG_ADD[adr])
+            bin_ += 1
+        band_psd[band] = v
+        band += 1
+        if end <= int(T.BAND_START[band]):
+            break
+    return psd, band_psd
+
+
+def _lowcomp1(a, b0, b1, c):
+    if b0 + 256 == b1:
+        return c
+    if b0 > b1:
+        return max(a - 64, 0)
+    return a
+
+
+def _lowcomp(a, b0, b1, band):
+    if band < 7:
+        return _lowcomp1(a, b0, b1, 384)
+    if band < 20:
+        return _lowcomp1(a, b0, b1, 320)
+    return max(a - 128, 0)
+
+
+def calc_mask(band_psd: np.ndarray, start: int, end: int, fast_gain: int,
+              sdecay: int, fdecay: int, sgain: int, dbknee: int,
+              fscod: int, is_lfe: bool = False) -> np.ndarray:
+    """Excitation + masking curve (A/52 §7.2.2.3). Returns mask (50,)."""
+    excite = np.zeros(T.N_BANDS, dtype=np.int64)
+    b2b = T.bin_to_band()
+    band_start = int(b2b[start])
+    band_end = int(b2b[end - 1]) + 1
+    bp = band_psd.astype(np.int64)
+
+    fastleak = slowleak = 0
+    if band_start == 0:
+        lowcomp = 0
+        lowcomp = _lowcomp1(lowcomp, bp[0], bp[1], 384)
+        excite[0] = bp[0] - fast_gain - lowcomp
+        lowcomp = _lowcomp1(lowcomp, bp[1], bp[2], 384)
+        excite[1] = bp[1] - fast_gain - lowcomp
+        begin = 7
+        for band in range(2, 7):
+            if not (is_lfe and band == 6):
+                lowcomp = _lowcomp1(lowcomp, bp[band], bp[band + 1], 384)
+            fastleak = bp[band] - fast_gain
+            slowleak = bp[band] - sgain
+            excite[band] = fastleak - lowcomp
+            if not (is_lfe and band == 6):
+                if bp[band] <= bp[band + 1]:
+                    begin = band + 1
+                    break
+        end1 = min(band_end, 22)
+        for band in range(begin, end1):
+            if not (is_lfe and band == 6):
+                lowcomp = _lowcomp(lowcomp, bp[band], bp[band + 1], band)
+            fastleak = max(fastleak - fdecay, bp[band] - fast_gain)
+            slowleak = max(slowleak - sdecay, bp[band] - sgain)
+            excite[band] = max(fastleak - lowcomp, slowleak)
+        begin = 22
+    else:
+        begin = band_start
+        # coupling-channel leak init not used in round 1
+
+    for band in range(begin, band_end):
+        fastleak = max(fastleak - fdecay, bp[band] - fast_gain)
+        slowleak = max(slowleak - sdecay, bp[band] - sgain)
+        excite[band] = max(fastleak, slowleak)
+
+    mask = np.zeros(T.N_BANDS, dtype=np.int64)
+    sr_shift = 0   # 48/44.1/32k table direct; halved rates not supported
+    for band in range(band_start, band_end):
+        tmp = dbknee - bp[band]
+        if tmp > 0:
+            excite[band] += tmp >> 2
+        mask[band] = max(int(T.HEARING_THRESHOLD[band >> sr_shift, fscod]),
+                         excite[band])
+    return mask
+
+
+def calc_bap(psd: np.ndarray, mask: np.ndarray, start: int, end: int,
+             snr_offset: int, floor: int) -> np.ndarray:
+    """Final bit allocation pointers (A/52 §7.2.2.4)."""
+    bap = np.zeros(end, dtype=np.int32)
+    b2b = T.bin_to_band()
+    m = mask.copy()
+    # the snr offset and floor are applied to the mask
+    i = start
+    band = int(b2b[start])
+    while i < end:
+        band_end = min(int(T.BAND_START[band + 1]), end)
+        mval = (max(int(m[band]) - snr_offset - floor, 0) & 0x1FE0) + floor
+        for k in range(i, band_end):
+            address = (int(psd[k]) - mval) >> 5
+            address = min(63, max(0, address))
+            bap[k] = T.BAP_TAB[address]
+        i = band_end
+        band += 1
+    return bap
+
+
+def run_bit_alloc(exps: np.ndarray, start: int, end: int, fscod: int,
+                  sdcycod=2, fdcycod=1, sgaincod=1, dbpbcod=2, floorcod=7,
+                  fgaincod=4, csnroffst=0, fsnroffst=0) -> np.ndarray:
+    """One-call helper: exponents -> bap (both sides use this)."""
+    psd, band_psd = calc_psd(exps, start, end)
+    mask = calc_mask(band_psd, start, end,
+                     T.FAST_GAIN[fgaincod],
+                     T.SLOW_DECAY[sdcycod], T.FAST_DECAY[fdcycod],
+                     T.SLOW_GAIN[sgaincod], T.DB_PER_BIT[dbpbcod],
+                     fscod)
+    snr_offset = (((csnroffst - 15) << 4) + fsnroffst) << 2
+    return calc_bap(psd, mask, start, end, snr_offset, T.FLOOR[floorcod])
