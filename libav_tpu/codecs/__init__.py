@@ -11,4 +11,5 @@ from libav_tpu.codecs.api import (CodecContext, Decoder, Encoder,
                                   register_codec)
 
 # import for registration side effects
-from libav_tpu.codecs import mjpeg, mpeg12, mpeg4, h264, ac3, rawvideo  # noqa: F401
+from libav_tpu.codecs import (mjpeg, mpeg12, mpeg4, h264, ac3,  # noqa: F401
+                              aac, rawvideo)  # noqa: F401

@@ -1,0 +1,218 @@
+"""AAC-LC encoder (reference role: libavcodec's native aacenc; minimal
+compliant subset for round-trip validation and transcode output).
+
+Long windows only, sine window shape, per-band scalefactors sized to keep
+quantized magnitudes in range, ESC codebook (11) for all coded bands,
+SCE/CPE with per-channel ICS, ADTS framing.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.frame import Frame, Packet, PKT_FLAG_KEY
+from libav_tpu.avutil.opt import Option
+from libav_tpu.bitstream import PutBits
+from libav_tpu.codecs.api import Encoder, MediaType, register_codec
+from libav_tpu.codecs.aac import tables as T
+from libav_tpu.codecs.aac.dec import SF_OFFSET, SCE, CPE, END
+from libav_tpu.codecs.aac.tables_gen import (SCALEFACTOR_BITS,
+                                             SCALEFACTOR_CODE,
+                                             SPECTRAL_BITS, SPECTRAL_CODES)
+
+
+@register_codec
+class AACEncoder(Encoder):
+    NAME = "aac"
+    TYPE = MediaType.AUDIO
+    LONG_NAME = "AAC-LC (TPU MDCT)"
+
+    OPTIONS = Encoder.OPTIONS + [
+        Option("quality", "quantizer quality 1 (best) - 10", "int", 3, 1, 10),
+    ]
+
+    FRAME_SAMPLES = 1024
+
+    def _init(self):
+        if self.sample_rate not in T.SAMPLE_RATES:
+            raise AVError(EINVAL, f"aac: unsupported rate {self.sample_rate}")
+        if self.channels not in (1, 2):
+            raise AVError(EINVAL, "aac encoder: mono/stereo only (round 1)")
+        self.sr_index = T.SAMPLE_RATES.index(self.sample_rate)
+        self.offsets = T.swb_offsets_long(self.sample_rate)
+        self.max_sfb = len(self.offsets) - 1
+        self._buf = np.zeros((self.channels, 0), dtype=np.float64)
+        self._prev = np.zeros((self.channels, 1024), dtype=np.float64)
+        self._pts = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, frame: Frame) -> List[Packet]:
+        from libav_tpu.codecs.ac3.enc import AC3Encoder
+        x = AC3Encoder._to_planar(self, frame)
+        self._buf = np.concatenate([self._buf, x], axis=1)
+        pkts = []
+        while self._buf.shape[1] >= self.FRAME_SAMPLES:
+            chunk = self._buf[:, :self.FRAME_SAMPLES]
+            self._buf = self._buf[:, self.FRAME_SAMPLES:]
+            pkts.append(self._encode_frame(chunk, frame))
+        return pkts
+
+    def _drain(self) -> List[Packet]:
+        if self._buf.shape[1] == 0:
+            return []
+        pad = self.FRAME_SAMPLES - self._buf.shape[1]
+        chunk = np.pad(self._buf, ((0, 0), (0, pad)))
+        self._buf = self._buf[:, :0]
+        return [self._encode_frame(chunk, None)]
+
+    # ------------------------------------------------------------------ #
+
+    def _encode_frame(self, pcm: np.ndarray, src) -> Packet:
+        from libav_tpu.ops import fftmdct as F
+        nch = self.channels
+        win = F.sine_window(2048)
+        blocks = np.concatenate([self._prev, pcm], axis=1) * win
+        self._prev = pcm.copy()
+        spec = np.asarray(F.mdct(blocks.astype(np.float32))
+                          ).astype(np.float64) * (2.0 / 2048.0)
+
+        pb = PutBits()
+        if nch == 1:
+            pb.put_bits(3, SCE)
+            pb.put_bits(4, 0)
+            self._encode_ics(pb, spec[0])
+        else:
+            pb.put_bits(3, CPE)
+            pb.put_bits(4, 0)
+            pb.put_bits(1, 0)        # common_window = 0
+            self._encode_ics(pb, spec[0])
+            self._encode_ics(pb, spec[1])
+        pb.put_bits(3, END)
+        pb.align(0)
+        body = pb.flush()
+
+        data = self._adts(body)
+        pkt = Packet(data=data, pts=self._pts, dts=self._pts,
+                     duration=self.FRAME_SAMPLES, flags=PKT_FLAG_KEY)
+        if src is not None:
+            pkt.time_base = src.time_base
+        self._pts += self.FRAME_SAMPLES
+        return pkt
+
+    def _adts(self, body: bytes) -> bytes:
+        pb = PutBits()
+        frame_len = len(body) + 7
+        pb.put_bits(12, 0xFFF)
+        pb.put_bits(1, 1)            # MPEG-2 id (plays everywhere)
+        pb.put_bits(2, 0)            # layer
+        pb.put_bits(1, 1)            # protection absent
+        pb.put_bits(2, 1)            # profile: LC
+        pb.put_bits(4, self.sr_index)
+        pb.put_bits(1, 0)
+        pb.put_bits(3, self.channels)
+        pb.put_bits(4, 0)
+        pb.put_bits(13, frame_len)
+        pb.put_bits(11, 0x7FF)
+        pb.put_bits(2, 0)
+        return pb.flush() + body
+
+    # ------------------------------------------------------------------ #
+
+    def _encode_ics(self, pb: PutBits, spec: np.ndarray):
+        offsets = self.offsets
+        max_sfb = self.max_sfb
+        # per-band scalefactor: amplitude such that quantized magnitudes
+        # stay modest; quality scales the step
+        band_cb = np.zeros(max_sfb, dtype=np.int32)
+        sf = np.zeros(max_sfb, dtype=np.int32)
+        quant = np.zeros(1024, dtype=np.int64)
+        qual_shift = self.quality
+        for g in range(max_sfb):
+            s, e = int(offsets[g]), int(offsets[g + 1])
+            band = spec[s:e]
+            amax = np.abs(band).max()
+            if amax < 1e-7:
+                continue
+            # choose sf so that max quantized magnitude ~ 40 >> quality
+            target = max(40 >> (qual_shift // 3), 4)
+            # |q| = |x * 2^(-0.25(sf-off))|^(3/4) -> solve for sf
+            sf_f = SF_OFFSET + 4 * np.log2(amax / (target ** (4.0 / 3.0)))
+            sf[g] = int(np.clip(np.ceil(sf_f), SF_OFFSET - 100,
+                                SF_OFFSET + 155))
+            gain = 2.0 ** (-0.25 * (sf[g] - SF_OFFSET))
+            q = np.sign(band) * np.floor(
+                np.abs(band * gain) ** 0.75 + 0.4054)
+            q = np.clip(q, -8191, 8191)
+            if np.any(q):
+                band_cb[g] = T.ESC_HCB
+                quant[s:e] = q.astype(np.int64)
+
+        # global_gain = first used sf (or offset)
+        used = np.where(band_cb != 0)[0]
+        global_gain = int(sf[used[0]]) if len(used) else SF_OFFSET
+        pb.put_bits(8, global_gain)
+
+        # ics_info
+        pb.put_bits(1, 0)            # reserved
+        pb.put_bits(2, 0)            # ONLY_LONG_SEQUENCE
+        pb.put_bits(1, 0)            # window_shape: sine
+        pb.put_bits(6, max_sfb)
+        pb.put_bits(1, 0)            # predictor_data_present
+
+        # section_data: runs of equal codebook
+        g = 0
+        while g < max_sfb:
+            cb = band_cb[g]
+            run = 1
+            while g + run < max_sfb and band_cb[g + run] == cb:
+                run += 1
+            pb.put_bits(4, int(cb))
+            r = run
+            while r >= 31:
+                pb.put_bits(5, 31)
+                r -= 31
+            pb.put_bits(5, r)
+            g += run
+
+        # scale_factor_data (dpcm vs previous coded band)
+        prev = global_gain
+        for g in range(max_sfb):
+            if band_cb[g] == 0:
+                continue
+            d = int(sf[g]) - prev + 60
+            if not (0 <= d < 121):
+                raise AVError(EINVAL, "scalefactor delta out of range")
+            pb.put_bits(SCALEFACTOR_BITS[d], SCALEFACTOR_CODE[d])
+            prev = int(sf[g])
+
+        pb.put_bits(1, 0)            # pulse
+        pb.put_bits(1, 0)            # tns
+        pb.put_bits(1, 0)            # gain control
+
+        # spectral_data with ESC codebook (pairs)
+        pack = T.pack_index(T.ESC_HCB)
+        codes = SPECTRAL_CODES[T.ESC_HCB - 1]
+        bits = SPECTRAL_BITS[T.ESC_HCB - 1]
+        for g in range(max_sfb):
+            if band_cb[g] == 0:
+                continue
+            s, e = int(offsets[g]), int(offsets[g + 1])
+            for k in range(s, e, 2):
+                a, b = int(quant[k]), int(quant[k + 1])
+                ia, ib = min(abs(a), 16), min(abs(b), 16)
+                idx = pack(ia, ib)
+                pb.put_bits(bits[idx], codes[idx])
+                for v, iv in ((a, ia), (b, ib)):
+                    if iv != 0:
+                        pb.put_bits(1, 1 if v < 0 else 0)
+                for v in (a, b):
+                    if abs(v) >= 16:
+                        mag = abs(v)
+                        n = mag.bit_length() - 1
+                        pb.put_bits(n - 4, (1 << (n - 4)) - 1)  # n-4 ones
+                        pb.put_bits(1, 0)
+                        pb.put_bits(n, mag - (1 << n))

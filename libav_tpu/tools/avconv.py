@@ -39,6 +39,9 @@ class OutputStreamSpec:
     quality: Optional[int] = None
     rate: Optional[str] = None
     max_frames: Optional[int] = None
+    sample_rate: Optional[int] = None
+    channels: Optional[int] = None
+    sample_fmt: Optional[str] = None
 
 
 @dataclass
@@ -111,6 +114,12 @@ def parse_args(argv: List[str]) -> Options:
             o.video.max_frames = int(take())
         elif a in ("-aframes", "-frames:a"):
             o.audio.max_frames = int(take())
+        elif a == "-ar":
+            o.audio.sample_rate = int(take())
+        elif a == "-ac":
+            o.audio.channels = int(take())
+        elif a == "-sample_fmt":
+            o.audio.sample_fmt = take()
         elif a == "-an":
             o.no_audio = True
         elif a == "-vn":
@@ -159,7 +168,7 @@ _DEFAULT_VCODEC_FOR_FMT = {
     "image2": "mjpeg", "mjpeg": "mjpeg", "avi": "mpeg4", "mp4": "mpeg4",
     "mov": "mpeg4", "mpegts": "mpeg2video", "wav": "pcm_s16le",
     "m4v": "mpeg4", "mpeg1video": "mpeg1video", "mpeg2video": "mpeg2video",
-    "h264": "h264",
+    "h264": "h264", "ac3": "ac3", "adts": "aac", "aac": "aac",
 }
 
 
@@ -375,7 +384,26 @@ class _AudioChain(_VideoChain):
         self.enc = None
 
     def _filter(self, frame: Frame) -> Frame:
-        return frame
+        spec = self.spec
+        need = ((spec.sample_rate and spec.sample_rate != frame.sample_rate)
+                or (spec.channels and spec.channels != frame.channels)
+                or (spec.sample_fmt and spec.sample_fmt != frame.format))
+        if not need:
+            return frame
+        if getattr(self, "_resampler", None) is None:
+            from libav_tpu.avresample import AudioResampler
+            from libav_tpu.avutil.samplefmt import default_channel_layout
+            self._resampler = AudioResampler(
+                in_sample_rate=frame.sample_rate,
+                out_sample_rate=spec.sample_rate or frame.sample_rate,
+                in_sample_fmt=frame.format,
+                out_sample_fmt=spec.sample_fmt or frame.format,
+                in_channel_layout=frame.channel_layout or
+                default_channel_layout(frame.channels),
+                out_channel_layout=default_channel_layout(
+                    spec.channels or frame.channels),
+            ).open()
+        return self._resampler.convert(frame)
 
     def _ensure_encoder(self, frame: Frame):
         if self.enc is not None or self.copy:

@@ -165,3 +165,38 @@ class TestWav:
         assert st.codecpar.channels == 2
         data = b"".join(pkt.data for pkt in ic.packets())
         assert data == samples.tobytes()
+
+
+class TestConfig5:
+    """North-star config 5: ac3/aac decode -> resample 48k->44.1k ->
+    (and the video half: yuv -> rgb via swscale through -pix_fmt)."""
+
+    def _audio_file(self, tmp_path, codec):
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs import find_encoder
+        from tests.test_ac3 import make_frame
+        f = make_frame(1536 * 4 if codec == "ac3" else 1024 * 6, rate=48000)
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id=codec,
+                              sample_rate=48000, channels=2,
+                              sample_fmt="fltp")
+        enc = find_encoder(codec)(par)
+        pkts = enc.encode_all([f])
+        ext = "ac3" if codec == "ac3" else "aac"
+        p = tmp_path / f"in.{ext}"
+        p.write_bytes(b"".join(pk.data for pk in pkts))
+        return str(p)
+
+    @pytest.mark.parametrize("codec", ["ac3", "aac"])
+    def test_decode_resample_to_wav(self, codec, tmp_path):
+        from libav_tpu.tools import avconv
+        src = self._audio_file(tmp_path, codec)
+        out = tmp_path / "out.wav"
+        rc = avconv.main(["-i", src, "-ar", "44100", "-sample_fmt", "s16",
+                          str(out)])
+        assert rc == 0
+        ic = FormatContext.open_input(str(out))
+        par = ic.streams[0].codecpar
+        assert par.sample_rate == 44100
+        assert par.codec_id == "pcm_s16le"
+        total = sum(len(p.data) for p in ic.packets())
+        assert total > 20000   # ~0.12s of stereo s16 at 44.1k
