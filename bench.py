@@ -1,17 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark: device-side 1080p decode pipeline throughput.
+"""Headline benchmark: full 1080p MJPEG decode (bitstream -> frames) on
+the real chip — native C entropy decode feeding the batched device
+dequant/IDCT/reshape pipeline. This is a complete decode measurement, not
+a device-half proxy.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline (BASELINE.md): the reference publishes no absolute numbers; the
-north-star target is >=4x realtime 1080p decode per chip = 120 fps at 30 fps
-realtime. vs_baseline = achieved_fps / 120.
-
-The measured pipeline is the device half of the batched decoder on a full
-1080p frame's worth of macroblocks (dequant -> exact integer 8x8 IDCT ->
-clamp), which is the throughput-critical stage shared by MJPEG/MPEG-2/MPEG-4
-/H.264 reconstruction. As codec coverage widens this becomes a full
-bitstream-in -> frame-out measurement.
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is 4x realtime 1080p = 120 fps, so vs_baseline = fps / 120.
 """
 
 import json
@@ -23,43 +18,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from libav_tpu.ops import idct, quant
+    from libav_tpu.avutil.frame import Frame, Packet
+    from libav_tpu.codecs.mjpeg import MJPEGDecoder, MJPEGEncoder
+    from libav_tpu.codecs.api import CodecParameters, MediaType
 
-    # one 1080p yuv420p frame = 1920x1088 luma + 2x 960x544 chroma blocks
-    blocks_per_frame = (1920 // 8) * (1088 // 8) + 2 * (960 // 8) * (544 // 8)
-    frames_per_batch = 8
-    n_blocks = blocks_per_frame * frames_per_batch
+    # synthesize one 1080p frame and encode it once (setup, not timed)
+    w, h = 1920, 1080
+    yy, xx = np.mgrid[0:h, 0:w]
+    f = Frame.alloc_video(w, h, "yuvj420p")
+    f.planes[0] = ((xx + yy) % 256).astype(np.uint8)
+    ch, cw = f.planes[1].shape
+    yy, xx = np.mgrid[0:ch, 0:cw]
+    f.planes[1] = (128 + 64 * np.sin(xx / 9.0)).astype(np.uint8)
+    f.planes[2] = (128 + 64 * np.cos(yy / 7.0)).astype(np.uint8)
 
-    rng = np.random.default_rng(0)
-    coeffs = rng.integers(-64, 64, size=(n_blocks, 64)).astype(np.int16)
-    qmat = rng.integers(8, 32, size=64).astype(np.int32)
+    enc = MJPEGEncoder()
+    enc.set_opt("quality", 90)
+    data = enc.encode_all([f])[0].data
 
-    @jax.jit
-    def device_decode(coeffs_scan, qmat):
-        deq = quant.jpeg_dequant(coeffs_scan, qmat)
-        blocks = quant.dezigzag(deq)
-        return idct.idct_put(blocks, bias=128)
+    dec = MJPEGDecoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                       codec_id="mjpeg"))
+    dec.open()
+    # NOTE: single-frame dispatch. The batched path (decode_jpeg_batch)
+    # is the architecture's real shape, but this environment reaches the
+    # chip through a bandwidth-limited tunnel where the one-shot batched
+    # coefficient upload (~50 MB) costs more than 8 small ones; on a
+    # directly-attached host the batch path wins.
+    out = dec.decode_jpeg(data)
+    import jax
+    jax.block_until_ready(out.planes[0])
 
-    coeffs_d = jax.device_put(coeffs)
-    qmat_d = jax.device_put(qmat)
-
-    # warmup/compile
-    device_decode(coeffs_d, qmat_d).block_until_ready()
-
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = device_decode(coeffs_d, qmat_d)
-    out.block_until_ready()
+        out = dec.decode_jpeg(data)
+    jax.block_until_ready(out.planes[0])
     dt = time.perf_counter() - t0
 
-    fps = iters * frames_per_batch / dt
+    fps = iters / dt
     print(json.dumps({
-        "metric": "1080p_device_decode_pipeline_fps",
+        "metric": "1080p_mjpeg_full_decode_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 120.0, 3),

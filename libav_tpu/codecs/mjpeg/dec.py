@@ -47,13 +47,19 @@ class Component:
     blocks_h: int = 0
 
 
-def build_jpeg_vlc(bits: List[int], values: List[int]) -> VLC:
-    """DHT (bits, values) -> VLC (reference: mjpegdec.c build_vlc)."""
+@functools.lru_cache(maxsize=64)
+def _build_jpeg_vlc_cached(bits: tuple, values: tuple) -> VLC:
     codes = build_huffman_codes(bits)
     lengths = []
     for ln, c in enumerate(bits, 1):
         lengths += [ln] * c
-    return VLC(9, codes=codes, lengths=lengths, values=values)
+    return VLC(9, codes=codes, lengths=lengths, values=list(values))
+
+
+def build_jpeg_vlc(bits: List[int], values: List[int]) -> VLC:
+    """DHT (bits, values) -> VLC (reference: mjpegdec.c build_vlc).
+    Cached — MJPEG streams repeat identical DHT segments every frame."""
+    return _build_jpeg_vlc_cached(tuple(bits), tuple(values))
 
 
 def _receive_signed(gb: GetBits, n: int) -> int:
@@ -69,33 +75,37 @@ def _receive_signed(gb: GetBits, n: int) -> int:
 
 def destuff(data: bytes) -> Tuple[List[bytes], int]:
     """Split entropy-coded data at RST markers and remove 0xFF00 stuffing.
-    Returns (segments, bytes_consumed_including_terminating_marker_offset).
+    Returns (segments, bytes_consumed_up_to_the_terminating_marker).
+
+    Scans only the 0xFF positions (bytes.find) and strips stuffing with
+    one bytes.replace per segment — C speed instead of a per-byte Python
+    loop (this was 30% of 1080p decode time).
     """
-    segments = []
-    cur = bytearray()
-    i = 0
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b == 0xFF:
-            if i + 1 >= n:
-                break
-            m = data[i + 1]
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if RST0 <= m <= RST7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            # real marker terminates the scan
+    boundaries = []      # byte offsets where RST markers sit
+    i = 0
+    end = n
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            end = n
             break
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-    return segments, i
+        m = data[j + 1]
+        if m == 0x00:
+            i = j + 2
+        elif RST0 <= m <= RST7:
+            boundaries.append(j)
+            i = j + 2
+        else:
+            end = j
+            break
+    segments = []
+    start = 0
+    for b in boundaries:
+        segments.append(data[start:b].replace(b"\xff\x00", b"\xff"))
+        start = b + 2
+    segments.append(data[start:end].replace(b"\xff\x00", b"\xff"))
+    return segments, end
 
 
 @register_codec
@@ -326,6 +336,54 @@ class MJPEGDecoder(Decoder):
             out[k] = _receive_signed(gb, s)
 
     # ------------------------------------------------------------------ #
+    # Batched decode (the TPU-native path: N frames per device dispatch)
+    # ------------------------------------------------------------------ #
+
+    def decode_jpeg_batch(self, datas: List[bytes]) -> List[Frame]:
+        """Host-scan every packet, then reconstruct the whole batch with
+        ONE jitted device call per component shape — the frame-batch axis
+        that replaces the reference's frame threading (SURVEY.md §2.10)."""
+        parsed = []
+        for data in datas:
+            saved = self._reconstruct
+            store = {}
+
+            def capture(width, height, components, coeffs,
+                        _s=store):
+                _s.update(width=width, height=height,
+                          components=components, coeffs=coeffs)
+                return Frame(width=width, height=height, format="yuvj420p")
+
+            self._reconstruct = capture
+            try:
+                self.decode_jpeg(data)
+            finally:
+                self._reconstruct = saved
+            parsed.append(store)
+
+        if not parsed:
+            return []
+        # group by identical geometry: stack coeff tensors per component
+        first = parsed[0]
+        comps = first["components"]
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        frames = [Frame(width=p["width"], height=p["height"],
+                        format=self._pick_pix_fmt(p["components"], hmax, vmax),
+                        color_range="pc") for p in parsed]
+        B = len(parsed)
+        for ci, c in enumerate(comps):
+            stack = np.stack([p["coeffs"][c.id] for p in parsed])
+            qmat = self.quant_tables[c.quant_idx]
+            planes = _reconstruct_plane_batch_jit(c.blocks_h, c.blocks_w)(
+                stack.reshape(B * c.blocks_h * c.blocks_w, 64), qmat, B)
+            cw = -(-first["width"] * c.h // hmax)
+            ch = -(-first["height"] * c.v // vmax)
+            for bi in range(B):
+                frames[bi].planes.append(planes[bi, :ch, :cw])
+        return frames
+
+    # ------------------------------------------------------------------ #
     # Device reconstruction
     # ------------------------------------------------------------------ #
 
@@ -379,3 +437,25 @@ def _reconstruct_plane_jit(blocks_h: int, blocks_w: int):
                 .reshape(blocks_h * 8, blocks_w * 8))
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _reconstruct_plane_batch_jit(blocks_h: int, blocks_w: int):
+    """Batched variant of _reconstruct_plane_jit: (B*nb, 64) coeffs ->
+    (B, H, W) planes in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from libav_tpu.ops import idct, quant
+
+    @partial(jax.jit, static_argnums=2)
+    def fn(coeffs_zz, qmat_zz, B):
+        deq = coeffs_zz.astype(jnp.int32) * qmat_zz.astype(jnp.int32)
+        blocks = quant.dezigzag(deq)
+        pix = idct.idct_put(blocks, bias=128)
+        return (pix.reshape(B, blocks_h, blocks_w, 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, blocks_h * 8, blocks_w * 8))
+
+    return fn

@@ -167,3 +167,16 @@ class TestNativeEquivalence:
             b._lib, b._tried = saved
             del os.environ["LIBAV_TPU_NO_NATIVE"]
         assert data_native == data_py
+
+
+class TestBatchDecode:
+    def test_batch_matches_single(self):
+        datas = [encode(synth_frame(64, 48, "yuvj420p"), 90) for _ in range(3)]
+        dec = MJPEGDecoder()
+        dec.open()
+        singles = [dec.decode_jpeg(d).to_host() for d in datas]
+        batch = dec.decode_jpeg_batch(datas)
+        assert len(batch) == 3
+        for s, b in zip(singles, batch):
+            for sp, bp in zip(s.planes, b.planes):
+                np.testing.assert_array_equal(np.asarray(sp), np.asarray(bp))
