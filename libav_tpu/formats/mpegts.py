@@ -1,0 +1,280 @@
+"""MPEG transport stream demuxer (reference: libavformat/mpegts.c (2406))
+and a minimal single-program muxer (mpegtsenc.c role)."""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional
+
+from libav_tpu.avutil.crc import crc32_mpeg2
+from libav_tpu.avutil.error import AVError, EOF_, INVALIDDATA
+from libav_tpu.avutil.frame import Packet, PKT_FLAG_KEY
+from libav_tpu.avutil.rational import NOPTS_VALUE, Rational
+from libav_tpu.codecs.api import CodecParameters, MediaType
+from libav_tpu.formats.api import (InputFormat, OutputFormat, Stream,
+                                   register_input, register_output)
+
+TS_SIZE = 188
+
+_STREAM_TYPE_TO_CODEC = {
+    0x01: ("mpeg1video", MediaType.VIDEO),
+    0x02: ("mpeg2video", MediaType.VIDEO),
+    0x10: ("mpeg4", MediaType.VIDEO),
+    0x1B: ("h264", MediaType.VIDEO),
+    0x0F: ("aac", MediaType.AUDIO),
+    0x11: ("aac", MediaType.AUDIO),
+    0x81: ("ac3", MediaType.AUDIO),
+    0x03: ("mp3", MediaType.AUDIO),
+    0x04: ("mp3", MediaType.AUDIO),
+}
+_CODEC_TO_STREAM_TYPE = {"mpeg1video": 0x01, "mpeg2video": 0x02,
+                         "mpeg4": 0x10, "h264": 0x1B, "aac": 0x0F,
+                         "ac3": 0x81}
+
+
+def _parse_pts(b: bytes) -> int:
+    return (((b[0] >> 1) & 7) << 30) | (b[1] << 22) | ((b[2] >> 1) << 15) | \
+        (b[3] << 7) | (b[4] >> 1)
+
+
+@register_input
+class MpegTSDemuxer(InputFormat):
+    NAME = "mpegts"
+    EXTENSIONS = ("ts", "m2t", "m2ts", "mts")
+
+    @classmethod
+    def probe(cls, data: bytes, url: str = "") -> int:
+        # several sync bytes at 188 spacing
+        if len(data) >= TS_SIZE * 3:
+            hits = sum(1 for i in range(3) if data[i * TS_SIZE] == 0x47)
+            if hits == 3:
+                return 95
+        return 0
+
+    def read_header(self, pb):
+        self.pb = pb
+        self._data = pb.read_all()
+        self.streams = []
+        self._pid_to_stream: Dict[int, Stream] = {}
+        self._pes_buf: Dict[int, bytearray] = {}
+        self._pes_pts: Dict[int, int] = {}
+        self._queue: List[Packet] = []
+        self._pos = 0
+        self._pmt_pids: set = set()
+        # pre-scan for PAT/PMT so streams exist before read_packet
+        save = self._pos
+        scanned = 0
+        while self._pos + TS_SIZE <= len(self._data) and scanned < 2000:
+            self._parse_ts_packet(collect=False)
+            scanned += 1
+            if self.streams and scanned > 100:
+                break
+        self._pos = save
+        self._pes_buf.clear()
+        self._pes_pts.clear()
+        if not self.streams:
+            raise AVError(INVALIDDATA, "no streams found in TS")
+
+    # ------------------------------------------------------------------ #
+
+    def _parse_ts_packet(self, collect=True):
+        data = self._data
+        pos = self._pos
+        # resync
+        while pos < len(data) and data[pos] != 0x47:
+            pos += 1
+        if pos + TS_SIZE > len(data):
+            self._pos = len(data)
+            return False
+        pkt = data[pos:pos + TS_SIZE]
+        self._pos = pos + TS_SIZE
+        pusi = (pkt[1] >> 6) & 1
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 3
+        p = 4
+        if afc & 2:
+            p += 1 + pkt[4]
+        if not (afc & 1) or p >= TS_SIZE:
+            return True
+        payload = pkt[p:]
+
+        if pid == 0:                     # PAT
+            self._parse_pat(payload, pusi)
+        elif pid in self._pmt_pids:
+            self._parse_pmt(payload, pusi)
+        elif pid in self._pid_to_stream:
+            self._pes(pid, payload, pusi, collect)
+        return True
+
+    def _section(self, payload, pusi):
+        if pusi:
+            ptr = payload[0]
+            return payload[1 + ptr:]
+        return payload
+
+    def _parse_pat(self, payload, pusi):
+        s = self._section(payload, pusi)
+        if not s or s[0] != 0x00:
+            return
+        slen = ((s[1] & 0xF) << 8) | s[2]
+        pos = 8
+        end = 3 + slen - 4
+        while pos + 4 <= end:
+            prog = (s[pos] << 8) | s[pos + 1]
+            pid = ((s[pos + 2] & 0x1F) << 8) | s[pos + 3]
+            if prog != 0:
+                self._pmt_pids.add(pid)
+            pos += 4
+
+    def _parse_pmt(self, payload, pusi):
+        s = self._section(payload, pusi)
+        if not s or s[0] != 0x02:
+            return
+        slen = ((s[1] & 0xF) << 8) | s[2]
+        pinfo = ((s[10] & 0xF) << 8) | s[11]
+        pos = 12 + pinfo
+        end = 3 + slen - 4
+        while pos + 5 <= end:
+            stype = s[pos]
+            pid = ((s[pos + 1] & 0x1F) << 8) | s[pos + 2]
+            eslen = ((s[pos + 3] & 0xF) << 8) | s[pos + 4]
+            pos += 5 + eslen
+            if pid in self._pid_to_stream:
+                continue
+            info = _STREAM_TYPE_TO_CODEC.get(stype)
+            if info is None:
+                continue
+            codec, mtype = info
+            par = CodecParameters(codec_type=mtype, codec_id=codec)
+            if mtype == MediaType.AUDIO:
+                par.sample_fmt = "fltp"
+            st = Stream(index=len(self.streams), codecpar=par,
+                        time_base=Rational(1, 90000))
+            self.streams.append(st)
+            self._pid_to_stream[pid] = st
+
+    def _pes(self, pid, payload, pusi, collect):
+        if pusi:
+            self._flush_pes(pid, collect)
+            self._pes_buf[pid] = bytearray(payload)
+        elif pid in self._pes_buf:
+            self._pes_buf[pid] += payload
+
+    def _flush_pes(self, pid, collect=True):
+        buf = self._pes_buf.pop(pid, None)
+        if not buf or not collect:
+            return
+        if buf[:3] != b"\x00\x00\x01":
+            return
+        flags = buf[7]
+        hlen = buf[8]
+        pts = dts = NOPTS_VALUE
+        if flags & 0x80:
+            pts = _parse_pts(buf[9:14])
+            dts = pts
+        if flags & 0x40:
+            dts = _parse_pts(buf[14:19])
+        body = bytes(buf[9 + hlen:])
+        st = self._pid_to_stream[pid]
+        self._queue.append(Packet(data=body, pts=pts, dts=dts,
+                                  stream_index=st.index,
+                                  flags=PKT_FLAG_KEY))
+        self._pes_pts[pid] = pts
+
+    def read_packet(self) -> Packet:
+        while not self._queue:
+            if not self._parse_ts_packet():
+                # EOF: flush remaining PES buffers
+                for pid in list(self._pes_buf):
+                    self._flush_pes(pid)
+                if self._queue:
+                    break
+                raise AVError(EOF_)
+        return self._queue.pop(0)
+
+
+@register_output
+class MpegTSMuxer(OutputFormat):
+    """Minimal single-program TS muxer (PAT+PMT each GOP-ish interval,
+    PES with PTS, no PCR-accurate timing — players resync on PTS)."""
+
+    NAME = "mpegts"
+    EXTENSIONS = ("ts",)
+    VIDEO_CODEC = "mpeg2video"
+    AUDIO_CODEC = "ac3"
+
+    PMT_PID = 0x100
+    ES_PID0 = 0x101
+
+    def write_header(self, pb):
+        self.pb = pb
+        self._cc: Dict[int, int] = {}
+        self._wrote_psi = False
+
+    def _ts_packet(self, pid, payload, pusi=False):
+        cc = self._cc.get(pid, 0)
+        self._cc[pid] = (cc + 1) & 0xF
+        needed = TS_SIZE - 4 - len(payload)
+        afc = 0x10               # payload only
+        af = b""
+        if needed > 0:           # stuff with an adaptation field
+            afc = 0x30
+            if needed == 1:
+                af = b"\x00"
+            else:
+                af = bytes([needed - 1, 0x00]) + b"\xff" * (needed - 2)
+        hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF,
+                     afc | cc])
+        return hdr + af + payload
+
+    def _psi(self, pid, table):
+        sec = table + struct.pack(">I", crc32_mpeg2(table))
+        return self._ts_packet(pid, b"\x00" + sec, pusi=True)
+
+    def _write_psi(self):
+        # PAT
+        pat = bytes([0x00, 0xB0, 13, 0, 1, 0xC1, 0, 0,
+                     0, 1, 0xE0 | (self.PMT_PID >> 8), self.PMT_PID & 0xFF])
+        self.pb.write(self._psi(0, pat))
+        # PMT
+        es = b""
+        for si, st in enumerate(self.streams):
+            stype = _CODEC_TO_STREAM_TYPE.get(st.codecpar.codec_id, 0x06)
+            pid = self.ES_PID0 + si
+            es += bytes([stype, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0])
+        pmt = bytes([0x02, 0xB0, 13 + len(es), 0, 1, 0xC1, 0, 0,
+                     0xE0 | (self.ES_PID0 >> 8), self.ES_PID0 & 0xFF,
+                     0xF0, 0]) + es
+        self.pb.write(self._psi(self.PMT_PID, pmt))
+
+    @staticmethod
+    def _pts_bytes(pts, tag):
+        return bytes([
+            (tag << 4) | (((pts >> 30) & 7) << 1) | 1,
+            (pts >> 22) & 0xFF,
+            (((pts >> 15) & 0x7F) << 1) | 1,
+            (pts >> 7) & 0xFF,
+            ((pts & 0x7F) << 1) | 1])
+
+    def write_packet(self, pkt: Packet):
+        if not self._wrote_psi:
+            self._write_psi()
+            self._wrote_psi = True
+        st = self.streams[pkt.stream_index]
+        pid = self.ES_PID0 + pkt.stream_index
+        # pts in 90 kHz
+        from libav_tpu.avutil.rational import rescale_q
+        pts = pkt.pts if pkt.pts != NOPTS_VALUE else 0
+        pts90 = rescale_q(pts, st.time_base, Rational(1, 90000)) & ((1 << 33) - 1)
+        sid = 0xE0 if st.codecpar.codec_type == MediaType.VIDEO else 0xC0
+        pes_hdr = (b"\x00\x00\x01" + bytes([sid]) +
+                   struct.pack(">H", 0) +        # unbounded length (video ok)
+                   bytes([0x80, 0x80, 5]) + self._pts_bytes(pts90, 2))
+        pes = pes_hdr + pkt.data
+        first = True
+        pos = 0
+        while pos < len(pes):
+            chunk = pes[pos:pos + TS_SIZE - 4]
+            self.pb.write(self._ts_packet(pid, chunk, pusi=first))
+            first = False
+            pos += len(chunk)
