@@ -12,6 +12,7 @@ State machine contract (same as the reference):
 
 from __future__ import annotations
 
+import struct
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Type
@@ -202,7 +203,19 @@ class Decoder(CodecContext):
             return
         if self._draining:
             raise AVError(EINVAL, "send after drain")
-        for f in self._decode(pkt):
+        try:
+            frames = self._decode(pkt)
+        except AVError:
+            raise
+        except (IndexError, ValueError, KeyError, OverflowError,
+                struct.error) as e:
+            # corrupt input must surface as INVALIDDATA, never as a raw
+            # parser exception (reference: err_recognition / AV_EF_EXPLODE
+            # semantics — decoders return AVERROR_INVALIDDATA on garbage)
+            from libav_tpu.avutil.error import INVALIDDATA
+            log.warning(self, "decode error on corrupt input: %s", e)
+            raise AVError(INVALIDDATA, str(e))
+        for f in frames:
             self._out.append(f)
 
     def receive_frame(self):

@@ -121,6 +121,9 @@ class MPEG1Encoder(Encoder):
     OPTIONS = Encoder.OPTIONS + [
         Option("qscale", "fixed quantizer 1-31", "int", 8, 1, 31),
         Option("gop_size", "GOP length", "int", 12, 1, 600),
+        Option("rc_eq", "rate control equation", "string", "tex^qComp"),
+        Option("qcompress", "rc qscale compression", "float", 0.6, 0.0, 1.0),
+        Option("pass_", "2-pass mode: 1 or 2", "int", 0, 0, 2),
     ]
 
     F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
@@ -145,6 +148,16 @@ class MPEG1Encoder(Encoder):
         self._frame_idx = 0
         self._refs = None      # padded recon planes (device)
         self._fr = self.params.framerate if self.params.framerate else Rational(25, 1)
+        # rate control: engaged when a target bitrate is configured
+        # (reference: mpegvideo_enc.c wiring of ratecontrol.c)
+        self.rc = None
+        if self.bit_rate:
+            from libav_tpu.codecs.ratecontrol import RateControl
+            self.rc = RateControl(self.bit_rate, self._fr,
+                                  rc_eq=self.rc_eq,
+                                  qcompress=self.qcompress)
+            if self.pass_ == 2 and getattr(self, "stats_in", None):
+                self.rc.load_pass1(self.stats_in)
 
     # ------------------------------------------------------------------ #
 
@@ -155,7 +168,12 @@ class MPEG1Encoder(Encoder):
 
         y, u, v = self._padded_input(frame)
         nmb = self.mb_w * self.mb_h
-        qscale = np.full(nmb, self.qscale, dtype=np.int32)
+        q = self.qscale
+        if self.rc is not None:
+            q = self.rc.qscale_for_frame("I" if is_i else "P")
+            if self.QUANT_KIND == "mpeg2":
+                q = max(2, q + (q & 1))
+        qscale = np.full(nmb, q, dtype=np.int32)
 
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND)
         if is_i:
@@ -184,6 +202,8 @@ class MPEG1Encoder(Encoder):
         self._refs = padded
 
         data = self._pack(levels, mvs, intra, pict_type, qscale)
+        if self.rc is not None:
+            self.rc.frame_done("I" if is_i else "P", len(data) * 8, q)
         pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)

@@ -1,0 +1,142 @@
+"""Auxiliary subsystem tests: fault injection robustness (trasher +
+corrupt-stream decode, SURVEY.md §5), parsers, fifo/timer, tools."""
+
+import numpy as np
+import pytest
+
+from libav_tpu.avutil.frame import Packet
+from libav_tpu.avutil.error import AVError
+from libav_tpu.tools.trasher import trash
+
+from tests.test_mpeg12 import make_encoder, vsynth_frame
+
+
+class TestFaultInjection:
+    """Corrupt streams must never crash the decoders — errors surface as
+    AVError or degraded output (the reference's er/AV_EF_EXPLODE model)."""
+
+    def _decode_noexc(self, decoder_cls, par, datas):
+        from libav_tpu.codecs.api import CodecParameters
+        dec = decoder_cls(par)
+        dec.open()
+        ok = 0
+        for d in datas:
+            try:
+                dec.send_packet(Packet(data=d))
+                dec._pump()
+                ok += 1
+            except AVError:
+                pass   # the only sanctioned failure mode for corrupt input
+        return ok
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    def test_trashed_mpeg1(self, seed):
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mpeg12 import MPEG1Decoder
+        enc = make_encoder(48, 32, qscale=4)
+        pkts = enc.encode_all([vsynth_frame(48, 32, t) for t in range(3)])
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg1video")
+        datas = [trash(p.data, count=8, seed=seed, keep_prefix=12)
+                 for p in pkts]
+        self._decode_noexc(MPEG1Decoder, par, datas)
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_trashed_jpeg(self, seed):
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mjpeg import MJPEGDecoder
+        from tests.test_mjpeg import synth_frame, encode
+        data = encode(synth_frame(48, 32), 90)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg")
+        self._decode_noexc(MJPEGDecoder, par,
+                           [trash(data, 12, seed, keep_prefix=2)])
+
+    def test_truncated_everything(self):
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.h264 import H264Decoder
+        from libav_tpu.codecs.h264 import H264Encoder
+        from libav_tpu.avutil.rational import Rational
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=32, height=32, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        pkt = enc.encode_all([vsynth_frame(32, 32)])[0]
+        dpar = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+        for cut in (7, 31, len(pkt.data) // 2):
+            self._decode_noexc(H264Decoder, dpar, [pkt.data[:cut]])
+
+
+class TestParsers:
+    def test_ac3_parser(self):
+        from libav_tpu.codecs.parsers import find_parser
+        from libav_tpu.codecs import find_encoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from tests.test_ac3 import make_frame
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="ac3",
+                              sample_rate=48000, channels=2,
+                              sample_fmt="fltp")
+        enc = find_encoder("ac3")(par)
+        pkts = enc.encode_all([make_frame(1536 * 3)])
+        blob = b"".join(p.data for p in pkts)
+        parser = find_parser("ac3")()
+        frames = []
+        # feed in awkward chunk sizes
+        for i in range(0, len(blob), 501):
+            frames += parser.parse(blob[i:i + 501])
+        frames += parser.parse(b"", eof=True)
+        assert len(frames) == 3
+        assert all(f[:2] == b"\x0b\x77" for f in frames)
+
+    def test_h264_parser(self):
+        from libav_tpu.codecs.parsers import find_parser
+        from libav_tpu.codecs.h264 import H264Encoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.avutil.rational import Rational
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=32, height=32, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        pkts = enc.encode_all([vsynth_frame(32, 32, t) for t in range(3)])
+        blob = b"".join(p.data for p in pkts)
+        parser = find_parser("h264")()
+        frames = parser.parse(blob, eof=True)
+        assert len(frames) == 3
+
+
+class TestFifoTimer:
+    def test_fifo(self):
+        from libav_tpu.avutil.fifo import Fifo
+        f = Fifo()
+        for i in range(5):
+            f.write(i)
+        assert f.size() == 5
+        assert f.read() == 0
+        assert f.peek() == 1
+        assert len(f.drain()) == 4
+        assert f.size() == 0
+
+    def test_timer(self):
+        from libav_tpu.avutil import timer
+        timer.reset()
+        with timer.timer("unit"):
+            sum(range(1000))
+        rep = timer.report()
+        assert "unit" in rep
+
+
+class TestTools:
+    def test_pktdumper(self, tmp_path, capsys):
+        from libav_tpu.tools import pktdumper
+        from tests.test_mjpeg import synth_frame, encode
+        p = tmp_path / "x.jpg"
+        p.write_bytes(encode(synth_frame(32, 32), 90))
+        assert pktdumper.main([str(p)]) == 0
+        out = capsys.readouterr().out
+        assert "pkt 00000" in out and "crc=0x" in out
+
+    def test_avplay_null(self, tmp_path):
+        from libav_tpu.tools import avplay
+        from tests.test_mjpeg import synth_frame, encode
+        p = tmp_path / "x.jpg"
+        p.write_bytes(encode(synth_frame(32, 32), 90))
+        assert avplay.play(str(p), vo="null", max_frames=1) == 0
