@@ -319,7 +319,10 @@ def encode_residual(pb: PutBits, levels: np.ndarray, nc: int,
                 pb.put_bits(16, 1)                 # prefix 15
                 pb.put_bits(12, lc)
         else:
-            if (level_code >> suffix_length) < 14:
+            # for suffix_length > 0 prefixes 0..14 are regular codes
+            # (the sl==0-only "prefix 14 with 4-bit suffix" special case
+            # does not exist here); escape begins at prefix 15
+            if (level_code >> suffix_length) < 15:
                 pb.put_bits((level_code >> suffix_length) + 1, 1)
                 pb.put_bits(suffix_length,
                             level_code & ((1 << suffix_length) - 1))

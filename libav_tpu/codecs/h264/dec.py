@@ -39,7 +39,29 @@ _BLK_XY = [(2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
 
 
 class FrameData:
-    def __init__(self, nmb):
+    def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False):
+        if use_block and mb_w is not None:
+            # contiguous int32 block shared zero-copy with the native
+            # CAVLC slice decoder
+            from libav_tpu.native import h264_cavlc as N
+            self.block = N.alloc_block(nmb)
+            v = N.views(self.block, nmb, mb_w, mb_h)
+            self.intra = v["intra"]          # int32 0/1
+            self.luma_mode = v["luma_mode"]
+            self.chroma_mode = v["chroma_mode"]
+            self.mv = v["mv"]
+            self.qp = v["qp"]
+            self.qp[:] = 26
+            self.luma_dc = v["luma_dc"]
+            self.luma_ac = v["luma_ac"]
+            self.chroma_dc = v["chroma_dc"]
+            self.chroma_ac = v["chroma_ac"]
+            self.nnz_y = v["nnz_y"]
+            self.nnz_u = v["nnz_u"]
+            self.nnz_v = v["nnz_v"]
+            self.coded = v["coded"]
+            return
+        self.block = None
         self.intra = np.zeros(nmb, dtype=bool)
         self.luma_mode = np.zeros(nmb, dtype=np.int32)
         self.chroma_mode = np.zeros(nmb, dtype=np.int32)
@@ -145,14 +167,28 @@ class H264Decoder(Decoder):
             self._deblock_warned = True
 
         nmb = sps.mb_width * sps.mb_height
+        from libav_tpu.native import h264_cavlc as N
+        use_native = N.available() and not bool(
+            __import__('os').environ.get('LIBAV_TPU_NO_NATIVE'))
         if fd is None:
-            fd = FrameData(nmb)
-            fd.nnz_y = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
-                                dtype=np.int32)
-            fd.nnz_u = np.zeros((2 * sps.mb_height, 2 * sps.mb_width),
-                                dtype=np.int32)
-            fd.nnz_v = np.zeros_like(fd.nnz_u)
-        self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp, num_ref_l0)
+            fd = FrameData(nmb, sps.mb_width, sps.mb_height,
+                           use_block=use_native)
+            if fd.block is None:
+                fd.nnz_y = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
+                                    dtype=np.int32)
+                fd.nnz_u = np.zeros((2 * sps.mb_height, 2 * sps.mb_width),
+                                    dtype=np.int32)
+                fd.nnz_v = np.zeros_like(fd.nnz_u)
+        if fd.block is not None:
+            pos = gb.bits_read()
+            rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
+                                sps.mb_width, sps.mb_height, first_mb,
+                                slice_type, qp, bit_offset=pos & 7)
+            if rc != 0:
+                raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
+        else:
+            self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp,
+                             num_ref_l0)
         return fd, (slice_type, idr)
 
     # ------------------------------------------------------------------ #
@@ -308,11 +344,20 @@ class H264Decoder(Decoder):
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps = self.active_sps
-        fn = recon_h264_jit(sps.mb_width, sps.mb_height)
+        any_intra = bool(np.any(fd.intra))
+        fn = recon_h264_jit(sps.mb_width, sps.mb_height, any_intra)
         refs = self._ref or zero_refs_h264(sps.mb_width, sps.mb_height)
-        planes, padded = fn(fd.intra, fd.luma_mode, fd.chroma_mode, fd.mv,
-                            fd.qp, fd.luma_dc, fd.luma_ac, fd.chroma_dc,
-                            fd.chroma_ac, *refs)
+        # int16 halves the host->HBM coefficient upload (CAVLC levels fit
+        # comfortably; the device side upcasts to int32 anyway)
+        planes, padded = fn(fd.intra.astype(bool),
+                            fd.luma_mode.astype(np.int8),
+                            fd.chroma_mode.astype(np.int8),
+                            fd.mv.astype(np.int16),
+                            fd.qp.astype(np.int8),
+                            fd.luma_dc.astype(np.int16),
+                            fd.luma_ac.astype(np.int16),
+                            fd.chroma_dc.astype(np.int16),
+                            fd.chroma_ac.astype(np.int16), *refs)
         self._ref = padded
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")

@@ -50,7 +50,10 @@ def _dequant_tables():
 
 
 @functools.lru_cache(maxsize=16)
-def recon_h264_jit(mb_w: int, mb_h: int):
+def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True):
+    """any_intra=False compiles the fast path for all-inter frames: no
+    wavefront scan (inter prediction has no intra-frame dependencies),
+    just one batched assemble — the common case for P frames."""
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops import h264mc, h264pred
@@ -87,7 +90,8 @@ def recon_h264_jit(mb_w: int, mb_h: int):
 
     def residual_stage(intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac):
         """-> resid_y (nmb,16,16), resid_u/v (nmb,8,8) int32"""
-        qp = jnp.clip(qp, 0, 51)
+        qp = jnp.clip(qp.astype(jnp.int32), 0, 51)
+        chroma_dc = chroma_dc.astype(jnp.int32)
         qpc = jnp.asarray(CHROMA_QP)[qp]
         scale_y = jnp.asarray(dq_tab)[qp]          # (nmb,4,4)
         scale_c = jnp.asarray(dq_tab)[qpc]
@@ -161,11 +165,27 @@ def recon_h264_jit(mb_w: int, mb_h: int):
         # inter prediction for all MBs
         xs = jnp.asarray(mbx_all * 16)
         ys = jnp.asarray(mby_all * 16)
-        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv[:, 0], mv[:, 1], 16)
+        mv32 = mv.astype(jnp.int32)
+        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0], mv32[:, 1], 16)
         cxs = jnp.asarray(mbx_all * 8)
         cys = jnp.asarray(mby_all * 8)
-        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv[:, 0], mv[:, 1], 8)
-        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv[:, 0], mv[:, 1], 8)
+        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0], mv32[:, 1], 8)
+        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0], mv32[:, 1], 8)
+
+        if not any_intra:
+            # fast path: every MB is inter — assemble without the scan
+            oy = jnp.clip(pred_inter_y + resid_y, 0, 255).astype(jnp.uint8)
+            ou = jnp.clip(pred_inter_u + resid_u, 0, 255).astype(jnp.uint8)
+            ov = jnp.clip(pred_inter_v + resid_v, 0, 255).astype(jnp.uint8)
+            yplane = (oy.reshape(mb_h, mb_w, 16, 16)
+                      .transpose(0, 2, 1, 3).reshape(H, W))
+            uplane = (ou.reshape(mb_h, mb_w, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
+            vplane = (ov.reshape(mb_h, mb_w, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
+            pad = lambda p: jnp.pad(p, EDGE, mode="edge")
+            return (yplane, uplane, vplane), (pad(yplane), pad(uplane),
+                                              pad(vplane))
 
         # frame buffers with 1px top/left border + 16px scratch margin
         fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)

@@ -381,11 +381,11 @@ class H264Encoder(Encoder):
     def _update_ref_from_levels(self, fd: FrameData):
         """Reconstruct the reference through the decoder's device program
         (closed loop by construction)."""
-        fn = recon_h264_jit(self.mb_w, self.mb_h)
+        fn = recon_h264_jit(self.mb_w, self.mb_h, bool(np.any(fd.intra)))
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
-        _, padded = fn(fd.intra, fd.luma_mode, fd.chroma_mode, fd.mv, fd.qp,
-                       fd.luma_dc, fd.luma_ac, fd.chroma_dc, fd.chroma_ac,
-                       *refs)
+        _, padded = fn(fd.intra.astype(bool), fd.luma_mode, fd.chroma_mode,
+                       fd.mv, fd.qp, fd.luma_dc, fd.luma_ac, fd.chroma_dc,
+                       fd.chroma_ac, *refs)
         self._refs = padded
 
     # ------------------------------------------------------------------ #

@@ -86,3 +86,27 @@ class TestH264RoundTrip:
         nals = nal.split_annexb(data)
         types = [nal.nal_header(n)[1] for n in nals]
         assert types[:3] == [7, 8, 5]   # SPS, PPS, IDR
+
+
+class TestNativeCAVLC:
+    def test_native_matches_python(self):
+        from libav_tpu.native import h264_cavlc as N
+        if not N.available():
+            pytest.skip("native library unavailable")
+        import os
+        import libav_tpu.native.build as b
+        frames = [vsynth_frame(64, 48, t) for t in range(3)]
+        pkts, out_native = roundtrip(frames, qp=24)
+
+        # force the pure-Python MB loop
+        os.environ["LIBAV_TPU_NO_NATIVE"] = "1"
+        try:
+            dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                              codec_id="h264"))
+            out_py = dec.decode_all([Packet(data=p.data, pts=i)
+                                     for i, p in enumerate(pkts)])
+        finally:
+            del os.environ["LIBAV_TPU_NO_NATIVE"]
+        for a, c in zip(out_native, out_py):
+            for pa, pc in zip(a.planes, c.to_host().planes):
+                np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
