@@ -20,7 +20,8 @@ from libav_tpu.avutil.frame import Frame, Packet, PictureType
 from libav_tpu.bitstream import GetBits
 from libav_tpu.codecs.api import Decoder, MediaType, register_codec
 from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
-from libav_tpu.codecs.h264.device import recon_h264_jit, zero_refs_h264
+from libav_tpu.codecs.h264.device import (recon_h264_sparse_jit, sparse_caps,
+                                           zero_refs_h264)
 from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
 
 GOLOMB_TO_INTRA_CBP = [
@@ -60,8 +61,10 @@ class FrameData:
             self.nnz_u = v["nnz_u"]
             self.nnz_v = v["nnz_v"]
             self.coded = v["coded"]
+            self.sparse = N.alloc_sparse(nmb)
             return
         self.block = None
+        self.sparse = None
         self.intra = np.zeros(nmb, dtype=bool)
         self.luma_mode = np.zeros(nmb, dtype=np.int32)
         self.chroma_mode = np.zeros(nmb, dtype=np.int32)
@@ -183,7 +186,8 @@ class H264Decoder(Decoder):
             pos = gb.bits_read()
             rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
                                 sps.mb_width, sps.mb_height, first_mb,
-                                slice_type, qp, bit_offset=pos & 7)
+                                slice_type, qp, bit_offset=pos & 7,
+                                sparse=fd.sparse)
             if rc != 0:
                 raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
         else:
@@ -344,20 +348,48 @@ class H264Decoder(Decoder):
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps = self.active_sps
+        nmb = sps.mb_width * sps.mb_height
         any_intra = bool(np.any(fd.intra))
-        fn = recon_h264_jit(sps.mb_width, sps.mb_height, any_intra)
         refs = self._ref or zero_refs_h264(sps.mb_width, sps.mb_height)
         # int16 halves the host->HBM coefficient upload (CAVLC levels fit
-        # comfortably; the device side upcasts to int32 anyway)
+        # comfortably; the device side upcasts to int32 anyway); the AC
+        # coefficients additionally go up sparse — only coded 4x4 blocks
+        # travel, scattered to dense on device (transport-bound path)
+        if fd.sparse is not None:
+            # the native CAVLC decoder emitted the coded-block lists
+            # directly — no host-side scan of the dense tensors needed
+            yv_full, cv_full, sctx = fd.sparse
+            ny, ncc = int(sctx[0]), int(sctx[1])
+            yidx = sctx[2:2 + ny]
+            cidx = sctx[2 + 16 * nmb:2 + 16 * nmb + ncc]
+            ysrc, csrc = yv_full[:ny], cv_full[:ncc]
+        else:
+            lac = np.ascontiguousarray(fd.luma_ac).reshape(nmb * 16, 16)
+            cac = np.ascontiguousarray(fd.chroma_ac).reshape(nmb * 8, 16)
+            yidx = np.flatnonzero(lac.any(axis=1)).astype(np.int32)
+            cidx = np.flatnonzero(cac.any(axis=1)).astype(np.int32)
+            ysrc = lac[yidx].astype(np.int16)
+            csrc = cac[cidx].astype(np.int16)
+        ycap, ccap = sparse_caps(sps.mb_width, sps.mb_height,
+                                 len(yidx), len(cidx))
+        yvals = np.zeros((ycap, 16), np.int16)
+        yvals[:len(yidx)] = ysrc
+        cvals = np.zeros((ccap, 16), np.int16)
+        cvals[:len(cidx)] = csrc
+        ypad = np.full(ycap, nmb * 16, np.int32)
+        ypad[:len(yidx)] = yidx
+        cpad = np.full(ccap, nmb * 8, np.int32)
+        cpad[:len(cidx)] = cidx
+        fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
+                                   ycap, ccap)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
                             fd.mv.astype(np.int16),
                             fd.qp.astype(np.int8),
                             fd.luma_dc.astype(np.int16),
-                            fd.luma_ac.astype(np.int16),
-                            fd.chroma_dc.astype(np.int16),
-                            fd.chroma_ac.astype(np.int16), *refs)
+                            yvals, ypad, cvals, cpad,
+                            fd.chroma_dc.astype(np.int16), *refs)
         self._ref = padded
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")

@@ -260,6 +260,48 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True):
     return jax.jit(fn)
 
 
+def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
+    """Pick the (ycap, ccap) bucket pair for a frame with ny coded luma
+    4x4 blocks and nc coded chroma blocks.  Buckets are tied to one
+    coarse level so at most 4 sparse program variants exist per frame
+    geometry (compile-count bound)."""
+    nmb = mb_w * mb_h
+    ytot, ctot = nmb * 16, nmb * 8
+    for div in (32, 8, 2):
+        ycap = max(64, ytot // div)
+        ccap = max(32, ctot // div)
+        if ny <= ycap and nc <= ccap:
+            return ycap, ccap
+    return ytot, ctot
+
+
+@functools.lru_cache(maxsize=64)
+def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
+                          ycap: int, ccap: int):
+    """Sparse-residual variant of recon_h264_jit: the host sends only the
+    coded 4x4 blocks (values + flat block indices, zero-padded to the
+    bucket capacity with the index sentinel pointing at a scratch row);
+    the dense coefficient tensors are scattered together on device.  At
+    realistic QPs most blocks are uncoded, so this cuts the host->HBM
+    upload ~5x (the transport is the bottleneck, not compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    nmb = mb_w * mb_h
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra)
+
+    def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
+           yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv):
+        luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
+                   .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
+        chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
+                     .at[cidx].set(cvals)[:nmb * 8].reshape(nmb, 8, 16))
+        return dense_fn(intra, luma_mode, chroma_mode, mv, qp,
+                        luma_dc, luma_ac, chroma_dc, chroma_ac, ry, ru, rv)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=8)
 def zero_refs_h264(mb_w: int, mb_h: int):
     import jax.numpy as jnp

@@ -245,7 +245,8 @@ static void pred_pskip(const int *mv, const unsigned char *intra,
 
 static int residual_chroma(BitReader *br, int cbp_chroma, int mb_x, int mb_y,
                            int mb_w, int *chroma_dc, int *chroma_ac,
-                           int *nnz_u, int *nnz_v, long long i)
+                           int *nnz_u, int *nnz_v, long long i,
+                           short *cvals, int *cidx_arr, int *sctx)
 {
     int c, b;
     if (cbp_chroma) {
@@ -270,6 +271,13 @@ static int residual_chroma(BitReader *br, int cbp_chroma, int mb_x, int mb_y,
                     return -1;
                 memcpy(chroma_ac + ((i * 8 + 4 * c + b) * 16 + 1),
                        lv, 15 * sizeof(int));
+                if (sctx && tc > 0) {
+                    int k = sctx[1]++, q;
+                    cidx_arr[k] = (int)(i * 8 + 4 * c + b);
+                    cvals[k * 16] = 0;
+                    for (q = 0; q < 15; q++)
+                        cvals[k * 16 + 1 + q] = (short)lv[q];
+                }
                 grid[gy * gw + gx] = tc;
             } else {
                 grid[gy * gw + gx] = 0;
@@ -280,7 +288,14 @@ static int residual_chroma(BitReader *br, int cbp_chroma, int mb_x, int mb_y,
 }
 
 /* params: [0]=mb_w [1]=mb_h [2]=first_mb [3]=slice_type(0 P, 2 I)
- *         [4]=qp_init */
+ *         [4]=qp_init [5]=bit_offset
+ *
+ * Sparse residual side-channel (all three may be NULL to disable):
+ *   coeffs   -> yvals  (short, cap nmb*16*16): coded luma 4x4 rows
+ *   mvs      -> cvals  (short, cap nmb*8*16):  coded chroma 4x4 rows
+ *   ctx_out  -> sctx   (int, 2 + 24*nmb): [0]=ycount [1]=ccount,
+ *               yidx at +2, cidx at +2+16*nmb.  Counts accumulate
+ *               across slices of one frame. */
 int h264_cavlc_decode_slice(
     const unsigned char *buf, long long buf_size,
     const int *params, const int *ctx_in,
@@ -289,10 +304,7 @@ int h264_cavlc_decode_slice(
     /* tensor pointers are passed via mb_meta-relative layout from the
      * adapter (see native/h264_cavlc.py): to keep the cffi signature
      * stable we receive one big int32 block and carve it up. */
-    (void)coeffs_unused;
-    (void)mvs_unused;
     (void)ctx_in;
-    (void)ctx_out;
 
     int mb_w = params[0], mb_h = params[1];
     long long nmb = (long long)mb_w * mb_h;
@@ -312,6 +324,12 @@ int h264_cavlc_decode_slice(
     int *nnz_u = nnz_y + 16 * nmb;
     int *nnz_v = nnz_u + 4 * nmb;
     int *coded32 = nnz_v + 4 * nmb;
+
+    short *yvals = coeffs_unused;
+    short *cvals = mvs_unused;
+    int *sctx = (yvals && cvals) ? ctx_out : 0;
+    int *yidx_arr = sctx ? sctx + 2 : 0;
+    int *cidx_arr = sctx ? sctx + 2 + 16 * nmb : 0;
 
     unsigned char intra[65536], coded[65536];
     long long i;
@@ -396,13 +414,20 @@ int h264_cavlc_decode_slice(
                         return -5;
                     memcpy(luma_ac + (i * 16 + b) * 16, lv,
                            16 * sizeof(int));
+                    if (sctx && tc > 0) {
+                        int k = sctx[0]++, q;
+                        yidx_arr[k] = (int)(i * 16 + b);
+                        for (q = 0; q < 16; q++)
+                            yvals[k * 16 + q] = (short)lv[q];
+                    }
                     nnz_y[gy * 4 * mb_w + gx] = tc;
                 } else {
                     nnz_y[gy * 4 * mb_w + gx] = 0;
                 }
             }
             if (residual_chroma(&br, cbp_chroma, mb_x, mb_y, mb_w,
-                                chroma_dc, chroma_ac, nnz_u, nnz_v, i) < 0)
+                                chroma_dc, chroma_ac, nnz_u, nnz_v, i,
+                                cvals, cidx_arr, sctx) < 0)
                 return -6;
             coded[i] = 1;
         } else {
@@ -439,13 +464,21 @@ int h264_cavlc_decode_slice(
                         return -5;
                     memcpy(luma_ac + ((i * 16 + b) * 16 + 1), lv,
                            15 * sizeof(int));
+                    if (sctx && tc > 0) {
+                        int k = sctx[0]++, q;
+                        yidx_arr[k] = (int)(i * 16 + b);
+                        yvals[k * 16] = 0;
+                        for (q = 0; q < 15; q++)
+                            yvals[k * 16 + 1 + q] = (short)lv[q];
+                    }
                     nnz_y[gy * 4 * mb_w + gx] = tc;
                 } else {
                     nnz_y[gy * 4 * mb_w + gx] = 0;
                 }
             }
             if (residual_chroma(&br, cbp_chroma, mb_x, mb_y, mb_w,
-                                chroma_dc, chroma_ac, nnz_u, nnz_v, i) < 0)
+                                chroma_dc, chroma_ac, nnz_u, nnz_v, i,
+                                cvals, cidx_arr, sctx) < 0)
                 return -6;
             coded[i] = 1;
         }

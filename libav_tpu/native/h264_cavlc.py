@@ -52,9 +52,18 @@ def views(block: np.ndarray, nmb: int, mb_w: int, mb_h: int) -> dict:
     )
 
 
+def alloc_sparse(nmb: int):
+    """(yvals, cvals, sctx) side-channel buffers: the C decoder appends
+    each coded 4x4 block's 16 coefficients (int16) plus its flat block
+    index; sctx = [ycount, ccount, yidx..., cidx...]."""
+    return (np.zeros((nmb * 16, 16), dtype=np.int16),
+            np.zeros((nmb * 8, 16), dtype=np.int16),
+            np.zeros(2 + 24 * nmb, dtype=np.int32))
+
+
 def decode_slice(block: np.ndarray, rbsp: bytes, mb_w: int, mb_h: int,
                  first_mb: int, slice_type: int, qp: int,
-                 bit_offset: int = 0) -> int:
+                 bit_offset: int = 0, sparse=None) -> int:
     """Run the C MB loop over `rbsp`, starting `bit_offset` bits into the
     first byte (the slice header ends mid-byte). Returns 0 on success."""
     from libav_tpu.native.build import get_lib, get_ffi
@@ -62,12 +71,19 @@ def decode_slice(block: np.ndarray, rbsp: bytes, mb_w: int, mb_h: int,
     ffi = get_ffi()
     params = np.array([mb_w, mb_h, first_mb, slice_type, qp, bit_offset],
                       dtype=np.int32)
+    if sparse is not None:
+        yvals, cvals, sctx = sparse
+        yv = ffi.cast("short*", ffi.from_buffer(yvals))
+        cv = ffi.cast("short*", ffi.from_buffer(cvals))
+        sc = ffi.cast("int*", ffi.from_buffer(sctx))
+    else:
+        yv = cv = sc = ffi.NULL
     rc = lib.h264_cavlc_decode_slice(
         ffi.cast("const unsigned char*", ffi.from_buffer(rbsp)), len(rbsp),
         ffi.cast("const int*", ffi.from_buffer(params)),
         ffi.NULL,                                   # ctx_in (unused)
-        ffi.NULL,                                   # coeffs (unused)
+        yv,                                         # sparse luma values
         ffi.cast("int*", ffi.from_buffer(block)),   # the tensor block
-        ffi.NULL,                                   # mvs (unused)
-        ffi.NULL)                                   # ctx_out (unused)
+        cv,                                         # sparse chroma values
+        sc)                                         # sparse counts+indices
     return rc
