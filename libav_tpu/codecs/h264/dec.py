@@ -174,8 +174,22 @@ class H264Decoder(Decoder):
         use_native = N.available() and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE'))
         if fd is None:
-            fd = FrameData(nmb, sps.mb_width, sps.mb_height,
-                           use_block=use_native)
+            pool = getattr(self, "_fd_pool", None)
+            if use_native and pool is not None and pool[0] == nmb:
+                # reuse the pooled block: only the fields consumed densely
+                # or read back by the C loop need resetting — the AC
+                # coefficient regions travel via the sparse lists and the
+                # C decoder clears per-MB nnz/chroma_dc itself
+                fd = pool[1]
+                fd.intra[:] = 0
+                fd.coded[:] = 0
+                fd.sparse[2][0] = 0
+                fd.sparse[2][1] = 0
+            else:
+                fd = FrameData(nmb, sps.mb_width, sps.mb_height,
+                               use_block=use_native)
+                if use_native and fd.block is not None:
+                    self._fd_pool = (nmb, fd)
             if fd.block is None:
                 fd.nnz_y = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
                                     dtype=np.int32)
@@ -380,8 +394,11 @@ class H264Decoder(Decoder):
         ypad[:len(yidx)] = yidx
         cpad = np.full(ccap, nmb * 8, np.int32)
         cpad[:len(cidx)] = cidx
+        cl, cr, ct, cb = sps.crop
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
-                                   ycap, ccap)
+                                   ycap, ccap,
+                                   crop=(cl, cr, ct, cb,
+                                         sps.width, sps.height))
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -393,12 +410,7 @@ class H264Decoder(Decoder):
         self._ref = padded
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
-        cl, cr, ct, cb = sps.crop
-        W, H = sps.width, sps.height
-        y = planes[0][2 * ct:2 * ct + H, 2 * cl:2 * cl + W]
-        u = planes[1][ct:ct + (H + 1) // 2, cl:cl + (W + 1) // 2]
-        v = planes[2][ct:ct + (H + 1) // 2, cl:cl + (W + 1) // 2]
-        f.planes = [y, u, v]
+        f.planes = list(planes)     # cropped inside the device program
         f.pict_type = PictureType.I if slice_type == SLICE_I else PictureType.P
         f.key_frame = bool(idr)
         return f

@@ -277,7 +277,7 @@ def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
 
 @functools.lru_cache(maxsize=64)
 def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
-                          ycap: int, ccap: int):
+                          ycap: int, ccap: int, crop=None):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -296,8 +296,19 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
                      .at[cidx].set(cvals)[:nmb * 8].reshape(nmb, 8, 16))
-        return dense_fn(intra, luma_mode, chroma_mode, mv, qp,
-                        luma_dc, luma_ac, chroma_dc, chroma_ac, ry, ru, rv)
+        planes, padded = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
+                                  luma_dc, luma_ac, chroma_dc, chroma_ac,
+                                  ry, ru, rv)
+        if crop is not None:
+            # crop inside the program: one dispatch per frame instead of
+            # recon + 3 host-side lazy slices
+            cl, cr, ct, cb, W, H = crop
+            planes = (planes[0][2 * ct:2 * ct + H, 2 * cl:2 * cl + W],
+                      planes[1][ct:ct + (H + 1) // 2,
+                                cl:cl + (W + 1) // 2],
+                      planes[2][ct:ct + (H + 1) // 2,
+                                cl:cl + (W + 1) // 2])
+        return planes, padded
 
     return jax.jit(fn)
 

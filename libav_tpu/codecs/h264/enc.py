@@ -47,10 +47,14 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
     nmb = mb_w * mb_h
     H, W = mb_h * 16, mb_w * 16
     qpc = int(CHROMA_QP[qp])
-    mfy = jnp.asarray(quant_mf(qp))
-    mfc = jnp.asarray(quant_mf(qpc))
-    sy = jnp.asarray(dequant_scale(qp))
-    sc = jnp.asarray(dequant_scale(qpc))
+    # builder-scope constants MUST stay numpy: a jnp array captured in a
+    # jitted closure becomes a device-buffer executable constant, which
+    # permanently degrades every later dispatch in the process ~100x on
+    # the axon transport (numpy closures become harmless HLO literals)
+    mfy = np.asarray(quant_mf(qp))
+    mfc = np.asarray(quant_mf(qpc))
+    sy = np.asarray(dequant_scale(qp))
+    sc = np.asarray(dequant_scale(qpc))
     qbits_y = 15 + qp // 6
     qbits_c = 15 + qpc // 6
     fy_ = (1 << qbits_y) // 3
@@ -76,8 +80,8 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
     blk_y = np.array([b[1] for b in _BLK_XY])
     r16 = np.arange(16)
     r8 = np.arange(8)
-    Hm = jnp.asarray([[1, 1, 1, 1], [1, 1, -1, -1],
-                      [1, -1, -1, 1], [1, -1, 1, -1]], dtype=jnp.int32)
+    Hm = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                   [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int32)
 
     def quant(wv, mf, f, qbits):
         return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
@@ -230,8 +234,8 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
 
     nmb = mb_w * mb_h
     qpc = int(CHROMA_QP[qp])
-    mfy = jnp.asarray(quant_mf(qp))
-    mfc = jnp.asarray(quant_mf(qpc))
+    mfy = np.asarray(quant_mf(qp))        # numpy: see _encode_i_jit note
+    mfc = np.asarray(quant_mf(qpc))
     qbits_y = 15 + qp // 6
     qbits_c = 15 + qpc // 6
     fy_ = (1 << qbits_y) // 6

@@ -256,6 +256,8 @@ static int residual_chroma(BitReader *br, int cbp_chroma, int mb_x, int mb_y,
                 return -1;
             memcpy(chroma_dc + (i * 2 + c) * 4, lv, 4 * sizeof(int));
         }
+    } else {
+        memset(chroma_dc + i * 8, 0, 8 * sizeof(int));
     }
     for (c = 0; c < 2; c++) {
         int *grid = c == 0 ? nnz_u : nnz_v;
@@ -362,7 +364,7 @@ int h264_cavlc_decode_slice(
             if (skip_run < 0)
                 return -2;
             while (skip_run-- > 0 && i < nmb) {
-                int px, py;
+                int px, py, r;
                 mb_x = (int)(i % mb_w);
                 mb_y = (int)(i / mb_w);
                 pred_pskip(mv, intra, coded, mb_x, mb_y, mb_w, &px, &py);
@@ -370,6 +372,19 @@ int h264_cavlc_decode_slice(
                 mv[2 * i + 1] = py;
                 qp_arr[i] = qp;
                 coded[i] = 1;
+                /* clear nnz + chroma DC: the block may be pooled across
+                 * frames, so stale entries must not leak into nC
+                 * prediction or the dense chroma-DC tensor */
+                for (r = 0; r < 4; r++)
+                    memset(nnz_y + ((4 * mb_y + r) * 4 * mb_w + 4 * mb_x),
+                           0, 4 * sizeof(int));
+                for (r = 0; r < 2; r++) {
+                    memset(nnz_u + ((2 * mb_y + r) * 2 * mb_w + 2 * mb_x),
+                           0, 2 * sizeof(int));
+                    memset(nnz_v + ((2 * mb_y + r) * 2 * mb_w + 2 * mb_x),
+                           0, 2 * sizeof(int));
+                }
+                memset(chroma_dc + i * 8, 0, 8 * sizeof(int));
                 i++;
             }
             if (i >= nmb)
