@@ -115,6 +115,11 @@ class MPEG1Decoder(Decoder):
     # ------------------------------------------------------------------ #
 
     def _decode(self, pkt: Packet) -> List[Frame]:
+        # frames carry the pts of the packet they were *coded* in; with B
+        # reordering a delayed anchor is emitted during a later packet and
+        # must keep its own pts
+        self._cur_pts = pkt.pts
+        self._cur_tb = pkt.time_base
         frames = []
         data = pkt.data
         codes = find_start_codes(data)
@@ -145,12 +150,7 @@ class MPEG1Decoder(Decoder):
                 pass
         if pic_seen and slices:
             frames.extend(self._finish_picture(slices))
-        out = []
-        for f in frames:
-            f.pts = pkt.pts
-            f.time_base = pkt.time_base
-            out.append(f)
-        return out
+        return frames
 
     def _drain(self) -> List[Frame]:
         # emit the held-back last reference frame (reordering delay)
@@ -280,6 +280,8 @@ class MPEG1Decoder(Decoder):
             except AVError as e:
                 log.warning(self, "slice %d decode error: %s", code, e)
         frame = self._reconstruct(mb)
+        frame.pts = getattr(self, "_cur_pts", None)
+        frame.time_base = getattr(self, "_cur_tb", None)
         frame.pict_type = {PICT_I: PictureType.I, PICT_P: PictureType.P,
                            PICT_B: PictureType.B}.get(pic.pict_type,
                                                       PictureType.I)

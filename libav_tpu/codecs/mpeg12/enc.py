@@ -5,8 +5,10 @@ Device (all FLOPs): diamond+hpel motion search (ops/me.py), prediction,
 FDCT, quantization, and the decoder-identical reconstruction for the
 reference frame loop. Host (serial): slice/MB VLC packing.
 
-GOP structure: I + (gop_size-1) P frames (B frames TODO). Rate control:
-fixed qscale (CBR model comes with ratecontrol.py).
+GOP structure: I P..P by default; with b_frames=N the display order is
+I B..B P B..B P ... coded anchor-first (reference reordering:
+mpegvideo_enc.c select_input_picture). Rate control: fixed qscale or
+CBR via ratecontrol.py.
 """
 
 from __future__ import annotations
@@ -23,9 +25,9 @@ from libav_tpu.avutil.rational import Rational
 from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg12 import tables as T
-from libav_tpu.codecs.mpeg12.dec import PICT_I, PICT_P
-from libav_tpu.codecs.mpegvideo import (recon_jit, zero_pad_refs,
-                                        encode_jit)
+from libav_tpu.codecs.mpeg12.dec import PICT_B, PICT_I, PICT_P
+from libav_tpu.codecs.mpegvideo import (encode_b_jit, encode_jit,
+                                        recon_jit, zero_pad_refs)
 from libav_tpu.ops.quant import zigzag_scan
 
 
@@ -124,6 +126,8 @@ class MPEG1Encoder(Encoder):
         Option("rc_eq", "rate control equation", "string", "tex^qComp"),
         Option("qcompress", "rc qscale compression", "float", 0.6, 0.0, 1.0),
         Option("pass_", "2-pass mode: 1 or 2", "int", 0, 0, 2),
+        Option("b_frames", "max B frames between references", "int",
+               0, 0, 4),
     ]
 
     F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
@@ -146,7 +150,12 @@ class MPEG1Encoder(Encoder):
         self.intra_q_zz = self.intra_q[zz].astype(np.int32)
         self.inter_q_zz = self.inter_q[zz].astype(np.int32)
         self._frame_idx = 0
-        self._refs = None      # padded recon planes (device)
+        self._refs = None      # padded recon planes (device), newest anchor
+        self._ref_old = None   # previous anchor (forward ref for B)
+        self._pending_b = []   # [(frame, display_idx)] awaiting an anchor
+        self._disp_idx = 0
+        self._coded_idx = 0
+        self._pts_seq = []     # display-order pts for delayed-dts mapping
         self._fr = self.params.framerate if self.params.framerate else Rational(25, 1)
         # rate control: engaged when a target bitrate is configured
         # (reference: mpegvideo_enc.c wiring of ratecontrol.c)
@@ -162,10 +171,54 @@ class MPEG1Encoder(Encoder):
     # ------------------------------------------------------------------ #
 
     def _encode(self, frame: Frame) -> List[Packet]:
-        seq, pic = None, None
-        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
-        pict_type = PICT_I if is_i else PICT_P
+        """Frame reordering driver (reference: mpegvideo_enc.c
+        select_input_picture / set_frame_distances): display order
+        I B..B P B..B P ... is coded anchor-first."""
+        disp = self._disp_idx
+        self._disp_idx += 1
+        self._pts_seq.append(frame.pts if frame.pts is not None else disp)
+        is_i = (disp % self.gop_size) == 0 or self._refs is None
+        if not is_i and self.b_frames and \
+                len(self._pending_b) < self.b_frames and \
+                (disp + 1) % self.gop_size != 0:
+            self._pending_b.append((frame, disp))
+            return []
+        pkts = [self._encode_anchor(frame, disp,
+                                    PICT_I if is_i else PICT_P)]
+        for bf, bd in self._pending_b:
+            pkts.append(self._encode_b(bf, bd))
+        self._pending_b = []
+        return pkts
 
+    def _drain(self) -> List[Packet]:
+        pkts = []
+        if self._pending_b:
+            # stream ends inside a B run: promote the last held frame to a
+            # P anchor, code the rest as Bs between the two anchors
+            last_f, last_d = self._pending_b[-1]
+            rest = self._pending_b[:-1]
+            self._pending_b = []
+            pkts.append(self._encode_anchor(last_f, last_d, PICT_P))
+            for bf, bd in rest:
+                pkts.append(self._encode_b(bf, bd))
+        return pkts
+
+    def _next_dts(self):
+        """Coded packet k gets dts = display pts[k-1] (one-frame delay)
+        so dts <= pts and dts is monotone in coded order. Without B
+        frames dts == pts (no reordering delay)."""
+        c = self._coded_idx
+        self._coded_idx += 1
+        if not self.b_frames:
+            return None
+        if c == 0:
+            return self._pts_seq[0] - 1
+        return self._pts_seq[c - 1]
+
+    def _encode_anchor(self, frame: Frame, disp: int,
+                       pict_type: int) -> Packet:
+        is_i = pict_type == PICT_I
+        prev_anchor = self._refs          # forward ref for the B run
         y, u, v = self._padded_input(frame)
         nmb = self.mb_w * self.mb_h
         q = self.qscale
@@ -177,7 +230,6 @@ class MPEG1Encoder(Encoder):
 
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND)
         if is_i:
-            import jax.numpy as jnp
             zero = zero_pad_refs(self.mb_w, self.mb_h)
             levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
                                      self.inter_q_zz, *zero)
@@ -201,14 +253,52 @@ class MPEG1Encoder(Encoder):
                           *zero_pad_refs(self.mb_w, self.mb_h))
         self._refs = padded
 
-        data = self._pack(levels, mvs, intra, pict_type, qscale)
+        self._ref_old = prev_anchor or padded
+
+        data = self._pack(levels, mvs, intra, pict_type, qscale, disp)
         if self.rc is not None:
             self.rc.frame_done("I" if is_i else "P", len(data) * 8, q)
-        pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
+        dts = self._next_dts()
+        pkt = Packet(data=data, pts=frame.pts,
+                     dts=frame.pts if dts is None else dts, duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)
         self._frame_idx += 1
-        return [pkt]
+        return pkt
+
+    def _encode_b(self, frame: Frame, disp: int) -> Packet:
+        """B picture: ME against both anchors on device, pack B slices."""
+        y, u, v = self._padded_input(frame)
+        nmb = self.mb_w * self.mb_h
+        q = self.qscale
+        if self.rc is not None:
+            q = self.rc.qscale_for_frame("P")
+            if self.QUANT_KIND == "mpeg2":
+                q = max(2, q + (q & 1))
+        qscale = np.full(nmb, q, dtype=np.int32)
+        fn = encode_b_jit(self.mb_w, self.mb_h, self.QUANT_KIND)
+        ref_f = self._ref_old
+        ref_b = self._refs
+        levels, mvf, mvb, use_fwd, use_bwd = fn(
+            y, u, v, qscale, self.inter_q_zz, *ref_f, *ref_b)
+        levels = np.asarray(levels).astype(np.int16)
+        mvf = np.asarray(mvf)
+        mvb = np.asarray(mvb)
+        use_fwd = np.asarray(use_fwd)
+        use_bwd = np.asarray(use_bwd)
+
+        pb_data = bytearray()
+        pb_data += self._picture_header(PICT_B, disp)
+        pb_data += self._slices_b(levels, mvf, mvb, use_fwd, use_bwd,
+                                  qscale)
+        data = bytes(pb_data)
+        if self.rc is not None:
+            self.rc.frame_done("P", len(data) * 8, q)
+        dts = self._next_dts()
+        self._frame_idx += 1
+        return Packet(data=data, pts=frame.pts,
+                      dts=frame.pts if dts is None else dts, duration=1,
+                      flags=0, time_base=frame.time_base)
 
     def _padded_input(self, frame: Frame):
         H, W = self.mb_h * 16, self.mb_w * 16
@@ -222,12 +312,12 @@ class MPEG1Encoder(Encoder):
 
     # ------------------------------------------------------------------ #
 
-    def _pack(self, levels, mvs, intra, pict_type, qscale) -> bytes:
-        pb = PutBits()
+    def _pack(self, levels, mvs, intra, pict_type, qscale,
+              disp: int) -> bytes:
         out = bytearray()
-        if self._frame_idx % self.gop_size == 0:
+        if pict_type == PICT_I:
             out += self._seq_header()
-        out += self._picture_header(pict_type)
+        out += self._picture_header(pict_type, disp)
         out += self._slices(levels, mvs, intra, pict_type, qscale)
         if (self._frame_idx + 1) % self.gop_size == 0:
             pass
@@ -250,13 +340,16 @@ class MPEG1Encoder(Encoder):
         pb.put_bits(1, 0)            # no custom inter matrix
         return b"\x00\x00\x01\xB3" + pb.flush()
 
-    def _picture_header(self, pict_type) -> bytes:
+    def _picture_header(self, pict_type, disp: int) -> bytes:
         pb = PutBits()
-        pb.put_bits(10, self._frame_idx % 1024)   # temporal ref (no B: = order)
+        pb.put_bits(10, disp % 1024)  # temporal_reference = display order
         pb.put_bits(3, pict_type)
         pb.put_bits(16, 0xFFFF)      # vbv_delay: variable
-        if pict_type == PICT_P:
+        if pict_type in (PICT_P, PICT_B):
             pb.put_bits(1, 0)        # full_pel_forward
+            pb.put_bits(3, self.F_CODE)
+        if pict_type == PICT_B:
+            pb.put_bits(1, 0)        # full_pel_backward
             pb.put_bits(3, self.F_CODE)
         return b"\x00\x00\x01\x00" + pb.flush()
 
@@ -346,6 +439,87 @@ class MPEG1Encoder(Encoder):
                                      mpeg2=self.QUANT_KIND == "mpeg2")
 
 
+def _slices_b_impl(self, levels, mvf, mvb, use_fwd, use_bwd, qscale):
+    out = bytearray()
+    for mb_y in range(self.mb_h):
+        pb = PutBits()
+        pb.put_bits(5, self._qscale_code(int(qscale[mb_y * self.mb_w])))
+        pb.put_bits(1, 0)            # extra_bit_slice
+        self._slice_mbs_b(pb, mb_y, levels, mvf, mvb, use_fwd, use_bwd)
+        pb.align(pad_bit=0)
+        out += b"\x00\x00\x01" + bytes([1 + mb_y]) + pb.flush()
+    return bytes(out)
+
+
+def _slice_mbs_b_impl(self, pb, mb_y, levels, mvf, mvb, use_fwd, use_bwd):
+    """B-picture MB layer (table B.2c; reference: mpeg12enc.c
+    mpeg1_encode_mb_internal B branches). Predictors persist across MBs
+    and skips; a skipped B MB repeats the previous MB's direction flags
+    and vectors (ISO 11172-2 §2.4.4.4)."""
+    mw = self.mb_w
+    bmap = _btype_encode_map()
+    pmv = np.zeros((2, 2), dtype=np.int32)
+    prev_flags = None
+    pending_skip = 0
+    for mb_x in range(mw):
+        idx = mb_y * mw + mb_x
+        lv = levels[idx]
+        uf, ub = bool(use_fwd[idx]), bool(use_bwd[idx])
+        flags = (T.MB_FOR if uf else 0) | (T.MB_BACK if ub else 0)
+        cbp = 0
+        for b in range(6):
+            if np.any(lv[b]):
+                cbp |= 0x20 >> b
+        mv_match = ((not uf or tuple(mvf[idx]) == tuple(pmv[0])) and
+                    (not ub or tuple(mvb[idx]) == tuple(pmv[1])))
+        if (cbp == 0 and flags == prev_flags and mv_match and
+                0 < mb_x < mw - 1):
+            pending_skip += 1
+            continue
+        inc = pending_skip + 1
+        pending_skip = 0
+        while inc > 33:
+            pb.put_bits(T.MB_ADDR_INC[1][T.MB_ADDR_ESCAPE],
+                        T.MB_ADDR_INC[0][T.MB_ADDR_ESCAPE])
+            inc -= 33
+        pb.put_bits(T.MB_ADDR_INC[1][inc - 1], T.MB_ADDR_INC[0][inc - 1])
+
+        if cbp:
+            flags |= T.MB_PAT
+        code, bits = bmap[flags]
+        pb.put_bits(bits, code)
+        if flags & T.MB_FOR:
+            _encode_motion(pb, int(mvf[idx][0]) - int(pmv[0][0]),
+                           self.F_CODE)
+            _encode_motion(pb, int(mvf[idx][1]) - int(pmv[0][1]),
+                           self.F_CODE)
+            pmv[0] = mvf[idx]
+        if flags & T.MB_BACK:
+            _encode_motion(pb, int(mvb[idx][0]) - int(pmv[1][0]),
+                           self.F_CODE)
+            _encode_motion(pb, int(mvb[idx][1]) - int(pmv[1][1]),
+                           self.F_CODE)
+            pmv[1] = mvb[idx]
+        if flags & T.MB_PAT:
+            code, bits = T.MB_PAT_CODES[cbp]
+            pb.put_bits(bits, code)
+        for b in range(6):
+            if cbp & (0x20 >> b):
+                _encode_block_ac(pb, lv[b], start=0, first_inter=True,
+                                 mpeg2=self.QUANT_KIND == "mpeg2")
+        prev_flags = flags & (T.MB_FOR | T.MB_BACK)
+    # pending_skip is always 0 here: the last MB of a slice is never
+    # skipped (mb_x < mw - 1 in the skip condition)
+
+
+@functools.lru_cache(maxsize=None)
+def _btype_encode_map():
+    """flags -> (code, bits) from table B.2c (no-quant variants)."""
+    codes, lens, vals = T.MB_BTYPE
+    return {v: (c, l) for c, l, v in zip(codes, lens, vals)
+            if not (v & T.MB_QUANT)}
+
+
 def _frame_rate_code(fr: Rational) -> int:
     best, bc = 1e9, 3
     for code in range(1, 9):
@@ -354,6 +528,10 @@ def _frame_rate_code(fr: Rational) -> int:
         if err < best:
             best, bc = err, code
     return bc
+
+
+MPEG1Encoder._slices_b = _slices_b_impl
+MPEG1Encoder._slice_mbs_b = _slice_mbs_b_impl
 
 
 @register_codec
@@ -390,16 +568,17 @@ class MPEG2Encoder(MPEG1Encoder):
         pb.put_bits(5, 0)        # frame_rate_extension_d
         return out + b"\x00\x00\x01\xB5" + pb.flush()
 
-    def _picture_header(self, pict_type) -> bytes:
-        out = super()._picture_header(pict_type)
+    def _picture_header(self, pict_type, disp: int) -> bytes:
+        out = super()._picture_header(pict_type, disp)
         # picture coding extension (ISO 13818-2 §6.2.3.1)
         pb = PutBits()
         pb.put_bits(4, 8)        # extension id: picture coding
-        fc = self.F_CODE if pict_type == PICT_P else 15
+        fc = self.F_CODE if pict_type in (PICT_P, PICT_B) else 15
+        fcb = self.F_CODE if pict_type == PICT_B else 15
         pb.put_bits(4, fc)       # f_code[0][0]
         pb.put_bits(4, fc)       # f_code[0][1]
-        pb.put_bits(4, 15)       # f_code[1][0]
-        pb.put_bits(4, 15)       # f_code[1][1]
+        pb.put_bits(4, fcb)      # f_code[1][0]
+        pb.put_bits(4, fcb)      # f_code[1][1]
         pb.put_bits(2, 0)        # intra_dc_precision (8 bit)
         pb.put_bits(2, 3)        # picture_structure: frame
         pb.put_bits(1, 0)        # top_field_first

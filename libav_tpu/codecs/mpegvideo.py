@@ -125,6 +125,101 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def encode_b_jit(mb_w: int, mb_h: int, quant_kind: str = "mpeg1",
+                 search_range: int = 15):
+    """B-picture encode program (reference: mpegvideo_enc.c
+    estimate_b_frame_motion path — ME against both anchors, per-MB
+    fwd/bwd/bi decision, FDCT + inter quant).
+
+    Returns (levels (nmb,6,64) zigzag, mv_fwd, mv_bwd, use_fwd, use_bwd);
+    bi-prediction sets both use flags."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import avg_pred, mc_hpel, chroma_mv_div2
+    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    zz = zigzag_scan()
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    def planes_of(pred_y, pred_u, pred_v):
+        return ((pred_y.reshape(mb_h, mb_w, 16, 16)
+                 .transpose(0, 2, 1, 3).reshape(H, W)),
+                (pred_u.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)),
+                (pred_v.reshape(mb_h, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)))
+
+    def fn(cur_y, cur_u, cur_v, qscale, inter_qmat_zz,
+           r0y, r0u, r0v, r1y, r1u, r1v):
+        cy = cur_y.astype(jnp.int32)
+        cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+        blocks = mb_blocks(cy, cur_u.astype(jnp.int32),
+                           cur_v.astype(jnp.int32))
+
+        def me(ref_y):
+            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ref_y)
+            return _hpel_refine_jit(mb_w, mb_h)(cur_mbs, ref_y, fmv)
+
+        mvf, sadf = me(r0y)
+        mvb, sadb = me(r1y)
+
+        def mc6(ry, ru, rv, mv):
+            py = mc_hpel(ry, mbx, mby, mv[:, 0], mv[:, 1], 16)
+            cmv = chroma_mv_div2(mv)
+            pu = mc_hpel(ru, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            pv = mc_hpel(rv, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+            return py, pu, pv
+
+        fy, fu, fv = mc6(r0y, r0u, r0v, mvf)
+        by, bu, bv = mc6(r1y, r1u, r1v, mvb)
+        biy = avg_pred(fy, by)
+        sadbi = jnp.abs(cur_mbs - biy).sum(axis=(1, 2))
+
+        # per-MB mode: 0=fwd, 1=bwd, 2=bi (small bi bias: two MV costs)
+        costs = jnp.stack([sadf, sadb, sadbi + 64], axis=1)
+        mode = jnp.argmin(costs, axis=1)
+        use_fwd = mode != 1
+        use_bwd = mode != 0
+        m = mode[:, None, None]
+        pred_y = jnp.where(m == 0, fy, jnp.where(m == 1, by, biy))
+        pred_u = jnp.where(m == 0, fu, jnp.where(m == 1, bu,
+                                                 avg_pred(fu, bu)))
+        pred_v = jnp.where(m == 0, fv, jnp.where(m == 1, bv,
+                                                 avg_pred(fv, bv)))
+
+        resid = blocks - mb_blocks(*planes_of(pred_y, pred_u, pred_v))
+        coeffs8 = fdct_ops.fdct8x8_int(resid.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        qs6 = jnp.repeat(qscale, 6)
+        q = qs6[:, None] * inter_qmat_zz[None, :]
+        if quant_kind == "mpeg2":
+            q = jnp.maximum(q // 2, 1)
+        lv = jnp.sign(czz) * (jnp.abs(czz) // q)
+        lim = 2047 if quant_kind == "mpeg2" else 255
+        levels = jnp.clip(lv, -lim, lim)
+        return (levels.reshape(nmb, 6, 64), mvf, mvb, use_fwd, use_bwd)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=8)
 def zero_pad_refs(mb_w: int, mb_h: int):
     import jax.numpy as jnp

@@ -34,6 +34,7 @@ from libav_tpu.formats import FormatContext
 @dataclass
 class OutputStreamSpec:
     codec: Optional[str] = None      # None = default for format, 'copy'
+    extra: Dict[str, str] = field(default_factory=dict)
     pix_fmt: Optional[str] = None
     size: Optional[str] = None
     quality: Optional[int] = None
@@ -158,7 +159,28 @@ def parse_args(argv: List[str]) -> Options:
         else:
             o.output_url = a
         i += 1
+    o.video.extra.update(o.extra)
+    o.audio.extra.update(o.extra)
     return o
+
+
+# global per-codec option spellings -> encoder Option names
+_EXTRA_OPT_MAP = {"max_b_frames": "b_frames", "bf": "b_frames",
+                  "bit_rate": "bit_rate", "gop_size": "gop_size",
+                  "qp": "qp", "flags": "flags"}
+
+
+def _apply_extra(enc_opts: Dict[str, Any], extra: Dict[str, str]):
+    for k, v in extra.items():
+        name = _EXTRA_OPT_MAP.get(k, k)
+        try:
+            v = int(v)
+        except (TypeError, ValueError):
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                pass
+        enc_opts[name] = v
 
 
 _DEFAULT_VCODEC_FOR_FMT = {
@@ -264,6 +286,7 @@ class _VideoChain:
             # -q/-qscale semantics (1-31, lower = better), like the
             # reference; encoders map it to their own quality notion
             enc_opts["qscale"] = self.spec.quality
+        _apply_extra(enc_opts, self.spec.extra)
         self.enc = None
         self.enc_name = codec_name
         self.enc_opts = enc_opts
@@ -275,7 +298,10 @@ class _VideoChain:
         self.out_par.width = self.out_par.width or frame.width
         self.out_par.height = self.out_par.height or frame.height
         self.out_par.pix_fmt = self.spec.pix_fmt or frame.format
-        self.enc = find_encoder(self.enc_name)(self.out_par, self.enc_opts).open()
+        self.enc = find_encoder(self.enc_name)(self.out_par)
+        # global options may target another codec: ignore unknown names
+        self.enc.set_opts(self.enc_opts, ignore_unknown=True)
+        self.enc.open()
 
     def send(self, pkt: Packet):
         if self.done:

@@ -238,3 +238,61 @@ class TestMPEG2RoundTrip:
                                            codec_id="mpeg2video"))
         dec.decode_all([Packet(data=pkts[0].data, pts=0)])
         assert dec.seq.mpeg2 is True
+
+
+class TestBFrames:
+    """IPB GOP round trip (display-order I B B P ..., coded anchor-first;
+    reference: mpegvideo_enc.c select_input_picture reordering)."""
+
+    def _roundtrip_b(self, codec_id, nframes=7, b_frames=2, qscale=4):
+        from libav_tpu.codecs.api import find_encoder, find_decoder
+        frames = [vsynth_frame(64, 48, t) for t in range(nframes)]
+        for i, f in enumerate(frames):
+            f.pts = i
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id=codec_id,
+                              width=64, height=48, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = find_encoder(codec_id)(par)
+        enc.set_opt("qscale", qscale)
+        enc.set_opt("gop_size", 12)
+        enc.set_opt("b_frames", b_frames)
+        pkts = enc.encode_all(frames)
+        assert len(pkts) == nframes
+        # coded order differs from display order
+        coded_pts = [p.pts for p in pkts]
+        assert coded_pts != sorted(coded_pts)
+        # dts monotone and <= pts
+        dts = [p.dts for p in pkts]
+        assert dts == sorted(dts)
+        assert all(d <= p for d, p in zip(dts, coded_pts))
+        dec = find_decoder(codec_id)(
+            CodecParameters(codec_type=MediaType.VIDEO, codec_id=codec_id))
+        out = dec.decode_all([Packet(data=p.data, pts=p.pts, dts=p.dts)
+                              for p in pkts])
+        assert len(out) == nframes
+        # decoder restores display order
+        assert [f.pts for f in out] == list(range(nframes))
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], np.asarray(o.to_host().planes[0]))
+            assert p > 28, f"frame {i} ({o.pict_type}) luma psnr {p:.1f}"
+        return pkts, out
+
+    def test_mpeg1_ipb(self):
+        from libav_tpu.avutil.frame import PictureType
+        pkts, out = self._roundtrip_b("mpeg1video")
+        assert any(f.pict_type == PictureType.B for f in out)
+
+    def test_mpeg2_ipb(self):
+        self._roundtrip_b("mpeg2video")
+
+    def test_b_frames_smaller(self):
+        # B frames should generally cost fewer bits than anchors
+        pkts, out = self._roundtrip_b("mpeg1video", nframes=7, b_frames=2)
+        from libav_tpu.avutil.frame import PictureType
+        bpts = [f.pts for f in out if f.pict_type == PictureType.B]
+        psizes = {p.pts: len(p.data) for p in pkts}
+        assert bpts, "no B frames coded"
+        avg_b = sum(psizes[t] for t in bpts) / len(bpts)
+        anchors = [t for t in psizes if t not in bpts and t != 0]
+        avg_p = sum(psizes[t] for t in anchors) / max(1, len(anchors))
+        assert avg_b <= avg_p * 1.5
