@@ -45,52 +45,96 @@ def parse_adts_header(data: bytes):
     return (T.SAMPLE_RATES[sr_index], ch_config, frame_len, hdr)
 
 
+def _decode_spectrum(gb, cb, count):
+    """count quantized coefficients from codebook cb."""
+    vlc = T.spectral_vlc(cb)
+    unpack = T.unpack_index(cb)
+    dim, signed, _ = T.CB_INFO[cb]
+    out = np.zeros(count, dtype=np.int32)
+    k = 0
+    while k < count:
+        idx = vlc.read(gb)
+        vals = list(unpack(idx))
+        if not signed:
+            for i, v in enumerate(vals):
+                if v != 0 and gb.get_bits(1):
+                    vals[i] = -v
+        if cb == T.ESC_HCB:
+            for i, v in enumerate(vals):
+                if abs(v) == 16:
+                    n = 4
+                    while gb.get_bits(1):
+                        n += 1
+                    esc = gb.get_bits(n)
+                    mag = (1 << n) + esc
+                    vals[i] = mag if v > 0 else -mag
+        out[k:k + dim] = vals
+        k += dim
+    return out
+
+
 def decode_ics(gb: GetBits, sample_rate: int):
-    """One individual_channel_stream -> (spec coefficients (1024,) float)."""
+    """One individual_channel_stream (reference: aacdec.c decode_ics
+    :1861). Returns (window_sequence, window_shape, spec) where spec is
+    (1024,) for long sequences or (8, 128) for EIGHT_SHORT."""
     global_gain = gb.get_bits(8)
 
     # ics_info
     gb.get_bits(1)           # ics_reserved
     window_sequence = gb.get_bits(2)
-    gb.get_bits(1)           # window_shape (dec: both OK, we mirror enc)
+    window_shape = gb.get_bits(1)
     if window_sequence == EIGHT_SHORT:
-        raise AVError(INVALIDDATA, "short windows not supported yet")
-    max_sfb = gb.get_bits(6)
-    if gb.get_bits(1):       # predictor_data_present
-        raise AVError(INVALIDDATA, "main-profile prediction unsupported")
-
-    offsets = T.swb_offsets_long(sample_rate)
+        max_sfb = gb.get_bits(4)
+        grouping = gb.get_bits(7)
+        group_len = [1]
+        for i in range(7):
+            if grouping & (1 << (6 - i)):
+                group_len[-1] += 1
+            else:
+                group_len.append(1)
+        offsets = T.swb_offsets_short(sample_rate)
+        sect_bits, sect_esc = 3, 7
+    else:
+        max_sfb = gb.get_bits(6)
+        if gb.get_bits(1):   # predictor_data_present
+            raise AVError(INVALIDDATA, "main-profile prediction unsupported")
+        group_len = [1]
+        offsets = T.swb_offsets_long(sample_rate)
+        sect_bits, sect_esc = 5, 31
+    num_groups = len(group_len)
     if max_sfb > len(offsets) - 1:
         raise AVError(INVALIDDATA, "max_sfb too large")
 
-    # section_data
-    band_cb = np.zeros(max_sfb, dtype=np.int32)
-    k = 0
-    while k < max_sfb:
-        cb = gb.get_bits(4)
-        sect_len = 0
-        while True:
-            incr = gb.get_bits(5)
-            sect_len += incr
-            if incr != 31:
-                break
-        if k + sect_len > max_sfb:
-            raise AVError(INVALIDDATA, "section overflow")
-        band_cb[k:k + sect_len] = cb
-        k += sect_len
+    # section_data (sections never span group boundaries)
+    band_cb = np.zeros((num_groups, max_sfb), dtype=np.int32)
+    for g in range(num_groups):
+        k = 0
+        while k < max_sfb:
+            cb = gb.get_bits(4)
+            sect_len = 0
+            while True:
+                incr = gb.get_bits(sect_bits)
+                sect_len += incr
+                if incr != sect_esc:
+                    break
+            if k + sect_len > max_sfb:
+                raise AVError(INVALIDDATA, "section overflow")
+            band_cb[g, k:k + sect_len] = cb
+            k += sect_len
 
-    # scale_factor_data
-    sf = np.zeros(max_sfb, dtype=np.int32)
+    # scale_factor_data (dpcm runs across groups)
+    sf = np.zeros((num_groups, max_sfb), dtype=np.int32)
     sf_vlc = T.scalefactor_vlc()
     cur = global_gain
-    for g in range(max_sfb):
-        cb = band_cb[g]
-        if cb == T.ZERO_HCB:
-            continue
-        if cb in (T.NOISE_HCB, T.INTENSITY_HCB, T.INTENSITY_HCB2):
-            raise AVError(INVALIDDATA, "PNS/IS not supported yet")
-        cur += sf_vlc.read(gb) - 60
-        sf[g] = cur
+    for g in range(num_groups):
+        for b in range(max_sfb):
+            cb = band_cb[g, b]
+            if cb == T.ZERO_HCB:
+                continue
+            if cb in (T.NOISE_HCB, T.INTENSITY_HCB, T.INTENSITY_HCB2):
+                raise AVError(INVALIDDATA, "PNS/IS not supported yet")
+            cur += sf_vlc.read(gb) - 60
+            sf[g, b] = cur
 
     # pulse / tns / gain control
     if gb.get_bits(1):
@@ -100,47 +144,44 @@ def decode_ics(gb: GetBits, sample_rate: int):
     if gb.get_bits(1):
         raise AVError(INVALIDDATA, "gain control not supported")
 
-    # spectral_data
+    # spectral_data: groups -> sfb -> windows-in-group -> coefficients
+    if window_sequence == EIGHT_SHORT:
+        spec = np.zeros((8, 128), dtype=np.float64)
+        wstart = 0
+        for g in range(num_groups):
+            L = group_len[g]
+            for b in range(max_sfb):
+                cb = int(band_cb[g, b])
+                s0, e0 = int(offsets[b]), int(offsets[b + 1])
+                width = e0 - s0
+                if cb == T.ZERO_HCB:
+                    continue
+                q = _decode_spectrum(gb, cb, L * width).astype(np.float64)
+                gain = 2.0 ** (0.25 * (sf[g, b] - SF_OFFSET))
+                vals = np.sign(q) * np.abs(q) ** (4.0 / 3.0) * gain
+                vals = vals.reshape(L, width)
+                for w in range(L):
+                    spec[wstart + w, s0:e0] = vals[w]
+            wstart += L
+        return window_sequence, window_shape, spec
+
     quant = np.zeros(1024, dtype=np.int32)
-    for g in range(max_sfb):
-        cb = int(band_cb[g])
+    for b in range(max_sfb):
+        cb = int(band_cb[0, b])
         if cb == T.ZERO_HCB:
             continue
-        vlc = T.spectral_vlc(cb)
-        unpack = T.unpack_index(cb)
-        dim, signed, maxa = T.CB_INFO[cb]
-        start, end = int(offsets[g]), int(offsets[g + 1])
-        k = start
-        while k < end:
-            idx = vlc.read(gb)
-            vals = list(unpack(idx))
-            if not signed:
-                for i, v in enumerate(vals):
-                    if v != 0 and gb.get_bits(1):
-                        vals[i] = -v
-            if cb == T.ESC_HCB:
-                for i, v in enumerate(vals):
-                    if abs(v) == 16:
-                        n = 4
-                        while gb.get_bits(1):
-                            n += 1
-                        esc = gb.get_bits(n)
-                        mag = (1 << n) + esc
-                        vals[i] = mag if v > 0 else -mag
-            quant[k:k + dim] = vals
-            k += dim
+        s0, e0 = int(offsets[b]), int(offsets[b + 1])
+        quant[s0:e0] = _decode_spectrum(gb, cb, e0 - s0)
 
     # inverse quantization: x = sign(q)*|q|^(4/3) * 2^(0.25*(sf-offset))
-    spec = np.zeros(1024, dtype=np.float64)
     q = quant.astype(np.float64)
     mag = np.abs(q) ** (4.0 / 3.0)
     gains = np.zeros(1024)
-    for g in range(max_sfb):
-        if band_cb[g] != T.ZERO_HCB:
-            gains[offsets[g]:offsets[g + 1]] = \
-                2.0 ** (0.25 * (sf[g] - SF_OFFSET))
-    spec = np.sign(q) * mag * gains
-    return spec
+    for b in range(max_sfb):
+        if band_cb[0, b] != T.ZERO_HCB:
+            gains[offsets[b]:offsets[b + 1]] = \
+                2.0 ** (0.25 * (sf[0, b] - SF_OFFSET))
+    return window_sequence, window_shape, np.sign(q) * mag * gains
 
 
 @register_codec
@@ -151,9 +192,11 @@ class AACDecoder(Decoder):
 
     def _init(self):
         self._overlap = None
+        self._prev_shape = []
 
     def _flush(self):
         self._overlap = None
+        self._prev_shape = []
 
     def _decode(self, pkt: Packet) -> List[Frame]:
         data = pkt.data
@@ -197,8 +240,12 @@ class AACDecoder(Decoder):
                 break
         if not specs:
             return []
-        pcm = self._imdct(np.stack(specs))
         nch = len(specs)
+        if self._overlap is None or self._overlap.shape[0] != nch:
+            self._overlap = np.zeros((nch, 1024), dtype=np.float64)
+            self._prev_shape = [0] * nch
+        pcm = np.stack([self._imdct_channel(c, *specs[c])
+                        for c in range(nch)])
         f = Frame(nb_samples=1024, sample_rate=sample_rate, format="fltp",
                   channels=nch, channel_layout=default_channel_layout(nch))
         f.planes = [pcm[c].astype(np.float32) for c in range(nch)]
@@ -206,14 +253,44 @@ class AACDecoder(Decoder):
         f.time_base = pkt.time_base
         return [f]
 
-    def _imdct(self, specs: np.ndarray) -> np.ndarray:
+    def _imdct_channel(self, ch: int, seq: int, shape: int,
+                       spec: np.ndarray) -> np.ndarray:
+        """IMDCT + window sequence overlap-add (reference: aacdec.c
+        imdct_and_windowing :2409 — long/start/short/stop composition;
+        the left half of each window uses the previous frame's shape)."""
         from libav_tpu.ops import fftmdct as F
-        nch = specs.shape[0]
-        win = F.sine_window(2048)
-        # undo the encoder-side 2/N fraction normalization
-        frames = np.asarray(F.imdct((specs * 1024.0).astype(np.float32))) * win
-        if self._overlap is None or self._overlap.shape[0] != nch:
-            self._overlap = np.zeros((nch, 1024), dtype=np.float64)
-        out = self._overlap + frames[:, :1024]
-        self._overlap = np.asarray(frames[:, 1024:], dtype=np.float64)
+
+        def lw(sh):
+            return F.kbd_window(2048) if sh else F.sine_window(2048)
+
+        def sw(sh):
+            return F.kbd_window(256, alpha=6.0) if sh else F.sine_window(256)
+
+        prev = self._prev_shape[ch]
+        comp = np.zeros(2048)
+        if seq == EIGHT_SHORT:
+            frames = np.asarray(
+                F.imdct((spec * 128.0).astype(np.float32))).astype(np.float64)
+            for i in range(8):
+                w = np.concatenate([sw(prev if i == 0 else shape)[:128],
+                                    sw(shape)[128:]])
+                comp[448 + 128 * i:448 + 128 * i + 256] += frames[i] * w
+        else:
+            frame = np.asarray(
+                F.imdct((spec[None, :] * 1024.0).astype(np.float32))
+            )[0].astype(np.float64)
+            if seq == LONG_STOP:
+                left = np.concatenate([np.zeros(448), sw(prev)[:128],
+                                       np.ones(448)])
+            else:
+                left = lw(prev)[:1024]
+            if seq == LONG_START:
+                right = np.concatenate([np.ones(448), sw(shape)[128:],
+                                        np.zeros(448)])
+            else:
+                right = lw(shape)[1024:]
+            comp = frame * np.concatenate([left, right])
+        out = self._overlap[ch] + comp[:1024]
+        self._overlap[ch] = comp[1024:]
+        self._prev_shape[ch] = shape
         return out

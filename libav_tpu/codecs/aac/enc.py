@@ -1,9 +1,13 @@
 """AAC-LC encoder (reference role: libavcodec's native aacenc; minimal
 compliant subset for round-trip validation and transcode output).
 
-Long windows only, sine window shape, per-band scalefactors sized to keep
-quantized magnitudes in range, ESC codebook (11) for all coded bands,
-SCE/CPE with per-channel ICS, ADTS framing.
+Sine window shape, per-band scalefactors sized to keep quantized
+magnitudes in range, ESC codebook (11) for all coded bands, SCE/CPE with
+per-channel ICS, ADTS framing. Transient frames switch to
+EIGHT_SHORT_SEQUENCE (one group of 8 windows) with the spec window-state
+machine (ONLY_LONG -> LONG_START -> EIGHT_SHORT -> LONG_STOP), using one
+frame of lookahead for the LONG_START decision (reference: aacenc
+psy-based block switching).
 """
 
 from __future__ import annotations
@@ -18,7 +22,8 @@ from libav_tpu.avutil.opt import Option
 from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.aac import tables as T
-from libav_tpu.codecs.aac.dec import SF_OFFSET, SCE, CPE, END
+from libav_tpu.codecs.aac.dec import (EIGHT_SHORT, LONG_START, LONG_STOP,
+                                       ONLY_LONG, SF_OFFSET, SCE, CPE, END)
 from libav_tpu.codecs.aac.tables_gen import (SCALEFACTOR_BITS,
                                              SCALEFACTOR_CODE,
                                              SPECTRAL_BITS, SPECTRAL_CODES)
@@ -44,8 +49,12 @@ class AACEncoder(Encoder):
         self.sr_index = T.SAMPLE_RATES.index(self.sample_rate)
         self.offsets = T.swb_offsets_long(self.sample_rate)
         self.max_sfb = len(self.offsets) - 1
+        self.short_offsets = T.swb_offsets_short(self.sample_rate)
+        self.max_sfb_short = len(self.short_offsets) - 1
         self._buf = np.zeros((self.channels, 0), dtype=np.float64)
         self._prev = np.zeros((self.channels, 1024), dtype=np.float64)
+        self._chunks = []        # lookahead queue for block switching
+        self._prev_short = False
         self._pts = 0
 
     # ------------------------------------------------------------------ #
@@ -54,43 +63,101 @@ class AACEncoder(Encoder):
         from libav_tpu.codecs.ac3.enc import AC3Encoder
         x = AC3Encoder._to_planar(self, frame)
         self._buf = np.concatenate([self._buf, x], axis=1)
-        pkts = []
         while self._buf.shape[1] >= self.FRAME_SAMPLES:
-            chunk = self._buf[:, :self.FRAME_SAMPLES]
+            self._chunks.append(self._buf[:, :self.FRAME_SAMPLES])
             self._buf = self._buf[:, self.FRAME_SAMPLES:]
-            pkts.append(self._encode_frame(chunk, frame))
+        pkts = []
+        # keep one chunk of lookahead for the LONG_START decision
+        while len(self._chunks) >= 2:
+            pkts.append(self._emit(self._chunks.pop(0), self._chunks[0],
+                                   frame))
         return pkts
 
     def _drain(self) -> List[Packet]:
-        if self._buf.shape[1] == 0:
-            return []
-        pad = self.FRAME_SAMPLES - self._buf.shape[1]
-        chunk = np.pad(self._buf, ((0, 0), (0, pad)))
-        self._buf = self._buf[:, :0]
-        return [self._encode_frame(chunk, None)]
+        if self._buf.shape[1]:
+            pad = self.FRAME_SAMPLES - self._buf.shape[1]
+            self._chunks.append(np.pad(self._buf, ((0, 0), (0, pad))))
+            self._buf = self._buf[:, :0]
+        pkts = []
+        while self._chunks:
+            nxt = self._chunks[1] if len(self._chunks) > 1 else None
+            pkts.append(self._emit(self._chunks.pop(0), nxt, None))
+        return pkts
+
+    @staticmethod
+    def _is_transient(chunk: np.ndarray) -> bool:
+        """Attack detector: a 128-sample sub-block much louder than the
+        running average of the preceding ones."""
+        e = (chunk ** 2).reshape(chunk.shape[0], 8, 128).sum(axis=2)
+        e = e.max(axis=0)                      # loudest channel
+        run = e[0] + 1e-9
+        for i in range(1, 8):
+            if e[i] > 8.0 * run / i and e[i] > 1e-4:
+                return True
+            run += e[i]
+        return False
+
+    def _emit(self, chunk, next_chunk, src) -> Packet:
+        short_cur = self._is_transient(chunk)
+        short_next = next_chunk is not None and \
+            self._is_transient(next_chunk)
+        if short_cur:
+            seq = EIGHT_SHORT
+        elif short_next:
+            seq = LONG_START
+        elif self._prev_short:
+            seq = LONG_STOP
+        else:
+            seq = ONLY_LONG
+        self._prev_short = short_cur
+        return self._encode_frame(chunk, src, seq)
 
     # ------------------------------------------------------------------ #
 
-    def _encode_frame(self, pcm: np.ndarray, src) -> Packet:
+    def _window_for(self, seq: int) -> np.ndarray:
+        from libav_tpu.ops import fftmdct as F
+        lw = F.sine_window(2048)
+        sw = F.sine_window(256)
+        if seq == ONLY_LONG:
+            return lw
+        if seq == LONG_START:
+            return np.concatenate([lw[:1024], np.ones(448), sw[128:],
+                                   np.zeros(448)])
+        if seq == LONG_STOP:
+            return np.concatenate([np.zeros(448), sw[:128], np.ones(448),
+                                   lw[1024:]])
+        raise AVError(EINVAL, "no composite window for EIGHT_SHORT")
+
+    def _encode_frame(self, pcm: np.ndarray, src,
+                      seq: int = ONLY_LONG) -> Packet:
         from libav_tpu.ops import fftmdct as F
         nch = self.channels
-        win = F.sine_window(2048)
-        blocks = np.concatenate([self._prev, pcm], axis=1) * win
+        comp = np.concatenate([self._prev, pcm], axis=1)
         self._prev = pcm.copy()
-        spec = np.asarray(F.mdct(blocks.astype(np.float32))
-                          ).astype(np.float64) * (2.0 / 2048.0)
+        if seq == EIGHT_SHORT:
+            sw = F.sine_window(256)
+            # 8 short transforms at offsets 448 + 128*i of the composite
+            segs = np.stack([comp[:, 448 + 128 * i:448 + 128 * i + 256]
+                             for i in range(8)], axis=1) * sw
+            spec = np.asarray(F.mdct(
+                segs.reshape(nch * 8, 256).astype(np.float32))
+            ).astype(np.float64).reshape(nch, 8, 128) * (2.0 / 256.0)
+        else:
+            blocks = comp * self._window_for(seq)
+            spec = np.asarray(F.mdct(blocks.astype(np.float32))
+                              ).astype(np.float64) * (2.0 / 2048.0)
 
         pb = PutBits()
         if nch == 1:
             pb.put_bits(3, SCE)
             pb.put_bits(4, 0)
-            self._encode_ics(pb, spec[0])
+            self._encode_ics(pb, spec[0], seq)
         else:
             pb.put_bits(3, CPE)
             pb.put_bits(4, 0)
             pb.put_bits(1, 0)        # common_window = 0
-            self._encode_ics(pb, spec[0])
-            self._encode_ics(pb, spec[1])
+            self._encode_ics(pb, spec[0], seq)
+            self._encode_ics(pb, spec[1], seq)
         pb.put_bits(3, END)
         pb.align(0)
         body = pb.flush()
@@ -122,18 +189,31 @@ class AACEncoder(Encoder):
 
     # ------------------------------------------------------------------ #
 
-    def _encode_ics(self, pb: PutBits, spec: np.ndarray):
-        offsets = self.offsets
-        max_sfb = self.max_sfb
+    def _encode_ics(self, pb: PutBits, spec: np.ndarray,
+                    seq: int = ONLY_LONG):
+        if seq == EIGHT_SHORT:
+            # one group of all 8 windows: band g covers the same sfb of
+            # every window, stored window-major (group layout)
+            offsets8 = self.short_offsets
+            max_sfb = self.max_sfb_short
+            bands = [np.concatenate([spec[w, offsets8[g]:offsets8[g + 1]]
+                                     for w in range(8)])
+                     for g in range(max_sfb)]
+            sect_bits, sect_esc = 3, 7
+        else:
+            offsets = self.offsets
+            max_sfb = self.max_sfb
+            bands = [spec[offsets[g]:offsets[g + 1]]
+                     for g in range(max_sfb)]
+            sect_bits, sect_esc = 5, 31
         # per-band scalefactor: amplitude such that quantized magnitudes
         # stay modest; quality scales the step
         band_cb = np.zeros(max_sfb, dtype=np.int32)
         sf = np.zeros(max_sfb, dtype=np.int32)
-        quant = np.zeros(1024, dtype=np.int64)
+        bandq: list = [None] * max_sfb
         qual_shift = self.quality
         for g in range(max_sfb):
-            s, e = int(offsets[g]), int(offsets[g + 1])
-            band = spec[s:e]
+            band = bands[g]
             amax = np.abs(band).max()
             if amax < 1e-7:
                 continue
@@ -149,7 +229,7 @@ class AACEncoder(Encoder):
             q = np.clip(q, -8191, 8191)
             if np.any(q):
                 band_cb[g] = T.ESC_HCB
-                quant[s:e] = q.astype(np.int64)
+                bandq[g] = q.astype(np.int64)
 
         # global_gain = first used sf (or offset)
         used = np.where(band_cb != 0)[0]
@@ -158,10 +238,14 @@ class AACEncoder(Encoder):
 
         # ics_info
         pb.put_bits(1, 0)            # reserved
-        pb.put_bits(2, 0)            # ONLY_LONG_SEQUENCE
+        pb.put_bits(2, seq)
         pb.put_bits(1, 0)            # window_shape: sine
-        pb.put_bits(6, max_sfb)
-        pb.put_bits(1, 0)            # predictor_data_present
+        if seq == EIGHT_SHORT:
+            pb.put_bits(4, max_sfb)
+            pb.put_bits(7, 0x7F)     # grouping: one group of 8 windows
+        else:
+            pb.put_bits(6, max_sfb)
+            pb.put_bits(1, 0)        # predictor_data_present
 
         # section_data: runs of equal codebook
         g = 0
@@ -172,10 +256,10 @@ class AACEncoder(Encoder):
                 run += 1
             pb.put_bits(4, int(cb))
             r = run
-            while r >= 31:
-                pb.put_bits(5, 31)
-                r -= 31
-            pb.put_bits(5, r)
+            while r >= sect_esc:
+                pb.put_bits(sect_bits, sect_esc)
+                r -= sect_esc
+            pb.put_bits(sect_bits, r)
             g += run
 
         # scale_factor_data (dpcm vs previous coded band)
@@ -200,8 +284,8 @@ class AACEncoder(Encoder):
         for g in range(max_sfb):
             if band_cb[g] == 0:
                 continue
-            s, e = int(offsets[g]), int(offsets[g + 1])
-            for k in range(s, e, 2):
+            quant = bandq[g]
+            for k in range(0, len(quant), 2):
                 a, b = int(quant[k]), int(quant[k + 1])
                 ia, ib = min(abs(a), 16), min(abs(b), 16)
                 idx = pack(ia, ib)

@@ -27,6 +27,22 @@ def swb_offsets_long(sample_rate: int) -> np.ndarray:
     return np.asarray(_SWB_1024[sample_rate], dtype=np.int32)
 
 
+_SWB_128 = {
+    96000: G.SWB_OFFSET_128_96, 88200: G.SWB_OFFSET_128_96,
+    64000: G.SWB_OFFSET_128_96, 48000: G.SWB_OFFSET_128_48,
+    44100: G.SWB_OFFSET_128_48, 32000: G.SWB_OFFSET_128_48,
+    24000: G.SWB_OFFSET_128_24, 22050: G.SWB_OFFSET_128_24,
+    16000: G.SWB_OFFSET_128_16, 12000: G.SWB_OFFSET_128_16,
+    11025: G.SWB_OFFSET_128_16, 8000: G.SWB_OFFSET_128_8,
+}
+
+
+def swb_offsets_short(sample_rate: int) -> np.ndarray:
+    """Short-window (128) scalefactor band offsets (reference:
+    aactab.c ff_swb_offset_128 :1252)."""
+    return np.asarray(_SWB_128[sample_rate], dtype=np.int32)
+
+
 # codebook properties: (dimension, is_signed, max_abs)
 CB_INFO = {
     1: (4, True, 1), 2: (4, True, 1), 3: (4, False, 2), 4: (4, False, 2),

@@ -63,3 +63,75 @@ class TestAAC:
         pk_lo, _ = roundtrip(f, quality=9)
         assert sum(len(p.data) for p in pk_hi) > \
             sum(len(p.data) for p in pk_lo)
+
+
+class TestShortWindows:
+    def _roundtrip(self, x, rate=48000):
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.codecs.aac import AACEncoder, AACDecoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="aac",
+                              sample_rate=rate, channels=1,
+                              sample_fmt="fltp")
+        f = Frame(nb_samples=x.shape[-1], sample_rate=rate, format="fltp",
+                  channels=1)
+        f.planes = [x.astype(np.float32)]
+        enc = AACEncoder(par)
+        pkts = enc.encode_all([f])
+        dec = AACDecoder(CodecParameters(codec_type=MediaType.AUDIO,
+                                         codec_id="aac"))
+        out = dec.decode_all([Packet(data=p.data, pts=p.pts) for p in pkts])
+        y = np.concatenate([np.asarray(o.planes[0]) for o in out])
+        return pkts, y
+
+    def test_transient_uses_eight_short(self):
+        """A click mid-frame must trigger EIGHT_SHORT with LONG_START
+        before and LONG_STOP after, and still reconstruct."""
+        from libav_tpu.codecs.aac.dec import (parse_adts_header, decode_ics,
+                                              EIGHT_SHORT, LONG_START,
+                                              LONG_STOP, ONLY_LONG)
+        from libav_tpu.bitstream import GetBits
+        rate = 48000
+        n = 1024 * 6
+        t = np.arange(n) / rate
+        x = 0.05 * np.sin(2 * np.pi * 220 * t)
+        x[1024 * 3 + 500:1024 * 3 + 520] += 0.8      # click in frame 3
+        pkts, y = self._roundtrip(x, rate)
+
+        seqs = []
+        for p in pkts:
+            hdr = parse_adts_header(p.data)
+            body = p.data[hdr[3]:hdr[2]]
+            gb = GetBits(body)
+            assert gb.get_bits(3) == 0       # SCE
+            gb.get_bits(4)
+            seq, shape, spec = decode_ics(gb, rate)
+            seqs.append(seq)
+        assert EIGHT_SHORT in seqs, seqs
+        i = seqs.index(EIGHT_SHORT)
+        assert seqs[i - 1] == LONG_START
+        assert seqs[i + 1] == LONG_STOP
+        # reconstruction (1024-sample MDCT latency)
+        m = min(len(y) - 1024, n - 1024)
+        err = y[1024:1024 + m] - x[:m]
+        snr = 10 * np.log10((x[:m] ** 2).sum() / max((err ** 2).sum(), 1e-12))
+        assert snr > 10, f"snr {snr:.1f}"
+
+    def test_steady_tone_stays_long(self):
+        from libav_tpu.codecs.aac.dec import parse_adts_header, decode_ics
+        from libav_tpu.bitstream import GetBits
+        rate = 48000
+        t = np.arange(1024 * 4) / rate
+        x = 0.3 * np.sin(2 * np.pi * 440 * t)
+        pkts, y = self._roundtrip(x, rate)
+        for p in pkts:
+            hdr = parse_adts_header(p.data)
+            gb = GetBits(p.data[hdr[3]:hdr[2]])
+            gb.get_bits(3)
+            gb.get_bits(4)
+            seq, _, _ = decode_ics(gb, rate)
+            assert seq == 0                  # ONLY_LONG
+        m = len(x) - 1024
+        err = y[1024:1024 + m] - x[:m]
+        snr = 10 * np.log10((x[:m] ** 2).sum() / max((err ** 2).sum(), 1e-12))
+        assert snr > 20, f"snr {snr:.1f}"

@@ -170,3 +170,35 @@ class TestCrc:
     def test_crc32_mpeg2(self):
         # CRC-32/MPEG-2 of "123456789" == 0x0376E6E7 (standard check value)
         assert crc.crc32_mpeg2(b"123456789") == 0x0376E6E7
+
+
+class TestAVDictionary:
+    def test_set_get_case(self):
+        from libav_tpu.avutil.dict import (AVDictionary, MATCH_CASE,
+                                           DONT_OVERWRITE, APPEND,
+                                           IGNORE_SUFFIX, MULTIKEY)
+        d = AVDictionary()
+        d.set("Language", "eng")
+        assert d.get_value("language") == "eng"          # case-insensitive
+        assert d.get_value("language", flags=MATCH_CASE) is None
+        d.set("language", "ger")                          # replaces
+        assert len(d) == 1 and d["Language"] == "ger"
+        d.set("language", "fra", DONT_OVERWRITE)
+        assert d["language"] == "ger"
+        d.set("language", "+sub", APPEND)
+        assert d["language"] == "ger+sub"
+        d.set("lang_alt", "x")
+        assert d.get_value("lang", flags=IGNORE_SUFFIX) in ("ger+sub", "x")
+        d.set("tag", "a", MULTIKEY)
+        d.set("tag", "b", MULTIKEY)
+        e = d.get("tag")
+        assert e[1] == "a"
+        assert d.get("tag", prev=e)[1] == "b"
+        d.set("tag", None)                                # delete all
+        assert "tag" not in d
+
+    def test_parse_string(self):
+        from libav_tpu.avutil.dict import AVDictionary
+        d = AVDictionary()
+        d.parse_string("a=1:b=2:c")
+        assert d.to_dict() == {"a": "1", "b": "2", "c": ""}
