@@ -3,9 +3,9 @@ h264_slice.c slice header + per-MB loop :2361-2428, h264_cavlc.c
 ff_h264_decode_mb_cavlc :699; device half in device.py).
 
 Round-1 subset: CAVLC; I slices of I_16x16 MBs; P slices of
-P_L0_16x16/P_Skip; single reference; frame_mbs_only; deblocking honored
-only when the stream disables it (our encoder does) — enabled-deblock
-streams decode with a warning and skip the loop filter (round 2).
+P_L0_16x16/P_Skip; single reference; frame_mbs_only. In-loop deblocking
+is applied when the stream enables it (frame-parallel edge-class order;
+slice alpha/beta offsets treated as 0 — see device._deblock_frame).
 """
 
 from __future__ import annotations
@@ -158,15 +158,15 @@ class H264Decoder(Decoder):
                 raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
         qp = pps.pic_init_qp + gb.get_se_golomb()
         disable_deblock = 0
+        ab_offset = (0, 0)
         if pps.deblocking_filter_control_present:
             disable_deblock = gb.get_ue_golomb()
             if disable_deblock != 1:
-                gb.get_se_golomb()
-                gb.get_se_golomb()
-        if disable_deblock != 1 and not self._deblock_warned:
-            log.warning(self, "in-loop deblocking requested by stream but "
-                              "not applied yet (round-2 item) — output "
-                              "will deviate")
+                ab_offset = (gb.get_se_golomb(), gb.get_se_golomb())
+        self._deblock = disable_deblock != 1
+        if any(ab_offset) and not self._deblock_warned:
+            log.warning(self, "slice alpha/beta offsets %s ignored "
+                              "(filtered at offset 0)", ab_offset)
             self._deblock_warned = True
 
         nmb = sps.mb_width * sps.mb_height
@@ -395,10 +395,13 @@ class H264Decoder(Decoder):
         cpad = np.full(ccap, nmb * 8, np.int32)
         cpad[:len(cidx)] = cidx
         cl, cr, ct, cb = sps.crop
+        deblock = bool(getattr(self, "_deblock", False))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
-                                         sps.width, sps.height))
+                                         sps.width, sps.height),
+                                   deblock=deblock)
+        nnz8 = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -406,7 +409,7 @@ class H264Decoder(Decoder):
                             fd.qp.astype(np.int8),
                             fd.luma_dc.astype(np.int16),
                             yvals, ypad, cvals, cpad,
-                            fd.chroma_dc.astype(np.int16), *refs)
+                            fd.chroma_dc.astype(np.int16), nnz8, *refs)
         self._ref = padded
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")

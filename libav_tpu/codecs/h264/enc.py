@@ -27,8 +27,10 @@ from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
 from libav_tpu.codecs.h264.dec import (GOLOMB_TO_INTER_CBP, _BLK_XY,
                                        FrameData, SLICE_I, SLICE_P)
-from libav_tpu.codecs.h264.device import (CHROMA_QP, recon_h264_jit,
-                                          zero_refs_h264)
+from libav_tpu.codecs.h264.device import (_BLK_XY as _BLK_XY_DEV,
+                                          CHROMA_QP,
+                                          recon_h264_deblock_jit,
+                                          recon_h264_jit, zero_refs_h264)
 from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
 
 _INTER_CBP_TO_GOLOMB = {cbp: i for i, cbp in enumerate(GOLOMB_TO_INTER_CBP)}
@@ -323,6 +325,8 @@ class H264Encoder(Encoder):
         Option("qp", "fixed QP 0-51", "int", 28, 0, 51),
         Option("qscale", "qscale alias (maps 1-31 -> qp)", "int", 0, 0, 31),
         Option("gop_size", "GOP length", "int", 12, 1, 600),
+        Option("deblock", "apply in-loop deblocking (closed loop)",
+               "int", 0, 0, 1),
     ]
 
     def _init(self):
@@ -384,12 +388,30 @@ class H264Encoder(Encoder):
 
     def _update_ref_from_levels(self, fd: FrameData):
         """Reconstruct the reference through the decoder's device program
-        (closed loop by construction)."""
-        fn = recon_h264_jit(self.mb_w, self.mb_h, bool(np.any(fd.intra)))
+        (closed loop by construction — including the loop filter when
+        deblocking is enabled)."""
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
-        _, padded = fn(fd.intra.astype(bool), fd.luma_mode, fd.chroma_mode,
-                       fd.mv, fd.qp, fd.luma_dc, fd.luma_ac, fd.chroma_dc,
-                       fd.chroma_ac, *refs)
+        if self.deblock:
+            fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
+                                        bool(np.any(fd.intra)))
+            nnz = np.zeros((4 * self.mb_h, 4 * self.mb_w), np.int8)
+            bx = _BLK_XY_DEV[:, 0]
+            by = _BLK_XY_DEV[:, 1]
+            any_ac = np.any(fd.luma_ac.reshape(-1, 16, 16) != 0, axis=2)
+            for b in range(16):
+                g = any_ac[:, b].reshape(self.mb_h, self.mb_w)
+                yy = 4 * np.arange(self.mb_h)[:, None] + int(by[b])
+                xx = 4 * np.arange(self.mb_w)[None, :] + int(bx[b])
+                nnz[yy, xx] = g
+            _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
+                           fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
+                           fd.luma_ac, fd.chroma_dc, fd.chroma_ac,
+                           nnz, *refs)
+        else:
+            fn = recon_h264_jit(self.mb_w, self.mb_h, bool(np.any(fd.intra)))
+            _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
+                           fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
+                           fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs)
         self._refs = padded
 
     # ------------------------------------------------------------------ #
@@ -413,7 +435,12 @@ class H264Encoder(Encoder):
         else:
             pb.put_bits(1, 0)                    # adaptive marking
         pb.put_se_golomb(self.qp - self.pps.pic_init_qp)
-        pb.put_ue_golomb(1)                      # disable deblocking
+        if self.deblock:
+            pb.put_ue_golomb(0)                  # deblocking enabled
+            pb.put_se_golomb(0)                  # alpha offset / 2
+            pb.put_se_golomb(0)                  # beta offset / 2
+        else:
+            pb.put_ue_golomb(1)                  # disable deblocking
 
     def _finish_nal(self, pb: PutBits, nal_type: int) -> bytes:
         pb.put_bits(1, 1)                        # rbsp stop bit

@@ -92,6 +92,63 @@ def filter_edge_ref(lines: np.ndarray, qp: int, bs: np.ndarray,
     return out.astype(np.int32)
 
 
+def filter_edge_qp(lines, qp, bs, chroma: bool = False):
+    """Batched edge filter with per-line qp (frame-level application:
+    every edge line carries the averaged qp of its two macroblocks).
+    lines (B,8), qp (B,), bs (B,)."""
+    import jax.numpy as jnp
+    x = lines.astype(jnp.int32)
+    p3, p2, p1, p0 = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+    q0, q1, q2, q3 = x[:, 4], x[:, 5], x[:, 6], x[:, 7]
+    qp = jnp.clip(qp.astype(jnp.int32), 0, 51)
+    alpha = jnp.asarray(ALPHA)[qp]
+    beta = jnp.asarray(BETA)[qp]
+    bs = bs.astype(jnp.int32)
+
+    active = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+             (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+
+    tc0 = jnp.asarray(TC0)[qp, jnp.clip(bs - 1, 0, 2)]
+    ap = jnp.abs(p2 - p0)
+    aq = jnp.abs(q2 - q0)
+    if chroma:
+        tc = tc0 + 1
+    else:
+        tc = tc0 + (ap < beta).astype(jnp.int32) + \
+            (aq < beta).astype(jnp.int32)
+    delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    if chroma:
+        np1, nq1 = p1, q1
+    else:
+        dp1 = jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+        dq1 = jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+        np1 = jnp.where(ap < beta, p1 + dp1, p1)
+        nq1 = jnp.where(aq < beta, q1 + dq1, q1)
+
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = strong & (ap < beta) & (not chroma)
+    sq = strong & (aq < beta) & (not chroma)
+    sp0 = jnp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    sp1 = jnp.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = jnp.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = jnp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    sq1 = jnp.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = jnp.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+
+    is4 = bs == 4
+    op2 = jnp.where(active & is4, sp2, p2)
+    op1 = jnp.where(active, jnp.where(is4, sp1, np1), p1)
+    op0 = jnp.where(active, jnp.where(is4, sp0, np0), p0)
+    oq0 = jnp.where(active, jnp.where(is4, sq0, nq0), q0)
+    oq1 = jnp.where(active, jnp.where(is4, sq1, nq1), q1)
+    oq2 = jnp.where(active & is4, sq2, q2)
+    return jnp.stack([p3, op2, op1, op0, oq0, oq1, oq2, q3], axis=1)
+
+
 def filter_edge(lines, qp: int, bs, chroma: bool = False):
     """Batched device edge filter; same contract as filter_edge_ref."""
     import jax.numpy as jnp

@@ -110,3 +110,65 @@ class TestNativeCAVLC:
         for a, c in zip(out_native, out_py):
             for pa, pc in zip(a.planes, c.to_host().planes):
                 np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+
+
+class TestDeblock:
+    def test_deblock_round_trip(self):
+        """Encoder with in-loop deblocking enabled must stay in closed
+        loop with the decoder (no P-chain drift)."""
+        frames = [vsynth_frame(96, 64, t) for t in range(5)]
+        w, h = 96, 64
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=w, height=h, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 34)
+        enc.set_opt("deblock", 1)
+        pkts = enc.encode_all(frames)
+        dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                          codec_id="h264"))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        assert len(out) == len(frames)
+        ps = [psnr(s.planes[0], o.to_host().planes[0])
+              for s, o in zip(frames, out)]
+        for i, p in enumerate(ps):
+            assert p > 27, f"frame {i} psnr {p:.1f} (drift?)"
+        # no drift: the last P frame is no worse than 3 dB below the first
+        assert ps[-1] > ps[0] - 3, ps
+
+    def test_deblock_changes_output(self):
+        """The decoder must actually apply the filter when the stream
+        enables it: same content coded with/without deblock at rough QP
+        differs and deblocked edges are smoother."""
+        f = Frame.alloc_video(64, 64, "yuv420p")
+        yy, xx = np.mgrid[0:64, 0:64]
+        f.planes[0] = (128 + 60 * np.sin(xx / 5.0) *
+                       np.sin(yy / 7.0)).astype(np.uint8)
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+
+        def run(deblock):
+            par = CodecParameters(codec_type=MediaType.VIDEO,
+                                  codec_id="h264", width=64, height=64,
+                                  pix_fmt="yuv420p",
+                                  framerate=Rational(25, 1))
+            enc = H264Encoder(par)
+            enc.set_opt("qp", 40)
+            enc.set_opt("deblock", deblock)
+            pkts = enc.encode_all([f])
+            dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                              codec_id="h264"))
+            out = dec.decode_all([Packet(data=pkts[0].data, pts=0)])
+            return out[0].to_host().planes[0].astype(int)
+
+        a = run(0)
+        b = run(1)
+        assert np.any(a != b), "deblock had no effect"
+
+        def edge_disc(p):
+            # mean discontinuity across MB-boundary columns
+            return float(np.mean(np.abs(p[:, 16::16].astype(int) -
+                                        p[:, 15::16][:, :p[:, 16::16].shape[1]].astype(int))))
+
+        assert edge_disc(b) <= edge_disc(a) + 1e-9
