@@ -401,7 +401,10 @@ class H264Decoder(Decoder):
                                    crop=(cl, cr, ct, cb,
                                          sps.width, sps.height),
                                    deblock=deblock)
-        nnz8 = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
+        kw = {}
+        if deblock:
+            # the loop filter's bS derivation needs the coded-block grid
+            kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -409,7 +412,7 @@ class H264Decoder(Decoder):
                             fd.qp.astype(np.int8),
                             fd.luma_dc.astype(np.int16),
                             yvals, ypad, cvals, cpad,
-                            fd.chroma_dc.astype(np.int16), nnz8, *refs)
+                            fd.chroma_dc.astype(np.int16), *refs, **kw)
         self._ref = padded
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")

@@ -400,7 +400,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
-           yvals, yidx, cvals, cidx, chroma_dc, nnz, ry, ru, rv):
+           yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
