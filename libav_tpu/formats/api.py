@@ -186,6 +186,30 @@ class FormatContext:
         """reference: utils.c:284 avformat_open_input"""
         ctx = FormatContext()
         ctx.url = url
+        # virtual capture devices (libavdevice analogue): the URL is a
+        # generator spec, not a file — skip byte I/O entirely
+        dev_cls = None
+        if format_name:
+            try:
+                c = find_input_format(format_name)
+                if getattr(c, "DEVICE", False):
+                    dev_cls = c
+            except AVError:
+                pass
+        else:
+            try:
+                c = find_input_format(url.split("=", 1)[0])
+                if getattr(c, "DEVICE", False):
+                    dev_cls = c
+            except AVError:
+                pass
+        if dev_cls is not None:
+            ctx.iformat = dev_cls(options)
+            ctx.iformat.url = url
+            ctx.pb = None
+            ctx.iformat.read_header(None)
+            ctx.streams = ctx.iformat.streams
+            return ctx
         pb = url_open(url, "r")
         if format_name:
             cls = find_input_format(format_name)

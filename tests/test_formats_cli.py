@@ -200,3 +200,27 @@ class TestConfig5:
         assert par.codec_id == "pcm_s16le"
         total = sum(len(p.data) for p in ic.packets())
         assert total > 20000   # ~0.12s of stereo s16 at 44.1k
+
+
+class TestDevices:
+    """libavdevice analogue: virtual capture sources (devices.py)."""
+
+    def test_testsrc_device(self):
+        from libav_tpu.formats import FormatContext
+        ic = FormatContext.open_input("testsrc=64x48:rate=25:frames=5")
+        st = ic.streams[0]
+        assert st.codecpar.codec_id == "rawvideo"
+        assert (st.codecpar.width, st.codecpar.height) == (64, 48)
+        pkts = list(ic.packets())
+        assert len(pkts) == 5
+        assert len(pkts[0].data) == 64 * 48 * 3 // 2
+
+    def test_sine_device(self):
+        import numpy as np
+        from libav_tpu.formats import FormatContext
+        ic = FormatContext.open_input("sine=freq=1000:rate=8000:samples=4000")
+        pkts = list(ic.packets())
+        x = np.frombuffer(b"".join(p.data for p in pkts), np.int16)
+        assert len(x) == 4000
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        assert abs(np.argmax(spec) * 8000 / len(x) - 1000) < 10
