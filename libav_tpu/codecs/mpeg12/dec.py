@@ -7,10 +7,11 @@ whole-frame tensors; device: one jitted dequant+IDCT+MC+add program per
 frame geometry (_recon_jit).
 
 Supported: MPEG-1 I/P/B CPB; MPEG-2 main profile frame pictures
-(progressive + frame_pred_frame_dct, intra_dc_precision, q_scale_type,
+(progressive + interlaced tools: field MC in frame pictures with per-
+field vectors/selects and field DCT, intra_dc_precision, q_scale_type,
 intra_vlc_format, alternate_scan, both dequant paths with mismatch
-control). Field pictures / field MC parse correctly but reconstruct with
-frame MC (TODO round 2: dedicated field gather path).
+control). Field pictures (picture_structure != frame) and dual-prime
+are round-2 items.
 """
 
 from __future__ import annotations
@@ -77,6 +78,13 @@ class MBData:
         self.mv_fwd = np.zeros((nmb, 2), dtype=np.int32)
         self.mv_bwd = np.zeros((nmb, 2), dtype=np.int32)
         self.coded = np.zeros(nmb, dtype=bool)
+        # MPEG-2 frame-picture interlace tools
+        self.field_mc = np.zeros(nmb, dtype=bool)
+        self.dct_field = np.zeros(nmb, dtype=bool)
+        self.mv_fwd2 = np.zeros((nmb, 2, 2), dtype=np.int32)
+        self.mv_bwd2 = np.zeros((nmb, 2, 2), dtype=np.int32)
+        self.sel_fwd = np.zeros((nmb, 2), dtype=np.int32)
+        self.sel_bwd = np.zeros((nmb, 2), dtype=np.int32)
 
 
 def find_start_codes(data: bytes) -> List[Tuple[int, int]]:
@@ -317,7 +325,8 @@ class MPEG1Decoder(Decoder):
 
         mb_x = -1
         dc_pred = self._dc_reset()     # lum, cb, cr
-        pmv = np.zeros((2, 2), dtype=np.int32)   # [dir][xy]
+        # motion predictors PMV[dir][vector][xy] (ISO 13818-2 7.6.3)
+        pmv = np.zeros((2, 2, 2), dtype=np.int32)
         first_in_slice = True
         prev_mb_params = None   # for B skipped
 
@@ -393,6 +402,8 @@ class MPEG1Decoder(Decoder):
                 not pic.frame_pred_frame_dct and \
                 (flags & (T.MB_FOR | T.MB_BACK)):
             motion_type = gb.get_bits(2)
+            if motion_type == 3:
+                raise AVError(INVALIDDATA, "dual-prime MC unsupported")
         dct_type = 0
         if seq.mpeg2 and pic.picture_structure == 3 and \
                 not pic.frame_pred_frame_dct and \
@@ -407,20 +418,38 @@ class MPEG1Decoder(Decoder):
             mb.intra[idx] = True
             pmv[:] = 0
             if pic.concealment_mvs:
-                self._read_mv_pair(gb, pmv, 0, motion_type)
+                self._read_mv_pair(gb, pmv, 0, 2)
                 gb.get_bits(1)  # marker
         else:
             dc_pred[:] = self._dc_reset()
 
         if flags & T.MB_FOR:
-            self._read_mv_pair(gb, pmv, 0, motion_type)
+            kind, mv2, sels = self._read_mv_pair(gb, pmv, 0, motion_type)
             mb.use_fwd[idx] = True
-            # MPEG-1 full_pel: coded vector is in full-pel units
-            mb.mv_fwd[idx] = pmv[0] * (2 if self.pic.full_pel[0] else 1)
+            if kind == "field":
+                mb.field_mc[idx] = True
+                mb.mv_fwd2[idx] = mv2
+                mb.sel_fwd[idx] = sels
+                mb.mv_fwd[idx] = (mv2[0, 0], 2 * mv2[0, 1])
+            else:
+                # MPEG-1 full_pel: coded vector is in full-pel units
+                mb.mv_fwd[idx] = pmv[0, 0] * \
+                    (2 if self.pic.full_pel[0] else 1)
         if flags & T.MB_BACK:
-            self._read_mv_pair(gb, pmv, 1, motion_type)
+            kind, mv2, sels = self._read_mv_pair(gb, pmv, 1, motion_type)
             mb.use_bwd[idx] = True
-            mb.mv_bwd[idx] = pmv[1] * (2 if self.pic.full_pel[1] else 1)
+            if kind == "field":
+                mb.field_mc[idx] = True
+                mb.mv_bwd2[idx] = mv2
+                mb.sel_bwd[idx] = sels
+                mb.mv_bwd[idx] = (mv2[0, 0], 2 * mv2[0, 1])
+            else:
+                mb.mv_bwd[idx] = pmv[1, 0] * \
+                    (2 if self.pic.full_pel[1] else 1)
+        if mb.field_mc[idx] and (flags & (T.MB_FOR | T.MB_BACK)) and \
+                not (flags & T.MB_FOR):
+            # bwd-only field MB: fwd side must not contribute
+            mb.mv_fwd2[idx] = 0
         if pic.pict_type == PICT_P and not (flags & (T.MB_FOR | T.MB_INTRA)):
             # no-MV P macroblock: zero forward vector
             pmv[:] = 0
@@ -430,7 +459,7 @@ class MPEG1Decoder(Decoder):
         if seq.mpeg2 and pic.picture_structure == 3 and \
                 not pic.frame_pred_frame_dct and \
                 (flags & (T.MB_PAT | T.MB_INTRA)):
-            dct_type = gb.get_bits(1)   # field DCT — TODO device support
+            mb.dct_field[idx] = bool(gb.get_bits(1))
 
         cbp = 0
         if flags & T.MB_PAT:
@@ -469,22 +498,33 @@ class MPEG1Decoder(Decoder):
     # -- motion vectors -------------------------------------------------- #
 
     def _read_mv_pair(self, gb, pmv, direction: int, motion_type: int):
-        """reference: mpeg12dec.c mpeg_decode_motion; MPEG-2 field motion
-        in frame pictures reads 2 vectors — we read both and keep the
-        first (TODO: true field MC)."""
-        count = 1
+        """reference: mpeg12dec.c mpeg_decode_mb MT_FRAME/MT_FIELD
+        branches. Frame MC updates both PMV rows; field MC in frame
+        pictures reads two field vectors, the vertical component
+        predicted from PMV>>1 and stored back doubled (frame units).
+        Returns ('frame', None, None) or ('field', mv2 (2,2), sels)."""
         if self.seq.mpeg2 and motion_type == 1 and \
                 self.pic.picture_structure == 3:
-            count = 2
-        for v in range(count):
-            if count == 2:
-                gb.get_bits(1)  # motion_vertical_field_select
-            for xy in range(2):
-                fcode = self.pic.f_code[direction][xy]
-                val = self._decode_motion(gb, fcode,
-                                          pmv[direction][xy] if v == 0 else 0)
-                if v == 0:
-                    pmv[direction][xy] = val
+            mv2 = np.zeros((2, 2), dtype=np.int32)
+            sels = np.zeros(2, dtype=np.int32)
+            for v in range(2):
+                sels[v] = gb.get_bits(1)   # motion_vertical_field_select
+                fx = self.pic.f_code[direction][0]
+                fy = self.pic.f_code[direction][1]
+                x = self._decode_motion(gb, fx, int(pmv[direction, v, 0]))
+                pmv[direction, v, 0] = x
+                y = self._decode_motion(gb, fy,
+                                        int(pmv[direction, v, 1]) >> 1)
+                pmv[direction, v, 1] = 2 * y
+                mv2[v] = (x, y)
+            return "field", mv2, sels
+        for xy in range(2):
+            fcode = self.pic.f_code[direction][xy]
+            val = self._decode_motion(gb, fcode,
+                                      int(pmv[direction, 0, xy]))
+            pmv[direction, 0, xy] = val
+            pmv[direction, 1, xy] = val
+        return "frame", None, None
 
     def _decode_motion(self, gb, fcode: int, pred: int) -> int:
         """reference: mpeg12dec.c mpeg_decode_motion (ISO 11172-2
@@ -591,9 +631,11 @@ class MPEG1Decoder(Decoder):
     def _reconstruct(self, mb: MBData) -> Frame:
         from libav_tpu.codecs.mpegvideo import recon_jit
         seq, pic = self.seq, self.pic
+        interlaced = bool(mb.field_mc.any() or mb.dct_field.any())
         fn = recon_jit(seq.mb_width, seq.mb_height,
                        "mpeg2" if seq.mpeg2 else "mpeg1",
-                       bool(pic.alternate_scan), pic.pict_type != PICT_I)
+                       bool(pic.alternate_scan), pic.pict_type != PICT_I,
+                       interlaced=interlaced)
 
         scan = alternate_scan() if pic.alternate_scan else zigzag_scan()
         # qmat in scan order to match coefficient layout
@@ -609,12 +651,17 @@ class MPEG1Decoder(Decoder):
             ref0 = self.ref_next or self.ref_prev or _zero_refs(seq)
             ref1 = ref0
 
+        kw = {}
+        if interlaced:
+            kw = dict(field_mc=mb.field_mc, dct_field=mb.dct_field,
+                      mvf2=mb.mv_fwd2, mvb2=mb.mv_bwd2,
+                      sel_f=mb.sel_fwd, sel_b=mb.sel_bwd)
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
                             intra_q.astype(np.int32),
                             inter_q.astype(np.int32),
                             ref0[0], ref0[1], ref0[2],
-                            ref1[0], ref1[1], ref1[2])
+                            ref1[0], ref1[1], ref1[2], **kw)
         self._padded_refs = padded
         f = Frame(width=seq.width, height=seq.height, format="yuv420p")
         f.planes = [p[:h, :w] for p, (w, h) in

@@ -22,7 +22,13 @@ from libav_tpu.ops.quant import alternate_scan, zigzag_scan
 
 @functools.lru_cache(maxsize=64)
 def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
-              inter_frame: bool, rounding: int = 0):
+              inter_frame: bool, rounding: int = 0,
+              interlaced: bool = False):
+    """interlaced=True compiles the MPEG-2 frame-picture interlace
+    variant (reference: mpegvideo_motion.c mpv_motion field paths +
+    mpegvideo.c dct_type handling): extra per-MB inputs select 16x8
+    field motion compensation (two field vectors + field selects per
+    direction) and field DCT residual interleave."""
     import jax
     import jax.numpy as jnp
 
@@ -60,8 +66,58 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
         deq_p = quant_ops.h263_dequant(c, qs, dcs, False)
         return jnp.where(intra_b[:, None], deq_i, deq_p)
 
+    def field_planes(plane):
+        """padded frame plane -> (top, bottom) padded field planes
+        (vertical EDGE re-padded in field coordinates)."""
+        core = plane[EDGE:plane.shape[0] - EDGE]
+        pads = ((EDGE, EDGE), (0, 0))
+        return (jnp.pad(core[0::2], pads, mode="edge"),
+                jnp.pad(core[1::2], pads, mode="edge"))
+
+    def field_pred(ry, ru, rv, mv2, sel, rnd):
+        """16x8-per-field MC: mv2 (nmb,2,2) field vectors (vertical in
+        half-sample field units), sel (nmb,2) source field. Returns
+        interleaved (nmb,16,16) luma + (nmb,8,8) chroma predictions."""
+        yt, yb = field_planes(ry)
+        ut, ub = field_planes(ru)
+        vt, vb = field_planes(rv)
+        xs = jnp.asarray(mbx * 16)
+        ysf = jnp.asarray(mby * 8)
+        cxs = jnp.asarray(mbx * 8)
+        cysf = jnp.asarray(mby * 4)
+        outs_y, outs_u, outs_v = [], [], []
+        for f in range(2):          # destination field
+            mvx, mvy = mv2[:, f, 0], mv2[:, f, 1]
+            s = sel[:, f][:, None, None]
+            py = jnp.where(s == 0,
+                           mc_hpel(yt, xs, ysf, mvx, mvy, 16, rnd),
+                           mc_hpel(yb, xs, ysf, mvx, mvy, 16, rnd))[:, :8]
+            cmv = chroma_mv_div2(mv2[:, f])
+            pu = jnp.where(s == 0,
+                           mc_hpel(ut, cxs, cysf, cmv[:, 0], cmv[:, 1],
+                                   8, rnd),
+                           mc_hpel(ub, cxs, cysf, cmv[:, 0], cmv[:, 1],
+                                   8, rnd))[:, :4]
+            pv = jnp.where(s == 0,
+                           mc_hpel(vt, cxs, cysf, cmv[:, 0], cmv[:, 1],
+                                   8, rnd),
+                           mc_hpel(vb, cxs, cysf, cmv[:, 0], cmv[:, 1],
+                                   8, rnd))[:, :4]
+            outs_y.append(py)
+            outs_u.append(pu)
+            outs_v.append(pv)
+        y = jnp.zeros((nmb, 16, 16), jnp.int32)
+        y = y.at[:, 0::2].set(outs_y[0]).at[:, 1::2].set(outs_y[1])
+        u = jnp.zeros((nmb, 8, 8), jnp.int32)
+        u = u.at[:, 0::2].set(outs_u[0]).at[:, 1::2].set(outs_u[1])
+        v = jnp.zeros((nmb, 8, 8), jnp.int32)
+        v = v.at[:, 0::2].set(outs_v[0]).at[:, 1::2].set(outs_v[1])
+        return y, u, v
+
     def fn(coeffs, qscale, intra, use_fwd, use_bwd, mv_fwd, mv_bwd,
-           intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v):
+           intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v,
+           field_mc=None, dct_field=None, mvf2=None, mvb2=None,
+           sel_f=None, sel_b=None):
         c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
         qs = jnp.repeat(qscale, 6)
         intra_b = jnp.repeat(intra, 6)
@@ -96,6 +152,17 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                                  jnp.where(f_only, pf,
                                            jnp.where(b_only, pb, 0)))
 
+            if interlaced:
+                ffy, ffu, ffv = field_pred(r0y, r0u, r0v, mvf2, sel_f, rnd)
+                bfy, bfu, bfv = field_pred(r1y, r1u, r1v, mvb2, sel_b, rnd)
+                fm = field_mc[:, None, None]
+                fy = jnp.where(fm, ffy, fy)
+                fu = jnp.where(fm, ffu, fu)
+                fv = jnp.where(fm, ffv, fv)
+                by = jnp.where(fm, bfy, by)
+                bu = jnp.where(fm, bfu, bu)
+                bv = jnp.where(fm, bfv, bv)
+
             im = intra[:, None, None]
             pred_y = jnp.where(im, 0, combine(fy, by))
             pred_u = jnp.where(im, 0, combine(fu, bu))
@@ -107,6 +174,14 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
 
         luma_res = (resid[:, :4].reshape(nmb, 2, 2, 8, 8)
                     .transpose(0, 1, 3, 2, 4).reshape(nmb, 16, 16))
+        if interlaced:
+            # field DCT: blocks 0/1 hold the top-field lines, 2/3 the
+            # bottom-field lines (ISO 13818-2 figure 6-13)
+            fr = jnp.zeros((nmb, 16, 16), jnp.int32)
+            top = jnp.concatenate([resid[:, 0], resid[:, 1]], axis=2)
+            bot = jnp.concatenate([resid[:, 2], resid[:, 3]], axis=2)
+            fr = fr.at[:, 0::2].set(top).at[:, 1::2].set(bot)
+            luma_res = jnp.where(dct_field[:, None, None], fr, luma_res)
         yblk = jnp.clip(pred_y + luma_res, 0, 255).astype(jnp.uint8)
         ublk = jnp.clip(pred_u + resid[:, 4], 0, 255).astype(jnp.uint8)
         vblk = jnp.clip(pred_v + resid[:, 5], 0, 255).astype(jnp.uint8)

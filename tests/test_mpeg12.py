@@ -296,3 +296,165 @@ class TestBFrames:
         anchors = [t for t in psizes if t not in bpts and t != 0]
         avg_p = sum(psizes[t] for t in anchors) / max(1, len(anchors))
         assert avg_b <= avg_p * 1.5
+
+
+class TestInterlacedTools:
+    """MPEG-2 frame-picture interlace: field MC + field DCT (hand-packed
+    streams — our encoder is progressive-only; reference parity:
+    mpeg12dec.c MT_FIELD + dct_type)."""
+
+    W, H = 64, 32   # 4x2 MBs
+
+    def _ref_stream(self, qscale=4):
+        from libav_tpu.codecs.api import find_encoder
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", width=self.W,
+                              height=self.H, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = find_encoder("mpeg2video")(par)
+        enc.set_opt("qscale", qscale)
+        src = vsynth_frame(self.W, self.H, 0)
+        pkt = enc.encode_all([src])[0]
+        return pkt.data
+
+    def _pic_ext(self, pb_bits):
+        """picture coding extension with frame_pred_frame_dct=0."""
+        from libav_tpu.bitstream import PutBits
+        pb = PutBits()
+        pb.put_bits(4, 8)
+        for _ in range(4):
+            pb.put_bits(4, 2)        # f_codes (+-7.5 hpel)
+        pb.put_bits(2, 0)            # intra_dc_precision
+        pb.put_bits(2, 3)            # frame picture
+        pb.put_bits(1, 0)            # top_field_first
+        pb.put_bits(1, 0)            # frame_pred_frame_dct = 0 !
+        pb.put_bits(1, 0)            # concealment
+        pb.put_bits(1, 0)            # q_scale_type
+        pb.put_bits(1, 0)            # intra_vlc_format
+        pb.put_bits(1, 0)            # alternate_scan
+        pb.put_bits(1, 0)
+        pb.put_bits(1, 1)
+        pb.put_bits(1, 0)            # interlaced frame
+        pb.put_bits(1, 0)
+        return b"\x00\x00\x01\x00" + pb_bits + b"\x00\x00\x01\xB5" + \
+            pb.flush()
+
+    def _p_header(self, temporal_ref):
+        from libav_tpu.bitstream import PutBits
+        pb = PutBits()
+        pb.put_bits(10, temporal_ref)
+        pb.put_bits(3, 2)            # P
+        pb.put_bits(16, 0xFFFF)
+        pb.put_bits(1, 0)            # full_pel_forward (mpeg2: must be 0)
+        pb.put_bits(3, 7)            # forward_f_code (ignored, ext rules)
+        return pb.flush()
+
+    def _mv_zero(self, pb):
+        from libav_tpu.codecs.mpeg12 import tables as T
+        pb.put_bits(T.MOTION_CODE[1][0], T.MOTION_CODE[0][0])  # code 0
+
+    def test_field_mc_field_swap(self):
+        """Every MB field-predicts top from the reference's bottom field
+        and vice versa with zero MVs -> decoded frame == field-swapped
+        reference."""
+        from libav_tpu.bitstream import PutBits
+        from libav_tpu.codecs.api import find_decoder
+        from libav_tpu.codecs.mpeg12 import tables as T
+        data = self._ref_stream()
+
+        pic = self._pic_ext(self._p_header(1))
+        body = bytearray(pic)
+        mb_w, mb_h = self.W // 16, self.H // 16
+        for row in range(mb_h):
+            pb = PutBits()
+            pb.put_bits(5, 4)                    # qscale code
+            pb.put_bits(1, 0)
+            for mbx in range(mb_w):
+                pb.put_bits(T.MB_ADDR_INC[1][0], T.MB_ADDR_INC[0][0])
+                pb.put_bits(3, 0b001)            # P mb_type: MB_FOR
+                pb.put_bits(2, 1)                # frame_motion_type: field
+                for v, sel in ((0, 1), (1, 0)):  # top<-bottom, bottom<-top
+                    pb.put_bits(1, sel)
+                    self._mv_zero(pb)            # x
+                    self._mv_zero(pb)            # y
+            pb.align(pad_bit=0)
+            body += b"\x00\x00\x01" + bytes([1 + row]) + pb.flush()
+
+        dec = find_decoder("mpeg2video")(
+            CodecParameters(codec_type=MediaType.VIDEO,
+                            codec_id="mpeg2video"))
+        out = dec.decode_all([Packet(data=data, pts=0),
+                              Packet(data=bytes(body), pts=1)])
+        assert len(out) == 2
+        ref = out[0].to_host()
+        got = out[1].to_host()
+        ry = np.asarray(ref.planes[0])
+        gy = np.asarray(got.planes[0])
+        np.testing.assert_array_equal(gy[0::2], ry[1::2])
+        np.testing.assert_array_equal(gy[1::2], ry[0::2])
+        ru = np.asarray(ref.planes[1])
+        gu = np.asarray(got.planes[1])
+        np.testing.assert_array_equal(gu[0::2], ru[1::2])
+        np.testing.assert_array_equal(gu[1::2], ru[0::2])
+
+    def _intra_p_stream(self, dct_type):
+        """P picture whose first MB is intra with distinct DC per luma
+        block; remaining MBs are zero-MV frame-MC."""
+        from libav_tpu.bitstream import PutBits
+        from libav_tpu.codecs.mpeg12 import tables as T
+        pic = self._pic_ext(self._p_header(1))
+        body = bytearray(pic)
+        mb_w, mb_h = self.W // 16, self.H // 16
+
+        def put_dc(pb, diff, lum):
+            size = abs(diff).bit_length()
+            codes, bits = T.DC_LUM if lum else T.DC_CHROMA
+            pb.put_bits(bits[size], codes[size])
+            if size:
+                v = diff if diff > 0 else diff + (1 << size) - 1
+                pb.put_bits(size, v)
+
+        for row in range(mb_h):
+            pb = PutBits()
+            pb.put_bits(5, 4)
+            pb.put_bits(1, 0)
+            for mbx in range(mb_w):
+                pb.put_bits(T.MB_ADDR_INC[1][0], T.MB_ADDR_INC[0][0])
+                if row == 0 and mbx == 0:
+                    pb.put_bits(5, 0b00011)      # P INTRA
+                    pb.put_bits(1, dct_type)     # dct_type
+                    # luma DCs: +16, +0, -16, +0 diffs; chroma 0
+                    for d, lum in ((16, 1), (0, 1), (-16, 1), (0, 1),
+                                   (0, 0), (0, 0)):
+                        put_dc(pb, d, lum)
+                        pb.put_bits(2, 0x2)      # EOB
+                else:
+                    pb.put_bits(3, 0b001)        # MB_FOR
+                    pb.put_bits(2, 2)            # frame_motion_type: frame
+                    self._mv_zero(pb)
+                    self._mv_zero(pb)
+            pb.align(pad_bit=0)
+            body += b"\x00\x00\x01" + bytes([1 + row]) + pb.flush()
+        return bytes(body)
+
+    def test_field_dct_interleave(self):
+        """dct_type=1 output rows are the de-interleaved dct_type=0 rows
+        (same coefficients, field vs frame organization)."""
+        from libav_tpu.codecs.api import find_decoder
+        data = self._ref_stream()
+        outs = []
+        for dt in (0, 1):
+            dec = find_decoder("mpeg2video")(
+                CodecParameters(codec_type=MediaType.VIDEO,
+                                codec_id="mpeg2video"))
+            o = dec.decode_all([Packet(data=data, pts=0),
+                                Packet(data=self._intra_p_stream(dt),
+                                       pts=1)])
+            outs.append(np.asarray(o[1].to_host().planes[0]))
+        frame_org, field_org = outs
+        blk = frame_org[:16, :16]
+        fld = field_org[:16, :16]
+        np.testing.assert_array_equal(fld[0::2], blk[:8])
+        np.testing.assert_array_equal(fld[1::2], blk[8:])
+        # and the rest of the frame (inter MBs) is identical
+        np.testing.assert_array_equal(frame_org[:, 16:], field_org[:, 16:])
