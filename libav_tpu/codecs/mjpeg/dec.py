@@ -166,17 +166,25 @@ class MJPEGDecoder(Decoder):
                 self._parse_dht(seg)
             elif marker == DRI:
                 self.restart_interval = (seg[0] << 8) | seg[1]
-            elif marker in (SOF0, SOF1):
+            elif marker in (SOF0, SOF1, SOF2):
                 precision, height, width, components = self._parse_sof(seg)
-            elif marker == SOF2:
-                raise AVError(INVALIDDATA, "progressive JPEG not yet supported")
+                progressive = marker == SOF2
+                if progressive:
+                    self._prog_init(width, height, components)
             elif marker == SOS:
                 scan_data = data[pos + seglen:]
-                frame, consumed = self._decode_scan(
-                    seg, scan_data, width, height, components)
+                if progressive:
+                    consumed = self._decode_scan_progressive(
+                        seg, scan_data, width, height, components)
+                else:
+                    frame, consumed = self._decode_scan(
+                        seg, scan_data, width, height, components)
                 pos = pos + seglen + consumed
                 continue
             pos += seglen
+        if progressive:
+            frame = self._reconstruct(width, height, components,
+                                      self._prog_coeffs)
         if frame is None:
             raise AVError(INVALIDDATA, "no scan decoded")
         return frame
@@ -312,6 +320,186 @@ class MJPEGDecoder(Decoder):
                             blk = coeffs[c.id][by * c.blocks_w + bx]
                             self._decode_block(gb, c, dc_pred, blk)
             mcu += 1
+
+    # ------------------------------------------------------------------ #
+    # Progressive mode (reference: mjpegdec.c mjpeg_decode_scan_progressive_ac,
+    # decode_block_progressive / decode_block_refinement)
+    # ------------------------------------------------------------------ #
+
+    def _prog_init(self, width, height, components):
+        hmax = max(c.h for c in components)
+        vmax = max(c.v for c in components)
+        self._prog_coeffs = {}
+        for c in components:
+            cw = (width * c.h + hmax - 1) // hmax
+            ch = (height * c.v + vmax - 1) // vmax
+            c.blocks_w = (cw + 7) // 8
+            c.blocks_h = (ch + 7) // 8
+            self._prog_coeffs[c.id] = np.zeros(
+                (c.blocks_h * c.blocks_w, 64), dtype=np.int32)
+
+    def _decode_scan_progressive(self, sos, scan_data, width, height,
+                                 components):
+        ns = sos[0]
+        scan_comps = []
+        for i in range(ns):
+            cid = sos[1 + 2 * i]
+            tabs = sos[2 + 2 * i]
+            comp = next((c for c in components if c.id == cid), None)
+            if comp is None:
+                raise AVError(INVALIDDATA, "SOS unknown component")
+            comp.dc_idx = tabs >> 4
+            comp.ac_idx = tabs & 15
+            scan_comps.append(comp)
+        ss = sos[1 + 2 * ns]
+        se = sos[2 + 2 * ns]
+        ahal = sos[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 15
+
+        hmax = max(c.h for c in components)
+        vmax = max(c.v for c in components)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+        segments, consumed = destuff(scan_data)
+        coeffs = self._prog_coeffs
+
+        if ss == 0:
+            self._prog_dc_scan(segments, scan_comps, mcus_x, mcus_y, ns,
+                               coeffs, ah, al)
+        else:
+            if ns != 1:
+                raise AVError(INVALIDDATA,
+                              "interleaved progressive AC scan")
+            self._prog_ac_scan(segments, scan_comps[0], coeffs, ss, se,
+                               ah, al)
+        return consumed
+
+    def _prog_dc_scan(self, segments, scan_comps, mcus_x, mcus_y, ns,
+                      coeffs, ah, al):
+        n_mcus = mcus_x * mcus_y if ns > 1 else \
+            scan_comps[0].blocks_w * scan_comps[0].blocks_h
+        ri = self.restart_interval or n_mcus
+        seg_idx = 0
+        gb = GetBits(segments[0])
+        dc_pred = {c.id: 0 for c in scan_comps}
+
+        def one_block(c, blk):
+            if ah == 0:
+                dc_vlc = self.vlcs[(0, c.dc_idx)]
+                sz = dc_vlc.read(gb)
+                diff = _receive_signed(gb, sz)
+                dc_pred[c.id] += diff
+                if blk is not None:
+                    blk[0] = dc_pred[c.id] << al
+            else:
+                bit = gb.get_bits(1)
+                if blk is not None and bit:
+                    blk[0] |= 1 << al
+
+        for mcu in range(n_mcus):
+            if mcu and mcu % ri == 0:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    gb = GetBits(segments[seg_idx])
+                dc_pred = {c.id: 0 for c in scan_comps}
+            if ns == 1:
+                c = scan_comps[0]
+                one_block(c, coeffs[c.id][mcu])
+            else:
+                mx, my = mcu % mcus_x, mcu // mcus_x
+                for c in scan_comps:
+                    for v in range(c.v):
+                        for h in range(c.h):
+                            bx, by = mx * c.h + h, my * c.v + v
+                            if bx < c.blocks_w and by < c.blocks_h:
+                                one_block(c, coeffs[c.id][
+                                    by * c.blocks_w + bx])
+                            else:
+                                one_block(c, None)   # pad block: consume
+
+    def _prog_ac_scan(self, segments, c, coeffs, ss, se, ah, al):
+        n_blocks = c.blocks_w * c.blocks_h
+        ri = self.restart_interval or n_blocks
+        seg_idx = 0
+        gb = GetBits(segments[0])
+        ac_vlc = self.vlcs[(1, c.ac_idx)]
+        eobrun = 0
+        for b in range(n_blocks):
+            if b and b % ri == 0:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    gb = GetBits(segments[seg_idx])
+                eobrun = 0
+            blk = coeffs[c.id][b]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac_vlc.read(gb)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += gb.get_bits(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise AVError(INVALIDDATA, "AC index overflow")
+                    blk[k] = _receive_signed(gb, sz) << al
+                    k += 1
+            else:
+                eobrun = self._prog_ac_refine(gb, ac_vlc, blk, ss, se,
+                                              al, eobrun)
+
+    def _prog_ac_refine(self, gb, ac_vlc, blk, ss, se, al, eobrun):
+        """reference: mjpegdec.c decode_block_refinement + the spec
+        G.1.2.3 correction-bit procedure."""
+        one = 1 << al
+        k = ss
+        if not eobrun:
+            while k <= se:
+                rs = ac_vlc.read(gb)
+                r, sz = rs >> 4, rs & 15
+                newval = 0
+                if sz == 0:
+                    if r != 15:
+                        # refinement EOB run includes the current block,
+                        # which still receives its correction bits below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += gb.get_bits(r)
+                        break
+                else:
+                    newval = one if gb.get_bits(1) else -one
+                # advance over r zero-history coefficients, refining any
+                # nonzero-history ones passed on the way
+                while k <= se:
+                    if blk[k]:
+                        if gb.get_bits(1) and not (abs(blk[k]) & one):
+                            blk[k] += one if blk[k] > 0 else -one
+                    else:
+                        if r == 0:
+                            if newval:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun:
+            # correction bits for the rest of the band
+            while k <= se:
+                if blk[k]:
+                    if gb.get_bits(1) and not (abs(blk[k]) & one):
+                        blk[k] += one if blk[k] > 0 else -one
+                k += 1
+            eobrun -= 1
+        return eobrun
 
     def _decode_block(self, gb: GetBits, c: Component, dc_pred, out):
         """reference: mjpegdec.c decode_block :467"""

@@ -180,3 +180,61 @@ class TestBatchDecode:
         for s, b in zip(singles, batch):
             for sp, bp in zip(s.planes, b.planes):
                 np.testing.assert_array_equal(np.asarray(sp), np.asarray(bp))
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode cross-validated against PIL (reference:
+    mjpegdec.c decode_block_progressive/refinement)."""
+
+    def _pil_prog_bytes(self, arr):
+        import io
+        PIL = pytest.importorskip("PIL.Image")
+        buf = io.BytesIO()
+        PIL.fromarray(arr, "RGB").save(buf, "JPEG", quality=88,
+                                       progressive=True)
+        return buf.getvalue()
+
+    def test_progressive_vs_pil(self):
+        import io
+        PIL = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(1)
+        yy, xx = np.mgrid[0:80, 0:96]
+        arr = np.stack([
+            (xx * 2 + yy).astype(np.uint8),
+            (128 + 50 * np.sin(xx / 7.0)).astype(np.uint8),
+            (rng.integers(0, 255, (80, 96))).astype(np.uint8)], axis=2)
+        data = self._pil_prog_bytes(arr)
+        assert b"\xff\xc2" in data          # really progressive
+
+        from libav_tpu.codecs.mjpeg import MJPEGDecoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        dec = MJPEGDecoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mjpeg"))
+        dec.open()
+        f = dec.decode_jpeg(data).to_host()
+
+        ref = np.asarray(PIL.open(io.BytesIO(data)).convert("YCbCr"))
+        got_y = np.asarray(f.planes[0]).astype(int)
+        err = np.abs(got_y - ref[:, :, 0].astype(int))
+        assert err.mean() < 2.0, f"luma mean err vs PIL {err.mean()}"
+        assert err.max() <= 12, f"luma max err vs PIL {err.max()}"
+
+    def test_progressive_gray(self):
+        import io
+        PIL = pytest.importorskip("PIL.Image")
+        yy, xx = np.mgrid[0:64, 0:72]
+        g = ((xx + yy) % 256).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.fromarray(g, "L").save(buf, "JPEG", quality=90,
+                                   progressive=True)
+        data = buf.getvalue()
+        from libav_tpu.codecs.mjpeg import MJPEGDecoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        dec = MJPEGDecoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mjpeg"))
+        dec.open()
+        f = dec.decode_jpeg(data).to_host()
+        ref = np.asarray(PIL.open(io.BytesIO(data)).convert("L"))
+        err = np.abs(np.asarray(f.planes[0]).astype(int) - ref.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 10, \
+            f"gray err mean {err.mean():.2f} max {err.max()}"
