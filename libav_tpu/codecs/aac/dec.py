@@ -73,13 +73,9 @@ def _decode_spectrum(gb, cb, count):
     return out
 
 
-def decode_ics(gb: GetBits, sample_rate: int):
-    """One individual_channel_stream (reference: aacdec.c decode_ics
-    :1861). Returns (window_sequence, window_shape, spec) where spec is
-    (1024,) for long sequences or (8, 128) for EIGHT_SHORT."""
-    global_gain = gb.get_bits(8)
-
-    # ics_info
+def read_ics_info(gb: GetBits, sample_rate: int) -> dict:
+    """ics_info() (reference: aacdec.c decode_ics_info) -> dict shared
+    by both channels of a common_window CPE."""
     gb.get_bits(1)           # ics_reserved
     window_sequence = gb.get_bits(2)
     window_shape = gb.get_bits(1)
@@ -101,9 +97,28 @@ def decode_ics(gb: GetBits, sample_rate: int):
         group_len = [1]
         offsets = T.swb_offsets_long(sample_rate)
         sect_bits, sect_esc = 5, 31
-    num_groups = len(group_len)
     if max_sfb > len(offsets) - 1:
         raise AVError(INVALIDDATA, "max_sfb too large")
+    return dict(seq=window_sequence, shape=window_shape, max_sfb=max_sfb,
+                group_len=group_len, offsets=offsets,
+                sect_bits=sect_bits, sect_esc=sect_esc)
+
+
+def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
+    """One individual_channel_stream (reference: aacdec.c decode_ics
+    :1861). Returns (window_sequence, window_shape, spec) where spec is
+    (1024,) for long sequences or (8, 128) for EIGHT_SHORT. `info` is
+    the shared ics_info of a common_window CPE (skips the inline one)."""
+    global_gain = gb.get_bits(8)
+    if info is None:
+        info = read_ics_info(gb, sample_rate)
+    window_sequence = info["seq"]
+    window_shape = info["shape"]
+    max_sfb = info["max_sfb"]
+    group_len = info["group_len"]
+    offsets = info["offsets"]
+    sect_bits, sect_esc = info["sect_bits"], info["sect_esc"]
+    num_groups = len(group_len)
 
     # section_data (sections never span group boundaries)
     band_cb = np.zeros((num_groups, max_sfb), dtype=np.int32)
@@ -184,6 +199,31 @@ def decode_ics(gb: GetBits, sample_rate: int):
     return window_sequence, window_shape, np.sign(q) * mag * gains
 
 
+def _apply_mid_side(mid, side, mask, info):
+    """In-place M/S -> L/R on dequantized spectra (spec 4.6.8.1.1:
+    l = m + s, r = m - s per masked band)."""
+    offsets = info["offsets"]
+    group_len = info["group_len"]
+    wstart = 0
+    for g, L in enumerate(group_len):
+        for b in range(info["max_sfb"]):
+            if not mask[g, b]:
+                continue
+            s0, e0 = int(offsets[b]), int(offsets[b + 1])
+            if info["seq"] == EIGHT_SHORT:
+                for w in range(L):
+                    m = mid[wstart + w, s0:e0].copy()
+                    sd = side[wstart + w, s0:e0].copy()
+                    mid[wstart + w, s0:e0] = m + sd
+                    side[wstart + w, s0:e0] = m - sd
+            else:
+                m = mid[s0:e0].copy()
+                sd = side[s0:e0].copy()
+                mid[s0:e0] = m + sd
+                side[s0:e0] = m - sd
+        wstart += L
+
+
 @register_codec
 class AACDecoder(Decoder):
     NAME = "aac"
@@ -219,10 +259,32 @@ class AACDecoder(Decoder):
             elif ele == CPE:
                 common = gb.get_bits(1)
                 if common:
-                    raise AVError(INVALIDDATA, "common_window CPE "
-                                               "not supported yet")
-                specs.append(decode_ics(gb, sample_rate))
-                specs.append(decode_ics(gb, sample_rate))
+                    # shared ics_info + mid/side stereo (reference:
+                    # aacdec.c decode_cpe :2020 + decode_mid_side_stereo)
+                    info = read_ics_info(gb, sample_rate)
+                    ms_present = gb.get_bits(2)
+                    if ms_present == 3:
+                        raise AVError(INVALIDDATA, "ms_present=3 reserved")
+                    ng = len(info["group_len"])
+                    if ms_present == 1:
+                        mask = np.array([gb.get_bits(1)
+                                         for _ in range(ng *
+                                                        info["max_sfb"])],
+                                        dtype=bool).reshape(ng,
+                                                            info["max_sfb"])
+                    elif ms_present == 2:
+                        mask = np.ones((ng, info["max_sfb"]), dtype=bool)
+                    else:
+                        mask = None
+                    s0 = decode_ics(gb, sample_rate, info)
+                    s1 = decode_ics(gb, sample_rate, info)
+                    if mask is not None:
+                        _apply_mid_side(s0[2], s1[2], mask, info)
+                    specs.append(s0)
+                    specs.append(s1)
+                else:
+                    specs.append(decode_ics(gb, sample_rate))
+                    specs.append(decode_ics(gb, sample_rate))
             elif ele == FIL:
                 cnt = tag_bits
                 if cnt == 15:

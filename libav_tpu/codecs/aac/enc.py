@@ -155,9 +155,22 @@ class AACEncoder(Encoder):
         else:
             pb.put_bits(3, CPE)
             pb.put_bits(4, 0)
-            pb.put_bits(1, 0)        # common_window = 0
-            self._encode_ics(pb, spec[0], seq)
-            self._encode_ics(pb, spec[1], seq)
+            mid = (spec[0] + spec[1]) * 0.5
+            side = (spec[0] - spec[1]) * 0.5
+            use_ms = float((side ** 2).sum()) < \
+                0.25 * float((mid ** 2).sum()) + 1e-12
+            if use_ms:
+                # common_window CPE with all-bands mid/side
+                # (reference: aacenc; decoder reconstructs l=m+s, r=m-s)
+                pb.put_bits(1, 1)
+                self._write_ics_info(pb, seq)
+                pb.put_bits(2, 2)    # ms_present: all bands
+                self._encode_ics(pb, mid, seq, write_info=False)
+                self._encode_ics(pb, side, seq, write_info=False)
+            else:
+                pb.put_bits(1, 0)    # common_window = 0
+                self._encode_ics(pb, spec[0], seq)
+                self._encode_ics(pb, spec[1], seq)
         pb.put_bits(3, END)
         pb.align(0)
         body = pb.flush()
@@ -189,8 +202,19 @@ class AACEncoder(Encoder):
 
     # ------------------------------------------------------------------ #
 
+    def _write_ics_info(self, pb: PutBits, seq: int):
+        pb.put_bits(1, 0)            # reserved
+        pb.put_bits(2, seq)
+        pb.put_bits(1, 0)            # window_shape: sine
+        if seq == EIGHT_SHORT:
+            pb.put_bits(4, self.max_sfb_short)
+            pb.put_bits(7, 0x7F)     # grouping: one group of 8 windows
+        else:
+            pb.put_bits(6, self.max_sfb)
+            pb.put_bits(1, 0)        # predictor_data_present
+
     def _encode_ics(self, pb: PutBits, spec: np.ndarray,
-                    seq: int = ONLY_LONG):
+                    seq: int = ONLY_LONG, write_info: bool = True):
         if seq == EIGHT_SHORT:
             # one group of all 8 windows: band g covers the same sfb of
             # every window, stored window-major (group layout)
@@ -237,15 +261,8 @@ class AACEncoder(Encoder):
         pb.put_bits(8, global_gain)
 
         # ics_info
-        pb.put_bits(1, 0)            # reserved
-        pb.put_bits(2, seq)
-        pb.put_bits(1, 0)            # window_shape: sine
-        if seq == EIGHT_SHORT:
-            pb.put_bits(4, max_sfb)
-            pb.put_bits(7, 0x7F)     # grouping: one group of 8 windows
-        else:
-            pb.put_bits(6, max_sfb)
-            pb.put_bits(1, 0)        # predictor_data_present
+        if write_info:
+            self._write_ics_info(pb, seq)
 
         # section_data: runs of equal codebook
         g = 0

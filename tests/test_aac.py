@@ -135,3 +135,61 @@ class TestShortWindows:
         err = y[1024:1024 + m] - x[:m]
         snr = 10 * np.log10((x[:m] ** 2).sum() / max((err ** 2).sum(), 1e-12))
         assert snr > 20, f"snr {snr:.1f}"
+
+
+class TestMidSideStereo:
+    def _roundtrip_stereo(self, l, r, rate=48000):
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.codecs.aac import AACEncoder, AACDecoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="aac",
+                              sample_rate=rate, channels=2,
+                              sample_fmt="fltp")
+        f = Frame(nb_samples=l.shape[-1], sample_rate=rate, format="fltp",
+                  channels=2)
+        f.planes = [l.astype(np.float32), r.astype(np.float32)]
+        enc = AACEncoder(par)
+        enc.set_opt("quality", 1)
+        pkts = enc.encode_all([f])
+        dec = AACDecoder(CodecParameters(codec_type=MediaType.AUDIO,
+                                         codec_id="aac"))
+        out = dec.decode_all([Packet(data=p.data, pts=p.pts) for p in pkts])
+        y = [np.concatenate([np.asarray(o.planes[c]) for o in out])
+             for c in range(2)]
+        return pkts, y
+
+    @staticmethod
+    def _cpe_common_bit(pkt_data, rate=48000):
+        from libav_tpu.codecs.aac.dec import parse_adts_header
+        from libav_tpu.bitstream import GetBits
+        hdr = parse_adts_header(pkt_data)
+        gb = GetBits(pkt_data[hdr[3]:hdr[2]])
+        assert gb.get_bits(3) == 1       # CPE
+        gb.get_bits(4)
+        return gb.get_bits(1)
+
+    def test_correlated_uses_ms(self):
+        rate = 48000
+        n = 1024 * 4
+        t = np.arange(n) / rate
+        base = 0.3 * np.sin(2 * np.pi * 440 * t)
+        l = base * 1.0
+        r = base * 0.92                  # nearly identical channels
+        pkts, y = self._roundtrip_stereo(l, r)
+        assert all(self._cpe_common_bit(p.data) == 1 for p in pkts)
+        for c, src in ((0, l), (1, r)):
+            m = n - 1024
+            err = y[c][1024:1024 + m] - src[:m]
+            snr = 10 * np.log10((src[:m] ** 2).sum() /
+                                max((err ** 2).sum(), 1e-12))
+            assert snr > 20, f"ch{c} snr {snr:.1f}"
+
+    def test_independent_stays_lr(self):
+        rate = 48000
+        n = 1024 * 3
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / rate
+        l = 0.3 * np.sin(2 * np.pi * 440 * t)
+        r = 0.3 * np.sin(2 * np.pi * 1313 * t + 1.0)
+        pkts, y = self._roundtrip_stereo(l, r)
+        assert all(self._cpe_common_bit(p.data) == 0 for p in pkts)
