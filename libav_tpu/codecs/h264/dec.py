@@ -62,6 +62,7 @@ class FrameData:
             self.nnz_v = v["nnz_v"]
             self.coded = v["coded"]
             self.sparse = N.alloc_sparse(nmb)
+            self.ref_idx = np.zeros(nmb, dtype=np.int32)
             return
         self.block = None
         self.sparse = None
@@ -75,6 +76,7 @@ class FrameData:
         self.chroma_dc = np.zeros((nmb, 2, 4), dtype=np.int32)
         self.chroma_ac = np.zeros((nmb, 8, 16), dtype=np.int32)
         self.coded = np.zeros(nmb, dtype=bool)
+        self.ref_idx = np.zeros(nmb, dtype=np.int32)
 
 
 @register_codec
@@ -88,11 +90,11 @@ class H264Decoder(Decoder):
         self.pps: Dict[int, sets.PPS] = {}
         self.active_sps: Optional[sets.SPS] = None
         self.active_pps: Optional[sets.PPS] = None
-        self._ref = None
+        self._dpb = []           # padded ref plane tuples, newest first
         self._deblock_warned = False
 
     def _flush(self):
-        self._ref = None
+        self._dpb = []
 
     # ------------------------------------------------------------------ #
 
@@ -153,6 +155,7 @@ class H264Decoder(Decoder):
         if idr:
             gb.get_bits(1)                       # no_output_of_prior_pics
             gb.get_bits(1)                       # long_term_reference
+            self._dpb = []
         else:
             if gb.get_bits(1):                   # adaptive marking
                 raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
@@ -171,7 +174,9 @@ class H264Decoder(Decoder):
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
-        use_native = N.available() and not bool(
+        # the C loop does not parse ref_idx: multi-reference slices take
+        # the Python MB loop
+        use_native = N.available() and num_ref_l0 <= 1 and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE'))
         if fd is None:
             pool = getattr(self, "_fd_pool", None)
@@ -251,7 +256,8 @@ class H264Decoder(Decoder):
 
     def _pskip_mb(self, fd, i, mb_w, qp):
         mb_x, mb_y = i % mb_w, i // mb_w
-        mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w)
+        mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w,
+                        refs=fd.ref_idx)
         fd.mv[i] = mv
         fd.qp[i] = qp
         fd.coded[i] = True
@@ -286,12 +292,20 @@ class H264Decoder(Decoder):
         return qp
 
     def _decode_p16(self, gb, fd, i, mb_x, mb_y, mb_w, qp, num_ref_l0):
+        ref = 0
         if num_ref_l0 > 1:
-            # te(v) ref_idx — with >1 refs unsupported
-            raise AVError(INVALIDDATA, "multi-ref not supported yet")
+            # ref_idx_l0: te(v) (spec 9.1.1)
+            if num_ref_l0 == 2:
+                ref = 1 - gb.get_bits(1)
+            else:
+                ref = gb.get_ue_golomb()
+            if ref >= num_ref_l0:
+                raise AVError(INVALIDDATA, "ref_idx out of range")
+        fd.ref_idx[i] = ref
         mvdx = gb.get_se_golomb()
         mvdy = gb.get_se_golomb()
-        px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w)
+        px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w,
+                               refs=fd.ref_idx, cur_ref=ref)
         fd.mv[i] = (px + mvdx, py + mvdy)
         cbp_code = gb.get_ue_golomb()
         if cbp_code >= 48:
@@ -364,7 +378,18 @@ class H264Decoder(Decoder):
         sps = self.active_sps
         nmb = sps.mb_width * sps.mb_height
         any_intra = bool(np.any(fd.intra))
-        refs = self._ref or zero_refs_h264(sps.mb_width, sps.mb_height)
+        multi = bool(np.any(fd.ref_idx > 0))
+        if multi:
+            import jax.numpy as jnp
+            nrefs = int(fd.ref_idx.max()) + 1
+            dpb = list(self._dpb[:nrefs])
+            while len(dpb) < nrefs:
+                dpb.append(zero_refs_h264(sps.mb_width, sps.mb_height))
+            refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
+        else:
+            nrefs = 1
+            refs = (self._dpb[0] if self._dpb
+                    else zero_refs_h264(sps.mb_width, sps.mb_height))
         # int16 halves the host->HBM coefficient upload (CAVLC levels fit
         # comfortably; the device side upcasts to int32 anyway); the AC
         # coefficients additionally go up sparse — only coded 4x4 blocks
@@ -400,11 +425,13 @@ class H264Decoder(Decoder):
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
                                          sps.width, sps.height),
-                                   deblock=deblock)
+                                   deblock=deblock, nrefs=nrefs)
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
             kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
+        if nrefs > 1:
+            kw["ref_idx"] = fd.ref_idx.astype(np.int8)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -413,7 +440,8 @@ class H264Decoder(Decoder):
                             fd.luma_dc.astype(np.int16),
                             yvals, ypad, cvals, cpad,
                             fd.chroma_dc.astype(np.int16), *refs, **kw)
-        self._ref = padded
+        max_refs = max(1, sps.max_num_ref_frames)
+        self._dpb = [padded] + self._dpb[:max_refs - 1]
         slice_type, idr = slice_info
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
         f.planes = list(planes)     # cropped inside the device program

@@ -50,10 +50,14 @@ def _dequant_tables():
 
 
 @functools.lru_cache(maxsize=16)
-def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True):
+def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
+                   nrefs: int = 1):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
-    just one batched assemble — the common case for P frames."""
+    just one batched assemble — the common case for P frames. nrefs>1
+    compiles the multi-reference variant: ry/ru/rv arrive as (nrefs,...)
+    stacks and a per-MB ref_idx input selects each MB's plane
+    (reference: h264_refs.c list0 + per-MB ref_idx_l0)."""
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops import h264mc, h264pred
@@ -158,7 +162,7 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True):
 
     def fn(intra, luma_mode, chroma_mode, mv, qp,
            luma_dc, luma_ac, chroma_dc, chroma_ac,
-           ry, ru, rv):
+           ry, ru, rv, ref_idx=None):
         resid_y, resid_u, resid_v = residual_stage(
             intra, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
 
@@ -166,11 +170,15 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True):
         xs = jnp.asarray(mbx_all * 16)
         ys = jnp.asarray(mby_all * 16)
         mv32 = mv.astype(jnp.int32)
-        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0], mv32[:, 1], 16)
+        ridx = ref_idx.astype(jnp.int32) if nrefs > 1 else None
+        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0], mv32[:, 1],
+                                      16, ridx)
         cxs = jnp.asarray(mbx_all * 8)
         cys = jnp.asarray(mby_all * 8)
-        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0], mv32[:, 1], 8)
-        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0], mv32[:, 1], 8)
+        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0],
+                                        mv32[:, 1], 8, ridx)
+        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0],
+                                        mv32[:, 1], 8, ridx)
 
         if not any_intra:
             # fast path: every MB is inter — assemble without the scan
@@ -386,7 +394,7 @@ def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
 @functools.lru_cache(maxsize=64)
 def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           ycap: int, ccap: int, crop=None,
-                          deblock: bool = False):
+                          deblock: bool = False, nrefs: int = 1):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -397,17 +405,18 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     import jax.numpy as jnp
 
     nmb = mb_w * mb_h
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
-           yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None):
+           yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
+           ref_idx=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
                      .at[cidx].set(cvals)[:nmb * 8].reshape(nmb, 8, 16))
         planes, padded = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
-                                  ry, ru, rv)
+                                  ry, ru, rv, ref_idx=ref_idx)
         if deblock:
             from libav_tpu.ops.mc import EDGE
             yp, up, vp = _deblock_frame(

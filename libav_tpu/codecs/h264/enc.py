@@ -224,9 +224,13 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
+def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
+                  nrefs: int = 1):
     """P-frame encode: full-pel diamond + quarter-pel refine on the padded
-    reference, qpel prediction, transform/quant, levels out."""
+    reference(s), qpel prediction, transform/quant, levels out. With
+    nrefs>1 the refs arrive stacked and each MB picks the cheaper
+    reference (ref_idx output; ties and a small coding-cost bias favor
+    ref 0)."""
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops import h264mc
@@ -256,29 +260,55 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
         cy = src_y.astype(jnp.int32)
         cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
                    .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
-        fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ry)
-        # quarter-pel refine (two rounds of +-1 qpel diamond)
-        mv = fmv * 4
-        best = jnp.full((nmb,), 1 << 30, jnp.int32)
-        out_mv = mv
-        for scale in (2, 1):
-            mv = out_mv
-            for k in range(len(offs)):
-                cand = mv + jnp.asarray(offs[k]) * scale
-                pred = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
-                                      cand[:, 0], cand[:, 1], 16)
-                sad = jnp.abs(cur_mbs - pred).sum(axis=(1, 2))
-                better = sad < best
-                out_mv = jnp.where(better[:, None], cand, out_mv)
-                best = jnp.minimum(sad, best)
-        mv = out_mv
 
-        pred_y = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
-                                mv[:, 0], mv[:, 1], 16)
-        pred_u = h264mc.chroma_mc(ru, jnp.asarray(mbx // 2),
-                                  jnp.asarray(mby // 2), mv[:, 0], mv[:, 1], 8)
-        pred_v = h264mc.chroma_mc(rv, jnp.asarray(mbx // 2),
-                                  jnp.asarray(mby // 2), mv[:, 0], mv[:, 1], 8)
+        def search_one(ry1):
+            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ry1)
+            mv = fmv * 4
+            best = jnp.full((nmb,), 1 << 30, jnp.int32)
+            out_mv = mv
+            for scale in (2, 1):
+                mv = out_mv
+                for k in range(len(offs)):
+                    cand = mv + jnp.asarray(offs[k]) * scale
+                    pred = h264mc.qpel_mc(ry1, jnp.asarray(mbx),
+                                          jnp.asarray(mby),
+                                          cand[:, 0], cand[:, 1], 16)
+                    sad = jnp.abs(cur_mbs - pred).sum(axis=(1, 2))
+                    better = sad < best
+                    out_mv = jnp.where(better[:, None], cand, out_mv)
+                    best = jnp.minimum(sad, best)
+            return out_mv, best
+
+        if nrefs == 1:
+            mv, _ = search_one(ry)
+            ref_idx = jnp.zeros((nmb,), jnp.int32)
+            pred_y = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
+                                    mv[:, 0], mv[:, 1], 16)
+            pred_u = h264mc.chroma_mc(ru, jnp.asarray(mbx // 2),
+                                      jnp.asarray(mby // 2),
+                                      mv[:, 0], mv[:, 1], 8)
+            pred_v = h264mc.chroma_mc(rv, jnp.asarray(mbx // 2),
+                                      jnp.asarray(mby // 2),
+                                      mv[:, 0], mv[:, 1], 8)
+        else:
+            mvs, costs = [], []
+            for r in range(nrefs):
+                m, c = search_one(ry[r])
+                mvs.append(m)
+                costs.append(c + 16 * r)   # te(v)+pred coding-cost bias
+            cost = jnp.stack(costs)                        # (R, nmb)
+            ref_idx = jnp.argmin(cost, axis=0).astype(jnp.int32)
+            mvst = jnp.stack(mvs)                          # (R, nmb, 2)
+            mv = jnp.take_along_axis(
+                mvst, ref_idx[None, :, None], axis=0)[0]
+            pred_y = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
+                                    mv[:, 0], mv[:, 1], 16, ref_idx)
+            pred_u = h264mc.chroma_mc(ru, jnp.asarray(mbx // 2),
+                                      jnp.asarray(mby // 2),
+                                      mv[:, 0], mv[:, 1], 8, ref_idx)
+            pred_v = h264mc.chroma_mc(rv, jnp.asarray(mbx // 2),
+                                      jnp.asarray(mby // 2),
+                                      mv[:, 0], mv[:, 1], 8, ref_idx)
 
         su = (src_u.astype(jnp.int32).reshape(mb_h, 8, mb_w, 8)
               .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
@@ -310,7 +340,7 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
 
         udc, uac = chroma_levels(resid_u)
         vdc, vac = chroma_levels(resid_v)
-        return mv, luma_lv, udc, uac, vdc, vac
+        return mv, luma_lv, udc, uac, vdc, vac, ref_idx
 
     return jax.jit(fn)
 
@@ -327,6 +357,7 @@ class H264Encoder(Encoder):
         Option("gop_size", "GOP length", "int", 12, 1, 600),
         Option("deblock", "apply in-loop deblocking (closed loop)",
                "int", 0, 0, 1),
+        Option("refs", "number of reference frames (L0)", "int", 1, 1, 2),
     ]
 
     def _init(self):
@@ -347,8 +378,13 @@ class H264Encoder(Encoder):
         self.pps = sets.PPS()
         self.pps.pic_init_qp = self.qp
         self._frame_idx = 0
-        self._refs = None
+        self._refs = None       # newest padded recon (DPB head)
+        self._dpb = []          # padded recon refs, newest first
         self._idr_id = 0
+        self.sps.max_num_ref_frames = self.refs
+        if self.refs > 1 and self.deblock:
+            raise AVError(EINVAL, "h264: refs>1 with deblock not "
+                                  "supported yet (round 2)")
 
     # ------------------------------------------------------------------ #
 
@@ -362,11 +398,19 @@ class H264Encoder(Encoder):
             outs, recon = fn(y, u, v)
             data = self._pack_i(outs, recon)
         else:
-            fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp)
-            mv, luma_lv, udc, uac, vdc, vac = fn(y, u, v, *self._refs)
+            nrefs = min(self.refs, len(self._dpb)) or 1
+            fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs)
+            if nrefs > 1:
+                import jax.numpy as jnp
+                refs = tuple(jnp.stack([d[k] for d in self._dpb[:nrefs]])
+                             for k in range(3))
+            else:
+                refs = self._refs
+            mv, luma_lv, udc, uac, vdc, vac, ridx = fn(y, u, v, *refs)
             data = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
                                 np.asarray(udc), np.asarray(uac),
-                                np.asarray(vdc), np.asarray(vac))
+                                np.asarray(vdc), np.asarray(vac),
+                                np.asarray(ridx), nrefs)
 
         pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
@@ -390,6 +434,23 @@ class H264Encoder(Encoder):
         """Reconstruct the reference through the decoder's device program
         (closed loop by construction — including the loop filter when
         deblocking is enabled)."""
+        multi = bool(np.any(fd.ref_idx > 0))
+        if multi:
+            import jax.numpy as jnp
+            nrefs = int(fd.ref_idx.max()) + 1
+            dpb = list(self._dpb[:nrefs])
+            while len(dpb) < nrefs:
+                dpb.append(zero_refs_h264(self.mb_w, self.mb_h))
+            refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
+            fn = recon_h264_jit(self.mb_w, self.mb_h,
+                                bool(np.any(fd.intra)), nrefs)
+            _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
+                           fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
+                           fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,
+                           ref_idx=fd.ref_idx)
+            self._refs = padded
+            self._dpb = [padded] + self._dpb[:self.refs - 1]
+            return
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
         if self.deblock:
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
@@ -413,12 +474,14 @@ class H264Encoder(Encoder):
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs)
         self._refs = padded
+        self._dpb = [padded] + self._dpb[:self.refs - 1]
 
     # ------------------------------------------------------------------ #
     # Packing
     # ------------------------------------------------------------------ #
 
-    def _slice_header(self, pb: PutBits, slice_type: int, idr: bool):
+    def _slice_header(self, pb: PutBits, slice_type: int, idr: bool,
+                      nrefs: int = 1):
         pb.put_ue_golomb(0)                      # first_mb_in_slice
         pb.put_ue_golomb(slice_type)             # 0=P, 2=I (per spec: +5 ok)
         pb.put_ue_golomb(0)                      # pps_id
@@ -427,7 +490,11 @@ class H264Encoder(Encoder):
         if idr:
             pb.put_ue_golomb(self._idr_id & 0xFFFF)
         if slice_type == SLICE_P:
-            pb.put_bits(1, 0)                    # num_ref_idx_override
+            if nrefs > 1:
+                pb.put_bits(1, 1)                # num_ref_idx_override
+                pb.put_ue_golomb(nrefs - 1)      # num_ref_idx_l0_active-1
+            else:
+                pb.put_bits(1, 0)                # num_ref_idx_override
             pb.put_bits(1, 0)                    # ref list modification
         if idr:
             pb.put_bits(1, 0)
@@ -498,11 +565,14 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return bytes(out)
 
-    def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac) -> bytes:
+    def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac,
+                ridx=None, nrefs: int = 1) -> bytes:
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
         fd = FrameData(nmb)
         fd.mv = mv.astype(np.int32)
+        if ridx is not None:
+            fd.ref_idx = ridx.astype(np.int32)
         fd.qp[:] = self.qp
         fd.luma_ac = luma_lv.reshape(nmb, 16, 16)[:, :, scan]
         fd.chroma_dc[:, 0] = udc
@@ -512,15 +582,16 @@ class H264Encoder(Encoder):
         fd.chroma_ac[:, :, 0] = 0
 
         pb = PutBits()
-        self._slice_header(pb, SLICE_P, idr=False)
-        self._pack_mbs(pb, fd, SLICE_P)
+        self._slice_header(pb, SLICE_P, idr=False, nrefs=nrefs)
+        self._pack_mbs(pb, fd, SLICE_P, nrefs=nrefs)
         data = self._finish_nal(pb, nal_mod.NAL_SLICE)
         self._update_ref_from_levels(fd)
         return data
 
     # ------------------------------------------------------------------ #
 
-    def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int):
+    def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int,
+                  nrefs: int = 1):
         mb_w, mb_h = self.mb_w, self.mb_h
         nmb = mb_w * mb_h
         nnz_y = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int32)
@@ -541,8 +612,9 @@ class H264Encoder(Encoder):
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
                 skip_mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
-                                     mb_w)
+                                     mb_w, refs=fd.ref_idx)
                 if cbp_luma == 0 and cbp_chroma == 0 and \
+                        int(fd.ref_idx[i]) == 0 and \
                         tuple(fd.mv[i]) == skip_mv:
                     skip_run += 1
                     fd.coded[i] = True
@@ -551,8 +623,15 @@ class H264Encoder(Encoder):
                 pb.put_ue_golomb(skip_run)
                 skip_run = 0
                 pb.put_ue_golomb(0)              # mb_type P_L0_16x16
+                if nrefs > 1:
+                    ref = int(fd.ref_idx[i])
+                    if nrefs == 2:
+                        pb.put_bits(1, 1 - ref)  # te(v), max 1
+                    else:
+                        pb.put_ue_golomb(ref)
                 px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
-                                       mb_y, mb_w)
+                                       mb_y, mb_w, refs=fd.ref_idx,
+                                       cur_ref=int(fd.ref_idx[i]))
                 pb.put_se_golomb(int(fd.mv[i][0]) - px)
                 pb.put_se_golomb(int(fd.mv[i][1]) - py)
                 cbp = cbp_luma | (cbp_chroma << 4)

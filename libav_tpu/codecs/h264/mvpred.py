@@ -11,11 +11,15 @@ import numpy as np
 
 
 def pred_mv_16x16(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
-                  mb_x: int, mb_y: int, mb_w: int) -> Tuple[int, int]:
+                  mb_x: int, mb_y: int, mb_w: int,
+                  refs: np.ndarray = None,
+                  cur_ref: int = 0) -> Tuple[int, int]:
     """Median MV prediction. mvs (nmb,2) holds final MVs of already
     processed MBs; intra marks intra MBs (ref 'not available' for
     prediction purposes -> candidate (0,0) with different-ref semantics);
-    coded marks MBs decoded so far (decode order).
+    coded marks MBs decoded so far (decode order). With multi-reference
+    slices, refs holds each MB's refIdxL0 and the exactly-one-same-ref
+    rule compares against cur_ref (spec 8.4.1.3.1).
     """
 
     def cand(x, y):
@@ -27,7 +31,8 @@ def pred_mv_16x16(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
             return None
         if intra[i]:
             return ((0, 0), False)
-        return ((int(mvs[i][0]), int(mvs[i][1])), True)
+        same = True if refs is None else int(refs[i]) == cur_ref
+        return ((int(mvs[i][0]), int(mvs[i][1])), same)
 
     A = cand(mb_x - 1, mb_y)
     B = cand(mb_x, mb_y - 1)
@@ -54,9 +59,10 @@ def pred_mv_16x16(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
 
 
 def pred_pskip(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
-               mb_x: int, mb_y: int, mb_w: int) -> Tuple[int, int]:
+               mb_x: int, mb_y: int, mb_w: int,
+               refs: np.ndarray = None) -> Tuple[int, int]:
     """P_Skip motion (spec 8.4.1.1): zero if A or B unavailable or zero
-    with ref 0, else the normal 16x16 prediction."""
+    with ref 0, else the normal 16x16 prediction (cur_ref = 0)."""
 
     def get(x, y):
         if x < 0 or y < 0 or x >= mb_w:
@@ -66,7 +72,8 @@ def pred_pskip(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
             return None
         if intra[i]:
             return ((0, 0), False)
-        return ((int(mvs[i][0]), int(mvs[i][1])), True)
+        same = True if refs is None else int(refs[i]) == 0
+        return ((int(mvs[i][0]), int(mvs[i][1])), same)
 
     A = get(mb_x - 1, mb_y)
     B = get(mb_x, mb_y - 1)
@@ -76,4 +83,4 @@ def pred_pskip(mvs: np.ndarray, intra: np.ndarray, coded: np.ndarray,
         return (0, 0)
     if B[1] and B[0] == (0, 0):
         return (0, 0)
-    return pred_mv_16x16(mvs, intra, coded, mb_x, mb_y, mb_w)
+    return pred_mv_16x16(mvs, intra, coded, mb_x, mb_y, mb_w, refs, 0)

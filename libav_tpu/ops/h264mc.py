@@ -76,8 +76,10 @@ def qpel_mc_ref(padded: np.ndarray, xs, ys, mvx, mvy, size: int) -> np.ndarray:
     return out
 
 
-def qpel_mc(padded, xs, ys, mvx, mvy, size: int):
-    """Batched quarter-pel MC on device. Same contract as qpel_mc_ref."""
+def qpel_mc(padded, xs, ys, mvx, mvy, size: int, ridx=None):
+    """Batched quarter-pel MC on device. Same contract as qpel_mc_ref.
+    With multi-reference slices, padded is a (R, Hp, Wp) stack and ridx
+    (B,) selects each block's reference plane."""
     import jax
     import jax.numpy as jnp
 
@@ -87,10 +89,15 @@ def qpel_mc(padded, xs, ys, mvx, mvy, size: int):
     fx = (mvx & 3)[:, None, None]
     fy = (mvy & 3)[:, None, None]
 
-    def slice_one(y, x):
-        return jax.lax.dynamic_slice(padded, (y, x), (S + 6, S + 6))
-
-    P = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)   # (B, S+6, S+6)
+    if ridx is None:
+        def slice_one(y, x):
+            return jax.lax.dynamic_slice(padded, (y, x), (S + 6, S + 6))
+        P = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)
+    else:
+        def slice_ref(r, y, x):
+            return jax.lax.dynamic_slice(
+                padded, (r, y, x), (1, S + 6, S + 6))[0]
+        P = jax.vmap(slice_ref)(ridx, y0, x0).astype(jnp.int32)
 
     def conv6(x, axis):
         out = 0
@@ -164,7 +171,7 @@ def chroma_mc_ref(padded: np.ndarray, xs, ys, mvx, mvy, size: int) -> np.ndarray
     return out
 
 
-def chroma_mc(padded, xs, ys, mvx, mvy, size: int):
+def chroma_mc(padded, xs, ys, mvx, mvy, size: int, ridx=None):
     import jax
     import jax.numpy as jnp
     S = size
@@ -173,10 +180,15 @@ def chroma_mc(padded, xs, ys, mvx, mvy, size: int):
     dx = (mvx & 7)[:, None, None]
     dy = (mvy & 7)[:, None, None]
 
-    def slice_one(y, x):
-        return jax.lax.dynamic_slice(padded, (y, x), (S + 1, S + 1))
-
-    P = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)
+    if ridx is None:
+        def slice_one(y, x):
+            return jax.lax.dynamic_slice(padded, (y, x), (S + 1, S + 1))
+        P = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)
+    else:
+        def slice_ref(r, y, x):
+            return jax.lax.dynamic_slice(
+                padded, (r, y, x), (1, S + 1, S + 1))[0]
+        P = jax.vmap(slice_ref)(ridx, y0, x0).astype(jnp.int32)
     A = P[:, :S, :S]
     B_ = P[:, :S, 1:S + 1]
     C = P[:, 1:S + 1, :S]

@@ -172,3 +172,47 @@ class TestDeblock:
                                         p[:, 15::16][:, :p[:, 16::16].shape[1]].astype(int))))
 
         assert edge_disc(b) <= edge_disc(a) + 1e-9
+
+
+class TestMultiRef:
+    def test_two_reference_round_trip(self):
+        """Alternating content: odd frames match ref[1] better than
+        ref[0]; the encoder must pick ref_idx 1 for some MBs and the
+        decoder must reconstruct from the right reference."""
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        b = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        frames = []
+        for t in range(6):
+            f = Frame.alloc_video(64, 48, "yuv420p")
+            f.planes[0] = (a if t % 2 == 0 else b).copy()
+            f.planes[1][:] = 100
+            f.planes[2][:] = 60
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=64, height=48, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 26)
+        enc.set_opt("refs", 2)
+        pkts = enc.encode_all(frames)
+        # packets 2.. (P frames with 2 refs in DPB) should be tiny:
+        # the two-frames-ago reference matches exactly
+        assert len(pkts[3].data) < len(pkts[1].data) // 2, \
+            [len(p.data) for p in pkts]
+        dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                          codec_id="h264"))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        assert len(out) == 6
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], o.to_host().planes[0])
+            assert p > 30, f"frame {i} psnr {p:.1f}"
+
+    def test_single_ref_unchanged(self):
+        """refs=1 streams must still take the native path and decode
+        identically to before."""
+        frames = [vsynth_frame(64, 48, t) for t in range(3)]
+        _, out = roundtrip(frames, qp=24)
+        for s, o in zip(frames, out):
+            assert psnr(s.planes[0], o.planes[0]) > 30
