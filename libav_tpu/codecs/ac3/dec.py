@@ -162,8 +162,6 @@ class AC3Decoder(Decoder):
         if acmod == 2:
             gb.get_bits(2)          # dsurmod
         lfeon = gb.get_bits(1)
-        if lfeon:
-            raise AVError(INVALIDDATA, "LFE not supported yet")
         gb.get_bits(5)              # dialnorm
         if gb.get_bits(1):
             gb.get_bits(8)          # compr
@@ -188,15 +186,17 @@ class AC3Decoder(Decoder):
             n = gb.get_bits(6)
             gb.skip_bits((n + 1) * 8)
 
-        # per-channel persistent state across blocks
-        exps = [np.zeros(256, dtype=np.int32) for _ in range(nfchans)]
-        endmant = [253] * nfchans
-        bap = [np.zeros(256, dtype=np.int32) for _ in range(nfchans)]
+        # per-channel persistent state across blocks; the LFE channel,
+        # when present, rides as row nfchans with endmant 7
+        nrows = nfchans + (1 if lfeon else 0)
+        exps = [np.zeros(256, dtype=np.int32) for _ in range(nrows)]
+        endmant = [253] * nfchans + ([7] if lfeon else [])
+        bap = [np.zeros(256, dtype=np.int32) for _ in range(nrows)]
         ba_params = dict(sdcycod=2, fdcycod=1, sgaincod=1, dbpbcod=2,
                          floorcod=7)
         snr = [dict(csnroffst=0, fsnroffst=0, fgaincod=4)
-               for _ in range(nfchans)]
-        spectra = np.zeros((6, nfchans, 256), dtype=np.float64)
+               for _ in range(nrows)]
+        spectra = np.zeros((6, nrows, 256), dtype=np.float64)
 
         for blk in range(6):
             blksw = [gb.get_bits(1) for _ in range(nfchans)]
@@ -220,6 +220,7 @@ class AC3Decoder(Decoder):
                             self._warn_once(
                                 "remat", "stereo rematrixing not applied")
             chexpstr = [gb.get_bits(2) for _ in range(nfchans)]
+            lfeexpstr = gb.get_bits(1) if lfeon else 0
             for ch in range(nfchans):
                 if chexpstr[ch] != EXP_REUSE:
                     chbwcod = gb.get_bits(6)
@@ -228,6 +229,10 @@ class AC3Decoder(Decoder):
                     exps[ch][:endmant[ch]] = decode_exponents(
                         gb, chexpstr[ch], absexp, endmant[ch])
                     gb.get_bits(2)  # gainrng
+            if lfeon and lfeexpstr:
+                absexp = gb.get_bits(4)
+                exps[nfchans][:7] = decode_exponents(
+                    gb, EXP_D15, absexp, 7)
             if gb.get_bits(1):      # baie
                 ba_params = dict(sdcycod=gb.get_bits(2),
                                  fdcycod=gb.get_bits(2),
@@ -236,7 +241,7 @@ class AC3Decoder(Decoder):
                                  floorcod=gb.get_bits(3))
             if gb.get_bits(1):      # snroffste
                 cs = gb.get_bits(6)
-                for ch in range(nfchans):
+                for ch in range(nrows):
                     snr[ch] = dict(csnroffst=cs, fsnroffst=gb.get_bits(4),
                                    fgaincod=gb.get_bits(3))
             if gb.get_bits(1):      # deltbaie
@@ -247,7 +252,7 @@ class AC3Decoder(Decoder):
 
             # bit allocation + mantissas
             st = _MantState()
-            for ch in range(nfchans):
+            for ch in range(nrows):
                 bap[ch][:] = 0
                 bap[ch][:endmant[ch]] = bitalloc.run_bit_alloc(
                     exps[ch], 0, endmant[ch], fscod,
@@ -257,11 +262,18 @@ class AC3Decoder(Decoder):
                 spectra[blk, ch] = decode_mantissas(
                     gb, bap[ch], exps[ch], endmant[ch], st)
 
-        pcm = self._imdct_frame(spectra, nfchans)
+        pcm = self._imdct_frame(spectra, nrows)
+        # AC-3 channel order -> ffmpeg default layout order
+        if acmod == 7:
+            order = [0, 2, 1] + ([nfchans] if lfeon else []) + [3, 4]
+        elif lfeon:
+            order = list(range(nfchans)) + [nfchans]
+        else:
+            order = list(range(nfchans))
         frame = Frame(nb_samples=1536, sample_rate=sample_rate,
-                      format="fltp", channels=nfchans,
-                      channel_layout=default_channel_layout(nfchans))
-        frame.planes = [pcm[c].astype(np.float32) for c in range(nfchans)]
+                      format="fltp", channels=nrows,
+                      channel_layout=default_channel_layout(nrows))
+        frame.planes = [pcm[c].astype(np.float32) for c in order]
         return frame, frame_bytes
 
     # ------------------------------------------------------------------ #

@@ -48,19 +48,32 @@ class AC3Encoder(Encoder):
 
     FRAME_SAMPLES = 1536
 
+    # source (ffmpeg fltp layout) -> AC-3 channel order (A/52 table 5.9)
+    _LAYOUTS = {
+        1: (1, [0], None),                      # C
+        2: (2, [0, 1], None),                   # L R
+        5: (7, [0, 2, 1, 3, 4], None),          # L C R Ls Rs
+        6: (7, [0, 2, 1, 4, 5], 3),             # 5.1 (LFE at src idx 3)
+    }
+
     def _init(self):
         if self.sample_rate not in T.SAMPLE_RATES:
             raise AVError(EINVAL, f"ac3: unsupported rate {self.sample_rate}")
-        if self.channels not in (1, 2):
-            raise AVError(EINVAL, "ac3 encoder: mono/stereo only (round 1)")
+        if self.channels not in self._LAYOUTS:
+            raise AVError(EINVAL, f"ac3 encoder: {self.channels} channels "
+                                  "unsupported (1/2/5/6)")
         self.fscod = T.SAMPLE_RATES.index(self.sample_rate)
+        if self.channels >= 5 and self.bitrate_kbps < 256:
+            self.bitrate_kbps = 384      # 192k default cannot fit 5.1
         try:
             ridx = T.BITRATES.index(self.bitrate_kbps)
         except ValueError:
             raise AVError(EINVAL, f"ac3: bitrate {self.bitrate_kbps} invalid")
         self.frmsizecod = ridx * 2
         self.frame_bytes = int(T.FRAME_SIZE[self.frmsizecod][self.fscod]) * 2
-        self.acmod = 1 if self.channels == 1 else 2
+        self.acmod, self.ch_map, self.lfe_src = self._LAYOUTS[self.channels]
+        self.lfe = self.lfe_src is not None
+        self.nfchans = len(self.ch_map)
         self._buf = np.zeros((self.channels, 0), dtype=np.float64)
         self._prev_tail = np.zeros((self.channels, 256), dtype=np.float64)
         self._pts = 0
@@ -101,7 +114,11 @@ class AC3Encoder(Encoder):
 
     def _encode_frame(self, pcm: np.ndarray, src) -> Packet:
         from libav_tpu.ops import fftmdct as F
-        nch = self.channels
+        # reorder into AC-3 channel order: fchans then the LFE row last
+        order = list(self.ch_map) + ([self.lfe_src] if self.lfe else [])
+        pcm = pcm[order]
+        nch = self.nfchans + (1 if self.lfe else 0)
+        endm = [ENDMANT] * self.nfchans + ([7] if self.lfe else [])
         win = F.kbd_window(512, alpha=5.0)
         # 6 blocks with 256-sample hop; block b covers
         # [prev_tail | pcm] slice starting at b*256
@@ -118,34 +135,38 @@ class AC3Encoder(Encoder):
         # exponents: one D15 set per channel for the whole frame
         exps = np.zeros((nch, 256), dtype=np.int32)
         for ch in range(nch):
-            mag = np.abs(spec[:, ch, :ENDMANT]).max(axis=0)
+            em = endm[ch]
+            mag = np.abs(spec[:, ch, :em]).max(axis=0)
             e = np.where(mag > 0, np.floor(-np.log2(np.maximum(mag, 1e-10))),
                          24).astype(np.int32)
             e = np.clip(e, 0, 24)
-            # D15 differential constraint: |diff| <= 2
-            for i in range(1, ENDMANT):
+            # D15 differential constraint: |diff| <= 2; absexp is a
+            # 4-bit field, so the first exponent caps at 15
+            e[0] = min(e[0], 15)
+            for i in range(1, em):
                 e[i] = min(e[i], e[i - 1] + 2)
-            for i in range(ENDMANT - 2, -1, -1):
+            for i in range(em - 2, -1, -1):
                 e[i] = min(e[i], e[i + 1] + 2)
-            exps[ch, :ENDMANT] = e
+            e[0] = min(e[0], 15)
+            exps[ch, :em] = e
 
         # bit allocation: search csnroffst that fits the frame
-        header_bits = 40 + 25 + 300      # generous estimate incl. blocks
         budget = self.frame_bytes * 8 - 600 - nch * 6 * 8
-        exp_bits = nch * (6 + 4 + 2 + ((ENDMANT - 1) // 3) * 7 + 2) + 200
+        exp_bits = sum(6 + 4 + 2 + ((endm[ch] - 1) // 3) * 7 + 2
+                       for ch in range(nch)) + 200
         budget -= exp_bits
         best_cs = 1
         for cs in range(63, 0, -1):
             total = 0
             for ch in range(nch):
-                bap = bitalloc.run_bit_alloc(exps[ch], 0, ENDMANT,
+                bap = bitalloc.run_bit_alloc(exps[ch], 0, endm[ch],
                                              self.fscod, csnroffst=cs)
                 total += T.mantissa_bits(bap) * 6
             if total <= budget:
                 best_cs = cs
                 break
         self._csnroffst = best_cs
-        baps = [bitalloc.run_bit_alloc(exps[ch], 0, ENDMANT, self.fscod,
+        baps = [bitalloc.run_bit_alloc(exps[ch], 0, endm[ch], self.fscod,
                                        csnroffst=best_cs)
                 for ch in range(nch)]
 
@@ -160,7 +181,9 @@ class AC3Encoder(Encoder):
     # ------------------------------------------------------------------ #
 
     def _pack(self, spec, exps, baps) -> bytes:
-        nch = self.channels
+        nf = self.nfchans
+        nch = nf + (1 if self.lfe else 0)
+        endm = [ENDMANT] * nf + ([7] if self.lfe else [])
         pb = PutBits()
         pb.put_bits(16, 0x0B77)
         pb.put_bits(16, 0)               # crc1 (not computed; round 2)
@@ -169,9 +192,13 @@ class AC3Encoder(Encoder):
         pb.put_bits(5, 8)                # bsid
         pb.put_bits(3, 0)                # bsmod
         pb.put_bits(3, self.acmod)
+        if self.acmod & 1 and self.acmod != 1:
+            pb.put_bits(2, 1)            # cmixlev -4.5dB
+        if self.acmod & 4:
+            pb.put_bits(2, 1)            # surmixlev -6dB
         if self.acmod == 2:
             pb.put_bits(2, 0)            # dsurmod
-        pb.put_bits(1, 0)                # lfeon
+        pb.put_bits(1, 1 if self.lfe else 0)   # lfeon
         pb.put_bits(5, 31)               # dialnorm
         pb.put_bits(1, 0)                # compre
         pb.put_bits(1, 0)                # langcode
@@ -182,9 +209,9 @@ class AC3Encoder(Encoder):
         pb.put_bits(1, 0)                # addbsie
 
         for blk in range(6):
-            for _ in range(nch):
+            for _ in range(nf):
                 pb.put_bits(1, 0)        # blksw
-            for _ in range(nch):
+            for _ in range(nf):
                 pb.put_bits(1, 0)        # dithflag
             pb.put_bits(1, 0)            # dynrnge
             if blk == 0:
@@ -199,13 +226,18 @@ class AC3Encoder(Encoder):
                         pb.put_bits(1, 0)
                 else:
                     pb.put_bits(1, 0)
-            for ch in range(nch):
+            for ch in range(nf):
                 pb.put_bits(2, EXP_D15 if blk == 0 else EXP_REUSE)
+            if self.lfe:
+                pb.put_bits(1, 1 if blk == 0 else 0)   # lfeexpstr
             if blk == 0:
-                for ch in range(nch):
+                for ch in range(nf):
                     pb.put_bits(6, CHBWCOD)
-                    self._pack_exponents(pb, exps[ch])
+                    self._pack_exponents(pb, exps[ch], ENDMANT)
                     pb.put_bits(2, 0)    # gainrng
+                if self.lfe:
+                    # lfeexps: absexp + 2 D15 groups over 6 diffs
+                    self._pack_exponents(pb, exps[nf], 7)
             if blk == 0:
                 pb.put_bits(1, 1)        # baie
                 pb.put_bits(2, 2)        # sdcycod
@@ -215,15 +247,18 @@ class AC3Encoder(Encoder):
                 pb.put_bits(3, 7)        # floorcod
                 pb.put_bits(1, 1)        # snroffste
                 pb.put_bits(6, self._csnroffst)
-                for ch in range(nch):
+                for ch in range(nf):
                     pb.put_bits(4, 0)    # fsnroffst
                     pb.put_bits(3, 4)    # fgaincod
+                if self.lfe:
+                    pb.put_bits(4, 0)    # lfefsnroffst
+                    pb.put_bits(3, 4)    # lfefgaincod
             else:
                 pb.put_bits(1, 0)        # baie
                 pb.put_bits(1, 0)        # snroffste
             pb.put_bits(1, 0)            # deltbaie
             pb.put_bits(1, 0)            # skiple
-            self._pack_mantissas(pb, spec[blk], exps, baps)
+            self._pack_mantissas(pb, spec[blk], exps, baps, endm)
 
         pb.put_bits(16, 0)               # crc2 placeholder
         data = bytearray(pb.flush())
@@ -233,11 +268,11 @@ class AC3Encoder(Encoder):
         data += b"\x00" * (self.frame_bytes - len(data))
         return bytes(data)
 
-    def _pack_exponents(self, pb, exps):
+    def _pack_exponents(self, pb, exps, endmant):
         pb.put_bits(4, int(exps[0]))
         prev = int(exps[0])
         diffs = []
-        for i in range(1, ENDMANT):
+        for i in range(1, endmant):
             d = int(exps[i]) - prev
             d = max(-2, min(2, d))
             diffs.append(d + 2)
@@ -247,12 +282,14 @@ class AC3Encoder(Encoder):
         for g in range(0, len(diffs), 3):
             pb.put_bits(7, diffs[g] * 25 + diffs[g + 1] * 5 + diffs[g + 2])
 
-    def _pack_mantissas(self, pb, spec_blk, exps, baps):
+    def _pack_mantissas(self, pb, spec_blk, exps, baps, endm=None):
         """Grouped mantissas (bap 1/2/4) are transmitted at the position
         of the FIRST member of each group (the decoder reads the group
         code lazily there), so we build a token list with group slots and
         serialize afterwards."""
-        nch = self.channels
+        nch = len(baps)
+        if endm is None:
+            endm = [ENDMANT] * nch
         tokens = []           # ('bits', n, value) or ('grp', kind, list)
         groups = {1: None, 2: None, 4: None}
 
@@ -267,7 +304,7 @@ class AC3Encoder(Encoder):
                 g.append(code)
 
         for ch in range(nch):
-            for i in range(ENDMANT):
+            for i in range(endm[ch]):
                 b = int(baps[ch][i])
                 if b == 0:
                     continue

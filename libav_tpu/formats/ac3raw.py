@@ -38,6 +38,19 @@ class AC3Demuxer(InputFormat):
             if fscod < 3:
                 rate = SAMPLE_RATES[fscod]
             ch = CHANNELS[acmod]
+            # lfeon follows acmod and the acmod-dependent mix levels
+            # (bsi layout: bsid(5) bsmod(3) acmod(3) [cmix][surmix]
+            # [dsurmod] lfeon — byte 6 holds acmod in the top 3 bits)
+            bits = (self._data[i + 6] << 8) | self._data[i + 7]
+            pos = 3                      # past acmod within these 13 bits
+            if acmod & 1 and acmod != 1:
+                pos += 2
+            if acmod & 4:
+                pos += 2
+            if acmod == 2:
+                pos += 2
+            lfeon = (bits >> (15 - pos)) & 1
+            ch += lfeon
         par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="ac3",
                               sample_rate=rate, channels=ch,
                               sample_fmt="fltp", frame_size=1536)

@@ -88,3 +88,45 @@ class TestAC3:
             enc.set_opt("bitrate_kbps", br)
             pkts = enc.encode_all([f])
             assert len(pkts[0].data) == size
+
+
+class Test51:
+    def test_5_1_round_trip(self):
+        """5.1 (acmod 3/2 + LFE) enc->dec: per-channel SNR and channel
+        identity (each channel carries its own tone)."""
+        from libav_tpu.codecs.ac3 import AC3Encoder, AC3Decoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.avutil.frame import Frame, Packet
+        rate = 48000
+        n = 1536 * 3
+        t = np.arange(n) / rate
+        freqs = [300, 440, 600, 60, 800, 1000]   # FL FR FC LFE BL BR
+        chans = [0.3 * np.sin(2 * np.pi * f * t) for f in freqs]
+        f = Frame(nb_samples=n, sample_rate=rate, format="fltp", channels=6)
+        f.planes = [c.astype(np.float32) for c in chans]
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="ac3",
+                              sample_rate=rate, channels=6,
+                              sample_fmt="fltp")
+        enc = AC3Encoder(par)
+        pkts = enc.encode_all([f])
+        assert pkts
+        dec = AC3Decoder(CodecParameters(codec_type=MediaType.AUDIO,
+                                         codec_id="ac3"))
+        out = dec.decode_all([Packet(data=p.data, pts=p.pts) for p in pkts])
+        assert out[0].channels == 6
+        y = [np.concatenate([np.asarray(o.planes[c]) for o in out])
+             for c in range(6)]
+        # AC-3 MDCT latency: 256 samples
+        for c, src in enumerate(chans):
+            m = min(len(y[c]), n) - 256
+            err = y[c][256:256 + m] - src[:m]
+            snr = 10 * np.log10((src[:m] ** 2).sum() /
+                                max((err ** 2).sum(), 1e-12))
+            # LFE is band-limited to ~120 Hz (7 coefficients) but its
+            # 60 Hz tone fits; all channels must reconstruct
+            assert snr > 14, f"ch{c} ({freqs[c]}Hz) snr {snr:.1f}"
+            # channel identity: the neighbour's tone must not dominate
+            spec = np.abs(np.fft.rfft(y[c][256:256 + m]))
+            own = spec[int(freqs[c] * m / rate)]
+            other = spec[int(freqs[(c + 1) % 6] * m / rate)]
+            assert own > 5 * other, f"ch{c} crosstalk"
