@@ -249,7 +249,7 @@ class MatroskaDemuxer(InputFormat):
                 par.extradata = private
             fr = None
             if default_dur:
-                fr = Rational(1000000000, default_dur)
+                fr = Rational.reduce(1000000000, default_dur)
             st = Stream(index=len(self.streams), codecpar=par,
                         time_base=Rational(1, 1000), avg_frame_rate=fr)
         elif ttype == TRACK_TYPE_AUDIO:
