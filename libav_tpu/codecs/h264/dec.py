@@ -174,9 +174,7 @@ class H264Decoder(Decoder):
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
-        # the C loop does not parse ref_idx: multi-reference slices take
-        # the Python MB loop
-        use_native = N.available() and num_ref_l0 <= 1 and not bool(
+        use_native = N.available() and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE'))
         if fd is None:
             pool = getattr(self, "_fd_pool", None)
@@ -188,6 +186,7 @@ class H264Decoder(Decoder):
                 fd = pool[1]
                 fd.intra[:] = 0
                 fd.coded[:] = 0
+                fd.ref_idx[:] = 0
                 fd.sparse[2][0] = 0
                 fd.sparse[2][1] = 0
             else:
@@ -206,7 +205,8 @@ class H264Decoder(Decoder):
             rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
                                 sps.mb_width, sps.mb_height, first_mb,
                                 slice_type, qp, bit_offset=pos & 7,
-                                sparse=fd.sparse)
+                                sparse=fd.sparse, num_ref=num_ref_l0,
+                                ref_idx=fd.ref_idx)
             if rc != 0:
                 raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
         else:

@@ -164,14 +164,15 @@ static int get_nc(const int *grid, int w, int bx, int by)
 /* ---- MV prediction (mirror of mvpred.py) ---- */
 
 static void cand(const int *mv, const unsigned char *intra,
-                 const unsigned char *coded, int mb_w, int x, int y,
+                 const unsigned char *coded, const int *refs, int cur_ref,
+                 int mb_w, int x, int y,
                  int *ok, int *same, int *vx, int *vy)
 {
-    int i;
+    long long i;
     *ok = 0;
     if (x < 0 || y < 0 || x >= mb_w)
         return;
-    i = y * mb_w + x;
+    i = (long long)y * mb_w + x;
     if (!coded[i])
         return;
     *ok = 1;
@@ -180,7 +181,7 @@ static void cand(const int *mv, const unsigned char *intra,
         *vx = 0;
         *vy = 0;
     } else {
-        *same = 1;
+        *same = refs ? (refs[i] == cur_ref) : 1;
         *vx = mv[2 * i];
         *vy = mv[2 * i + 1];
     }
@@ -195,15 +196,19 @@ static int med3(int a, int b, int c)
 }
 
 static void pred_mv(const int *mv, const unsigned char *intra,
-                    const unsigned char *coded, int mb_x, int mb_y,
+                    const unsigned char *coded, const int *refs,
+                    int cur_ref, int mb_x, int mb_y,
                     int mb_w, int *px, int *py)
 {
     int aok, asame, ax, ay, bok, bsame, bx, by, cok, csame, cx, cy;
-    cand(mv, intra, coded, mb_w, mb_x - 1, mb_y, &aok, &asame, &ax, &ay);
-    cand(mv, intra, coded, mb_w, mb_x, mb_y - 1, &bok, &bsame, &bx, &by);
-    cand(mv, intra, coded, mb_w, mb_x + 1, mb_y - 1, &cok, &csame, &cx, &cy);
+    cand(mv, intra, coded, refs, cur_ref, mb_w, mb_x - 1, mb_y,
+         &aok, &asame, &ax, &ay);
+    cand(mv, intra, coded, refs, cur_ref, mb_w, mb_x, mb_y - 1,
+         &bok, &bsame, &bx, &by);
+    cand(mv, intra, coded, refs, cur_ref, mb_w, mb_x + 1, mb_y - 1,
+         &cok, &csame, &cx, &cy);
     if (!cok)
-        cand(mv, intra, coded, mb_w, mb_x - 1, mb_y - 1,
+        cand(mv, intra, coded, refs, cur_ref, mb_w, mb_x - 1, mb_y - 1,
              &cok, &csame, &cx, &cy);
     if (!bok && !cok) {
         if (aok) { *px = ax; *py = ay; }
@@ -226,19 +231,21 @@ static void pred_mv(const int *mv, const unsigned char *intra,
 }
 
 static void pred_pskip(const int *mv, const unsigned char *intra,
-                       const unsigned char *coded, int mb_x, int mb_y,
-                       int mb_w, int *px, int *py)
+                       const unsigned char *coded, const int *refs,
+                       int mb_x, int mb_y, int mb_w, int *px, int *py)
 {
     int aok, asame, ax, ay, bok, bsame, bx, by;
-    cand(mv, intra, coded, mb_w, mb_x - 1, mb_y, &aok, &asame, &ax, &ay);
-    cand(mv, intra, coded, mb_w, mb_x, mb_y - 1, &bok, &bsame, &bx, &by);
+    cand(mv, intra, coded, refs, 0, mb_w, mb_x - 1, mb_y,
+         &aok, &asame, &ax, &ay);
+    cand(mv, intra, coded, refs, 0, mb_w, mb_x, mb_y - 1,
+         &bok, &bsame, &bx, &by);
     if (!aok || !bok ||
         (asame && ax == 0 && ay == 0) || (bsame && bx == 0 && by == 0)) {
         *px = 0;
         *py = 0;
         return;
     }
-    pred_mv(mv, intra, coded, mb_x, mb_y, mb_w, px, py);
+    pred_mv(mv, intra, coded, refs, 0, mb_x, mb_y, mb_w, px, py);
 }
 
 /* ---- residual block groups ---- */
@@ -290,7 +297,10 @@ static int residual_chroma(BitReader *br, int cbp_chroma, int mb_x, int mb_y,
 }
 
 /* params: [0]=mb_w [1]=mb_h [2]=first_mb [3]=slice_type(0 P, 2 I)
- *         [4]=qp_init [5]=bit_offset
+ *         [4]=qp_init [5]=bit_offset [6]=num_ref_idx_l0 (0/1 -> single)
+ *
+ * ctx_in (optional int* of nmb entries): per-MB ref_idx_l0 output for
+ * multi-reference slices (NULL for single-ref streams).
  *
  * Sparse residual side-channel (all three may be NULL to disable):
  *   coeffs   -> yvals  (short, cap nmb*16*16): coded luma 4x4 rows
@@ -306,12 +316,13 @@ int h264_cavlc_decode_slice(
     /* tensor pointers are passed via mb_meta-relative layout from the
      * adapter (see native/h264_cavlc.py): to keep the cffi signature
      * stable we receive one big int32 block and carve it up. */
-    (void)ctx_in;
 
     int mb_w = params[0], mb_h = params[1];
     long long nmb = (long long)mb_w * mb_h;
     int slice_type = params[3];
     int qp = params[4];
+    int num_ref = params[6] > 1 ? params[6] : 1;
+    int *refg = (int *)ctx_in;           /* ref_idx grid (may be NULL) */
 
     int *intra32 = mb_meta;                       /* (nmb) */
     int *luma_mode = intra32 + nmb;
@@ -367,11 +378,14 @@ int h264_cavlc_decode_slice(
                 int px, py, r;
                 mb_x = (int)(i % mb_w);
                 mb_y = (int)(i / mb_w);
-                pred_pskip(mv, intra, coded, mb_x, mb_y, mb_w, &px, &py);
+                pred_pskip(mv, intra, coded, refg, mb_x, mb_y, mb_w,
+                           &px, &py);
                 mv[2 * i] = px;
                 mv[2 * i + 1] = py;
                 qp_arr[i] = qp;
                 coded[i] = 1;
+                if (refg)
+                    refg[i] = 0;         /* P_Skip references picture 0 */
                 /* clear nnz + chroma DC: the block may be pooled across
                  * frames, so stale entries must not leak into nC
                  * prediction or the dense chroma-DC tensor */
@@ -402,11 +416,23 @@ int h264_cavlc_decode_slice(
         if (slice_type == 0 && mb_type < 5) {
             /* P_L0_16x16 */
             int mvdx, mvdy, px, py, cbp_code, cbp, cbp_luma, cbp_chroma, b;
+            int ref = 0;
             if (mb_type != 0)
                 return -3;
+            if (num_ref > 1) {
+                if (num_ref == 2)
+                    ref = 1 - br_get(&br, 1);       /* te(v), max 1 */
+                else
+                    ref = get_ue(&br);
+                if (ref < 0 || ref >= num_ref)
+                    return -8;
+            }
+            if (refg)
+                refg[i] = ref;
             mvdx = get_se(&br);
             mvdy = get_se(&br);
-            pred_mv(mv, intra, coded, mb_x, mb_y, mb_w, &px, &py);
+            pred_mv(mv, intra, coded, refg, ref, mb_x, mb_y, mb_w,
+                    &px, &py);
             mv[2 * i] = px + mvdx;
             mv[2 * i + 1] = py + mvdy;
             cbp_code = get_ue(&br);

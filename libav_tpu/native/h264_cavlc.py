@@ -63,14 +63,17 @@ def alloc_sparse(nmb: int):
 
 def decode_slice(block: np.ndarray, rbsp: bytes, mb_w: int, mb_h: int,
                  first_mb: int, slice_type: int, qp: int,
-                 bit_offset: int = 0, sparse=None) -> int:
+                 bit_offset: int = 0, sparse=None, num_ref: int = 1,
+                 ref_idx: np.ndarray = None) -> int:
     """Run the C MB loop over `rbsp`, starting `bit_offset` bits into the
-    first byte (the slice header ends mid-byte). Returns 0 on success."""
+    first byte (the slice header ends mid-byte). Returns 0 on success.
+    For multi-reference slices pass num_ref>1 and an int32 (nmb,)
+    ref_idx output array."""
     from libav_tpu.native.build import get_lib, get_ffi
     lib = get_lib()
     ffi = get_ffi()
-    params = np.array([mb_w, mb_h, first_mb, slice_type, qp, bit_offset],
-                      dtype=np.int32)
+    params = np.array([mb_w, mb_h, first_mb, slice_type, qp, bit_offset,
+                       num_ref], dtype=np.int32)
     if sparse is not None:
         yvals, cvals, sctx = sparse
         yv = ffi.cast("short*", ffi.from_buffer(yvals))
@@ -78,10 +81,14 @@ def decode_slice(block: np.ndarray, rbsp: bytes, mb_w: int, mb_h: int,
         sc = ffi.cast("int*", ffi.from_buffer(sctx))
     else:
         yv = cv = sc = ffi.NULL
+    if ref_idx is not None:
+        rg = ffi.cast("int*", ffi.from_buffer(ref_idx))
+    else:
+        rg = ffi.NULL
     rc = lib.h264_cavlc_decode_slice(
         ffi.cast("const unsigned char*", ffi.from_buffer(rbsp)), len(rbsp),
         ffi.cast("const int*", ffi.from_buffer(params)),
-        ffi.NULL,                                   # ctx_in (unused)
+        rg,                                         # ref_idx grid out
         yv,                                         # sparse luma values
         ffi.cast("int*", ffi.from_buffer(block)),   # the tensor block
         cv,                                         # sparse chroma values

@@ -216,3 +216,46 @@ class TestMultiRef:
         _, out = roundtrip(frames, qp=24)
         for s, o in zip(frames, out):
             assert psnr(s.planes[0], o.planes[0]) > 30
+
+
+class TestNativeMultiRef:
+    def test_native_matches_python_multiref(self):
+        from libav_tpu.native import h264_cavlc as N
+        if not N.available():
+            pytest.skip("native library unavailable")
+        import os
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        b = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        frames = []
+        for t in range(5):
+            f = Frame.alloc_video(64, 48, "yuv420p")
+            f.planes[0] = (a if t % 2 == 0 else b).copy()
+            f.planes[1][:] = 90
+            f.planes[2][:] = 70
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=64, height=48, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 26)
+        enc.set_opt("refs", 2)
+        pkts = enc.encode_all(frames)
+
+        def decode(no_native):
+            if no_native:
+                os.environ["LIBAV_TPU_NO_NATIVE"] = "1"
+            try:
+                dec = H264Decoder(CodecParameters(
+                    codec_type=MediaType.VIDEO, codec_id="h264"))
+                return dec.decode_all([Packet(data=p.data, pts=i)
+                                       for i, p in enumerate(pkts)])
+            finally:
+                os.environ.pop("LIBAV_TPU_NO_NATIVE", None)
+
+        nat = decode(False)
+        py = decode(True)
+        for x, y in zip(nat, py):
+            for px, py_ in zip(x.to_host().planes, y.to_host().planes):
+                np.testing.assert_array_equal(np.asarray(px),
+                                              np.asarray(py_))
