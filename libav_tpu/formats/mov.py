@@ -233,6 +233,13 @@ class MovDemuxer(InputFormat):
                 esds = _find(data, "esds", bs + 78, be)
                 if esds:
                     par.extradata = _esds_payload(data[esds[0]:esds[1]])
+                    oti = _esds_object_type(data[esds[0]:esds[1]])
+                    # 14496-1 objectTypeIndication: 0x60-0x65 MPEG-2,
+                    # 0x6A MPEG-1, 0x20 MPEG-4 visual
+                    if 0x60 <= oti <= 0x65:
+                        par.codec_id = "mpeg2video"
+                    elif oti == 0x6A:
+                        par.codec_id = "mpeg1video"
                 return par, None
             if name == "jpeg":
                 par = CodecParameters(codec_type=MediaType.VIDEO,
@@ -289,6 +296,28 @@ class MovDemuxer(InputFormat):
         if t.bsf is not None:
             pkt = t.bsf.filter(pkt)[0]
         return pkt
+
+
+def _esds_object_type(esds: bytes) -> int:
+    """objectTypeIndication from the DecoderConfigDescriptor (tag 4)."""
+    i = 4                      # skip version/flags
+    while i < len(esds):
+        tag = esds[i]
+        i += 1
+        size = 0
+        while i < len(esds):
+            b = esds[i]
+            i += 1
+            size = (size << 7) | (b & 0x7F)
+            if not (b & 0x80):
+                break
+        if tag == 0x03:        # ES_Descriptor: dive in
+            i += 3
+            continue
+        if tag == 0x04:        # DecoderConfigDescriptor
+            return esds[i] if i < len(esds) else 0
+        i += size
+    return 0
 
 
 def _esds_payload(esds: bytes) -> bytes:
@@ -444,8 +473,15 @@ class MP4Muxer(OutputFormat):
             elif par.codec_id == "mpeg4":
                 entry = _box(b"mp4v", vhdr + _esds_box(
                     0x20, state.get("vol", par.extradata or b"")))
-            else:
+            elif par.codec_id == "mpeg2video":
+                entry = _box(b"mp4v", vhdr + _esds_box(0x61, b""))
+            elif par.codec_id == "mpeg1video":
+                entry = _box(b"mp4v", vhdr + _esds_box(0x6A, b""))
+            elif par.codec_id == "mjpeg":
                 entry = _box(b"jpeg", vhdr)
+            else:
+                raise AVError(INVALIDDATA,
+                              f"mp4: no sample entry for {par.codec_id}")
             hdlr_type = b"vide"
             mhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
         else:
@@ -478,6 +514,26 @@ class MP4Muxer(OutputFormat):
                      b"".join(struct.pack(">I", o) for o in offs))
         keys = [i + 1 for i, s in enumerate(samples) if s[4]]
         stbl_children = stsd + stts + stsc + stsz + stco
+        # ctts (composition offsets) when any pts differs from dts
+        # (B-frame reordering; version 0 uses unsigned offsets, which a
+        # one-frame dts delay guarantees)
+        ctts_runs = []
+        need_ctts = False
+        for (_, dts, pts, _, _) in samples:
+            off = 0
+            if pts is not None and dts is not None:
+                off = (pts - dts) * ts * st.time_base.num \
+                    // st.time_base.den
+            if off:
+                need_ctts = True
+            if ctts_runs and ctts_runs[-1][1] == off:
+                ctts_runs[-1][0] += 1
+            else:
+                ctts_runs.append([1, off])
+        if need_ctts:
+            stbl_children += _full(
+                b"ctts", struct.pack(">I", len(ctts_runs)) +
+                b"".join(struct.pack(">Ii", c, o) for c, o in ctts_runs))
         if keys and len(keys) != n:
             stbl_children += _full(b"stss", struct.pack(">I", len(keys)) +
                                    b"".join(struct.pack(">I", k)

@@ -124,3 +124,44 @@ class TestMP4Audio:
         assert kinds == {MediaType.VIDEO, MediaType.AUDIO}
         pkts = list(ic.packets())
         assert len(pkts) == 6
+
+
+class TestMP4Mpeg2BFrames:
+    def test_mpeg2_bframes_ctts(self, tmp_path):
+        """MPEG-2 in MP4 (mp4v OTI 0x61) with B-frame reordering: ctts
+        must restore presentation order through demux+decode."""
+        from libav_tpu.avutil.rational import Rational as R
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", width=64, height=48,
+                              pix_fmt="yuv420p", framerate=R(25, 1))
+        enc = find_encoder("mpeg2video")(par)
+        enc.set_opt("qscale", 4)
+        enc.set_opt("b_frames", 2)
+        frames = [vsynth_frame(64, 48, t) for t in range(7)]
+        for i, f in enumerate(frames):
+            f.pts = i
+        pkts = enc.encode_all(frames)
+        path = tmp_path / "b.mp4"
+        oc = FormatContext.open_output(str(path), "mp4")
+        oc.new_stream(par, time_base=Rational(1, 25))
+        oc.write_header()
+        for p in pkts:
+            p.stream_index = 0
+            oc.write_packet(p)
+        oc.write_trailer()
+
+        ic = FormatContext.open_input(str(path))
+        assert ic.streams[0].codecpar.codec_id == "mpeg2video"
+        back = list(ic.packets())
+        assert len(back) == 7
+        # demuxed pts restores composition offsets (pts != dts somewhere)
+        assert any(p.pts != p.dts for p in back)
+        dec = find_decoder("mpeg2video")(
+            CodecParameters(codec_type=MediaType.VIDEO,
+                            codec_id="mpeg2video"))
+        out = dec.decode_all(back)
+        assert len(out) == 7
+        # display order: every frame matches its own source
+        for i, (s, o) in enumerate(zip(frames, out)):
+            p = psnr(s.planes[0], np.asarray(o.to_host().planes[0]))
+            assert p > 30, f"frame {i} psnr {p:.1f}"
