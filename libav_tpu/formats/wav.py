@@ -110,7 +110,7 @@ class WavMuxer(OutputFormat):
         self._written += len(pkt.data)
 
     def write_trailer(self):
-        if self._data_start >= 0 and self.pb.seekable:
+        if getattr(self, "_data_start", -1) >= 0 and self.pb.seekable:
             end = self.pb.tell()
             self.pb.seek(4)
             self.pb.write(struct.pack("<I", end - 8))

@@ -45,10 +45,26 @@ class OutputStreamSpec:
     sample_fmt: Optional[str] = None
 
 
+def parse_time(v: str) -> float:
+    """'[-][HH:]MM:SS[.m...]' or plain seconds (reference:
+    av_parse_time / cmdutils)."""
+    try:
+        sign = -1.0 if v.startswith("-") else 1.0
+        v2 = v.lstrip("+-")
+        t = 0.0
+        for part in v2.split(":"):
+            t = t * 60 + float(part or 0)
+        return sign * t
+    except ValueError:
+        raise AVError(-22, f"invalid time specification {v!r}")
+
+
 @dataclass
 class Options:
     inputs: List[Dict[str, Any]] = field(default_factory=list)
     output_url: Optional[str] = None
+    start_time: Optional[float] = None   # -ss (output trim)
+    duration: Optional[float] = None     # -t
     output_format: Optional[str] = None
     video: OutputStreamSpec = field(default_factory=OutputStreamSpec)
     audio: OutputStreamSpec = field(default_factory=OutputStreamSpec)
@@ -153,6 +169,10 @@ def parse_args(argv: List[str]) -> Options:
             o.extra["gop_size"] = take()
         elif a == "-bf":
             o.extra["max_b_frames"] = take()
+        elif a == "-ss":
+            o.start_time = parse_time(take())
+        elif a == "-t":
+            o.duration = parse_time(take())
         elif a.startswith("-") and a != "-":
             # unknown option with a value? consume conservatively
             o.extra[a[1:]] = take()
@@ -258,6 +278,10 @@ class _VideoChain:
         self.spec = o.video
         self.done = False
         self.frame_count = 0
+        self.trim_start = o.start_time
+        self.trim_dur = o.duration
+        self._clock_frames = 0
+        self._clock_samples = 0
 
         par = ist.codecpar
         codec_name = self.spec.codec
@@ -307,10 +331,38 @@ class _VideoChain:
         if self.done:
             return
         if self.copy:
+            # stream copy: trim on packet timestamps (keyframe-imprecise
+            # for video, like the reference's -c copy -ss)
+            if self.trim_start is not None or self.trim_dur is not None:
+                t = None
+                if pkt.pts is not None and pkt.time_base and \
+                        pkt.time_base.den:
+                    t = float(pkt.pts * pkt.time_base.num /
+                              pkt.time_base.den)
+                if t is not None:
+                    ss = self.trim_start or 0.0
+                    if t < ss:
+                        return
+                    if self.trim_dur is not None and \
+                            t - ss >= self.trim_dur:
+                        self.done = True
+                        return
             self._write(pkt)
             return
         self.dec.send_packet(pkt)
         self._pump_frames()
+
+    def _frame_time(self, frame: Frame) -> float:
+        if frame.pts is not None and frame.time_base and \
+                frame.time_base.den:
+            return float(frame.pts * frame.time_base.num /
+                         frame.time_base.den)
+        # fall back to a frame/sample counter clock
+        if frame.width:
+            fr = self.ist.avg_frame_rate
+            fps = float(fr) if fr and fr.num else 25.0
+            return self._clock_frames / fps
+        return self._clock_samples / max(frame.sample_rate or 48000, 1)
 
     def _pump_frames(self):
         while True:
@@ -320,6 +372,17 @@ class _VideoChain:
                 if e.code in (EAGAIN, EOF_):
                     return
                 raise
+            t = self._frame_time(frame)
+            self._clock_frames = getattr(self, "_clock_frames", 0) + 1
+            self._clock_samples = getattr(self, "_clock_samples", 0) + \
+                (frame.nb_samples or 0)
+            ss = self.trim_start
+            if ss is not None and t < ss:
+                continue                      # output -ss: decode + drop
+            if self.trim_dur is not None and \
+                    t - (ss or 0.0) >= self.trim_dur:
+                self.done = True
+                return
             frame = self._filter(frame)
             self._encode_frame(frame)
             if self.done:
@@ -386,6 +449,10 @@ class _AudioChain(_VideoChain):
         self.spec = o.audio
         self.done = False
         self.frame_count = 0
+        self.trim_start = o.start_time
+        self.trim_dur = o.duration
+        self._clock_frames = 0
+        self._clock_samples = 0
         par = ist.codecpar
         codec_name = self.spec.codec
         if codec_name is None:

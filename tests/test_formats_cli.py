@@ -224,3 +224,32 @@ class TestDevices:
         assert len(x) == 4000
         spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
         assert abs(np.argmax(spec) * 8000 / len(x) - 1000) < 10
+
+
+class TestTrim:
+    """-ss/-t output trim (reference: avconv_opt start_time/recording_time)."""
+
+    def test_video_trim_exact_frames(self, tmp_path):
+        import numpy as np
+        from libav_tpu.tools.avconv import main as avconv_main
+        W, H, fs = 64, 48, 64 * 48 * 3 // 2
+        src = tmp_path / "s.yuv"
+        rng = np.random.default_rng(0)
+        raw = rng.integers(0, 256, 9 * fs).astype(np.uint8).tobytes()
+        src.write_bytes(raw)
+        out = tmp_path / "o.yuv"
+        rc = avconv_main(["-f", "rawvideo", "-pix_fmt", "yuv420p",
+                          "-s", "64x48", "-r", "25", "-i", str(src),
+                          "-ss", "0.12", "-t", "0.12",
+                          "-f", "rawvideo", str(out), "-y"])
+        assert rc == 0
+        data = out.read_bytes()
+        assert len(data) == 3 * fs
+        assert data == raw[3 * fs:6 * fs]
+
+    def test_parse_time(self):
+        from libav_tpu.tools.avconv import parse_time
+        assert parse_time("1.5") == 1.5
+        assert parse_time("01:02") == 62.0
+        assert parse_time("1:02:03.5") == 3723.5
+        assert parse_time("-2") == -2.0
