@@ -268,6 +268,29 @@ class MovDemuxer(InputFormat):
 
     # ------------------------------------------------------------------ #
 
+    def read_seek(self, stream_index: int, timestamp: int,
+                  flags: int = 0):
+        """Seek every track to the last keyframe at or before
+        `timestamp` (in the target stream's time_base; reference:
+        mov_read_seek + av_index_search_timestamp semantics)."""
+        target = None
+        for t in self.tracks:
+            if t.stream.index == stream_index:
+                target = t
+                break
+        if target is None:
+            raise AVError(INVALIDDATA, "bad stream index")
+        ts_s = timestamp / target.timescale
+        for t in self.tracks:
+            want = ts_s * t.timescale
+            i = 0
+            for k in range(len(t.sample_dts)):
+                if t.sample_dts[k] > want:
+                    break
+                if t.keyframes is None or (k + 1) in t.keyframes:
+                    i = k
+            t.cursor = i
+
     def read_packet(self) -> Packet:
         # pick the track with the lowest next dts (in seconds)
         best = None

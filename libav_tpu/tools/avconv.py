@@ -227,6 +227,17 @@ def transcode(o: Options) -> int:
         o.inputs[0]["opts"].pop("format", None),
         o.inputs[0]["opts"] or None)
 
+    # fast input seek for -ss when the demuxer supports it (the frame-
+    # accurate trim in the chains still drops anything before -ss)
+    if o.start_time and o.start_time > 0:
+        st0 = ic.streams[0]
+        try:
+            ic.seek(st0.index,
+                    int(o.start_time * st0.time_base.den
+                        / max(st0.time_base.num, 1)))
+        except AVError:
+            pass                 # demuxer without seeking: decode+drop
+
     # stream selection: first video + first audio (reference:
     # avconv_opt.c choose_output default mapping)
     vin = next((s for s in ic.streams

@@ -165,3 +165,36 @@ class TestMP4Mpeg2BFrames:
         for i, (s, o) in enumerate(zip(frames, out)):
             p = psnr(s.planes[0], np.asarray(o.to_host().planes[0]))
             assert p > 30, f"frame {i} psnr {p:.1f}"
+
+
+class TestSeek:
+    def test_read_seek_to_keyframe(self, tmp_path):
+        """read_seek positions every track at the last keyframe at or
+        before the timestamp (reference: mov_read_seek)."""
+        path, frames = mux_video(tmp_path, "mpeg4", nframes=9)
+        # re-mux with a short GOP so keyframes exist mid-stream
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mpeg4",
+                              width=64, height=48, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = find_encoder("mpeg4")(par)
+        enc.set_opt("gop_size", 3)
+        frames = [vsynth_frame(64, 48, t) for t in range(9)]
+        pkts = enc.encode_all(frames)
+        p2 = tmp_path / "gop3.mp4"
+        oc = FormatContext.open_output(str(p2), "mp4")
+        oc.new_stream(par, time_base=Rational(1, 25))
+        oc.write_header()
+        for i, p in enumerate(pkts):
+            p.stream_index = 0
+            p.dts = p.pts = i
+            p.duration = 1
+            oc.write_packet(p)
+        oc.write_trailer()
+
+        ic = FormatContext.open_input(str(p2))
+        ic.seek(0, 5)            # ts 5 -> keyframe at sample 3 (dts 3)
+        first = ic.read_frame()
+        assert first.dts == 3
+        assert first.is_key
+        rest = [first] + list(ic.packets())
+        assert len(rest) == 6    # samples 3..8
