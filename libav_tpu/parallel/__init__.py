@@ -7,9 +7,9 @@ statistics).
 Components:
   make_mesh()        — device mesh helper ('data' axis over all chips)
   shard_batch()      — place a host batch on the mesh, batch-axis sharded
-  sharded_decode_step / sharded_transcode_step — pjit-compiled whole-batch
-      device programs (the multi-chip versions of the per-frame programs
-      in codecs/*/device)
+  sharded_h264_recon_step — the real H.264 whole-frame reconstruction
+      program (codecs/h264/device.py) jit-compiled over a frame batch
+      with explicit data-parallel shardings + a psum'd rate statistic
   BatchScheduler     — packs independent jobs (frames/GOP segments) into
       fixed-size device batches so repeated shapes hit the jit cache
 """
@@ -46,56 +46,52 @@ def replicate(mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, P()))
 
 
-@functools.lru_cache(maxsize=16)
-def sharded_mjpeg_decode_step(mesh_shape: int, blocks_h: int, blocks_w: int):
-    """Multi-chip batched MJPEG device decode: (B, nb, 64) zigzag coeffs
-    (B sharded over chips) + qmat -> (B, H, W) planes + a psum'd global
-    activity statistic (the cross-chip collective rate control reads)."""
+def sharded_h264_recon_step(mesh, mb_w: int, mb_h: int):
+    """The REAL codec pipeline, sharded: a batch of frames (independent
+    GOP segments — the reference's frame-threading axis,
+    pthread_frame.c:351, promoted to a device batch axis) run through the
+    full H.264 device reconstruction program (codecs/h264/device.py:
+    residual dequant/IDCT + qpel/chroma MC + intra wavefront assembly),
+    data-parallel over the mesh 'data' axis, plus a psum'd global
+    coded-bit statistic (the cross-chip collective rate control reads).
+
+    Returns (step_fn, shard_inputs) where step_fn is jit-compiled with
+    explicit in/out shardings and shard_inputs places a host arg tuple
+    on the mesh."""
     import jax
     import jax.numpy as jnp
-    from libav_tpu.ops import idct, quant
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    nb = blocks_h * blocks_w
+    from libav_tpu.codecs.h264.device import recon_h264_jit
 
-    def step(coeffs, qmat):
-        B = coeffs.shape[0]
-        deq = coeffs.reshape(B * nb, 64).astype(jnp.int32) * qmat.astype(jnp.int32)
-        blocks = quant.dezigzag(deq)
-        pix = idct.idct_put(blocks, bias=128)
-        planes = (pix.reshape(B, blocks_h, blocks_w, 8, 8)
-                  .transpose(0, 1, 3, 2, 4)
-                  .reshape(B, blocks_h * 8, blocks_w * 8))
-        activity = jnp.sum(jnp.abs(deq).astype(jnp.int64))
-        return planes, activity
+    recon = recon_h264_jit(mb_w, mb_h, True, 1)
 
-    return jax.jit(step)
+    def step(intra, luma_mode, chroma_mode, mv, qp,
+             luma_dc, luma_ac, chroma_dc, chroma_ac, ry, ru, rv):
+        planes, _padded = jax.vmap(
+            lambda *a: recon(*a))(intra, luma_mode, chroma_mode, mv, qp,
+                                  luma_dc, luma_ac, chroma_dc, chroma_ac,
+                                  ry, ru, rv)
+        # global rate statistic: all-reduced across the sharded batch
+        bits = (jnp.sum(jnp.abs(luma_ac).astype(jnp.int64)) +
+                jnp.sum(jnp.abs(chroma_ac).astype(jnp.int64)))
+        return planes, bits
 
+    def dp(ndim):
+        return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
 
-@functools.lru_cache(maxsize=16)
-def sharded_transcode_step(blocks_h: int, blocks_w: int):
-    """Decode -> re-encode device core over a sharded frame batch
-    (the multi-chip flagship step used by __graft_entry__)."""
-    import jax
-    import jax.numpy as jnp
-    from libav_tpu.ops import fdct, idct, quant
+    arg_ndims = (1, 1, 1, 2, 1, 2, 3, 3, 3, 2, 2, 2)
+    in_shardings = tuple(dp(n + 1) for n in arg_ndims)
+    out_shardings = ((dp(3), dp(3), dp(3)), NamedSharding(mesh, P()))
+    fn = jax.jit(step, in_shardings=in_shardings,
+                 out_shardings=out_shardings)
 
-    nb = blocks_h * blocks_w
+    def shard_inputs(args):
+        import jax as _jax
+        return tuple(_jax.device_put(a, s)
+                     for a, s in zip(args, in_shardings))
 
-    def step(coeffs, dec_qmat, enc_qmat):
-        B = coeffs.shape[0]
-        deq = coeffs.reshape(B * nb, 64).astype(jnp.int32) * \
-            dec_qmat.astype(jnp.int32)
-        blocks = quant.dezigzag(deq)
-        pixels = idct.idct_put(blocks, bias=128)
-        resid = pixels.astype(jnp.int32) - 128
-        recoeff = fdct.fdct8x8_int(resid)
-        levels = quant.jpeg_quant(
-            recoeff.reshape(B * nb, 64) // fdct.FDCT_OUT_SCALE, enc_qmat)
-        bits_proxy = jnp.sum(jnp.abs(levels).astype(jnp.int64))
-        return (pixels.reshape(B, nb, 8, 8),
-                levels.reshape(B, nb, 64), bits_proxy)
-
-    return jax.jit(step)
+    return fn, shard_inputs
 
 
 class BatchScheduler:

@@ -1,26 +1,21 @@
-"""Multi-chip sharding dry-run test: executes __graft_entry__.dryrun_multichip
-on an 8-virtual-device CPU mesh in a subprocess (own env, so the forced
-device count doesn't destabilize the single-process test run)."""
+"""Multi-chip sharding dry-run test: __graft_entry__.dryrun_multichip
+itself re-execs in a subprocess with JAX_PLATFORMS=cpu and 8 virtual
+devices (env must be set before jax import), runs one sharded step of
+the REAL H.264 whole-frame reconstruction program over a frame batch,
+and cross-checks the sharded planes against single-device recon
+bit-exactly. Here we just invoke it under the worst-case env (axon
+preset) to prove the driver gate stays green."""
 
 import os
-import subprocess
 import sys
 
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 @pytest.mark.slow
 def test_dryrun_multichip_8dev():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        " --xla_force_host_platform_device_count=8").strip()
-    env["PYTHONPATH"] = ROOT
-    code = ("import __graft_entry__ as g; g.dryrun_multichip(8); "
-            "print('MULTICHIP_OK')")
-    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=ROOT,
-                       capture_output=True, text=True, timeout=900)
-    assert "MULTICHIP_OK" in r.stdout, r.stderr[-2000:]
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
