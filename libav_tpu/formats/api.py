@@ -35,6 +35,9 @@ class Stream:
     metadata: Dict[str, str] = field(default_factory=dict)
     # mux state (reference: mux.c dts continuity checks)
     cur_dts: int = NOPTS_VALUE
+    # mux interleave: stream has no more packets coming (reference:
+    # mux.c:644 flush semantics for EOF-ed streams)
+    eof: bool = False
     # index for seeking (reference: avformat.h:644 AVIndexEntry)
     index_entries: List[Tuple[int, int, int]] = field(default_factory=list)
     # (timestamp, pos, flags)
@@ -294,14 +297,34 @@ class FormatContext:
             if key != NOPTS_VALUE else 0
         heapq.heappush(self._mux_queue, (key_us, self._mux_seq, pkt.stream_index, pkt))
         self._mux_seq += 1
-        # drain: hold back at most one queue per stream like the FIFO model
-        have = set(p[2] for p in self._mux_queue)
-        while len(have) == len(self.streams) and self._mux_queue:
+        self._mux_drain()
+
+    def _mux_drain(self):
+        # drain while every *live* (non-EOF) stream has a queued packet;
+        # a stream that ended early must not stall interleaving
+        # (reference: mux.c:644 treats EOF-ed streams as always ready)
+        while self._mux_queue:
+            have = set(p[2] for p in self._mux_queue)
+            live = [s for s in self.streams if not s.eof]
+            if not all(s.index in have for s in live):
+                return
             _, _, _, p = heapq.heappop(self._mux_queue)
             self.oformat.write_packet(p)
-            have = set(q[2] for q in self._mux_queue)
+
+    def write_stream_eof(self, stream_index: int):
+        """Mark a stream as finished so interleaving no longer waits on
+        it (reference: mux.c EOF flush path)."""
+        if 0 <= stream_index < len(self.streams):
+            self.streams[stream_index].eof = True
+            if self._header_written:
+                self._mux_drain()
 
     def write_trailer(self):
+        # the header is lazy on first packet; an empty output still gets
+        # a valid header+trailer instead of crashing the muxer
+        # (reference: avformat_write_header is mandatory before trailer)
+        if not self._header_written:
+            self.write_header()
         while self._mux_queue:
             _, _, _, p = heapq.heappop(self._mux_queue)
             self.oformat.write_packet(p)

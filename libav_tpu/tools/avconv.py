@@ -173,9 +173,17 @@ def parse_args(argv: List[str]) -> Options:
             o.start_time = parse_time(take())
         elif a == "-t":
             o.duration = parse_time(take())
+        elif a in ("-stats", "-nostats", "-hide_banner"):
+            pass                      # accepted no-op flags
         elif a.startswith("-") and a != "-":
-            # unknown option with a value? consume conservatively
-            o.extra[a[1:]] = take()
+            # pass-through encoder AVOption spellings take a value; any
+            # other unknown option is a clean error (reference:
+            # cmdutils.c parse_options "Unrecognized option")
+            name = a[1:].split(":")[0]
+            if name in _PASSTHRU_VALUE_OPTS:
+                o.extra[a[1:]] = take()
+            else:
+                raise AVError(-22, f"Unrecognized option '{a}'")
         else:
             o.output_url = a
         i += 1
@@ -183,6 +191,16 @@ def parse_args(argv: List[str]) -> Options:
     o.audio.extra.update(o.extra)
     return o
 
+
+# encoder AVOption names accepted as pass-through "-name value" pairs
+# (reference: every context exposes its AVOption table to the CLI)
+_PASSTHRU_VALUE_OPTS = {
+    "qp", "qmin", "qmax", "qcomp", "qblur", "qdiff", "rc_eq", "pass",
+    "passlogfile", "maxrate", "minrate", "bufsize", "profile", "level",
+    "me_range", "sc_threshold", "trellis", "aspect", "b_frames",
+    "coder", "refs", "map", "dct", "idct", "mbd", "cmp", "subcmp",
+    "b_strategy", "compression_level", "channel_layout", "dither",
+}
 
 # global per-codec option spellings -> encoder Option names
 _EXTRA_OPT_MAP = {"max_b_frames": "b_frames", "bf": "b_frames",
@@ -235,6 +253,10 @@ def transcode(o: Options) -> int:
             ic.seek(st0.index,
                     int(o.start_time * st0.time_base.den
                         / max(st0.time_base.num, 1)))
+            # a successful demuxer seek already positioned the stream at
+            # -ss; the counter-clock fallback for pts-less frames must
+            # start at -ss, not 0, or it would trim a second time
+            o.input_seeked = True
         except AVError:
             pass                 # demuxer without seeking: decode+drop
 
@@ -262,10 +284,14 @@ def transcode(o: Options) -> int:
             continue
         packets_read += 1
         ch.send(pkt)
+        if ch.done:
+            # finished early (-t/-frames): unblock mux interleaving
+            oc.write_stream_eof(ch.ost.index)
         if all(c.done for c in chains.values()):
             break
     for ch in chains.values():
         ch.drain()
+        oc.write_stream_eof(ch.ost.index)
     oc.write_trailer()
     ic.close()
 
@@ -291,6 +317,7 @@ class _VideoChain:
         self.frame_count = 0
         self.trim_start = o.start_time
         self.trim_dur = o.duration
+        self.seek_base = getattr(o, "input_seeked", False)
         self._clock_frames = 0
         self._clock_samples = 0
 
@@ -368,12 +395,16 @@ class _VideoChain:
                 frame.time_base.den:
             return float(frame.pts * frame.time_base.num /
                          frame.time_base.den)
-        # fall back to a frame/sample counter clock
+        # fall back to a frame/sample counter clock; if the demuxer seek
+        # for -ss succeeded, the counter starts at -ss already
+        base = self.trim_start or 0.0 if getattr(self, "seek_base", False) \
+            else 0.0
         if frame.width:
             fr = self.ist.avg_frame_rate
             fps = float(fr) if fr and fr.num else 25.0
-            return self._clock_frames / fps
-        return self._clock_samples / max(frame.sample_rate or 48000, 1)
+            return base + self._clock_frames / fps
+        return base + self._clock_samples / max(frame.sample_rate or 48000,
+                                                1)
 
     def _pump_frames(self):
         while True:
@@ -462,6 +493,7 @@ class _AudioChain(_VideoChain):
         self.frame_count = 0
         self.trim_start = o.start_time
         self.trim_dur = o.duration
+        self.seek_base = getattr(o, "input_seeked", False)
         self._clock_frames = 0
         self._clock_samples = 0
         par = ist.codecpar
@@ -471,7 +503,17 @@ class _AudioChain(_VideoChain):
             codec_name = {"wav": "pcm_s16le", "framecrc": "pcm_s16le",
                           "framemd5": "pcm_s16le", "null": "pcm_s16le",
                           }.get(fmt_name, oc.oformat.AUDIO_CODEC)
-        self.copy = codec_name == "copy" or codec_name == par.codec_id
+        # stream copy ONLY when the user explicitly asked for it, or when
+        # the default codec matches AND nothing requires a re-encode
+        # (-ar/-ac/-sample_fmt/-ss/-t all take the decode->filter->encode
+        # path; reference avconv re-encodes unless '-c copy' is given)
+        needs_reencode = (self.spec.sample_rate or self.spec.channels
+                          or self.spec.sample_fmt
+                          or o.start_time is not None
+                          or o.duration is not None)
+        self.copy = codec_name == "copy" or (
+            self.spec.codec is None and codec_name == par.codec_id
+            and not needs_reencode)
         out_par = CodecParameters(
             codec_type=MediaType.AUDIO,
             codec_id=par.codec_id if self.copy else codec_name,
