@@ -618,8 +618,11 @@ def _reconstruct_plane_jit(blocks_h: int, blocks_w: int):
 
     def fn(coeffs_zz, qmat_zz):
         deq = coeffs_zz.astype(jnp.int32) * qmat_zz.astype(jnp.int32)
+        # the +128 level shift rides inside the DC coefficient through
+        # the IDCT (reference: mjpegdec.c:962 last_dc[i] = 1024)
+        deq = deq.at[:, 0].add(1024)
         blocks = quant.dezigzag(deq)
-        pix = idct.idct_put(blocks, bias=128)
+        pix = idct.idct_put(blocks)
         return (pix.reshape(blocks_h, blocks_w, 8, 8)
                 .transpose(0, 2, 1, 3)
                 .reshape(blocks_h * 8, blocks_w * 8))
@@ -640,8 +643,9 @@ def _reconstruct_plane_batch_jit(blocks_h: int, blocks_w: int):
     @partial(jax.jit, static_argnums=2)
     def fn(coeffs_zz, qmat_zz, B):
         deq = coeffs_zz.astype(jnp.int32) * qmat_zz.astype(jnp.int32)
+        deq = deq.at[:, 0].add(1024)     # mjpegdec.c:962 last_dc = 1024
         blocks = quant.dezigzag(deq)
-        pix = idct.idct_put(blocks, bias=128)
+        pix = idct.idct_put(blocks)
         return (pix.reshape(B, blocks_h, blocks_w, 8, 8)
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(B, blocks_h * 8, blocks_w * 8))

@@ -15,32 +15,48 @@ def _ts(v: int) -> str:
     return "X" if v == NOPTS_VALUE else str(v)
 
 
+def _tb_header(streams) -> bytes:
+    """reference: framehash.c ff_framehash_write_header '#tb i: num/den'"""
+    out = []
+    for i, st in enumerate(streams):
+        tb = st.time_base
+        out.append(f"#tb {i}: {tb.num}/{tb.den}\n")
+    return "".join(out).encode()
+
+
 @register_output
 class FrameCRCMuxer(OutputFormat):
-    """reference: framecrcenc.c framecrc_write_packet"""
+    """reference: framecrcenc.c framecrc_write_packet. The line format is
+    byte-identical to the reference's
+    '%d, %10PRId64, %10PRId64, %8PRId64, %8d, 0x%08x' so outputs diff
+    cleanly against tests/ref/fate/* and reference-avconv output."""
     NAME = "framecrc"
 
     def write_header(self, pb):
         self.pb = pb
+        pb.write(_tb_header(self.streams))
 
     def write_packet(self, pkt: Packet):
-        crc = adler32(pkt.data)
-        line = (f"{pkt.stream_index}, {_ts(pkt.dts)}, {_ts(pkt.pts)}, "
-                f"{pkt.duration}, {len(pkt.data)}, 0x{crc:08x}\n")
+        crc = adler32(pkt.data, 0)   # framecrcenc.c:30 seeds with 0
+        line = (f"{pkt.stream_index}, {_ts(pkt.dts):>10}, "
+                f"{_ts(pkt.pts):>10}, {pkt.duration:>8}, "
+                f"{len(pkt.data):>8}, 0x{crc:08x}\n")
         self.pb.write(line.encode())
 
 
 @register_output
 class FrameMD5Muxer(OutputFormat):
-    """reference: md5enc.c framemd5"""
+    """reference: md5enc.c framemd5 (same column layout as framecrc)"""
     NAME = "framemd5"
 
     def write_header(self, pb):
         self.pb = pb
+        pb.write(_tb_header(self.streams))
 
     def write_packet(self, pkt: Packet):
-        line = (f"{pkt.stream_index}, {_ts(pkt.dts)}, {_ts(pkt.pts)}, "
-                f"{pkt.duration}, {len(pkt.data)}, {md5_hex(pkt.data)}\n")
+        line = (f"{pkt.stream_index}, {_ts(pkt.dts):>10}, "
+                f"{_ts(pkt.pts):>10}, {pkt.duration:>8}, "
+                f"{len(pkt.data):>8}, {md5_hex(pkt.data)}\n")
         self.pb.write(line.encode())
 
 

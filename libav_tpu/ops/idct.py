@@ -69,16 +69,46 @@ def idct_matrix_float() -> np.ndarray:
 # NumPy golden references (the checkasm "call_ref" side)
 # ---------------------------------------------------------------------- #
 
+@functools.lru_cache(maxsize=None)
+def simple_idct_matrix() -> np.ndarray:
+    """The `-idct simple` effective 8x8 matrix: identical cosine table to
+    idct_matrix_int but with |16384| entries (the u=0 and u=4 columns)
+    replaced by the reference's W4=16383 constant
+    (simple_idct_template.c:53 '#define W4 16383')."""
+    M = idct_matrix_int().copy()
+    M = np.where(M == 16384, 16383, np.where(M == -16384, -16383, M))
+    return M
+
+
+_COL_BIAS = 16383 * ((1 << (COL_SHIFT - 1)) // 16383)   # W4*((1<<19)/W4)
+
+
+def _wrap16_np(x):
+    return ((x.astype(np.int64) + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _wrap32_np(x):
+    # the C accumulates in (wrapping) int32; mod-2^32 of the exact sum
+    # is identical regardless of association order
+    return ((x.astype(np.int64) + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
 def idct8x8_int_ref(blocks: np.ndarray) -> np.ndarray:
-    """Golden reference, int32 exact. blocks: (..., 8, 8) int."""
-    M = idct_matrix_int()
-    x = blocks.astype(np.int64)
-    # row pass: transform along the last (frequency-column) axis
-    y = np.einsum("...ij,kj->...ik", x, M) + (1 << (ROW_SHIFT - 1))
-    y >>= ROW_SHIFT
-    # col pass
-    z = np.einsum("ki,...ij->...kj", M, y) + (1 << (COL_SHIFT - 1))
-    z >>= COL_SHIFT
+    """Golden reference, bit-exact to the reference decoder's
+    `-idct simple` (simple_idct_template.c, BIT_DEPTH 8): W4=16383 table,
+    row pass +1024>>11 with per-row DC-only shortcut (dc<<3) and int16
+    wraparound (the C stores rows back into int16_t), column pass with
+    bias W4*((1<<19)/W4) and >>20. blocks: (..., 8, 8) int."""
+    M = simple_idct_matrix()
+    x = _wrap16_np(np.asarray(blocks))
+    y = _wrap32_np(np.einsum("...ij,kj->...ik", x, M)
+                   + (1 << (ROW_SHIFT - 1))) >> ROW_SHIFT
+    dc_only = (x[..., 1:] == 0).all(axis=-1)
+    dc_row = _wrap16_np(x[..., 0] << 3)
+    y = np.where(dc_only[..., None], dc_row[..., None], y)
+    y = _wrap16_np(y)
+    z = _wrap32_np(np.einsum("ki,...ij->...kj", M, y)
+                   + _COL_BIAS) >> COL_SHIFT
     return z.astype(np.int32)
 
 
@@ -97,19 +127,32 @@ def _jnp():
 
 
 def idct8x8_int(blocks):
-    """Batched exact integer IDCT. blocks: (B, 8, 8) int32 -> (B, 8, 8) int32.
+    """Batched integer IDCT, bit-exact to the reference's `-idct simple`
+    (see idct8x8_int_ref). blocks: (B, 8, 8) int32 -> (B, 8, 8) int32.
 
     Jit-safe, shape-static; used by MJPEG/MPEG-1/2/4 reconstruction.
+    FATE pins this IDCT for bit-exact decode parity, so framecrc
+    cross-validation against the reference decoder requires these exact
+    rounding/wraparound semantics (including the per-row DC shortcut and
+    the int16 row storage the C version has implicitly).
     """
     jnp = _jnp()
-    M = jnp.asarray(idct_matrix_int(), dtype=jnp.int32)
-    x = blocks.astype(jnp.int32)
+
+    def wrap16(v):
+        return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+    M = jnp.asarray(simple_idct_matrix(), dtype=jnp.int32)
+    x = wrap16(blocks.astype(jnp.int32))
     # rows: y[b, i, k] = sum_j x[b, i, j] * M[k, j]
     y = jnp.einsum("bij,kj->bik", x, M, preferred_element_type=jnp.int32)
     y = (y + (1 << (ROW_SHIFT - 1))) >> ROW_SHIFT
+    dc_only = (x[..., 1:] == 0).all(axis=-1)          # (B, 8) per row
+    dc_row = wrap16(x[..., 0] << 3)
+    y = jnp.where(dc_only[..., None], dc_row[..., None], y)
+    y = wrap16(y)
     # cols: z[b, k, j] = sum_i M[k, i] * y[b, i, j]
     z = jnp.einsum("ki,bij->bkj", M, y, preferred_element_type=jnp.int32)
-    z = (z + (1 << (COL_SHIFT - 1))) >> COL_SHIFT
+    z = (z + _COL_BIAS) >> COL_SHIFT
     return z
 
 
@@ -122,9 +165,12 @@ def idct8x8_float(blocks):
                       preferred_element_type=jnp.float32)
 
 
-def idct_put(blocks, bias: int = 128):
-    """IDCT then clamp to uint8 with +128 level shift
-    (reference: idctdsp.c put_pixels_clamped / idct_put)."""
+def idct_put(blocks, bias: int = 0):
+    """IDCT then clamp to uint8 (reference: simple_idct idctSparseColPut /
+    idctdsp.c idct_put). Intra codecs carry the +128 level shift inside
+    the DC coefficient (e.g. mjpegdec.c last_dc = 1024), matching the
+    reference's rounding exactly; `bias` exists only for synthetic
+    tests."""
     jnp = _jnp()
     z = idct8x8_int(blocks) + bias
     return jnp.clip(z, 0, 255).astype(jnp.uint8)

@@ -60,8 +60,9 @@ class TestAvconv:
         out = tmp_path / "out.crc"
         rc = avconv.main(["-i", jpeg_file, "-f", "framecrc", str(out)])
         assert rc == 0
-        line = out.read_text().strip()
-        parts = [p.strip() for p in line.split(",")]
+        lines = [l for l in out.read_text().strip().splitlines()
+                 if not l.startswith("#")]
+        parts = [p.strip() for p in lines[0].split(",")]
         assert parts[0] == "0"
         assert int(parts[4]) == 96 * 80 * 3 // 2
         assert parts[5].startswith("0x")
@@ -76,7 +77,8 @@ class TestAvconv:
         out = tmp_path / "out.crc"
         rc = avconv.main(["-i", y4m_file, "-f", "framecrc", str(out)])
         assert rc == 0
-        lines = out.read_text().strip().splitlines()
+        lines = [l for l in out.read_text().strip().splitlines()
+                 if not l.startswith("#")]
         assert len(lines) == 3
 
     def test_y4m_to_jpeg_roundtrip(self, y4m_file, tmp_path):
@@ -105,7 +107,8 @@ class TestAvconv:
         rc = avconv.main(["-i", y4m_file, "-frames", "2", "-f",
                           "framecrc", str(out)])
         assert rc == 0
-        assert len(out.read_text().strip().splitlines()) == 2
+        assert len([l for l in out.read_text().strip().splitlines()
+                    if not l.startswith("#")]) == 2
 
     def test_rawvideo_input(self, tmp_path):
         f = synth_frame(32, 24, "yuv420p")
@@ -116,7 +119,8 @@ class TestAvconv:
                           "-pixel_format", "yuv420p", "-i", str(raw),
                           "-f", "framecrc", str(out)])
         assert rc == 0
-        assert len(out.read_text().strip().splitlines()) == 2
+        assert len([l for l in out.read_text().strip().splitlines()
+                    if not l.startswith("#")]) == 2
 
     def test_null_output(self, y4m_file):
         assert avconv.main(["-i", y4m_file, "-f", "null", "-"]) == 0

@@ -63,11 +63,23 @@ class TestIdctInt:
         np.testing.assert_array_equal(out[2], np.full((8, 8), -100))
 
     def test_idct_put_clamps(self):
+        # DC must stay inside the int16 row range (the reference's
+        # simple_idct stores rows in int16_t and wraps beyond it); 4000
+        # is in-range and saturates every pixel after the +128 bias
         blocks = np.zeros((1, 8, 8), dtype=np.int32)
-        blocks[0, 0, 0] = 8 * 2000
+        blocks[0, 0, 0] = 4000
         out = np.asarray(idct.idct_put(jnp.asarray(blocks), bias=128))
         assert out.dtype == np.uint8
         np.testing.assert_array_equal(out[0], np.full((8, 8), 255))
+
+    def test_simple_idct_int16_wrap_semantics(self):
+        # out-of-range DC wraps exactly like the reference's int16_t rows
+        blocks = np.zeros((1, 8, 8), dtype=np.int32)
+        blocks[0, 0, 0] = 8 * 2000      # wraps: (16000<<3)&0xffff -> -3072
+        ref = idct.idct8x8_int_ref(blocks)
+        got = np.asarray(jax.jit(idct.idct8x8_int)(jnp.asarray(blocks)))
+        np.testing.assert_array_equal(ref, got)
+        assert ref[0, 0, 0] < 0
 
 
 class TestFdctInt:
