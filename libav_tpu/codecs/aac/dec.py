@@ -172,7 +172,10 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
                 if cb == T.ZERO_HCB:
                     continue
                 q = _decode_spectrum(gb, cb, L * width).astype(np.float64)
-                gain = 2.0 ** (0.25 * (sf[g, b] - SF_OFFSET))
+                # -26: PCM fullscale convention (1/32768 output scale x
+                # IMDCT normalization), matching the reference decoder's
+                # absolute level (aacdec.c pow2sf_tab offset)
+                gain = 2.0 ** (0.25 * (sf[g, b] - SF_OFFSET) - 26.0)
                 vals = np.sign(q) * np.abs(q) ** (4.0 / 3.0) * gain
                 vals = vals.reshape(L, width)
                 for w in range(L):
@@ -195,7 +198,7 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
     for b in range(max_sfb):
         if band_cb[0, b] != T.ZERO_HCB:
             gains[offsets[b]:offsets[b + 1]] = \
-                2.0 ** (0.25 * (sf[0, b] - SF_OFFSET))
+                2.0 ** (0.25 * (sf[0, b] - SF_OFFSET) - 26.0)
     return window_sequence, window_shape, np.sign(q) * mag * gains
 
 
@@ -331,8 +334,11 @@ class AACDecoder(Decoder):
         prev = self._prev_shape[ch]
         comp = np.zeros(2048)
         if seq == EIGHT_SHORT:
+            # same absolute spectral convention as long blocks (the
+            # reference inits both MDCTs with equal 1/(32768*N) style
+            # scale): 1024, NOT N_short/2=128
             frames = np.asarray(
-                F.imdct((spec * 128.0).astype(np.float32))).astype(np.float64)
+                F.imdct((spec * 1024.0).astype(np.float32))).astype(np.float64)
             for i in range(8):
                 w = np.concatenate([sw(prev if i == 0 else shape)[:128],
                                     sw(shape)[128:]])

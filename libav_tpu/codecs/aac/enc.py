@@ -141,11 +141,13 @@ class AACEncoder(Encoder):
                              for i in range(8)], axis=1) * sw
             spec = np.asarray(F.mdct(
                 segs.reshape(nch * 8, 256).astype(np.float32))
-            ).astype(np.float64).reshape(nch, 8, 128) * (2.0 / 256.0)
+            ).astype(np.float64).reshape(nch, 8, 128) * \
+                (2.0 / 2048.0 * 67108864.0)  # same scale as long blocks
         else:
             blocks = comp * self._window_for(seq)
             spec = np.asarray(F.mdct(blocks.astype(np.float32))
-                              ).astype(np.float64) * (2.0 / 2048.0)
+                              ).astype(np.float64) * \
+                (2.0 / 2048.0 * 67108864.0)  # 2^26: see dec.py gain note
 
         pb = PutBits()
         if nch == 1:

@@ -344,22 +344,33 @@ class MPEG1Decoder(Decoder):
                     continue
                 inc += v + 1
                 break
+            def advance():
+                # MPEG-1 slices may span multiple MB rows; wrap like the
+                # reference (mpeg12dec.c:1782 '++mb_x >= mb_width' path)
+                nonlocal mb_x, mb_y
+                mb_x += 1
+                if mb_x >= seq.mb_width:
+                    mb_x = 0
+                    mb_y += 1
+                if mb_y >= seq.mb_height:
+                    raise AVError(INVALIDDATA, "MB address out of range")
+
             if first_in_slice:
                 mb_x = inc - 1
                 first_in_slice = False
+                if mb_x >= seq.mb_width or mb_y >= seq.mb_height:
+                    raise AVError(INVALIDDATA, "MB address out of range")
             else:
                 # skipped MBs
                 for s in range(inc - 1):
-                    mb_x += 1
+                    advance()
                     self._skipped_mb(mb, mb_y * seq.mb_width + mb_x,
                                      pmv, prev_mb_params)
-                mb_x += 1
+                advance()
                 if inc > 1:
                     dc_pred = self._dc_reset()
                     if pic.pict_type == PICT_P:
                         pmv[:] = 0
-            if mb_x >= seq.mb_width or mb_y >= seq.mb_height:
-                raise AVError(INVALIDDATA, "MB address out of range")
             idx = mb_y * seq.mb_width + mb_x
             qscale, dc_pred, prev_mb_params = self._decode_mb(
                 gb, mb, idx, qscale, dc_pred, pmv)

@@ -33,7 +33,12 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     import jax.numpy as jnp
 
     from libav_tpu.ops import idct as idct_ops, quant as quant_ops
-    from libav_tpu.ops.mc import EDGE, avg_pred, mc_hpel, chroma_mv_div2
+    from libav_tpu.ops.mc import (EDGE, avg_pred, mc_hpel, chroma_mv_div2,
+                                  chroma_mv_h263)
+    if quant_kind in ("h263", "mpeg4"):
+        # H.263/MPEG-4 derive chroma MVs with the rounding table
+        # (motion_est.h:96), not MPEG-1/2 truncation
+        chroma_mv_div2 = chroma_mv_h263
 
     nmb = mb_w * mb_h
     scan = alternate_scan() if alt_scan else zigzag_scan()

@@ -121,3 +121,29 @@ def chroma_mv_div2(mv):
 
 def chroma_mv_div2_ref(mv: np.ndarray) -> np.ndarray:
     return np.trunc(mv / 2).astype(mv.dtype)
+
+
+def chroma_mv_h263(mv):
+    """H.263 / MPEG-4 1MV chroma motion derivation (reference:
+    mpegvideo_motion.c mpeg_motion_internal FMT_H263 path:
+    uvdxy = dxy | (my & 2) | ((mx & 2) >> 1); uvsrc = luma_src >> 1 —
+    i.e. chroma halfpel whenever mv % 4 != 0, integer part mv >> 2).
+    Returns the chroma MV in chroma half-pel units."""
+    return 2 * (mv >> 2) + ((mv & 3) != 0)
+
+
+def chroma_mv_h263_ref(mv: np.ndarray) -> np.ndarray:
+    return 2 * (mv >> 2) + ((mv & 3) != 0).astype(mv.dtype)
+
+
+_H263_CHROMA_ROUNDTAB = np.array(
+    [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1], dtype=np.int32)
+
+
+def chroma_mv_h263_4mv(mv_sum):
+    """H.263/MPEG-4 4MV chroma vector from the SUM of the four luma MVs
+    (reference: motion_est.h:96 ff_h263_round_chroma:
+    roundtab[x & 0xf] + (x >> 3))."""
+    import jax.numpy as jnp
+    tab = jnp.asarray(_H263_CHROMA_ROUNDTAB)
+    return tab[mv_sum & 0xF] + (mv_sum >> 3)

@@ -97,23 +97,23 @@ def jpeg_quant(coeffs, qmat):
 
 def mpeg1_dequant_intra_ref(coeffs: np.ndarray, qscale: np.ndarray,
                             qmat: np.ndarray) -> np.ndarray:
-    """level = (2*c * qscale * qmat[i]) >> 4? — MPEG-1 intra:
-    level = (c * qscale * qmat[i]) >> 3, with oddification (mismatch
-    control: force result odd toward zero) per ISO 11172-2 §2.4.4.2.
-    DC (i==0) passes through scaled by 8 x intra_dc_precision elsewhere.
-    """
+    """MPEG-1 intra (reference: mpegvideo.c dct_unquantize_mpeg1_intra_c):
+    the shift is applied to the MAGNITUDE (the C negates, shifts, negates
+    back — truncation toward zero, not floor), then oddification
+    ((mag-1)|1) per ISO 11172-2 §2.4.4.2. No saturation (the C stores to
+    int16_t; the IDCT input wrap reproduces that). DC = c * 8
+    (y/c_dc_scale)."""
     c = coeffs.astype(np.int64)
     q = (qscale if np.ndim(qscale) else np.asarray(qscale)).astype(np.int64)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = (c * q * qmat.astype(np.int64)) >> 3
-    # mismatch control: make odd, moving toward zero
-    odd = np.where(lvl > 0, (lvl - 1) | 1, -((-lvl - 1) | 1))
-    lvl = np.where(c != 0, odd, 0)
+    mag = (np.abs(c) * q * qmat.astype(np.int64)) >> 3
+    mag = (mag - 1) | 1
+    lvl = np.where(c != 0, np.sign(c) * mag, 0)
     dc_mask = np.zeros(64, dtype=bool)
     dc_mask[0] = True
     lvl = np.where(dc_mask, c * 8, lvl)
-    return np.clip(lvl, -2048, 2047).astype(np.int32)
+    return lvl.astype(np.int32)
 
 
 def mpeg1_dequant_intra(coeffs, qscale, qmat):
@@ -122,12 +122,12 @@ def mpeg1_dequant_intra(coeffs, qscale, qmat):
     q = jnp.asarray(qscale, dtype=jnp.int32)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = (c * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 3
-    odd = jnp.where(lvl > 0, (lvl - 1) | 1, -((-lvl - 1) | 1))
-    lvl = jnp.where(c != 0, odd, 0)
+    mag = (jnp.abs(c) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 3
+    mag = (mag - 1) | 1
+    lvl = jnp.where(c != 0, jnp.sign(c) * mag, 0)
     dc_mask = jnp.zeros((64,), dtype=bool).at[0].set(True)
     lvl = jnp.where(dc_mask, c * 8, lvl)
-    return jnp.clip(lvl, -2048, 2047)
+    return lvl
 
 
 def mpeg1_dequant_inter_ref(coeffs: np.ndarray, qscale,
@@ -138,10 +138,10 @@ def mpeg1_dequant_inter_ref(coeffs: np.ndarray, qscale,
     q = np.asarray(qscale).astype(np.int64)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = ((2 * c + np.sign(c)) * q * qmat.astype(np.int64)) >> 4
-    odd = np.where(lvl > 0, (lvl - 1) | 1, -((-lvl - 1) | 1))
-    lvl = np.where(c != 0, odd, 0)
-    return np.clip(lvl, -2048, 2047).astype(np.int32)
+    mag = ((2 * np.abs(c) + 1) * q * qmat.astype(np.int64)) >> 4
+    mag = (mag - 1) | 1
+    lvl = np.where(c != 0, np.sign(c) * mag, 0)
+    return lvl.astype(np.int32)
 
 
 def mpeg1_dequant_inter(coeffs, qscale, qmat):
@@ -150,10 +150,10 @@ def mpeg1_dequant_inter(coeffs, qscale, qmat):
     q = jnp.asarray(qscale, dtype=jnp.int32)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = ((2 * c + jnp.sign(c)) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 4
-    odd = jnp.where(lvl > 0, (lvl - 1) | 1, -((-lvl - 1) | 1))
-    lvl = jnp.where(c != 0, odd, 0)
-    return jnp.clip(lvl, -2048, 2047)
+    mag = ((2 * jnp.abs(c) + 1) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 4
+    mag = (mag - 1) | 1
+    lvl = jnp.where(c != 0, jnp.sign(c) * mag, 0)
+    return lvl
 
 
 def mpeg2_dequant_intra(coeffs, qscale, qmat):
@@ -165,10 +165,11 @@ def mpeg2_dequant_intra(coeffs, qscale, qmat):
     q = jnp.asarray(qscale, dtype=jnp.int32)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = (c * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 4
+    mag = (jnp.abs(c) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 4
+    lvl = jnp.sign(c) * mag
     dc_mask = jnp.zeros((64,), dtype=bool).at[0].set(True)
     lvl = jnp.where(dc_mask, c, lvl)
-    return jnp.clip(lvl, -2048, 2047)
+    return lvl
 
 
 def mpeg2_dequant_inter(coeffs, qscale, qmat):
@@ -177,8 +178,9 @@ def mpeg2_dequant_inter(coeffs, qscale, qmat):
     q = jnp.asarray(qscale, dtype=jnp.int32)
     while q.ndim < c.ndim:
         q = q[..., None]
-    lvl = ((2 * c + jnp.sign(c)) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 5
-    return jnp.clip(lvl, -2048, 2047)
+    mag = ((2 * jnp.abs(c) + 1) * q * jnp.asarray(qmat, dtype=jnp.int32)) >> 5
+    lvl = jnp.where(c != 0, jnp.sign(c) * mag, 0)
+    return lvl
 
 
 def mpeg2_mismatch_control(blocks):
