@@ -255,8 +255,11 @@ def encode_b_jit(mb_w: int, mb_h: int, quant_kind: str = "mpeg1",
                            cur_v.astype(jnp.int32))
 
         def me(ref_y):
-            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ref_y)
-            return _hpel_refine_jit(mb_w, mb_h)(cur_mbs, ref_y, fmv)
+            bounded = quant_kind in ("mpeg1", "mpeg2")
+            fmv, _ = _search_jit(mb_w, mb_h, search_range,
+                                 bounded)(cur_mbs, ref_y)
+            return _hpel_refine_jit(mb_w, mb_h, bounded)(cur_mbs, ref_y,
+                                                         fmv)
 
         mvf, sadf = me(r0y)
         mvb, sadb = me(r1y)
@@ -369,8 +372,11 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
         if inter:
             cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
                        .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
-            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, r0y)
-            mv, sad = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r0y, fmv)
+            bounded = quant_kind in ("mpeg1", "mpeg2")
+            fmv, _ = _search_jit(mb_w, mb_h, search_range,
+                                 bounded)(cur_mbs, r0y)
+            mv, sad = _hpel_refine_jit(mb_w, mb_h, bounded)(cur_mbs, r0y,
+                                                            fmv)
             mb_mean = cur_mbs.mean(axis=(1, 2), keepdims=True)
             intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
             use_intra = intra_cost.astype(jnp.int32) + 256 < sad

@@ -33,7 +33,13 @@ _DIAMOND = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
 
 
 @functools.lru_cache(maxsize=16)
-def _search_jit(mb_w: int, mb_h: int, search_range: int):
+def _search_jit(mb_w: int, mb_h: int, search_range: int,
+                bounded: bool = False):
+    """bounded=True restricts every candidate so the 16x16 patch stays
+    fully inside the picture — MPEG-1/2 forbid motion vectors that
+    reference pixels outside the coded area (the reference decoder logs
+    'MPEG motion vector out of boundary' and zeroes them); H.263/MPEG-4/
+    H.264 allow them via edge emulation."""
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +49,8 @@ def _search_jit(mb_w: int, mb_h: int, search_range: int):
     # this lru-cached closure for later callers.
     xs = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
     ys = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    min_x, max_x = -xs, (mb_w * 16 - 16) - xs
+    min_y, max_y = -ys, (mb_h * 16 - 16) - ys
     steps = []
     s = 1
     while s * 2 <= search_range:
@@ -77,6 +85,10 @@ def _search_jit(mb_w: int, mb_h: int, search_range: int):
             for k in range(1, len(_DIAMOND)):
                 cand = mv + offsets[k] * step
                 cand = jnp.clip(cand, -search_range, search_range)
+                if bounded:
+                    cand = jnp.stack(
+                        [jnp.clip(cand[:, 0], min_x, max_x),
+                         jnp.clip(cand[:, 1], min_y, max_y)], axis=1)
                 sad = eval_cand(cand)
                 better = (sad < best)[:, None]
                 mv = jnp.where(better, cand, mv)
@@ -87,7 +99,7 @@ def _search_jit(mb_w: int, mb_h: int, search_range: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _hpel_refine_jit(mb_w: int, mb_h: int):
+def _hpel_refine_jit(mb_w: int, mb_h: int, bounded: bool = False):
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops.mc import mc_hpel
@@ -95,6 +107,10 @@ def _hpel_refine_jit(mb_w: int, mb_h: int):
     nmb = mb_w * mb_h
     xs = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
     ys = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    # half-pel bounds: odd values below the (even) max still only read
+    # up to the last in-picture sample
+    min_x, max_x = -2 * xs, 2 * ((mb_w * 16 - 16) - xs)
+    min_y, max_y = -2 * ys, 2 * ((mb_h * 16 - 16) - ys)
     offsets = _DIAMOND
 
     def fn(cur_mbs, padded_ref, fullpel_mv):
@@ -103,6 +119,10 @@ def _hpel_refine_jit(mb_w: int, mb_h: int):
         out = mv
         for k in range(len(_DIAMOND)):
             cand = mv + offsets[k]
+            if bounded:
+                cand = jnp.stack(
+                    [jnp.clip(cand[:, 0], min_x, max_x),
+                     jnp.clip(cand[:, 1], min_y, max_y)], axis=1)
             pred = mc_hpel(padded_ref, xs, ys, cand[:, 0], cand[:, 1], 16)
             sad = jnp.abs(cur_mbs - pred).sum(axis=(1, 2))
             better = sad < best
