@@ -53,8 +53,11 @@ def _lowcomp(a, b0, b1, band):
 
 def calc_mask(band_psd: np.ndarray, start: int, end: int, fast_gain: int,
               sdecay: int, fdecay: int, sgain: int, dbknee: int,
-              fscod: int, is_lfe: bool = False) -> np.ndarray:
-    """Excitation + masking curve (A/52 §7.2.2.3). Returns mask (50,)."""
+              fscod: int, is_lfe: bool = False, cpl_leak=None,
+              dba=None, sr_shift: int = 0) -> np.ndarray:
+    """Excitation + masking curve (A/52 §7.2.2.3; reference: ac3.c
+    ff_ac3_bit_alloc_calc_mask incl. coupling-channel leak init and
+    delta bit allocation). Returns mask (50,)."""
     excite = np.zeros(T.N_BANDS, dtype=np.int64)
     b2b = T.bin_to_band()
     band_start = int(b2b[start])
@@ -88,8 +91,12 @@ def calc_mask(band_psd: np.ndarray, start: int, end: int, fast_gain: int,
             excite[band] = max(fastleak - lowcomp, slowleak)
         begin = 22
     else:
+        # coupling channel: leak accumulators seeded from the coded
+        # cplfleak/cplsleak (ac3.c:171-173)
         begin = band_start
-        # coupling-channel leak init not used in round 1
+        if cpl_leak is not None:
+            fastleak = (cpl_leak[0] << 8) + 768
+            slowleak = (cpl_leak[1] << 8) + 768
 
     for band in range(begin, band_end):
         fastleak = max(fastleak - fdecay, bp[band] - fast_gain)
@@ -97,13 +104,24 @@ def calc_mask(band_psd: np.ndarray, start: int, end: int, fast_gain: int,
         excite[band] = max(fastleak, slowleak)
 
     mask = np.zeros(T.N_BANDS, dtype=np.int64)
-    sr_shift = 0   # 48/44.1/32k table direct; halved rates not supported
     for band in range(band_start, band_end):
         tmp = dbknee - bp[band]
         if tmp > 0:
             excite[band] += tmp >> 2
         mask[band] = max(int(T.HEARING_THRESHOLD[band >> sr_shift, fscod]),
                          excite[band])
+
+    # delta bit allocation (A/52 §7.2.2.3 step 9; ac3.c:195-213)
+    if dba:
+        band = band_start
+        for (off, length, value) in dba:
+            band += off
+            delta = ((value - 3) << 7) if value >= 4 else ((value - 4) << 7)
+            for _ in range(length):
+                if band >= T.N_BANDS:
+                    raise ValueError("dba out of range")
+                mask[band] += delta
+                band += 1
     return mask
 
 
@@ -130,13 +148,21 @@ def calc_bap(psd: np.ndarray, mask: np.ndarray, start: int, end: int,
 
 def run_bit_alloc(exps: np.ndarray, start: int, end: int, fscod: int,
                   sdcycod=2, fdcycod=1, sgaincod=1, dbpbcod=2, floorcod=7,
-                  fgaincod=4, csnroffst=0, fsnroffst=0) -> np.ndarray:
-    """One-call helper: exponents -> bap (both sides use this)."""
+                  fgaincod=4, csnroffst=0, fsnroffst=0,
+                  fast_gain=None, snr_offset=None, is_lfe=False,
+                  cpl_leak=None, dba=None, sr_shift=0) -> np.ndarray:
+    """One-call helper: exponents -> bap (both sides use this).
+    fast_gain/snr_offset may be given directly (decoder) or via
+    fgaincod/csnroffst/fsnroffst codes (encoder)."""
     psd, band_psd = calc_psd(exps, start, end)
-    mask = calc_mask(band_psd, start, end,
-                     T.FAST_GAIN[fgaincod],
-                     T.SLOW_DECAY[sdcycod], T.FAST_DECAY[fdcycod],
+    if fast_gain is None:
+        fast_gain = int(T.FAST_GAIN[fgaincod])
+    mask = calc_mask(band_psd, start, end, fast_gain,
+                     int(T.SLOW_DECAY[sdcycod]) >> sr_shift,
+                     int(T.FAST_DECAY[fdcycod]) >> sr_shift,
                      T.SLOW_GAIN[sgaincod], T.DB_PER_BIT[dbpbcod],
-                     fscod)
-    snr_offset = (((csnroffst - 15) << 4) + fsnroffst) << 2
+                     fscod, is_lfe=is_lfe, cpl_leak=cpl_leak, dba=dba,
+                     sr_shift=sr_shift)
+    if snr_offset is None:
+        snr_offset = (((csnroffst - 15) << 4) + fsnroffst) << 2
     return calc_bap(psd, mask, start, end, snr_offset, T.FLOOR[floorcod])

@@ -129,8 +129,11 @@ class AC3Encoder(Encoder):
         spec = np.asarray(F.mdct(blocks.reshape(6 * nch, 512)
                                  .astype(np.float32))).astype(np.float64)
         # A/52 coefficients are fractions: fold the 2/N forward
-        # normalization here (the decoder multiplies it back out)
-        spec = spec.reshape(6, nch, 256) * (2.0 / 512.0)
+        # normalization here, negated — ops/fftmdct's transform has the
+        # opposite sign of the reference's MDCT convention (calibrated
+        # against the reference decoder; the decoder mirrors this with
+        # its own negative IMDCT scale)
+        spec = spec.reshape(6, nch, 256) * (-2.0 / 512.0)
 
         # exponents: one D15 set per channel for the whole frame
         exps = np.zeros((nch, 256), dtype=np.int32)
@@ -231,8 +234,13 @@ class AC3Encoder(Encoder):
             if self.lfe:
                 pb.put_bits(1, 1 if blk == 0 else 0)   # lfeexpstr
             if blk == 0:
+                # A/52 block syntax: ALL chbwcod fields first, then the
+                # per-channel exponent sets (reference: ac3dec.c
+                # decode_audio_block 'channel bandwidth' loop precedes
+                # the 'decode exponents' loop)
                 for ch in range(nf):
                     pb.put_bits(6, CHBWCOD)
+                for ch in range(nf):
                     self._pack_exponents(pb, exps[ch], ENDMANT)
                     pb.put_bits(2, 0)    # gainrng
                 if self.lfe:

@@ -66,6 +66,42 @@ class TestDecodeParity:
         if ext == "avi":   # container timestamps must also match
             assert ours == ref
 
+    @pytest.mark.parametrize("channels,bitrate", [(2, "192k"), (6, "384k")])
+    def test_ac3(self, wav48, tmp_path, channels, bitrate):
+        """AC-3 with coupling/rematrixing/dither (and block switching on
+        the transient source): our decode tracks the reference decoder
+        within 1 LSB — requires the bit-exact lagged-Fibonacci dither."""
+        enc = str(tmp_path / "ref.ac3")
+        ref_run(["-i", wav48, "-ac", str(channels), "-c:a", "ac3",
+                 "-b:a", bitrate, enc])
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc, "-f", "s16le", refpcm])
+        from libav_tpu.tools import avconv
+        assert avconv.main(["-y", "-i", enc, "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+
+    def test_ac3_ref_decodes_ours(self, wav48, tmp_path):
+        """our AC-3 stream: the reference and our decoder must agree
+        within 1 LSB (conformance of exponent/mantissa coding)."""
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "our.ac3")
+        assert avconv.main(["-y", "-i", wav48, "-c:a", "ac3",
+                            "-f", "ac3", enc]) == 0
+        refpcm = str(tmp_path / "refdec.pcm")
+        ourpcm = str(tmp_path / "ourdec.pcm")
+        ref_run(["-f", "ac3", "-i", enc, "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-f", "ac3", "-i", enc,
+                            "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        n = min(a.size, b.size)
+        assert n > 0
+        assert np.abs(a[:n] - b[:n]).max() <= 1
+
     def test_aac(self, wav48, tmp_path):
         enc = str(tmp_path / "ref.aac")
         ref_run(["-i", wav48, "-strict", "experimental", "-c:a", "aac",
