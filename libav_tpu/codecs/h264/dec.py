@@ -5,7 +5,8 @@ ff_h264_decode_mb_cavlc :699; device half in device.py).
 Round-1 subset: CAVLC; I slices of I_16x16 MBs; P slices of
 P_L0_16x16/P_Skip; single reference; frame_mbs_only. In-loop deblocking
 is applied when the stream enables it (frame-parallel edge-class order;
-slice alpha/beta offsets treated as 0 — see device._deblock_frame).
+slice alpha/beta offsets honored via ops/h264deblock
+deblock_frame_exact_jit static parameters).
 """
 
 from __future__ import annotations
@@ -167,10 +168,9 @@ class H264Decoder(Decoder):
             if disable_deblock != 1:
                 ab_offset = (gb.get_se_golomb(), gb.get_se_golomb())
         self._deblock = disable_deblock != 1
-        if any(ab_offset) and not self._deblock_warned:
-            log.warning(self, "slice alpha/beta offsets %s ignored "
-                              "(filtered at offset 0)", ab_offset)
-            self._deblock_warned = True
+        # slice alpha_c0/beta offsets are static parameters of the
+        # deblock program (spec indexA/indexB; h264_loopfilter.c)
+        self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
@@ -425,7 +425,9 @@ class H264Decoder(Decoder):
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
                                          sps.width, sps.height),
-                                   deblock=deblock, nrefs=nrefs)
+                                   deblock=deblock, nrefs=nrefs,
+                                   db_offsets=getattr(self, "_ab_offset",
+                                                      (0, 0)))
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid

@@ -268,114 +268,6 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
     return jax.jit(fn)
 
 
-def _deblock_frame(yp, up, vp, intra, qp, nnz, mv, mb_w: int, mb_h: int):
-    """In-loop deblocking over assembled planes (reference:
-    h264_loopfilter.c ff_h264_filter_mb + h264dsp deblock entries;
-    spec §8.7). Edge classes are filtered frame-parallel in the per-MB
-    left-to-right / top-to-bottom order: all vertical edge classes
-    (MB edge, then the three internal columns), then all horizontal.
-    This interleaves V/H across macroblocks rather than per-MB, which
-    can deviate from the serial spec order by a few LSBs at MB corners
-    — the round-1 tradeoff for a batched whole-frame filter.
-
-    bS per 4x4 edge: 4 intra@MB-edge, 3 intra internal, 2 if either
-    side has coded coefficients, 1 on >=1-pel MV difference (single
-    reference), else 0. Edge qp = averaged (chroma-mapped) MB qp."""
-    import jax.numpy as jnp
-    from libav_tpu.ops.h264deblock import filter_edge_qp
-
-    bw, bh = 4 * mb_w, 4 * mb_h
-    qp32 = jnp.clip(qp.astype(jnp.int32), 0, 51)
-    intra_b = jnp.repeat(jnp.repeat(intra.reshape(mb_h, mb_w), 4, 0), 4, 1)
-    qp_b = jnp.repeat(jnp.repeat(qp32.reshape(mb_h, mb_w), 4, 0), 4, 1)
-    qpc_b = jnp.asarray(CHROMA_QP)[qp_b]
-    mv_b = jnp.repeat(jnp.repeat(
-        mv.astype(jnp.int32).reshape(mb_h, mb_w, 2), 4, 0), 4, 1)
-    nnz = nnz.astype(jnp.int32)
-    offs = np.arange(-4, 4)
-
-    def edge_bs(a_idx, b_idx, axis, mbedge, qsrc):
-        """(bS, qp) grids for edges between block lanes a|b; shape =
-        (bh, n) for axis=1 (vertical) or (n, bw) for axis=0."""
-        take = (lambda arr, i: arr[:, i]) if axis == 1 else \
-            (lambda arr, i: arr[i, :])
-        intra_e = take(intra_b, a_idx) | take(intra_b, b_idx)
-        coded = (take(nnz, a_idx) > 0) | (take(nnz, b_idx) > 0)
-        mva = mv_b[:, a_idx] if axis == 1 else mv_b[a_idx]
-        mvb = mv_b[:, b_idx] if axis == 1 else mv_b[b_idx]
-        mvd = (jnp.abs(mva - mvb) >= 4).any(axis=-1)
-        bs = jnp.where(intra_e, 4 if mbedge else 3,
-                       jnp.where(coded, 2, jnp.where(mvd, 1, 0)))
-        qpe = (take(qsrc, a_idx) + take(qsrc, b_idx) + 1) >> 1
-        return bs, qpe
-
-    def filt_cols(plane, xs, bs_px, qp_px, chroma):
-        """Filter vertical edges at pixel columns xs; bs_px/qp_px are
-        per (pixel_row, edge) already."""
-        idx = xs[:, None] + offs[None, :]          # (n, 8)
-        rows = plane.shape[0]
-        lines = plane[:, idx].reshape(rows * len(xs), 8)
-        out = filter_edge_qp(lines, qp_px.reshape(-1), bs_px.reshape(-1),
-                             chroma=chroma)
-        return plane.at[:, idx].set(out.reshape(rows, len(xs), 8))
-
-    # ---- luma vertical: classes 0 (MB edge), 1, 2, 3 ----
-    for k in range(4):
-        cols = np.array([c for c in range(1, bw) if c % 4 == k],
-                        dtype=np.int64)
-        if not len(cols):
-            continue
-        bs, qpe = edge_bs(cols - 1, cols, 1, k == 0, qp_b)   # (bh, n)
-        yp = filt_cols(yp, cols * 4, jnp.repeat(bs, 4, 0),
-                       jnp.repeat(qpe, 4, 0), False)
-
-    # ---- luma horizontal: same on the transpose ----
-    ypT = yp.T
-    for k in range(4):
-        rows_ = np.array([r for r in range(1, bh) if r % 4 == k],
-                         dtype=np.int64)
-        if not len(rows_):
-            continue
-        bs, qpe = edge_bs(rows_ - 1, rows_, 0, k == 0, qp_b)  # (n, bw)
-        ypT = filt_cols(ypT, rows_ * 4, jnp.repeat(bs.T, 4, 0),
-                        jnp.repeat(qpe.T, 4, 0), False)
-    yp = ypT.T
-
-    # ---- chroma: bS from the co-located luma edge, chroma qp ----
-    def chroma_v(cp):
-        for k in range(2):                 # MB edge, then center edge
-            cc = np.array([c for c in range(1, 2 * mb_w) if c % 2 == k],
-                          dtype=np.int64)
-            if not len(cc):
-                continue
-            lc = cc * 2
-            bs, _ = edge_bs(lc - 1, lc, 1, k == 0, qp_b)     # (bh, n)
-            _, qpe = edge_bs(lc - 1, lc, 1, k == 0, qpc_b)
-            # chroma pixel row rp maps to luma block row rp // 2
-            cp = filt_cols(cp, cc * 4, jnp.repeat(bs, 2, 0),
-                           jnp.repeat(qpe, 2, 0), True)
-        return cp
-
-    def chroma_h(cp):
-        cpT = cp.T
-        for k in range(2):
-            cc = np.array([r for r in range(1, 2 * mb_h) if r % 2 == k],
-                          dtype=np.int64)
-            if not len(cc):
-                continue
-            lc = cc * 2
-            bs, _ = edge_bs(lc - 1, lc, 0, k == 0, qp_b)     # (n, bw)
-            _, qpe = edge_bs(lc - 1, lc, 0, k == 0, qpc_b)
-            # chroma pixel col maps to luma block col cpx // 2
-            cpT = filt_cols(cpT, cc * 4, jnp.repeat(bs.T, 2, 0),
-                            jnp.repeat(qpe.T, 2, 0), True)
-        return cpT.T
-
-    up = chroma_h(chroma_v(up))
-    vp = chroma_h(chroma_v(vp))
-    return yp, up, vp
-
-
 def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
     """Pick the (ycap, ccap) bucket pair for a frame with ny coded luma
     4x4 blocks and nc coded chroma blocks.  Buckets are tied to one
@@ -394,7 +286,8 @@ def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
 @functools.lru_cache(maxsize=64)
 def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           ycap: int, ccap: int, crop=None,
-                          deblock: bool = False, nrefs: int = 1):
+                          deblock: bool = False, nrefs: int = 1,
+                          db_offsets=(0, 0)):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -418,11 +311,13 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
                                   ry, ru, rv, ref_idx=ref_idx)
         if deblock:
+            from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
-            yp, up, vp = _deblock_frame(
+            db = deblock_frame_exact_jit(mb_w, mb_h, db_offsets[0],
+                                         db_offsets[1])
+            yp, up, vp = db(
                 planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),
-                planes[2].astype(jnp.int32), intra, qp, nnz, mv,
-                mb_w, mb_h)
+                planes[2].astype(jnp.int32), intra, qp, nnz, mv)
             yp = yp.astype(jnp.uint8)
             up = up.astype(jnp.uint8)
             vp = vp.astype(jnp.uint8)
@@ -459,9 +354,10 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True):
         planes, _ = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                              luma_dc, luma_ac, chroma_dc, chroma_ac,
                              ry, ru, rv)
-        yp, up, vp = _deblock_frame(
+        from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
+        yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h)(
             planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),
-            planes[2].astype(jnp.int32), intra, qp, nnz, mv, mb_w, mb_h)
+            planes[2].astype(jnp.int32), intra, qp, nnz, mv)
         yp = yp.astype(jnp.uint8)
         up = up.astype(jnp.uint8)
         vp = vp.astype(jnp.uint8)

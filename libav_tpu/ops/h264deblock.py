@@ -92,17 +92,24 @@ def filter_edge_ref(lines: np.ndarray, qp: int, bs: np.ndarray,
     return out.astype(np.int32)
 
 
-def filter_edge_qp(lines, qp, bs, chroma: bool = False):
+def filter_edge_qp(lines, qp, bs, chroma: bool = False,
+                   a_off: int = 0, b_off: int = 0):
     """Batched edge filter with per-line qp (frame-level application:
     every edge line carries the averaged qp of its two macroblocks).
-    lines (B,8), qp (B,), bs (B,)."""
+    lines (B,8), qp (B,), bs (B,). a_off/b_off are the slice header's
+    alpha_c0/beta offsets (spec indexA/indexB; h264_loopfilter.c uses
+    qp + slice_alpha_c0_offset for alpha AND tc0, + slice_beta_offset
+    for beta)."""
     import jax.numpy as jnp
     x = lines.astype(jnp.int32)
     p3, p2, p1, p0 = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
     q0, q1, q2, q3 = x[:, 4], x[:, 5], x[:, 6], x[:, 7]
-    qp = jnp.clip(qp.astype(jnp.int32), 0, 51)
-    alpha = jnp.asarray(ALPHA)[qp]
-    beta = jnp.asarray(BETA)[qp]
+    qpi = qp.astype(jnp.int32)
+    qp_a = jnp.clip(qpi + a_off, 0, 51)
+    qp_b = jnp.clip(qpi + b_off, 0, 51)
+    alpha = jnp.asarray(ALPHA)[qp_a]
+    beta = jnp.asarray(BETA)[qp_b]
+    qp = qp_a                      # tc0 table uses indexA
     bs = bs.astype(jnp.int32)
 
     active = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
@@ -202,3 +209,303 @@ def filter_edge(lines, qp: int, bs, chroma: bool = False):
     oq1 = jnp.where(active, jnp.where(is4, sq1, nq1), q1)
     oq2 = jnp.where(active & is4, sq2, q2)
     return jnp.stack([p3, op2, op1, op0, oq0, oq1, oq2, q3], axis=1)
+
+
+# ---------------------------------------------------------------------- #
+# Exact raster-order frame deblocking (reference: h264_loopfilter.c
+# ff_h264_filter_mb applied per MB in decode order; spec §8.7).
+#
+# The spec order is MB-serial: each MB filters its 4 vertical then 4
+# horizontal edges, and a MB's vertical edges read pixels the LEFT MB's
+# horizontal filtering already modified.  The dependency set of MB
+# (x, y) is {(x-1, y), (x, y-1), (x+1, y-1)} (writes of (x+1, y-1)'s
+# left-edge column overlap (x, y)'s top-edge reads), so the valid
+# parallel linearization is the x + 2y wavefront — every same-wave MB's
+# read/write patches are column-disjoint (stride-2 in x), making one
+# batched scan step per wave exact.
+# ---------------------------------------------------------------------- #
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
+                            b_off: int = 0):
+    """Returns fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb) -> planes.
+
+    yp (H, W) int32, up/vp (H/2, W/2) int32;
+    intra_mb (nmb,) bool; qp_mb (nmb,) int32; nnz4 (4mb_h, 4mb_w) int;
+    mv_mb (nmb, 2) int32 (quarter-pel, per MB — refined to per-4x4 when
+    sub-MB partitions land).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from libav_tpu.codecs.h264.device import CHROMA_QP
+
+    nmb = mb_w * mb_h
+    bw, bh = 4 * mb_w, 4 * mb_h
+
+    # wavefront tables: wave w = x + 2y
+    n_waves = mb_w + 2 * (mb_h - 1)
+    maxn = min(mb_h, (mb_w + 1) // 2 + 1)
+    wx = np.zeros((n_waves, maxn), dtype=np.int32)
+    wy = np.zeros((n_waves, maxn), dtype=np.int32)
+    wmask = np.zeros((n_waves, maxn), dtype=bool)
+    for w in range(n_waves):
+        slot = 0
+        for y in range(mb_h):
+            x = w - 2 * y
+            if 0 <= x < mb_w:
+                wx[w, slot] = x
+                wy[w, slot] = y
+                wmask[w, slot] = True
+                slot += 1
+    # masked slots point into the scratch margin below the picture —
+    # one full MB row BELOW it (a patch's top margin reaches 4 rows above
+    # its MB, so y=mb_h would overlap the last picture rows and the
+    # unfiltered write-back would clobber same-wave results). Adjacent
+    # masked slots overlap only in columns they both leave unmodified.
+    for w in range(n_waves):
+        for slot in range(maxn):
+            if not wmask[w, slot]:
+                wy[w, slot] = mb_h + 1
+                wx[w, slot] = min(slot, mb_w - 1)
+
+    r20 = np.arange(20)
+    r12 = np.arange(12)
+    r16 = np.arange(16)
+    r8 = np.arange(8)
+
+    def build_bs(intra4, nnz4, mv4, ref4):
+        """(bs_v, bs_h) (bh, bw) int32 — spec 8.7.2.1 (progressive)."""
+        def bs_dir(shift_axis):
+            ip = jnp.roll(intra4, 1, axis=shift_axis)
+            np_ = jnp.roll(nnz4, 1, axis=shift_axis)
+            mp = jnp.roll(mv4, 1, axis=shift_axis)
+            rp = jnp.roll(ref4, 1, axis=shift_axis)
+            idx = (jnp.arange(bw)[None, :] if shift_axis == 1
+                   else jnp.arange(bh)[:, None])
+            mbedge = (idx % 4) == 0
+            either_intra = intra4 | ip
+            coded = (nnz4 > 0) | (np_ > 0)
+            mvd = (jnp.abs(mv4 - mp) >= 4).any(-1) | (ref4 != rp)
+            bs = jnp.where(either_intra,
+                           jnp.where(mbedge, 4, 3),
+                           jnp.where(coded, 2, jnp.where(mvd, 1, 0)))
+            return jnp.where(idx == 0, 0, bs)
+        return bs_dir(1), bs_dir(0)
+
+    def fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb):
+        intra4 = jnp.repeat(jnp.repeat(
+            intra_mb.reshape(mb_h, mb_w), 4, 0), 4, 1)
+        qp4 = jnp.repeat(jnp.repeat(
+            jnp.clip(qp_mb.astype(jnp.int32), 0, 51)
+            .reshape(mb_h, mb_w), 4, 0), 4, 1)
+        mv4 = jnp.repeat(jnp.repeat(
+            mv_mb.astype(jnp.int32).reshape(mb_h, mb_w, 2), 4, 0), 4, 1)
+        ref4 = jnp.zeros((bh, bw), jnp.int32)
+        nnz4 = nnz4.astype(jnp.int32)
+
+        bs_v, bs_h = build_bs(intra4, nnz4, mv4, ref4)
+        qp_v = (qp4 + jnp.roll(qp4, 1, axis=1) + 1) >> 1
+        qp_h = (qp4 + jnp.roll(qp4, 1, axis=0) + 1) >> 1
+        cqp = jnp.asarray(CHROMA_QP)
+        qp_vc = (cqp[qp4] + cqp[jnp.roll(qp4, 1, axis=1)] + 1) >> 1
+        qp_hc = (cqp[qp4] + cqp[jnp.roll(qp4, 1, axis=0)] + 1) >> 1
+
+        # pad grids with two zero scratch MB rows at the bottom
+        def padg(g):
+            return jnp.pad(g, ((0, 8), (0, 0)))
+        bs_v, bs_h = padg(bs_v), padg(bs_h)
+        qp_v, qp_h = padg(qp_v), padg(qp_h)
+        qp_vc, qp_hc = padg(qp_vc), padg(qp_hc)
+
+        # pad planes: 4 left/top margin + 2 scratch MB rows below
+        ypad = jnp.pad(yp.astype(jnp.int32), ((4, 36), (4, 0)))
+        upad = jnp.pad(up.astype(jnp.int32), ((4, 20), (4, 0)))
+        vpad = jnp.pad(vp.astype(jnp.int32), ((4, 20), (4, 0)))
+
+        def step(carry, wave):
+            ypad, upad, vpad = carry
+            x, y, mask = wave
+            # ---------------- luma ----------------
+            ys0 = y * 16            # padded row of patch top (y16-4+4)
+            xs0 = x * 16
+            P = ypad[ys0[:, None, None] + r20[None, :, None],
+                     xs0[:, None, None] + r20[None, None, :]]
+            by0 = y * 4
+            bx0 = x * 4
+            for k in range(4):
+                c = 4 + 4 * k
+                lines = P[:, 4:20, c - 4:c + 4].reshape(-1, 8)
+                bs = jnp.repeat(
+                    bs_v[by0[:, None] + np.arange(4)[None, :],
+                         (bx0 + k)[:, None]], 4, axis=1).reshape(-1)
+                qq = jnp.repeat(
+                    qp_v[by0[:, None] + np.arange(4)[None, :],
+                         (bx0 + k)[:, None]], 4, axis=1).reshape(-1)
+                out = filter_edge_qp(lines, qq, bs, False, a_off, b_off)
+                P = P.at[:, 4:20, c - 4:c + 4].set(
+                    out.reshape(-1, 16, 8))
+            for k in range(4):
+                r = 4 + 4 * k
+                sub = P[:, r - 4:r + 4, 4:20]          # (n, 8, 16)
+                lines = sub.transpose(0, 2, 1).reshape(-1, 8)
+                bs = jnp.repeat(
+                    bs_h[(by0 + k)[:, None],
+                         bx0[:, None] + np.arange(4)[None, :]],
+                    4, axis=1).reshape(-1)
+                qq = jnp.repeat(
+                    qp_h[(by0 + k)[:, None],
+                         bx0[:, None] + np.arange(4)[None, :]],
+                    4, axis=1).reshape(-1)
+                out = filter_edge_qp(lines, qq, bs, False, a_off, b_off)
+                P = P.at[:, r - 4:r + 4, 4:20].set(
+                    out.reshape(-1, 16, 8).transpose(0, 2, 1))
+            ypad = ypad.at[ys0[:, None, None] + r20[None, :, None],
+                           xs0[:, None, None] + r20[None, None, :]].set(P)
+
+            # ---------------- chroma ----------------
+            cys0 = y * 8
+            cxs0 = x * 8
+            for plane_i, cpad in ((0, upad), (1, vpad)):
+                C = cpad[cys0[:, None, None] + r12[None, :, None],
+                         cxs0[:, None, None] + r12[None, None, :]]
+                for k in range(2):              # V edges at abs x8, x8+4
+                    c = 4 + 4 * k
+                    lines = C[:, 4:12, c - 4:c + 4].reshape(-1, 8)
+                    # chroma row cr maps to luma block row (y8+cr)//2;
+                    # luma block col = 4x + 2k
+                    bs = bs_v[by0[:, None] + (np.arange(8) // 2)[None, :],
+                              (bx0 + 2 * k)[:, None]].reshape(-1)
+                    qq = qp_vc[by0[:, None] +
+                               (np.arange(8) // 2)[None, :],
+                               (bx0 + 2 * k)[:, None]].reshape(-1)
+                    out = filter_edge_qp(lines, qq, bs, True,
+                                         a_off, b_off)
+                    C = C.at[:, 4:12, c - 4:c + 4].set(
+                        out.reshape(-1, 8, 8))
+                for k in range(2):              # H edges at abs y8, y8+4
+                    r = 4 + 4 * k
+                    sub = C[:, r - 4:r + 4, 4:12]
+                    lines = sub.transpose(0, 2, 1).reshape(-1, 8)
+                    bs = bs_h[(by0 + 2 * k)[:, None],
+                              bx0[:, None] +
+                              (np.arange(8) // 2)[None, :]].reshape(-1)
+                    qq = qp_hc[(by0 + 2 * k)[:, None],
+                               bx0[:, None] +
+                               (np.arange(8) // 2)[None, :]].reshape(-1)
+                    out = filter_edge_qp(lines, qq, bs, True,
+                                         a_off, b_off)
+                    C = C.at[:, r - 4:r + 4, 4:12].set(
+                        out.reshape(-1, 8, 8).transpose(0, 2, 1))
+                if plane_i == 0:
+                    upad = upad.at[cys0[:, None, None] +
+                                   r12[None, :, None],
+                                   cxs0[:, None, None] +
+                                   r12[None, None, :]].set(C)
+                else:
+                    vpad = vpad.at[cys0[:, None, None] +
+                                   r12[None, :, None],
+                                   cxs0[:, None, None] +
+                                   r12[None, None, :]].set(C)
+            return (ypad, upad, vpad), None
+
+        (ypad, upad, vpad), _ = jax.lax.scan(
+            step, (ypad, upad, vpad),
+            (jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wmask)))
+        H, W = mb_h * 16, mb_w * 16
+        return (ypad[4:4 + H, 4:], upad[4:4 + H // 2, 4:],
+                vpad[4:4 + H // 2, 4:])
+
+    return jax.jit(fn)
+
+
+def deblock_frame_exact_ref(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb,
+                            mb_w: int, mb_h: int, a_off: int = 0,
+                            b_off: int = 0):
+    """Golden scalar raster-order deblock (per-MB V-then-H, spec §8.7),
+    used to validate the wavefront kernel."""
+    yp = yp.astype(np.int64).copy()
+    up = up.astype(np.int64).copy()
+    vp = vp.astype(np.int64).copy()
+    intra4 = np.repeat(np.repeat(
+        np.asarray(intra_mb).reshape(mb_h, mb_w), 4, 0), 4, 1)
+    qp4 = np.repeat(np.repeat(
+        np.clip(np.asarray(qp_mb), 0, 51).reshape(mb_h, mb_w), 4, 0), 4, 1)
+    mv4 = np.repeat(np.repeat(
+        np.asarray(mv_mb).reshape(mb_h, mb_w, 2), 4, 0), 4, 1)
+    nnz4 = np.asarray(nnz4)
+    from libav_tpu.codecs.h264.device import CHROMA_QP
+
+    def bs_of(bx, by, px, py, mbedge):
+        if intra4[by, bx] or intra4[py, px]:
+            return 4 if mbedge else 3
+        if nnz4[by, bx] > 0 or nnz4[py, px] > 0:
+            return 2
+        if (np.abs(mv4[by, bx] - mv4[py, px]) >= 4).any():
+            return 1
+        return 0
+
+    def filt(lines, qp, bs, chroma):
+        import jax.numpy as jnp
+        out = filter_edge_qp(jnp.asarray(lines),
+                             jnp.full((len(lines),), qp, jnp.int32),
+                             jnp.full((len(lines),), bs, jnp.int32),
+                             chroma, a_off, b_off)
+        return np.asarray(out)
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            # vertical edges, left to right
+            for k in range(4):
+                cx = mx * 16 + 4 * k
+                if cx == 0:
+                    continue
+                for b in range(4):
+                    by = my * 4 + b
+                    bx = mx * 4 + k
+                    bs = bs_of(bx, by, bx - 1, by, k == 0)
+                    if bs == 0:
+                        continue
+                    qpav = (qp4[by, bx] + qp4[by, bx - 1] + 1) >> 1
+                    rows = slice(by * 4, by * 4 + 4)
+                    seg = yp[rows, cx - 4:cx + 4]
+                    yp[rows, cx - 4:cx + 4] = filt(seg, qpav, bs, False)
+                    if k in (0, 2):
+                        ccx = cx // 2
+                        cqp = (int(CHROMA_QP[qp4[by, bx]]) +
+                               int(CHROMA_QP[qp4[by, bx - 1]]) + 1) >> 1
+                        crows = slice(by * 2, by * 2 + 2)
+                        for cp in (up, vp):
+                            seg = np.zeros((2, 8), np.int64)
+                            seg[:, 2:6] = cp[crows, ccx - 2:ccx + 2]
+                            f = filt(seg, cqp, bs, True)
+                            cp[crows, ccx - 2:ccx + 2] = f[:, 2:6]
+            # horizontal edges, top to bottom
+            for k in range(4):
+                cy = my * 16 + 4 * k
+                if cy == 0:
+                    continue
+                for b in range(4):
+                    bx = mx * 4 + b
+                    by = my * 4 + k
+                    bs = bs_of(bx, by, bx, by - 1, k == 0)
+                    if bs == 0:
+                        continue
+                    qpav = (qp4[by, bx] + qp4[by - 1, bx] + 1) >> 1
+                    cols = slice(bx * 4, bx * 4 + 4)
+                    seg = yp[cy - 4:cy + 4, cols].T
+                    yp[cy - 4:cy + 4, cols] = filt(seg, qpav, bs, False).T
+                    if k in (0, 2):
+                        ccy = cy // 2
+                        cqp = (int(CHROMA_QP[qp4[by, bx]]) +
+                               int(CHROMA_QP[qp4[by - 1, bx]]) + 1) >> 1
+                        ccols = slice(bx * 2, bx * 2 + 2)
+                        for cp in (up, vp):
+                            seg = np.zeros((2, 8), np.int64)
+                            seg[:, 2:6] = cp[ccy - 2:ccy + 2, ccols].T
+                            f = filt(seg, cqp, bs, True)
+                            cp[ccy - 2:ccy + 2, ccols] = f[:, 2:6].T
+    return yp.astype(np.int32), up.astype(np.int32), vp.astype(np.int32)

@@ -128,6 +128,7 @@ class TestEncodeParity:
         ("mpeg2video", "mpeg2video", ["-g", "4"]),
         ("mpeg4", "m4v", ["-g", "4"]),
         ("h264", "h264", ["-g", "4", "-qp", "28"]),
+        ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv

@@ -192,3 +192,32 @@ class TestDeblock:
         bs = np.zeros(4, dtype=np.int32)
         out = db.filter_edge_ref(lines, 30, bs)
         np.testing.assert_array_equal(out, lines)
+
+
+class TestDeblockExact:
+    """checkasm pattern: wavefront deblock kernel vs the scalar
+    raster-order golden (spec §8.7 MB-serial semantics)."""
+
+    def test_matches_serial_golden(self):
+        import numpy as np
+        from libav_tpu.ops.h264deblock import (deblock_frame_exact_jit,
+                                               deblock_frame_exact_ref)
+        rng = np.random.default_rng(123)
+        for (mb_w, mb_h, a_off, b_off) in ((4, 3, 0, 0), (6, 2, 2, -2),
+                                           (2, 5, -4, 4)):
+            H, W = mb_h * 16, mb_w * 16
+            yp = rng.integers(0, 256, (H, W)).astype(np.int32)
+            up = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+            vp = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+            nmb = mb_w * mb_h
+            intra = rng.random(nmb) < 0.4
+            qp = rng.integers(18, 48, nmb).astype(np.int32)
+            nnz4 = rng.integers(0, 2, (4 * mb_h, 4 * mb_w)).astype(np.int32)
+            mv = rng.integers(-20, 20, (nmb, 2)).astype(np.int32)
+            got = [np.asarray(p) for p in
+                   deblock_frame_exact_jit(mb_w, mb_h, a_off, b_off)(
+                       yp, up, vp, intra, qp, nnz4, mv)]
+            ref = deblock_frame_exact_ref(yp, up, vp, intra, qp, nnz4,
+                                          mv, mb_w, mb_h, a_off, b_off)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(g, r)
