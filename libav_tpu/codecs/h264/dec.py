@@ -160,6 +160,11 @@ class H264Decoder(Decoder):
         else:
             if gb.get_bits(1):                   # adaptive marking
                 raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
+        cabac_init_idc = 0
+        if pps.entropy_coding_mode and slice_type != SLICE_I:
+            cabac_init_idc = gb.get_ue_golomb()
+            if cabac_init_idc > 2:
+                raise AVError(INVALIDDATA, "bad cabac_init_idc")
         qp = pps.pic_init_qp + gb.get_se_golomb()
         disable_deblock = 0
         ab_offset = (0, 0)
@@ -175,7 +180,8 @@ class H264Decoder(Decoder):
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
         use_native = N.available() and not bool(
-            __import__('os').environ.get('LIBAV_TPU_NO_NATIVE'))
+            __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
+            not pps.entropy_coding_mode
         if fd is None:
             pool = getattr(self, "_fd_pool", None)
             if use_native and pool is not None and pool[0] == nmb:
@@ -200,7 +206,12 @@ class H264Decoder(Decoder):
                 fd.nnz_u = np.zeros((2 * sps.mb_height, 2 * sps.mb_width),
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
-        if fd.block is not None:
+        if pps.entropy_coding_mode:
+            pos = gb.bits_read()
+            data = rbsp[(pos + 7) >> 3:]     # cabac_alignment_one_bit
+            self._decode_mbs_cabac(data, fd, sps, first_mb, slice_type,
+                                   qp, num_ref_l0, cabac_init_idc)
+        elif fd.block is not None:
             pos = gb.bits_read()
             rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
                                 sps.mb_width, sps.mb_height, first_mb,
@@ -213,6 +224,143 @@ class H264Decoder(Decoder):
             self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp,
                              num_ref_l0)
         return fd, (slice_type, idr)
+
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _apply_dqp(qp: int, delta: int) -> int:
+        qp += delta
+        if qp < 0:
+            qp += 52
+        elif qp > 51:
+            qp -= 52
+        return qp
+
+    def _decode_mbs_cabac(self, data, fd: FrameData, sps, first_mb,
+                          slice_type, qp, num_ref_l0, cabac_init_idc):
+        """CABAC slice data (reference: h264_cabac.c
+        ff_h264_decode_mb_cabac :1908, driven through the symmetric bin
+        layer in cabac.py — the encoder runs the identical code path)."""
+        from libav_tpu.codecs.h264 import cabac as cb
+        mb_w, mb_h = sps.mb_width, sps.mb_height
+        nmb = mb_w * mb_h
+        mc = getattr(fd, "cabac_mc", None)
+        if mc is None:
+            mc = cb.MbCtx(mb_w, mb_h)
+            fd.cabac_mc = mc
+            fd.cabac_slices = 0
+            fd.nnz_y = mc.nnz_y       # shared with deblock bS derivation
+            fd.nnz_u = mc.nnz_u
+            fd.nnz_v = mc.nnz_v
+        cur_slice = fd.cabac_slices
+        fd.cabac_slices += 1
+        states = cb.init_states(slice_type == SLICE_I, cabac_init_idc, qp)
+        eng = cb.CabacDecoder(data, states)
+        layer = cb.CabacMbLayer(eng, mc,
+                                2 if slice_type == SLICE_I else 0,
+                                cur_slice)
+        blkx = [b[0] for b in _BLK_XY]
+        blky = [b[1] for b in _BLK_XY]
+
+        def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
+            for b in range(16):
+                gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
+                if cbp_luma & (1 << (b >> 2)):
+                    if cat == 1:
+                        lv = fd.luma_ac[i, b, 1:16]
+                        mx = 15
+                    else:
+                        lv = fd.luma_ac[i, b, :]
+                        mx = 16
+                    nnz = layer.residual(i, cat, b, lv, mx)
+                else:
+                    nnz = 0
+                mc.nnz_y[gy, gx] = nnz
+
+        def chroma_resid(i, mb_x, mb_y, cbp_chroma):
+            if cbp_chroma:
+                for c in range(2):
+                    layer.residual(i, 3, c, fd.chroma_dc[i, c], 4)
+            for c, grid in ((0, mc.nnz_u), (1, mc.nnz_v)):
+                for b in range(4):
+                    gx = 2 * mb_x + (b & 1)
+                    gy = 2 * mb_y + (b >> 1)
+                    if cbp_chroma == 2:
+                        nnz = layer.residual(i, 4, 4 * c + b,
+                                             fd.chroma_ac[i, 4 * c + b,
+                                                          1:16], 15)
+                    else:
+                        nnz = 0
+                    grid[gy, gx] = nnz
+
+        def decode_intra(i, mb_x, mb_y, cur_qp):
+            mc.intra[i] = True
+            kind, cbp_l, cbp_c, mode = layer.mb_type_intra(i)
+            if kind == 0:
+                raise AVError(INVALIDDATA, "I_4x4 not supported yet")
+            mc.intra16[i] = True
+            fd.intra[i] = True
+            fd.luma_mode[i] = mode
+            cm = layer.intra_chroma_pred_mode(i)
+            fd.chroma_mode[i] = cm
+            mc.chroma_mode[i] = cm
+            mc.cbp[i] = cbp_l | (cbp_c << 4)
+            cur_qp = self._apply_dqp(cur_qp, layer.mb_qp_delta())
+            fd.qp[i] = cur_qp
+            layer.residual(i, 0, 0, fd.luma_dc[i], 16)
+            fd.coded[i] = True
+            luma_resid(i, mb_x, mb_y, cbp_l, cat=1)
+            chroma_resid(i, mb_x, mb_y, cbp_c)
+            return cur_qp
+
+        i = first_mb
+        while i < nmb:
+            mb_x, mb_y = i % mb_w, i // mb_w
+            mc.slice_id[i] = cur_slice
+            if slice_type == SLICE_P:
+                if layer.mb_skip(i):
+                    mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
+                                    mb_w, refs=fd.ref_idx)
+                    fd.mv[i] = mv
+                    fd.qp[i] = qp
+                    fd.coded[i] = True
+                    mc.skip[i] = True
+                    layer.last_dqp = 0
+                elif layer.mb_type_p_is_intra():
+                    qp = decode_intra(i, mb_x, mb_y, qp)
+                else:
+                    ptype = layer.mb_type_p_inter()
+                    if ptype != 0:
+                        raise AVError(INVALIDDATA,
+                                      f"P partitions (type {ptype}) "
+                                      "unsupported")
+                    ref = layer.ref_idx(i) if num_ref_l0 > 1 else 0
+                    if ref >= max(num_ref_l0, 1):
+                        raise AVError(INVALIDDATA, "ref_idx out of range")
+                    fd.ref_idx[i] = ref
+                    mc.ref[i] = ref
+                    mvdx = layer.mvd(i, 0)
+                    mvdy = layer.mvd(i, 1)
+                    mc.mvd[i] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_idx, cur_ref=ref)
+                    fd.mv[i] = (px + mvdx, py + mvdy)
+                    cbp = layer.cbp(i)
+                    mc.cbp[i] = cbp
+                    if cbp:
+                        qp = self._apply_dqp(qp, layer.mb_qp_delta())
+                    else:
+                        layer.last_dqp = 0
+                    fd.qp[i] = qp
+                    fd.coded[i] = True
+                    luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+                    chroma_resid(i, mb_x, mb_y, cbp >> 4)
+            else:
+                qp = decode_intra(i, mb_x, mb_y, qp)
+            i += 1
+            if layer.end_of_slice():
+                break
 
     # ------------------------------------------------------------------ #
 

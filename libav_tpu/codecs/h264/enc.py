@@ -358,6 +358,8 @@ class H264Encoder(Encoder):
         Option("deblock", "apply in-loop deblocking (closed loop)",
                "int", 0, 0, 1),
         Option("refs", "number of reference frames (L0)", "int", 1, 1, 2),
+        Option("entropy", "entropy coder: cavlc or cabac", "string",
+               "cavlc"),
     ]
 
     def _init(self):
@@ -373,9 +375,15 @@ class H264Encoder(Encoder):
                 (self.mb_h * 16 - self.height) % 2:
             # crop units are 2 luma pixels in 4:2:0; require even sizes
             raise AVError(EINVAL, "h264: width/height must be even")
+        if self.entropy not in ("cavlc", "cabac"):
+            raise AVError(EINVAL, f"h264: unknown entropy {self.entropy}")
+        self.cabac = self.entropy == "cabac"
         self.sps = sets.SPS(mb_width=self.mb_w, mb_height=self.mb_h,
                             crop=(0, crop_r, 0, crop_b))
+        if self.cabac:
+            self.sps.profile_idc = 77          # main (CABAC needs >= main)
         self.pps = sets.PPS()
+        self.pps.entropy_coding_mode = 1 if self.cabac else 0
         self.pps.pic_init_qp = self.qp
         self._frame_idx = 0
         self._refs = None       # newest padded recon (DPB head)
@@ -501,6 +509,8 @@ class H264Encoder(Encoder):
             pb.put_bits(1, 0)
         else:
             pb.put_bits(1, 0)                    # adaptive marking
+        if self.cabac and slice_type != SLICE_I:
+            pb.put_ue_golomb(0)                  # cabac_init_idc
         pb.put_se_golomb(self.qp - self.pps.pic_init_qp)
         if self.deblock:
             pb.put_ue_golomb(0)                  # deblocking enabled
@@ -510,7 +520,10 @@ class H264Encoder(Encoder):
             pb.put_ue_golomb(1)                  # disable deblocking
 
     def _finish_nal(self, pb: PutBits, nal_type: int) -> bytes:
-        pb.put_bits(1, 1)                        # rbsp stop bit
+        if not self.cabac:
+            pb.put_bits(1, 1)                    # rbsp stop bit
+        # (CABAC: the arithmetic flush already ends with the stop bit,
+        #  spec 9.3.4.1.2; only byte alignment remains)
         pb.align(0)
         return nal_mod.make_nal(nal_type, pb.flush())
 
@@ -562,6 +575,7 @@ class H264Encoder(Encoder):
         self._pack_mbs(pb, fd, SLICE_I)
         out += self._finish_nal(pb, nal_mod.NAL_IDR)
         self._idr_id += 1
+        self._dpb = []          # IDR clears the DPB (decoder does the same)
         self._update_ref_from_levels(fd)
         return bytes(out)
 
@@ -590,8 +604,129 @@ class H264Encoder(Encoder):
 
     # ------------------------------------------------------------------ #
 
+    def _pack_mbs_cabac(self, pb: PutBits, fd: FrameData, slice_type: int,
+                        nrefs: int = 1):
+        """CABAC slice data (reference h264_cabac.c encode direction does
+        not exist in libav either — this mirrors its decode semantics via
+        the symmetric layer in cabac.py)."""
+        from libav_tpu.codecs.h264 import cabac as cb
+        mb_w, mb_h = self.mb_w, self.mb_h
+        nmb = mb_w * mb_h
+        pb.align(1)                       # cabac_alignment_one_bit
+        states = cb.init_states(slice_type == SLICE_I, 0, self.qp)
+        eng = cb.CabacEncoder(pb, states)
+        mc = cb.MbCtx(mb_w, mb_h)
+        layer = cb.CabacMbLayer(eng, mc,
+                                2 if slice_type == SLICE_I else 0, 0)
+        blkx = [b[0] for b in _BLK_XY]
+        blky = [b[1] for b in _BLK_XY]
+
+        def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
+            for b in range(16):
+                gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
+                if cbp_luma & (1 << (b >> 2)):
+                    if cat == 1:
+                        lv = fd.luma_ac[i, b, 1:16]
+                        mx = 15
+                    else:
+                        lv = fd.luma_ac[i, b, :]
+                        mx = 16
+                    nnz = layer.residual(i, cat, b, lv, mx,
+                                         coded=bool(np.any(lv)))
+                else:
+                    nnz = 0
+                mc.nnz_y[gy, gx] = nnz
+
+        def chroma_resid(i, mb_x, mb_y, cbp_chroma):
+            if cbp_chroma:
+                for c in range(2):
+                    lv = fd.chroma_dc[i, c]
+                    layer.residual(i, 3, c, lv, 4, coded=bool(np.any(lv)))
+            for c, grid in ((0, mc.nnz_u), (1, mc.nnz_v)):
+                for b in range(4):
+                    gx = 2 * mb_x + (b & 1)
+                    gy = 2 * mb_y + (b >> 1)
+                    if cbp_chroma == 2:
+                        lv = fd.chroma_ac[i, 4 * c + b, 1:16]
+                        nnz = layer.residual(i, 4, 4 * c + b, lv, 15,
+                                             coded=bool(np.any(lv)))
+                    else:
+                        nnz = 0
+                    grid[gy, gx] = nnz
+
+        for i in range(nmb):
+            mb_x, mb_y = i % mb_w, i // mb_w
+            if slice_type == SLICE_P:
+                cbp_luma = 0
+                for b in range(16):
+                    if np.any(fd.luma_ac[i, b]):
+                        cbp_luma |= 1 << (b >> 2)
+                has_cdc = np.any(fd.chroma_dc[i])
+                has_cac = np.any(fd.chroma_ac[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                skip_mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
+                                     mb_w, refs=fd.ref_idx)
+                is_skip = (cbp_luma == 0 and cbp_chroma == 0 and
+                           int(fd.ref_idx[i]) == 0 and
+                           tuple(fd.mv[i]) == skip_mv)
+                layer.mb_skip(i, 1 if is_skip else 0)
+                if is_skip:
+                    mc.slice_id[i] = 0
+                    mc.skip[i] = True
+                    layer.last_dqp = 0
+                    fd.coded[i] = True
+                    layer.end_of_slice(0 if i < nmb - 1 else 1)
+                    continue
+                layer.mb_type_p_is_intra(0)
+                layer.mb_type_p_inter(0)          # P_L0_16x16
+                mc.slice_id[i] = 0
+                ref = int(fd.ref_idx[i])
+                if nrefs > 1:
+                    layer.ref_idx(i, ref)
+                mc.ref[i] = ref
+                px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
+                                       mb_y, mb_w, refs=fd.ref_idx,
+                                       cur_ref=ref)
+                mvdx = int(fd.mv[i][0]) - px
+                mvdy = int(fd.mv[i][1]) - py
+                layer.mvd(i, 0, mvdx)
+                layer.mvd(i, 1, mvdy)
+                mc.mvd[i] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                cbp = cbp_luma | (cbp_chroma << 4)
+                layer.cbp(i, cbp)
+                mc.cbp[i] = cbp
+                if cbp:
+                    layer.mb_qp_delta(0)
+                else:
+                    layer.last_dqp = 0
+                fd.coded[i] = True
+                luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
+                chroma_resid(i, mb_x, mb_y, cbp_chroma)
+            else:
+                cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
+                has_cac = np.any(fd.chroma_ac[i])
+                has_cdc = np.any(fd.chroma_dc[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                mc.slice_id[i] = 0
+                mc.intra[i] = True
+                layer.mb_type_intra(i, (1, cbp_luma15, cbp_chroma,
+                                        int(fd.luma_mode[i])))
+                mc.intra16[i] = True
+                mc.cbp[i] = cbp_luma15 | (cbp_chroma << 4)
+                layer.intra_chroma_pred_mode(i, int(fd.chroma_mode[i]))
+                mc.chroma_mode[i] = int(fd.chroma_mode[i])
+                layer.mb_qp_delta(0)
+                dc = fd.luma_dc[i]
+                layer.residual(i, 0, 0, dc, 16, coded=bool(np.any(dc)))
+                fd.coded[i] = True
+                luma_resid(i, mb_x, mb_y, cbp_luma15, cat=1)
+                chroma_resid(i, mb_x, mb_y, cbp_chroma)
+            layer.end_of_slice(0 if i < nmb - 1 else 1)
+
     def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int,
                   nrefs: int = 1):
+        if self.cabac:
+            return self._pack_mbs_cabac(pb, fd, slice_type, nrefs)
         mb_w, mb_h = self.mb_w, self.mb_h
         nmb = mb_w * mb_h
         nnz_y = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int32)

@@ -121,8 +121,6 @@ def parse_pps(rbsp: bytes) -> PPS:
     p.pps_id = gb.get_ue_golomb()
     p.sps_id = gb.get_ue_golomb()
     p.entropy_coding_mode = gb.get_bits(1)
-    if p.entropy_coding_mode:
-        raise AVError(INVALIDDATA, "CABAC not supported yet (CAVLC only)")
     if gb.get_bits(1):   # bottom_field_pic_order
         pass
     n_slice_groups = gb.get_ue_golomb() + 1

@@ -129,6 +129,11 @@ class TestEncodeParity:
         ("mpeg4", "m4v", ["-g", "4"]),
         ("h264", "h264", ["-g", "4", "-qp", "28"]),
         ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1"]),
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "5", "-qp", "30", "-refs", "2",
+                          "-entropy", "cabac"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv

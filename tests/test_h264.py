@@ -259,3 +259,91 @@ class TestNativeMultiRef:
             for px, py_ in zip(x.to_host().planes, y.to_host().planes):
                 np.testing.assert_array_equal(np.asarray(px),
                                               np.asarray(py_))
+
+
+class TestCabac:
+    """CABAC entropy layer (reference: cabac.c, h264_cabac.c; spec 9.3).
+    Cross-validation against the built reference decoder lives in
+    test_fate_cross.py — these run standalone."""
+
+    def test_engine_roundtrip(self):
+        from libav_tpu.bitstream import PutBits
+        from libav_tpu.codecs.h264 import cabac as cb
+        rng = np.random.RandomState(7)
+        bins = rng.randint(0, 2, 3000)
+        ctxs = rng.randint(0, 460, 3000)
+        kind = rng.randint(0, 2, 3000)
+        pb = PutBits()
+        eng = cb.CabacEncoder(pb, cb.init_states(True, 0, 30))
+        for b, c, k in zip(bins, ctxs, kind):
+            if k:
+                eng.bypass(int(b))
+            else:
+                eng.decision(int(c), int(b))
+        eng.terminate(1)
+        dec = cb.CabacDecoder(pb.flush(), cb.init_states(True, 0, 30))
+        out = [dec.bypass() if k else dec.decision(int(c))
+               for c, k in zip(ctxs, kind)]
+        assert dec.terminate() == 1
+        assert np.array_equal(np.array(out), bins)
+
+    def test_residual_roundtrip(self):
+        from libav_tpu.bitstream import PutBits
+        from libav_tpu.codecs.h264 import cabac as cb
+        rng = np.random.RandomState(11)
+        blocks = []
+        for _ in range(60):
+            lv = np.zeros(16, np.int32)
+            n = rng.randint(1, 9)
+            pos = rng.choice(16, n, replace=False)
+            lv[pos] = rng.randint(1, 40, n) * rng.choice([-1, 1], n)
+            blocks.append(lv)
+        pb = PutBits()
+        eng = cb.CabacEncoder(pb, cb.init_states(True, 0, 28))
+        for lv in blocks:
+            cb.code_residual(eng, 2, lv, 16)
+        eng.terminate(1)
+        dec = cb.CabacDecoder(pb.flush(), cb.init_states(True, 0, 28))
+        for lv in blocks:
+            got = np.zeros(16, np.int32)
+            nnz = cb.code_residual(dec, 2, got, 16)
+            np.testing.assert_array_equal(got, lv)
+            assert nnz == np.count_nonzero(lv)
+
+    def test_cabac_matches_cavlc_decode(self):
+        """Same encoder decisions, either entropy coder: decoded frames
+        must be identical (entropy layer is lossless)."""
+        rng = np.random.RandomState(3)
+        frames = []
+        base = rng.randint(0, 255, (48, 80)).astype(np.uint8)
+        for t in range(6):
+            f = Frame.alloc_video(80, 48, "yuv420p")
+            f.planes[0] = (np.roll(base, 3 * t, axis=1) // 2 + 60).astype(
+                np.uint8)
+            f.planes[1][:] = 100 + 10 * t
+            f.planes[2][:] = 140
+            f.pts = t
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=80, height=48, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+
+        def run(entropy):
+            enc = H264Encoder(par)
+            enc.set_opt("qp", 30)
+            enc.set_opt("gop_size", 4)
+            enc.set_opt("entropy", entropy)
+            pkts = enc.encode_all(frames)
+            dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                              codec_id="h264"))
+            out = dec.decode_all([Packet(data=p.data, pts=i)
+                                  for i, p in enumerate(pkts)])
+            return pkts, out
+
+        pa, a = run("cavlc")
+        pc, c = run("cabac")
+        assert sum(len(p.data) for p in pc) < sum(len(p.data) for p in pa)
+        for x, y in zip(a, c):
+            for px, py in zip(x.to_host().planes, y.to_host().planes):
+                np.testing.assert_array_equal(np.asarray(px),
+                                              np.asarray(py))
