@@ -36,12 +36,32 @@ GOLOMB_TO_INTER_CBP = [
 
 SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
 
+
+class _NativeUnsupported(Exception):
+    """The native C slice decoder hit a construct outside its subset;
+    the caller retries the access unit on the Python reference path."""
+
 _BLK_XY = [(2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
            for i in range(16)]
 
 
+def pred_i4_mode(grid, gx, gy) -> int:
+    """predIntra4x4PredMode (spec 8.3.1.1): min of the left/top blocks'
+    modes; 2 (DC) when either neighbor is unavailable. grid holds -1 for
+    not-yet-decoded/unavailable, 2 for non-I4x4 coded MBs."""
+    a = int(grid[gy, gx - 1]) if gx > 0 else -1
+    b = int(grid[gy - 1, gx]) if gy > 0 else -1
+    m = min(a, b)
+    return 2 if m < 0 else m
+
+
 class FrameData:
     def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False):
+        self.i4 = np.zeros(nmb, dtype=bool)
+        self.i4_modes = np.full((nmb, 16), 2, dtype=np.int8)
+        if mb_w is not None:
+            mbh = mb_h if mb_h is not None else nmb // mb_w
+            self.i4_grid = np.full((4 * mbh, 4 * mb_w), -1, dtype=np.int8)
         if use_block and mb_w is not None:
             # contiguous int32 block shared zero-copy with the native
             # CAVLC slice decoder
@@ -100,6 +120,16 @@ class H264Decoder(Decoder):
     # ------------------------------------------------------------------ #
 
     def _decode(self, pkt: Packet) -> List[Frame]:
+        self._force_python = False
+        try:
+            return self._decode_nals(pkt)
+        except _NativeUnsupported:
+            # slice uses a construct outside the native C subset
+            # (e.g. I_4x4): redo the whole access unit on the Python path
+            self._force_python = True
+            return self._decode_nals(pkt)
+
+    def _decode_nals(self, pkt: Packet) -> List[Frame]:
         nals = nal_mod.split_annexb(pkt.data)
         frames = []
         fd = None
@@ -181,7 +211,8 @@ class H264Decoder(Decoder):
         from libav_tpu.native import h264_cavlc as N
         use_native = N.available() and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
-            not pps.entropy_coding_mode
+            not pps.entropy_coding_mode and \
+            not getattr(self, "_force_python", False)
         if fd is None:
             pool = getattr(self, "_fd_pool", None)
             if use_native and pool is not None and pool[0] == nmb:
@@ -218,6 +249,8 @@ class H264Decoder(Decoder):
                                 slice_type, qp, bit_offset=pos & 7,
                                 sparse=fd.sparse, num_ref=num_ref_l0,
                                 ref_idx=fd.ref_idx)
+            if rc == -3:
+                raise _NativeUnsupported()
             if rc != 0:
                 raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
         else:
@@ -296,11 +329,34 @@ class H264Decoder(Decoder):
         def decode_intra(i, mb_x, mb_y, cur_qp):
             mc.intra[i] = True
             kind, cbp_l, cbp_c, mode = layer.mb_type_intra(i)
-            if kind == 0:
-                raise AVError(INVALIDDATA, "I_4x4 not supported yet")
-            mc.intra16[i] = True
             fd.intra[i] = True
+            if kind == 0:                          # I_NxN
+                fd.i4[i] = True
+                grid = fd.i4_grid
+                for b in range(16):
+                    dx, dy = _BLK_XY[b]
+                    gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
+                    pm = pred_i4_mode(grid, gx, gy)
+                    m4 = layer.intra4x4_pred_mode(pm)
+                    fd.i4_modes[i, b] = m4
+                    grid[gy, gx] = m4
+                cm = layer.intra_chroma_pred_mode(i)
+                fd.chroma_mode[i] = cm
+                mc.chroma_mode[i] = cm
+                cbp = layer.cbp(i)
+                mc.cbp[i] = cbp
+                if cbp:
+                    cur_qp = self._apply_dqp(cur_qp, layer.mb_qp_delta())
+                else:
+                    layer.last_dqp = 0
+                fd.qp[i] = cur_qp
+                fd.coded[i] = True
+                luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+                chroma_resid(i, mb_x, mb_y, cbp >> 4)
+                return cur_qp
+            mc.intra16[i] = True
             fd.luma_mode[i] = mode
+            fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
             cm = layer.intra_chroma_pred_mode(i)
             fd.chroma_mode[i] = cm
             mc.chroma_mode[i] = cm
@@ -326,6 +382,8 @@ class H264Decoder(Decoder):
                     fd.coded[i] = True
                     mc.skip[i] = True
                     layer.last_dqp = 0
+                    fd.i4_grid[4 * mb_y:4 * mb_y + 4,
+                               4 * mb_x:4 * mb_x + 4] = 2
                 elif layer.mb_type_p_is_intra():
                     qp = decode_intra(i, mb_x, mb_y, qp)
                 else:
@@ -354,6 +412,8 @@ class H264Decoder(Decoder):
                         layer.last_dqp = 0
                     fd.qp[i] = qp
                     fd.coded[i] = True
+                    fd.i4_grid[4 * mb_y:4 * mb_y + 4,
+                               4 * mb_x:4 * mb_x + 4] = 2
                     luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
                     chroma_resid(i, mb_x, mb_y, cbp >> 4)
             else:
@@ -409,6 +469,7 @@ class H264Decoder(Decoder):
         fd.mv[i] = mv
         fd.qp[i] = qp
         fd.coded[i] = True
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
 
     def _decode_mb(self, gb, fd: FrameData, i, mb_w, slice_type, mb_type,
                    qp, num_ref_l0) -> int:
@@ -422,7 +483,7 @@ class H264Decoder(Decoder):
                                         num_ref_l0)
             mb_type -= 5
         if mb_type == 0:
-            raise AVError(INVALIDDATA, "I_4x4 not supported yet")
+            return self._decode_i4x4(gb, fd, i, mb_x, mb_y, qp)
         if mb_type == 25:
             raise AVError(INVALIDDATA, "I_PCM not supported")
         m = mb_type - 1
@@ -435,7 +496,36 @@ class H264Decoder(Decoder):
         fd.chroma_mode[i] = gb.get_ue_golomb()
         qp += gb.get_se_golomb()
         fd.qp[i] = qp
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
         self._residual_i16(gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma)
+        fd.coded[i] = True
+        return qp
+
+    def _decode_i4x4(self, gb, fd, i, mb_x, mb_y, qp) -> int:
+        """I_NxN macroblock, CAVLC (spec 7.3.5.1 mb_pred intra4x4)."""
+        fd.intra[i] = True
+        fd.i4[i] = True
+        grid = fd.i4_grid
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
+            pred = pred_i4_mode(grid, gx, gy)
+            if gb.get_bits(1):                    # prev_..._pred_mode_flag
+                mode = pred
+            else:
+                rem = gb.get_bits(3)
+                mode = rem + (1 if rem >= pred else 0)
+            fd.i4_modes[i, b] = mode
+            grid[gy, gx] = mode
+        fd.chroma_mode[i] = gb.get_ue_golomb()
+        cbp_code = gb.get_ue_golomb()
+        if cbp_code >= 48:
+            raise AVError(INVALIDDATA, "bad CBP code")
+        cbp = GOLOMB_TO_INTRA_CBP[cbp_code]
+        if cbp:
+            qp += gb.get_se_golomb()
+        fd.qp[i] = qp
+        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
         fd.coded[i] = True
         return qp
 
@@ -464,6 +554,7 @@ class H264Decoder(Decoder):
         if cbp:
             qp += gb.get_se_golomb()
         fd.qp[i] = qp
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
         self._residual_inter(gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma)
         fd.coded[i] = True
         return qp
@@ -569,19 +660,24 @@ class H264Decoder(Decoder):
         cpad[:len(cidx)] = cidx
         cl, cr, ct, cb = sps.crop
         deblock = bool(getattr(self, "_deblock", False))
+        any_i4 = bool(np.any(fd.i4))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
                                          sps.width, sps.height),
                                    deblock=deblock, nrefs=nrefs,
                                    db_offsets=getattr(self, "_ab_offset",
-                                                      (0, 0)))
+                                                      (0, 0)),
+                                   any_i4=any_i4)
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
             kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
         if nrefs > 1:
             kw["ref_idx"] = fd.ref_idx.astype(np.int8)
+        if any_i4:
+            kw["i4"] = fd.i4.astype(bool)
+            kw["i4_modes"] = fd.i4_modes.astype(np.int8)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),

@@ -51,13 +51,16 @@ def _dequant_tables():
 
 @functools.lru_cache(maxsize=16)
 def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
-                   nrefs: int = 1):
+                   nrefs: int = 1, any_i4: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
     compiles the multi-reference variant: ry/ru/rv arrive as (nrefs,...)
     stacks and a per-MB ref_idx input selects each MB's plane
-    (reference: h264_refs.c list0 + per-MB ref_idx_l0)."""
+    (reference: h264_refs.c list0 + per-MB ref_idx_l0). any_i4 compiles
+    the I_4x4 variant: the MB wavefront becomes x+2y (above-right MB
+    must precede, spec 6.4.9 mbAddrD) and each wavefront step runs the
+    16 intra-4x4 sub-blocks in Z order against a local patch."""
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops import h264mc, h264pred
@@ -75,19 +78,29 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
     dq_tab = _dequant_tables()              # (52,4,4)
     v0 = _V[:, 0]                           # for DC scaling
 
-    # wavefront tables
-    n_waves = mb_w + mb_h - 1
-    maxw = min(mb_w, mb_h)
+    # wavefront tables (x+2y when intra-4x4 needs the above-right MB)
+    wave_of = (lambda x, y: x + 2 * y) if any_i4 else (lambda x, y: x + y)
+    n_waves = wave_of(mb_w - 1, mb_h - 1) + 1
+    waves = [[] for _ in range(n_waves)]
+    for y in range(mb_h):
+        for x in range(mb_w):
+            waves[wave_of(x, y)].append(y * mb_w + x)
+    maxw = max(len(wv) for wv in waves)
     wave_idx = np.zeros((n_waves, maxw), dtype=np.int32)
     wave_mask = np.zeros((n_waves, maxw), dtype=bool)
-    for w in range(n_waves):
-        slot = 0
-        for y in range(mb_h):
-            x = w - y
-            if 0 <= x < mb_w:
-                wave_idx[w, slot] = y * mb_w + x
-                wave_mask[w, slot] = True
-                slot += 1
+    for w, wv in enumerate(waves):
+        for slot, i in enumerate(wv):
+            wave_idx[w, slot] = i
+            wave_mask[w, slot] = True
+
+    # in-MB top-right availability of each Z-order 4x4 block (spec 6.4.9:
+    # the block above-right must precede in decoding order)
+    zidx = {tuple(_BLK_XY[b]): b for b in range(16)}
+    tr_in_mb = np.zeros(16, bool)
+    for b in range(16):
+        bx4, by4 = _BLK_XY[b]
+        if by4 > 0 and bx4 < 3:
+            tr_in_mb[b] = zidx[(bx4 + 1, by4 - 1)] < b
 
     blk_x = _BLK_XY[:, 0]
     blk_y = _BLK_XY[:, 1]
@@ -162,9 +175,10 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
 
     def fn(intra, luma_mode, chroma_mode, mv, qp,
            luma_dc, luma_ac, chroma_dc, chroma_ac,
-           ry, ru, rv, ref_idx=None):
+           ry, ru, rv, ref_idx=None, i4=None, i4_modes=None):
+        intra16 = (intra & ~i4) if any_i4 else intra
         resid_y, resid_u, resid_v = residual_stage(
-            intra, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
+            intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
 
         # inter prediction for all MBs
         xs = jnp.asarray(mbx_all * 16)
@@ -248,6 +262,44 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
             ou = jnp.clip(pu + resid_u[idx], 0, 255)
             ov = jnp.clip(pv + resid_v[idx], 0, 255)
 
+            if any_i4:
+                # I_4x4: 16 sub-blocks in Z order against a local patch
+                # (residual added per block — prediction reads the
+                # reconstructed previous blocks, spec 8.3.1)
+                tr8 = fy[y0[:, None] - 1, x0[:, None] + 16 + r8]
+                patch = jnp.zeros((maxw, 17, 25), jnp.int32)
+                patch = patch.at[:, 0, 0].set(tl)
+                patch = patch.at[:, 0, 1:17].set(top)
+                patch = patch.at[:, 0, 17:25].set(tr8)
+                patch = patch.at[:, 1:17, 0].set(left)
+                atr_frame = at & (bx < mb_w - 1)
+                rtrue = jnp.ones((maxw,), bool)
+                for b in range(16):
+                    bx4, by4 = int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])
+                    px0, py0 = 1 + 4 * bx4, 1 + 4 * by4
+                    t4 = patch[:, py0 - 1, px0:px0 + 4]
+                    l4v = patch[:, py0:py0 + 4, px0 - 1]
+                    tlv = patch[:, py0 - 1, px0 - 1]
+                    tr4 = patch[:, py0 - 1, px0 + 4:px0 + 8]
+                    if by4 > 0:
+                        tr_ok = rtrue if tr_in_mb[b] else ~rtrue
+                    elif bx4 == 3:
+                        tr_ok = atr_frame
+                    else:
+                        tr_ok = at
+                    tr4 = jnp.where(tr_ok[:, None], tr4, t4[:, 3:4])
+                    t8v = jnp.concatenate([t4, tr4], axis=1)
+                    av_t = at if by4 == 0 else rtrue
+                    av_l = al if bx4 == 0 else rtrue
+                    md = i4_modes[idx, b].astype(jnp.int32)
+                    p4 = h264pred.pred4x4(md, t8v, l4v, tlv, av_t, av_l)
+                    blkres = resid_y[idx, 4 * by4:4 * by4 + 4,
+                                     4 * bx4:4 * bx4 + 4]
+                    rec = jnp.clip(p4 + blkres, 0, 255)
+                    patch = patch.at[:, py0:py0 + 4, px0:px0 + 4].set(rec)
+                is_i4 = i4[idx][:, None, None]
+                oy = jnp.where(is_i4, patch[:, 1:17, 1:17], oy)
+
             fy = fy.at[y0[:, None, None] + r16[None, :, None],
                        x0[:, None, None] + r16[None, None, :]].set(oy)
             fu = fu.at[cy0[:, None, None] + r8[None, :, None],
@@ -287,7 +339,7 @@ def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
 def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           ycap: int, ccap: int, crop=None,
                           deblock: bool = False, nrefs: int = 1,
-                          db_offsets=(0, 0)):
+                          db_offsets=(0, 0), any_i4: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -298,18 +350,19 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     import jax.numpy as jnp
 
     nmb = mb_w * mb_h
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
-           ref_idx=None):
+           ref_idx=None, i4=None, i4_modes=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
                      .at[cidx].set(cvals)[:nmb * 8].reshape(nmb, 8, 16))
         planes, padded = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
-                                  ry, ru, rv, ref_idx=ref_idx)
+                                  ry, ru, rv, ref_idx=ref_idx, i4=i4,
+                                  i4_modes=i4_modes)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
@@ -339,7 +392,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 
 
 @functools.lru_cache(maxsize=16)
-def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True):
+def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
+                           any_i4: bool = False):
     """Dense-input recon + in-loop deblocking (the encoder's closed-loop
     reference path when deblocking is enabled; the decoder uses the
     sparse variant with deblock=True)."""
@@ -347,13 +401,13 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True):
     import jax.numpy as jnp
     from libav_tpu.ops.mc import EDGE
 
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, 1, any_i4)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc, luma_ac,
-           chroma_dc, chroma_ac, nnz, ry, ru, rv):
+           chroma_dc, chroma_ac, nnz, ry, ru, rv, i4=None, i4_modes=None):
         planes, _ = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                              luma_dc, luma_ac, chroma_dc, chroma_ac,
-                             ry, ru, rv)
+                             ry, ru, rv, i4=i4, i4_modes=i4_modes)
         from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
         yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h)(
             planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),

@@ -34,6 +34,8 @@ from libav_tpu.codecs.h264.device import (_BLK_XY as _BLK_XY_DEV,
 from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
 
 _INTER_CBP_TO_GOLOMB = {cbp: i for i, cbp in enumerate(GOLOMB_TO_INTER_CBP)}
+from libav_tpu.codecs.h264.dec import GOLOMB_TO_INTRA_CBP, pred_i4_mode
+_INTRA_CBP_TO_GOLOMB = {cbp: i for i, cbp in enumerate(GOLOMB_TO_INTRA_CBP)}
 
 
 @functools.lru_cache(maxsize=32)
@@ -224,6 +226,233 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
 
 
 @functools.lru_cache(maxsize=32)
+def _encode_i4_jit(mb_w: int, mb_h: int, qp: int):
+    """I_4x4 wavefront encode: per 4x4 block, evaluate all nine intra
+    modes against the reconstructed neighbors (availability-masked),
+    pick min-SAD, transform/quant, and reconstruct decoder-identically.
+    MB wavefront is x+2y (above-right dependency); the 16 sub-blocks run
+    in Z order inside each step. Chroma is DC-predicted like
+    _encode_i_jit. Returns ((modes, levels, udc, uac, vdc, vac), recon)
+    in wave layout plus the wave tables."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import h264pred
+    from libav_tpu.ops.h264transform import (fdct4x4, idct4x4, quant_mf,
+                                             dequant_scale)
+    from libav_tpu.ops.h264pred import pred4x4
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    qpc = int(CHROMA_QP[qp])
+    mfy = np.asarray(quant_mf(qp))     # numpy: see _encode_i_jit note
+    mfc = np.asarray(quant_mf(qpc))
+    sy = np.asarray(dequant_scale(qp))
+    sc = np.asarray(dequant_scale(qpc))
+    qbits_y = 15 + qp // 6
+    qbits_c = 15 + qpc // 6
+    fy_ = (1 << qbits_y) // 3
+    fc_ = (1 << qbits_c) // 3
+    from libav_tpu.ops.h264transform import _V as _VT
+    v0c = int(_VT[qpc % 6, 0])
+
+    n_waves = (mb_w - 1) + 2 * (mb_h - 1) + 1
+    waves = [[] for _ in range(n_waves)]
+    for y in range(mb_h):
+        for x in range(mb_w):
+            waves[x + 2 * y].append(y * mb_w + x)
+    maxw = max(len(wv) for wv in waves)
+    wave_idx = np.zeros((n_waves, maxw), dtype=np.int32)
+    wave_mask = np.zeros((n_waves, maxw), dtype=bool)
+    for w, wv in enumerate(waves):
+        for slot, i in enumerate(wv):
+            wave_idx[w, slot] = i
+            wave_mask[w, slot] = True
+    mbx_all = (np.arange(nmb) % mb_w).astype(np.int32)
+    mby_all = (np.arange(nmb) // mb_w).astype(np.int32)
+    blk_x = np.array([b[0] for b in _BLK_XY])
+    blk_y = np.array([b[1] for b in _BLK_XY])
+    zidx = {(int(_BLK_XY[b][0]), int(_BLK_XY[b][1])): b for b in range(16)}
+    tr_in_mb = np.zeros(16, bool)
+    for b in range(16):
+        bx4, by4 = int(_BLK_XY[b][0]), int(_BLK_XY[b][1])
+        if by4 > 0 and bx4 < 3:
+            tr_in_mb[b] = zidx[(bx4 + 1, by4 - 1)] < b
+    # required neighbors per mode: (top, left, topleft)
+    MODE_NEEDS = np.array([(1, 0, 0), (0, 1, 0), (0, 0, 0), (1, 0, 0),
+                           (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 0, 0),
+                           (0, 1, 0)], np.int32)
+    r16 = np.arange(16)
+    r8 = np.arange(8)
+
+    def quant(wv, mf, f, qbits):
+        return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
+
+    def fn(src_y, src_u, src_v):
+        fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
+        fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        sy_blocks = (src_y.astype(jnp.int32)
+                     .reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 16, 16))
+        su_blocks = (src_u.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+        sv_blocks = (src_v.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+
+        def chroma_path(resid):
+            B = resid.shape[0]
+            blocks = jnp.stack(
+                [resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                       (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)],
+                axis=1)
+            wv = fdct4x4(blocks.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            dcw = wv[:, :, 0, 0]
+            a, b_, c, d = dcw[:, 0], dcw[:, 1], dcw[:, 2], dcw[:, 3]
+            had = jnp.stack([a + b_ + c + d, a - b_ + c - d,
+                             a + b_ - c - d, a - b_ - c + d], axis=1)
+            dc_lv = quant(had, mfc[0, 0], (1 << (qbits_c + 1)) // 3,
+                          qbits_c + 1)
+            ac_lv = quant(wv, mfc, fc_, qbits_c)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            la, lb, lc, ld = (dc_lv[:, 0], dc_lv[:, 1], dc_lv[:, 2],
+                              dc_lv[:, 3])
+            f2 = jnp.stack([la + lb + lc + ld, la - lb + lc - ld,
+                            la + lb - lc - ld, la - lb - lc + ld], axis=1)
+            dc_deq = ((f2 * v0c) << (qpc // 6)) >> 1
+            deq = ac_lv * sc
+            deq = deq.at[:, :, 0, 0].set(dc_deq)
+            rec = idct4x4(deq.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            rr = jnp.zeros((B, 8, 8), jnp.int32)
+            for b in range(4):
+                rr = rr.at[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                           (b & 1) * 4:(b & 1) * 4 + 4].set(rec[:, b])
+            return dc_lv, ac_lv, rr
+
+        def step(carry, wave):
+            fy, fu, fv = carry
+            idx, mask = wave
+            bx = jnp.where(mask, jnp.asarray(mbx_all)[idx], mb_w)
+            by = jnp.where(mask, jnp.asarray(mby_all)[idx], 0)
+            y0 = by * 16 + 1
+            x0 = bx * 16 + 1
+            cy0 = by * 8 + 1
+            cx0 = bx * 8 + 1
+            at = by > 0
+            al = bx > 0
+            rtrue = jnp.ones((maxw,), bool)
+
+            top = fy[y0[:, None] - 1, x0[:, None] + r16]
+            left = fy[y0[:, None] + r16, x0[:, None] - 1]
+            tl = fy[y0 - 1, x0 - 1]
+            tr8 = fy[y0[:, None] - 1, x0[:, None] + 16 + r8]
+            patch = jnp.zeros((maxw, 17, 25), jnp.int32)
+            patch = patch.at[:, 0, 0].set(tl)
+            patch = patch.at[:, 0, 1:17].set(top)
+            patch = patch.at[:, 0, 17:25].set(tr8)
+            patch = patch.at[:, 1:17, 0].set(left)
+            atr_frame = at & (bx < mb_w - 1)
+
+            modes_out = []
+            levels_out = []
+            src_mb = sy_blocks[idx]
+            for b in range(16):
+                bx4, by4 = int(blk_x[b]), int(blk_y[b])
+                px0, py0 = 1 + 4 * bx4, 1 + 4 * by4
+                t4 = patch[:, py0 - 1, px0:px0 + 4]
+                l4v = patch[:, py0:py0 + 4, px0 - 1]
+                tlv = patch[:, py0 - 1, px0 - 1]
+                tr4 = patch[:, py0 - 1, px0 + 4:px0 + 8]
+                if by4 > 0:
+                    tr_ok = rtrue if tr_in_mb[b] else ~rtrue
+                elif bx4 == 3:
+                    tr_ok = atr_frame
+                else:
+                    tr_ok = at
+                tr4 = jnp.where(tr_ok[:, None], tr4, t4[:, 3:4])
+                t8v = jnp.concatenate([t4, tr4], axis=1)
+                av_t = at if by4 == 0 else rtrue
+                av_l = al if bx4 == 0 else rtrue
+                if by4 > 0 and bx4 > 0:
+                    av_tl = rtrue
+                elif by4 == 0 and bx4 > 0:
+                    av_tl = at
+                elif by4 > 0:
+                    av_tl = al
+                else:
+                    av_tl = at & al
+                srcb = src_mb[:, 4 * by4:4 * by4 + 4, 4 * bx4:4 * bx4 + 4]
+                # evaluate all nine modes, mask invalid, min-SAD decision
+                costs = []
+                preds = []
+                for m in range(9):
+                    pm = pred4x4(jnp.full((maxw,), m, jnp.int32),
+                                 t8v, l4v, tlv, av_t, av_l)
+                    ok = rtrue
+                    if MODE_NEEDS[m][0]:
+                        ok = ok & av_t
+                    if MODE_NEEDS[m][1]:
+                        ok = ok & av_l
+                    if MODE_NEEDS[m][2]:
+                        ok = ok & av_tl
+                    sad = jnp.abs(srcb - pm).sum(axis=(1, 2))
+                    costs.append(jnp.where(ok, sad, 1 << 30))
+                    preds.append(pm)
+                cost = jnp.stack(costs)                  # (9, maxw)
+                mode = jnp.argmin(cost, axis=0).astype(jnp.int32)
+                pstack = jnp.stack(preds)                # (9, maxw, 4, 4)
+                pred = jnp.take_along_axis(
+                    pstack, mode[None, :, None, None], axis=0)[0]
+                wv = fdct4x4(srcb - pred)
+                lv = quant(wv, mfy, fy_, qbits_y)
+                rec = jnp.clip(pred + idct4x4(lv * sy), 0, 255)
+                patch = patch.at[:, py0:py0 + 4, px0:px0 + 4].set(rec)
+                modes_out.append(mode)
+                levels_out.append(lv)
+
+            oy = patch[:, 1:17, 1:17]
+            fy = fy.at[y0[:, None, None] + r16[None, :, None],
+                       x0[:, None, None] + r16[None, None, :]].set(oy)
+
+            # chroma: DC prediction like _encode_i_jit
+            def dc_pred(frame, yy, xx, n, has_t, has_l):
+                topv = frame[yy[:, None] - 1, xx[:, None] + np.arange(n)]
+                leftv = frame[yy[:, None] + np.arange(n), xx[:, None] - 1]
+                ts = topv.sum(axis=1)
+                ls = leftv.sum(axis=1)
+                lg = int(np.log2(n))
+                return jnp.where(has_t & has_l, (ts + ls + n) >> (lg + 1),
+                                 jnp.where(has_t, (ts + n // 2) >> lg,
+                                           jnp.where(has_l,
+                                                     (ls + n // 2) >> lg,
+                                                     128)))
+
+            dcu = dc_pred(fu, cy0, cx0, 8, at, al)
+            dcv = dc_pred(fv, cy0, cx0, 8, at, al)
+            udc, uac, urr = chroma_path(su_blocks[idx] - dcu[:, None, None])
+            vdc, vac, vrr = chroma_path(sv_blocks[idx] - dcv[:, None, None])
+            ou = jnp.clip(dcu[:, None, None] + urr, 0, 255)
+            ov = jnp.clip(dcv[:, None, None] + vrr, 0, 255)
+            fu = fu.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ou)
+            fv = fv.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ov)
+            return (fy, fu, fv), (jnp.stack(modes_out, axis=1),
+                                  jnp.stack(levels_out, axis=1),
+                                  udc, uac, vdc, vac)
+
+        (fy, fu, fv), outs = jax.lax.scan(
+            step, (fy, fu, fv),
+            (jnp.asarray(wave_idx), jnp.asarray(wave_mask)))
+        return outs, (fy[1:1 + H, 1:1 + W].astype(jnp.uint8),
+                      fu[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8),
+                      fv[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8))
+
+    return jax.jit(fn), (wave_idx, wave_mask)
+
+
+@functools.lru_cache(maxsize=32)
 def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
                   nrefs: int = 1):
     """P-frame encode: full-pel diamond + quarter-pel refine on the padded
@@ -360,6 +589,8 @@ class H264Encoder(Encoder):
         Option("refs", "number of reference frames (L0)", "int", 1, 1, 2),
         Option("entropy", "entropy coder: cavlc or cabac", "string",
                "cavlc"),
+        Option("i4x4", "code I frames as I_4x4 with per-block mode "
+               "decision", "int", 0, 0, 1),
     ]
 
     def _init(self):
@@ -402,9 +633,14 @@ class H264Encoder(Encoder):
         nmb = self.mb_w * self.mb_h
 
         if is_i:
-            fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
-            outs, recon = fn(y, u, v)
-            data = self._pack_i(outs, recon)
+            if self.i4x4:
+                fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
+                outs, recon = fn(y, u, v)
+                data = self._pack_i4(outs, recon)
+            else:
+                fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+                outs, recon = fn(y, u, v)
+                data = self._pack_i(outs, recon)
         else:
             nrefs = min(self.refs, len(self._dpb)) or 1
             fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs)
@@ -442,6 +678,11 @@ class H264Encoder(Encoder):
         """Reconstruct the reference through the decoder's device program
         (closed loop by construction — including the loop filter when
         deblocking is enabled)."""
+        any_i4 = bool(np.any(fd.i4))
+        i4kw = {}
+        if any_i4:
+            i4kw = dict(i4=fd.i4.astype(bool),
+                        i4_modes=fd.i4_modes.astype(np.int8))
         multi = bool(np.any(fd.ref_idx > 0))
         if multi:
             import jax.numpy as jnp
@@ -451,18 +692,18 @@ class H264Encoder(Encoder):
                 dpb.append(zero_refs_h264(self.mb_w, self.mb_h))
             refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
             fn = recon_h264_jit(self.mb_w, self.mb_h,
-                                bool(np.any(fd.intra)), nrefs)
+                                bool(np.any(fd.intra)), nrefs, any_i4)
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,
-                           ref_idx=fd.ref_idx)
+                           ref_idx=fd.ref_idx, **i4kw)
             self._refs = padded
             self._dpb = [padded] + self._dpb[:self.refs - 1]
             return
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
         if self.deblock:
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
-                                        bool(np.any(fd.intra)))
+                                        bool(np.any(fd.intra)), any_i4)
             nnz = np.zeros((4 * self.mb_h, 4 * self.mb_w), np.int8)
             bx = _BLK_XY_DEV[:, 0]
             by = _BLK_XY_DEV[:, 1]
@@ -475,12 +716,14 @@ class H264Encoder(Encoder):
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac,
-                           nnz, *refs)
+                           nnz, *refs, **i4kw)
         else:
-            fn = recon_h264_jit(self.mb_w, self.mb_h, bool(np.any(fd.intra)))
+            fn = recon_h264_jit(self.mb_w, self.mb_h,
+                                bool(np.any(fd.intra)), 1, any_i4)
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
-                           fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs)
+                           fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,
+                           **i4kw)
         self._refs = padded
         self._dpb = [padded] + self._dpb[:self.refs - 1]
 
@@ -579,6 +822,52 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return bytes(out)
 
+    def _pack_i4(self, outs, recon) -> bytes:
+        nmb = self.mb_w * self.mb_h
+        _, (wave_idx, wave_mask) = _encode_i4_jit(self.mb_w, self.mb_h,
+                                                  self.qp)
+        modes_w, lv_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o)
+                                                     for o in outs]
+        fd = FrameData(nmb)
+        fd.intra[:] = True
+        fd.i4[:] = True
+        fd.chroma_mode[:] = 0
+        fd.qp[:] = self.qp
+        scan = cavlc.SCAN4x4
+        flat = wave_idx.reshape(-1)
+        maskf = wave_mask.reshape(-1)
+        modes = np.zeros((nmb, 16), np.int32)
+        lv = np.zeros((nmb, 16, 4, 4), np.int32)
+        udc = np.zeros((nmb, 4), np.int32)
+        uac = np.zeros((nmb, 4, 4, 4), np.int32)
+        vdc = np.zeros((nmb, 4), np.int32)
+        vac = np.zeros((nmb, 4, 4, 4), np.int32)
+        modes[flat[maskf]] = modes_w.reshape(-1, 16)[maskf]
+        lv[flat[maskf]] = lv_w.reshape(-1, 16, 4, 4)[maskf]
+        udc[flat[maskf]] = udc_w.reshape(-1, 4)[maskf]
+        uac[flat[maskf]] = uac_w.reshape(-1, 4, 4, 4)[maskf]
+        vdc[flat[maskf]] = vdc_w.reshape(-1, 4)[maskf]
+        vac[flat[maskf]] = vac_w.reshape(-1, 4, 4, 4)[maskf]
+        fd.i4_modes = modes.astype(np.int8)
+        fd.luma_ac = lv.reshape(nmb, 16, 16)[:, :, scan]
+        fd.chroma_dc[:, 0] = udc
+        fd.chroma_dc[:, 1] = vdc
+        cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
+        fd.chroma_ac = cac[:, :, scan]
+        fd.chroma_ac[:, :, 0] = 0
+
+        out = bytearray()
+        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
+        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
+        pb = PutBits()
+        self._slice_header(pb, SLICE_I, idr=True)
+        self._pack_mbs(pb, fd, SLICE_I)
+        out += self._finish_nal(pb, nal_mod.NAL_IDR)
+        self._idr_id += 1
+        self._dpb = []
+        self._update_ref_from_levels(fd)
+        return bytes(out)
+
     def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac,
                 ridx=None, nrefs: int = 1) -> bytes:
         nmb = self.mb_w * self.mb_h
@@ -620,6 +909,7 @@ class H264Encoder(Encoder):
                                 2 if slice_type == SLICE_I else 0, 0)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
+        i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
 
         def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
             for b in range(16):
@@ -702,6 +992,35 @@ class H264Encoder(Encoder):
                 fd.coded[i] = True
                 luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
+            elif fd.i4[i]:
+                cbp_luma = 0
+                for b in range(16):
+                    if np.any(fd.luma_ac[i, b]):
+                        cbp_luma |= 1 << (b >> 2)
+                has_cac = np.any(fd.chroma_ac[i])
+                has_cdc = np.any(fd.chroma_dc[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                mc.slice_id[i] = 0
+                mc.intra[i] = True
+                layer.mb_type_intra(i, (0, 0, 0, 0))
+                for b in range(16):
+                    gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
+                    pred = pred_i4_mode(i4_grid, gx, gy)
+                    mode = int(fd.i4_modes[i, b])
+                    layer.intra4x4_pred_mode(pred, mode)
+                    i4_grid[gy, gx] = mode
+                layer.intra_chroma_pred_mode(i, int(fd.chroma_mode[i]))
+                mc.chroma_mode[i] = int(fd.chroma_mode[i])
+                cbp = cbp_luma | (cbp_chroma << 4)
+                layer.cbp(i, cbp)
+                mc.cbp[i] = cbp
+                if cbp:
+                    layer.mb_qp_delta(0)
+                else:
+                    layer.last_dqp = 0
+                fd.coded[i] = True
+                luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
+                chroma_resid(i, mb_x, mb_y, cbp_chroma)
             else:
                 cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
                 has_cac = np.any(fd.chroma_ac[i])
@@ -712,6 +1031,7 @@ class H264Encoder(Encoder):
                 layer.mb_type_intra(i, (1, cbp_luma15, cbp_chroma,
                                         int(fd.luma_mode[i])))
                 mc.intra16[i] = True
+                i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
                 mc.cbp[i] = cbp_luma15 | (cbp_chroma << 4)
                 layer.intra_chroma_pred_mode(i, int(fd.chroma_mode[i]))
                 mc.chroma_mode[i] = int(fd.chroma_mode[i])
@@ -732,11 +1052,17 @@ class H264Encoder(Encoder):
         nnz_y = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int32)
         nnz_u = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int32)
         nnz_v = np.zeros_like(nnz_u)
+        i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
         skip_run = 0
         blk = _BLK_XY
 
         for i in range(nmb):
             mb_x, mb_y = i % mb_w, i // mb_w
+            if slice_type == SLICE_I and fd.i4[i]:
+                self._pack_i4x4_mb(pb, fd, i, mb_x, mb_y, i4_grid,
+                                   nnz_y, nnz_u, nnz_v)
+                continue
+            i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
             if slice_type == SLICE_P:
                 # compute cbp to decide skip
                 cbp_luma = 0
@@ -793,6 +1119,37 @@ class H264Encoder(Encoder):
                                         nnz_y, nnz_u, nnz_v)
         if slice_type == SLICE_P and skip_run:
             pb.put_ue_golomb(skip_run)
+
+    def _pack_i4x4_mb(self, pb, fd, i, mb_x, mb_y, i4_grid,
+                      nnz_y, nnz_u, nnz_v):
+        """I_NxN macroblock, CAVLC (spec 7.3.5.1)."""
+        cbp_luma = 0
+        for b in range(16):
+            if np.any(fd.luma_ac[i, b]):
+                cbp_luma |= 1 << (b >> 2)
+        has_cac = np.any(fd.chroma_ac[i])
+        has_cdc = np.any(fd.chroma_dc[i])
+        cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+        pb.put_ue_golomb(0)                  # mb_type I_NxN
+        for b in range(16):
+            dx, dy = _BLK_XY[b]
+            gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
+            pred = pred_i4_mode(i4_grid, gx, gy)
+            mode = int(fd.i4_modes[i, b])
+            if mode == pred:
+                pb.put_bits(1, 1)
+            else:
+                pb.put_bits(1, 0)
+                pb.put_bits(3, mode - (1 if mode > pred else 0))
+            i4_grid[gy, gx] = mode
+        pb.put_ue_golomb(int(fd.chroma_mode[i]))
+        cbp = cbp_luma | (cbp_chroma << 4)
+        pb.put_ue_golomb(_INTRA_CBP_TO_GOLOMB[cbp])
+        if cbp:
+            pb.put_se_golomb(0)              # mb_qp_delta
+        fd.coded[i] = True
+        self._pack_residual_inter(pb, fd, i, mb_x, mb_y, cbp_luma,
+                                  cbp_chroma, nnz_y, nnz_u, nnz_v)
 
     def _zero_nnz(self, nnz_y, nnz_u, nnz_v, mb_x, mb_y):
         nnz_y[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 0

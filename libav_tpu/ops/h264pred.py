@@ -205,3 +205,157 @@ def pred8x8_chroma(mode, top, left, topleft, avail_top, avail_left):
     return jnp.where(m == 1, hpred,
                      jnp.where(m == 2, vpred,
                                jnp.where(m == 3, plane, dcp)))
+
+
+# --------------------------------------------------------------------- #
+# Intra 4x4 (spec 8.3.1.2, reference h264pred_template.c pred4x4_*):
+# all nine modes expressed as one table-driven weighted gather so a
+# batch of blocks with mixed modes is a single fused device op.
+# Sample vector layout per block: [t0..t7 (top+topright), l0..l3, tl, dc]
+# --------------------------------------------------------------------- #
+
+def _p4_tables():
+    """(9,16,3) gather indices, (9,16,3) weights, (9,16) rnd, (9,16) shift
+    into the 14-entry sample vector. Built once at import."""
+    TL = 12
+    DC = 13
+    # index -1 = p[.,-1]/p[-1,.] corner = the top-left sample
+    T = lambda x: TL if x == -1 else x          # t0..t7 at 0..7
+    L = lambda y: TL if y == -1 else 8 + y      # l0..l3 at 8..11
+    idx = np.zeros((9, 16, 3), np.int32)
+    w = np.zeros((9, 16, 3), np.int32)
+    rnd = np.zeros((9, 16), np.int32)
+    sh = np.zeros((9, 16), np.int32)
+
+    def put(m, x, y, terms, r, s):
+        k = 4 * y + x
+        for j, (i_, w_) in enumerate(terms):
+            idx[m, k, j] = i_
+            w[m, k, j] = w_
+        rnd[m, k] = r
+        sh[m, k] = s
+
+    for y in range(4):
+        for x in range(4):
+            put(0, x, y, [(T(x), 1)], 0, 0)                      # vertical
+            put(1, x, y, [(L(y), 1)], 0, 0)                      # horizontal
+            put(2, x, y, [(DC, 1)], 0, 0)                        # DC
+            # 3: diagonal down-left
+            if x == 3 and y == 3:
+                put(3, x, y, [(T(6), 1), (T(7), 3)], 2, 2)
+            else:
+                put(3, x, y, [(T(x + y), 1), (T(x + y + 1), 2),
+                              (T(x + y + 2), 1)], 2, 2)
+            # 4: diagonal down-right
+            if x > y:
+                put(4, x, y, [(T(x - y - 2), 1), (T(x - y - 1), 2),
+                              (T(x - y), 1)], 2, 2)
+            elif x < y:
+                put(4, x, y, [(L(y - x - 2), 1), (L(y - x - 1), 2),
+                              (L(y - x), 1)], 2, 2)
+            else:
+                put(4, x, y, [(T(0), 1), (TL, 2), (L(0), 1)], 2, 2)
+            # 5: vertical-right
+            zvr = 2 * x - y
+            if zvr >= 0 and zvr % 2 == 0:
+                put(5, x, y, [(T(x - (y >> 1) - 1), 1),
+                              (T(x - (y >> 1)), 1)], 1, 1)
+            elif zvr >= 0:
+                put(5, x, y, [(T(x - (y >> 1) - 2), 1),
+                              (T(x - (y >> 1) - 1), 2),
+                              (T(x - (y >> 1)), 1)], 2, 2)
+            elif zvr == -1:
+                put(5, x, y, [(L(0), 1), (TL, 2), (T(0), 1)], 2, 2)
+            else:
+                put(5, x, y, [(L(y - 1), 1), (L(y - 2), 2),
+                              (L(y - 3), 1)], 2, 2)
+            # 6: horizontal-down
+            zhd = 2 * y - x
+            if zhd >= 0 and zhd % 2 == 0:
+                put(6, x, y, [(L(y - (x >> 1) - 1), 1),
+                              (L(y - (x >> 1)), 1)], 1, 1)
+            elif zhd >= 0:
+                put(6, x, y, [(L(y - (x >> 1) - 2), 1),
+                              (L(y - (x >> 1) - 1), 2),
+                              (L(y - (x >> 1)), 1)], 2, 2)
+            elif zhd == -1:
+                put(6, x, y, [(L(0), 1), (TL, 2), (T(0), 1)], 2, 2)
+            else:
+                put(6, x, y, [(T(x - 1), 1), (T(x - 2), 2),
+                              (T(x - 3), 1)], 2, 2)
+            # 7: vertical-left
+            if y % 2 == 0:
+                put(7, x, y, [(T(x + (y >> 1)), 1),
+                              (T(x + (y >> 1) + 1), 1)], 1, 1)
+            else:
+                put(7, x, y, [(T(x + (y >> 1)), 1),
+                              (T(x + (y >> 1) + 1), 2),
+                              (T(x + (y >> 1) + 2), 1)], 2, 2)
+            # 8: horizontal-up
+            zhu = x + 2 * y
+            if zhu <= 4 and zhu % 2 == 0:
+                put(8, x, y, [(L(y + (x >> 1)), 1),
+                              (L(y + (x >> 1) + 1), 1)], 1, 1)
+            elif zhu < 5:
+                put(8, x, y, [(L(y + (x >> 1)), 1),
+                              (L(y + (x >> 1) + 1), 2),
+                              (L(y + (x >> 1) + 2), 1)], 2, 2)
+            elif zhu == 5:
+                put(8, x, y, [(L(2), 1), (L(3), 3)], 2, 2)
+            else:
+                put(8, x, y, [(L(3), 1)], 0, 0)
+    return idx, w, rnd, sh
+
+
+_P4_IDX, _P4_W, _P4_RND, _P4_SH = _p4_tables()
+
+# zHD -2/-3 and zVR -2/-3 never index below l0/t0 with y>=3 / x>=3 guards
+# above; the TL fallback entries carry weight 1 only where the real index
+# exists, so assert the tables never alias wrongly:
+assert (_P4_IDX >= 0).all() and (_P4_IDX <= 13).all()
+
+
+def pred4x4_ref(mode, t8, l4, tl, avail_top, avail_left):
+    """Golden scalar port. mode (B,), t8 (B,8) top+topright (topright
+    already substituted when unavailable), l4 (B,4), tl (B,)."""
+    B = len(mode)
+    out = np.zeros((B, 4, 4), np.int64)
+    for i in range(B):
+        at, al = bool(avail_top[i]), bool(avail_left[i])
+        if at and al:
+            dc = (t8[i, :4].sum() + l4[i].sum() + 4) >> 3
+        elif at:
+            dc = (t8[i, :4].sum() + 2) >> 2
+        elif al:
+            dc = (l4[i].sum() + 2) >> 2
+        else:
+            dc = 128
+        src = np.concatenate([t8[i], l4[i], [tl[i]], [dc]]).astype(np.int64)
+        m = int(mode[i])
+        v = (src[_P4_IDX[m]] * _P4_W[m]).sum(axis=1)
+        out[i] = ((v + _P4_RND[m]) >> _P4_SH[m]).reshape(4, 4)
+    return out
+
+
+def pred4x4(mode, t8, l4, tl, avail_top, avail_left):
+    """Batched device version; same contract as pred4x4_ref ->
+    (B,4,4) int32."""
+    import jax.numpy as jnp
+    t8 = t8.astype(jnp.int32)
+    l4 = l4.astype(jnp.int32)
+    at = avail_top.astype(bool)
+    al = avail_left.astype(bool)
+    ts = t8[:, :4].sum(axis=1)
+    ls = l4.sum(axis=1)
+    dc = jnp.where(at & al, (ts + ls + 4) >> 3,
+                   jnp.where(at, (ts + 2) >> 2,
+                             jnp.where(al, (ls + 2) >> 2, 128)))
+    src = jnp.concatenate([t8, l4, tl.astype(jnp.int32)[:, None],
+                           dc[:, None]], axis=1)          # (B, 14)
+    idx = jnp.asarray(_P4_IDX)[mode]              # (B, 16, 3)
+    g = jnp.take_along_axis(src, idx.reshape(idx.shape[0], -1),
+                            axis=1).reshape(-1, 16, 3)
+    wsel = jnp.asarray(_P4_W)[mode]               # (B, 16, 3)
+    v = (g * wsel).sum(axis=2)
+    out = (v + jnp.asarray(_P4_RND)[mode]) >> jnp.asarray(_P4_SH)[mode]
+    return out.reshape(-1, 4, 4)

@@ -134,6 +134,9 @@ class TestEncodeParity:
                           "-entropy", "cabac"]),
         ("h264", "h264", ["-g", "5", "-qp", "30", "-refs", "2",
                           "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "3", "-qp", "27", "-i4x4", "1"]),
+        ("h264", "h264", ["-g", "3", "-qp", "27", "-i4x4", "1",
+                          "-entropy", "cabac", "-deblock", "1"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv
