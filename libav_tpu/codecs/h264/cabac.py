@@ -344,9 +344,9 @@ class MbCtx:
         self.intra = np.zeros(nmb, bool)
         self.cbp = np.zeros(nmb, np.int32)    # | dcflags (0x100 Y, 0x40/0x80 C)
         self.chroma_mode = np.zeros(nmb, np.int32)
-        self.mvd = np.zeros((nmb, 2), np.int32)   # |mvd| clipped to 70
-        self.ref = np.zeros(nmb, np.int32)
-        self.i4x4_modes = np.full((nmb, 16), 2, np.int32)  # DC default
+        self.mvd = np.zeros((nmb, 2, 2), np.int32)  # [list][comp], |.|<=70
+        self.ref = np.zeros((nmb, 2), np.int32)     # per list
+        self.direct = np.zeros(nmb, bool)
         self.transform8 = np.zeros(nmb, bool)
         # CABAC nnz semantics: 0 for uncoded blocks
         self.nnz_y = np.zeros((4 * mb_h, 4 * mb_w), np.int32)
@@ -580,16 +580,52 @@ class CabacMbLayer:
         self.last_dqp = delta
         return delta
 
-    def ref_idx(self, i: int, value=None) -> int:
+    def mb_type_b(self, i: int, value=None) -> int:
+        """B mb_type prefix: 0=B_Direct_16x16, 1=B_L0_16x16,
+        2=B_L1_16x16, 3=B_Bi_16x16 (reference decode_cabac_mb_type B
+        branch; partitions/intra suffixes rejected upstream)."""
+        eng = self.eng
+        c = self.ctx
+        left, top = c.neighbors(i, self.cur_slice)
+        inc = 0
+        if left >= 0 and not c.direct[left]:
+            inc += 1
+        if top >= 0 and not c.direct[top]:
+            inc += 1
+        if self.enc:
+            eng.decision(27 + inc, 1 if value else 0)
+            if not value:
+                return value
+            eng.decision(27 + 3, 1 if value == 3 else 0)
+            if value == 3:
+                for _ in range(4):
+                    eng.decision(27 + 5 if _ else 27 + 4, 0)
+            else:
+                eng.decision(27 + 5, 1 if value == 2 else 0)
+            return value
+        if not eng.decision(27 + inc):
+            return 0
+        if not eng.decision(27 + 3):
+            return 1 + eng.decision(27 + 5)
+        bits = eng.decision(27 + 4) << 3
+        bits |= eng.decision(27 + 5) << 2
+        bits |= eng.decision(27 + 5) << 1
+        bits |= eng.decision(27 + 5)
+        if bits < 8:
+            return bits + 3
+        raise AVError(INVALIDDATA,
+                      f"B mb_type suffix {bits} unsupported")
+
+    def ref_idx(self, i: int, value=None, lst: int = 0) -> int:
         eng = self.eng
         c = self.ctx
         left, top = c.neighbors(i, self.cur_slice)
         inc = 0
         if left >= 0 and not c.intra[left] and not c.skip[left] and \
-                c.ref[left] > 0:
+                not c.direct[left] and c.ref[left, lst] > 0:
             inc += 1
         if top >= 0 and not c.intra[top] and not c.skip[top] and \
-                c.ref[top] > 0:
+                not c.direct[top] and c.ref[top, lst] > 0:
             inc += 2
         ref = 0
         ctx = inc
@@ -605,14 +641,14 @@ class CabacMbLayer:
                 raise AVError(INVALIDDATA, "ref_idx overflow")
         return ref
 
-    def mvd(self, i: int, comp: int, value=None) -> int:
+    def mvd(self, i: int, comp: int, value=None, lst: int = 0) -> int:
         c = self.ctx
         left, top = c.neighbors(i, self.cur_slice)
         amvd = 0
         if left >= 0 and not c.intra[left]:
-            amvd += int(c.mvd[left, comp])
+            amvd += int(c.mvd[left, lst, comp])
         if top >= 0 and not c.intra[top]:
-            amvd += int(c.mvd[top, comp])
+            amvd += int(c.mvd[top, lst, comp])
         base = 40 if comp == 0 else 47
         return code_ueg3_mvd(self.eng, base, amvd, value)
 

@@ -59,6 +59,12 @@ class FrameData:
     def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False):
         self.i4 = np.zeros(nmb, dtype=bool)
         self.i4_modes = np.full((nmb, 16), 2, dtype=np.int8)
+        # B-slice state: per-MB list selection (0=L0 1=L1 2=Bi), list-1
+        # motion, and per-list used-ref markers for MV prediction
+        self.sel = np.zeros(nmb, dtype=np.int8)
+        self.mv1 = np.zeros((nmb, 2), dtype=np.int32)
+        self.ref_l0 = np.full(nmb, -1, dtype=np.int32)
+        self.ref_l1 = np.full(nmb, -1, dtype=np.int32)
         if mb_w is not None:
             mbh = mb_h if mb_h is not None else nmb // mb_w
             self.i4_grid = np.full((4 * mbh, 4 * mb_w), -1, dtype=np.int8)
@@ -111,23 +117,50 @@ class H264Decoder(Decoder):
         self.pps: Dict[int, sets.PPS] = {}
         self.active_sps: Optional[sets.SPS] = None
         self.active_pps: Optional[sets.PPS] = None
-        self._dpb = []           # padded ref plane tuples, newest first
+        self._dpb = []           # [(poc, padded plane tuple)], newest first
         self._deblock_warned = False
+        self._poc_state = (0, 0)      # prevPocMsb, prevPocLsb (spec 8.2.1.1)
+        self._outq = []               # POC output reorder (h264_refs.c
+        self._reorder = False         # select_output_frame analogue)
 
     def _flush(self):
         self._dpb = []
+        self._outq = []
+        self._poc_state = (0, 0)
 
     # ------------------------------------------------------------------ #
+
+    REORDER_DEPTH = 2
 
     def _decode(self, pkt: Packet) -> List[Frame]:
         self._force_python = False
         try:
-            return self._decode_nals(pkt)
+            frames = self._decode_nals(pkt)
         except _NativeUnsupported:
             # slice uses a construct outside the native C subset
             # (e.g. I_4x4): redo the whole access unit on the Python path
             self._force_python = True
-            return self._decode_nals(pkt)
+            frames = self._decode_nals(pkt)
+        if not self._reorder:
+            return frames
+        out = []
+        for f in frames:
+            if f.key_frame:          # IDR: prior pictures output first
+                out.extend(self._pop_all())
+            self._outq.append((getattr(f, "poc", 0), len(self._outq), f))
+            while len(self._outq) > self.REORDER_DEPTH:
+                self._outq.sort(key=lambda t: (t[0], t[1]))
+                out.append(self._outq.pop(0)[2])
+        return out
+
+    def _pop_all(self):
+        self._outq.sort(key=lambda t: (t[0], t[1]))
+        out = [t[2] for t in self._outq]
+        self._outq = []
+        return out
+
+    def _drain(self) -> List[Frame]:
+        return self._pop_all()
 
     def _decode_nals(self, pkt: Packet) -> List[Frame]:
         nals = nal_mod.split_annexb(pkt.data)
@@ -145,7 +178,7 @@ class H264Decoder(Decoder):
                 self.pps[p.pps_id] = p
             elif ntype in (nal_mod.NAL_SLICE, nal_mod.NAL_IDR):
                 fd, slice_info = self._decode_slice(
-                    rbsp, ntype == nal_mod.NAL_IDR, fd)
+                    rbsp, ntype == nal_mod.NAL_IDR, fd, ref_idc)
         if fd is not None:
             f = self._reconstruct(fd, slice_info)
             f.pts = pkt.pts
@@ -155,11 +188,11 @@ class H264Decoder(Decoder):
 
     # ------------------------------------------------------------------ #
 
-    def _decode_slice(self, rbsp: bytes, idr: bool, fd):
+    def _decode_slice(self, rbsp: bytes, idr: bool, fd, ref_idc: int = 1):
         gb = GetBits(rbsp)
         first_mb = gb.get_ue_golomb()
         slice_type = gb.get_ue_golomb() % 5
-        if slice_type not in (SLICE_P, SLICE_I):
+        if slice_type not in (SLICE_P, SLICE_B, SLICE_I):
             raise AVError(INVALIDDATA, f"slice type {slice_type} not supported yet")
         pps_id = gb.get_ue_golomb()
         pps = self.pps.get(pps_id)
@@ -174,20 +207,45 @@ class H264Decoder(Decoder):
         gb.get_bits(sps.log2_max_frame_num)      # frame_num
         if idr:
             gb.get_ue_golomb()                   # idr_pic_id
+        poc = None
         if sps.poc_type == 0:
-            gb.get_bits(sps.log2_max_poc_lsb)
+            poc_lsb = gb.get_bits(sps.log2_max_poc_lsb)
+            # PicOrderCntMsb derivation with wrap (spec 8.2.1.1)
+            if idr:
+                self._poc_state = (0, 0)
+                prev_msb, prev_lsb = 0, 0
+            else:
+                prev_msb, prev_lsb = self._poc_state
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            if poc_lsb < prev_lsb and prev_lsb - poc_lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif poc_lsb > prev_lsb and poc_lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + poc_lsb
+            if ref_idc:
+                self._poc_state = (msb, poc_lsb)
+            self._reorder = True
         num_ref_l0 = pps.num_ref_idx_l0_active
-        if slice_type == SLICE_P:
+        num_ref_l1 = pps.num_ref_idx_l1_active
+        if slice_type == SLICE_B:
+            gb.get_bits(1)                       # direct_spatial_mv_pred
+        if slice_type in (SLICE_P, SLICE_B):
             if gb.get_bits(1):                   # num_ref_idx_override
                 num_ref_l0 = gb.get_ue_golomb() + 1
+                if slice_type == SLICE_B:
+                    num_ref_l1 = gb.get_ue_golomb() + 1
             if gb.get_bits(1):                   # ref_pic_list_modification
                 raise AVError(INVALIDDATA, "ref list modification unsupported")
-        # dec_ref_pic_marking
+            if slice_type == SLICE_B and gb.get_bits(1):
+                raise AVError(INVALIDDATA, "ref list modification unsupported")
+        # dec_ref_pic_marking (only present for reference pictures)
         if idr:
             gb.get_bits(1)                       # no_output_of_prior_pics
             gb.get_bits(1)                       # long_term_reference
             self._dpb = []
-        else:
+        elif ref_idc:
             if gb.get_bits(1):                   # adaptive marking
                 raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
         cabac_init_idc = 0
@@ -206,13 +264,18 @@ class H264Decoder(Decoder):
         # slice alpha_c0/beta offsets are static parameters of the
         # deblock program (spec indexA/indexB; h264_loopfilter.c)
         self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
+        if slice_type == SLICE_B and self._deblock:
+            # bS derivation for two-list MBs not implemented yet
+            raise AVError(INVALIDDATA,
+                          "B slices with deblocking not supported yet")
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
         use_native = N.available() and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
             not pps.entropy_coding_mode and \
-            not getattr(self, "_force_python", False)
+            not getattr(self, "_force_python", False) and \
+            slice_type != SLICE_B
         if fd is None:
             pool = getattr(self, "_fd_pool", None)
             if use_native and pool is not None and pool[0] == nmb:
@@ -256,7 +319,7 @@ class H264Decoder(Decoder):
         else:
             self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp,
                              num_ref_l0)
-        return fd, (slice_type, idr)
+        return fd, (slice_type, idr, poc, ref_idc)
 
     # ------------------------------------------------------------------ #
 
@@ -290,7 +353,7 @@ class H264Decoder(Decoder):
         states = cb.init_states(slice_type == SLICE_I, cabac_init_idc, qp)
         eng = cb.CabacDecoder(data, states)
         layer = cb.CabacMbLayer(eng, mc,
-                                2 if slice_type == SLICE_I else 0,
+                                {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
                                 cur_slice)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
@@ -373,7 +436,47 @@ class H264Decoder(Decoder):
         while i < nmb:
             mb_x, mb_y = i % mb_w, i // mb_w
             mc.slice_id[i] = cur_slice
-            if slice_type == SLICE_P:
+            if slice_type == SLICE_B:
+                if layer.mb_skip(i):
+                    raise AVError(INVALIDDATA,
+                                  "B_Skip (direct) unsupported yet")
+                btype = layer.mb_type_b(i)
+                if btype == 0:
+                    raise AVError(INVALIDDATA,
+                                  "B_Direct_16x16 unsupported yet")
+                sel = btype - 1
+                fd.sel[i] = sel
+                if sel in (0, 2):
+                    mvdx = layer.mvd(i, 0, lst=0)
+                    mvdy = layer.mvd(i, 1, lst=0)
+                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l0, cur_ref=0)
+                    fd.mv[i] = (px + mvdx, py + mvdy)
+                    fd.ref_l0[i] = 0
+                if sel in (1, 2):
+                    mvdx = layer.mvd(i, 0, lst=1)
+                    mvdy = layer.mvd(i, 1, lst=1)
+                    mc.mvd[i, 1] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l1, cur_ref=0)
+                    fd.mv1[i] = (px + mvdx, py + mvdy)
+                    fd.ref_l1[i] = 0
+                cbp = layer.cbp(i)
+                mc.cbp[i] = cbp
+                if cbp:
+                    qp = self._apply_dqp(qp, layer.mb_qp_delta())
+                else:
+                    layer.last_dqp = 0
+                fd.qp[i] = qp
+                fd.coded[i] = True
+                fd.i4_grid[4 * mb_y:4 * mb_y + 4,
+                           4 * mb_x:4 * mb_x + 4] = 2
+                luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+                chroma_resid(i, mb_x, mb_y, cbp >> 4)
+            elif slice_type == SLICE_P:
                 if layer.mb_skip(i):
                     mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
                                     mb_w, refs=fd.ref_idx)
@@ -396,10 +499,10 @@ class H264Decoder(Decoder):
                     if ref >= max(num_ref_l0, 1):
                         raise AVError(INVALIDDATA, "ref_idx out of range")
                     fd.ref_idx[i] = ref
-                    mc.ref[i] = ref
+                    mc.ref[i, 0] = ref
                     mvdx = layer.mvd(i, 0)
                     mvdy = layer.mvd(i, 1)
-                    mc.mvd[i] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
                     px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
                                            mb_x, mb_y, mb_w,
                                            refs=fd.ref_idx, cur_ref=ref)
@@ -452,6 +555,12 @@ class H264Decoder(Decoder):
                     i += 1
                 if i >= nmb or gb.bits_left() <= 1:
                     break
+            elif slice_type == SLICE_B:
+                if gb.get_ue_golomb():           # mb_skip_run
+                    raise AVError(INVALIDDATA, "B_Skip (direct) "
+                                               "unsupported yet")
+                if i >= nmb or gb.bits_left() <= 1:
+                    break
             mb_type = gb.get_ue_golomb()
             qp = self._decode_mb(gb, fd, i, mb_w, slice_type, mb_type, qp,
                                  num_ref_l0)
@@ -474,7 +583,15 @@ class H264Decoder(Decoder):
     def _decode_mb(self, gb, fd: FrameData, i, mb_w, slice_type, mb_type,
                    qp, num_ref_l0) -> int:
         mb_x, mb_y = i % mb_w, i // mb_w
-        if slice_type == SLICE_P:
+        if slice_type == SLICE_B:
+            if mb_type in (1, 2, 3):
+                return self._decode_b16(gb, fd, i, mb_x, mb_y, mb_w, qp,
+                                        mb_type - 1)
+            if mb_type < 23:
+                raise AVError(INVALIDDATA,
+                              f"B mb_type {mb_type} unsupported")
+            mb_type -= 23
+        elif slice_type == SLICE_P:
             if mb_type < 5:
                 if mb_type != 0:
                     raise AVError(INVALIDDATA,
@@ -525,6 +642,33 @@ class H264Decoder(Decoder):
         if cbp:
             qp += gb.get_se_golomb()
         fd.qp[i] = qp
+        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
+        fd.coded[i] = True
+        return qp
+
+    def _decode_b16(self, gb, fd, i, mb_x, mb_y, mb_w, qp, sel):
+        """B_L0/L1/Bi_16x16 (sel 0/1/2), single reference per list."""
+        fd.sel[i] = sel
+        if sel in (0, 2):
+            mvdx, mvdy = gb.get_se_golomb(), gb.get_se_golomb()
+            px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
+                                   mb_w, refs=fd.ref_l0, cur_ref=0)
+            fd.mv[i] = (px + mvdx, py + mvdy)
+            fd.ref_l0[i] = 0
+        if sel in (1, 2):
+            mvdx, mvdy = gb.get_se_golomb(), gb.get_se_golomb()
+            px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded, mb_x, mb_y,
+                                   mb_w, refs=fd.ref_l1, cur_ref=0)
+            fd.mv1[i] = (px + mvdx, py + mvdy)
+            fd.ref_l1[i] = 0
+        cbp_code = gb.get_ue_golomb()
+        if cbp_code >= 48:
+            raise AVError(INVALIDDATA, "bad CBP code")
+        cbp = GOLOMB_TO_INTER_CBP[cbp_code]
+        if cbp:
+            qp += gb.get_se_golomb()
+        fd.qp[i] = qp
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
         self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
         fd.coded[i] = True
         return qp
@@ -616,19 +760,32 @@ class H264Decoder(Decoder):
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps = self.active_sps
         nmb = sps.mb_width * sps.mb_height
+        slice_type, idr, poc, ref_idc = slice_info
         any_intra = bool(np.any(fd.intra))
         multi = bool(np.any(fd.ref_idx > 0))
-        if multi:
+        zero = lambda: zero_refs_h264(sps.mb_width, sps.mb_height)
+        bpred = slice_type == SLICE_B
+        refs1 = None
+        if bpred:
+            # default B reference lists from the POC-keyed DPB
+            # (spec 8.2.4.2.3): l0 = nearest past, l1 = nearest future
+            nrefs = 1
+            past = [e for e in self._dpb if e[0] <= (poc or 0)]
+            futr = [e for e in self._dpb if e[0] > (poc or 0)]
+            refs = (max(past, key=lambda e: e[0])[1] if past
+                    else (self._dpb[0][1] if self._dpb else zero()))
+            refs1 = (min(futr, key=lambda e: e[0])[1] if futr
+                     else (self._dpb[0][1] if self._dpb else zero()))
+        elif multi:
             import jax.numpy as jnp
             nrefs = int(fd.ref_idx.max()) + 1
-            dpb = list(self._dpb[:nrefs])
+            dpb = [e[1] for e in self._dpb[:nrefs]]
             while len(dpb) < nrefs:
-                dpb.append(zero_refs_h264(sps.mb_width, sps.mb_height))
+                dpb.append(zero())
             refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
         else:
             nrefs = 1
-            refs = (self._dpb[0] if self._dpb
-                    else zero_refs_h264(sps.mb_width, sps.mb_height))
+            refs = self._dpb[0][1] if self._dpb else zero()
         # int16 halves the host->HBM coefficient upload (CAVLC levels fit
         # comfortably; the device side upcasts to int32 anyway); the AC
         # coefficients additionally go up sparse — only coded 4x4 blocks
@@ -668,7 +825,7 @@ class H264Decoder(Decoder):
                                    deblock=deblock, nrefs=nrefs,
                                    db_offsets=getattr(self, "_ab_offset",
                                                       (0, 0)),
-                                   any_i4=any_i4)
+                                   any_i4=any_i4, bpred=bpred)
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
@@ -678,6 +835,10 @@ class H264Decoder(Decoder):
         if any_i4:
             kw["i4"] = fd.i4.astype(bool)
             kw["i4_modes"] = fd.i4_modes.astype(np.int8)
+        if bpred:
+            kw["mv1"] = fd.mv1.astype(np.int16)
+            kw["sel"] = fd.sel.astype(np.int8)
+            kw["ry1"], kw["ru1"], kw["rv1"] = refs1
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -686,11 +847,15 @@ class H264Decoder(Decoder):
                             fd.luma_dc.astype(np.int16),
                             yvals, ypad, cvals, cpad,
                             fd.chroma_dc.astype(np.int16), *refs, **kw)
-        max_refs = max(1, sps.max_num_ref_frames)
-        self._dpb = [padded] + self._dpb[:max_refs - 1]
-        slice_type, idr = slice_info
+        if ref_idc:
+            max_refs = max(1, sps.max_num_ref_frames)
+            self._dpb = ([(poc if poc is not None else 0, padded)] +
+                         self._dpb[:max_refs - 1])
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
         f.planes = list(planes)     # cropped inside the device program
-        f.pict_type = PictureType.I if slice_type == SLICE_I else PictureType.P
+        f.pict_type = (PictureType.I if slice_type == SLICE_I else
+                       PictureType.B if slice_type == SLICE_B else
+                       PictureType.P)
         f.key_frame = bool(idr)
+        f.poc = poc if poc is not None else 0
         return f

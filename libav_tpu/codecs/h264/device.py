@@ -51,7 +51,8 @@ def _dequant_tables():
 
 @functools.lru_cache(maxsize=16)
 def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
-                   nrefs: int = 1, any_i4: bool = False):
+                   nrefs: int = 1, any_i4: bool = False,
+                   bpred: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -175,7 +176,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
 
     def fn(intra, luma_mode, chroma_mode, mv, qp,
            luma_dc, luma_ac, chroma_dc, chroma_ac,
-           ry, ru, rv, ref_idx=None, i4=None, i4_modes=None):
+           ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
+           mv1=None, sel=None, ry1=None, ru1=None, rv1=None):
         intra16 = (intra & ~i4) if any_i4 else intra
         resid_y, resid_u, resid_v = residual_stage(
             intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
@@ -193,6 +195,26 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                                         mv32[:, 1], 8, ridx)
         pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0],
                                         mv32[:, 1], 8, ridx)
+        if bpred:
+            # B slice: list-1 prediction + per-MB selection 0=L0 1=L1
+            # 2=Bi (average, spec 8.4.2.3 default non-weighted)
+            mv1_32 = mv1.astype(jnp.int32)
+            p1y = h264mc.qpel_mc(ry1, xs, ys, mv1_32[:, 0], mv1_32[:, 1],
+                                 16)
+            p1u = h264mc.chroma_mc(ru1, cxs, cys, mv1_32[:, 0],
+                                   mv1_32[:, 1], 8)
+            p1v = h264mc.chroma_mc(rv1, cxs, cys, mv1_32[:, 0],
+                                   mv1_32[:, 1], 8)
+            s = sel.astype(jnp.int32)[:, None, None]
+            pred_inter_y = jnp.where(
+                s == 0, pred_inter_y,
+                jnp.where(s == 1, p1y, (pred_inter_y + p1y + 1) >> 1))
+            pred_inter_u = jnp.where(
+                s == 0, pred_inter_u,
+                jnp.where(s == 1, p1u, (pred_inter_u + p1u + 1) >> 1))
+            pred_inter_v = jnp.where(
+                s == 0, pred_inter_v,
+                jnp.where(s == 1, p1v, (pred_inter_v + p1v + 1) >> 1))
 
         if not any_intra:
             # fast path: every MB is inter — assemble without the scan
@@ -339,7 +361,8 @@ def sparse_caps(mb_w: int, mb_h: int, ny: int, nc: int):
 def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           ycap: int, ccap: int, crop=None,
                           deblock: bool = False, nrefs: int = 1,
-                          db_offsets=(0, 0), any_i4: bool = False):
+                          db_offsets=(0, 0), any_i4: bool = False,
+                          bpred: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -350,11 +373,12 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     import jax.numpy as jnp
 
     nmb = mb_w * mb_h
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
-           ref_idx=None, i4=None, i4_modes=None):
+           ref_idx=None, i4=None, i4_modes=None,
+           mv1=None, sel=None, ry1=None, ru1=None, rv1=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -362,7 +386,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
         planes, padded = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
                                   ry, ru, rv, ref_idx=ref_idx, i4=i4,
-                                  i4_modes=i4_modes)
+                                  i4_modes=i4_modes, mv1=mv1, sel=sel,
+                                  ry1=ry1, ru1=ru1, rv1=rv1)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE

