@@ -18,6 +18,7 @@ import numpy as np
 from libav_tpu.avutil import log
 from libav_tpu.avutil.error import AVError, INVALIDDATA
 from libav_tpu.avutil.frame import Frame, Packet, PictureType
+from libav_tpu.avutil.rational import NOPTS_VALUE
 from libav_tpu.bitstream import GetBits
 from libav_tpu.codecs.api import Decoder, MediaType, register_codec
 from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
@@ -122,11 +123,13 @@ class H264Decoder(Decoder):
         self._poc_state = (0, 0)      # prevPocMsb, prevPocLsb (spec 8.2.1.1)
         self._outq = []               # POC output reorder (h264_refs.c
         self._reorder = False         # select_output_frame analogue)
+        self._pts_pool = []           # input pts awaiting display order
 
     def _flush(self):
         self._dpb = []
         self._outq = []
         self._poc_state = (0, 0)
+        self._pts_pool = []
 
     # ------------------------------------------------------------------ #
 
@@ -147,15 +150,26 @@ class H264Decoder(Decoder):
         for f in frames:
             if f.key_frame:          # IDR: prior pictures output first
                 out.extend(self._pop_all())
+            if f.pts is not None and f.pts != NOPTS_VALUE:
+                self._pts_pool.append(f.pts)
             self._outq.append((getattr(f, "poc", 0), len(self._outq), f))
             while len(self._outq) > self.REORDER_DEPTH:
                 self._outq.sort(key=lambda t: (t[0], t[1]))
-                out.append(self._outq.pop(0)[2])
+                out.append(self._restamp(self._outq.pop(0)[2]))
         return out
+
+    def _restamp(self, f: Frame) -> Frame:
+        """Output pictures leave in display order, so they take the
+        smallest pending input pts (decode.c guess_correct_pts analogue:
+        container pts follow presentation order)."""
+        if self._pts_pool:
+            self._pts_pool.sort()
+            f.pts = self._pts_pool.pop(0)
+        return f
 
     def _pop_all(self):
         self._outq.sort(key=lambda t: (t[0], t[1]))
-        out = [t[2] for t in self._outq]
+        out = [self._restamp(t[2]) for t in self._outq]
         self._outq = []
         return out
 

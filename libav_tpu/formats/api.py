@@ -33,6 +33,9 @@ class Stream:
     nb_frames: int = 0
     avg_frame_rate: Rational = field(default_factory=lambda: Rational(0, 1))
     metadata: Dict[str, str] = field(default_factory=dict)
+    # demuxer requests frame-boundary parsing (reference: AVStream
+    # need_parsing + utils.c:816 parse_packet)
+    need_parsing: bool = False
     # mux state (reference: mux.c dts continuity checks)
     cur_dts: int = NOPTS_VALUE
     # mux interleave: stream has no more packets coming (reference:
@@ -93,6 +96,37 @@ def probe_input(data: bytes, url: str = ""):
     if best is None:
         raise AVError(DEMUXER_NOT_FOUND, f"cannot probe format of {url!r}")
     return best
+
+
+def sniff_key(codec_id: str, payload: bytes) -> bool:
+    """Keyframe detection from the first payload bytes (used by demuxers
+    without an index; reference: per-codec parsers set AV_PKT_FLAG_KEY)."""
+    if codec_id == "mpeg4":
+        i = payload.find(b"\x00\x00\x01\xb6")
+        if i >= 0 and i + 4 < len(payload):
+            return (payload[i + 4] >> 6) == 0     # VOP coding type I
+        return payload[:4] == b"\x00\x00\x01\xb0"  # VOS header
+    if codec_id in ("mpeg1video", "mpeg2video"):
+        return b"\x00\x00\x01\xb3" in payload[:64]  # sequence header
+    if codec_id == "h264":
+        i = 0
+        while True:
+            i = payload.find(b"\x00\x00\x01", i)
+            if i < 0 or i + 3 >= len(payload):
+                return False
+            if payload[i + 3] & 0x1F == 5:
+                return True
+            if payload[i + 3] & 0x1F == 1:
+                return False
+            i += 3
+    return True      # intra-only codecs (mjpeg, rawvideo, pcm)
+
+
+class _DoneParser:
+    """Sentinel: parsing finished/unavailable for this stream."""
+
+    def parse(self, data, eof=False):
+        return [data] if data else []
 
 
 class InputFormat(OptionedObject):
@@ -180,6 +214,9 @@ class FormatContext:
         self._mux_queue: List[Tuple[int, int, int, Packet]] = []
         self._mux_seq = 0
         self._header_written = False
+        # demux: packets buffered by find_stream_info / parsers
+        self._pkt_buffer: List[Packet] = []
+        self._parsers: Dict[int, Any] = {}
 
     # -- demux side ----------------------------------------------------- #
 
@@ -235,11 +272,165 @@ class FormatContext:
 
     def read_frame(self) -> Packet:
         """reference: utils.c:1021 av_read_frame — returns one packet or
-        raises AVError(EOF_)."""
-        pkt = self.iformat.read_packet()
-        st = self.streams[pkt.stream_index]
-        pkt.time_base = st.time_base
-        return pkt
+        raises AVError(EOF_). Packets buffered during stream-info probing
+        are returned first; unframed streams go through the codec parser
+        (utils.c:816) and every packet gets its timestamp fields
+        completed (compute_pkt_fields, utils.c:641)."""
+        if self._pkt_buffer:
+            return self._pkt_buffer.pop(0)
+        return self._read_frame_internal()
+
+    def _read_frame_internal(self) -> Packet:
+        while True:
+            try:
+                pkt = self.iformat.read_packet()
+            except AVError as e:
+                if e.code != EOF_:
+                    raise
+                # EOF: flush any parser remainders
+                for idx, parser in self._parsers.items():
+                    outs = parser.parse(b"", eof=True)
+                    if outs:
+                        pkts = [self._mk_parsed(idx, d) for d in outs]
+                        self._pkt_buffer.extend(pkts[1:])
+                        self._parsers[idx] = _DoneParser()
+                        return pkts[0]
+                raise
+            st = self.streams[pkt.stream_index]
+            pkt.time_base = st.time_base
+            if st.need_parsing:
+                parser = self._parsers.get(pkt.stream_index)
+                if parser is None:
+                    parser = self._open_parser(st)
+                    self._parsers[pkt.stream_index] = parser
+                if not isinstance(parser, _DoneParser) and parser:
+                    outs = parser.parse(bytes(pkt.data))
+                    if not outs:
+                        continue
+                    pkts = [self._mk_parsed(pkt.stream_index, d,
+                                            like=pkt) for d in outs]
+                    self._pkt_buffer.extend(pkts[1:])
+                    pkt = pkts[0]
+            self._compute_pkt_fields(st, pkt)
+            return pkt
+
+    def _open_parser(self, st: Stream):
+        from libav_tpu.codecs.parsers import find_parser
+        try:
+            return find_parser(st.codecpar.codec_id)()
+        except Exception:
+            return _DoneParser()
+
+    def _mk_parsed(self, idx: int, data: bytes, like: Packet = None) -> Packet:
+        st = self.streams[idx]
+        p = Packet(data=data, stream_index=idx, time_base=st.time_base)
+        if like is not None and not getattr(like, "_ts_taken", False):
+            # the source packet's timestamps belong to the first frame
+            # starting in it (reference: parser fetch_timestamp)
+            p.pts, p.dts = like.pts, like.dts
+            like._ts_taken = True
+        p.flags = sniff_key(st.codecpar.codec_id, data[:256]) and 1 or 0
+        self._compute_pkt_fields(st, p)
+        return p
+
+    def _compute_pkt_fields(self, st: Stream, pkt: Packet):
+        """reference: utils.c:641 compute_pkt_fields — fill missing
+        duration/dts/pts from stream cadence."""
+        if not pkt.duration:
+            fr = st.avg_frame_rate
+            if st.codecpar.codec_type == MediaType.VIDEO and fr and fr.num:
+                d = rescale_q(1, fr.inv(), st.time_base)
+                pkt.duration = max(1, d)
+        if pkt.dts == NOPTS_VALUE:
+            if pkt.pts != NOPTS_VALUE and not self._may_reorder(st):
+                pkt.dts = pkt.pts
+            elif st.cur_dts != NOPTS_VALUE:
+                pkt.dts = st.cur_dts
+            else:
+                pkt.dts = 0
+        if pkt.pts == NOPTS_VALUE and not self._may_reorder(st):
+            pkt.pts = pkt.dts
+        if pkt.dts != NOPTS_VALUE:
+            st.cur_dts = pkt.dts + (pkt.duration or 0)
+
+    @staticmethod
+    def _may_reorder(st: Stream) -> bool:
+        """Codecs with possible pts != dts (B frames)."""
+        return st.codecpar.codec_id in ("h264", "mpeg1video", "mpeg2video",
+                                        "mpeg4")
+
+    def find_stream_info(self, max_packets: int = 64,
+                         max_frames_per_stream: int = 8):
+        """reference: utils.c:2200 avformat_find_stream_info — bounded
+        trial decode to complete missing codec parameters; consumed
+        packets are buffered and replayed by read_frame."""
+        from libav_tpu.codecs.api import find_decoder
+
+        def missing(st: Stream) -> bool:
+            p = st.codecpar
+            if p.codec_id in ("none", None, ""):
+                return False           # nothing we can do
+            if p.codec_type == MediaType.VIDEO:
+                return not p.width or not p.height or \
+                    p.pix_fmt in (None, "", "none")
+            if p.codec_type == MediaType.AUDIO:
+                return not p.sample_rate or not p.channels
+            return False
+
+        if not any(missing(st) for st in self.streams):
+            return
+        decoders = {}
+        counts = {st.index: 0 for st in self.streams}
+        taken = 0
+        while any(missing(st) for st in self.streams) and \
+                taken < max_packets:
+            try:
+                pkt = self._read_frame_internal()
+            except AVError as e:
+                if e.code == EOF_:
+                    break
+                raise
+            self._pkt_buffer.append(pkt)
+            taken += 1
+            st = self.streams[pkt.stream_index]
+            if not missing(st) or \
+                    counts[st.index] >= max_frames_per_stream:
+                continue
+            counts[st.index] += 1
+            dec = decoders.get(st.index)
+            if dec is None:
+                try:
+                    dec = find_decoder(st.codecpar.codec_id)(st.codecpar)
+                except Exception:
+                    decoders[st.index] = False
+                    continue
+                decoders[st.index] = dec
+            if dec is False:
+                continue
+            try:
+                dec.send_packet(pkt.clone())
+                frames = dec._pump()
+            except Exception:
+                continue
+            p = st.codecpar
+            for f in frames:
+                if p.codec_type == MediaType.VIDEO:
+                    p.width = p.width or f.width
+                    p.height = p.height or f.height
+                    if p.pix_fmt in (None, "", "none"):
+                        p.pix_fmt = f.format
+                else:
+                    p.sample_rate = p.sample_rate or f.sample_rate
+                    p.channels = p.channels or f.channels
+                    if getattr(p, "sample_fmt", None) in (None, "", "none"):
+                        p.sample_fmt = f.format
+            # decoders that learn params from headers before the first
+            # output frame (SPS width/height) are also harvested
+            if p.codec_type == MediaType.VIDEO and not p.width:
+                w = getattr(dec, "width", 0)
+                h = getattr(dec, "height", 0)
+                if w and h:
+                    p.width, p.height = w, h
 
     def packets(self):
         """Iterate all packets (generator convenience)."""

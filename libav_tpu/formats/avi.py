@@ -28,6 +28,9 @@ _CODEC_TO_WFMT = {"pcm_s16le": 1, "pcm_f32le": 3, "ac3": 0x2000,
                   "aac": 0xFF}
 
 
+from libav_tpu.formats.api import sniff_key as _sniff_key
+
+
 @register_input
 class AviDemuxer(InputFormat):
     NAME = "avi"
@@ -65,6 +68,70 @@ class AviDemuxer(InputFormat):
             raise AVError(INVALIDDATA, "no movi list")
         self._cursor = self._movi[0]
         self._pts = [0] * len(self.streams)
+        # chunk index for seeking: [(abs_pos, sidx, key)] in file order
+        # (reference: avidec.c idx1 parse -> AVIndexEntry); built from the
+        # idx1 chunk when present, else by scanning movi with codec-aware
+        # keyframe sniffing
+        self._index = self._parse_idx1(data) or self._scan_index(data)
+        self._keys = {pos: key for pos, _, key in self._index}
+
+    def _parse_idx1(self, data):
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            if tag == b"idx1":
+                out = []
+                body = data[pos + 8:pos + 8 + size]
+                base = self._movi[0] - 4        # offset of 'movi' fourcc
+                for off in range(0, len(body) - 15, 16):
+                    ckid, fl, coff, _clen = struct.unpack(
+                        "<4sIII", body[off:off + 16])
+                    if not ckid[:2].isdigit():
+                        continue
+                    sidx = int(ckid[:2])
+                    if sidx >= len(self.streams):
+                        continue
+                    out.append((base + coff, sidx, bool(fl & 0x10)))
+                return out
+            pos += 8 + size + (size & 1)
+        return None
+
+    def _scan_index(self, data):
+        out = []
+        pos, end = self._movi
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            if tag == b"LIST":
+                pos += 12
+                continue
+            if tag[:2].isdigit():
+                sidx = int(tag[:2])
+                if sidx < len(self.streams):
+                    payload = data[pos + 8:pos + 8 + min(size, 16)]
+                    st = self.streams[sidx]
+                    out.append((pos, sidx,
+                                _sniff_key(st.codecpar.codec_id, payload)))
+            pos += 8 + size + (size & 1)
+        return out
+
+    def read_seek(self, stream_index: int, timestamp: int, flags: int = 0):
+        """Seek to the last keyframe at/before timestamp (stream
+        timebase = frame count; reference: avidec.c avi_read_seek via
+        av_index_search_timestamp)."""
+        counts = [0] * len(self.streams)
+        best = None              # (pos, counts snapshot)
+        for pos, sidx, key in self._index:
+            if sidx == stream_index:
+                if counts[sidx] > timestamp and best is not None:
+                    break
+                if key and counts[sidx] <= timestamp:
+                    best = (pos, list(counts))
+            counts[sidx] += 1
+        if best is None:
+            best = (self._movi[0], [0] * len(self.streams))
+        self._cursor, self._pts = best[0], best[1]
 
     def _parse_hdrl(self, data, s, e):
         pos = s
@@ -127,10 +194,11 @@ class AviDemuxer(InputFormat):
                 sidx = int(tag[:2])
                 kind = tag[2:4]
                 if sidx < len(self.streams) and kind in (b"dc", b"db", b"wb"):
+                    key = self._keys.get(body_at - 8, True)
                     pkt = Packet(data=data[body_at:body_at + size],
                                  pts=self._pts[sidx], dts=self._pts[sidx],
                                  duration=1, stream_index=sidx,
-                                 flags=PKT_FLAG_KEY)
+                                 flags=PKT_FLAG_KEY if key else 0)
                     self._pts[sidx] += 1
                     return pkt
             elif tag == b"LIST":
@@ -149,6 +217,8 @@ class AviMuxer(OutputFormat):
         self.pb = pb
         self._chunks: List[bytes] = []
         self._counts = [0] * len(self.streams)
+        self._idx1: List[tuple] = []    # (tag, flags, offset, size)
+        self._movi_off = 4              # after the 'movi' fourcc
 
     def write_packet(self, pkt: Packet):
         si = pkt.stream_index
@@ -159,6 +229,9 @@ class AviMuxer(OutputFormat):
         chunk = tag + struct.pack("<I", len(body)) + body
         if len(body) & 1:
             chunk += b"\x00"
+        self._idx1.append((tag, 0x10 if pkt.is_key else 0,
+                           self._movi_off, len(body)))
+        self._movi_off += len(chunk)
         self._chunks.append(chunk)
         self._counts[si] += 1
 
@@ -212,5 +285,8 @@ class AviMuxer(OutputFormat):
         movi_body = b"".join(self._chunks)
         movi = b"LIST" + struct.pack("<I", len(movi_body) + 4) + b"movi" + \
             movi_body
-        riff_body = b"AVI " + hdrl_list + movi
+        idx_body = b"".join(struct.pack("<4sIII", t, fl, off, sz)
+                            for t, fl, off, sz in self._idx1)
+        idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+        riff_body = b"AVI " + hdrl_list + movi + idx1
         pb.write(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)

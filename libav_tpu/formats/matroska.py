@@ -340,6 +340,20 @@ class MatroskaDemuxer(InputFormat):
                                  data[p:p + sz]))
             p += sz
 
+    def read_seek(self, stream_index: int, timestamp: int, flags: int = 0):
+        """Seek to the last keyframe at/before timestamp (reference:
+        matroskadec.c matroska_read_seek; without Cues the in-memory
+        block list is the index)."""
+        best = 0
+        for k, (tc, sidx, key, _payload) in enumerate(self._blocks):
+            if sidx != stream_index:
+                continue
+            if tc > timestamp:
+                break
+            if key:
+                best = k
+        self._cursor = best
+
     def read_packet(self) -> Packet:
         while self._cursor < len(self._blocks):
             tc, sidx, key, payload = self._blocks[self._cursor]

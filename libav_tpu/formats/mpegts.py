@@ -149,7 +149,10 @@ class MpegTSDemuxer(InputFormat):
             if mtype == MediaType.AUDIO:
                 par.sample_fmt = "fltp"
             st = Stream(index=len(self.streams), codecpar=par,
-                        time_base=Rational(1, 90000))
+                        time_base=Rational(1, 90000),
+                        # PES payloads are not codec-frame aligned for
+                        # audio: run the codec parser (utils.c:816)
+                        need_parsing=(mtype == MediaType.AUDIO))
             self.streams.append(st)
             self._pid_to_stream[pid] = st
 
@@ -176,9 +179,11 @@ class MpegTSDemuxer(InputFormat):
             dts = _parse_pts(buf[14:19])
         body = bytes(buf[9 + hlen:])
         st = self._pid_to_stream[pid]
+        from libav_tpu.formats.api import sniff_key
+        key = sniff_key(st.codecpar.codec_id, body[:256])
         self._queue.append(Packet(data=body, pts=pts, dts=dts,
                                   stream_index=st.index,
-                                  flags=PKT_FLAG_KEY))
+                                  flags=PKT_FLAG_KEY if key else 0))
         self._pes_pts[pid] = pts
 
     def read_packet(self) -> Packet:
@@ -191,6 +196,35 @@ class MpegTSDemuxer(InputFormat):
                     break
                 raise AVError(EOF_)
         return self._queue.pop(0)
+
+    def _reset(self):
+        self._pos = 0
+        self._queue = []
+        self._pes_buf.clear()
+        self._pes_pts.clear()
+
+    def read_seek(self, stream_index: int, timestamp: int, flags: int = 0):
+        """Two-pass linear scan to the last keyframe at/before timestamp
+        (reference: mpegts read_timestamp binary search; the in-memory
+        buffer makes a linear scan exact)."""
+        self._reset()
+        best = -1
+        n = 0
+        while True:
+            try:
+                pkt = self.read_packet()
+            except AVError:
+                break
+            if pkt.stream_index == stream_index:
+                if pkt.pts != NOPTS_VALUE and pkt.pts > timestamp:
+                    break
+                if pkt.is_key and (pkt.pts == NOPTS_VALUE or
+                                   pkt.pts <= timestamp):
+                    best = n
+            n += 1
+        self._reset()
+        for _ in range(max(0, best)):
+            self.read_packet()
 
 
 @register_output

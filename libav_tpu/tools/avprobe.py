@@ -22,6 +22,12 @@ def probe(url: str, show_format=True, show_streams=True, show_packets=False,
           fmt_name: Optional[str] = None, out=None) -> int:
     out = out if out is not None else sys.stdout
     ic = FormatContext.open_input(url, fmt_name)
+    # complete missing codec parameters by bounded trial decode
+    # (reference: utils.c:2200 avformat_find_stream_info)
+    try:
+        ic.find_stream_info()
+    except Exception:
+        pass
 
     if show_packets:
         out.write("[packets]\n")
