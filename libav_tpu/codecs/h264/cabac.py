@@ -370,13 +370,17 @@ class CabacMbLayer:
     with a CabacEncoder the `value` arguments are written, with a
     CabacDecoder they are ignored and the decoded value is returned."""
 
-    def __init__(self, eng, ctx: MbCtx, slice_type: int, cur_slice: int):
+    def __init__(self, eng, ctx: MbCtx, slice_type: int, cur_slice: int,
+                 grids=None):
         self.eng = eng
         self.ctx = ctx
         self.slice_type = slice_type            # 0=P, 1=B, 2=I
         self.cur_slice = cur_slice
         self.last_dqp = 0
         self.enc = isinstance(eng, CabacEncoder)
+        # block-granular motion state (part.MotionGrids) for the
+        # ref_idx/mvd context derivations (9.3.3.1.1.6/.7)
+        self.grids = grids
 
     # -- helper -----------------------------------------------------------
 
@@ -437,10 +441,11 @@ class CabacMbLayer:
             base += 5        # states 3..5 used by bin0; suffix at 6..10
             off = (6, 7, 8, 9, 10)
         else:
-            base = 17
-            b0 = eng.decision(17, self._v(None if value is None else
-                                          (1 if value[0] else 0)))
-            off = (18, 19, 19, 20, 20)
+            # P suffix at ctx 17-20, B suffix at 32-35 (Table 9-11)
+            base = 17 if self.slice_type == 0 else 32
+            b0 = eng.decision(base, self._v(None if value is None else
+                                            (1 if value[0] else 0)))
+            off = (base + 1, base + 2, base + 2, base + 3, base + 3)
         if not b0:
             return (0, 0, 0, 0) if not self.enc else value
         pcm = eng.terminate(self._v(0))
@@ -581,9 +586,10 @@ class CabacMbLayer:
         return delta
 
     def mb_type_b(self, i: int, value=None) -> int:
-        """B mb_type prefix: 0=B_Direct_16x16, 1=B_L0_16x16,
-        2=B_L1_16x16, 3=B_Bi_16x16 (reference decode_cabac_mb_type B
-        branch; partitions/intra suffixes rejected upstream)."""
+        """B mb_type, full binarization (Table 9-37; reference
+        decode_cabac_mb_type B branch): 0=B_Direct_16x16, 1..21 per
+        Table 7-14, 22=B_8x8, 23 = intra marker (the intra suffix
+        follows via mb_type_intra)."""
         eng = self.eng
         c = self.ctx
         left, top = c.neighbors(i, self.cur_slice)
@@ -596,12 +602,26 @@ class CabacMbLayer:
             eng.decision(27 + inc, 1 if value else 0)
             if not value:
                 return value
-            eng.decision(27 + 3, 1 if value == 3 else 0)
-            if value == 3:
-                for _ in range(4):
-                    eng.decision(27 + 5 if _ else 27 + 4, 0)
-            else:
-                eng.decision(27 + 5, 1 if value == 2 else 0)
+            if value in (1, 2):
+                eng.decision(27 + 3, 0)
+                eng.decision(27 + 5, value - 1)
+                return value
+            eng.decision(27 + 3, 1)
+            if 3 <= value <= 10:
+                bits, nb = value - 3, 4
+            elif value == 23:                    # intra suffix follows
+                bits, nb = 13, 4
+            elif value == 11:
+                bits, nb = 14, 4
+            elif value == 22:
+                bits, nb = 15, 4
+            else:                                # 12..21: 5-bin suffix
+                bits, nb = ((value - 12) >> 1) + 8, 4
+                bits = (bits << 1) | ((value - 12) & 1)
+                nb = 5
+            for k in range(nb - 1, -1, -1):
+                ctx = 27 + 4 if k == nb - 1 else 27 + 5
+                eng.decision(ctx, (bits >> k) & 1)
             return value
         if not eng.decision(27 + inc):
             return 0
@@ -613,20 +633,87 @@ class CabacMbLayer:
         bits |= eng.decision(27 + 5)
         if bits < 8:
             return bits + 3
-        raise AVError(INVALIDDATA,
-                      f"B mb_type suffix {bits} unsupported")
+        if bits == 13:
+            return 23                            # intra suffix follows
+        if bits == 14:
+            return 11
+        if bits == 15:
+            return 22
+        return ((bits - 8) << 1 | eng.decision(27 + 5)) + 12
 
-    def ref_idx(self, i: int, value=None, lst: int = 0) -> int:
+    def sub_mb_type_p(self, value=None) -> int:
+        """P sub_mb_type 0..3 (ctx 21-23; reference
+        decode_cabac_p_mb_sub_type)."""
         eng = self.eng
-        c = self.ctx
-        left, top = c.neighbors(i, self.cur_slice)
+        if self.enc:
+            eng.decision(21, 1 if value == 0 else 0)
+            if value != 0:
+                eng.decision(22, 0 if value == 1 else 1)
+                if value != 1:
+                    eng.decision(23, 1 if value == 2 else 0)
+            return value
+        if eng.decision(21):
+            return 0
+        if not eng.decision(22):
+            return 1
+        return 2 if eng.decision(23) else 3
+
+    def sub_mb_type_b(self, value=None) -> int:
+        """B sub_mb_type 0..12 (ctx 36-39; reference
+        decode_cabac_b_mb_sub_type)."""
+        eng = self.eng
+        if self.enc:
+            eng.decision(36, 0 if value == 0 else 1)
+            if value == 0:
+                return value
+            if value in (1, 2):
+                eng.decision(37, 0)
+                eng.decision(39, value - 1)
+                return value
+            eng.decision(37, 1)
+            if value >= 11:
+                eng.decision(38, 1)
+                eng.decision(39, 1)
+                eng.decision(39, value - 11)
+            elif value >= 7:
+                eng.decision(38, 1)
+                eng.decision(39, 0)
+                eng.decision(39, ((value - 7) >> 1) & 1)
+                eng.decision(39, (value - 7) & 1)
+            else:
+                eng.decision(38, 0)
+                eng.decision(39, ((value - 3) >> 1) & 1)
+                eng.decision(39, (value - 3) & 1)
+            return value
+        if not eng.decision(36):
+            return 0
+        if not eng.decision(37):
+            return 1 + eng.decision(39)
+        t = 3
+        if eng.decision(38):
+            if eng.decision(39):
+                return 11 + eng.decision(39)
+            t += 4
+        t += eng.decision(39) << 1
+        t += eng.decision(39)
+        return t
+
+    def ref_idx(self, lst: int, bx: int, by: int, nref: int,
+                value=None) -> int:
+        """ref_idx_lX with block-granular context (9.3.3.1.1.6;
+        reference decode_cabac_mb_ref reading ref_cache/direct_cache)."""
+        eng = self.eng
+        g = self.grids
         inc = 0
-        if left >= 0 and not c.intra[left] and not c.skip[left] and \
-                not c.direct[left] and c.ref[left, lst] > 0:
-            inc += 1
-        if top >= 0 and not c.intra[top] and not c.skip[top] and \
-                not c.direct[top] and c.ref[top, lst] > 0:
-            inc += 2
+        for bit, (nx, ny) in ((1, (bx - 1, by)), (2, (bx, by - 1))):
+            if nx < 0 or ny < 0 or nx >= g.bw:
+                continue
+            mb = (ny >> 2) * g.mb_w + (nx >> 2)
+            if g.slice_id[mb] != self.cur_slice:
+                continue
+            if g.bref[lst, ny, nx] > 0 and not (
+                    self.slice_type == 1 and g.bdirect[ny, nx]):
+                inc += bit
         ref = 0
         ctx = inc
         while True:
@@ -641,16 +728,19 @@ class CabacMbLayer:
                 raise AVError(INVALIDDATA, "ref_idx overflow")
         return ref
 
-    def mvd(self, i: int, comp: int, value=None, lst: int = 0) -> int:
-        c = self.ctx
-        left, top = c.neighbors(i, self.cur_slice)
-        amvd = 0
-        if left >= 0 and not c.intra[left]:
-            amvd += int(c.mvd[left, lst, comp])
-        if top >= 0 and not c.intra[top]:
-            amvd += int(c.mvd[top, lst, comp])
+    def mvd(self, lst: int, bx: int, by: int, comp: int,
+            value=None) -> int:
+        """mvd_lX with block-granular amvd context (9.3.3.1.1.7)."""
+        amvd = self.grids.amvd(lst, bx, by, comp, self.cur_slice)
         base = 40 if comp == 0 else 47
         return code_ueg3_mvd(self.eng, base, amvd, value)
+
+    def motion(self, lst: int, bx: int, by: int, pred):
+        """Decode-side leg of the shared inter walk (part.code_inter_mb);
+        the encoder drives the same walk through its plan writer."""
+        mvdx = self.mvd(lst, bx, by, 0)
+        mvdy = self.mvd(lst, bx, by, 1)
+        return (pred[0] + mvdx, pred[1] + mvdy), (mvdx, mvdy)
 
     def end_of_slice(self, value=None) -> int:
         return self.eng.terminate(self._v(value))

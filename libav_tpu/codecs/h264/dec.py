@@ -21,10 +21,10 @@ from libav_tpu.avutil.frame import Frame, Packet, PictureType
 from libav_tpu.avutil.rational import NOPTS_VALUE
 from libav_tpu.bitstream import GetBits
 from libav_tpu.codecs.api import Decoder, MediaType, register_codec
-from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, sets
+from libav_tpu.codecs.h264 import cavlc, nal as nal_mod, part, sets
 from libav_tpu.codecs.h264.device import (recon_h264_sparse_jit, sparse_caps,
                                            zero_refs_h264)
-from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
+from libav_tpu.codecs.h264.part import MotionGrids
 
 GOLOMB_TO_INTRA_CBP = [
     47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
@@ -41,6 +41,52 @@ SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
 class _NativeUnsupported(Exception):
     """The native C slice decoder hit a construct outside its subset;
     the caller retries the access unit on the Python reference path."""
+
+
+class DPBEntry:
+    """Decoded reference picture (reference: h264dec.h H264Picture):
+    POC, padded planes, and the saved block motion of the frame for
+    spatial-direct colocated lookups (h264_direct.c)."""
+    __slots__ = ("poc", "planes", "colref", "colmv")
+
+    def __init__(self, poc, planes, colref=None, colmv=None):
+        self.poc = poc
+        self.planes = planes
+        self.colref = colref
+        self.colmv = colmv
+
+
+class _GolombReader:
+    """CAVLC side of the shared inter-MB parse interface (the CABAC side
+    is CabacMbLayer); block coordinates are accepted and ignored."""
+
+    def __init__(self, gb):
+        self.gb = gb
+
+    def sub_mb_type_p(self) -> int:
+        v = self.gb.get_ue_golomb()
+        if v > 3:
+            raise AVError(INVALIDDATA, f"P sub_mb_type {v} out of range")
+        return v
+
+    def sub_mb_type_b(self) -> int:
+        v = self.gb.get_ue_golomb()
+        if v > 12:
+            raise AVError(INVALIDDATA, f"B sub_mb_type {v} out of range")
+        return v
+
+    def ref_idx(self, lst, bx, by, nref) -> int:
+        if nref == 2:                       # te(v), spec 9.1.1
+            return 1 - self.gb.get_bits(1)
+        return self.gb.get_ue_golomb()
+
+    def mvd(self, lst, bx, by, comp) -> int:
+        return self.gb.get_se_golomb()
+
+    def motion(self, lst, bx, by, pred):
+        mvdx = self.gb.get_se_golomb()
+        mvdy = self.gb.get_se_golomb()
+        return (pred[0] + mvdx, pred[1] + mvdy), (mvdx, mvdy)
 
 _BLK_XY = [(2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
            for i in range(16)]
@@ -60,6 +106,13 @@ class FrameData:
     def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False):
         self.i4 = np.zeros(nmb, dtype=bool)
         self.i4_modes = np.full((nmb, 16), 2, dtype=np.int8)
+        # block-granular motion state (partitions, direct, CABAC ctx)
+        self.grids = (MotionGrids(mb_w, mb_h if mb_h is not None
+                                  else nmb // mb_w)
+                      if mb_w is not None else None)
+        self.nslices = 0
+        # B-slice reference lists (DPB entries), set per slice
+        self.list0 = self.list1 = None
         # B-slice state: per-MB list selection (0=L0 1=L1 2=Bi), list-1
         # motion, and per-list used-ref markers for MV prediction
         self.sel = np.zeros(nmb, dtype=np.int8)
@@ -124,6 +177,9 @@ class H264Decoder(Decoder):
         self._outq = []               # POC output reorder (h264_refs.c
         self._reorder = False         # select_output_frame analogue)
         self._pts_pool = []           # input pts awaiting display order
+
+    _cur_col = None
+    _cur_lists = ([], [])
 
     def _flush(self):
         self._dpb = []
@@ -278,10 +334,25 @@ class H264Decoder(Decoder):
         # slice alpha_c0/beta offsets are static parameters of the
         # deblock program (spec indexA/indexB; h264_loopfilter.c)
         self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
-        if slice_type == SLICE_B and self._deblock:
-            # bS derivation for two-list MBs not implemented yet
-            raise AVError(INVALIDDATA,
-                          "B slices with deblocking not supported yet")
+
+        # default reference picture lists (spec 8.2.4.2): P list0 in
+        # decode order (sliding-window DPB order); B list0 = past by POC
+        # descending then future ascending, list1 mirrored
+        pc = poc if poc is not None else 0
+        if slice_type == SLICE_B:
+            past = sorted((e for e in self._dpb if e.poc <= pc),
+                          key=lambda e: -e.poc)
+            futr = sorted((e for e in self._dpb if e.poc > pc),
+                          key=lambda e: e.poc)
+            list0 = (past + futr) or list(self._dpb)
+            list1 = (futr + past) or list(self._dpb)
+            self._cur_col = ((list1[0].colref, list1[0].colmv)
+                             if list1 and list1[0].colref is not None
+                             else None)
+        else:
+            list0, list1 = list(self._dpb), []
+            self._cur_col = None
+        self._cur_lists = (list0, list1)
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
@@ -303,6 +374,9 @@ class H264Decoder(Decoder):
                 fd.ref_idx[:] = 0
                 fd.sparse[2][0] = 0
                 fd.sparse[2][1] = 0
+                if fd.grids is not None:
+                    fd.grids.reset()
+                fd.nslices = 0
             else:
                 fd = FrameData(nmb, sps.mb_width, sps.mb_height,
                                use_block=use_native)
@@ -314,11 +388,13 @@ class H264Decoder(Decoder):
                 fd.nnz_u = np.zeros((2 * sps.mb_height, 2 * sps.mb_width),
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
+        fd.list0, fd.list1 = self._cur_lists
         if pps.entropy_coding_mode:
             pos = gb.bits_read()
             data = rbsp[(pos + 7) >> 3:]     # cabac_alignment_one_bit
             self._decode_mbs_cabac(data, fd, sps, first_mb, slice_type,
-                                   qp, num_ref_l0, cabac_init_idc)
+                                   qp, num_ref_l0, cabac_init_idc,
+                                   num_ref_l1=num_ref_l1)
         elif fd.block is not None:
             pos = gb.bits_read()
             rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
@@ -331,8 +407,10 @@ class H264Decoder(Decoder):
             if rc != 0:
                 raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
         else:
+            cur_slice = fd.nslices
+            fd.nslices += 1
             self._decode_mbs(gb, fd, sps, first_mb, slice_type, qp,
-                             num_ref_l0)
+                             num_ref_l0, num_ref_l1, cur_slice)
         return fd, (slice_type, idr, poc, ref_idc)
 
     # ------------------------------------------------------------------ #
@@ -346,8 +424,18 @@ class H264Decoder(Decoder):
             qp -= 52
         return qp
 
+    # -- partition-aware inter prediction: the walk itself lives in
+    #    part.code_inter_mb and is shared verbatim with the encoder ---- #
+
+    def _decode_inter_mb(self, rd, fd, i, mb_x, mb_y, slice_type, mb_type,
+                         nref0, nref1, cur_slice):
+        part.code_inter_mb(rd, fd, i, mb_x, mb_y,
+                           slice_type == SLICE_B, mb_type, nref0, nref1,
+                           cur_slice, self._cur_col)
+
     def _decode_mbs_cabac(self, data, fd: FrameData, sps, first_mb,
-                          slice_type, qp, num_ref_l0, cabac_init_idc):
+                          slice_type, qp, num_ref_l0, cabac_init_idc,
+                          num_ref_l1=0):
         """CABAC slice data (reference: h264_cabac.c
         ff_h264_decode_mb_cabac :1908, driven through the symmetric bin
         layer in cabac.py — the encoder runs the identical code path)."""
@@ -368,7 +456,7 @@ class H264Decoder(Decoder):
         eng = cb.CabacDecoder(data, states)
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
-                                cur_slice)
+                                cur_slice, grids=fd.grids)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
 
@@ -407,6 +495,7 @@ class H264Decoder(Decoder):
             mc.intra[i] = True
             kind, cbp_l, cbp_c, mode = layer.mb_type_intra(i)
             fd.intra[i] = True
+            fd.grids.set_intra(mb_x, mb_y)
             if kind == 0:                          # I_NxN
                 fd.i4[i] = True
                 grid = fd.i4_grid
@@ -446,93 +535,52 @@ class H264Decoder(Decoder):
             chroma_resid(i, mb_x, mb_y, cbp_c)
             return cur_qp
 
+        def decode_inter(i, mb_x, mb_y, mb_type, cur_qp):
+            self._decode_inter_mb(layer, fd, i, mb_x, mb_y, slice_type,
+                                  mb_type, num_ref_l0, num_ref_l1,
+                                  cur_slice)
+            cbp = layer.cbp(i)
+            mc.cbp[i] = cbp
+            if cbp:
+                cur_qp = self._apply_dqp(cur_qp, layer.mb_qp_delta())
+            else:
+                layer.last_dqp = 0
+            fd.qp[i] = cur_qp
+            fd.coded[i] = True
+            fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
+            luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+            chroma_resid(i, mb_x, mb_y, cbp >> 4)
+            return cur_qp
+
+        g = fd.grids
         i = first_mb
         while i < nmb:
             mb_x, mb_y = i % mb_w, i // mb_w
             mc.slice_id[i] = cur_slice
+            g.slice_id[i] = cur_slice
             if slice_type == SLICE_B:
                 if layer.mb_skip(i):
-                    raise AVError(INVALIDDATA,
-                                  "B_Skip (direct) unsupported yet")
-                btype = layer.mb_type_b(i)
-                if btype == 0:
-                    raise AVError(INVALIDDATA,
-                                  "B_Direct_16x16 unsupported yet")
-                sel = btype - 1
-                fd.sel[i] = sel
-                if sel in (0, 2):
-                    mvdx = layer.mvd(i, 0, lst=0)
-                    mvdy = layer.mvd(i, 1, lst=0)
-                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
-                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l0, cur_ref=0)
-                    fd.mv[i] = (px + mvdx, py + mvdy)
-                    fd.ref_l0[i] = 0
-                if sel in (1, 2):
-                    mvdx = layer.mvd(i, 0, lst=1)
-                    mvdy = layer.mvd(i, 1, lst=1)
-                    mc.mvd[i, 1] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
-                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l1, cur_ref=0)
-                    fd.mv1[i] = (px + mvdx, py + mvdy)
-                    fd.ref_l1[i] = 0
-                cbp = layer.cbp(i)
-                mc.cbp[i] = cbp
-                if cbp:
-                    qp = self._apply_dqp(qp, layer.mb_qp_delta())
-                else:
+                    self._skip_mb(fd, i, mb_x, mb_y, qp, cur_slice, True)
+                    mc.skip[i] = True
+                    mc.direct[i] = True
                     layer.last_dqp = 0
-                fd.qp[i] = qp
-                fd.coded[i] = True
-                fd.i4_grid[4 * mb_y:4 * mb_y + 4,
-                           4 * mb_x:4 * mb_x + 4] = 2
-                luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
-                chroma_resid(i, mb_x, mb_y, cbp >> 4)
+                else:
+                    btype = layer.mb_type_b(i)
+                    if btype == 23:
+                        qp = decode_intra(i, mb_x, mb_y, qp)
+                    else:
+                        mc.direct[i] = btype == 0
+                        qp = decode_inter(i, mb_x, mb_y, btype, qp)
             elif slice_type == SLICE_P:
                 if layer.mb_skip(i):
-                    mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
-                                    mb_w, refs=fd.ref_idx)
-                    fd.mv[i] = mv
-                    fd.qp[i] = qp
-                    fd.coded[i] = True
+                    self._skip_mb(fd, i, mb_x, mb_y, qp, cur_slice, False)
                     mc.skip[i] = True
                     layer.last_dqp = 0
-                    fd.i4_grid[4 * mb_y:4 * mb_y + 4,
-                               4 * mb_x:4 * mb_x + 4] = 2
                 elif layer.mb_type_p_is_intra():
                     qp = decode_intra(i, mb_x, mb_y, qp)
                 else:
-                    ptype = layer.mb_type_p_inter()
-                    if ptype != 0:
-                        raise AVError(INVALIDDATA,
-                                      f"P partitions (type {ptype}) "
-                                      "unsupported")
-                    ref = layer.ref_idx(i) if num_ref_l0 > 1 else 0
-                    if ref >= max(num_ref_l0, 1):
-                        raise AVError(INVALIDDATA, "ref_idx out of range")
-                    fd.ref_idx[i] = ref
-                    mc.ref[i, 0] = ref
-                    mvdx = layer.mvd(i, 0)
-                    mvdy = layer.mvd(i, 1)
-                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
-                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_idx, cur_ref=ref)
-                    fd.mv[i] = (px + mvdx, py + mvdy)
-                    cbp = layer.cbp(i)
-                    mc.cbp[i] = cbp
-                    if cbp:
-                        qp = self._apply_dqp(qp, layer.mb_qp_delta())
-                    else:
-                        layer.last_dqp = 0
-                    fd.qp[i] = qp
-                    fd.coded[i] = True
-                    fd.i4_grid[4 * mb_y:4 * mb_y + 4,
-                               4 * mb_x:4 * mb_x + 4] = 2
-                    luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
-                    chroma_resid(i, mb_x, mb_y, cbp >> 4)
+                    qp = decode_inter(i, mb_x, mb_y,
+                                      layer.mb_type_p_inter(), qp)
             else:
                 qp = decode_intra(i, mb_x, mb_y, qp)
             i += 1
@@ -552,32 +600,42 @@ class H264Decoder(Decoder):
             return int(b)
         return 0
 
+    def _skip_mb(self, fd, i, mb_x, mb_y, qp, cur_slice, bslice):
+        """P_Skip (8.4.1.1) / B_Skip (spatial direct) macroblock."""
+        if bslice:
+            part.direct_mb_motion(fd, mb_x, mb_y, cur_slice,
+                                  self._cur_col)
+        else:
+            part.pskip_mb_motion(fd, i, mb_x, mb_y, cur_slice)
+        fd.qp[i] = qp
+        fd.coded[i] = True
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
+
     def _decode_mbs(self, gb, fd: FrameData, sps, first_mb, slice_type,
-                    qp, num_ref_l0):
+                    qp, num_ref_l0, num_ref_l1=0, cur_slice=0):
         mb_w = sps.mb_width
         nmb = mb_w * sps.mb_height
+        rd = _GolombReader(gb)
+        bslice = slice_type == SLICE_B
         i = first_mb
         while i < nmb:
             if gb.bits_left() <= 0:
                 break
-            if slice_type == SLICE_P:
+            if slice_type in (SLICE_P, SLICE_B):
                 skip_run = gb.get_ue_golomb()
                 for _ in range(skip_run):
                     if i >= nmb:
                         break
-                    self._pskip_mb(fd, i, mb_w, qp)
+                    fd.grids.slice_id[i] = cur_slice
+                    self._skip_mb(fd, i, i % mb_w, i // mb_w, qp,
+                                  cur_slice, bslice)
                     i += 1
                 if i >= nmb or gb.bits_left() <= 1:
                     break
-            elif slice_type == SLICE_B:
-                if gb.get_ue_golomb():           # mb_skip_run
-                    raise AVError(INVALIDDATA, "B_Skip (direct) "
-                                               "unsupported yet")
-                if i >= nmb or gb.bits_left() <= 1:
-                    break
             mb_type = gb.get_ue_golomb()
-            qp = self._decode_mb(gb, fd, i, mb_w, slice_type, mb_type, qp,
-                                 num_ref_l0)
+            fd.grids.slice_id[i] = cur_slice
+            qp = self._decode_mb(gb, rd, fd, i, mb_w, slice_type, mb_type,
+                                 qp, num_ref_l0, num_ref_l1, cur_slice)
             i += 1
             # rbsp stop detection: a single set bit then zeros
             if gb.bits_left() < 8 and (gb.bits_left() <= 0 or
@@ -585,33 +643,20 @@ class H264Decoder(Decoder):
                                        (1 << (gb.bits_left() - 1))):
                 break
 
-    def _pskip_mb(self, fd, i, mb_w, qp):
-        mb_x, mb_y = i % mb_w, i // mb_w
-        mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w,
-                        refs=fd.ref_idx)
-        fd.mv[i] = mv
-        fd.qp[i] = qp
-        fd.coded[i] = True
-        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
-
-    def _decode_mb(self, gb, fd: FrameData, i, mb_w, slice_type, mb_type,
-                   qp, num_ref_l0) -> int:
+    def _decode_mb(self, gb, rd, fd: FrameData, i, mb_w, slice_type,
+                   mb_type, qp, num_ref_l0, num_ref_l1, cur_slice) -> int:
         mb_x, mb_y = i % mb_w, i // mb_w
         if slice_type == SLICE_B:
-            if mb_type in (1, 2, 3):
-                return self._decode_b16(gb, fd, i, mb_x, mb_y, mb_w, qp,
-                                        mb_type - 1)
             if mb_type < 23:
-                raise AVError(INVALIDDATA,
-                              f"B mb_type {mb_type} unsupported")
+                return self._decode_inter_cavlc(
+                    gb, rd, fd, i, mb_x, mb_y, slice_type, mb_type, qp,
+                    num_ref_l0, num_ref_l1, cur_slice)
             mb_type -= 23
         elif slice_type == SLICE_P:
             if mb_type < 5:
-                if mb_type != 0:
-                    raise AVError(INVALIDDATA,
-                                  f"P partitions (type {mb_type}) unsupported")
-                return self._decode_p16(gb, fd, i, mb_x, mb_y, mb_w, qp,
-                                        num_ref_l0)
+                return self._decode_inter_cavlc(
+                    gb, rd, fd, i, mb_x, mb_y, slice_type, mb_type, qp,
+                    num_ref_l0, num_ref_l1, cur_slice)
             mb_type -= 5
         if mb_type == 0:
             return self._decode_i4x4(gb, fd, i, mb_x, mb_y, qp)
@@ -623,6 +668,7 @@ class H264Decoder(Decoder):
         cbp_luma = (m // 12) * 15
 
         fd.intra[i] = True
+        fd.grids.set_intra(mb_x, mb_y)
         fd.luma_mode[i] = pred_mode
         fd.chroma_mode[i] = gb.get_ue_golomb()
         qp += gb.get_se_golomb()
@@ -632,10 +678,29 @@ class H264Decoder(Decoder):
         fd.coded[i] = True
         return qp
 
+    def _decode_inter_cavlc(self, gb, rd, fd, i, mb_x, mb_y, slice_type,
+                            mb_type, qp, nref0, nref1, cur_slice) -> int:
+        self._decode_inter_mb(rd, fd, i, mb_x, mb_y, slice_type, mb_type,
+                              nref0, nref1, cur_slice)
+        cbp_code = gb.get_ue_golomb()
+        if cbp_code >= 48:
+            raise AVError(INVALIDDATA, "bad CBP code")
+        cbp = GOLOMB_TO_INTER_CBP[cbp_code]
+        if cbp:
+            qp = self._apply_dqp(qp, gb.get_se_golomb())
+        fd.qp[i] = qp
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
+        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
+        fd.coded[i] = True
+        if slice_type == SLICE_B and mb_type in (1, 2, 3):
+            fd.sel[i] = mb_type - 1
+        return qp
+
     def _decode_i4x4(self, gb, fd, i, mb_x, mb_y, qp) -> int:
         """I_NxN macroblock, CAVLC (spec 7.3.5.1 mb_pred intra4x4)."""
         fd.intra[i] = True
         fd.i4[i] = True
+        fd.grids.set_intra(mb_x, mb_y)
         grid = fd.i4_grid
         for b in range(16):
             dx, dy = _BLK_XY[b]
@@ -657,63 +722,6 @@ class H264Decoder(Decoder):
             qp += gb.get_se_golomb()
         fd.qp[i] = qp
         self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
-        fd.coded[i] = True
-        return qp
-
-    def _decode_b16(self, gb, fd, i, mb_x, mb_y, mb_w, qp, sel):
-        """B_L0/L1/Bi_16x16 (sel 0/1/2), single reference per list."""
-        fd.sel[i] = sel
-        if sel in (0, 2):
-            mvdx, mvdy = gb.get_se_golomb(), gb.get_se_golomb()
-            px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
-                                   mb_w, refs=fd.ref_l0, cur_ref=0)
-            fd.mv[i] = (px + mvdx, py + mvdy)
-            fd.ref_l0[i] = 0
-        if sel in (1, 2):
-            mvdx, mvdy = gb.get_se_golomb(), gb.get_se_golomb()
-            px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded, mb_x, mb_y,
-                                   mb_w, refs=fd.ref_l1, cur_ref=0)
-            fd.mv1[i] = (px + mvdx, py + mvdy)
-            fd.ref_l1[i] = 0
-        cbp_code = gb.get_ue_golomb()
-        if cbp_code >= 48:
-            raise AVError(INVALIDDATA, "bad CBP code")
-        cbp = GOLOMB_TO_INTER_CBP[cbp_code]
-        if cbp:
-            qp += gb.get_se_golomb()
-        fd.qp[i] = qp
-        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
-        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp & 15, cbp >> 4)
-        fd.coded[i] = True
-        return qp
-
-    def _decode_p16(self, gb, fd, i, mb_x, mb_y, mb_w, qp, num_ref_l0):
-        ref = 0
-        if num_ref_l0 > 1:
-            # ref_idx_l0: te(v) (spec 9.1.1)
-            if num_ref_l0 == 2:
-                ref = 1 - gb.get_bits(1)
-            else:
-                ref = gb.get_ue_golomb()
-            if ref >= num_ref_l0:
-                raise AVError(INVALIDDATA, "ref_idx out of range")
-        fd.ref_idx[i] = ref
-        mvdx = gb.get_se_golomb()
-        mvdy = gb.get_se_golomb()
-        px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x, mb_y, mb_w,
-                               refs=fd.ref_idx, cur_ref=ref)
-        fd.mv[i] = (px + mvdx, py + mvdy)
-        cbp_code = gb.get_ue_golomb()
-        if cbp_code >= 48:
-            raise AVError(INVALIDDATA, "bad CBP code")
-        cbp = GOLOMB_TO_INTER_CBP[cbp_code]
-        cbp_luma = cbp & 15
-        cbp_chroma = cbp >> 4
-        if cbp:
-            qp += gb.get_se_golomb()
-        fd.qp[i] = qp
-        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
-        self._residual_inter(gb, fd, i, mb_x, mb_y, cbp_luma, cbp_chroma)
         fd.coded[i] = True
         return qp
 
@@ -771,6 +779,29 @@ class H264Decoder(Decoder):
 
     # ------------------------------------------------------------------ #
 
+    def _col_motion(self, fd):
+        """Merged (refIdxCol, mvCol) grids saved with reference frames
+        for spatial-direct colZeroFlag (spec 8.4.1.2.2: list0 motion if
+        used, else list1, else no-ref)."""
+        g = fd.grids
+        if g is None or not np.any(g.slice_id >= 0):
+            sps = self.active_sps
+            mbw, mbh = sps.mb_width, sps.mb_height
+            intra_mb = fd.intra.astype(bool).reshape(mbh, mbw)
+            ref = np.where(intra_mb, -1,
+                           fd.ref_idx.reshape(mbh, mbw)).astype(np.int8)
+            colref = np.repeat(np.repeat(ref, 4, 0), 4, 1)
+            colmv = np.repeat(np.repeat(
+                fd.mv.reshape(mbh, mbw, 2), 4, 0), 4, 1).astype(np.int16)
+            return colref, colmv
+        use0 = g.bref[0] >= 0
+        colref = np.where(use0, g.bref[0],
+                          np.where(g.bref[1] >= 0, g.bref[1],
+                                   -1)).astype(np.int8)
+        colmv = np.where(use0[..., None], g.bmv[0],
+                         g.bmv[1]).astype(np.int16)
+        return colref, colmv
+
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps = self.active_sps
         nmb = sps.mb_width * sps.mb_height
@@ -779,27 +810,57 @@ class H264Decoder(Decoder):
         multi = bool(np.any(fd.ref_idx > 0))
         zero = lambda: zero_refs_h264(sps.mb_width, sps.mb_height)
         bpred = slice_type == SLICE_B
+        g = fd.grids
+        deblock = bool(getattr(self, "_deblock", False))
+        part_mode = bool(g is not None and g.any_part)
+        if deblock and multi and not part_mode:
+            # the block-granular path carries real per-block reference
+            # ids, which the multi-ref bS rule needs (spec 8.7.2.1)
+            part_mode = True
+        if part_mode and not np.any(g.slice_id >= 0):
+            # frame was decoded by the native 16x16 path: expand the
+            # per-MB motion onto the block grids
+            mbw, mbh = sps.mb_width, sps.mb_height
+            intra_mb = fd.intra.astype(bool).reshape(mbh, mbw)
+            ref = np.where(intra_mb, part.NOREF,
+                           fd.ref_idx.reshape(mbh, mbw))
+            g.bref[0] = np.repeat(np.repeat(ref, 4, 0), 4, 1)
+            g.bref[1] = part.NOREF
+            g.bmv[0] = np.repeat(np.repeat(
+                fd.mv.reshape(mbh, mbw, 2), 4, 0), 4, 1)
+            g.bmv[1] = 0
+        nrefs1 = 1
         refs1 = None
-        if bpred:
-            # default B reference lists from the POC-keyed DPB
-            # (spec 8.2.4.2.3): l0 = nearest past, l1 = nearest future
-            nrefs = 1
-            past = [e for e in self._dpb if e[0] <= (poc or 0)]
-            futr = [e for e in self._dpb if e[0] > (poc or 0)]
-            refs = (max(past, key=lambda e: e[0])[1] if past
-                    else (self._dpb[0][1] if self._dpb else zero()))
-            refs1 = (min(futr, key=lambda e: e[0])[1] if futr
-                     else (self._dpb[0][1] if self._dpb else zero()))
-        elif multi:
+
+        def stack(entries, n):
             import jax.numpy as jnp
-            nrefs = int(fd.ref_idx.max()) + 1
-            dpb = [e[1] for e in self._dpb[:nrefs]]
-            while len(dpb) < nrefs:
+            dpb = [e.planes for e in entries[:n]]
+            while len(dpb) < n:
                 dpb.append(zero())
-            refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
+            if n == 1:
+                return dpb[0]
+            return tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
+
+        list0 = fd.list0 if fd.list0 is not None else list(self._dpb)
+        list1 = fd.list1 if fd.list1 is not None else []
+        if part_mode:
+            nrefs = max(1, int(g.bref[0].max()) + 1)
+            refs = stack(list0, nrefs)
+            if bpred:
+                nrefs1 = max(1, int(g.bref[1].max()) + 1)
+                refs1 = stack(list1, nrefs1)
+        elif bpred:
+            # 16x16-only B frame: single reference per list
+            # (spec 8.2.4.2.3 default lists, index 0)
+            nrefs = 1
+            refs = stack(list0, 1) if list0 else zero()
+            refs1 = stack(list1, 1) if list1 else zero()
+        elif multi:
+            nrefs = int(fd.ref_idx.max()) + 1
+            refs = stack(list0, nrefs)
         else:
             nrefs = 1
-            refs = self._dpb[0][1] if self._dpb else zero()
+            refs = stack(list0, 1) if list0 else zero()
         # int16 halves the host->HBM coefficient upload (CAVLC levels fit
         # comfortably; the device side upcasts to int32 anyway); the AC
         # coefficients additionally go up sparse — only coded 4x4 blocks
@@ -830,7 +891,6 @@ class H264Decoder(Decoder):
         cpad = np.full(ccap, nmb * 8, np.int32)
         cpad[:len(cidx)] = cidx
         cl, cr, ct, cb = sps.crop
-        deblock = bool(getattr(self, "_deblock", False))
         any_i4 = bool(np.any(fd.i4))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
@@ -839,20 +899,48 @@ class H264Decoder(Decoder):
                                    deblock=deblock, nrefs=nrefs,
                                    db_offsets=getattr(self, "_ab_offset",
                                                       (0, 0)),
-                                   any_i4=any_i4, bpred=bpred)
+                                   any_i4=any_i4, bpred=bpred,
+                                   part=part_mode, nrefs1=nrefs1)
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
             kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
-        if nrefs > 1:
+        if nrefs > 1 and not part_mode:
             kw["ref_idx"] = fd.ref_idx.astype(np.int8)
         if any_i4:
             kw["i4"] = fd.i4.astype(bool)
             kw["i4_modes"] = fd.i4_modes.astype(np.int8)
-        if bpred:
+        if bpred and not part_mode:
             kw["mv1"] = fd.mv1.astype(np.int16)
             kw["sel"] = fd.sel.astype(np.int8)
             kw["ry1"], kw["ru1"], kw["rv1"] = refs1
+        if part_mode:
+            use0 = g.bref[0] >= 0
+            use1 = g.bref[1] >= 0
+            kw["bmv0"] = g.bmv[0].astype(np.int16)
+            kw["bref0"] = np.clip(g.bref[0], 0, nrefs - 1).astype(np.int8)
+            kw["bsel"] = np.where(use0 & use1, 2,
+                                  np.where(use1, 1, 0)).astype(np.int8)
+            if bpred:
+                kw["bmv1"] = g.bmv[1].astype(np.int16)
+                kw["bref1"] = np.clip(g.bref[1], 0,
+                                      nrefs1 - 1).astype(np.int8)
+                kw["ry1"], kw["ru1"], kw["rv1"] = refs1
+            if deblock:
+                # per-block picture ids for the bS reference comparison
+                pid_of = {id(e): k for k, e in enumerate(self._dpb)}
+                l0p = np.array([pid_of.get(id(e), -1) for e in list0] or
+                               [-1], np.int8)
+                l1p = np.array([pid_of.get(id(e), -1) for e in list1] or
+                               [-1], np.int8)
+                kw["pid0"] = np.where(
+                    use0, l0p[np.clip(g.bref[0], 0, len(l0p) - 1)],
+                    -1).astype(np.int8)
+                kw["pid1"] = np.where(
+                    use1, l1p[np.clip(g.bref[1], 0, len(l1p) - 1)],
+                    -1).astype(np.int8)
+                if not bpred:
+                    kw["bmv1"] = np.zeros_like(g.bmv[1], dtype=np.int16)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -863,8 +951,9 @@ class H264Decoder(Decoder):
                             fd.chroma_dc.astype(np.int16), *refs, **kw)
         if ref_idc:
             max_refs = max(1, sps.max_num_ref_frames)
-            self._dpb = ([(poc if poc is not None else 0, padded)] +
-                         self._dpb[:max_refs - 1])
+            ent = DPBEntry(poc if poc is not None else 0, padded,
+                           *self._col_motion(fd))
+            self._dpb = [ent] + self._dpb[:max_refs - 1]
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
         f.planes = list(planes)     # cropped inside the device program
         f.pict_type = (PictureType.I if slice_type == SLICE_I else

@@ -52,7 +52,8 @@ def _dequant_tables():
 @functools.lru_cache(maxsize=16)
 def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    nrefs: int = 1, any_i4: bool = False,
-                   bpred: bool = False):
+                   bpred: bool = False, part: bool = False,
+                   nrefs1: int = 1):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -174,28 +175,82 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                                  bx * 4:bx * 4 + 4].set(rc[:, 4 + b])
         return resid_y, resid_u, resid_v
 
+    # 4x4-block lattice for partitioned frames (part=True): one MC
+    # gather per 4x4 block, per list, at block-granular mv/ref
+    bw4, bh4 = 4 * mb_w, 4 * mb_h
+    blk_bx = (np.arange(bw4 * bh4) % bw4).astype(np.int32)
+    blk_by = (np.arange(bw4 * bh4) // bw4).astype(np.int32)
+
+    def part_mc_list(refs_y, refs_u, refs_v, bmv, bref, n):
+        import jax.numpy as jnp
+        from libav_tpu.ops import h264mc
+        mvf = bmv.reshape(-1, 2).astype(jnp.int32)
+        rix = bref.reshape(-1).astype(jnp.int32) if n > 1 else None
+        py = h264mc.qpel_mc(refs_y, jnp.asarray(blk_bx * 4),
+                            jnp.asarray(blk_by * 4),
+                            mvf[:, 0], mvf[:, 1], 4, rix)
+        pu = h264mc.chroma_mc(refs_u, jnp.asarray(blk_bx * 2),
+                              jnp.asarray(blk_by * 2),
+                              mvf[:, 0], mvf[:, 1], 2, rix)
+        pv = h264mc.chroma_mc(refs_v, jnp.asarray(blk_bx * 2),
+                              jnp.asarray(blk_by * 2),
+                              mvf[:, 0], mvf[:, 1], 2, rix)
+        return py, pu, pv
+
+    def blocks_to_mb_tiles(p, s):
+        """(bh4*bw4, s, s) -> (nmb, 16s/4, 16s/4) MB tiles."""
+        import jax.numpy as jnp
+        plane = (p.reshape(bh4, bw4, s, s).transpose(0, 2, 1, 3)
+                 .reshape(bh4 * s, bw4 * s))
+        t = 4 * s
+        return (plane.reshape(mb_h, t, mb_w, t).transpose(0, 2, 1, 3)
+                .reshape(nmb, t, t))
+
     def fn(intra, luma_mode, chroma_mode, mv, qp,
            luma_dc, luma_ac, chroma_dc, chroma_ac,
            ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
-           mv1=None, sel=None, ry1=None, ru1=None, rv1=None):
+           mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
+           bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None):
         intra16 = (intra & ~i4) if any_i4 else intra
         resid_y, resid_u, resid_v = residual_stage(
             intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
 
-        # inter prediction for all MBs
         xs = jnp.asarray(mbx_all * 16)
         ys = jnp.asarray(mby_all * 16)
-        mv32 = mv.astype(jnp.int32)
-        ridx = ref_idx.astype(jnp.int32) if nrefs > 1 else None
-        pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0], mv32[:, 1],
-                                      16, ridx)
         cxs = jnp.asarray(mbx_all * 8)
         cys = jnp.asarray(mby_all * 8)
-        pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0],
-                                        mv32[:, 1], 8, ridx)
-        pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0],
-                                        mv32[:, 1], 8, ridx)
-        if bpred:
+        if part:
+            # block-granular inter prediction (16 4x4 blocks per MB,
+            # each with its own mv/ref/list selection)
+            p0y, p0u, p0v = part_mc_list(ry, ru, rv, bmv0, bref0, nrefs)
+            if bpred:
+                p1y, p1u, p1v = part_mc_list(ry1, ru1, rv1, bmv1, bref1,
+                                             nrefs1)
+                s = bsel.reshape(-1).astype(jnp.int32)
+                sy = s[:, None, None]
+                p0y = jnp.where(sy == 0, p0y,
+                                jnp.where(sy == 1, p1y,
+                                          (p0y + p1y + 1) >> 1))
+                p0u = jnp.where(sy == 0, p0u,
+                                jnp.where(sy == 1, p1u,
+                                          (p0u + p1u + 1) >> 1))
+                p0v = jnp.where(sy == 0, p0v,
+                                jnp.where(sy == 1, p1v,
+                                          (p0v + p1v + 1) >> 1))
+            pred_inter_y = blocks_to_mb_tiles(p0y, 4)
+            pred_inter_u = blocks_to_mb_tiles(p0u, 2)
+            pred_inter_v = blocks_to_mb_tiles(p0v, 2)
+        else:
+            # inter prediction for all MBs
+            mv32 = mv.astype(jnp.int32)
+            ridx = ref_idx.astype(jnp.int32) if nrefs > 1 else None
+            pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0],
+                                          mv32[:, 1], 16, ridx)
+            pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0],
+                                            mv32[:, 1], 8, ridx)
+            pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0],
+                                            mv32[:, 1], 8, ridx)
+        if bpred and not part:
             # B slice: list-1 prediction + per-MB selection 0=L0 1=L1
             # 2=Bi (average, spec 8.4.2.3 default non-weighted)
             mv1_32 = mv1.astype(jnp.int32)
@@ -362,7 +417,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           ycap: int, ccap: int, crop=None,
                           deblock: bool = False, nrefs: int = 1,
                           db_offsets=(0, 0), any_i4: bool = False,
-                          bpred: bool = False):
+                          bpred: bool = False, part: bool = False,
+                          nrefs1: int = 1):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -373,12 +429,15 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     import jax.numpy as jnp
 
     nmb = mb_w * mb_h
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
+                              part, nrefs1)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
            ref_idx=None, i4=None, i4_modes=None,
-           mv1=None, sel=None, ry1=None, ru1=None, rv1=None):
+           mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
+           bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
+           pid0=None, pid1=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -387,15 +446,25 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
                                   ry, ru, rv, ref_idx=ref_idx, i4=i4,
                                   i4_modes=i4_modes, mv1=mv1, sel=sel,
-                                  ry1=ry1, ru1=ru1, rv1=rv1)
+                                  ry1=ry1, ru1=ru1, rv1=rv1,
+                                  bmv0=bmv0, bref0=bref0, bsel=bsel,
+                                  bmv1=bmv1, bref1=bref1)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
             db = deblock_frame_exact_jit(mb_w, mb_h, db_offsets[0],
-                                         db_offsets[1])
-            yp, up, vp = db(
-                planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),
-                planes[2].astype(jnp.int32), intra, qp, nnz, mv)
+                                         db_offsets[1], part=part)
+            if part:
+                yp, up, vp = db(
+                    planes[0].astype(jnp.int32),
+                    planes[1].astype(jnp.int32),
+                    planes[2].astype(jnp.int32), intra, qp, nnz,
+                    bmv0, pid0, bmv1, pid1)
+            else:
+                yp, up, vp = db(
+                    planes[0].astype(jnp.int32),
+                    planes[1].astype(jnp.int32),
+                    planes[2].astype(jnp.int32), intra, qp, nnz, mv)
             yp = yp.astype(jnp.uint8)
             up = up.astype(jnp.uint8)
             vp = vp.astype(jnp.uint8)

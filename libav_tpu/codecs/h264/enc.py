@@ -32,7 +32,89 @@ from libav_tpu.codecs.h264.device import (_BLK_XY as _BLK_XY_DEV,
                                           CHROMA_QP,
                                           recon_h264_deblock_jit,
                                           recon_h264_jit, zero_refs_h264)
-from libav_tpu.codecs.h264.mvpred import pred_mv_16x16, pred_pskip
+from libav_tpu.codecs.h264 import part
+
+
+class _UniformPlan:
+    """16x16 per-MB coding plan for the shared inter walk."""
+
+    def __init__(self, mv0, mv1=None, ref0=0, ref1=0):
+        self.m = (mv0, mv1)
+        self.r = (ref0, ref1)
+        self.subs = None
+
+    def mv(self, lst, bx, by):
+        m = self.m[lst]
+        return (int(m[0]), int(m[1]))
+
+    def ref(self, lst, bx, by):
+        return self.r[lst]
+
+
+class _CavlcWriter:
+    """Encoder-side rd for part.code_inter_mb over a PutBits stream."""
+
+    def __init__(self, pb, plan):
+        self.pb = pb
+        self.plan = plan
+        self._q = 0
+
+    def _sub(self):
+        v = self.plan.subs[self._q]
+        self._q += 1
+        self.pb.put_ue_golomb(v)
+        return v
+
+    sub_mb_type_p = _sub
+    sub_mb_type_b = _sub
+
+    def ref_idx(self, lst, bx, by, nref):
+        v = self.plan.ref(lst, bx, by)
+        if nref == 2:
+            self.pb.put_bits(1, 1 - v)           # te(v)
+        else:
+            self.pb.put_ue_golomb(v)
+        return v
+
+    def motion(self, lst, bx, by, pred):
+        mv = self.plan.mv(lst, bx, by)
+        mvd = (mv[0] - pred[0], mv[1] - pred[1])
+        self.pb.put_se_golomb(mvd[0])
+        self.pb.put_se_golomb(mvd[1])
+        return mv, mvd
+
+
+class _CabacWriter:
+    """Encoder-side rd for part.code_inter_mb over a CabacMbLayer."""
+
+    def __init__(self, layer, plan):
+        self.layer = layer
+        self.plan = plan
+        self._q = 0
+
+    def sub_mb_type_p(self):
+        v = self.plan.subs[self._q]
+        self._q += 1
+        self.layer.sub_mb_type_p(v)
+        return v
+
+    def sub_mb_type_b(self):
+        v = self.plan.subs[self._q]
+        self._q += 1
+        self.layer.sub_mb_type_b(v)
+        return v
+
+    def ref_idx(self, lst, bx, by, nref):
+        v = self.plan.ref(lst, bx, by)
+        self.layer.ref_idx(lst, bx, by, nref, value=v)
+        return v
+
+    def motion(self, lst, bx, by, pred):
+        mv = self.plan.mv(lst, bx, by)
+        mvd = (mv[0] - pred[0], mv[1] - pred[1])
+        self.layer.mvd(lst, bx, by, 0, value=mvd[0])
+        self.layer.mvd(lst, bx, by, 1, value=mvd[1])
+        return mv, mvd
 
 _INTER_CBP_TO_GOLOMB = {cbp: i for i, cbp in enumerate(GOLOMB_TO_INTER_CBP)}
 from libav_tpu.codecs.h264.dec import GOLOMB_TO_INTRA_CBP, pred_i4_mode
@@ -979,7 +1061,7 @@ class H264Encoder(Encoder):
         _, (wave_idx, wave_mask) = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
         ydc_w, yac_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o) for o in outs]
         # un-wave: scatter back to MB order
-        fd = FrameData(nmb)
+        fd = FrameData(nmb, self.mb_w, self.mb_h)
         fd.intra[:] = True
         fd.luma_mode[:] = 2
         fd.chroma_mode[:] = 0
@@ -1032,7 +1114,7 @@ class H264Encoder(Encoder):
                                                   self.qp)
         modes_w, lv_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o)
                                                      for o in outs]
-        fd = FrameData(nmb)
+        fd = FrameData(nmb, self.mb_w, self.mb_h)
         fd.intra[:] = True
         fd.i4[:] = True
         fd.chroma_mode[:] = 0
@@ -1076,7 +1158,7 @@ class H264Encoder(Encoder):
                 ridx=None, nrefs: int = 1) -> bytes:
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
-        fd = FrameData(nmb)
+        fd = FrameData(nmb, self.mb_w, self.mb_h)
         fd.mv = mv.astype(np.int32)
         if ridx is not None:
             fd.ref_idx = ridx.astype(np.int32)
@@ -1098,7 +1180,7 @@ class H264Encoder(Encoder):
     def _pack_b(self, sel, mv0, mv1, luma_lv, udc, uac, vdc, vac) -> bytes:
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
-        fd = FrameData(nmb)
+        fd = FrameData(nmb, self.mb_w, self.mb_h)
         fd.sel = sel.astype(np.int8)
         fd.mv = mv0.astype(np.int32)
         fd.mv1 = mv1.astype(np.int32)
@@ -1135,7 +1217,7 @@ class H264Encoder(Encoder):
         mc = cb.MbCtx(mb_w, mb_h)
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
-                                0)
+                                0, grids=fd.grids)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
         i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
@@ -1187,26 +1269,10 @@ class H264Encoder(Encoder):
                 layer.mb_skip(i, 0)
                 layer.mb_type_b(i, 1 + sel)
                 mc.slice_id[i] = 0
-                if sel in (0, 2):
-                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l0, cur_ref=0)
-                    mvdx = int(fd.mv[i][0]) - px
-                    mvdy = int(fd.mv[i][1]) - py
-                    layer.mvd(i, 0, mvdx, lst=0)
-                    layer.mvd(i, 1, mvdy, lst=0)
-                    mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
-                    fd.ref_l0[i] = 0
-                if sel in (1, 2):
-                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l1, cur_ref=0)
-                    mvdx = int(fd.mv1[i][0]) - px
-                    mvdy = int(fd.mv1[i][1]) - py
-                    layer.mvd(i, 0, mvdx, lst=1)
-                    layer.mvd(i, 1, mvdy, lst=1)
-                    mc.mvd[i, 1] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
-                    fd.ref_l1[i] = 0
+                fd.grids.slice_id[i] = 0
+                part.code_inter_mb(
+                    _CabacWriter(layer, _UniformPlan(fd.mv[i], fd.mv1[i])),
+                    fd, i, mb_x, mb_y, True, 1 + sel, 1, 1, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1227,14 +1293,15 @@ class H264Encoder(Encoder):
                 has_cdc = np.any(fd.chroma_dc[i])
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
-                skip_mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
-                                     mb_w, refs=fd.ref_idx)
+                skip_mv = part.pred_pskip(fd.grids, mb_x, mb_y, 0)
                 is_skip = (cbp_luma == 0 and cbp_chroma == 0 and
                            int(fd.ref_idx[i]) == 0 and
                            tuple(fd.mv[i]) == skip_mv)
                 layer.mb_skip(i, 1 if is_skip else 0)
                 if is_skip:
                     mc.slice_id[i] = 0
+                    fd.grids.slice_id[i] = 0
+                    part.pskip_mb_motion(fd, i, mb_x, mb_y, 0)
                     mc.skip[i] = True
                     layer.last_dqp = 0
                     fd.coded[i] = True
@@ -1243,18 +1310,11 @@ class H264Encoder(Encoder):
                 layer.mb_type_p_is_intra(0)
                 layer.mb_type_p_inter(0)          # P_L0_16x16
                 mc.slice_id[i] = 0
+                fd.grids.slice_id[i] = 0
                 ref = int(fd.ref_idx[i])
-                if nrefs > 1:
-                    layer.ref_idx(i, ref)
-                mc.ref[i, 0] = ref
-                px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
-                                       mb_y, mb_w, refs=fd.ref_idx,
-                                       cur_ref=ref)
-                mvdx = int(fd.mv[i][0]) - px
-                mvdy = int(fd.mv[i][1]) - py
-                layer.mvd(i, 0, mvdx)
-                layer.mvd(i, 1, mvdy)
-                mc.mvd[i, 0] = (min(abs(mvdx), 70), min(abs(mvdy), 70))
+                part.code_inter_mb(
+                    _CabacWriter(layer, _UniformPlan(fd.mv[i], ref0=ref)),
+                    fd, i, mb_x, mb_y, False, 0, nrefs, 0, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1275,6 +1335,8 @@ class H264Encoder(Encoder):
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
                 mc.slice_id[i] = 0
                 mc.intra[i] = True
+                fd.grids.slice_id[i] = 0
+                fd.grids.set_intra(mb_x, mb_y)
                 layer.mb_type_intra(i, (0, 0, 0, 0))
                 for b in range(16):
                     gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
@@ -1301,6 +1363,8 @@ class H264Encoder(Encoder):
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
                 mc.slice_id[i] = 0
                 mc.intra[i] = True
+                fd.grids.slice_id[i] = 0
+                fd.grids.set_intra(mb_x, mb_y)
                 layer.mb_type_intra(i, (1, cbp_luma15, cbp_chroma,
                                         int(fd.luma_mode[i])))
                 mc.intra16[i] = True
@@ -1347,20 +1411,10 @@ class H264Encoder(Encoder):
                 sel = int(fd.sel[i])
                 pb.put_ue_golomb(0)              # mb_skip_run (no B_Skip)
                 pb.put_ue_golomb(1 + sel)        # B_L0/L1/Bi_16x16
-                if sel in (0, 2):
-                    px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l0, cur_ref=0)
-                    pb.put_se_golomb(int(fd.mv[i][0]) - px)
-                    pb.put_se_golomb(int(fd.mv[i][1]) - py)
-                    fd.ref_l0[i] = 0
-                if sel in (1, 2):
-                    px, py = pred_mv_16x16(fd.mv1, fd.intra, fd.coded,
-                                           mb_x, mb_y, mb_w,
-                                           refs=fd.ref_l1, cur_ref=0)
-                    pb.put_se_golomb(int(fd.mv1[i][0]) - px)
-                    pb.put_se_golomb(int(fd.mv1[i][1]) - py)
-                    fd.ref_l1[i] = 0
+                fd.grids.slice_id[i] = 0
+                part.code_inter_mb(
+                    _CavlcWriter(pb, _UniformPlan(fd.mv[i], fd.mv1[i])),
+                    fd, i, mb_x, mb_y, True, 1 + sel, 1, 1, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
                 if cbp:
@@ -1378,29 +1432,24 @@ class H264Encoder(Encoder):
                 has_cdc = np.any(fd.chroma_dc[i])
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
-                skip_mv = pred_pskip(fd.mv, fd.intra, fd.coded, mb_x, mb_y,
-                                     mb_w, refs=fd.ref_idx)
+                skip_mv = part.pred_pskip(fd.grids, mb_x, mb_y, 0)
                 if cbp_luma == 0 and cbp_chroma == 0 and \
                         int(fd.ref_idx[i]) == 0 and \
                         tuple(fd.mv[i]) == skip_mv:
                     skip_run += 1
+                    fd.grids.slice_id[i] = 0
+                    part.pskip_mb_motion(fd, i, mb_x, mb_y, 0)
                     fd.coded[i] = True
                     self._zero_nnz(nnz_y, nnz_u, nnz_v, mb_x, mb_y)
                     continue
                 pb.put_ue_golomb(skip_run)
                 skip_run = 0
                 pb.put_ue_golomb(0)              # mb_type P_L0_16x16
-                if nrefs > 1:
-                    ref = int(fd.ref_idx[i])
-                    if nrefs == 2:
-                        pb.put_bits(1, 1 - ref)  # te(v), max 1
-                    else:
-                        pb.put_ue_golomb(ref)
-                px, py = pred_mv_16x16(fd.mv, fd.intra, fd.coded, mb_x,
-                                       mb_y, mb_w, refs=fd.ref_idx,
-                                       cur_ref=int(fd.ref_idx[i]))
-                pb.put_se_golomb(int(fd.mv[i][0]) - px)
-                pb.put_se_golomb(int(fd.mv[i][1]) - py)
+                fd.grids.slice_id[i] = 0
+                part.code_inter_mb(
+                    _CavlcWriter(pb, _UniformPlan(fd.mv[i],
+                                                  ref0=int(fd.ref_idx[i]))),
+                    fd, i, mb_x, mb_y, False, 0, nrefs, 0, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
                 if cbp:

@@ -230,13 +230,19 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=32)
 def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
-                            b_off: int = 0):
+                            b_off: int = 0, part: bool = False):
     """Returns fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb) -> planes.
 
     yp (H, W) int32, up/vp (H/2, W/2) int32;
     intra_mb (nmb,) bool; qp_mb (nmb,) int32; nnz4 (4mb_h, 4mb_w) int;
-    mv_mb (nmb, 2) int32 (quarter-pel, per MB — refined to per-4x4 when
-    sub-MB partitions land).
+    mv_mb (nmb, 2) int32 (quarter-pel, per MB).
+
+    With part=True the motion inputs are block-granular and two-list:
+    fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv4_0, pid0, mv4_1, pid1)
+    where mv4_* are (4mb_h, 4mb_w, 2) quarter-pel grids and pid* hold a
+    per-block *picture id* (-1 = list unused) so the bS "different
+    reference pictures" rule (spec 8.7.2.1) compares actual pictures,
+    including the L0/L1-swapped bipred case.
     """
     import jax
     import jax.numpy as jnp
@@ -277,37 +283,57 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
     r16 = np.arange(16)
     r8 = np.arange(8)
 
-    def build_bs(intra4, nnz4, mv4, ref4):
-        """(bs_v, bs_h) (bh, bw) int32 — spec 8.7.2.1 (progressive)."""
+    def build_bs(intra4, nnz4, m0, p0, m1, p1):
+        """(bs_v, bs_h) (bh, bw) int32 — spec 8.7.2.1 (progressive).
+        bS=1 unless the two sides use the same reference pictures with
+        all matched-list MV deltas < 4 quarter-pel (either the straight
+        L0/L0+L1/L1 matching or the swapped L0/L1+L1/L0 one)."""
         def bs_dir(shift_axis):
             ip = jnp.roll(intra4, 1, axis=shift_axis)
             np_ = jnp.roll(nnz4, 1, axis=shift_axis)
-            mp = jnp.roll(mv4, 1, axis=shift_axis)
-            rp = jnp.roll(ref4, 1, axis=shift_axis)
+            m0r = jnp.roll(m0, 1, axis=shift_axis)
+            m1r = jnp.roll(m1, 1, axis=shift_axis)
+            p0r = jnp.roll(p0, 1, axis=shift_axis)
+            p1r = jnp.roll(p1, 1, axis=shift_axis)
             idx = (jnp.arange(bw)[None, :] if shift_axis == 1
                    else jnp.arange(bh)[:, None])
             mbedge = (idx % 4) == 0
             either_intra = intra4 | ip
             coded = (nnz4 > 0) | (np_ > 0)
-            mvd = (jnp.abs(mv4 - mp) >= 4).any(-1) | (ref4 != rp)
+            small = lambda a, b: (jnp.abs(a - b) < 4).all(-1)
+            straight = (p0 == p0r) & (p1 == p1r) & \
+                small(m0, m0r) & small(m1, m1r)
+            cross = (p0 == p1r) & (p1 == p0r) & \
+                small(m0, m1r) & small(m1, m0r)
             bs = jnp.where(either_intra,
                            jnp.where(mbedge, 4, 3),
-                           jnp.where(coded, 2, jnp.where(mvd, 1, 0)))
+                           jnp.where(coded, 2,
+                                     jnp.where(straight | cross, 0, 1)))
             return jnp.where(idx == 0, 0, bs)
         return bs_dir(1), bs_dir(0)
 
-    def fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb):
+    def fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb, pid0=None,
+           mv4_1=None, pid1=None):
         intra4 = jnp.repeat(jnp.repeat(
             intra_mb.reshape(mb_h, mb_w), 4, 0), 4, 1)
         qp4 = jnp.repeat(jnp.repeat(
             jnp.clip(qp_mb.astype(jnp.int32), 0, 51)
             .reshape(mb_h, mb_w), 4, 0), 4, 1)
-        mv4 = jnp.repeat(jnp.repeat(
-            mv_mb.astype(jnp.int32).reshape(mb_h, mb_w, 2), 4, 0), 4, 1)
-        ref4 = jnp.zeros((bh, bw), jnp.int32)
+        if part:
+            m0 = mv_mb.astype(jnp.int32)
+            p0 = pid0.astype(jnp.int32)
+            m1 = mv4_1.astype(jnp.int32)
+            p1 = pid1.astype(jnp.int32)
+        else:
+            m0 = jnp.repeat(jnp.repeat(
+                mv_mb.astype(jnp.int32).reshape(mb_h, mb_w, 2), 4, 0),
+                4, 1)
+            p0 = jnp.zeros((bh, bw), jnp.int32)
+            m1 = jnp.zeros((bh, bw, 2), jnp.int32)
+            p1 = jnp.full((bh, bw), -1, jnp.int32)
         nnz4 = nnz4.astype(jnp.int32)
 
-        bs_v, bs_h = build_bs(intra4, nnz4, mv4, ref4)
+        bs_v, bs_h = build_bs(intra4, nnz4, m0, p0, m1, p1)
         qp_v = (qp4 + jnp.roll(qp4, 1, axis=1) + 1) >> 1
         qp_h = (qp4 + jnp.roll(qp4, 1, axis=0) + 1) >> 1
         cqp = jnp.asarray(CHROMA_QP)
