@@ -310,6 +310,15 @@ class H264Decoder(Decoder):
                 raise AVError(INVALIDDATA, "ref list modification unsupported")
             if slice_type == SLICE_B and gb.get_bits(1):
                 raise AVError(INVALIDDATA, "ref list modification unsupported")
+        # pred_weight_table (spec 7.3.3.2; reference h264_parse.c
+        # ff_h264_pred_weight_table)
+        self._weights = None
+        if (pps.weighted_pred and slice_type == SLICE_P) or \
+                (pps.weighted_bipred_idc == 1 and slice_type == SLICE_B):
+            self._weights = self._parse_weight_table(
+                gb, num_ref_l0, num_ref_l1 if slice_type == SLICE_B else 0)
+        elif pps.weighted_bipred_idc == 2 and slice_type == SLICE_B:
+            self._weights = "implicit"
         # dec_ref_pic_marking (only present for reference pictures)
         if idr:
             gb.get_bits(1)                       # no_output_of_prior_pics
@@ -779,6 +788,52 @@ class H264Decoder(Decoder):
 
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _parse_weight_table(gb, nref0, nref1):
+        """pred_weight_table (7.3.3.2). Returns (luma_denom,
+        chroma_denom, wtab) with wtab[lst] an (nref, 3, 2) int array of
+        [y,u,v][weight, offset]."""
+        dy = gb.get_ue_golomb()
+        dc = gb.get_ue_golomb()
+        if dy > 7 or dc > 7:
+            raise AVError(INVALIDDATA, "bad weight denom")
+        tabs = []
+        for nref in (nref0, nref1):
+            t = np.zeros((max(nref, 1), 3, 2), dtype=np.int32)
+            t[:, 0, 0] = 1 << dy
+            t[:, 1, 0] = t[:, 2, 0] = 1 << dc
+            for r in range(nref):
+                if gb.get_bits(1):               # luma_weight_flag
+                    t[r, 0, 0] = gb.get_se_golomb()
+                    t[r, 0, 1] = gb.get_se_golomb()
+                if gb.get_bits(1):               # chroma_weight_flag
+                    for c in (1, 2):
+                        t[r, c, 0] = gb.get_se_golomb()
+                        t[r, c, 1] = gb.get_se_golomb()
+            tabs.append(t)
+        return (dy, dc, tabs)
+
+    @staticmethod
+    def _implicit_w0(cur_poc, list0, list1):
+        """Implicit bipred weight table (8.4.2.3.2; reference
+        h264_slice.c implicit_weight_table): w0[r0, r1] with
+        w1 = 64 - w0, logWD = 5."""
+        n0, n1 = max(len(list0), 1), max(len(list1), 1)
+        w0 = np.full((n0, n1), 32, dtype=np.int32)
+        clip8 = lambda v: max(-128, min(127, v))
+        for i0, e0 in enumerate(list0):
+            for i1, e1 in enumerate(list1):
+                td = clip8(e1.poc - e0.poc)
+                if td == 0:
+                    continue
+                tb = clip8(cur_poc - e0.poc)
+                num = 16384 + (abs(td) >> 1)
+                tx = num // td if td > 0 else -(num // -td)
+                dsf = (tb * tx + 32) >> 8
+                if -64 <= dsf <= 128:
+                    w0[i0, i1] = 64 - dsf
+        return w0
+
     def _col_motion(self, fd):
         """Merged (refIdxCol, mvCol) grids saved with reference frames
         for spatial-direct colZeroFlag (spec 8.4.1.2.2: list0 motion if
@@ -813,6 +868,17 @@ class H264Decoder(Decoder):
         g = fd.grids
         deblock = bool(getattr(self, "_deblock", False))
         part_mode = bool(g is not None and g.any_part)
+        weights = getattr(self, "_weights", None)
+        if weights == "implicit" and not bpred:
+            weights = None
+        if weights is not None:
+            # weighted prediction is applied per block: force the
+            # block-granular path
+            part_mode = True
+        if deblock and bpred:
+            # B deblock always runs block-granular: bS needs both lists'
+            # refs/MVs (spec 8.7.2.1)
+            part_mode = True
         if deblock and multi and not part_mode:
             # the block-granular path carries real per-block reference
             # ids, which the multi-ref bS rule needs (spec 8.7.2.1)
@@ -900,7 +966,11 @@ class H264Decoder(Decoder):
                                    db_offsets=getattr(self, "_ab_offset",
                                                       (0, 0)),
                                    any_i4=any_i4, bpred=bpred,
-                                   part=part_mode, nrefs1=nrefs1)
+                                   part=part_mode, nrefs1=nrefs1,
+                                   weighted=(
+                                       "i" if weights == "implicit" else
+                                       ("e", weights[0], weights[1])
+                                       if weights is not None else None))
         kw = {}
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
@@ -941,6 +1011,17 @@ class H264Decoder(Decoder):
                     -1).astype(np.int8)
                 if not bpred:
                     kw["bmv1"] = np.zeros_like(g.bmv[1], dtype=np.int16)
+            if weights == "implicit":
+                w0 = self._implicit_w0(
+                    poc if poc is not None else 0, list0[:nrefs],
+                    list1[:nrefs1])
+                full = np.full((nrefs, nrefs1), 32, np.int32)
+                full[:w0.shape[0], :w0.shape[1]] = w0
+                kw["w0tab"] = full
+            elif weights is not None:
+                kw["wtab0"] = weights[2][0][:nrefs].astype(np.int32)
+                if bpred:
+                    kw["wtab1"] = weights[2][1][:nrefs1].astype(np.int32)
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),

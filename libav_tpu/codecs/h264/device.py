@@ -53,7 +53,7 @@ def _dequant_tables():
 def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    nrefs: int = 1, any_i4: bool = False,
                    bpred: bool = False, part: bool = False,
-                   nrefs1: int = 1):
+                   nrefs1: int = 1, weighted=None):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -210,7 +210,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
            luma_dc, luma_ac, chroma_dc, chroma_ac,
            ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
-           bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None):
+           bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
+           wtab0=None, wtab1=None, w0tab=None):
         intra16 = (intra & ~i4) if any_i4 else intra
         resid_y, resid_u, resid_v = residual_stage(
             intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
@@ -223,11 +224,65 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
             # block-granular inter prediction (16 4x4 blocks per MB,
             # each with its own mv/ref/list selection)
             p0y, p0u, p0v = part_mc_list(ry, ru, rv, bmv0, bref0, nrefs)
+            r0 = bref0.reshape(-1).astype(jnp.int32)
             if bpred:
                 p1y, p1u, p1v = part_mc_list(ry1, ru1, rv1, bmv1, bref1,
                                              nrefs1)
+                r1 = bref1.reshape(-1).astype(jnp.int32)
                 s = bsel.reshape(-1).astype(jnp.int32)
                 sy = s[:, None, None]
+            if weighted is not None and weighted[0] == "e":
+                # explicit weighted prediction (spec 8.4.2.3.3)
+                dy_, dc_ = weighted[1], weighted[2]
+
+                def wuni(p, w, o, d):
+                    w = w[:, None, None]
+                    o = o[:, None, None]
+                    v = ((p * w + (1 << (d - 1))) >> d) + o if d \
+                        else p * w + o
+                    return jnp.clip(v, 0, 255)
+
+                def wbi(p0, w0, o0, p1, w1, o1, d):
+                    v = ((p0 * w0[:, None, None] + p1 * w1[:, None, None]
+                          + (1 << d)) >> (d + 1)) + \
+                        ((o0 + o1 + 1) >> 1)[:, None, None]
+                    return jnp.clip(v, 0, 255)
+
+                outs = []
+                for pl, (q0, q1) in enumerate(
+                        ((p0y, p1y if bpred else None),
+                         (p0u, p1u if bpred else None),
+                         (p0v, p1v if bpred else None))):
+                    d = dy_ if pl == 0 else dc_
+                    w0 = wtab0[r0, pl, 0]
+                    o0 = wtab0[r0, pl, 1]
+                    u0 = wuni(q0, w0, o0, d)
+                    if bpred:
+                        w1 = wtab1[r1, pl, 0]
+                        o1 = wtab1[r1, pl, 1]
+                        u1 = wuni(q1, w1, o1, d)
+                        bi = wbi(q0, w0, o0, q1, w1, o1, d)
+                        outs.append(jnp.where(sy == 0, u0,
+                                              jnp.where(sy == 1, u1, bi)))
+                    else:
+                        outs.append(u0)
+                p0y, p0u, p0v = outs
+            elif weighted == "i" and bpred:
+                # implicit bipred weights (8.4.2.3.2), logWD=5; uni-pred
+                # stays unweighted
+                w0 = w0tab[r0, r1][:, None, None]
+                w1 = 64 - w0
+
+                def ibi(p0, p1):
+                    return jnp.clip((p0 * w0 + p1 * w1 + 32) >> 6, 0, 255)
+
+                p0y = jnp.where(sy == 0, p0y,
+                                jnp.where(sy == 1, p1y, ibi(p0y, p1y)))
+                p0u = jnp.where(sy == 0, p0u,
+                                jnp.where(sy == 1, p1u, ibi(p0u, p1u)))
+                p0v = jnp.where(sy == 0, p0v,
+                                jnp.where(sy == 1, p1v, ibi(p0v, p1v)))
+            elif bpred:
                 p0y = jnp.where(sy == 0, p0y,
                                 jnp.where(sy == 1, p1y,
                                           (p0y + p1y + 1) >> 1))
@@ -418,7 +473,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           deblock: bool = False, nrefs: int = 1,
                           db_offsets=(0, 0), any_i4: bool = False,
                           bpred: bool = False, part: bool = False,
-                          nrefs1: int = 1):
+                          nrefs1: int = 1, weighted=None):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -430,14 +485,14 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 
     nmb = mb_w * mb_h
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
-                              part, nrefs1)
+                              part, nrefs1, weighted)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
            ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
-           pid0=None, pid1=None):
+           pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -448,7 +503,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   i4_modes=i4_modes, mv1=mv1, sel=sel,
                                   ry1=ry1, ru1=ru1, rv1=rv1,
                                   bmv0=bmv0, bref0=bref0, bsel=bsel,
-                                  bmv1=bmv1, bref1=bref1)
+                                  bmv1=bmv1, bref1=bref1, wtab0=wtab0,
+                                  wtab1=wtab1, w0tab=w0tab)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE

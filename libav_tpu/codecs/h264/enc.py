@@ -51,6 +51,71 @@ class _UniformPlan:
         return self.r[lst]
 
 
+class _JitterPlan(_UniformPlan):
+    """Stress-mode plan: the base MV plus a small deterministic offset
+    per covered block position, so every partition of the MB carries a
+    distinct motion vector (exercises per-block MC, mvd coding, and
+    partition MV prediction end to end)."""
+
+    def __init__(self, mv0, mv1=None, ref0=0, ref1=0, subs=None, seed=0,
+                 nref0=1):
+        super().__init__(mv0, mv1, ref0, ref1)
+        self.subs = subs
+        self.seed = seed
+        self.nref0 = nref0
+
+    def mv(self, lst, bx, by):
+        m = self.m[lst]
+        ox = ((bx & 3) * 2 + (by & 3) + self.seed) % 5 - 2
+        oy = ((bx & 3) + (by & 3) * 2 + self.seed + lst) % 5 - 2
+        return (int(m[0]) + ox, int(m[1]) + oy)
+
+    def ref(self, lst, bx, by):
+        if lst == 0 and self.nref0 > 1:
+            return (((bx >> 1) & 1) + ((by >> 1) & 1) + self.seed) \
+                % self.nref0
+        return self.r[lst]
+
+
+def _stress_p(i, fd, nref0):
+    """Cycle P partition shapes per MB (conformance-stream generator).
+    Returns (mb_type, plan)."""
+    r = i % 6
+    base = fd.mv[i]
+    if r == 0 or r == 3:
+        return 0, _UniformPlan(base, ref0=int(fd.ref_idx[i]))
+    if r == 1:
+        return 1, _JitterPlan(base, seed=i, nref0=nref0)        # 16x8
+    if r == 2:
+        return 2, _JitterPlan(base, seed=i, nref0=nref0)        # 8x16
+    subs = [(i + q) % 4 for q in range(4)]                      # P_8x8
+    return 3, _JitterPlan(base, subs=subs, seed=i, nref0=nref0)
+
+
+def _stress_b(i, fd):
+    """Cycle B mb_types incl. direct, two-partition shapes with every
+    list combination, and B_8x8 with direct/L0/L1/Bi subs.
+    Returns (mb_type, plan)."""
+    r = i % 9
+    sel = int(fd.sel[i])
+    base0, base1 = fd.mv[i], fd.mv1[i]
+    if r == 0:
+        return 0, _UniformPlan(base0, base1)                    # direct
+    if r in (1, 2, 3):
+        return 1 + sel, _UniformPlan(base0, base1)
+    if r == 4:
+        return 4, _JitterPlan(base0, base1, seed=i)    # 16x8 L0,L0
+    if r == 5:
+        return 9, _JitterPlan(base0, base1, seed=i)    # 8x16 L0,L1
+    if r == 6:
+        return 20, _JitterPlan(base0, base1, seed=i)   # 16x8 Bi,Bi
+    if r == 7:
+        subs = [0, 1, 2, 3]                            # direct/L0/L1/Bi
+        return 22, _JitterPlan(base0, base1, subs=subs, seed=i)
+    subs = [4 + (i + q) % 9 for q in range(4)]         # 8x4..4x4 shapes
+    return 22, _JitterPlan(base0, base1, subs=subs, seed=i)
+
+
 class _CavlcWriter:
     """Encoder-side rd for part.code_inter_mb over a PutBits stream."""
 
@@ -789,6 +854,14 @@ class H264Encoder(Encoder):
                "decision", "int", 0, 0, 1),
         Option("b_frames", "max B frames between references", "int",
                0, 0, 2),
+        Option("weightp", "explicit weighted prediction for P slices "
+               "(pred_weight_table)", "int", 0, 0, 1),
+        Option("weightb", "B weighted prediction: off, explicit or "
+               "implicit", "string", "off"),
+        Option("parts", "partition mode: off or all (cycle every "
+               "16x8/8x16/8x8 partition and sub-partition shape, plus "
+               "B direct/skip — conformance-stream generator)",
+               "string", "off"),
     ]
     CAPABILITIES = ("delay",)
 
@@ -815,6 +888,11 @@ class H264Encoder(Encoder):
         self.pps = sets.PPS()
         self.pps.entropy_coding_mode = 1 if self.cabac else 0
         self.pps.pic_init_qp = self.qp
+        if self.weightb not in ("off", "explicit", "implicit"):
+            raise AVError(EINVAL, f"h264: bad weightb {self.weightb}")
+        self.pps.weighted_pred = 1 if self.weightp else 0
+        self.pps.weighted_bipred_idc = {"off": 0, "explicit": 1,
+                                        "implicit": 2}[self.weightb]
         self._frame_idx = 0     # display index of next input frame
         self._fn = 0            # frame_num (increments on refs only)
         self._idr_disp = 0      # display idx of the last IDR (POC base)
@@ -830,8 +908,8 @@ class H264Encoder(Encoder):
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
         if self.b_frames:
-            if self.deblock or self.refs > 1:
-                raise AVError(EINVAL, "h264: b_frames with deblock/refs>1 "
+            if self.refs > 1:
+                raise AVError(EINVAL, "h264: b_frames with refs>1 "
                                       "not supported yet")
             self.sps.poc_type = 0    # display order != decode order
             self.sps.log2_max_poc_lsb = 8
@@ -1031,6 +1109,25 @@ class H264Encoder(Encoder):
             pb.put_bits(1, 0)                    # ref list modification l0
             if slice_type == SLICE_B:
                 pb.put_bits(1, 0)                # ref list modification l1
+        if (self.pps.weighted_pred and slice_type == SLICE_P) or \
+                (self.pps.weighted_bipred_idc == 1 and
+                 slice_type == SLICE_B):
+            # pred_weight_table (7.3.3.2): near-identity weights with
+            # per-ref variation, so weighting is exercised without
+            # destabilizing the open-loop P chain
+            pb.put_ue_golomb(6)                  # luma denom
+            pb.put_ue_golomb(5)                  # chroma denom
+            nlists = 2 if slice_type == SLICE_B else 1
+            for lst in range(nlists):
+                n = nrefs if lst == 0 else 1
+                for r in range(n):
+                    pb.put_bits(1, 1)
+                    pb.put_se_golomb(64 - 4 * r - 2 * lst)  # luma w
+                    pb.put_se_golomb(2 * r - lst)           # luma o
+                    pb.put_bits(1, 1)
+                    for c in range(2):
+                        pb.put_se_golomb(30 + 3 * r + c)    # chroma w
+                        pb.put_se_golomb(1 - c)             # chroma o
         if idr:
             pb.put_bits(1, 0)
             pb.put_bits(1, 0)
@@ -1266,13 +1363,19 @@ class H264Encoder(Encoder):
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
                 sel = int(fd.sel[i])
+                if self.parts == "all":
+                    btype, plan = _stress_b(i, fd)
+                else:
+                    btype, plan = 1 + sel, _UniformPlan(fd.mv[i],
+                                                        fd.mv1[i])
                 layer.mb_skip(i, 0)
-                layer.mb_type_b(i, 1 + sel)
+                layer.mb_type_b(i, btype)
                 mc.slice_id[i] = 0
+                mc.direct[i] = btype == 0
                 fd.grids.slice_id[i] = 0
                 part.code_inter_mb(
-                    _CabacWriter(layer, _UniformPlan(fd.mv[i], fd.mv1[i])),
-                    fd, i, mb_x, mb_y, True, 1 + sel, 1, 1, 0, None)
+                    _CabacWriter(layer, plan),
+                    fd, i, mb_x, mb_y, True, btype, 1, 1, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1308,13 +1411,17 @@ class H264Encoder(Encoder):
                     layer.end_of_slice(0 if i < nmb - 1 else 1)
                     continue
                 layer.mb_type_p_is_intra(0)
-                layer.mb_type_p_inter(0)          # P_L0_16x16
+                if self.parts == "all":
+                    ptype, plan = _stress_p(i, fd, nrefs)
+                else:
+                    ptype, plan = 0, _UniformPlan(fd.mv[i],
+                                                  ref0=int(fd.ref_idx[i]))
+                layer.mb_type_p_inter(ptype)
                 mc.slice_id[i] = 0
                 fd.grids.slice_id[i] = 0
-                ref = int(fd.ref_idx[i])
                 part.code_inter_mb(
-                    _CabacWriter(layer, _UniformPlan(fd.mv[i], ref0=ref)),
-                    fd, i, mb_x, mb_y, False, 0, nrefs, 0, 0, None)
+                    _CabacWriter(layer, plan),
+                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1409,12 +1516,17 @@ class H264Encoder(Encoder):
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
                 sel = int(fd.sel[i])
+                if self.parts == "all":
+                    btype, plan = _stress_b(i, fd)
+                else:
+                    btype, plan = 1 + sel, _UniformPlan(fd.mv[i],
+                                                        fd.mv1[i])
                 pb.put_ue_golomb(0)              # mb_skip_run (no B_Skip)
-                pb.put_ue_golomb(1 + sel)        # B_L0/L1/Bi_16x16
+                pb.put_ue_golomb(btype)
                 fd.grids.slice_id[i] = 0
                 part.code_inter_mb(
-                    _CavlcWriter(pb, _UniformPlan(fd.mv[i], fd.mv1[i])),
-                    fd, i, mb_x, mb_y, True, 1 + sel, 1, 1, 0, None)
+                    _CavlcWriter(pb, plan),
+                    fd, i, mb_x, mb_y, True, btype, 1, 1, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
                 if cbp:
@@ -1444,12 +1556,16 @@ class H264Encoder(Encoder):
                     continue
                 pb.put_ue_golomb(skip_run)
                 skip_run = 0
-                pb.put_ue_golomb(0)              # mb_type P_L0_16x16
+                if self.parts == "all":
+                    ptype, plan = _stress_p(i, fd, nrefs)
+                else:
+                    ptype, plan = 0, _UniformPlan(fd.mv[i],
+                                                  ref0=int(fd.ref_idx[i]))
+                pb.put_ue_golomb(ptype)
                 fd.grids.slice_id[i] = 0
                 part.code_inter_mb(
-                    _CavlcWriter(pb, _UniformPlan(fd.mv[i],
-                                                  ref0=int(fd.ref_idx[i]))),
-                    fd, i, mb_x, mb_y, False, 0, nrefs, 0, 0, None)
+                    _CavlcWriter(pb, plan),
+                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
                 if cbp:

@@ -43,6 +43,8 @@ class PPS:
     deblocking_filter_control_present: int = 1
     num_ref_idx_l0_active: int = 1
     num_ref_idx_l1_active: int = 1
+    weighted_pred: int = 0
+    weighted_bipred_idc: int = 0
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -128,8 +130,8 @@ def parse_pps(rbsp: bytes) -> PPS:
         raise AVError(INVALIDDATA, "FMO not supported")
     p.num_ref_idx_l0_active = gb.get_ue_golomb() + 1
     p.num_ref_idx_l1_active = gb.get_ue_golomb() + 1
-    gb.get_bits(1)       # weighted_pred
-    gb.get_bits(2)       # weighted_bipred_idc
+    p.weighted_pred = gb.get_bits(1)
+    p.weighted_bipred_idc = gb.get_bits(2)
     p.pic_init_qp = gb.get_se_golomb() + 26
     gb.get_se_golomb()   # pic_init_qs
     p.chroma_qp_index_offset = gb.get_se_golomb()
@@ -148,8 +150,8 @@ def write_pps(p: PPS) -> bytes:
     pb.put_ue_golomb(0)  # one slice group
     pb.put_ue_golomb(p.num_ref_idx_l0_active - 1)
     pb.put_ue_golomb(p.num_ref_idx_l1_active - 1)
-    pb.put_bits(1, 0)
-    pb.put_bits(2, 0)
+    pb.put_bits(1, p.weighted_pred)
+    pb.put_bits(2, p.weighted_bipred_idc)
     pb.put_se_golomb(p.pic_init_qp - 26)
     pb.put_se_golomb(0)
     pb.put_se_golomb(p.chroma_qp_index_offset)

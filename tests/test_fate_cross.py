@@ -140,6 +140,41 @@ class TestEncodeParity:
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "1"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-entropy", "cabac"]),
+        # partition stress: every P shape incl. 8x8 sub-partitions
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-parts", "all"]),
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-parts", "all",
+                          "-entropy", "cabac"]),
+        # B partitions + spatial direct (B_Direct_16x16, B_8x8 with
+        # direct/L0/L1/Bi subs, 16x8/8x16 list combinations)
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-parts", "all"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-parts", "all", "-entropy", "cabac"]),
+        # block-granular two-list deblock bS
+        ("h264", "h264", ["-g", "6", "-qp", "26", "-parts", "all",
+                          "-deblock", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "26", "-bf", "1",
+                          "-parts", "all", "-deblock", "1",
+                          "-entropy", "cabac"]),
+        # multi-reference partitions (per-partition ref_idx te(v)/ctx)
+        ("h264", "h264", ["-g", "5", "-qp", "30", "-refs", "2",
+                          "-parts", "all"]),
+        ("h264", "h264", ["-g", "5", "-qp", "30", "-refs", "2",
+                          "-parts", "all", "-entropy", "cabac"]),
+        # weighted prediction: explicit P (per-ref tables), explicit and
+        # implicit B (POC-distance weights), combined with partitions
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-weightp", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-weightp", "1",
+                          "-refs", "2", "-parts", "all"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-weightb", "explicit", "-parts", "all"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-weightb", "implicit", "-parts", "all",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "6", "-qp", "26", "-bf", "1",
+                          "-weightp", "1", "-weightb", "implicit",
+                          "-deblock", "1", "-parts", "all",
+                          "-entropy", "cabac"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv
