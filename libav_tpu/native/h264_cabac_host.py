@@ -1,0 +1,96 @@
+"""Adapter for the native H.264 CABAC slice decoder (cabac.c).
+
+All per-frame outputs live in ONE contiguous int32 arena (layout
+mirrored in cabac.c) plus an int16 coefficient buffer holding the
+sparse AC lists; numpy views expose the per-field arrays."""
+
+from __future__ import annotations
+
+import numpy as np
+
+ARENA_WORDS_PER_MB = 264          # + 6 tail words
+ARENA_TAIL = 6
+
+
+def available() -> bool:
+    from libav_tpu.native.build import get_lib, _present
+    if not any(s == "cabac.c" for s, _ in _present()):
+        return False
+    return get_lib() is not None
+
+
+def alloc(nmb: int):
+    """(arena, coeffs) buffers."""
+    return (np.zeros(nmb * ARENA_WORDS_PER_MB + ARENA_TAIL,
+                     dtype=np.int32),
+            np.zeros((nmb * 24) * 16, dtype=np.int16))
+
+
+def views(arena: np.ndarray, coeffs: np.ndarray, nmb: int, mb_w: int,
+          mb_h: int) -> dict:
+    o = 0
+
+    def take(n, shape):
+        nonlocal o
+        v = arena[o:o + n].reshape(shape)
+        o += n
+        return v
+
+    bw, bh = 4 * mb_w, 4 * mb_h
+    d = dict(
+        intra=take(nmb, (nmb,)),
+        i4=take(nmb, (nmb,)),
+        intra16=take(nmb, (nmb,)),
+        luma_mode=take(nmb, (nmb,)),
+        chroma_mode=take(nmb, (nmb,)),
+        qp=take(nmb, (nmb,)),
+        coded=take(nmb, (nmb,)),
+        skip=take(nmb, (nmb,)),
+        direct=take(nmb, (nmb,)),
+        cbp=take(nmb, (nmb,)),
+        mcslice=take(nmb, (nmb,)),
+        mv=take(2 * nmb, (nmb, 2)),
+        ref_idx=take(nmb, (nmb,)),
+        sel=take(nmb, (nmb,)),
+        i4_modes=take(16 * nmb, (nmb, 16)),
+        luma_dc=take(16 * nmb, (nmb, 16)),
+        chroma_dc=take(8 * nmb, (nmb, 2, 4)),
+        nnz_y=take(16 * nmb, (bh, bw)),
+        nnz_u=take(4 * nmb, (2 * mb_h, 2 * mb_w)),
+        nnz_v=take(4 * nmb, (2 * mb_h, 2 * mb_w)),
+        bref=take(2 * 16 * nmb, (2, bh, bw)),
+        bmv=take(2 * 16 * nmb * 2, (2, bh, bw, 2)),
+        bmvd=take(2 * 16 * nmb * 2, (2, bh, bw, 2)),
+        bdirect=take(16 * nmb, (bh, bw)),
+        gslice=take(nmb, (nmb,)),
+        i4grid=take(16 * nmb, (bh, bw)),
+        flags=take(4, (4,)),
+        sctx=take(2 + 24 * nmb, (2 + 24 * nmb,)),
+    )
+    d["yvals"] = coeffs[:nmb * 16 * 16].reshape(nmb * 16, 16)
+    d["cvals"] = coeffs[nmb * 16 * 16:].reshape(nmb * 8, 16)
+    return d
+
+
+def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
+                 mb_w: int, mb_h: int, first_mb: int, slice_type: int,
+                 qp: int, cabac_init_idc: int, nref0: int, nref1: int,
+                 cur_slice: int, reset: bool, col=None) -> int:
+    """Run the C CABAC MB loop. col = packed int32 (bh*bw, 3) colocated
+    (ref, mvx, mvy) for spatial direct, or None."""
+    from libav_tpu.native.build import get_lib, get_ffi
+    lib = get_lib()
+    ffi = get_ffi()
+    params = np.array([mb_w, mb_h, first_mb, slice_type, qp,
+                       cabac_init_idc, nref0, nref1, cur_slice,
+                       1 if reset else 0, 0 if col is None else 1],
+                      dtype=np.int32)
+    cg = ffi.NULL if col is None else \
+        ffi.cast("const int*", ffi.from_buffer(col))
+    return lib.h264_cabac_decode_slice(
+        ffi.cast("const unsigned char*", ffi.from_buffer(data)), len(data),
+        ffi.cast("const int*", ffi.from_buffer(params)),
+        cg,
+        ffi.cast("short*", ffi.from_buffer(coeffs)),
+        ffi.cast("int*", ffi.from_buffer(arena)),
+        ffi.NULL, ffi.NULL)
