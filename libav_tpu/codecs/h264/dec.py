@@ -401,9 +401,18 @@ class H264Decoder(Decoder):
         if pps.entropy_coding_mode:
             pos = gb.bits_read()
             data = rbsp[(pos + 7) >> 3:]     # cabac_alignment_one_bit
-            self._decode_mbs_cabac(data, fd, sps, first_mb, slice_type,
-                                   qp, num_ref_l0, cabac_init_idc,
-                                   num_ref_l1=num_ref_l1)
+            from libav_tpu.native import h264_cabac_host as CN
+            use_native_cb = CN.available() and not bool(
+                __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
+                not getattr(self, "_force_python", False)
+            if use_native_cb:
+                self._decode_mbs_cabac_native(
+                    data, fd, sps, first_mb, slice_type, qp,
+                    num_ref_l0, num_ref_l1, cabac_init_idc)
+            else:
+                self._decode_mbs_cabac(data, fd, sps, first_mb, slice_type,
+                                       qp, num_ref_l0, cabac_init_idc,
+                                       num_ref_l1=num_ref_l1)
         elif fd.block is not None:
             pos = gb.bits_read()
             rc = N.decode_slice(fd.block, rbsp[pos >> 3:],
@@ -441,6 +450,77 @@ class H264Decoder(Decoder):
         part.code_inter_mb(rd, fd, i, mb_x, mb_y,
                            slice_type == SLICE_B, mb_type, nref0, nref1,
                            cur_slice, self._cur_col)
+
+    def _decode_mbs_cabac_native(self, data, fd: FrameData, sps, first_mb,
+                                 slice_type, qp, nref0, nref1,
+                                 cabac_init_idc):
+        """Native C CABAC MB loop (native/cabac.c) — the production path
+        for High-profile streams; the Python layer remains the reference
+        implementation (equivalence asserted in tests). Outputs arrive in
+        one arena whose views are bound into fd/grids zero-copy."""
+        from libav_tpu.native import h264_cabac_host as CN
+        mb_w, mb_h = sps.mb_width, sps.mb_height
+        nmb = mb_w * mb_h
+        st = getattr(fd, "cabac_native", None)
+        if st is None:
+            pool = getattr(self, "_cabac_pool", None)
+            if pool is not None and pool[0] == nmb:
+                arena, coeffs = pool[1], pool[2]
+            else:
+                arena, coeffs = CN.alloc(nmb)
+                self._cabac_pool = (nmb, arena, coeffs)
+            v = CN.views(arena, coeffs, nmb, mb_w, mb_h)
+            fd.cabac_native = (arena, coeffs, v)
+            fd.native_slices = 0
+            # bind outputs zero-copy
+            fd.intra = v["intra"]
+            fd.i4 = v["i4"]
+            fd.i4_modes = v["i4_modes"]
+            fd.luma_mode = v["luma_mode"]
+            fd.chroma_mode = v["chroma_mode"]
+            fd.qp = v["qp"]
+            fd.coded = v["coded"]
+            fd.mv = v["mv"]
+            fd.ref_idx = v["ref_idx"]
+            fd.sel = v["sel"]
+            fd.luma_dc = v["luma_dc"]
+            fd.chroma_dc = v["chroma_dc"]
+            fd.nnz_y = v["nnz_y"]
+            fd.nnz_u = v["nnz_u"]
+            fd.nnz_v = v["nnz_v"]
+            fd.sparse = (v["yvals"], v["cvals"], v["sctx"])
+            g = fd.grids
+            g.bref = v["bref"]
+            g.bmv = v["bmv"]
+            g.bmvd = v["bmvd"]
+            g.bdirect = v["bdirect"]
+            g.slice_id = v["gslice"]
+        arena, coeffs, v = fd.cabac_native
+        col = None
+        if slice_type == SLICE_B and self._cur_col is not None:
+            col = getattr(self, "_cur_col_packed", None)
+            if col is None or col[0] is not self._cur_col:
+                cref, cmv = self._cur_col
+                packed = np.empty((cref.shape[0], cref.shape[1], 3),
+                                  dtype=np.int32)
+                packed[..., 0] = cref
+                packed[..., 1] = cmv[..., 0]
+                packed[..., 2] = cmv[..., 1]
+                packed = np.ascontiguousarray(packed)
+                self._cur_col_packed = (self._cur_col, packed)
+                col = self._cur_col_packed
+            col = col[1]
+        rc = CN.decode_slice(arena, coeffs, data, mb_w, mb_h, first_mb,
+                             slice_type, qp, cabac_init_idc,
+                             max(nref0, 1), max(nref1, 1),
+                             fd.native_slices, fd.native_slices == 0,
+                             col=col)
+        fd.native_slices += 1
+        if rc == -3:
+            raise _NativeUnsupported()
+        if rc != 0:
+            raise AVError(INVALIDDATA, f"native CABAC failed ({rc})")
+        fd.grids.any_part = bool(v["flags"][0]) or slice_type == SLICE_B
 
     def _decode_mbs_cabac(self, data, fd: FrameData, sps, first_mb,
                           slice_type, qp, num_ref_l0, cabac_init_idc,

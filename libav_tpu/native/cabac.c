@@ -26,7 +26,7 @@
 /* ---- arithmetic decoding engine (spec 9.3.3.2; mirrors
  *      cabac.py CabacDecoder exactly, including reads-past-end = 0) --- */
 
-typedef struct {
+typedef struct cb_CD {
     const uint8_t *d;
     long long n;
     long long pos;              /* bit position */
@@ -203,7 +203,7 @@ static int decode_mvd(CD *c, int ctx_base, int amvd, int *err)
 
 /* ---- slice/frame state ---- */
 
-typedef struct {
+typedef struct cb_S {
     CD cd;
     int mb_w, mb_h, nmb, bw, bh;
     int slice_type;             /* 0 P, 1 B, 2 I */
@@ -290,7 +290,7 @@ static int g_fetch(S *s, int lst, int bx, int by, int *mvx, int *mvy)
     return r;
 }
 
-static int med3(int a, int b, int c)
+static int cb_med3(int a, int b, int c)
 {
     int mn = a < b ? a : b, mx = a < b ? b : a;
     if (c < mn) return mn;
@@ -298,8 +298,8 @@ static int med3(int a, int b, int c)
     return c;
 }
 
-/* spec 8.4.1.3 (mirrors part.pred_motion); special 1..4 directional */
-static void pred_motion(S *s, int lst, int ref, int bx, int by,
+/* spec 8.4.1.3 (mirrors part.cb_pred_motion); special 1..4 directional */
+static void cb_pred_motion(S *s, int lst, int ref, int bx, int by,
                         int w4, int h4, int special, int *px, int *py)
 {
     int amx, amy, bmx, bmy, cmx, cmy;
@@ -327,12 +327,12 @@ static void pred_motion(S *s, int lst, int ref, int bx, int by,
         *px = amx; *py = amy;
         return;
     }
-    *px = med3(amx, bmx, cmx);
-    *py = med3(amy, bmy, cmy);
+    *px = cb_med3(amx, bmx, cmx);
+    *py = cb_med3(amy, bmy, cmy);
 }
 
-/* spec 8.4.1.1 (mirrors part.pred_pskip) */
-static void pred_pskip(S *s, int mb_x, int mb_y, int *px, int *py)
+/* spec 8.4.1.1 (mirrors part.cb_pred_pskip) */
+static void cb_pred_pskip(S *s, int mb_x, int mb_y, int *px, int *py)
 {
     int bx = 4 * mb_x, by = 4 * mb_y;
     int amx, amy, bmx, bmy;
@@ -344,7 +344,7 @@ static void pred_pskip(S *s, int mb_x, int mb_y, int *px, int *py)
     if ((ra == 0 && amx == 0 && amy == 0) ||
         (rb == 0 && bmx == 0 && bmy == 0))
         return;
-    pred_motion(s, 0, 0, bx, by, 4, 4, 0, px, py);
+    cb_pred_motion(s, 0, 0, bx, by, 4, 4, 0, px, py);
 }
 
 static int min_positive(int a, int b)
@@ -380,7 +380,7 @@ static void direct_mb_motion(S *s, int mb_x, int mb_y, int quads_mask)
     } else {
         for (lst = 0; lst < 2; lst++) {
             if (refs[lst] >= 0)
-                pred_motion(s, lst, refs[lst], bx0, by0, 4, 4, 0,
+                cb_pred_motion(s, lst, refs[lst], bx0, by0, 4, 4, 0,
                             &mvs[lst][0], &mvs[lst][1]);
             else
                 mvs[lst][0] = mvs[lst][1] = 0;
@@ -752,7 +752,7 @@ static int residual_cbf(S *s, int i, int cat, int blk, int *levels,
 }
 
 /* luma residuals for one MB; cat 1 (I16 AC) or 2 (4x4) */
-static void luma_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma,
+static void cb_luma_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma,
                        int cat)
 {
     int b;
@@ -786,7 +786,7 @@ static void luma_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma,
     }
 }
 
-static void chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
+static void cb_chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
 {
     int cc, b;
     if (cbp_chroma) {
@@ -1010,7 +1010,7 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
                     special = 1 + k;
                 else if (w == 2 && h == 4)
                     special = 3 + k;
-                pred_motion(s, lst, ref, bx0 + x, by0 + y, w, h,
+                cb_pred_motion(s, lst, ref, bx0 + x, by0 + y, w, h,
                             special, &px, &py);
                 dec_motion(s, lst, bx0 + x, by0 + y, px, py,
                            &mvx, &mvy, &mvdx, &mvdy);
@@ -1030,7 +1030,7 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
                     int sx = p_sub[layout][j][0], sy = p_sub[layout][j][1];
                     int sw = p_sub[layout][j][2], sh = p_sub[layout][j][3];
                     int px, py, mvx, mvy, mvdx, mvdy;
-                    pred_motion(s, lst, ref, bx0 + x + sx, by0 + y + sy,
+                    cb_pred_motion(s, lst, ref, bx0 + x + sx, by0 + y + sy,
                                 sw, sh, 0, &px, &py);
                     dec_motion(s, lst, bx0 + x + sx, by0 + y + sy, px, py,
                                &mvx, &mvy, &mvdx, &mvdy);
@@ -1094,8 +1094,8 @@ static int decode_intra_mb(S *s, int i, int mb_x, int mb_y, int *qp)
             s->last_dqp = 0;
         s->qp[i] = *qp;
         s->coded[i] = 1;
-        luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
-        chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
+        cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
+        cb_chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
         return 0;
     }
     s->intra16[i] = 1;
@@ -1113,8 +1113,8 @@ static int decode_intra_mb(S *s, int i, int mb_x, int mb_y, int *qp)
             s->luma_dc[i * 16 + k] = lv[k];
     }
     s->coded[i] = 1;
-    luma_resid(s, i, mb_x, mb_y, cbp_l, 1);
-    chroma_resid(s, i, mb_x, mb_y, cbp_c);
+    cb_luma_resid(s, i, mb_x, mb_y, cbp_l, 1);
+    cb_chroma_resid(s, i, mb_x, mb_y, cbp_c);
     return 0;
 }
 
@@ -1129,18 +1129,18 @@ static int decode_inter_tail(S *s, int i, int mb_x, int mb_y, int *qp)
     s->qp[i] = *qp;
     s->coded[i] = 1;
     set_i4grid(s, mb_x, mb_y, 2);
-    luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
-    chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
+    cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
+    cb_chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
     return 0;
 }
 
-static void skip_mb(S *s, int i, int mb_x, int mb_y, int qp)
+static void cb_skip_mb(S *s, int i, int mb_x, int mb_y, int qp)
 {
     if (s->slice_type == 1) {
         direct_mb_motion(s, mb_x, mb_y, 0xF);
     } else {
         int mx, my;
-        pred_pskip(s, mb_x, mb_y, &mx, &my);
+        cb_pred_pskip(s, mb_x, mb_y, &mx, &my);
         g_set_part(s, 0, 4 * mb_x, 4 * mb_y, 4, 4, 0, mx, my, 0, 0, 0);
         g_set_unused(s, 1, 4 * mb_x, 4 * mb_y, 4, 4);
         s->mv[2 * i] = mx;
@@ -1250,7 +1250,7 @@ int h264_cabac_decode_slice(
         s.gslice[i] = s.cur_slice;
         if (s.slice_type == 1) {
             if (dec_mb_skip(&s, i)) {
-                skip_mb(&s, i, mb_x, mb_y, qp);
+                cb_skip_mb(&s, i, mb_x, mb_y, qp);
                 s.skip[i] = 1;
                 s.direct[i] = 1;
                 s.last_dqp = 0;
@@ -1269,7 +1269,7 @@ int h264_cabac_decode_slice(
             }
         } else if (s.slice_type == 0) {
             if (dec_mb_skip(&s, i)) {
-                skip_mb(&s, i, mb_x, mb_y, qp);
+                cb_skip_mb(&s, i, mb_x, mb_y, qp);
                 s.skip[i] = 1;
                 s.last_dqp = 0;
             } else if (cd_dec(&s.cd, 14)) {     /* intra */

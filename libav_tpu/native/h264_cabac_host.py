@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-ARENA_WORDS_PER_MB = 264          # + 6 tail words
+ARENA_WORDS_PER_MB = 296          # + 6 tail words
 ARENA_TAIL = 6
 
 

@@ -476,3 +476,61 @@ class TestBFrames:
         for src, o in zip(frames, out):
             assert psnr(np.asarray(src.planes[0]),
                         np.asarray(o.to_host().planes[0])) > 28
+
+
+class TestNativeCabac:
+    """The native C CABAC host decoder (native/cabac.c) must be
+    value-identical to the Python reference layer on every feature
+    combination (engine, MB layer, partition walk, direct, weighting)."""
+
+    @pytest.mark.parametrize("opts", [
+        {"parts": "all", "i4x4": 1},
+        {"b_frames": 2, "parts": "all"},
+        {"refs": 2, "parts": "all"},
+        {"b_frames": 1, "deblock": 1, "weightp": 1,
+         "weightb": "implicit", "parts": "all", "i4x4": 1},
+    ])
+    def test_native_matches_python(self, opts, monkeypatch):
+        from libav_tpu.native import h264_cabac_host as CN
+        if not CN.available():
+            pytest.skip("native build unavailable")
+        rng = np.random.RandomState(11)
+        W, H = 80, 48
+        base = rng.randint(0, 255, (H, W)).astype(np.uint8)
+        frames = []
+        for t in range(6):
+            f = Frame.alloc_video(W, H, "yuv420p")
+            f.planes[0] = (np.roll(base, 2 * t, axis=1) // 2 +
+                           40 + 6 * t).astype(np.uint8)
+            f.planes[1][:] = 90 + 8 * t
+            f.planes[2][:] = 150 - 6 * t
+            f.pts = t
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=W, height=H, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 28)
+        enc.set_opt("gop_size", 6)
+        enc.set_opt("entropy", "cabac")
+        for k, v in opts.items():
+            enc.set_opt(k, v)
+        pkts = enc.encode_all(frames)
+
+        def run(force_py):
+            if force_py:
+                monkeypatch.setenv("LIBAV_TPU_NO_NATIVE", "1")
+            else:
+                monkeypatch.delenv("LIBAV_TPU_NO_NATIVE", raising=False)
+            dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                              codec_id="h264"))
+            out = dec.decode_all([Packet(data=p.data, pts=i)
+                                  for i, p in enumerate(pkts)])
+            return [[np.asarray(p).copy() for p in f.to_host().planes]
+                    for f in out]
+
+        a, b = run(False), run(True)
+        assert len(a) == len(b) == len(frames)
+        for fa, fb in zip(a, b):
+            for x, y in zip(fa, fb):
+                np.testing.assert_array_equal(x, y)
