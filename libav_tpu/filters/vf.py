@@ -253,6 +253,53 @@ class YadifFilter(Filter):
 
 
 @register_filter
+class OverlayFilter(Filter):
+    """Two-input overlay (reference: vf_overlay.c). The secondary input
+    feeds `push_secondary`; each main frame is composited with the
+    latest overlay frame whose pts <= the main pts (framesync
+    eof_action=repeat semantics). Offsets are snapped to even for
+    4:2:0 chroma alignment."""
+    NAME = "overlay"
+    N_INPUTS = 2
+    OPTIONS = [Option("x", "left offset", "int", 0, -32768, 32768),
+               Option("y", "top offset", "int", 0, -32768, 32768)]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._queue: List[Frame] = []
+        self._last = None
+
+    def push_secondary(self, frame: Frame):
+        self._queue.append(frame)
+
+    def _pick(self, pts):
+        while self._queue and (pts is None or self._queue[0].pts is None or
+                               self._queue[0].pts <= pts):
+            self._last = self._queue.pop(0)
+        return self._last
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        ov = self._pick(frame.pts)
+        if ov is None:
+            return [frame]
+        out = frame.clone_props()
+        x0, y0 = int(self.x) & ~1, int(self.y) & ~1
+        planes = []
+        for pi, (mp, op) in enumerate(zip(frame.planes, ov.planes)):
+            a = np.asarray(mp).copy()
+            o = np.asarray(op)
+            sub = 1 if pi else 0                  # 4:2:0 chroma halved
+            px, py = x0 >> sub, y0 >> sub
+            h = min(o.shape[0], a.shape[0] - py)
+            w = min(o.shape[1], a.shape[1] - px)
+            if h > 0 and w > 0 and px >= 0 and py >= 0:
+                a[py:py + h, px:px + w] = o[:h, :w]
+            planes.append(a)
+        out.planes = planes
+        return [out]
+
+
+@register_filter
 class SetPtsFilter(Filter):
     """reference: vf_setpts.c (expression subset: PTS, N, constants)"""
     NAME = "setpts"

@@ -28,21 +28,29 @@
 
 typedef struct cb_CD {
     const uint8_t *d;
-    long long n;
-    long long pos;              /* bit position */
+    long long n;                /* bytes */
+    long long bytepos;          /* next byte to load (zero past end) */
+    uint64_t cache;             /* low `ncache` bits = unconsumed input */
+    int ncache;
     int range, offset;
     uint8_t st[1024];
 } CD;
 
-static int cd_bits(CD *c, int nb)
+/* bit fetch with an 8-byte cache; bits past the end read as zero —
+ * identical semantics to the Python reference's _bits() */
+static inline int cd_bit1(CD *c)
 {
-    int v = 0;
-    while (nb--) {
-        int byte = (c->pos >> 3) < c->n ? c->d[c->pos >> 3] : 0;
-        v = (v << 1) | ((byte >> (7 - (c->pos & 7))) & 1);
-        c->pos++;
+    if (c->ncache == 0) {
+        int k;
+        for (k = 0; k < 7; k++) {
+            uint64_t b = c->bytepos < c->n ? c->d[c->bytepos] : 0;
+            c->bytepos++;
+            c->cache = (c->cache << 8) | b;
+        }
+        c->ncache = 56;
     }
-    return v;
+    c->ncache--;
+    return (int)((c->cache >> c->ncache) & 1);
 }
 
 static void cd_init(CD *c, const uint8_t *d, long long n,
@@ -62,12 +70,16 @@ static void cd_init(CD *c, const uint8_t *d, long long n,
     }
     c->d = d;
     c->n = n;
-    c->pos = 0;
+    c->bytepos = 0;
+    c->cache = 0;
+    c->ncache = 0;
     c->range = 510;
-    c->offset = cd_bits(c, 9);
+    c->offset = 0;
+    for (i = 0; i < 9; i++)
+        c->offset = (c->offset << 1) | cd_bit1(c);
 }
 
-static int cd_dec(CD *c, int ctx)
+static inline int cd_dec(CD *c, int ctx)
 {
     int s = c->st[ctx];
     int p = s >> 1, mps = s & 1, bit;
@@ -87,14 +99,14 @@ static int cd_dec(CD *c, int ctx)
     c->st[ctx] = (uint8_t)(2 * p + mps);
     while (c->range < 0x100) {
         c->range <<= 1;
-        c->offset = (c->offset << 1) | cd_bits(c, 1);
+        c->offset = (c->offset << 1) | cd_bit1(c);
     }
     return bit;
 }
 
-static int cd_bypass(CD *c)
+static inline int cd_bypass(CD *c)
 {
-    c->offset = (c->offset << 1) | cd_bits(c, 1);
+    c->offset = (c->offset << 1) | cd_bit1(c);
     if (c->offset >= c->range) {
         c->offset -= c->range;
         return 1;
@@ -109,7 +121,7 @@ static int cd_term(CD *c)
         return 1;
     while (c->range < 0x100) {
         c->range <<= 1;
-        c->offset = (c->offset << 1) | cd_bits(c, 1);
+        c->offset = (c->offset << 1) | cd_bit1(c);
     }
     return 0;
 }
@@ -1295,8 +1307,6 @@ int h264_cabac_decode_slice(
         i++;
         if (cd_term(&s.cd))
             break;
-        if (s.cd.pos > 8 * (s.cd.n + 4))
-            return ERR_INVALID;
     }
     return 0;
 }

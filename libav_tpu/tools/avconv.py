@@ -43,6 +43,7 @@ class OutputStreamSpec:
     sample_rate: Optional[int] = None
     channels: Optional[int] = None
     sample_fmt: Optional[str] = None
+    vf: Optional[str] = None         # -vf/-af filtergraph description
 
 
 def parse_time(v: str) -> float:
@@ -73,6 +74,7 @@ class Options:
     overwrite: bool = False
     benchmark: bool = False
     threads: int = 1
+    filter_complex: Optional[str] = None
     extra: Dict[str, str] = field(default_factory=dict)
 
 
@@ -161,6 +163,12 @@ def parse_args(argv: List[str]) -> Options:
                       "warning": log.WARNING, "info": log.INFO,
                       "verbose": log.VERBOSE, "debug": log.DEBUG}
             log.set_level(levels.get(lvl, log.INFO))
+        elif a in ("-vf", "-filter:v"):
+            o.video.vf = take()
+        elif a in ("-af", "-filter:a"):
+            o.audio.vf = take()
+        elif a in ("-filter_complex", "-lavfi"):
+            o.filter_complex = take()
         elif a == "-flags":
             o.extra["flags"] = take()
         elif a == "-b:v" or a == "-b":
@@ -233,6 +241,72 @@ _DEFAULT_VCODEC_FOR_FMT = {
 }
 
 
+def _drain_frames(dec):
+    out = []
+    while True:
+        try:
+            out.append(dec.receive_frame())
+        except AVError as e:
+            if e.code in (EAGAIN, EOF_):
+                return out
+            raise
+
+
+def _setup_filter_complex(o: Options, chains, vin):
+    """Multi-input complex filtergraph (reference: avconv_filter.c
+    configure_complex_filtergraph, subset): the grammar
+    '[0:v][1:v]filter,chain[out]' binds input 0 as the chain's main
+    feed and later labels to the multi-input filters (overlay) in
+    order. Auxiliary inputs are decoded up front and queued on the
+    filter's secondary port."""
+    import re as _re
+    if vin is None or vin.index not in chains:
+        raise AVError(-22, "filter_complex requires a video stream")
+    spec = o.filter_complex.strip()
+    labels = []
+    while True:
+        m = _re.match(r"\s*\[(\d+)(?::v(?::\d+)?)?\]", spec)
+        if not m:
+            break
+        labels.append(int(m.group(1)))
+        spec = spec[m.end():]
+    spec = _re.sub(r"\[[A-Za-z_0-9]+\]\s*$", "", spec).strip()
+    from libav_tpu.filters.graph import FilterGraph
+    g = FilterGraph(spec)
+    ch = chains[vin.index]
+    ch.graph = g
+    multi = [f for f in g.filters if getattr(f, "N_INPUTS", 1) > 1]
+    sec = labels[1:] if labels else []
+    if len(sec) != len(multi):
+        raise AVError(-22, "filter_complex: secondary input labels must "
+                           "match the multi-input filters")
+    for lab, filt in zip(sec, multi):
+        if lab <= 0 or lab >= len(o.inputs):
+            raise AVError(-22, f"filter_complex: bad input label {lab}")
+        inp = o.inputs[lab]
+        ic2 = FormatContext.open_input(inp["url"],
+                                       inp["opts"].pop("format", None),
+                                       inp["opts"] or None)
+        vs = next((s for s in ic2.streams
+                   if s.codecpar.codec_type == MediaType.VIDEO), None)
+        if vs is None:
+            raise AVError(-22, "auxiliary input has no video stream")
+        dec2 = find_decoder(vs.codecpar.codec_id)(vs.codecpar).open()
+        for pkt in ic2.packets():
+            if pkt.stream_index != vs.index:
+                continue
+            dec2.send_packet(pkt)
+            for fr in _drain_frames(dec2):
+                filt.push_secondary(fr)
+        try:
+            dec2.send_packet(None)
+        except AVError:
+            pass
+        for fr in _drain_frames(dec2):
+            filt.push_secondary(fr)
+        ic2.close()
+
+
 def transcode(o: Options) -> int:
     """reference: avconv.c:2770 transcode()"""
     t0 = time.time()
@@ -278,18 +352,28 @@ def transcode(o: Options) -> int:
     if not chains:
         raise AVError(-22, "no streams selected")
 
+    if o.filter_complex:
+        _setup_filter_complex(o, chains, vin)
+
     packets_read = 0
-    for pkt in ic.packets():
-        ch = chains.get(pkt.stream_index)
-        if ch is None:
-            continue
-        packets_read += 1
-        ch.send(pkt)
-        if ch.done:
-            # finished early (-t/-frames): unblock mux interleaving
-            oc.write_stream_eof(ch.ost.index)
-        if all(c.done for c in chains.values()):
-            break
+    # input reader thread: demux/IO overlaps the decode pipeline
+    # (reference: avconv.c:2386 input_thread)
+    from libav_tpu.parallel.prefetch import PacketPrefetcher
+    pf = PacketPrefetcher(ic)
+    try:
+        for pkt in pf:
+            ch = chains.get(pkt.stream_index)
+            if ch is None:
+                continue
+            packets_read += 1
+            ch.send(pkt)
+            if ch.done:
+                # finished early (-t/-frames): unblock mux interleaving
+                oc.write_stream_eof(ch.ost.index)
+            if all(c.done for c in chains.values()):
+                break
+    finally:
+        pf.close()
     for ch in chains.values():
         ch.drain()
         oc.write_stream_eof(ch.ost.index)
@@ -354,6 +438,10 @@ class _VideoChain:
         self.enc_name = codec_name
         self.enc_opts = enc_opts
         self.out_par = out_par
+        self.graph = None
+        if getattr(self.spec, "vf", None):
+            from libav_tpu.filters.graph import FilterGraph
+            self.graph = FilterGraph(self.spec.vf)
 
     def _ensure_encoder(self, frame: Frame):
         if self.enc is not None or self.copy:
@@ -426,12 +514,17 @@ class _VideoChain:
                     t - (ss or 0.0) >= self.trim_dur:
                 self.done = True
                 return
-            frame = self._filter(frame)
-            self._encode_frame(frame)
+            for f in self._filter(frame):
+                self._encode_frame(f)
             if self.done:
                 return
 
-    def _filter(self, frame: Frame) -> Frame:
+    def _filter(self, frame: Frame) -> List[Frame]:
+        if self.graph is not None:
+            return [self._scale(f) for f in self.graph.push(frame)]
+        return [self._scale(frame)]
+
+    def _scale(self, frame: Frame) -> Frame:
         spec = self.spec
         if spec.size or (spec.pix_fmt and spec.pix_fmt != frame.format):
             from libav_tpu.swscale import SwsContext
@@ -477,6 +570,9 @@ class _VideoChain:
         except AVError:
             pass
         self._pump_frames()
+        if getattr(self, "graph", None) is not None and not self.done:
+            for f in self.graph.push_eof():
+                self._encode_frame(self._scale(f))
         if self.enc is not None:
             try:
                 self.enc.send_frame(None)
@@ -530,13 +626,13 @@ class _AudioChain(_VideoChain):
         self.out_par = out_par
         self.enc = None
 
-    def _filter(self, frame: Frame) -> Frame:
+    def _filter(self, frame: Frame) -> List[Frame]:
         spec = self.spec
         need = ((spec.sample_rate and spec.sample_rate != frame.sample_rate)
                 or (spec.channels and spec.channels != frame.channels)
                 or (spec.sample_fmt and spec.sample_fmt != frame.format))
         if not need:
-            return frame
+            return [frame]
         if getattr(self, "_resampler", None) is None:
             from libav_tpu.avresample import AudioResampler
             from libav_tpu.avutil.samplefmt import default_channel_layout
@@ -550,7 +646,7 @@ class _AudioChain(_VideoChain):
                 out_channel_layout=default_channel_layout(
                     spec.channels or frame.channels),
             ).open()
-        return self._resampler.convert(frame)
+        return [self._resampler.convert(frame)]
 
     def _ensure_encoder(self, frame: Frame):
         if self.enc is not None or self.copy:

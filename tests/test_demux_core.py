@@ -164,3 +164,44 @@ class TestContainerSeek:
         ic = FormatContext.open_input(str(path))
         keys = [p.is_key for p in ic.packets()]
         assert keys == [i % 4 == 0 for i in range(9)]
+
+
+class TestAvconvFilters:
+    def test_vf_simple_graph(self, tmp_path):
+        """-vf chains through the filter graph (hflip,scale)."""
+        from libav_tpu.tools import avconv
+        par, pkts, _ = encode_video("mjpeg", nframes=2, w=96, h=80)
+        path = tmp_path / "m.avi"
+        _mux(path, "avi", par, pkts, Rational(1, 25), fr=Rational(25, 1))
+        out = tmp_path / "o.crc"
+        rc = avconv.main(["-y", "-i", str(path), "-vf",
+                          "hflip,scale=48:40", "-f", "framecrc", str(out)])
+        assert rc == 0
+        assert " 2880," in out.read_text()    # 48x40 yuv420p frame size
+
+    def test_filter_complex_overlay(self, tmp_path):
+        """Two-input overlay: secondary input pixels replace the main
+        frame region at the requested offset (reference vf_overlay.c)."""
+        from libav_tpu.tools import avconv
+        par, pkts, mains = encode_video("mjpeg", nframes=2, w=96, h=80)
+        main = tmp_path / "m.avi"
+        _mux(main, "avi", par, pkts, Rational(1, 25), fr=Rational(25, 1))
+        par2, pkts2, ovs = encode_video("mjpeg", nframes=2, w=32, h=16)
+        ovp = tmp_path / "ov.avi"
+        _mux(ovp, "avi", par2, pkts2, Rational(1, 25), fr=Rational(25, 1))
+        out = tmp_path / "o.y4m"
+        rc = avconv.main(["-y", "-i", str(main), "-i", str(ovp),
+                          "-filter_complex",
+                          "[0:v][1:v]overlay=x=16:y=8[out]",
+                          str(out)])
+        assert rc == 0
+        ic = FormatContext.open_input(str(out))
+        from libav_tpu.codecs import find_decoder
+        dec = find_decoder("rawvideo")(ic.streams[0].codecpar).open()
+        f0 = dec.decode_all(list(ic.packets()))[0].to_host()
+        got = np.asarray(f0.planes[0])
+        # overlay region equals the decoded overlay frame's luma
+        dec_ov = find_decoder("mjpeg")(par2).open()
+        ov0 = dec_ov.decode_all([pkts2[0]])[0].to_host()
+        np.testing.assert_array_equal(got[8:24, 16:48],
+                                      np.asarray(ov0.planes[0]))
