@@ -104,6 +104,88 @@ def read_ics_info(gb: GetBits, sample_rate: int) -> dict:
                 sect_bits=sect_bits, sect_esc=sect_esc)
 
 
+def _decode_tns(gb: GetBits, is_short: bool) -> list:
+    """tns_data (spec 4.4.2.7; reference aacdec.c decode_tns): per
+    window a list of (length, order, direction, coef_res, raw_coefs,
+    coef_compress)."""
+    n_windows = 8 if is_short else 1
+    nf_bits, len_bits, ord_bits = (1, 4, 3) if is_short else (2, 6, 5)
+    out = []
+    for w in range(n_windows):
+        filters = []
+        n_filt = gb.get_bits(nf_bits)
+        coef_res = gb.get_bits(1) if n_filt else 0
+        for _ in range(n_filt):
+            length = gb.get_bits(len_bits)
+            order = gb.get_bits(ord_bits)
+            direction = compress = 0
+            coefs = []
+            if order:
+                direction = gb.get_bits(1)
+                compress = gb.get_bits(1)
+                coef_len = coef_res + 3 - compress
+                coefs = [gb.get_bits(coef_len) for _ in range(order)]
+            filters.append((length, order, direction, coef_res,
+                            compress, coefs))
+        out.append(filters)
+    return out
+
+
+def _apply_tns(spec, tns, info, sample_rate, decode=True):
+    """All-pole (decode) / all-zero (encode) TNS filtering over the
+    flattened window spectra (spec 4.6.9.3; reference aacdec.c
+    apply_tns)."""
+    offsets = info["offsets"]
+    max_sfb = info["max_sfb"]
+    is_short = spec.ndim == 2
+    sri = T.sample_rate_index(sample_rate)
+    max_bands = (T.TNS_MAX_BANDS_128 if is_short
+                 else T.TNS_MAX_BANDS_1024)[sri]
+    mmm = min(max_bands, max_sfb)
+    nb = len(offsets) - 1
+    for w, filters in enumerate(tns):
+        buf = spec[w] if is_short else spec
+        top = nb
+        for (length, order, direction, coef_res, compress,
+             raw) in filters:
+            bottom = max(0, top - length)
+            if order == 0:
+                top = bottom
+                continue
+            dq = T.tns_dequant_table(compress, coef_res)
+            lpc = T.tns_lpc([dq[c] for c in raw])
+            start = int(offsets[min(bottom, mmm)])
+            end = int(offsets[min(top, mmm)])
+            top = bottom
+            size = end - start
+            if size <= 0:
+                continue
+            inc = -1 if direction else 1
+            if direction:
+                start = end - 1
+            if decode:          # AR (the decoder inverts the filter)
+                for m in range(size):
+                    s = start + m * inc
+                    for i in range(1, min(m, order) + 1):
+                        buf[s] -= buf[s - i * inc] * lpc[i - 1]
+            else:               # MA (encoder forward filter)
+                src = buf.copy()
+                for m in range(size):
+                    s = start + m * inc
+                    for i in range(1, min(m, order) + 1):
+                        buf[s] += src[s - i * inc] * lpc[i - 1]
+    return spec
+
+
+def _finish_ics(ics, sample_rate):
+    """Post-stereo per-channel tools (TNS; spec tool order 4.6:
+    M/S before TNS) -> (seq, shape, spec) as the IMDCT stage expects."""
+    seq, shape, spec, tns, info = ics
+    if tns is not None:
+        _apply_tns(spec, tns, info, sample_rate)
+    return seq, shape, spec
+
+
 def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
     """One individual_channel_stream (reference: aacdec.c decode_ics
     :1861). Returns (window_sequence, window_shape, spec) where spec is
@@ -154,8 +236,9 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
     # pulse / tns / gain control
     if gb.get_bits(1):
         raise AVError(INVALIDDATA, "pulse data not supported")
+    tns = None
     if gb.get_bits(1):
-        raise AVError(INVALIDDATA, "TNS not supported yet")
+        tns = _decode_tns(gb, window_sequence == EIGHT_SHORT)
     if gb.get_bits(1):
         raise AVError(INVALIDDATA, "gain control not supported")
 
@@ -181,7 +264,7 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
                 for w in range(L):
                     spec[wstart + w, s0:e0] = vals[w]
             wstart += L
-        return window_sequence, window_shape, spec
+        return window_sequence, window_shape, spec, tns, info
 
     quant = np.zeros(1024, dtype=np.int32)
     for b in range(max_sfb):
@@ -199,7 +282,8 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
         if band_cb[0, b] != T.ZERO_HCB:
             gains[offsets[b]:offsets[b + 1]] = \
                 2.0 ** (0.25 * (sf[0, b] - SF_OFFSET) - 26.0)
-    return window_sequence, window_shape, np.sign(q) * mag * gains
+    return window_sequence, window_shape, np.sign(q) * mag * gains, \
+        tns, info
 
 
 def _apply_mid_side(mid, side, mask, info):
@@ -258,7 +342,8 @@ class AACDecoder(Decoder):
                 break
             tag_bits = gb.get_bits(4)  # element_instance_tag
             if ele == SCE:
-                specs.append(decode_ics(gb, sample_rate))
+                specs.append(_finish_ics(decode_ics(gb, sample_rate),
+                                         sample_rate))
             elif ele == CPE:
                 common = gb.get_bits(1)
                 if common:
@@ -283,11 +368,13 @@ class AACDecoder(Decoder):
                     s1 = decode_ics(gb, sample_rate, info)
                     if mask is not None:
                         _apply_mid_side(s0[2], s1[2], mask, info)
-                    specs.append(s0)
-                    specs.append(s1)
+                    specs.append(_finish_ics(s0, sample_rate))
+                    specs.append(_finish_ics(s1, sample_rate))
                 else:
-                    specs.append(decode_ics(gb, sample_rate))
-                    specs.append(decode_ics(gb, sample_rate))
+                    specs.append(_finish_ics(decode_ics(gb, sample_rate),
+                                             sample_rate))
+                    specs.append(_finish_ics(decode_ics(gb, sample_rate),
+                                             sample_rate))
             elif ele == FIL:
                 cnt = tag_bits
                 if cnt == 15:

@@ -37,6 +37,8 @@ class AACEncoder(Encoder):
 
     OPTIONS = Encoder.OPTIONS + [
         Option("quality", "quantizer quality 1 (best) - 10", "int", 3, 1, 10),
+        Option("tns", "temporal noise shaping on long windows", "int",
+               0, 0, 1),
     ]
 
     FRAME_SAMPLES = 1024
@@ -148,6 +150,18 @@ class AACEncoder(Encoder):
             spec = np.asarray(F.mdct(blocks.astype(np.float32))
                               ).astype(np.float64) * \
                 (2.0 / 2048.0 * 67108864.0)  # 2^26: see dec.py gain note
+
+        if self.tns and seq != EIGHT_SHORT:
+            # forward (all-zero) TNS filter per channel before M/S —
+            # the decoder applies the inverse after M/S (spec 4.6.9
+            # tool order); fixed order-2 reflection coefs, indices 2/7
+            # of the 3-bit table
+            from libav_tpu.codecs.aac.dec import _apply_tns
+            info = dict(offsets=self.offsets, max_sfb=self.max_sfb)
+            tns = [[(len(self.offsets) - 1, 2, 0, 0, 0, [2, 7])]]
+            for c in range(nch):
+                _apply_tns(spec[c], tns, info, self.sample_rate,
+                           decode=False)
 
         pb = PutBits()
         if nch == 1:
@@ -293,7 +307,18 @@ class AACEncoder(Encoder):
             prev = int(sf[g])
 
         pb.put_bits(1, 0)            # pulse
-        pb.put_bits(1, 0)            # tns
+        if self.tns and seq != EIGHT_SHORT:
+            pb.put_bits(1, 1)        # tns_data_present
+            pb.put_bits(2, 1)        # n_filt
+            pb.put_bits(1, 0)        # coef_res (3-bit coefs)
+            pb.put_bits(6, self.max_sfb)      # length: all bands
+            pb.put_bits(5, 2)        # order
+            pb.put_bits(1, 0)        # direction
+            pb.put_bits(1, 0)        # coef_compress
+            pb.put_bits(3, 2)
+            pb.put_bits(3, 7)
+        else:
+            pb.put_bits(1, 0)        # tns
         pb.put_bits(1, 0)            # gain control
 
         # spectral_data with ESC codebook (pairs)

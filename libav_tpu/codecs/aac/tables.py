@@ -114,3 +114,47 @@ def pack_index(cb: int):
         n = maxa + 1
         return lambda a, b: a * n + b
     raise NotImplementedError("encoder uses 2-dim codebooks only")
+
+
+# TNS (reference: aactab.c ff_tns_max_bands_1024/_128; spec 14496-3
+# Table 4.139) indexed by sampling_frequency_index 0..12
+TNS_MAX_BANDS_1024 = (31, 31, 34, 40, 42, 51, 46, 46, 42, 42, 42, 39, 39)
+TNS_MAX_BANDS_128 = (9, 9, 10, 14, 14, 14, 14, 14, 14, 14, 14, 14, 14)
+
+_SR_INDEX = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+             16000, 12000, 11025, 8000, 7350)
+
+
+def sample_rate_index(rate: int) -> int:
+    return _SR_INDEX.index(rate)
+
+
+def tns_dequant_table(coef_compress: int, coef_res: int):
+    """Inverse quantization of TNS reflection coefficients (spec
+    4.6.9.3; reference aac_tablegen.h tns_tmp2_map): signed index ->
+    sin-mapped value."""
+    import math
+    coef_len = coef_res + 3 - coef_compress
+    n = 1 << coef_len
+    iqfac = ((1 << (coef_res + 2)) - 0.5) / (math.pi / 2.0)
+    iqfac_m = ((1 << (coef_res + 2)) + 0.5) / (math.pi / 2.0)
+    out = np.zeros(n)
+    for i in range(n):
+        v = i - n if i >= n // 2 else i      # two's complement
+        out[i] = math.sin(v / (iqfac if v >= 0 else iqfac_m))
+    return out
+
+
+def tns_lpc(coefs):
+    """Reflection coefficients -> LPC (spec 4.6.9.3 pseudo-code;
+    reference aacdec.c compute_lpc_coefs equivalent)."""
+    order = len(coefs)
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    for m in range(1, order + 1):
+        b = a.copy()
+        for i in range(1, m):
+            b[i] = a[i] + coefs[m - 1] * a[m - i]
+        b[m] = coefs[m - 1]
+        a = b
+    return a[1:]                              # lpc[0..order-1]

@@ -208,7 +208,7 @@ _PASSTHRU_VALUE_OPTS = {
     "me_range", "sc_threshold", "trellis", "aspect", "b_frames",
     "coder", "refs", "map", "dct", "idct", "mbd", "cmp", "subcmp",
     "b_strategy", "compression_level", "channel_layout", "dither",
-    "deblock", "entropy", "i4x4", "parts", "weightp", "weightb",
+    "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -105,7 +105,7 @@ class TestShortWindows:
             gb = GetBits(body)
             assert gb.get_bits(3) == 0       # SCE
             gb.get_bits(4)
-            seq, shape, spec = decode_ics(gb, rate)
+            seq, shape, spec = decode_ics(gb, rate)[:3]
             seqs.append(seq)
         assert EIGHT_SHORT in seqs, seqs
         i = seqs.index(EIGHT_SHORT)
@@ -129,7 +129,7 @@ class TestShortWindows:
             gb = GetBits(p.data[hdr[3]:hdr[2]])
             gb.get_bits(3)
             gb.get_bits(4)
-            seq, _, _ = decode_ics(gb, rate)
+            seq = decode_ics(gb, rate)[0]
             assert seq == 0                  # ONLY_LONG
         m = len(x) - 1024
         err = y[1024:1024 + m] - x[:m]

@@ -187,6 +187,22 @@ class TestEncodeParity:
         assert len(crc_column(ref)) > 0
         assert crc_column(ours) == crc_column(ref)
 
+    def test_aac_tns_ref_decodes_ours(self, wav48, tmp_path):
+        """TNS-filtered stream: reference decode == our decode (+-1)."""
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "t.aac")
+        rc = avconv.main(["-y", "-i", wav48, "-c:a", "aac",
+                          "-tns", "1", "-f", "adts", enc])
+        assert rc == 0
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc, "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-i", enc, "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+
     def test_aac_ref_decodes_ours(self, wav48, tmp_path):
         """our AAC stream must decode in the reference to audio close to
         the source (level convention interop)."""
