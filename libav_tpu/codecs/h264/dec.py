@@ -247,14 +247,80 @@ class H264Decoder(Decoder):
                 p = sets.parse_pps(rbsp)
                 self.pps[p.pps_id] = p
             elif ntype in (nal_mod.NAL_SLICE, nal_mod.NAL_IDR):
-                fd, slice_info = self._decode_slice(
-                    rbsp, ntype == nal_mod.NAL_IDR, fd, ref_idc)
+                try:
+                    fd, slice_info = self._decode_slice(
+                        rbsp, ntype == nal_mod.NAL_IDR, fd, ref_idc)
+                except _NativeUnsupported:
+                    raise
+                except AVError:
+                    # error concealment (reference: error_resilience.c
+                    # ff_er_frame_end): keep what decoded, guess the rest
+                    fd2 = getattr(self, "_fd_inflight", None)
+                    info2 = getattr(self, "_inflight_info", None)
+                    if fd2 is None or info2 is None or \
+                            not np.any(fd2.coded):
+                        raise
+                    fd, slice_info = fd2, info2
+                    self._conceal(fd, slice_info)
+                    break
         if fd is not None:
             f = self._reconstruct(fd, slice_info)
             f.pts = pkt.pts
             f.time_base = pkt.time_base
             frames.append(f)
         return frames
+
+    def _conceal(self, fd, slice_info):
+        """Fill undecoded MBs (reference: error_resilience.c:52
+        guess_mv / is_intra_more_likely simplified): inter frames get a
+        guessed MV (average of decoded neighbors, ref 0, no residual);
+        intra frames get DC-predicted I_16x16 (spatial interpolation by
+        the normal wavefront intra path)."""
+        sps = self.active_sps
+        mb_w, mb_h = sps.mb_width, sps.mb_height
+        slice_type = slice_info[0]
+        temporal = slice_type != SLICE_I and bool(self._dpb)
+        g = fd.grids
+        coded = fd.coded.astype(bool).copy()
+        n_bad = 0
+        for i in range(mb_w * mb_h):
+            if coded[i]:
+                continue
+            n_bad += 1
+            mb_x, mb_y = i % mb_w, i // mb_w
+            if temporal:
+                cands = []
+                for nx, ny in ((mb_x - 1, mb_y), (mb_x, mb_y - 1),
+                               (mb_x + 1, mb_y), (mb_x, mb_y + 1)):
+                    if 0 <= nx < mb_w and 0 <= ny < mb_h:
+                        j = ny * mb_w + nx
+                        if coded[j] and not fd.intra[j]:
+                            cands.append(np.asarray(fd.mv[j]))
+                mv = (tuple(int(round(v)) for v in
+                            np.mean(cands, axis=0)) if cands else (0, 0))
+                fd.intra[i] = 0
+                fd.mv[i] = mv
+                fd.ref_idx[i] = 0
+                if g is not None:
+                    g.slice_id[i] = 0
+                    g.set_part(0, 4 * mb_x, 4 * mb_y, 4, 4, 0, mv)
+                    g.set_unused(1, 4 * mb_x, 4 * mb_y, 4, 4)
+            else:
+                fd.intra[i] = 1
+                fd.i4[i] = 0
+                fd.luma_mode[i] = 2            # DC prediction
+                fd.chroma_mode[i] = 0
+                fd.luma_dc[i] = 0
+                if g is not None:
+                    g.slice_id[i] = 0
+                    g.set_intra(mb_x, mb_y)
+            fd.qp[i] = 26
+            fd.luma_ac[i] = 0
+            fd.chroma_ac[i] = 0
+            fd.chroma_dc[i] = 0
+            fd.coded[i] = True
+        if n_bad:
+            log.warning("h264", f"concealing {n_bad} macroblocks")
 
     # ------------------------------------------------------------------ #
 
@@ -398,6 +464,10 @@ class H264Decoder(Decoder):
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
         fd.list0, fd.list1 = self._cur_lists
+        # concealment anchor: on a mid-slice bitstream error the caller
+        # recovers the partially decoded frame from here
+        self._fd_inflight = fd
+        self._inflight_info = (slice_type, idr, poc, ref_idc)
         if pps.entropy_coding_mode:
             pos = gb.bits_read()
             data = rbsp[(pos + 7) >> 3:]     # cabac_alignment_one_bit
@@ -423,7 +493,9 @@ class H264Decoder(Decoder):
             if rc == -3:
                 raise _NativeUnsupported()
             if rc != 0:
-                raise AVError(INVALIDDATA, f"native CAVLC failed ({rc})")
+                # corrupt stream: redo on the Python path, which tracks
+                # per-MB progress for error concealment
+                raise _NativeUnsupported()
         else:
             cur_slice = fd.nslices
             fd.nslices += 1

@@ -534,3 +534,65 @@ class TestNativeCabac:
         for fa, fb in zip(a, b):
             for x, y in zip(fa, fb):
                 np.testing.assert_array_equal(x, y)
+
+
+class TestErrorConcealment:
+    """Mid-slice corruption: decode continues with guessed motion /
+    DC-interpolated intra for the lost macroblocks (reference:
+    error_resilience.c), holding a PSNR floor instead of failing."""
+
+    def _stream(self):
+        rng = np.random.RandomState(3)
+        W, H = 96, 80
+        base = rng.randint(0, 255, (H, W)).astype(np.uint8)
+        frames = []
+        for t in range(5):
+            f = Frame.alloc_video(W, H, "yuv420p")
+            f.planes[0] = (np.roll(base, 2 * t, axis=1) // 2 +
+                           60).astype(np.uint8)
+            f.planes[1][:] = 100
+            f.planes[2][:] = 140
+            f.pts = t
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=W, height=H, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = H264Encoder(par)
+        enc.set_opt("qp", 28)
+        enc.set_opt("gop_size", 5)
+        return enc.encode_all(frames)
+
+    @staticmethod
+    def _psnr(a, b):
+        d = np.asarray(a).astype(float) - np.asarray(b).astype(float)
+        mse = (d * d).mean()
+        return 99.0 if mse < 1e-9 else 10 * np.log10(255 * 255 / mse)
+
+    @pytest.mark.parametrize("victim", [0, 2])
+    def test_psnr_floor(self, victim):
+        pkts = self._stream()
+        dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                          codec_id="h264"))
+        clean = dec.decode_all([Packet(data=p.data, pts=i)
+                                for i, p in enumerate(pkts)])
+        bad = [bytes(p.data) for p in pkts]
+        b = bytearray(bad[victim])
+        b[-12:] = b"\x00" * 12
+        bad[victim] = bytes(b)
+        dec2 = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="h264"))
+        out = dec2.decode_all([Packet(data=d, pts=i)
+                               for i, d in enumerate(bad)])
+        assert len(out) == len(clean)
+        for c, o in zip(clean, out):
+            p = self._psnr(c.to_host().planes[0], o.to_host().planes[0])
+            assert p > 24.0, f"concealment floor violated: {p:.1f} dB"
+        # deterministic: same corrupt input -> identical output
+        dec3 = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="h264"))
+        out2 = dec3.decode_all([Packet(data=d, pts=i)
+                                for i, d in enumerate(bad)])
+        for a, b2 in zip(out, out2):
+            np.testing.assert_array_equal(
+                np.asarray(a.to_host().planes[0]),
+                np.asarray(b2.to_host().planes[0]))
