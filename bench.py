@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Headline benchmark: full 1080p H.264 decode (bitstream -> frames) on
-NON-TRIVIAL content: CABAC entropy, I_4x4 intra, every P/B partition and
-sub-partition shape, B frames with spatial direct, and in-loop
-deblocking — decoded through the native C CABAC host layer feeding the
-block-granular batched device program (dequant + 4x4 IDCT + per-block
-quarter-pel MC + wavefront intra assembly + two-list deblock).
+NON-TRIVIAL content: CABAC entropy, I_4x4 intra, IPBB GOPs with spatial
+direct B frames, and in-loop deblocking (High-profile feature set) —
+decoded through the native C CABAC host layer, pipelined on a worker
+thread against the batched device reconstruction (dequant + 4x4 IDCT +
+quarter-pel MC + wavefront intra assembly + two-list deblock bS).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): the north-star target is 4x realtime 1080p H.264
@@ -34,6 +34,11 @@ W, H, NFRAMES = 1920, 1080, 8
 
 def encode_child(path):
     import numpy as np
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from libav_tpu.avutil.frame import Frame
     from libav_tpu.avutil.rational import Rational
@@ -55,8 +60,7 @@ def encode_child(path):
                           framerate=Rational(25, 1))
     enc = H264Encoder(par)
     for k, v in dict(qp=28, gop_size=NFRAMES, entropy="cabac",
-                     parts="all", i4x4=1, b_frames=2,
-                     deblock=1).items():
+                     i4x4=1, b_frames=2, deblock=1, slices=4).items():
         enc.set_opt(k, v)
     pkts = enc.encode_all([mk(t) for t in range(NFRAMES)])
     with open(path, "wb") as f:
@@ -87,6 +91,10 @@ def main():
         os.unlink(path)
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from libav_tpu.avutil.frame import Packet
     from libav_tpu.codecs.api import CodecParameters, MediaType

@@ -1,12 +1,17 @@
 """H.264 decoder host side (reference: h264dec.c decode_nal_units :520,
 h264_slice.c slice header + per-MB loop :2361-2428, h264_cavlc.c
-ff_h264_decode_mb_cavlc :699; device half in device.py).
+ff_h264_decode_mb_cavlc :699, h264_cabac.c :1908; device half in
+device.py).
 
-Round-1 subset: CAVLC; I slices of I_16x16 MBs; P slices of
-P_L0_16x16/P_Skip; single reference; frame_mbs_only. In-loop deblocking
-is applied when the stream enables it (frame-parallel edge-class order;
-slice alpha/beta offsets honored via ops/h264deblock
-deblock_frame_exact_jit static parameters).
+Coverage: CAVLC + CABAC entropy (Python reference layers plus native C
+production decoders); I_16x16 and I_4x4 intra; P/B slices with every
+partition and sub-partition shape, P_Skip/B_Skip, spatial direct,
+multi-reference lists, weighted prediction (explicit + implicit);
+POC-ordered DPB output reorder; normative in-loop deblocking (two-list
+block-granular bS); multi-slice frames with slice-parallel entropy;
+frame-pipelined host entropy vs device recon; mid-slice error
+concealment. Not yet: 8x8 transform/I_8x8, MMCO/ref-list modification,
+interlaced coding, temporal direct.
 """
 
 from __future__ import annotations
@@ -167,6 +172,13 @@ class H264Decoder(Decoder):
     LONG_NAME = "H.264/AVC (TPU wavefront reconstruction)"
 
     def _init(self):
+        # settle any in-flight entropy job before resetting state
+        fut = getattr(self, "_au_fut", None)
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:
+                pass
         self.sps: Dict[int, sets.SPS] = {}
         self.pps: Dict[int, sets.PPS] = {}
         self.active_sps: Optional[sets.SPS] = None
@@ -177,11 +189,19 @@ class H264Decoder(Decoder):
         self._outq = []               # POC output reorder (h264_refs.c
         self._reorder = False         # select_output_frame analogue)
         self._pts_pool = []           # input pts awaiting display order
+        self._exec = None             # entropy worker (frame pipeline)
+        self._au_fut = None           # in-flight AU entropy future
 
     _cur_col = None
     _cur_lists = ([], [])
 
     def _flush(self):
+        if getattr(self, "_au_fut", None) is not None:
+            try:
+                self._au_fut.result()
+            except Exception:
+                pass
+            self._au_fut = None
         self._dpb = []
         self._outq = []
         self._poc_state = (0, 0)
@@ -192,14 +212,42 @@ class H264Decoder(Decoder):
     REORDER_DEPTH = 2
 
     def _decode(self, pkt: Packet) -> List[Frame]:
+        # frame pipeline (reference: pthread_frame.c submit/return
+        # delay): the host entropy of access unit N+1 runs on a worker
+        # thread while the device reconstructs N — the C entropy layer
+        # releases the GIL, so the stages genuinely overlap. Output is
+        # delayed by one AU (codec delay, drained on flush).
+        if self._exec is None:
+            import concurrent.futures as _cf
+            self._exec = _cf.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="h264-entropy")
+        fut_prev = self._au_fut
+        self._au_fut = self._exec.submit(self._entropy_au, pkt)
+        if fut_prev is None:
+            return []
+        return self._finish_au(fut_prev)
+
+    def _entropy_au(self, pkt: Packet):
+        """Worker-side: all host entropy for one AU (headers + MB
+        layer + DPB bookkeeping); no device work."""
         self._force_python = False
         try:
-            frames = self._decode_nals(pkt)
+            fd, slice_info = self._entropy_nals(pkt)
         except _NativeUnsupported:
-            # slice uses a construct outside the native C subset
-            # (e.g. I_4x4): redo the whole access unit on the Python path
+            # slice uses a construct outside the native C subset:
+            # redo the whole access unit on the Python path
             self._force_python = True
-            frames = self._decode_nals(pkt)
+            fd, slice_info = self._entropy_nals(pkt)
+        return fd, slice_info, pkt
+
+    def _finish_au(self, fut) -> List[Frame]:
+        fd, slice_info, pkt = fut.result()
+        frames = []
+        if fd is not None:
+            f = self._reconstruct(fd, slice_info)
+            f.pts = pkt.pts
+            f.time_base = pkt.time_base
+            frames.append(f)
         if not self._reorder:
             return frames
         out = []
@@ -230,11 +278,15 @@ class H264Decoder(Decoder):
         return out
 
     def _drain(self) -> List[Frame]:
-        return self._pop_all()
+        out = []
+        if self._au_fut is not None:
+            fut, self._au_fut = self._au_fut, None
+            out.extend(self._finish_au(fut))
+        out.extend(self._pop_all())
+        return out
 
-    def _decode_nals(self, pkt: Packet) -> List[Frame]:
+    def _entropy_nals(self, pkt: Packet):
         nals = nal_mod.split_annexb(pkt.data)
-        frames = []
         fd = None
         slice_info = None
         for n in nals:
@@ -263,12 +315,32 @@ class H264Decoder(Decoder):
                     fd, slice_info = fd2, info2
                     self._conceal(fd, slice_info)
                     break
+        if fd is not None and getattr(fd, "pending_slices", None):
+            self._run_cabac_slices(fd)
         if fd is not None:
-            f = self._reconstruct(fd, slice_info)
-            f.pts = pkt.pts
-            f.time_base = pkt.time_base
-            frames.append(f)
-        return frames
+            # capture the recon-side context (the worker may already be
+            # parsing the NEXT AU's headers when recon runs)
+            fd.recon_ctx = (self.active_sps, self._deblock,
+                            self._ab_offset,
+                            getattr(self, "_weights", None))
+            st_, idr_, poc_, ridc_ = slice_info
+            # per-block picture ids for the deblock bS rule, from the
+            # DPB as seen by THIS frame (before its own entry)
+            pid_of = {id(e): k for k, e in enumerate(self._dpb)}
+            fd.l0pid = np.array([pid_of.get(id(e), -1)
+                                 for e in (fd.list0 or [])] or [-1],
+                                np.int8)
+            fd.l1pid = np.array([pid_of.get(id(e), -1)
+                                 for e in (fd.list1 or [])] or [-1],
+                                np.int8)
+            fd.dpb_entry = None
+            if ridc_:
+                ent = DPBEntry(poc_ if poc_ is not None else 0, None,
+                               *self._col_motion(fd))
+                max_refs = max(1, self.active_sps.max_num_ref_frames)
+                self._dpb = [ent] + self._dpb[:max_refs - 1]
+                fd.dpb_entry = ent
+        return fd, slice_info
 
     def _conceal(self, fd, slice_info):
         """Fill undecoded MBs (reference: error_resilience.c:52
@@ -437,13 +509,13 @@ class H264Decoder(Decoder):
             not getattr(self, "_force_python", False) and \
             slice_type != SLICE_B
         if fd is None:
+            # pooled FrameData blocks ping-pong between two buffers so
+            # the recon of frame N (main thread) never shares storage
+            # with the entropy of frame N+1 (worker thread)
             pool = getattr(self, "_fd_pool", None)
             if use_native and pool is not None and pool[0] == nmb:
-                # reuse the pooled block: only the fields consumed densely
-                # or read back by the C loop need resetting — the AC
-                # coefficient regions travel via the sparse lists and the
-                # C decoder clears per-MB nnz/chroma_dc itself
-                fd = pool[1]
+                self._pool_idx = 1 - getattr(self, "_pool_idx", 0)
+                fd = pool[1 + self._pool_idx]
                 fd.intra[:] = 0
                 fd.coded[:] = 0
                 fd.ref_idx[:] = 0
@@ -452,11 +524,15 @@ class H264Decoder(Decoder):
                 if fd.grids is not None:
                     fd.grids.reset()
                 fd.nslices = 0
+                fd.slice_starts = []
             else:
                 fd = FrameData(nmb, sps.mb_width, sps.mb_height,
                                use_block=use_native)
                 if use_native and fd.block is not None:
-                    self._fd_pool = (nmb, fd)
+                    other = FrameData(nmb, sps.mb_width, sps.mb_height,
+                                      use_block=True)
+                    self._fd_pool = (nmb, fd, other)
+                    self._pool_idx = 0
             if fd.block is None:
                 fd.nnz_y = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
                                     dtype=np.int32)
@@ -464,6 +540,9 @@ class H264Decoder(Decoder):
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
         fd.list0, fd.list1 = self._cur_lists
+        if not hasattr(fd, "slice_starts"):
+            fd.slice_starts = []
+        fd.slice_starts.append(first_mb)
         # concealment anchor: on a mid-slice bitstream error the caller
         # recovers the partially decoded frame from here
         self._fd_inflight = fd
@@ -476,7 +555,7 @@ class H264Decoder(Decoder):
                 __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
                 not getattr(self, "_force_python", False)
             if use_native_cb:
-                self._decode_mbs_cabac_native(
+                self._queue_cabac_native(
                     data, fd, sps, first_mb, slice_type, qp,
                     num_ref_l0, num_ref_l1, cabac_init_idc)
             else:
@@ -523,28 +602,30 @@ class H264Decoder(Decoder):
                            slice_type == SLICE_B, mb_type, nref0, nref1,
                            cur_slice, self._cur_col)
 
-    def _decode_mbs_cabac_native(self, data, fd: FrameData, sps, first_mb,
-                                 slice_type, qp, nref0, nref1,
-                                 cabac_init_idc):
-        """Native C CABAC MB loop (native/cabac.c) — the production path
-        for High-profile streams; the Python layer remains the reference
-        implementation (equivalence asserted in tests). Outputs arrive in
-        one arena whose views are bound into fd/grids zero-copy."""
+    _slice_exec = None
+
+    def _queue_cabac_native(self, data, fd, sps, first_mb, slice_type,
+                            qp, nref0, nref1, cabac_init_idc):
+        """Native C CABAC path: slices are queued and executed at AU end
+        — in parallel threads when the frame has several slices (slice
+        threading; the C layer releases the GIL)."""
         from libav_tpu.native import h264_cabac_host as CN
         mb_w, mb_h = sps.mb_width, sps.mb_height
         nmb = mb_w * mb_h
         st = getattr(fd, "cabac_native", None)
         if st is None:
             pool = getattr(self, "_cabac_pool", None)
-            if pool is not None and pool[0] == nmb:
-                arena, coeffs = pool[1], pool[2]
-            else:
-                arena, coeffs = CN.alloc(nmb)
-                self._cabac_pool = (nmb, arena, coeffs)
+            if pool is None or pool[0] != nmb:
+                pool = (nmb, CN.alloc(nmb), CN.alloc(nmb))
+                self._cabac_pool = pool
+                self._cabac_idx = 0
+            self._cabac_idx = 1 - getattr(self, "_cabac_idx", 1)
+            arena, coeffs = pool[1 + self._cabac_idx]
             v = CN.views(arena, coeffs, nmb, mb_w, mb_h)
+            CN.reset_arena(v)
             fd.cabac_native = (arena, coeffs, v)
             fd.native_slices = 0
-            # bind outputs zero-copy
+            fd.pending_slices = []
             fd.intra = v["intra"]
             fd.i4 = v["i4"]
             fd.i4_modes = v["i4_modes"]
@@ -567,32 +648,80 @@ class H264Decoder(Decoder):
             g.bmvd = v["bmvd"]
             g.bdirect = v["bdirect"]
             g.slice_id = v["gslice"]
-        arena, coeffs, v = fd.cabac_native
         col = None
         if slice_type == SLICE_B and self._cur_col is not None:
-            col = getattr(self, "_cur_col_packed", None)
-            if col is None or col[0] is not self._cur_col:
+            col = getattr(fd, "_col_packed", None)
+            if col is None:
                 cref, cmv = self._cur_col
-                packed = np.empty((cref.shape[0], cref.shape[1], 3),
-                                  dtype=np.int32)
-                packed[..., 0] = cref
-                packed[..., 1] = cmv[..., 0]
-                packed[..., 2] = cmv[..., 1]
-                packed = np.ascontiguousarray(packed)
-                self._cur_col_packed = (self._cur_col, packed)
-                col = self._cur_col_packed
-            col = col[1]
-        rc = CN.decode_slice(arena, coeffs, data, mb_w, mb_h, first_mb,
-                             slice_type, qp, cabac_init_idc,
-                             max(nref0, 1), max(nref1, 1),
-                             fd.native_slices, fd.native_slices == 0,
-                             col=col)
+                col = np.empty((cref.shape[0], cref.shape[1], 3),
+                               dtype=np.int32)
+                col[..., 0] = cref
+                col[..., 1] = cmv[..., 0]
+                col[..., 2] = cmv[..., 1]
+                col = np.ascontiguousarray(col)
+                fd._col_packed = col
+        fd.pending_slices.append(
+            (data, first_mb, slice_type, qp, cabac_init_idc,
+             max(nref0, 1), max(nref1, 1), fd.native_slices, col))
         fd.native_slices += 1
-        if rc == -3:
-            raise _NativeUnsupported()
-        if rc != 0:
-            raise AVError(INVALIDDATA, f"native CABAC failed ({rc})")
-        fd.grids.any_part = bool(v["flags"][0]) or slice_type == SLICE_B
+
+    def _run_cabac_slices(self, fd):
+        """Execute the queued native slice jobs for one AU and merge the
+        per-slice sparse coefficient lists (reference: the slice
+        threading of pthread_slice.c, applied to the host entropy
+        stage)."""
+        from libav_tpu.native import h264_cabac_host as CN
+        arena, coeffs, v = fd.cabac_native
+        jobs = fd.pending_slices
+        fd.pending_slices = []
+        sps = self.active_sps
+        mb_w, mb_h = sps.mb_width, sps.mb_height
+        nmb = mb_w * mb_h
+        if len(jobs) == 1:
+            d, fmb, st_, qp, idc, n0, n1, cs, col = jobs[0]
+            rcs = [CN.decode_slice(arena, coeffs, d, mb_w, mb_h, fmb,
+                                   st_, qp, idc, n0, n1, cs, False,
+                                   col=col)]
+        else:
+            bounds = [j[1] for j in jobs] + [nmb]
+
+            def run(k):
+                d, fmb, st_, qp, idc, n0, n1, cs, col = jobs[k]
+                nsl = max(bounds[k + 1] - bounds[k], 1)
+                ycap = nsl * 16
+                sc = np.zeros(2 + ycap + nsl * 8, np.int32)
+                cf = np.zeros((ycap + nsl * 8) * 16, np.int16)
+                rc = CN.decode_slice(arena, cf, d, mb_w, mb_h, fmb, st_,
+                                     qp, idc, n0, n1, cs, False, col=col,
+                                     sctx=sc, ycap=ycap)
+                return rc, sc, cf, ycap, nsl
+            if self._slice_exec is None:
+                import concurrent.futures as _cf
+                H264Decoder._slice_exec = _cf.ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="h264-slice")
+            res = list(self._slice_exec.map(run, range(len(jobs))))
+            rcs = [r[0] for r in res]
+            sctx_m = v["sctx"]
+            yv, cv = v["yvals"], v["cvals"]
+            ny = nc = 0
+            for rc, sc, cf, ycap, nsl in res:
+                k1, k2 = int(sc[0]), int(sc[1])
+                yv[ny:ny + k1] = cf[:ycap * 16].reshape(ycap, 16)[:k1]
+                sctx_m[2 + ny:2 + ny + k1] = sc[2:2 + k1]
+                cv[nc:nc + k2] = cf[ycap * 16:].reshape(nsl * 8, 16)[:k2]
+                sctx_m[2 + 16 * nmb + nc:2 + 16 * nmb + nc + k2] = \
+                    sc[2 + ycap:2 + ycap + k2]
+                ny += k1
+                nc += k2
+            sctx_m[0] = ny
+            sctx_m[1] = nc
+        for rc in rcs:
+            if rc == -3:
+                raise _NativeUnsupported()
+            if rc != 0:
+                raise AVError(INVALIDDATA, f"native CABAC failed ({rc})")
+        fd.grids.any_part = bool(v["flags"][0]) or \
+            any(j[2] == SLICE_B for j in jobs)
 
     def _decode_mbs_cabac(self, data, fd: FrameData, sps, first_mb,
                           slice_type, qp, num_ref_l0, cabac_init_idc,
@@ -660,10 +789,20 @@ class H264Decoder(Decoder):
             if kind == 0:                          # I_NxN
                 fd.i4[i] = True
                 grid = fd.i4_grid
+
+                def cell(gx_, gy_):
+                    if gx_ < 0 or gy_ < 0:
+                        return -1
+                    mbn = (gy_ >> 2) * mb_w + (gx_ >> 2)
+                    if mc.slice_id[mbn] != cur_slice:
+                        return -1          # other slice (6.4.9)
+                    return int(grid[gy_, gx_])
+
                 for b in range(16):
                     dx, dy = _BLK_XY[b]
                     gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
-                    pm = pred_i4_mode(grid, gx, gy)
+                    m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                    pm = 2 if m_ < 0 else m_
                     m4 = layer.intra4x4_pred_mode(pm)
                     fd.i4_modes[i, b] = m4
                     grid[gy, gx] = m4
@@ -1010,7 +1149,7 @@ class H264Decoder(Decoder):
         return colref, colmv
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
-        sps = self.active_sps
+        sps, deblock, ab_offset, weights = fd.recon_ctx
         nmb = sps.mb_width * sps.mb_height
         slice_type, idr, poc, ref_idc = slice_info
         any_intra = bool(np.any(fd.intra))
@@ -1018,9 +1157,7 @@ class H264Decoder(Decoder):
         zero = lambda: zero_refs_h264(sps.mb_width, sps.mb_height)
         bpred = slice_type == SLICE_B
         g = fd.grids
-        deblock = bool(getattr(self, "_deblock", False))
         part_mode = bool(g is not None and g.any_part)
-        weights = getattr(self, "_weights", None)
         if weights == "implicit" and not bpred:
             weights = None
         if weights is not None:
@@ -1051,13 +1188,14 @@ class H264Decoder(Decoder):
         refs1 = None
 
         def stack(entries, n):
-            import jax.numpy as jnp
+            # tuples-of-planes; the device program stacks them in-jit
+            # (no eager per-frame stack dispatches on the tunnel)
             dpb = [e.planes for e in entries[:n]]
             while len(dpb) < n:
                 dpb.append(zero())
             if n == 1:
                 return dpb[0]
-            return tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
+            return tuple(tuple(d[k] for d in dpb) for k in range(3))
 
         list0 = fd.list0 if fd.list0 is not None else list(self._dpb)
         list1 = fd.list1 if fd.list1 is not None else []
@@ -1115,8 +1253,7 @@ class H264Decoder(Decoder):
                                    crop=(cl, cr, ct, cb,
                                          sps.width, sps.height),
                                    deblock=deblock, nrefs=nrefs,
-                                   db_offsets=getattr(self, "_ab_offset",
-                                                      (0, 0)),
+                                   db_offsets=tuple(ab_offset),
                                    any_i4=any_i4, bpred=bpred,
                                    part=part_mode, nrefs1=nrefs1,
                                    weighted=(
@@ -1150,11 +1287,9 @@ class H264Decoder(Decoder):
                 kw["ry1"], kw["ru1"], kw["rv1"] = refs1
             if deblock:
                 # per-block picture ids for the bS reference comparison
-                pid_of = {id(e): k for k, e in enumerate(self._dpb)}
-                l0p = np.array([pid_of.get(id(e), -1) for e in list0] or
-                               [-1], np.int8)
-                l1p = np.array([pid_of.get(id(e), -1) for e in list1] or
-                               [-1], np.int8)
+                # (computed against the DPB as this frame saw it)
+                l0p = fd.l0pid
+                l1p = fd.l1pid
                 kw["pid0"] = np.where(
                     use0, l0p[np.clip(g.bref[0], 0, len(l0p) - 1)],
                     -1).astype(np.int8)
@@ -1174,6 +1309,16 @@ class H264Decoder(Decoder):
                 kw["wtab0"] = weights[2][0][:nrefs].astype(np.int32)
                 if bpred:
                     kw["wtab1"] = weights[2][1][:nrefs1].astype(np.int32)
+        starts = [s for s in getattr(fd, "slice_starts", []) if s > 0]
+        if starts and any_intra:
+            # intra prediction must not cross slice boundaries
+            # (row-aligned slices: kill the top availability of each
+            # slice's first MB row)
+            rt = np.ones(sps.mb_height, dtype=bool)
+            rt[0] = False
+            for s in starts:
+                rt[min(s // sps.mb_width, sps.mb_height - 1)] = False
+            kw["row_top"] = rt
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),
@@ -1182,11 +1327,8 @@ class H264Decoder(Decoder):
                             fd.luma_dc.astype(np.int16),
                             yvals, ypad, cvals, cpad,
                             fd.chroma_dc.astype(np.int16), *refs, **kw)
-        if ref_idc:
-            max_refs = max(1, sps.max_num_ref_frames)
-            ent = DPBEntry(poc if poc is not None else 0, padded,
-                           *self._col_motion(fd))
-            self._dpb = [ent] + self._dpb[:max_refs - 1]
+        if getattr(fd, "dpb_entry", None) is not None:
+            fd.dpb_entry.planes = padded
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
         f.planes = list(planes)     # cropped inside the device program
         f.pict_type = (PictureType.I if slice_type == SLICE_I else

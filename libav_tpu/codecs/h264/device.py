@@ -211,7 +211,16 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
            ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
-           wtab0=None, wtab1=None, w0tab=None):
+           wtab0=None, wtab1=None, w0tab=None, row_top=None):
+        # multi-reference stacks arrive as tuples of planes and are
+        # stacked INSIDE the program: one dispatch per frame instead of
+        # one eager stack op per plane (the axon tunnel makes every
+        # eager dispatch a ~ms round trip)
+        if isinstance(ry, (tuple, list)):
+            ry, ru, rv = jnp.stack(ry), jnp.stack(ru), jnp.stack(rv)
+        if isinstance(ry1, (tuple, list)):
+            ry1, ru1, rv1 = (jnp.stack(ry1), jnp.stack(ru1),
+                             jnp.stack(rv1))
         intra16 = (intra & ~i4) if any_i4 else intra
         resid_y, resid_u, resid_v = residual_stage(
             intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
@@ -368,7 +377,11 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
             top = fy[y0[:, None] - 1, x0[:, None] + r16]        # (maxw,16)
             left = fy[y0[:, None] + r16, x0[:, None] - 1]
             tl = fy[y0 - 1, x0 - 1]
-            at = by > 0
+            # intra availability honors slice boundaries: row_top[y]
+            # is False on the first MB row of each slice (spec 6.4.9;
+            # slices are row-aligned here)
+            at = (by > 0) if row_top is None else \
+                jnp.asarray(row_top)[jnp.clip(by, 0, mb_h - 1)]
             al = bx > 0
             ctop_u = fu[cy0[:, None] - 1, cx0[:, None] + r8]
             cleft_u = fu[cy0[:, None] + r8, cx0[:, None] - 1]
@@ -492,7 +505,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
            ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
-           pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None):
+           pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None,
+           row_top=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -504,7 +518,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   ry1=ry1, ru1=ru1, rv1=rv1,
                                   bmv0=bmv0, bref0=bref0, bsel=bsel,
                                   bmv1=bmv1, bref1=bref1, wtab0=wtab0,
-                                  wtab1=wtab1, w0tab=w0tab)
+                                  wtab1=wtab1, w0tab=w0tab,
+                                  row_top=row_top)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE

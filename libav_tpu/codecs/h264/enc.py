@@ -238,7 +238,7 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
     def quant(wv, mf, f, qbits):
         return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
 
-    def fn(src_y, src_u, src_v):
+    def fn(src_y, src_u, src_v, row_top=None):
         fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
         fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
         fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
@@ -327,7 +327,8 @@ def _encode_i_jit(mb_w: int, mb_h: int, qp: int):
             x0 = bx * 16 + 1
             cy0 = by * 8 + 1
             cx0 = bx * 8 + 1
-            at = by > 0
+            at = (by > 0) if row_top is None else \
+                jnp.asarray(row_top)[jnp.clip(by, 0, mb_h - 1)]
             al = bx > 0
 
             def dc_pred(frame, yy, xx, n, has_t, has_l):
@@ -435,7 +436,7 @@ def _encode_i4_jit(mb_w: int, mb_h: int, qp: int):
     def quant(wv, mf, f, qbits):
         return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
 
-    def fn(src_y, src_u, src_v):
+    def fn(src_y, src_u, src_v, row_top=None):
         fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
         fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
         fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
@@ -487,7 +488,8 @@ def _encode_i4_jit(mb_w: int, mb_h: int, qp: int):
             x0 = bx * 16 + 1
             cy0 = by * 8 + 1
             cx0 = bx * 8 + 1
-            at = by > 0
+            at = (by > 0) if row_top is None else \
+                jnp.asarray(row_top)[jnp.clip(by, 0, mb_h - 1)]
             al = bx > 0
             rtrue = jnp.ones((maxw,), bool)
 
@@ -854,6 +856,8 @@ class H264Encoder(Encoder):
                "decision", "int", 0, 0, 1),
         Option("b_frames", "max B frames between references", "int",
                0, 0, 2),
+        Option("slices", "slices per frame (CABAC only; parallel "
+               "entropy)", "int", 1, 1, 8),
         Option("weightp", "explicit weighted prediction for P slices "
                "(pred_weight_table)", "int", 0, 0, 1),
         Option("weightb", "B weighted prediction: off, explicit or "
@@ -957,13 +961,20 @@ class H264Encoder(Encoder):
         if is_i:
             self._idr_disp = disp
             self._poc = 0
+            rt = None
+            if self.cabac and self.slices > 1:
+                # intra prediction must not cross slice boundaries
+                rt = np.ones(self.mb_h, dtype=bool)
+                rt[0] = False
+                for k in range(1, self.slices):
+                    rt[self.mb_h * k // self.slices] = False
             if self.i4x4:
                 fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
-                outs, recon = fn(y, u, v)
+                outs, recon = fn(y, u, v, row_top=rt)
                 data = self._pack_i4(outs, recon)
             else:
                 fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
-                outs, recon = fn(y, u, v)
+                outs, recon = fn(y, u, v, row_top=rt)
                 data = self._pack_i(outs, recon)
         else:
             self._poc = 2 * (disp - self._idr_disp)
@@ -1082,11 +1093,12 @@ class H264Encoder(Encoder):
     # ------------------------------------------------------------------ #
 
     def _slice_header(self, pb: PutBits, slice_type: int, idr: bool,
-                      nrefs: int = 1):
+                      nrefs: int = 1, first_mb: int = 0,
+                      advance: bool = True):
         is_ref = slice_type != SLICE_B           # B pictures are non-ref
         if idr:
             self._fn = 0                         # IDR: frame_num == 0
-        pb.put_ue_golomb(0)                      # first_mb_in_slice
+        pb.put_ue_golomb(first_mb)               # first_mb_in_slice
         pb.put_ue_golomb(slice_type)             # 0=P 1=B 2=I (+5 ok)
         pb.put_ue_golomb(0)                      # pps_id
         pb.put_bits(self.sps.log2_max_frame_num,
@@ -1133,7 +1145,7 @@ class H264Encoder(Encoder):
             pb.put_bits(1, 0)
         elif is_ref:
             pb.put_bits(1, 0)                    # adaptive marking
-        if is_ref:
+        if is_ref and advance:
             self._fn += 1
         if self.cabac and slice_type != SLICE_I:
             pb.put_ue_golomb(0)                  # cabac_init_idc
@@ -1144,6 +1156,38 @@ class H264Encoder(Encoder):
             pb.put_se_golomb(0)                  # beta offset / 2
         else:
             pb.put_ue_golomb(1)                  # disable deblocking
+
+    def _emit_slices(self, fd, slice_type, idr, nrefs, nal_type,
+                     ref_idc=None):
+        """Emit the frame as self.slices NALs (CABAC slice threading;
+        one slice otherwise)."""
+        n = self.slices if self.cabac else 1
+        bounds = [(self.mb_h * k // n) * self.mb_w for k in range(n + 1)]
+        from libav_tpu.codecs.h264 import cabac as cb
+        mc = cb.MbCtx(self.mb_w, self.mb_h) if self.cabac else None
+        i4_grid = np.full((4 * self.mb_h, 4 * self.mb_w), -1,
+                          dtype=np.int8)
+        out = b""
+        for k in range(n):
+            pb = PutBits()
+            self._slice_header(pb, slice_type, idr, nrefs=nrefs,
+                               first_mb=bounds[k], advance=k == n - 1)
+            if self.cabac:
+                self._pack_mbs_cabac(pb, fd, slice_type, nrefs,
+                                     first_mb=bounds[k],
+                                     end_mb=bounds[k + 1], cur_slice=k,
+                                     mc=mc, i4_grid=i4_grid)
+            else:
+                self._pack_mbs(pb, fd, slice_type, nrefs=nrefs)
+            if ref_idc is None:
+                out += self._finish_nal(pb, nal_type)
+            else:
+                if not self.cabac:
+                    pb.put_bits(1, 1)
+                pb.align(0)
+                out += nal_mod.make_nal(nal_type, pb.flush(),
+                                        ref_idc=ref_idc)
+        return out
 
     def _finish_nal(self, pb: PutBits, nal_type: int) -> bytes:
         if not self.cabac:
@@ -1196,10 +1240,7 @@ class H264Encoder(Encoder):
         out = bytearray()
         out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
         out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
-        pb = PutBits()
-        self._slice_header(pb, SLICE_I, idr=True)
-        self._pack_mbs(pb, fd, SLICE_I)
-        out += self._finish_nal(pb, nal_mod.NAL_IDR)
+        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
         self._idr_id += 1
         self._dpb = []          # IDR clears the DPB (decoder does the same)
         self._update_ref_from_levels(fd)
@@ -1242,10 +1283,7 @@ class H264Encoder(Encoder):
         out = bytearray()
         out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
         out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
-        pb = PutBits()
-        self._slice_header(pb, SLICE_I, idr=True)
-        self._pack_mbs(pb, fd, SLICE_I)
-        out += self._finish_nal(pb, nal_mod.NAL_IDR)
+        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
         self._idr_id += 1
         self._dpb = []
         self._update_ref_from_levels(fd)
@@ -1267,10 +1305,8 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
-        pb = PutBits()
-        self._slice_header(pb, SLICE_P, idr=False, nrefs=nrefs)
-        self._pack_mbs(pb, fd, SLICE_P, nrefs=nrefs)
-        data = self._finish_nal(pb, nal_mod.NAL_SLICE)
+        data = self._emit_slices(fd, SLICE_P, False, nrefs,
+                                 nal_mod.NAL_SLICE)
         self._update_ref_from_levels(fd)
         return data
 
@@ -1289,35 +1325,37 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
-        pb = PutBits()
-        self._slice_header(pb, SLICE_B, idr=False)
-        self._pack_mbs(pb, fd, SLICE_B)
-        if not self.cabac:
-            pb.put_bits(1, 1)
-        pb.align(0)
         # B pictures are non-reference: nal_ref_idc = 0, no DPB update
-        return nal_mod.make_nal(nal_mod.NAL_SLICE, pb.flush(), ref_idc=0)
+        return self._emit_slices(fd, SLICE_B, False, 1,
+                                 nal_mod.NAL_SLICE, ref_idc=0)
 
     # ------------------------------------------------------------------ #
 
     def _pack_mbs_cabac(self, pb: PutBits, fd: FrameData, slice_type: int,
-                        nrefs: int = 1):
+                        nrefs: int = 1, first_mb: int = 0, end_mb=None,
+                        cur_slice: int = 0, mc=None, i4_grid=None):
         """CABAC slice data (reference h264_cabac.c encode direction does
         not exist in libav either — this mirrors its decode semantics via
-        the symmetric layer in cabac.py)."""
+        the symmetric layer in cabac.py). With multiple slices per frame
+        the MbCtx/i4 grids are shared across the slice calls and every
+        neighbor derivation is slice-checked."""
         from libav_tpu.codecs.h264 import cabac as cb
         mb_w, mb_h = self.mb_w, self.mb_h
         nmb = mb_w * mb_h
+        if end_mb is None:
+            end_mb = nmb
         pb.align(1)                       # cabac_alignment_one_bit
         states = cb.init_states(slice_type == SLICE_I, 0, self.qp)
         eng = cb.CabacEncoder(pb, states)
-        mc = cb.MbCtx(mb_w, mb_h)
+        if mc is None:
+            mc = cb.MbCtx(mb_w, mb_h)
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
-                                0, grids=fd.grids)
+                                cur_slice, grids=fd.grids)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
-        i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+        if i4_grid is None:
+            i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
 
         def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
             for b in range(16):
@@ -1352,7 +1390,7 @@ class H264Encoder(Encoder):
                         nnz = 0
                     grid[gy, gx] = nnz
 
-        for i in range(nmb):
+        for i in range(first_mb, end_mb):
             mb_x, mb_y = i % mb_w, i // mb_w
             if slice_type == SLICE_B:
                 cbp_luma = 0
@@ -1370,12 +1408,12 @@ class H264Encoder(Encoder):
                                                         fd.mv1[i])
                 layer.mb_skip(i, 0)
                 layer.mb_type_b(i, btype)
-                mc.slice_id[i] = 0
+                mc.slice_id[i] = cur_slice
                 mc.direct[i] = btype == 0
-                fd.grids.slice_id[i] = 0
+                fd.grids.slice_id[i] = cur_slice
                 part.code_inter_mb(
                     _CabacWriter(layer, plan),
-                    fd, i, mb_x, mb_y, True, btype, 1, 1, 0, None)
+                    fd, i, mb_x, mb_y, True, btype, 1, 1, cur_slice, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1386,7 +1424,7 @@ class H264Encoder(Encoder):
                 fd.coded[i] = True
                 luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
-                layer.end_of_slice(0 if i < nmb - 1 else 1)
+                layer.end_of_slice(0 if i < end_mb - 1 else 1)
                 continue
             if slice_type == SLICE_P:
                 cbp_luma = 0
@@ -1396,19 +1434,19 @@ class H264Encoder(Encoder):
                 has_cdc = np.any(fd.chroma_dc[i])
                 has_cac = np.any(fd.chroma_ac[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
-                skip_mv = part.pred_pskip(fd.grids, mb_x, mb_y, 0)
+                skip_mv = part.pred_pskip(fd.grids, mb_x, mb_y, cur_slice)
                 is_skip = (cbp_luma == 0 and cbp_chroma == 0 and
                            int(fd.ref_idx[i]) == 0 and
                            tuple(fd.mv[i]) == skip_mv)
                 layer.mb_skip(i, 1 if is_skip else 0)
                 if is_skip:
-                    mc.slice_id[i] = 0
-                    fd.grids.slice_id[i] = 0
-                    part.pskip_mb_motion(fd, i, mb_x, mb_y, 0)
+                    mc.slice_id[i] = cur_slice
+                    fd.grids.slice_id[i] = cur_slice
+                    part.pskip_mb_motion(fd, i, mb_x, mb_y, cur_slice)
                     mc.skip[i] = True
                     layer.last_dqp = 0
                     fd.coded[i] = True
-                    layer.end_of_slice(0 if i < nmb - 1 else 1)
+                    layer.end_of_slice(0 if i < end_mb - 1 else 1)
                     continue
                 layer.mb_type_p_is_intra(0)
                 if self.parts == "all":
@@ -1417,11 +1455,12 @@ class H264Encoder(Encoder):
                     ptype, plan = 0, _UniformPlan(fd.mv[i],
                                                   ref0=int(fd.ref_idx[i]))
                 layer.mb_type_p_inter(ptype)
-                mc.slice_id[i] = 0
-                fd.grids.slice_id[i] = 0
+                mc.slice_id[i] = cur_slice
+                fd.grids.slice_id[i] = cur_slice
                 part.code_inter_mb(
                     _CabacWriter(layer, plan),
-                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, 0, None)
+                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, cur_slice,
+                    None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -1440,14 +1479,23 @@ class H264Encoder(Encoder):
                 has_cac = np.any(fd.chroma_ac[i])
                 has_cdc = np.any(fd.chroma_dc[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
-                mc.slice_id[i] = 0
+                mc.slice_id[i] = cur_slice
                 mc.intra[i] = True
-                fd.grids.slice_id[i] = 0
+                fd.grids.slice_id[i] = cur_slice
                 fd.grids.set_intra(mb_x, mb_y)
                 layer.mb_type_intra(i, (0, 0, 0, 0))
+                def cell(gx_, gy_):
+                    if gx_ < 0 or gy_ < 0:
+                        return -1
+                    mbn = (gy_ >> 2) * mb_w + (gx_ >> 2)
+                    if mc.slice_id[mbn] != cur_slice:
+                        return -1
+                    return int(i4_grid[gy_, gx_])
+
                 for b in range(16):
                     gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
-                    pred = pred_i4_mode(i4_grid, gx, gy)
+                    m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                    pred = 2 if m_ < 0 else m_
                     mode = int(fd.i4_modes[i, b])
                     layer.intra4x4_pred_mode(pred, mode)
                     i4_grid[gy, gx] = mode
@@ -1468,9 +1516,9 @@ class H264Encoder(Encoder):
                 has_cac = np.any(fd.chroma_ac[i])
                 has_cdc = np.any(fd.chroma_dc[i])
                 cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
-                mc.slice_id[i] = 0
+                mc.slice_id[i] = cur_slice
                 mc.intra[i] = True
-                fd.grids.slice_id[i] = 0
+                fd.grids.slice_id[i] = cur_slice
                 fd.grids.set_intra(mb_x, mb_y)
                 layer.mb_type_intra(i, (1, cbp_luma15, cbp_chroma,
                                         int(fd.luma_mode[i])))
@@ -1485,7 +1533,7 @@ class H264Encoder(Encoder):
                 fd.coded[i] = True
                 luma_resid(i, mb_x, mb_y, cbp_luma15, cat=1)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
-            layer.end_of_slice(0 if i < nmb - 1 else 1)
+            layer.end_of_slice(0 if i < end_mb - 1 else 1)
 
     def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int,
                   nrefs: int = 1):

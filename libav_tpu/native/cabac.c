@@ -229,7 +229,8 @@ typedef struct cb_S {
         *i4_modes, *luma_dc, *chroma_dc,
         *nnz_y, *nnz_u, *nnz_v,
         *bref, *bmv, *bmvd, *bdirect, *gslice, *i4grid, *flags,
-        *sctx;                  /* ycount, ccount, yidx[16nmb], cidx[8nmb] */
+        *sctx;                  /* ycount, ccount, yidx[ycap], cidx[...] */
+    int ycap;
     int16_t *yvals, *cvals;
     const int *col;             /* (ref,mvx,mvy)*bh*bw or NULL */
 } S;
@@ -827,7 +828,7 @@ static void cb_chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
                     memset(row, 0, 16 * sizeof(int16_t));
                     for (k = 0; k < 15; k++)
                         row[k + 1] = (int16_t)lv[k];
-                    s->sctx[2 + 16 * s->nmb + ccnt] = i * 8 + 4 * cc + b;
+                    s->sctx[2 + s->ycap + ccnt] = i * 8 + 4 * cc + b;
                     s->sctx[1] = ccnt + 1;
                 }
             }
@@ -1063,10 +1064,21 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
 
 /* ---- per-MB decode ---- */
 
+static int i4_cell(S *s, int gx, int gy)
+{
+    int mb;
+    if (gx < 0 || gy < 0)
+        return -1;
+    mb = (gy >> 2) * s->mb_w + (gx >> 2);
+    if (s->mcslice[mb] != s->cur_slice)
+        return -1;               /* other slice: unavailable (6.4.9) */
+    return s->i4grid[gy * s->bw + gx];
+}
+
 static int pred_i4_mode(S *s, int gx, int gy)
 {
-    int a = gx > 0 ? s->i4grid[gy * s->bw + gx - 1] : -1;
-    int b = gy > 0 ? s->i4grid[(gy - 1) * s->bw + gx] : -1;
+    int a = i4_cell(s, gx - 1, gy);
+    int b = i4_cell(s, gx, gy - 1);
     int m = a < b ? a : b;
     return m < 0 ? 2 : m;
 }
@@ -1179,7 +1191,7 @@ int h264_cabac_decode_slice(
     S s;
     int *a = mb_meta;
     int nmb, i, qp, rc;
-    (void)mvs; (void)ctx_out;
+    (void)mvs;
 
     memset(&s, 0, sizeof(s));
     s.mb_w = params[0];
@@ -1222,9 +1234,18 @@ int h264_cabac_decode_slice(
     s.i4grid = a;           a += 16 * nmb;
     s.flags = a;            a += 4;
     s.sctx = a;             /* 2 + 16nmb + 8nmb */
+    s.ycap = 16 * nmb;
     s.yvals = coeffs;
-    s.cvals = coeffs + (long long)16 * nmb * 16;
     s.col = params[10] ? ctx_in : 0;
+    if (ctx_out) {
+        /* parallel slice decode: per-slice sparse output buffers
+         * (ctx_out = private sctx, coeffs sized by params[11]) */
+        s.sctx = ctx_out;
+        s.ycap = params[11];
+        s.sctx[0] = 0;
+        s.sctx[1] = 0;
+    }
+    s.cvals = coeffs + (long long)s.ycap * 16;
 
     if (params[9]) {            /* first slice of the frame: reset */
         long long nb = (long long)16 * nmb;

@@ -72,25 +72,48 @@ def views(arena: np.ndarray, coeffs: np.ndarray, nmb: int, mb_w: int,
     return d
 
 
+def reset_arena(v: dict):
+    """Frame-start arena init (numpy-side so parallel slice jobs can
+    launch in any order)."""
+    for k in ("intra", "i4", "intra16", "luma_mode", "chroma_mode",
+              "qp", "coded", "skip", "direct", "cbp", "mv", "ref_idx",
+              "sel", "luma_dc", "chroma_dc", "nnz_y", "nnz_u", "nnz_v",
+              "bmv", "bmvd", "bdirect", "flags"):
+        v[k][:] = 0
+    v["mcslice"][:] = -1
+    v["gslice"][:] = -1
+    v["i4_modes"][:] = 2
+    v["bref"][:] = -2
+    v["i4grid"][:] = -1
+    v["sctx"][0] = 0
+    v["sctx"][1] = 0
+
+
 def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
                  mb_w: int, mb_h: int, first_mb: int, slice_type: int,
                  qp: int, cabac_init_idc: int, nref0: int, nref1: int,
-                 cur_slice: int, reset: bool, col=None) -> int:
+                 cur_slice: int, reset: bool, col=None,
+                 sctx=None, ycap: int = 0) -> int:
     """Run the C CABAC MB loop. col = packed int32 (bh*bw, 3) colocated
-    (ref, mvx, mvy) for spatial direct, or None."""
+    (ref, mvx, mvy) for spatial direct, or None. With sctx/ycap the
+    sparse outputs go to private per-slice buffers (parallel slice
+    decode); `coeffs` is then [ycap*16 yvals | cvals] int16."""
     from libav_tpu.native.build import get_lib, get_ffi
     lib = get_lib()
     ffi = get_ffi()
     params = np.array([mb_w, mb_h, first_mb, slice_type, qp,
                        cabac_init_idc, nref0, nref1, cur_slice,
-                       1 if reset else 0, 0 if col is None else 1],
+                       1 if reset else 0, 0 if col is None else 1,
+                       ycap],
                       dtype=np.int32)
     cg = ffi.NULL if col is None else \
         ffi.cast("const int*", ffi.from_buffer(col))
+    sc = ffi.NULL if sctx is None else \
+        ffi.cast("int*", ffi.from_buffer(sctx))
     return lib.h264_cabac_decode_slice(
         ffi.cast("const unsigned char*", ffi.from_buffer(data)), len(data),
         ffi.cast("const int*", ffi.from_buffer(params)),
         cg,
         ffi.cast("short*", ffi.from_buffer(coeffs)),
         ffi.cast("int*", ffi.from_buffer(arena)),
-        ffi.NULL, ffi.NULL)
+        ffi.NULL, sc)
