@@ -204,7 +204,9 @@ class TCPProtocol(URLProtocol):
     @classmethod
     def open(cls, url: str, mode: str) -> IOContext:
         u = urlparse(url)
-        sock = socket.create_connection((u.hostname, u.port or 80))
+        if u.port is None:
+            raise AVError(EINVAL, "tcp: port required (tcp://host:port)")
+        sock = socket.create_connection((u.hostname, u.port))
         f = sock.makefile("rb" if mode == "r" else "wb")
         return IOContext(f, seekable=False, url=url)
 
@@ -219,9 +221,11 @@ class HTTPProtocol(URLProtocol):
         if mode != "r":
             raise AVError(EINVAL, "http write not supported")
         import urllib.request
+        # streaming reads (reference http.c reads chunkwise; the whole
+        # body is never buffered); seekability via HTTP range probing
+        # is future work, so the context is a forward-only stream
         resp = urllib.request.urlopen(url)
-        data = resp.read()
-        return IOContext(io.BytesIO(data), seekable=True, url=url)
+        return IOContext(resp, seekable=False, url=url)
 
 
 class HTTPSProtocol(HTTPProtocol):

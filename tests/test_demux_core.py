@@ -205,3 +205,36 @@ class TestAvconvFilters:
         ov0 = dec_ov.decode_all([pkts2[0]])[0].to_host()
         np.testing.assert_array_equal(got[8:24, 16:48],
                                       np.asarray(ov0.planes[0]))
+
+
+class TestHTTPStreaming:
+    def test_http_streams_without_buffering(self, tmp_path):
+        """HTTP inputs are read as a forward stream (reference http.c),
+        not buffered whole into RAM."""
+        import http.server
+        import threading
+
+        par, pkts, _ = encode_video("mjpeg", nframes=2, w=64, h=48)
+        path = tmp_path / "t.avi"
+        _mux(path, "avi", par, pkts, Rational(1, 25), fr=Rational(25, 1))
+
+        class H(http.server.SimpleHTTPRequestHandler):
+            def translate_path(self, p):
+                return str(path)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}/t.avi"
+            from libav_tpu.formats.io import url_open
+            io_ = url_open(url)
+            assert not io_.seekable
+            ic = FormatContext.open_input(url)
+            got = list(ic.packets())
+            assert len(got) == 2
+        finally:
+            srv.shutdown()

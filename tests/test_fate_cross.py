@@ -175,6 +175,13 @@ class TestEncodeParity:
                           "-weightp", "1", "-weightb", "implicit",
                           "-deblock", "1", "-parts", "all",
                           "-entropy", "cabac"]),
+        # multi-slice frames (slice-parallel entropy; slice-boundary
+        # intra availability)
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-entropy", "cabac",
+                          "-slices", "3", "-i4x4", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "27", "-entropy", "cabac",
+                          "-slices", "4", "-bf", "2", "-parts", "all",
+                          "-deblock", "1"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv
