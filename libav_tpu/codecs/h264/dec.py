@@ -50,15 +50,18 @@ class _NativeUnsupported(Exception):
 
 class DPBEntry:
     """Decoded reference picture (reference: h264dec.h H264Picture):
-    POC, padded planes, and the saved block motion of the frame for
-    spatial-direct colocated lookups (h264_direct.c)."""
-    __slots__ = ("poc", "planes", "colref", "colmv")
+    POC, frame_num (for PicNum reordering/MMCO), padded planes, and the
+    saved block motion for spatial-direct colocated lookups
+    (h264_direct.c)."""
+    __slots__ = ("poc", "planes", "colref", "colmv", "frame_num")
 
-    def __init__(self, poc, planes, colref=None, colmv=None):
+    def __init__(self, poc, planes, colref=None, colmv=None,
+                 frame_num=0):
         self.poc = poc
         self.planes = planes
         self.colref = colref
         self.colmv = colmv
+        self.frame_num = frame_num
 
 
 class _GolombReader:
@@ -336,7 +339,8 @@ class H264Decoder(Decoder):
             fd.dpb_entry = None
             if ridc_:
                 ent = DPBEntry(poc_ if poc_ is not None else 0, None,
-                               *self._col_motion(fd))
+                               *self._col_motion(fd),
+                               frame_num=getattr(self, "_frame_num", 0))
                 max_refs = max(1, self.active_sps.max_num_ref_frames)
                 self._dpb = [ent] + self._dpb[:max_refs - 1]
                 fd.dpb_entry = ent
@@ -412,7 +416,8 @@ class H264Decoder(Decoder):
         self.active_sps, self.active_pps = sps, pps
         self.width, self.height = sps.width, sps.height
 
-        gb.get_bits(sps.log2_max_frame_num)      # frame_num
+        frame_num = gb.get_bits(sps.log2_max_frame_num)
+        self._frame_num = frame_num
         if idr:
             gb.get_ue_golomb()                   # idr_pic_id
         poc = None
@@ -435,53 +440,6 @@ class H264Decoder(Decoder):
             if ref_idc:
                 self._poc_state = (msb, poc_lsb)
             self._reorder = True
-        num_ref_l0 = pps.num_ref_idx_l0_active
-        num_ref_l1 = pps.num_ref_idx_l1_active
-        if slice_type == SLICE_B:
-            gb.get_bits(1)                       # direct_spatial_mv_pred
-        if slice_type in (SLICE_P, SLICE_B):
-            if gb.get_bits(1):                   # num_ref_idx_override
-                num_ref_l0 = gb.get_ue_golomb() + 1
-                if slice_type == SLICE_B:
-                    num_ref_l1 = gb.get_ue_golomb() + 1
-            if gb.get_bits(1):                   # ref_pic_list_modification
-                raise AVError(INVALIDDATA, "ref list modification unsupported")
-            if slice_type == SLICE_B and gb.get_bits(1):
-                raise AVError(INVALIDDATA, "ref list modification unsupported")
-        # pred_weight_table (spec 7.3.3.2; reference h264_parse.c
-        # ff_h264_pred_weight_table)
-        self._weights = None
-        if (pps.weighted_pred and slice_type == SLICE_P) or \
-                (pps.weighted_bipred_idc == 1 and slice_type == SLICE_B):
-            self._weights = self._parse_weight_table(
-                gb, num_ref_l0, num_ref_l1 if slice_type == SLICE_B else 0)
-        elif pps.weighted_bipred_idc == 2 and slice_type == SLICE_B:
-            self._weights = "implicit"
-        # dec_ref_pic_marking (only present for reference pictures)
-        if idr:
-            gb.get_bits(1)                       # no_output_of_prior_pics
-            gb.get_bits(1)                       # long_term_reference
-            self._dpb = []
-        elif ref_idc:
-            if gb.get_bits(1):                   # adaptive marking
-                raise AVError(INVALIDDATA, "adaptive ref marking unsupported")
-        cabac_init_idc = 0
-        if pps.entropy_coding_mode and slice_type != SLICE_I:
-            cabac_init_idc = gb.get_ue_golomb()
-            if cabac_init_idc > 2:
-                raise AVError(INVALIDDATA, "bad cabac_init_idc")
-        qp = pps.pic_init_qp + gb.get_se_golomb()
-        disable_deblock = 0
-        ab_offset = (0, 0)
-        if pps.deblocking_filter_control_present:
-            disable_deblock = gb.get_ue_golomb()
-            if disable_deblock != 1:
-                ab_offset = (gb.get_se_golomb(), gb.get_se_golomb())
-        self._deblock = disable_deblock != 1
-        # slice alpha_c0/beta offsets are static parameters of the
-        # deblock program (spec indexA/indexB; h264_loopfilter.c)
-        self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
-
         # default reference picture lists (spec 8.2.4.2): P list0 in
         # decode order (sliding-window DPB order); B list0 = past by POC
         # descending then future ascending, list1 mirrored
@@ -500,6 +458,61 @@ class H264Decoder(Decoder):
             list0, list1 = list(self._dpb), []
             self._cur_col = None
         self._cur_lists = (list0, list1)
+
+        num_ref_l0 = pps.num_ref_idx_l0_active
+        num_ref_l1 = pps.num_ref_idx_l1_active
+        if slice_type == SLICE_B:
+            gb.get_bits(1)                       # direct_spatial_mv_pred
+        if slice_type in (SLICE_P, SLICE_B):
+            if gb.get_bits(1):                   # num_ref_idx_override
+                num_ref_l0 = gb.get_ue_golomb() + 1
+                if slice_type == SLICE_B:
+                    num_ref_l1 = gb.get_ue_golomb() + 1
+            # ref_pic_list_modification (spec 7.3.3.1 / 8.2.4.3;
+            # reference h264_refs.c ff_h264_decode_ref_pic_list_reordering)
+            list0 = self._modify_ref_list(gb, list0, frame_num, sps) \
+                if gb.get_bits(1) else list0
+            if slice_type == SLICE_B:
+                list1 = self._modify_ref_list(gb, list1, frame_num, sps) \
+                    if gb.get_bits(1) else list1
+            self._cur_lists = (list0, list1)
+            if slice_type == SLICE_B:
+                self._cur_col = ((list1[0].colref, list1[0].colmv)
+                                 if list1 and list1[0].colref is not None
+                                 else None)
+        # pred_weight_table (spec 7.3.3.2; reference h264_parse.c
+        # ff_h264_pred_weight_table)
+        self._weights = None
+        if (pps.weighted_pred and slice_type == SLICE_P) or \
+                (pps.weighted_bipred_idc == 1 and slice_type == SLICE_B):
+            self._weights = self._parse_weight_table(
+                gb, num_ref_l0, num_ref_l1 if slice_type == SLICE_B else 0)
+        elif pps.weighted_bipred_idc == 2 and slice_type == SLICE_B:
+            self._weights = "implicit"
+        # dec_ref_pic_marking (only present for reference pictures)
+        if idr:
+            gb.get_bits(1)                       # no_output_of_prior_pics
+            gb.get_bits(1)                       # long_term_reference
+            self._dpb = []
+        elif ref_idc:
+            if gb.get_bits(1):                   # adaptive marking (MMCO)
+                self._decode_mmco(gb, frame_num, sps)
+        cabac_init_idc = 0
+        if pps.entropy_coding_mode and slice_type != SLICE_I:
+            cabac_init_idc = gb.get_ue_golomb()
+            if cabac_init_idc > 2:
+                raise AVError(INVALIDDATA, "bad cabac_init_idc")
+        qp = pps.pic_init_qp + gb.get_se_golomb()
+        disable_deblock = 0
+        ab_offset = (0, 0)
+        if pps.deblocking_filter_control_present:
+            disable_deblock = gb.get_ue_golomb()
+            if disable_deblock != 1:
+                ab_offset = (gb.get_se_golomb(), gb.get_se_golomb())
+        self._deblock = disable_deblock != 1
+        # slice alpha_c0/beta offsets are static parameters of the
+        # deblock program (spec indexA/indexB; h264_loopfilter.c)
+        self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
 
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
@@ -1078,6 +1091,72 @@ class H264Decoder(Decoder):
                     grid[by0 + dy, bx0 + dx] = 0
 
     # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _modify_ref_list(gb, lst, frame_num, sps):
+        """ref_pic_list_modification, short-term ops (spec 8.2.4.3.1/.2;
+        reference h264_refs.c ff_h264_build_ref_list modification loop):
+        move the named picture to the next index, shifting the rest."""
+        from libav_tpu.avutil.error import AVError, INVALIDDATA
+        out = list(lst)
+        max_fn = 1 << sps.log2_max_frame_num
+        pred = frame_num
+        idx = 0
+        while True:
+            idc = gb.get_ue_golomb()
+            if idc == 3:
+                break
+            if idc > 1:
+                raise AVError(INVALIDDATA,
+                              "long-term ref reorder unsupported")
+            abs_diff = gb.get_ue_golomb() + 1
+            if idc == 0:
+                nowrap = pred - abs_diff
+                if nowrap < 0:
+                    nowrap += max_fn
+            else:
+                nowrap = pred + abs_diff
+                if nowrap >= max_fn:
+                    nowrap -= max_fn
+            pred = nowrap
+            picnum = nowrap - max_fn if nowrap > frame_num else nowrap
+            target = None
+            for e in out:
+                fnw = e.frame_num - max_fn if e.frame_num > frame_num \
+                    else e.frame_num
+                if fnw == picnum:
+                    target = e
+                    break
+            if target is None:
+                raise AVError(INVALIDDATA, "ref reorder: pic not in DPB")
+            out.remove(target)
+            out.insert(min(idx, len(out)), target)
+            idx += 1
+        return out
+
+    def _decode_mmco(self, gb, frame_num, sps):
+        """dec_ref_pic_marking adaptive ops (spec 8.2.5.4; reference
+        h264_refs.c ff_h264_execute_ref_pic_marking): op 1 (unmark a
+        short-term picture) and op 5 (unmark all) supported."""
+        max_fn = 1 << sps.log2_max_frame_num
+        while True:
+            op = gb.get_ue_golomb()
+            if op == 0:
+                break
+            if op == 1:
+                picx = frame_num - (gb.get_ue_golomb() + 1)
+                keep = []
+                for e in self._dpb:
+                    fnw = e.frame_num - max_fn \
+                        if e.frame_num > frame_num else e.frame_num
+                    if fnw != picx:
+                        keep.append(e)
+                self._dpb = keep
+            elif op == 5:
+                self._dpb = []
+                self._poc_state = (0, 0)
+            else:
+                raise AVError(INVALIDDATA, f"MMCO op {op} unsupported")
 
     @staticmethod
     def _parse_weight_table(gb, nref0, nref1):

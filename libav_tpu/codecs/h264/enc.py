@@ -1118,7 +1118,17 @@ class H264Encoder(Encoder):
                     pb.put_ue_golomb(0)
             else:
                 pb.put_bits(1, 0)                # num_ref_idx_override
-            pb.put_bits(1, 0)                    # ref list modification l0
+            sw = getattr(self, "_reorder_l0", None)
+            if sw and slice_type == SLICE_P:
+                # ref_pic_list_modification (spec 7.3.3.1): stress hook
+                # emitting explicit short-term reordering ops
+                pb.put_bits(1, 1)
+                for idc, val in sw:
+                    pb.put_ue_golomb(idc)
+                    pb.put_ue_golomb(val)
+                pb.put_ue_golomb(3)
+            else:
+                pb.put_bits(1, 0)                # ref list modification l0
             if slice_type == SLICE_B:
                 pb.put_bits(1, 0)                # ref list modification l1
         if (self.pps.weighted_pred and slice_type == SLICE_P) or \

@@ -231,3 +231,71 @@ class TestEncodeParity:
         snr = 10 * np.log10((x[:len(y)] ** 2).mean() /
                             max((err ** 2).mean(), 1e-9))
         assert snr > 15, f"SNR {snr:.1f} dB"
+
+
+class TestRefListModification:
+    """Explicit ref_pic_list_modification (spec 7.3.3.1/8.2.4.3): a
+    stream that swaps the two short-term references each P slice must
+    decode identically here and in the reference."""
+
+    @pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+    def test_swap_two_refs(self, tmp_path, entropy):
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.avutil.rational import Rational
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.h264.enc import H264Encoder
+        from libav_tpu.codecs.h264.dec import H264Decoder
+
+        class SwapEnc(H264Encoder):
+            def _code_anchor(self, frame, disp, is_i):
+                if not is_i and len(self._dpb) == 2:
+                    a, b = self._dpb
+                    self._dpb = [b, a]
+                    self._reorder_l0 = [(0, 1)]   # picNum fn-2 first
+                    pkt = super()._code_anchor(frame, disp, is_i)
+                    new = self._dpb[0]
+                    self._dpb = [new, a]          # decode-order window
+                    self._reorder_l0 = None
+                    return pkt
+                self._reorder_l0 = None
+                return super()._code_anchor(frame, disp, is_i)
+
+        rng = np.random.RandomState(7)
+        W, H = 96, 80
+        base = rng.randint(0, 255, (H, W)).astype(np.uint8)
+        frames = []
+        for t in range(7):
+            f = Frame.alloc_video(W, H, "yuv420p")
+            f.planes[0] = (np.roll(base, 2 * t, axis=1) // 2 +
+                           50 + 5 * t).astype(np.uint8)
+            f.planes[1][:] = 90 + 8 * t
+            f.planes[2][:] = 150
+            f.pts = t
+            frames.append(f)
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                              width=W, height=H, pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = SwapEnc(par)
+        enc.set_opt("qp", 28)
+        enc.set_opt("gop_size", 7)
+        enc.set_opt("refs", 2)
+        enc.set_opt("entropy", entropy)
+        pkts = enc.encode_all(frames)
+        es = str(tmp_path / "t.h264")
+        with open(es, "wb") as fo:
+            for p in pkts:
+                fo.write(bytes(p.data))
+        dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                          codec_id="h264"))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        yuv = str(tmp_path / "o.yuv")
+        ref_run(["-flags", "+bitexact", "-idct", "simple", "-i", es,
+                 "-f", "rawvideo", yuv])
+        raw = np.fromfile(yuv, dtype=np.uint8)
+        fsz = W * H * 3 // 2
+        assert raw.size // fsz == len(out) == 7
+        for k in range(len(out)):
+            ry = raw[k * fsz:k * fsz + W * H].reshape(H, W)
+            np.testing.assert_array_equal(
+                ry, np.asarray(out[k].to_host().planes[0]))
