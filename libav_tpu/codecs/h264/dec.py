@@ -111,12 +111,16 @@ def pred_i4_mode(grid, gx, gy) -> int:
 
 
 class FrameData:
-    def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False):
-        self.i4 = np.zeros(nmb, dtype=bool)
-        self.i4_modes = np.full((nmb, 16), 2, dtype=np.int8)
+    def __init__(self, nmb, mb_w=None, mb_h=None, use_block=False,
+                 light=False):
+        # light=True: every per-MB/coefficient array will be replaced by
+        # a view of the native CABAC arena — skip the allocations
+        self.i4 = None if light else np.zeros(nmb, dtype=bool)
+        self.i4_modes = None if light else np.full((nmb, 16), 2,
+                                                   dtype=np.int8)
         # block-granular motion state (partitions, direct, CABAC ctx)
         self.grids = (MotionGrids(mb_w, mb_h if mb_h is not None
-                                  else nmb // mb_w)
+                                  else nmb // mb_w, alloc=not light)
                       if mb_w is not None else None)
         self.nslices = 0
         # B-slice reference lists (DPB entries), set per slice
@@ -130,6 +134,11 @@ class FrameData:
         if mb_w is not None:
             mbh = mb_h if mb_h is not None else nmb // mb_w
             self.i4_grid = np.full((4 * mbh, 4 * mb_w), -1, dtype=np.int8)
+        if light:
+            self.block = None
+            self.sparse = None
+            self.ref_l0 = self.ref_l1 = None
+            return
         if use_block and mb_w is not None:
             # contiguous int32 block shared zero-copy with the native
             # CAVLC slice decoder
@@ -539,8 +548,14 @@ class H264Decoder(Decoder):
                 fd.nslices = 0
                 fd.slice_starts = []
             else:
+                from libav_tpu.native import h264_cabac_host as _CN
+                light = bool(pps.entropy_coding_mode) and \
+                    _CN.available() and not bool(
+                        __import__('os').environ.get(
+                            'LIBAV_TPU_NO_NATIVE')) and \
+                    not getattr(self, "_force_python", False)
                 fd = FrameData(nmb, sps.mb_width, sps.mb_height,
-                               use_block=use_native)
+                               use_block=use_native, light=light)
                 if use_native and fd.block is not None:
                     other = FrameData(nmb, sps.mb_width, sps.mb_height,
                                       use_block=True)
@@ -702,8 +717,10 @@ class H264Decoder(Decoder):
                 d, fmb, st_, qp, idc, n0, n1, cs, col = jobs[k]
                 nsl = max(bounds[k + 1] - bounds[k], 1)
                 ycap = nsl * 16
-                sc = np.zeros(2 + ycap + nsl * 8, np.int32)
-                cf = np.zeros((ycap + nsl * 8) * 16, np.int16)
+                # np.empty: the C decoder initializes every row/index it
+                # publishes (counts in sc[0..1])
+                sc = np.empty(2 + ycap + nsl * 8, np.int32)
+                cf = np.empty((ycap + nsl * 8) * 16, np.int16)
                 rc = CN.decode_slice(arena, cf, d, mb_w, mb_h, fmb, st_,
                                      qp, idc, n0, n1, cs, False, col=col,
                                      sctx=sc, ycap=ycap)

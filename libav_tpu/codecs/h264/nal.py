@@ -36,20 +36,12 @@ def split_annexb(data: bytes) -> List[bytes]:
 
 
 def unescape(nal: bytes) -> bytes:
-    """Remove emulation prevention bytes (00 00 03 xx -> 00 00 xx)."""
-    if b"\x00\x00\x03" not in nal:
-        return nal
-    out = bytearray()
-    i = 0
-    n = len(nal)
-    while i < n:
-        if i + 2 < n and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
-            out += nal[i:i + 2]
-            i += 3
-        else:
-            out.append(nal[i])
-            i += 1
-    return bytes(out)
+    """Remove emulation prevention bytes (00 00 03 -> 00 00).
+    bytes.replace scans left-to-right non-overlapping, which is exactly
+    the serial removal semantics (the zero-run restarts after each
+    stripped 03), so this is equivalent to the byte loop — and runs at
+    memcpy speed instead of ~6 ms per 100 KB slice."""
+    return nal.replace(b"\x00\x00\x03", b"\x00\x00")
 
 
 def escape(rbsp: bytes) -> bytes:

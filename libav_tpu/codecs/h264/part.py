@@ -68,9 +68,15 @@ class MotionGrids:
     """Per-frame block-granular motion state (always present, filled by
     every code path so partitioned and 16x16 MBs interoperate)."""
 
-    def __init__(self, mb_w: int, mb_h: int):
+    def __init__(self, mb_w: int, mb_h: int, alloc: bool = True):
         self.mb_w = mb_w
         self.bw, self.bh = 4 * mb_w, 4 * mb_h
+        self.any_part = False
+        if not alloc:
+            # backing arrays arrive later as views of the native arena
+            self.bref = self.bmv = self.bmvd = self.bdirect = None
+            self.slice_id = None
+            return
         self.bref = np.full((2, self.bh, self.bw), UNAVAIL, dtype=np.int8)
         self.bmv = np.zeros((2, self.bh, self.bw, 2), dtype=np.int32)
         # |mvd| clipped per block, for CABAC ctxIdxInc (9.3.3.1.1.7)

@@ -10,8 +10,6 @@ Components:
   sharded_h264_recon_step — the real H.264 whole-frame reconstruction
       program (codecs/h264/device.py) jit-compiled over a frame batch
       with explicit data-parallel shardings + a psum'd rate statistic
-  BatchScheduler     — packs independent jobs (frames/GOP segments) into
-      fixed-size device batches so repeated shapes hit the jit cache
 """
 
 from __future__ import annotations
@@ -94,23 +92,3 @@ def sharded_h264_recon_step(mesh, mb_w: int, mb_h: int):
     return fn, shard_inputs
 
 
-class BatchScheduler:
-    """Packs independent work items into fixed-size batches (shape
-    bucketing keeps the jit cache hot; the reference's analogue is the
-    frame-threading packet round-robin, pthread_frame.c:351)."""
-
-    def __init__(self, batch_size: int):
-        self.batch_size = batch_size
-        self._pending: List[Any] = []
-
-    def submit(self, item) -> Optional[List[Any]]:
-        self._pending.append(item)
-        if len(self._pending) >= self.batch_size:
-            batch, self._pending = self._pending[:self.batch_size], \
-                self._pending[self.batch_size:]
-            return batch
-        return None
-
-    def flush(self) -> List[Any]:
-        batch, self._pending = self._pending, []
-        return batch
