@@ -197,6 +197,47 @@ class MD5Protocol(URLProtocol):
 
 
 @register_protocol
+class ConcatProtocol(URLProtocol):
+    """reference: libavformat/concat.c — concat:url1|url2|... reads the
+    named resources back to back as one stream."""
+    NAME = "concat"
+
+    class _Chain:
+        def __init__(self, parts):
+            self._parts = parts
+            self._k = 0
+
+        def read(self, n=-1):
+            out = b""
+            while self._k < len(self._parts) and (n < 0 or len(out) < n):
+                chunk = self._parts[self._k].read(
+                    -1 if n < 0 else n - len(out))
+                if not chunk:
+                    self._parts[self._k].close()
+                    self._k += 1
+                    continue
+                out += chunk
+            return out
+
+        def close(self):
+            for p in self._parts[self._k:]:
+                try:
+                    p.close()
+                except Exception:
+                    pass
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "r":
+            raise AVError(EINVAL, "concat: read-only")
+        names = url.split(":", 1)[1].split("|")
+        if not names or not all(names):
+            raise AVError(EINVAL, "concat: empty component")
+        parts = [url_open(n)._f for n in names]
+        return IOContext(cls._Chain(parts), seekable=False, url=url)
+
+
+@register_protocol
 class TCPProtocol(URLProtocol):
     """reference: libavformat/tcp.c (tcp://host:port)"""
     NAME = "tcp"

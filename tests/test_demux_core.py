@@ -238,3 +238,19 @@ class TestHTTPStreaming:
             assert len(got) == 2
         finally:
             srv.shutdown()
+
+
+class TestConcatProtocol:
+    def test_concat_two_m2v_segments(self, tmp_path):
+        """concat:a|b reads resources back to back (reference
+        concat.c) — two elementary-stream segments decode as one."""
+        par, pkts, _ = encode_video("mpeg2video", nframes=2, gop_size=1)
+        a = tmp_path / "a.m2v"
+        b = tmp_path / "b.m2v"
+        a.write_bytes(b"".join(bytes(p.data) for p in pkts[:1]))
+        b.write_bytes(b"".join(bytes(p.data) for p in pkts[1:]))
+        ic = FormatContext.open_input(f"concat:{a}|{b}", "m2v")
+        got = list(ic.packets())
+        dec = find_decoder("mpeg2video")(ic.streams[0].codecpar).open()
+        out = dec.decode_all(got)
+        assert len(out) == 2
