@@ -180,18 +180,45 @@ def _apply_tns(spec, tns, info, sample_rate, decode=True):
 def _finish_ics(ics, sample_rate):
     """Post-stereo per-channel tools (TNS; spec tool order 4.6:
     M/S before TNS) -> (seq, shape, spec) as the IMDCT stage expects."""
-    seq, shape, spec, tns, info = ics
+    seq, shape, spec, tns, info, _cb = ics
     if tns is not None:
         _apply_tns(spec, tns, info, sample_rate)
     return seq, shape, spec
 
 
-def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
+def _lcg(state: int) -> int:
+    """reference aacdec.c:954 lcg_random (int32 wraparound)."""
+    v = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def _noise_fill(vals, rng, energy_gain):
+    """PNS band synthesis (reference aacdec.c:1580): raw LCG int32
+    samples normalized to the signalled energy — float32 arithmetic and
+    serial energy accumulation mirror the reference exactly."""
+    n = len(vals)
+    e = np.float32(0.0)
+    raw = np.empty(n, dtype=np.float32)
+    s = rng[0]
+    for k in range(n):
+        s = _lcg(s)
+        f = np.float32(s)
+        raw[k] = f
+        e = np.float32(e + np.float32(f * f))
+    rng[0] = s
+    scale = np.float32(np.float32(energy_gain) / np.float32(np.sqrt(e)))
+    return (raw * scale).astype(np.float64)
+
+
+def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
+               rng=None):
     """One individual_channel_stream (reference: aacdec.c decode_ics
     :1861). Returns (window_sequence, window_shape, spec) where spec is
     (1024,) for long sequences or (8, 128) for EIGHT_SHORT. `info` is
     the shared ics_info of a common_window CPE (skips the inline one)."""
     global_gain = gb.get_bits(8)
+    if rng is None:
+        rng = [0x1F2E3D4C]
     if info is None:
         info = read_ics_info(gb, sample_rate)
     window_sequence = info["seq"]
@@ -219,17 +246,30 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
             band_cb[g, k:k + sect_len] = cb
             k += sect_len
 
-    # scale_factor_data (dpcm runs across groups)
+    # scale_factor_data (dpcm runs across groups; noise bands keep a
+    # separate running offset, reference aacdec.c decode_scalefactors
+    # offset[1], first occurrence as 9-bit PCM)
     sf = np.zeros((num_groups, max_sfb), dtype=np.int32)
+    noise_gain = np.zeros((num_groups, max_sfb), dtype=np.int32)
     sf_vlc = T.scalefactor_vlc()
     cur = global_gain
+    noise_off = global_gain - 90            # NOISE_OFFSET
+    noise_flag = True
     for g in range(num_groups):
         for b in range(max_sfb):
             cb = band_cb[g, b]
             if cb == T.ZERO_HCB:
                 continue
-            if cb in (T.NOISE_HCB, T.INTENSITY_HCB, T.INTENSITY_HCB2):
-                raise AVError(INVALIDDATA, "PNS/IS not supported yet")
+            if cb in (T.INTENSITY_HCB, T.INTENSITY_HCB2):
+                raise AVError(INVALIDDATA, "IS not supported yet")
+            if cb == T.NOISE_HCB:
+                if noise_flag:
+                    noise_flag = False
+                    noise_off += gb.get_bits(9) - 256
+                else:
+                    noise_off += sf_vlc.read(gb) - 60
+                noise_gain[g, b] = max(-100, min(155, noise_off))
+                continue
             cur += sf_vlc.read(gb) - 60
             sf[g, b] = cur
 
@@ -254,6 +294,15 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
                 width = e0 - s0
                 if cb == T.ZERO_HCB:
                     continue
+                if cb == T.NOISE_HCB:
+                    # negative: the reference carries sf = -pow2sf for
+                    # noise (aacdec.c:1368) and our unit convention is
+                    # the global negation of its pipeline
+                    eg = -(2.0 ** (0.25 * noise_gain[g, b] - 26.0))
+                    for w in range(L):
+                        spec[wstart + w, s0:e0] = _noise_fill(
+                            np.empty(width), rng, eg)
+                    continue
                 q = _decode_spectrum(gb, cb, L * width).astype(np.float64)
                 # -26: PCM fullscale convention (1/32768 output scale x
                 # IMDCT normalization), matching the reference decoder's
@@ -264,14 +313,19 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
                 for w in range(L):
                     spec[wstart + w, s0:e0] = vals[w]
             wstart += L
-        return window_sequence, window_shape, spec, tns, info
+        return window_sequence, window_shape, spec, tns, info, band_cb
 
     quant = np.zeros(1024, dtype=np.int32)
+    noise_vals = {}
     for b in range(max_sfb):
         cb = int(band_cb[0, b])
         if cb == T.ZERO_HCB:
             continue
         s0, e0 = int(offsets[b]), int(offsets[b + 1])
+        if cb == T.NOISE_HCB:
+            eg = -(2.0 ** (0.25 * noise_gain[0, b] - 26.0))
+            noise_vals[b] = _noise_fill(np.empty(e0 - s0), rng, eg)
+            continue
         quant[s0:e0] = _decode_spectrum(gb, cb, e0 - s0)
 
     # inverse quantization: x = sign(q)*|q|^(4/3) * 2^(0.25*(sf-offset))
@@ -282,8 +336,8 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None):
         if band_cb[0, b] != T.ZERO_HCB:
             gains[offsets[b]:offsets[b + 1]] = \
                 2.0 ** (0.25 * (sf[0, b] - SF_OFFSET) - 26.0)
-    return window_sequence, window_shape, np.sign(q) * mag * gains, \
-        tns, info
+    return (window_sequence, window_shape, np.sign(q) * mag * gains,
+            tns, info, band_cb)
 
 
 def _apply_mid_side(mid, side, mask, info):
@@ -320,6 +374,9 @@ class AACDecoder(Decoder):
     def _init(self):
         self._overlap = None
         self._prev_shape = []
+        # PNS noise generator state (reference aacdec.c:1101
+        # random_state init; persists across frames)
+        self._rng = [0x1F2E3D4C]
 
     def _flush(self):
         self._overlap = None
@@ -342,8 +399,9 @@ class AACDecoder(Decoder):
                 break
             tag_bits = gb.get_bits(4)  # element_instance_tag
             if ele == SCE:
-                specs.append(_finish_ics(decode_ics(gb, sample_rate),
-                                         sample_rate))
+                specs.append(_finish_ics(
+                    decode_ics(gb, sample_rate, rng=self._rng),
+                    sample_rate))
             elif ele == CPE:
                 common = gb.get_bits(1)
                 if common:
@@ -364,17 +422,22 @@ class AACDecoder(Decoder):
                         mask = np.ones((ng, info["max_sfb"]), dtype=bool)
                     else:
                         mask = None
-                    s0 = decode_ics(gb, sample_rate, info)
-                    s1 = decode_ics(gb, sample_rate, info)
+                    s0 = decode_ics(gb, sample_rate, info, rng=self._rng)
+                    s1 = decode_ics(gb, sample_rate, info, rng=self._rng)
                     if mask is not None:
-                        _apply_mid_side(s0[2], s1[2], mask, info)
+                        # M/S never applies to noise bands (reference
+                        # aacdec.c:1948)
+                        ok = (s0[5] < T.NOISE_HCB) & (s1[5] < T.NOISE_HCB)
+                        _apply_mid_side(s0[2], s1[2], mask & ok, info)
                     specs.append(_finish_ics(s0, sample_rate))
                     specs.append(_finish_ics(s1, sample_rate))
                 else:
-                    specs.append(_finish_ics(decode_ics(gb, sample_rate),
-                                             sample_rate))
-                    specs.append(_finish_ics(decode_ics(gb, sample_rate),
-                                             sample_rate))
+                    specs.append(_finish_ics(
+                        decode_ics(gb, sample_rate, rng=self._rng),
+                        sample_rate))
+                    specs.append(_finish_ics(
+                        decode_ics(gb, sample_rate, rng=self._rng),
+                        sample_rate))
             elif ele == FIL:
                 cnt = tag_bits
                 if cnt == 15:

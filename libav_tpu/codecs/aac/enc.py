@@ -39,6 +39,8 @@ class AACEncoder(Encoder):
         Option("quality", "quantizer quality 1 (best) - 10", "int", 3, 1, 10),
         Option("tns", "temporal noise shaping on long windows", "int",
                0, 0, 1),
+        Option("pns", "perceptual noise substitution on the upper bands "
+               "(long windows)", "int", 0, 0, 1),
     ]
 
     FRAME_SAMPLES = 1024
@@ -175,6 +177,8 @@ class AACEncoder(Encoder):
             side = (spec[0] - spec[1]) * 0.5
             use_ms = float((side ** 2).sum()) < \
                 0.25 * float((mid ** 2).sum()) + 1e-12
+            if self.pns:
+                use_ms = False       # M/S never covers noise bands
             if use_ms:
                 # common_window CPE with all-bands mid/side
                 # (reference: aacenc; decoder reconstructs l=m+s, r=m-s)
@@ -271,8 +275,22 @@ class AACEncoder(Encoder):
                 band_cb[g] = T.ESC_HCB
                 bandq[g] = q.astype(np.int64)
 
+        noise_sf = np.zeros(max_sfb, dtype=np.int32)
+        if self.pns and seq != EIGHT_SHORT:
+            # PNS: replace the upper bands with noise at the band's own
+            # L2 energy (decoder normalizes the LCG fill to this)
+            for g in range(max_sfb * 5 // 8, max_sfb):
+                l2 = float(np.sqrt((bands[g].astype(np.float64) ** 2)
+                                   .sum()))
+                if l2 < 1e-7:
+                    continue
+                band_cb[g] = T.NOISE_HCB
+                bandq[g] = None
+                noise_sf[g] = int(np.clip(round(4 * np.log2(l2)),
+                                          -100, 155))
+
         # global_gain = first used sf (or offset)
-        used = np.where(band_cb != 0)[0]
+        used = np.where((band_cb != 0) & (band_cb != T.NOISE_HCB))[0]
         global_gain = int(sf[used[0]]) if len(used) else SF_OFFSET
         pb.put_bits(8, global_gain)
 
@@ -295,10 +313,27 @@ class AACEncoder(Encoder):
             pb.put_bits(sect_bits, r)
             g += run
 
-        # scale_factor_data (dpcm vs previous coded band)
+        # scale_factor_data (dpcm vs previous coded band; noise bands
+        # run on their own offset chain, first delta as 9-bit PCM)
         prev = global_gain
+        prev_noise = global_gain - 90
+        noise_first = True
         for g in range(max_sfb):
             if band_cb[g] == 0:
+                continue
+            if band_cb[g] == T.NOISE_HCB:
+                d = int(noise_sf[g]) - prev_noise
+                if noise_first:
+                    noise_first = False
+                    if not (-256 <= d < 256):
+                        raise AVError(EINVAL, "noise PCM delta range")
+                    pb.put_bits(9, d + 256)
+                else:
+                    if not (0 <= d + 60 < 121):
+                        raise AVError(EINVAL, "noise delta range")
+                    pb.put_bits(SCALEFACTOR_BITS[d + 60],
+                                SCALEFACTOR_CODE[d + 60])
+                prev_noise = int(noise_sf[g])
                 continue
             d = int(sf[g]) - prev + 60
             if not (0 <= d < 121):
@@ -326,7 +361,7 @@ class AACEncoder(Encoder):
         codes = SPECTRAL_CODES[T.ESC_HCB - 1]
         bits = SPECTRAL_BITS[T.ESC_HCB - 1]
         for g in range(max_sfb):
-            if band_cb[g] == 0:
+            if band_cb[g] in (0, T.NOISE_HCB):
                 continue
             quant = bandq[g]
             for k in range(0, len(quant), 2):
