@@ -83,8 +83,10 @@ class MPEG4Decoder(Decoder):
         gb = GetBits(seg)
         gb.get_bits(1)          # random_accessible
         gb.get_bits(8)          # type indication
+        ver_id = 1
         if gb.get_bits(1):      # is_object_layer_identifier
-            gb.get_bits(4 + 3)
+            ver_id = gb.get_bits(4)
+            gb.get_bits(3)      # priority
         aspect = gb.get_bits(4)
         if aspect == 15:
             gb.get_bits(16)
@@ -108,7 +110,9 @@ class MPEG4Decoder(Decoder):
         gb.get_bits(1)
         gb.get_bits(1)          # interlaced
         gb.get_bits(1)          # obmc_disable
-        sprite = gb.get_bits(1)
+        # vol_sprite_usage: 1 bit for ver_id 1, 2 bits otherwise
+        # (reference mpeg4videodec.c:1782)
+        sprite = gb.get_bits(1 if ver_id == 1 else 2)
         if sprite:
             raise AVError(INVALIDDATA, "sprite/GMC not supported yet")
         if gb.get_bits(1):      # not_8_bit
@@ -116,11 +120,16 @@ class MPEG4Decoder(Decoder):
         self.quant_type = gb.get_bits(1)
         if self.quant_type:
             raise AVError(INVALIDDATA, "MPEG quant_type=1 not supported yet")
+        self.quarter_sample = gb.get_bits(1) if ver_id != 1 else 0
         if not gb.get_bits(1):  # complexity_estimation_disable
             raise AVError(INVALIDDATA, "complexity estimation not supported")
         gb.get_bits(1)          # resync_marker_disable
         if gb.get_bits(1):      # data_partitioned
             raise AVError(INVALIDDATA, "data partitioning not supported yet")
+        if ver_id != 1:
+            if gb.get_bits(1):  # newpred_enable
+                raise AVError(INVALIDDATA, "newpred not supported")
+            gb.get_bits(1)      # reduced_res_vop_enable
         if gb.get_bits(1):      # scalability
             raise AVError(INVALIDDATA, "scalability not supported")
         self.width = self.vol_width
@@ -161,7 +170,8 @@ class MPEG4Decoder(Decoder):
         self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr, qscale)
 
         fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
-                       pict_type == PICT_P, rounding)
+                       pict_type == PICT_P, rounding,
+                       qpel=bool(getattr(self, "quarter_sample", 0)))
         refs = self._refs or zero_pad_refs(self.mb_w, self.mb_h)
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,

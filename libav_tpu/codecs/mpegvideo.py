@@ -23,7 +23,7 @@ from libav_tpu.ops.quant import alternate_scan, zigzag_scan
 @functools.lru_cache(maxsize=64)
 def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
               inter_frame: bool, rounding: int = 0,
-              interlaced: bool = False):
+              interlaced: bool = False, qpel: bool = False):
     """interlaced=True compiles the MPEG-2 frame-picture interlace
     variant (reference: mpegvideo_motion.c mpv_motion field paths +
     mpegvideo.c dct_type handling): extra per-MB inputs select 16x8
@@ -34,7 +34,8 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
 
     from libav_tpu.ops import idct as idct_ops, quant as quant_ops
     from libav_tpu.ops.mc import (EDGE, avg_pred, mc_hpel, chroma_mv_div2,
-                                  chroma_mv_h263)
+                                  chroma_mv_h263, chroma_mv_qpel,
+                                  mc_qpel_mpeg4)
     if quant_kind in ("h263", "mpeg4"):
         # H.263/MPEG-4 derive chroma MVs with the rounding table
         # (motion_est.h:96), not MPEG-1/2 truncation
@@ -137,12 +138,26 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
             xs = jnp.asarray(mbx * 16)
             ys = jnp.asarray(mby * 16)
             rnd = 1 - rounding
-            fy = mc_hpel(r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1], 16, rnd)
-            by = mc_hpel(r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1], 16, rnd)
+            if qpel:
+                # MPEG-4 quarter-sample mode: MVs arrive in quarter-pel
+                # units (spec 14496-2 7.6.2.2; qpeldsp.c filters)
+                fy = mc_qpel_mpeg4(r0y, xs, ys, mv_fwd[:, 0],
+                                   mv_fwd[:, 1], no_rnd=rounding)
+                by = mc_qpel_mpeg4(r1y, xs, ys, mv_bwd[:, 0],
+                                   mv_bwd[:, 1], no_rnd=rounding)
+            else:
+                fy = mc_hpel(r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1],
+                             16, rnd)
+                by = mc_hpel(r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1],
+                             16, rnd)
             cxs = jnp.asarray(mbx * 8)
             cys = jnp.asarray(mby * 8)
-            cmf = chroma_mv_div2(mv_fwd)
-            cmb = chroma_mv_div2(mv_bwd)
+            if qpel:
+                cmf = chroma_mv_qpel(mv_fwd)
+                cmb = chroma_mv_qpel(mv_bwd)
+            else:
+                cmf = chroma_mv_div2(mv_fwd)
+                cmb = chroma_mv_div2(mv_bwd)
             fu = mc_hpel(r0u, cxs, cys, cmf[:, 0], cmf[:, 1], 8, rnd)
             fv = mc_hpel(r0v, cxs, cys, cmf[:, 0], cmf[:, 1], 8, rnd)
             bu = mc_hpel(r1u, cxs, cys, cmb[:, 0], cmb[:, 1], 8, rnd)

@@ -147,3 +147,109 @@ def chroma_mv_h263_4mv(mv_sum):
     import jax.numpy as jnp
     tab = jnp.asarray(_H263_CHROMA_ROUNDTAB)
     return tab[mv_sum & 0xF] + (mv_sum >> 3)
+
+
+# ---------------------------------------------------------------------- #
+# MPEG-4 ASP quarter-sample MC (reference: qpeldsp.c QPEL_MC — 8-tap
+# lowpass with edge-clamped taps + staged half-pel averages; spec
+# 14496-2 subclause 7.6.2.2). The lowpass is expressed as one constant
+# (17, 16) integer matrix so both directions run as matmuls.
+# ---------------------------------------------------------------------- #
+
+def _qpel_lowpass_matrix() -> np.ndarray:
+    """M[i, j]: contribution of src[i] (017) to dst[j] (016),
+    transcribed from qpeldsp.c mpeg4_qpel16_h_lowpass."""
+    M = np.zeros((17, 16), dtype=np.int32)
+    for j in range(16):
+        # clamped index pattern from the reference table:
+        pairs = [((j, j + 1), 20),
+                 ((j - 1, j + 2), -6),
+                 ((j - 2, j + 3), 3),
+                 ((j - 3, j + 4), -1)]
+        for (i1, i2), w in pairs:
+            for i in (i1, i2):
+                if i < 0:
+                    i = -i - 1          # left reflection 0,1,2 pattern
+                if i > 16:
+                    i = 33 - i          # right reflection (2*16+1-i)
+                M[i, j] += w
+    return M
+
+
+def mc_qpel_mpeg4_ref(padded: np.ndarray, xs, ys, mvx, mvy,
+                      no_rnd: int = 0) -> np.ndarray:
+    """Golden scalar MPEG-4 quarter-sample 16x16 MC (put / put_no_rnd)."""
+    M = _qpel_lowpass_matrix()
+    r1 = 15 if no_rnd else 16
+    a2 = 0 if no_rnd else 1
+    B = len(xs)
+    out = np.zeros((B, 16, 16), dtype=np.int32)
+    for i in range(B):
+        x0 = int(xs[i]) + (int(mvx[i]) >> 2) + EDGE
+        y0 = int(ys[i]) + (int(mvy[i]) >> 2) + EDGE
+        dx, dy = int(mvx[i]) & 3, int(mvy[i]) & 3
+        p = padded[y0:y0 + 17, x0:x0 + 17].astype(np.int64)
+        hh = np.clip((p @ M + r1) >> 5, 0, 255)          # (17, 16)
+        if dx == 0:
+            X = p[:, :16]
+        elif dx == 1:
+            X = (hh + p[:, :16] + a2) >> 1
+        elif dx == 2:
+            X = hh
+        else:
+            X = (hh + p[:, 1:17] + a2) >> 1
+        vx = np.clip((M.T @ X + r1) >> 5, 0, 255)        # (16, 16)
+        if dy == 0:
+            out[i] = X[:16]
+        elif dy == 1:
+            out[i] = (X[:16] + vx + a2) >> 1
+        elif dy == 2:
+            out[i] = vx
+        else:
+            out[i] = (X[1:17] + vx + a2) >> 1
+    return out
+
+
+def mc_qpel_mpeg4(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
+    """Batched device version: one (17,17) gather per block, lowpass as
+    matmuls against the constant tap matrix, phase selects masked."""
+    import jax
+    import jax.numpy as jnp
+    M = jnp.asarray(_qpel_lowpass_matrix())
+    r1 = 15 if no_rnd else 16
+    a2 = 0 if no_rnd else 1
+    H, W = padded.shape
+    x0 = jnp.clip(xs + (mvx >> 2) + EDGE, 0, W - 17)
+    y0 = jnp.clip(ys + (mvy >> 2) + EDGE, 0, H - 17)
+    dx = (mvx & 3)[:, None, None]
+    dy = (mvy & 3)[:, None, None]
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (17, 17))
+    p = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)    # (B,17,17)
+
+    hh = jnp.clip((p @ M + r1) >> 5, 0, 255)             # (B,17,16)
+    Xl = p[:, :, :16]
+    Xr = p[:, :, 1:17]
+    X = jnp.where(dx == 0, Xl,
+                  jnp.where(dx == 1, (hh + Xl + a2) >> 1,
+                            jnp.where(dx == 2, hh,
+                                      (hh + Xr + a2) >> 1)))
+    vx = jnp.clip((jnp.einsum("ij,bik->bjk", M, X,
+                              preferred_element_type=jnp.int32)
+                   + r1) >> 5, 0, 255)                   # (B,16,16)
+    Xt = X[:, :16]
+    Xb = X[:, 1:17]
+    return jnp.where(dy == 0, Xt,
+                     jnp.where(dy == 1, (Xt + vx + a2) >> 1,
+                               jnp.where(dy == 2, vx,
+                                         (Xb + vx + a2) >> 1)))
+
+
+def chroma_mv_qpel(mv):
+    """Chroma half-pel MV from a quarter-sample luma MV (reference:
+    mpegvideo_motion.c qpel_motion: trunc-div by 2, then the standard
+    (x>>1)|(x&1) half-pel rounding)."""
+    import jax.numpy as jnp
+    t = jnp.where(mv >= 0, mv >> 1, -((-mv) >> 1))       # C trunc /2
+    return (t >> 1) | (t & 1)

@@ -56,6 +56,9 @@ class TestDecodeParity:
         ("mpeg1video", "m1v", ["-g", "4", "-q:v", "5"]),
         ("mpeg2video", "m2v", ["-g", "4", "-q:v", "5"]),
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5"]),
+        # MPEG-4 ASP quarter-sample mode (qpeldsp 8-tap chain)
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-flags",
+                          "+bitexact+qpel"]),
     ])
     def test_video(self, y4m, tmp_path, codec, ext, args):
         enc = str(tmp_path / f"ref.{ext}")
