@@ -5,8 +5,10 @@ Host: VOS/VOL/VOP parse + MB layer entropy decode (MCBPC/CBPY, median MV
 prediction, gradient DC prediction, 3D RL tables with all three escape
 types); device: shared recon_jit 'h263' kind.
 
-Supported: simple profile I/P VOPs, quant_type 0, 1MV. Not yet: B-VOPs,
-4MV, AC prediction, qpel, GMC, data partitioning, MPEG quant (round 2).
+Supported: I/P/B VOPs (B: direct with TRB/TRD colocated scaling plus
+fwd/bwd/bi modes and colocated-skip inheritance), quarter-sample (qpel)
+P decode, quant_type 0, 1MV. Not yet: 4MV, AC prediction, GMC, data
+partitioning, MPEG quant, qpel B-VOPs.
 """
 
 from __future__ import annotations
@@ -42,11 +44,33 @@ class MPEG4Decoder(Decoder):
         self.time_res = 25
         self.time_inc_bits = 5
         self.quant_type = 0
+        self.quarter_sample = 0
         self._refs = None
+        self._refs_prev = None
         self._dummy_q = np.ones(64, dtype=np.int32)
+        # B-VOP state (reference: MpegEncContext time bookkeeping)
+        self._time_base = 0
+        self._last_time_base = 0
+        self._last_nonb = 0
+        self._pp_time = 0
+        self._pb_time = 0
+        self._col_mv = None          # next-P per-MB motion for direct
+        self._col_skip = None
+        self._pending = None         # (frame, pts): anchor reorder delay
 
     def _flush(self):
         self._refs = None
+        self._refs_prev = None
+        self._pending = None
+        self._time_base = self._last_time_base = self._last_nonb = 0
+
+    def _drain(self):
+        if self._pending is not None:
+            f, pts = self._pending
+            self._pending = None
+            f.pts = pts
+            return [f]
+        return []
 
     # ------------------------------------------------------------------ #
 
@@ -62,9 +86,8 @@ class MPEG4Decoder(Decoder):
             if code == 0x20 or (0x20 <= code <= 0x2F):
                 self._parse_vol(seg)
             elif code == 0xB6:
-                f = self._decode_vop(seg)
-                if f is not None:
-                    f.pts = pkt.pts
+                out = self._decode_vop(seg, pkt)
+                for f in out:
                     f.time_base = pkt.time_base
                     frames.append(f)
         return frames
@@ -139,53 +162,201 @@ class MPEG4Decoder(Decoder):
 
     # ------------------------------------------------------------------ #
 
-    def _decode_vop(self, seg: bytes) -> Optional[Frame]:
+    def _decode_vop(self, seg: bytes, pkt) -> List[Frame]:
         """reference: mpeg4videodec.c ff_mpeg4_decode_picture_header +
-        ff_h263_decode_mba loop"""
+        decode loop. Anchors are held one AU for B reordering; B-VOPs
+        are emitted immediately (display order)."""
         if self.mb_w == 0:
             raise AVError(INVALIDDATA, "VOP before VOL header")
         gb = GetBits(seg)
         pict_type = gb.get_bits(2)
-        if pict_type not in (PICT_I, PICT_P):
-            raise AVError(INVALIDDATA, f"VOP type {pict_type} not supported yet")
+        if pict_type == PICT_S:
+            raise AVError(INVALIDDATA, "S(GMC)-VOP not supported yet")
+        if pict_type == PICT_B and self.quarter_sample:
+            raise AVError(INVALIDDATA, "qpel B-VOP not supported yet")
+        time_incr = 0
         while gb.get_bits(1):   # modulo_time_base
-            pass
+            time_incr += 1
         gb.get_bits(1)          # marker
-        gb.get_bits(self.time_inc_bits)
+        time_increment = gb.get_bits(self.time_inc_bits)
         gb.get_bits(1)          # marker
+        # TRB/TRD bookkeeping for direct mode (reference
+        # mpeg4videodec.c decode_vop_header time handling)
+        if pict_type != PICT_B:
+            self._last_time_base = self._time_base
+            self._time_base += time_incr
+            t = self._time_base * self.time_res + time_increment
+            self._pp_time = t - self._last_nonb
+            self._last_nonb = t
+        else:
+            t = (self._last_time_base + time_incr) * self.time_res + \
+                time_increment
+            self._pb_time = self._pp_time - (self._last_nonb - t)
+            if self._pp_time <= 0 or self._pb_time <= 0 or \
+                    self._pp_time <= self._pb_time:
+                return []        # messed-up order (e.g. after seek)
         if not gb.get_bits(1):  # vop_coded
-            return None
+            return []
         rounding = 0
         if pict_type == PICT_P:
             rounding = gb.get_bits(1)
         intra_dc_thr = gb.get_bits(3)
         qscale = gb.get_bits(5)
-        fcode = 1
-        if pict_type == PICT_P:
+        fcode = bcode = 1
+        if pict_type in (PICT_P, PICT_B):
             fcode = gb.get_bits(3)
+        if pict_type == PICT_B:
+            bcode = gb.get_bits(3)
 
         nmb = self.mb_w * self.mb_h
         mb = MBData(nmb)
         mb.qscale[:] = max(qscale, 1)
-        self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr, qscale)
+        mb.skipped = np.zeros(nmb, dtype=bool)
+        if pict_type == PICT_B:
+            self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
+        else:
+            self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
+                             qscale)
 
         fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
-                       pict_type == PICT_P, rounding,
-                       qpel=bool(getattr(self, "quarter_sample", 0)))
-        refs = self._refs or zero_pad_refs(self.mb_w, self.mb_h)
+                       pict_type != PICT_I, rounding,
+                       qpel=bool(self.quarter_sample and
+                                 pict_type != PICT_B))
+        zero = zero_pad_refs(self.mb_w, self.mb_h)
+        if pict_type == PICT_B:
+            r0 = self._refs_prev or zero      # forward = past anchor
+            r1 = self._refs or zero           # backward = future anchor
+        else:
+            r0 = self._refs or zero
+            r1 = zero
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
-                            self._dummy_q, self._dummy_q,
-                            *refs, *zero_pad_refs(self.mb_w, self.mb_h))
-        self._refs = padded
+                            self._dummy_q, self._dummy_q, *r0, *r1)
         f = Frame(width=self.vol_width, height=self.vol_height,
                   format="yuv420p")
         cw, ch = (self.vol_width + 1) // 2, (self.vol_height + 1) // 2
         f.planes = [planes[0][:self.vol_height, :self.vol_width],
                     planes[1][:ch, :cw], planes[2][:ch, :cw]]
-        f.pict_type = PictureType.I if pict_type == PICT_I else PictureType.P
+        f.pict_type = (PictureType.I if pict_type == PICT_I else
+                       PictureType.B if pict_type == PICT_B else
+                       PictureType.P)
         f.key_frame = pict_type == PICT_I
-        return f
+        if pict_type == PICT_B:
+            f.pts = pkt.pts
+            return [f]
+        # anchor: save refs/colocated motion, emit the held anchor
+        self._refs_prev = self._refs
+        self._refs = padded
+        if pict_type == PICT_P:
+            self._col_mv = mb.mv_fwd.copy()
+            self._col_skip = mb.skipped.copy()
+        else:
+            self._col_mv = np.zeros((nmb, 2), dtype=np.int32)
+            self._col_skip = np.zeros(nmb, dtype=bool)
+        out = []
+        if self._pending is not None:
+            pf, ppts = self._pending
+            pf.pts = ppts
+            out.append(pf)
+        self._pending = (f, pkt.pts)
+        return out
+
+    @staticmethod
+    def _tdiv(a: int, b: int) -> int:
+        """C integer division (truncation toward zero), b > 0."""
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def _decode_mbs_b(self, gb, mb: MBData, fcode, bcode, qscale):
+        """B-VOP macroblock layer (reference: mpeg4videodec.c
+        mpeg4_decode_mb B branch; direct mode per
+        ff_mpeg4_set_one_direct_mv with TRB/TRD scaling)."""
+        mw, mh = self.mb_w, self.mb_h
+        tp = self._pp_time & 0xFFFF
+        tb = self._pb_time & 0xFFFF
+        col_mv = self._col_mv if self._col_mv is not None else \
+            np.zeros((mw * mh, 2), dtype=np.int32)
+        col_skip = self._col_skip if self._col_skip is not None else \
+            np.zeros(mw * mh, dtype=bool)
+
+        def wrap(v, fc):
+            rng = 32 << (fc - 1)
+            if v < -rng:
+                v += 2 * rng
+            elif v >= rng:
+                v -= 2 * rng
+            return v
+
+        for mb_y in range(mh):
+            last_mv = [[0, 0], [0, 0]]   # per direction
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                if col_skip[idx]:
+                    # colocated next-P MB was skipped: skip here too
+                    mb.use_fwd[idx] = True
+                    mb.mv_fwd[idx] = 0
+                    continue
+                modb1 = gb.get_bits(1)
+                direct = False
+                cbp = 0
+                if modb1:
+                    direct = True
+                else:
+                    modb2 = gb.get_bits(1)
+                    # mb_type: unary '1'=direct '01'=bi '001'=bwd
+                    # '0001'=fwd (ff_mb_type_b_tab)
+                    zeros = 0
+                    while not gb.get_bits(1):
+                        zeros += 1
+                        if zeros > 3:
+                            raise AVError(INVALIDDATA, "bad B mb_type")
+                    mbt = zeros          # 0=direct 1=bi 2=bwd 3=fwd
+                    direct = mbt == 0
+                    cbp = 0 if modb2 else gb.get_bits(6)
+                    if not direct and cbp:
+                        if gb.get_bits(1):       # dquant: +-2
+                            dq = gb.get_bits(1) * 4 - 2
+                            qscale = max(1, min(31, qscale + dq))
+                    mb.qscale[idx] = qscale
+                    if not direct:
+                        if mbt in (1, 3):        # forward
+                            mx = self._decode_mv(gb, fcode)
+                            my = self._decode_mv(gb, fcode)
+                            vx = wrap(last_mv[0][0] + mx, fcode)
+                            vy = wrap(last_mv[0][1] + my, fcode)
+                            last_mv[0] = [vx, vy]
+                            mb.use_fwd[idx] = True
+                            mb.mv_fwd[idx] = (vx, vy)
+                        if mbt in (1, 2):        # backward
+                            mx = self._decode_mv(gb, bcode)
+                            my = self._decode_mv(gb, bcode)
+                            vx = wrap(last_mv[1][0] + mx, bcode)
+                            vy = wrap(last_mv[1][1] + my, bcode)
+                            last_mv[1] = [vx, vy]
+                            mb.use_bwd[idx] = True
+                            mb.mv_bwd[idx] = (vx, vy)
+                if direct:
+                    if modb1:
+                        dmx = dmy = 0
+                    else:
+                        dmx = self._decode_mv(gb, 1)
+                        dmy = self._decode_mv(gb, 1)
+                    cx, cy = int(col_mv[idx][0]), int(col_mv[idx][1])
+                    fx = self._tdiv(cx * tb, tp) + dmx
+                    fy = self._tdiv(cy * tb, tp) + dmy
+                    bx = (fx - cx) if dmx else self._tdiv(
+                        cx * (tb - tp), tp)
+                    by = (fy - cy) if dmy else self._tdiv(
+                        cy * (tb - tp), tp)
+                    mb.use_fwd[idx] = True
+                    mb.use_bwd[idx] = True
+                    mb.mv_fwd[idx] = (fx, fy)
+                    mb.mv_bwd[idx] = (bx, by)
+                    mb.qscale[idx] = qscale
+                for b in range(6):
+                    if cbp & (0x20 >> b):
+                        self._decode_rl_block(gb, mb.coeffs[idx, b], 0,
+                                              False)
 
     # ------------------------------------------------------------------ #
 
@@ -203,6 +374,7 @@ class MPEG4Decoder(Decoder):
                     if gb.get_bits(1):      # not_coded: skip MB
                         mb.use_fwd[idx] = True
                         mb.mv_fwd[idx] = 0
+                        mb.skipped[idx] = True
                         continue
                     v = T.inter_mcbpc_vlc().read(gb)
                     group, cbpc = v >> 2, v & 3

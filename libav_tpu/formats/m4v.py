@@ -75,7 +75,11 @@ class M4VDemuxer(InputFormat):
         chunk = self._chunks[self._idx]
         is_key = b"\x00\x00\x01\xB0" in chunk[:64] or \
                  b"\x00\x00\x01\x20" in chunk[:128]
-        pkt = Packet(data=chunk, pts=self._idx, dts=self._idx, duration=1,
+        # raw ES carries no display timestamps: with B-VOPs the decode
+        # order differs from presentation, so pts stays unset and the
+        # decoder/output clock derives display times (reference: raw
+        # video parsers leave pts to the decoder's reorder)
+        pkt = Packet(data=chunk, dts=self._idx, duration=1,
                      stream_index=0, flags=PKT_FLAG_KEY if is_key else 0)
         self._idx += 1
         return pkt

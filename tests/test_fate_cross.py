@@ -59,6 +59,9 @@ class TestDecodeParity:
         # MPEG-4 ASP quarter-sample mode (qpeldsp 8-tap chain)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-flags",
                           "+bitexact+qpel"]),
+        # MPEG-4 B-VOPs: direct (TRB/TRD-scaled colocated MVs),
+        # forward/backward/interpolated modes, col-skip inheritance
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5"]),
     ])
     def test_video(self, y4m, tmp_path, codec, ext, args):
         enc = str(tmp_path / f"ref.{ext}")
