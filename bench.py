@@ -7,37 +7,47 @@ thread against the batched device reconstruction (dequant + 4x4 IDCT +
 quarter-pel MC + wavefront intra assembly + two-list deblock bS).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md): the north-star target is 4x realtime 1080p H.264
-= 120 fps, so vs_baseline = fps / 120.
+
+vs_baseline is measured against the REFERENCE decoder (.refbuild/avconv,
+single-threaded) decoding the same bitstream on the same host — the
+task's bar is "match or beat the reference on its own benchmarks".  When
+the reference build is absent, the fallback baseline is the project's
+4x-realtime north star (120 fps).  The fps value is the median of 3
+timed loops (the TPU tunnel has large run-to-run variance).
 
 Setup (not timed): a child process encodes a 1080p IPBB GOP with the
-built-in encoder in partition-stress mode and writes it to a temp file.
-The encode runs in a separate process because XLA executables that embed
-large constants degrade every subsequent dispatch in the same process
-(measured ~100x on the axon tunnel); a decoder process reading a file is
-also the realistic deployment shape.  The timed loop decodes the whole
+built-in encoder and caches it under .bench_cache/ (deterministic
+content; the encode runs in a separate CPU-backend process because only
+one process may hold the TPU tunnel).  The timed loop decodes the whole
 GOP repeatedly; decoded frames stay in HBM (only the last is synced).
 The host-entropy vs total split is reported on stderr.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 W, H, NFRAMES = 1920, 1080, 8
+ENC_SETTINGS = dict(qp=28, gop_size=NFRAMES, entropy="cabac",
+                    i4x4=1, b_frames=2, deblock=1, slices=4)
+CACHE = os.path.join(REPO, ".bench_cache")
+STREAM = os.path.join(
+    CACHE, "gop_" + "_".join(f"{k}{v}" for k, v in ENC_SETTINGS.items())
+    + ".h264pkts")
 
 
 def encode_child(path):
     import numpy as np
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from libav_tpu.avutil.frame import Frame
@@ -59,8 +69,7 @@ def encode_child(path):
                           width=W, height=H, pix_fmt="yuv420p",
                           framerate=Rational(25, 1))
     enc = H264Encoder(par)
-    for k, v in dict(qp=28, gop_size=NFRAMES, entropy="cabac",
-                     i4x4=1, b_frames=2, deblock=1, slices=4).items():
+    for k, v in ENC_SETTINGS.items():
         enc.set_opt(k, v)
     pkts = enc.encode_all([mk(t) for t in range(NFRAMES)])
     with open(path, "wb") as f:
@@ -69,31 +78,64 @@ def encode_child(path):
             f.write(p.data)
 
 
+def ensure_stream() -> list:
+    os.makedirs(CACHE, exist_ok=True)
+    if not os.path.exists(STREAM):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--encode", STREAM], check=True, env=env,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+    datas = []
+    with open(STREAM, "rb") as f:
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            datas.append(f.read(int.from_bytes(hdr, "big")))
+    return datas
+
+
+def reference_fps(datas) -> float:
+    """Single-threaded reference decode of the same bitstream on this
+    host (median of 3; utime from avconv -benchmark)."""
+    avconv = os.path.join(REPO, ".refbuild", "avconv")
+    if not os.path.exists(avconv):
+        return 0.0
+    with tempfile.NamedTemporaryFile(suffix=".h264", delete=False) as tf:
+        for d in datas:
+            tf.write(d)
+        raw = tf.name
+    try:
+        vals = []
+        for _ in range(3):
+            r = subprocess.run(
+                [avconv, "-benchmark", "-threads", "1", "-i", raw,
+                 "-f", "null", "-"],
+                capture_output=True, text=True, timeout=120)
+            for line in (r.stdout + r.stderr).splitlines():
+                if line.startswith("bench: utime="):
+                    ut = float(line.split("utime=")[1].split("s")[0])
+                    if ut > 0:
+                        vals.append(NFRAMES / ut)
+        return statistics.median(vals) if vals else 0.0
+    finally:
+        os.unlink(raw)
+
+
 def main():
     if len(sys.argv) == 3 and sys.argv[1] == "--encode":
         encode_child(sys.argv[2])
         return
 
-    with tempfile.NamedTemporaryFile(suffix=".h264pkts", delete=False) as tf:
-        path = tf.name
-    try:
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--encode", path], check=True,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        datas = []
-        with open(path, "rb") as f:
-            while True:
-                hdr = f.read(4)
-                if len(hdr) < 4:
-                    break
-                datas.append(f.read(int.from_bytes(hdr, "big")))
-    finally:
-        os.unlink(path)
+    datas = ensure_stream()
+    ref_fps = reference_fps(datas)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from libav_tpu.avutil.frame import Packet
@@ -126,24 +168,33 @@ def main():
         ent[0] += time.perf_counter() - t1
         return r
 
-    reps = 8
     CN.decode_slice = timed
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_gop()
-    jax.block_until_ready(out[-1].planes[0])
-    dt = time.perf_counter() - t0
+    reps = 6
+    fps_runs = []
+    for _ in range(3):
+        ent[0] = 0.0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run_gop()
+        jax.block_until_ready(out[-1].planes[0])
+        dt = time.perf_counter() - t0
+        fps_runs.append(reps * NFRAMES / dt)
+        print(f"run: {reps * NFRAMES / dt:.2f} fps | host entropy "
+              f"{ent[0] * 1000 / (reps * NFRAMES):.2f} ms/frame | total "
+              f"{dt * 1000 / (reps * NFRAMES):.2f} ms/frame",
+              file=sys.stderr)
     CN.decode_slice = orig
-    print(f"host entropy: {ent[0] * 1000 / (reps * NFRAMES):.2f} ms/frame"
-          f" | total: {dt * 1000 / (reps * NFRAMES):.2f} ms/frame",
-          file=sys.stderr)
 
-    fps = reps * NFRAMES / dt
+    fps = statistics.median(fps_runs)
+    base = ref_fps if ref_fps > 0 else 120.0
+    print(f"reference (1 thread, this host): {ref_fps:.2f} fps | "
+          f"north star 120 fps -> vs_target {fps / 120.0:.3f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "1080p_h264_full_decode_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 120.0, 3),
+        "vs_baseline": round(fps / base, 3),
     }))
 
 

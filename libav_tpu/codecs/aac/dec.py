@@ -336,7 +336,10 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
         if band_cb[0, b] != T.ZERO_HCB:
             gains[offsets[b]:offsets[b + 1]] = \
                 2.0 ** (0.25 * (sf[0, b] - SF_OFFSET) - 26.0)
-    return (window_sequence, window_shape, np.sign(q) * mag * gains,
+    spec_out = np.sign(q) * mag * gains
+    for b, v in noise_vals.items():
+        spec_out[int(offsets[b]):int(offsets[b + 1])] = v
+    return (window_sequence, window_shape, spec_out,
             tns, info, band_cb)
 
 

@@ -10,8 +10,9 @@ multi-reference lists, weighted prediction (explicit + implicit);
 POC-ordered DPB output reorder; normative in-loop deblocking (two-list
 block-granular bS); multi-slice frames with slice-parallel entropy;
 frame-pipelined host entropy vs device recon; mid-slice error
-concealment. Not yet: 8x8 transform/I_8x8, MMCO/ref-list modification,
-interlaced coding, temporal direct.
+concealment; ref_pic_list_modification + MMCO 1/5. Not yet: 8x8
+transform/I_8x8, interlaced coding (PAFF/MBAFF), temporal direct,
+I_PCM, poc_type 1/2, MMCO 2/3/4/6 + long-term refs.
 """
 
 from __future__ import annotations
@@ -471,7 +472,12 @@ class H264Decoder(Decoder):
         num_ref_l0 = pps.num_ref_idx_l0_active
         num_ref_l1 = pps.num_ref_idx_l1_active
         if slice_type == SLICE_B:
-            gb.get_bits(1)                       # direct_spatial_mv_pred
+            self._direct_spatial = bool(gb.get_bits(1))
+            if not self._direct_spatial:
+                # silent wrong motion is worse than a hard stop
+                # (h264_direct.c pred_temp_direct_motion not implemented)
+                raise AVError(INVALIDDATA,
+                              "temporal direct not supported")
         if slice_type in (SLICE_P, SLICE_B):
             if gb.get_bits(1):                   # num_ref_idx_override
                 num_ref_l0 = gb.get_ue_golomb() + 1
@@ -650,7 +656,8 @@ class H264Decoder(Decoder):
             self._cabac_idx = 1 - getattr(self, "_cabac_idx", 1)
             arena, coeffs = pool[1 + self._cabac_idx]
             v = CN.views(arena, coeffs, nmb, mb_w, mb_h)
-            CN.reset_arena(v)
+            # arena reset happens in _run_cabac_slices (native-side in
+            # the serial path, numpy-side before parallel dispatch)
             fd.cabac_native = (arena, coeffs, v)
             fd.native_slices = 0
             fd.pending_slices = []
@@ -678,16 +685,22 @@ class H264Decoder(Decoder):
             g.slice_id = v["gslice"]
         col = None
         if slice_type == SLICE_B and self._cur_col is not None:
-            col = getattr(fd, "_col_packed", None)
-            if col is None:
-                cref, cmv = self._cur_col
+            cref, cmv = self._cur_col
+            # cache the packed colocated grid on the source arrays: the
+            # same anchor serves every B frame of the mini-GOP
+            key = (id(cref), id(cmv))
+            cached = getattr(self, "_col_cache", None)
+            if cached is not None and cached[0] == key:
+                col = cached[1]
+            else:
                 col = np.empty((cref.shape[0], cref.shape[1], 3),
                                dtype=np.int32)
                 col[..., 0] = cref
                 col[..., 1] = cmv[..., 0]
                 col[..., 2] = cmv[..., 1]
                 col = np.ascontiguousarray(col)
-                fd._col_packed = col
+                # keep cref/cmv referenced so their id()s stay unique
+                self._col_cache = (key, col, cref, cmv)
         fd.pending_slices.append(
             (data, first_mb, slice_type, qp, cabac_init_idc,
              max(nref0, 1), max(nref1, 1), fd.native_slices, col))
@@ -705,12 +718,20 @@ class H264Decoder(Decoder):
         sps = self.active_sps
         mb_w, mb_h = sps.mb_width, sps.mb_height
         nmb = mb_w * mb_h
-        if len(jobs) == 1:
-            d, fmb, st_, qp, idc, n0, n1, cs, col = jobs[0]
-            rcs = [CN.decode_slice(arena, coeffs, d, mb_w, mb_h, fmb,
-                                   st_, qp, idc, n0, n1, cs, False,
-                                   col=col)]
+        # one host core: a thread pool only adds contention (the GIL is
+        # released but there is nothing to run on) — decode serially
+        # straight into the shared arena/global sparse lists, which also
+        # skips the private-buffer merge below
+        import os as _os
+        serial = len(jobs) == 1 or (_os.cpu_count() or 1) <= 1
+        if serial:
+            rcs = []
+            for d, fmb, st_, qp, idc, n0, n1, cs, col in jobs:
+                rcs.append(CN.decode_slice(arena, coeffs, d, mb_w, mb_h,
+                                           fmb, st_, qp, idc, n0, n1,
+                                           cs, cs == 0, col=col))
         else:
+            CN.reset_arena(v)
             bounds = [j[1] for j in jobs] + [nmb]
 
             def run(k):

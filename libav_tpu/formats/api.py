@@ -329,7 +329,9 @@ class FormatContext:
             # starting in it (reference: parser fetch_timestamp)
             p.pts, p.dts = like.pts, like.dts
             like._ts_taken = True
-        p.flags = sniff_key(st.codecpar.codec_id, data[:256]) and 1 or 0
+        # full payload: the h264 scan early-exits at the first slice NAL,
+        # and a 256-byte cap misflags AUs whose SPS/PPS/SEI prefix is long
+        p.flags = sniff_key(st.codecpar.codec_id, data) and 1 or 0
         self._compute_pkt_fields(st, p)
         return p
 

@@ -84,6 +84,19 @@ class AviDemuxer(InputFormat):
                 out = []
                 body = data[pos + 8:pos + 8 + size]
                 base = self._movi[0] - 4        # offset of 'movi' fourcc
+                # some writers store absolute file offsets in idx1; the
+                # reference (avidec.c guess_ni_flag / check_stream_max_drift
+                # area) disambiguates by probing whether the first entry's
+                # offset points at its own chunk id — mirror that heuristic
+                for off in range(0, len(body) - 15, 16):
+                    ckid0, _f0, coff0, _l0 = struct.unpack(
+                        "<4sIII", body[off:off + 16])
+                    if not ckid0[:2].isdigit():
+                        continue
+                    if data[coff0:coff0 + 4] == ckid0 and \
+                            data[base + coff0:base + coff0 + 4] != ckid0:
+                        base = 0
+                    break
                 for off in range(0, len(body) - 15, 16):
                     ckid, fl, coff, _clen = struct.unpack(
                         "<4sIII", body[off:off + 16])

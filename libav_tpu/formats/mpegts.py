@@ -180,7 +180,7 @@ class MpegTSDemuxer(InputFormat):
         body = bytes(buf[9 + hlen:])
         st = self._pid_to_stream[pid]
         from libav_tpu.formats.api import sniff_key
-        key = sniff_key(st.codecpar.codec_id, body[:256])
+        key = sniff_key(st.codecpar.codec_id, body)
         self._queue.append(Packet(data=body, pts=pts, dts=dts,
                                   stream_index=st.index,
                                   flags=PKT_FLAG_KEY if key else 0))

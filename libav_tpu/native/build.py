@@ -70,8 +70,17 @@ _ffi = None
 _tried = False
 
 
+_present_cache = None
+
+
 def _present():
-    return [(s, d) for (s, d) in _COMPONENTS if (_HERE / s).exists()]
+    # cached: called on every native-path availability check, and the
+    # component set cannot change within a process lifetime
+    global _present_cache
+    if _present_cache is None:
+        _present_cache = [(s, d) for (s, d) in _COMPONENTS
+                          if (_HERE / s).exists()]
+    return _present_cache
 
 
 def _source_hash() -> str:
@@ -95,7 +104,8 @@ def _compile() -> str:
     ffibuilder.set_source(
         modname, source,
         include_dirs=[str(_HERE)],
-        extra_compile_args=["-O3", "-fno-strict-aliasing"],
+        extra_compile_args=["-O3", "-fno-strict-aliasing",
+                            "-march=native"],
     )
     _BUILD.mkdir(exist_ok=True)
     ffibuilder.compile(tmpdir=str(_BUILD), verbose=False)

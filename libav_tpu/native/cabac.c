@@ -37,26 +37,74 @@ typedef struct cb_CD {
 } CD;
 
 /* bit fetch with an 8-byte cache; bits past the end read as zero —
- * identical semantics to the Python reference's _bits() */
+ * identical semantics to the Python reference's _bits().
+ * Refill grabs 6 bytes with one unaligned load when fully in-bounds
+ * (falls back to the byte loop at the tail). */
+static inline void cd_refill(CD *c)
+{
+    if (c->ncache <= 16 && c->bytepos + 8 <= c->n) {
+        uint64_t w;
+        memcpy(&w, c->d + c->bytepos, 8);
+#if defined(__GNUC__)
+        w = __builtin_bswap64(w);
+#else
+        w = ((w & 0xFFULL) << 56) | ((w & 0xFF00ULL) << 40) |
+            ((w & 0xFF0000ULL) << 24) | ((w & 0xFF000000ULL) << 8) |
+            ((w >> 8) & 0xFF000000ULL) | ((w >> 24) & 0xFF0000ULL) |
+            ((w >> 40) & 0xFF00ULL) | (w >> 56);
+#endif
+        c->cache = (c->cache << 48) | (w >> 16);
+        c->bytepos += 6;
+        c->ncache += 48;
+        return;
+    }
+    while (c->ncache <= 48) {
+        uint64_t b = c->bytepos < c->n ? c->d[c->bytepos] : 0;
+        c->bytepos++;
+        c->cache = (c->cache << 8) | b;
+        c->ncache += 8;
+    }
+}
+
+static inline int cd_bits(CD *c, int nb)
+{
+    if (c->ncache < nb)
+        cd_refill(c);
+    c->ncache -= nb;
+    return (int)((c->cache >> c->ncache) & ((1u << nb) - 1));
+}
+
 static inline int cd_bit1(CD *c)
 {
-    if (c->ncache == 0) {
-        int k;
-        for (k = 0; k < 7; k++) {
-            uint64_t b = c->bytepos < c->n ? c->d[c->bytepos] : 0;
-            c->bytepos++;
-            c->cache = (c->cache << 8) | b;
-        }
-        c->ncache = 56;
+    return cd_bits(c, 1);
+}
+
+/* packed state-transition tables over s = 2*p + mps, folding the MPS
+ * flip at p==0 into the LPS table (reference cabac_functions.h keeps
+ * the same packed-state design in ff_h264_cabac_tables) */
+static uint8_t cd_mps_tr[128], cd_lps_tr[128];
+static volatile int cd_tr_ready = 0;
+
+static void cd_build_trans(void)
+{
+    int s;
+    for (s = 0; s < 128; s++) {
+        int p = s >> 1, mps = s & 1;
+        int pm = p < 62 ? p + 1 : 62;
+        int pl = cb_trans_lps[p];
+        int ml = p == 0 ? mps ^ 1 : mps;
+        cd_mps_tr[s] = (uint8_t)(2 * pm + mps);
+        cd_lps_tr[s] = (uint8_t)(2 * pl + ml);
     }
-    c->ncache--;
-    return (int)((c->cache >> c->ncache) & 1);
+    cd_tr_ready = 1;
 }
 
 static void cd_init(CD *c, const uint8_t *d, long long n,
                     int slice_is_i, int idc, int qp)
 {
     int i;
+    if (!cd_tr_ready)
+        cd_build_trans();
     const signed char (*tab)[2] = slice_is_i ? cb_init_i : cb_init_pb[idc];
     if (qp < 0) qp = 0;
     if (qp > 51) qp = 51;
@@ -79,28 +127,55 @@ static void cd_init(CD *c, const uint8_t *d, long long n,
         c->offset = (c->offset << 1) | cd_bit1(c);
 }
 
+/* renorm in one step: shift = 9 - bitlength(range) bits pulled at once
+ * (the reference's asm does the same via BSR, x86/cabac.h) */
+static inline void cd_renorm(CD *c)
+{
+    if (c->range < 0x100) {
+#if defined(__GNUC__)
+        int sh = __builtin_clz((unsigned)c->range) - 23;
+#else
+        int sh = 0;
+        while ((c->range << sh) < 0x100)
+            sh++;
+#endif
+        c->range <<= sh;
+        c->offset = (c->offset << sh) | cd_bits(c, sh);
+    }
+}
+
 static inline int cd_dec(CD *c, int ctx)
 {
     int s = c->st[ctx];
-    int p = s >> 1, mps = s & 1, bit;
-    int rlps = cb_lps_range[p][(c->range >> 6) & 3];
-    c->range -= rlps;
-    if (c->offset >= c->range) {
-        bit = 1 - mps;
-        c->offset -= c->range;
-        c->range = rlps;
-        if (p == 0)
-            mps ^= 1;
-        p = cb_trans_lps[p];
+    int range = c->range, offset = c->offset;
+    int rlps = cb_lps_range[s >> 1][(range >> 6) & 3];
+    int r2 = range - rlps;
+    int bit;
+    /* MPS runs predict well: keep the branch, but use the packed
+     * transition tables (folds the p==0 MPS flip and the p<62 clamp) */
+    if (offset >= r2) {
+        bit = (s & 1) ^ 1;
+        offset -= r2;
+        range = rlps;
+        c->st[ctx] = cd_lps_tr[s];
     } else {
-        bit = mps;
-        p = p < 62 ? p + 1 : 62;
+        bit = s & 1;
+        range = r2;
+        c->st[ctx] = cd_mps_tr[s];
     }
-    c->st[ctx] = (uint8_t)(2 * p + mps);
-    while (c->range < 0x100) {
-        c->range <<= 1;
-        c->offset = (c->offset << 1) | cd_bit1(c);
+    if (range < 0x100) {
+#if defined(__GNUC__)
+        int sh = __builtin_clz((unsigned)range) - 23;
+#else
+        int sh = 0;
+        while ((range << sh) < 0x100)
+            sh++;
+#endif
+        range <<= sh;
+        offset = (offset << sh) | cd_bits(c, sh);
     }
+    c->range = range;
+    c->offset = offset;
     return bit;
 }
 
@@ -119,12 +194,87 @@ static int cd_term(CD *c)
     c->range -= 2;
     if (c->offset >= c->range)
         return 1;
-    while (c->range < 0x100) {
-        c->range <<= 1;
-        c->offset = (c->offset << 1) | cd_bit1(c);
-    }
+    cd_renorm(c);
     return 0;
 }
+
+/* ---- register-local engine for the residual hot loops ----
+ * Same arithmetic as cd_dec/cd_bypass, but the (range, offset, cache,
+ * ncache, bytepos) state lives in locals so the compiler keeps it in
+ * registers across bins (the role of the reference's x86/cabac.h asm,
+ * which pins low/range in registers through get_cabac chains). */
+#define CD_LOCALS(c) \
+    int l_range = (c)->range, l_offset = (c)->offset; \
+    uint64_t l_cache = (c)->cache; \
+    int l_ncache = (c)->ncache; \
+    long long l_bytepos = (c)->bytepos; \
+    const uint8_t *const l_d = (c)->d; \
+    const long long l_n = (c)->n; \
+    uint8_t *const l_st = (c)->st
+
+#define CD_SAVE(c) ((c)->range = l_range, (c)->offset = l_offset, \
+    (c)->cache = l_cache, (c)->ncache = l_ncache, \
+    (c)->bytepos = l_bytepos)
+
+#define M_REFILL() do { \
+    if (l_ncache <= 16 && l_bytepos + 8 <= l_n) { \
+        uint64_t w_; \
+        memcpy(&w_, l_d + l_bytepos, 8); \
+        w_ = __builtin_bswap64(w_); \
+        l_cache = (l_cache << 48) | (w_ >> 16); \
+        l_bytepos += 6; \
+        l_ncache += 48; \
+    } else while (l_ncache <= 48) { \
+        uint64_t b_ = l_bytepos < l_n ? l_d[l_bytepos] : 0; \
+        l_bytepos++; \
+        l_cache = (l_cache << 8) | b_; \
+        l_ncache += 8; \
+    } \
+} while (0)
+
+#define M_BITS(nb, out) do { \
+    if (l_ncache < (nb)) \
+        M_REFILL(); \
+    l_ncache -= (nb); \
+    (out) = (int)((l_cache >> l_ncache) & ((1u << (nb)) - 1)); \
+} while (0)
+
+#define M_RENORM() do { \
+    if (l_range < 0x100) { \
+        int sh_ = __builtin_clz((unsigned)l_range) - 23, nb_; \
+        l_range <<= sh_; \
+        M_BITS(sh_, nb_); \
+        l_offset = (l_offset << sh_) | nb_; \
+    } \
+} while (0)
+
+#define M_DEC(ctx, out) do { \
+    int s_ = l_st[ctx]; \
+    int rlps_ = cb_lps_range[s_ >> 1][(l_range >> 6) & 3]; \
+    int r2_ = l_range - rlps_; \
+    if (l_offset >= r2_) { \
+        (out) = (s_ & 1) ^ 1; \
+        l_offset -= r2_; \
+        l_range = rlps_; \
+        l_st[ctx] = cd_lps_tr[s_]; \
+    } else { \
+        (out) = s_ & 1; \
+        l_range = r2_; \
+        l_st[ctx] = cd_mps_tr[s_]; \
+    } \
+    M_RENORM(); \
+} while (0)
+
+#define M_BYPASS(out) do { \
+    int b_; \
+    M_BITS(1, b_); \
+    l_offset = (l_offset << 1) | b_; \
+    if (l_offset >= l_range) { \
+        l_offset -= l_range; \
+        (out) = 1; \
+    } else \
+        (out) = 0; \
+} while (0)
 
 /* ---- residual coding (mirrors cabac.py code_residual, cats 0..4) --- */
 
@@ -140,14 +290,17 @@ static const int trans_gt1[8] = {4, 4, 4, 4, 5, 6, 7, 7};
 /* levels[max_coeff] zeroed by caller; returns total_coeff */
 static int residual_block(CD *c, int cat, int *levels, int max_coeff)
 {
-    int idx[16], nidx = 0, i, node = 0, k;
+    int idx[16], nidx = 0, i, node = 0, k, bit;
     int sig_base = sig_base_t[cat], last_base = last_base_t[cat],
         lvl_base = lvl_base_t[cat];
     int broke = 0;
+    CD_LOCALS(c);
     for (i = 0; i < max_coeff - 1; i++) {
-        if (cd_dec(c, sig_base + i)) {
+        M_DEC(sig_base + i, bit);
+        if (bit) {
             idx[nidx++] = i;
-            if (cd_dec(c, last_base + i)) {
+            M_DEC(last_base + i, bit);
+            if (bit) {
                 broke = 1;
                 break;
             }
@@ -158,28 +311,42 @@ static int residual_block(CD *c, int cat, int *levels, int max_coeff)
 
     for (k = nidx - 1; k >= 0; k--) {
         int pos = idx[k], mag;
-        if (!cd_dec(c, lvl_base + lvl1_ctx[node])) {
+        M_DEC(lvl_base + lvl1_ctx[node], bit);
+        if (!bit) {
             mag = 1;
             node = trans_eq1[node];
         } else {
             int gctx = lvl_base + gt1_ctx[node];
             node = trans_gt1[node];
             mag = 2;
-            while (mag < 15 && cd_dec(c, gctx))
+            for (;;) {
+                if (mag >= 15)
+                    break;
+                M_DEC(gctx, bit);
+                if (!bit)
+                    break;
                 mag++;
+            }
             if (mag == 15) {
                 int j = 0, add = 1;
-                while (cd_bypass(c) && j < 30)
+                for (;;) {
+                    M_BYPASS(bit);
+                    if (!bit || j >= 30)
+                        break;
                     j++;
+                }
                 while (j) {
                     j--;
-                    add = add * 2 + cd_bypass(c);
+                    M_BYPASS(bit);
+                    add = add * 2 + bit;
                 }
                 mag = add + 14;
             }
         }
-        levels[pos] = cd_bypass(c) ? -mag : mag;
+        M_BYPASS(bit);
+        levels[pos] = bit ? -mag : mag;
     }
+    CD_SAVE(c);
     return nidx;
 }
 
@@ -188,11 +355,16 @@ static int residual_block(CD *c, int cat, int *levels, int max_coeff)
 static int decode_mvd(CD *c, int ctx_base, int amvd, int *err)
 {
     int inc = (amvd > 2) + (amvd > 32);
-    int m = 1, ctx = ctx_base + 3;
-    if (!cd_dec(c, ctx_base + inc))
+    int m = 1, ctx = ctx_base + 3, bit;
+    CD_LOCALS(c);
+    M_DEC(ctx_base + inc, bit);
+    if (!bit) {
+        CD_SAVE(c);
         return 0;
+    }
     while (m < 9) {
-        if (!cd_dec(c, ctx))
+        M_DEC(ctx, bit);
+        if (!bit)
             break;
         if (m < 4)
             ctx++;
@@ -200,17 +372,23 @@ static int decode_mvd(CD *c, int ctx_base, int amvd, int *err)
     }
     if (m >= 9) {
         int k = 3;
-        while (cd_bypass(c)) {
+        for (;;) {
+            M_BYPASS(bit);
+            if (!bit)
+                break;
             m += 1 << k;
             k++;
-            if (k > 24) { *err = 1; return 0; }
+            if (k > 24) { *err = 1; CD_SAVE(c); return 0; }
         }
         while (k) {
             k--;
-            m += cd_bypass(c) << k;
+            M_BYPASS(bit);
+            m += bit << k;
         }
     }
-    return cd_bypass(c) ? -m : m;
+    M_BYPASS(bit);
+    CD_SAVE(c);
+    return bit ? -m : m;
 }
 
 /* ---- slice/frame state ---- */
@@ -782,7 +960,9 @@ static void cb_luma_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma,
                 nnz = residual_cbf(s, i, 2, b, lv, 16);
             if (nnz > 0) {
                 int yc = s->sctx[0], k;
-                int16_t *row = s->yvals + (long long)yc * 16;
+                int16_t *row;
+                if (yc >= s->ycap) { s->err = ERR_INVALID; return; }
+                row = s->yvals + (long long)yc * 16;
                 memset(row, 0, 16 * sizeof(int16_t));
                 if (cat == 1) {
                     for (k = 0; k < 15; k++)
@@ -824,7 +1004,10 @@ static void cb_chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
                 nnz = residual_cbf(s, i, 4, 4 * cc + b, lv, 15);
                 if (nnz > 0) {
                     int ccnt = s->sctx[1], k;
-                    int16_t *row = s->cvals + (long long)ccnt * 16;
+                    int16_t *row;
+                    /* chroma arena is ycap/2 rows in both layouts */
+                    if (ccnt >= s->ycap / 2) { s->err = ERR_INVALID; return; }
+                    row = s->cvals + (long long)ccnt * 16;
                     memset(row, 0, 16 * sizeof(int16_t));
                     for (k = 0; k < 15; k++)
                         row[k + 1] = (int16_t)lv[k];

@@ -76,6 +76,11 @@ class Options:
     threads: int = 1
     filter_complex: Optional[str] = None
     extra: Dict[str, str] = field(default_factory=dict)
+    # honest-option accounting: globally-scoped option names (post
+    # _EXTRA_OPT_MAP) that may legitimately miss on one media type's
+    # encoder, and name -> was-it-consumed-by-any-encoder
+    shared_keys: set = field(default_factory=set)
+    opt_consumed: Dict[str, bool] = field(default_factory=dict)
 
 
 def parse_args(argv: List[str]) -> Options:
@@ -195,9 +200,28 @@ def parse_args(argv: List[str]) -> Options:
         else:
             o.output_url = a
         i += 1
+    o.shared_keys = {_EXTRA_OPT_MAP.get(k, k) for k in o.extra}
     o.video.extra.update(o.extra)
     o.audio.extra.update(o.extra)
     return o
+
+
+def _set_enc_opts(enc, enc_opts: Dict[str, Any], o: Options):
+    """Apply encoder options honestly. An option unknown to this encoder
+    is tolerated only when globally scoped (it may target the other media
+    type's encoder); transcode() verifies afterwards that every global
+    option was consumed somewhere. Accepting a flag and doing nothing is
+    worse than rejecting it (reference: cmdutils.c parse_options)."""
+    leftover = enc.set_opts(enc_opts, ignore_unknown=True)
+    for k in enc_opts:
+        if k in leftover:
+            o.opt_consumed.setdefault(k, False)
+        else:
+            o.opt_consumed[k] = True
+    hard = {k for k in leftover if k not in o.shared_keys}
+    if hard:
+        raise AVError(-22, f"option(s) not supported by encoder "
+                           f"'{enc.NAME}': {', '.join(sorted(hard))}")
 
 
 # encoder AVOption names accepted as pass-through "-name value" pairs
@@ -381,6 +405,13 @@ def transcode(o: Options) -> int:
     oc.write_trailer()
     ic.close()
 
+    # honest options: a globally-scoped encoder option that no encoder
+    # in the job consumed is an error, not a silent no-op
+    dead = sorted(k for k, used in o.opt_consumed.items() if not used)
+    if dead:
+        raise AVError(-22, f"option(s) not consumed by any encoder: "
+                           f"{', '.join(dead)}")
+
     if packets_read == 0:
         sys.stderr.write("avconv: no packets read from input — "
                          "output file is empty\n")
@@ -398,6 +429,7 @@ class _VideoChain:
     def __init__(self, ist, oc: FormatContext, o: Options):
         self.ist = ist
         self.oc = oc
+        self.o = o
         self.spec = o.video
         self.done = False
         self.frame_count = 0
@@ -451,8 +483,7 @@ class _VideoChain:
         self.out_par.height = self.out_par.height or frame.height
         self.out_par.pix_fmt = self.spec.pix_fmt or frame.format
         self.enc = find_encoder(self.enc_name)(self.out_par)
-        # global options may target another codec: ignore unknown names
-        self.enc.set_opts(self.enc_opts, ignore_unknown=True)
+        _set_enc_opts(self.enc, self.enc_opts, self.o)
         self.enc.open()
 
     def send(self, pkt: Packet):
@@ -586,6 +617,7 @@ class _AudioChain(_VideoChain):
     def __init__(self, ist, oc, o: Options):
         self.ist = ist
         self.oc = oc
+        self.o = o
         self.spec = o.audio
         self.done = False
         self.frame_count = 0
@@ -624,6 +656,7 @@ class _AudioChain(_VideoChain):
         self.dec = find_decoder(par.codec_id)(par).open()
         self.enc_name = codec_name
         self.enc_opts = {}
+        _apply_extra(self.enc_opts, self.spec.extra)
         self.out_par = out_par
         self.enc = None
 
@@ -655,7 +688,9 @@ class _AudioChain(_VideoChain):
         self.out_par.sample_fmt = frame.format
         self.out_par.sample_rate = frame.sample_rate
         self.out_par.channels = frame.channels
-        self.enc = find_encoder(self.enc_name)(self.out_par, self.enc_opts).open()
+        self.enc = find_encoder(self.enc_name)(self.out_par)
+        _set_enc_opts(self.enc, self.enc_opts, self.o)
+        self.enc.open()
 
 
 def main(argv: Optional[List[str]] = None) -> int:
