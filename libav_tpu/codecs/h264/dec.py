@@ -230,6 +230,15 @@ class H264Decoder(Decoder):
         # thread while the device reconstructs N — the C entropy layer
         # releases the GIL, so the stages genuinely overlap. Output is
         # delayed by one AU (codec delay, drained on flush).
+        import os as _os
+        if _os.environ.get("LIBAV_TPU_NO_PIPELINE"):
+            class _Now:
+                def __init__(self, v):
+                    self._v = v
+
+                def result(self):
+                    return self._v
+            return self._finish_au(_Now(self._entropy_au(pkt)))
         if self._exec is None:
             import concurrent.futures as _cf
             self._exec = _cf.ThreadPoolExecutor(
@@ -1355,6 +1364,10 @@ class H264Decoder(Decoder):
             csrc = cac[cidx].astype(np.int16)
         ycap, ccap = sparse_caps(sps.mb_width, sps.mb_height,
                                  len(yidx), len(cidx))
+        # NOTE: these buffers must be freshly allocated per frame — the
+        # axon transport reads jit argument buffers asynchronously, so
+        # pooling/reuse corrupts frames still in flight (verified by a
+        # framecrc mismatch when pooled)
         yvals = np.zeros((ycap, 16), np.int16)
         yvals[:len(yidx)] = ysrc
         cvals = np.zeros((ccap, 16), np.int16)

@@ -105,7 +105,7 @@ def _compile() -> str:
         modname, source,
         include_dirs=[str(_HERE)],
         extra_compile_args=["-O3", "-fno-strict-aliasing",
-                            "-march=native"],
+                            "-march=native", "-funroll-loops"],
     )
     _BUILD.mkdir(exist_ok=True)
     ffibuilder.compile(tmpdir=str(_BUILD), verbose=False)
