@@ -318,7 +318,7 @@ class H264Decoder(Decoder):
                 s = sets.parse_sps(rbsp)
                 self.sps[s.sps_id] = s
             elif ntype == nal_mod.NAL_PPS:
-                p = sets.parse_pps(rbsp)
+                p = sets.parse_pps(rbsp, self.sps)
                 self.pps[p.pps_id] = p
             elif ntype in (nal_mod.NAL_SLICE, nal_mod.NAL_IDR):
                 try:
@@ -344,7 +344,8 @@ class H264Decoder(Decoder):
             # parsing the NEXT AU's headers when recon runs)
             fd.recon_ctx = (self.active_sps, self._deblock,
                             self._ab_offset,
-                            getattr(self, "_weights", None))
+                            getattr(self, "_weights", None),
+                            self.active_pps)
             st_, idr_, poc_, ridc_ = slice_info
             # per-block picture ids for the deblock bS rule, from the
             # DPB as seen by THIS frame (before its own entry)
@@ -1275,7 +1276,21 @@ class H264Decoder(Decoder):
         return colref, colmv
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
-        sps, deblock, ab_offset, weights = fd.recon_ctx
+        sps, deblock, ab_offset, weights, pps = fd.recon_ctx
+        # scaling matrices + chroma qp offsets in effect (hashable for
+        # the jit-builder cache key; None = flat/zero fast path)
+        wmat = None
+        cqpo = (0, 0)
+        if pps is not None:
+            o1 = pps.chroma_qp_index_offset
+            o2 = pps.second_chroma_qp_index_offset
+            cqpo = (o1, o1 if o2 is None else o2)
+            if pps.scaling_m4 is not None or sps.scaling_m4 is not None \
+                    or pps.scaling_m8 is not None \
+                    or sps.scaling_m8 is not None:
+                m4, m8 = sets.effective_matrices(sps, pps)
+                wmat = (tuple(tuple(int(x) for x in m) for m in m4),
+                        tuple(tuple(int(x) for x in m) for m in m8))
         nmb = sps.mb_width * sps.mb_height
         slice_type, idr, poc, ref_idc = slice_info
         any_intra = bool(np.any(fd.intra))
@@ -1378,6 +1393,8 @@ class H264Decoder(Decoder):
         cpad[:len(cidx)] = cidx
         cl, cr, ct, cb = sps.crop
         any_i4 = bool(np.any(fd.i4))
+        t8arr = getattr(fd, "transform8", None)
+        any_t8 = bool(t8arr is not None and np.any(t8arr))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
@@ -1389,8 +1406,11 @@ class H264Decoder(Decoder):
                                    weighted=(
                                        "i" if weights == "implicit" else
                                        ("e", weights[0], weights[1])
-                                       if weights is not None else None))
+                                       if weights is not None else None),
+                                   wmat=wmat, cqpo=cqpo, any_t8=any_t8)
         kw = {}
+        if any_t8:
+            kw["t8"] = np.asarray(t8arr).astype(bool)
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
             kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)

@@ -49,11 +49,26 @@ def _dequant_tables():
     return out
 
 
+def _unpack_wmat(wmat):
+    """wmat: None (flat) or hashable ((6 x 16-tuple), (2 x 64-tuple)) ->
+    (W4 (6,4,4), W8 (2,8,8)) raster numpy arrays."""
+    from libav_tpu.codecs.h264 import sets
+    if wmat is None:
+        return (np.broadcast_to(sets.FLAT_4x4.reshape(4, 4),
+                                (6, 4, 4)).copy(),
+                np.broadcast_to(sets.FLAT_8x8.reshape(8, 8),
+                                (2, 8, 8)).copy())
+    m4, m8 = wmat
+    return (np.array([np.array(m, np.int32).reshape(4, 4) for m in m4]),
+            np.array([np.array(m, np.int32).reshape(8, 8) for m in m8]))
+
+
 @functools.lru_cache(maxsize=16)
 def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    nrefs: int = 1, any_i4: bool = False,
                    bpred: bool = False, part: bool = False,
-                   nrefs1: int = 1, weighted=None):
+                   nrefs1: int = 1, weighted=None, wmat=None,
+                   cqpo=(0, 0), any_t8: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -107,43 +122,86 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
     blk_x = _BLK_XY[:, 0]
     blk_y = _BLK_XY[:, 1]
 
-    def residual_stage(intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac):
+    W4, W8 = _unpack_wmat(wmat)
+    flat_w = wmat is None
+    cls4 = _pos_class()
+    v4 = _V[:, cls4]                       # (6,4,4) normAdjust4x4 per m
+    from libav_tpu.ops.h264transform import _V8, _pos_class8
+    v8 = _V8[:, _pos_class8()]             # (6,8,8)
+    # LevelScale tables: per (list, m, pos)
+    ls4_tab = (W4[:, None] * v4[None]).astype(np.int32)     # (6,6,4,4)
+    ls8_tab = (W8[:, None] * v8[None]).astype(np.int32)     # (2,6,8,8)
+
+    def _deq_ac4(c, ls, q6):
+        """General 4x4 AC dequant (spec 8.5.12.1): c,ls broadcastable,
+        q6 per MB (shaped for broadcast). Flat lists reduce exactly to
+        the legacy (c * v) << q6."""
+        up = (c * ls) << jnp.maximum(q6 - 4, 0)
+        dn = (c * ls + (1 << jnp.clip(3 - q6, 0, 3))) >> \
+            jnp.clip(4 - q6, 0, 4)
+        return jnp.where(q6 >= 4, up, dn)
+
+    def residual_stage(intra, intra16, qp, luma_dc, luma_ac, chroma_dc,
+                       chroma_ac, t8=None):
         """-> resid_y (nmb,16,16), resid_u/v (nmb,8,8) int32"""
         qp = jnp.clip(qp.astype(jnp.int32), 0, 51)
         chroma_dc = chroma_dc.astype(jnp.int32)
-        qpc = jnp.asarray(CHROMA_QP)[qp]
-        scale_y = jnp.asarray(dq_tab)[qp]          # (nmb,4,4)
-        scale_c = jnp.asarray(dq_tab)[qpc]
+        m6 = qp % 6
+        q6 = qp // 6
+        qpc_u = jnp.asarray(CHROMA_QP)[jnp.clip(qp + cqpo[0], 0, 51)]
+        qpc_v = jnp.asarray(CHROMA_QP)[jnp.clip(qp + cqpo[1], 0, 51)]
+        it = intra.astype(jnp.int32)
 
-        # ---- luma ----
+        # ---- luma 4x4 ----
         ac = luma_ac[:, :, pos4].reshape(nmb, 16, 4, 4).astype(jnp.int32)
-        ac = ac * scale_y[:, None]
-        # I_16x16 DC: hadamard over the (4,4) DC grid
+        ls_y = jnp.asarray(ls4_tab)[jnp.where(it == 1, 0, 3), m6]
+        ac = _deq_ac4(ac, ls_y[:, None], q6[:, None, None, None])
+        # I_16x16 DC: hadamard over the (4,4) DC grid (spec 8.5.10)
         dcs = luma_dc[:, pos4].reshape(nmb, 4, 4).astype(jnp.int32)
         Hm = jnp.asarray([[1, 1, 1, 1], [1, 1, -1, -1],
                           [1, -1, -1, 1], [1, -1, 1, -1]], dtype=jnp.int32)
         f = jnp.einsum("ki,bij,lj->bkl", Hm, dcs, Hm,
                        preferred_element_type=jnp.int32)
-        vv = jnp.asarray(v0)[qp % 6]
-        shift_up = (qp // 6 - 2)[:, None, None]
-        dc_deq = jnp.where(shift_up >= 0,
-                           (f * vv[:, None, None]) << jnp.maximum(shift_up, 0),
-                           (f * vv[:, None, None] +
-                            (1 << jnp.maximum(-shift_up - 1, 0)))
-                           >> jnp.maximum(-shift_up, 0))
+        ls0 = jnp.asarray(ls4_tab)[0, m6, 0, 0][:, None, None]
+        sh = (q6 - 6)[:, None, None]
+        dc_deq = jnp.where(sh >= 0,
+                           (f * ls0) << jnp.maximum(sh, 0),
+                           (f * ls0 + (1 << jnp.clip(-sh - 1, 0, 5)))
+                           >> jnp.clip(-sh, 0, 6))
         # place DC into block position 0 for intra16 MBs
         dc_per_block = dc_deq[:, blk_y, blk_x]     # (nmb, 16)
         ac = ac.reshape(nmb, 16, 16)
         ac = ac.at[:, :, 0].set(
             jnp.where(intra16[:, None], dc_per_block, ac[:, :, 0]))
         blocks = ac.reshape(nmb * 16, 4, 4)
-        from libav_tpu.ops.h264transform import idct4x4
+        from libav_tpu.ops.h264transform import idct4x4, idct8x8_h264
         r = idct4x4(blocks).reshape(nmb, 16, 4, 4)
         resid_y = jnp.zeros((nmb, 16, 16), jnp.int32)
         for b in range(16):
             bx, by = int(blk_x[b]), int(blk_y[b])
             resid_y = resid_y.at[:, by * 4:by * 4 + 4,
                                  bx * 4:bx * 4 + 4].set(r[:, b])
+
+        if any_t8:
+            # 8x8 transform MBs: each quadrant's 64 raster coefficients
+            # travel in the 4 yvals rows of its Z-order 4x4 slots
+            # (blk 4b..4b+3); dequant 8.5.13 + exact idct8 8.5.12.2
+            c8 = (luma_ac.reshape(nmb, 4, 64).astype(jnp.int32)
+                  .reshape(nmb, 4, 8, 8))
+            ls8 = jnp.asarray(ls8_tab)[jnp.where(it == 1, 0, 1), m6]
+            q6b = q6[:, None, None, None]
+            up = (c8 * ls8[:, None]) << jnp.maximum(q6b - 6, 0)
+            dn = (c8 * ls8[:, None] +
+                  (1 << jnp.clip(5 - q6b, 0, 5))) >> jnp.clip(6 - q6b,
+                                                              0, 6)
+            d8 = jnp.where(q6b >= 6, up, dn)
+            r8 = idct8x8_h264(d8.reshape(nmb * 4, 8, 8)).reshape(
+                nmb, 4, 8, 8)
+            res8 = jnp.zeros((nmb, 16, 16), jnp.int32)
+            for b in range(4):
+                bx, by = (b & 1) * 8, (b >> 1) * 8
+                res8 = res8.at[:, by:by + 8, bx:bx + 8].set(r8[:, b])
+            resid_y = jnp.where(t8[:, None, None], res8, resid_y)
 
         # ---- chroma ----
         a = chroma_dc[:, :, 0]
@@ -154,26 +212,29 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
         f01 = a - b_ + c - d
         f10 = a + b_ - c - d
         f11 = a - b_ - c + d
-        vvc = jnp.asarray(v0)[qpc % 6][:, None]
         dc_c = jnp.stack([f00, f01, f10, f11], axis=-1)   # (nmb,2,4)
-        dc_c = ((dc_c * vvc[..., None]) << (qpc // 6)[:, None, None]) >> 1
-
+        outs = []
         cac = chroma_ac[:, :, pos4].reshape(nmb, 8, 4, 4).astype(jnp.int32)
-        cac = cac * scale_c[:, None]
-        cac = cac.reshape(nmb, 8, 16)
-        # DC order within each component: blocks (0,0),(0,1),(1,0),(1,1)
-        cac = cac.at[:, 0:4, 0].set(dc_c[:, 0])
-        cac = cac.at[:, 4:8, 0].set(dc_c[:, 1])
-        rc = idct4x4(cac.reshape(nmb * 8, 4, 4)).reshape(nmb, 8, 4, 4)
-        resid_u = jnp.zeros((nmb, 8, 8), jnp.int32)
-        resid_v = jnp.zeros((nmb, 8, 8), jnp.int32)
-        for b in range(4):
-            bx, by = b & 1, b >> 1
-            resid_u = resid_u.at[:, by * 4:by * 4 + 4,
-                                 bx * 4:bx * 4 + 4].set(rc[:, b])
-            resid_v = resid_v.at[:, by * 4:by * 4 + 4,
-                                 bx * 4:bx * 4 + 4].set(rc[:, 4 + b])
-        return resid_y, resid_u, resid_v
+        for comp, qpc in ((0, qpc_u), (1, qpc_v)):
+            mc6 = qpc % 6
+            qc6 = qpc // 6
+            lsc = jnp.asarray(ls4_tab)[
+                jnp.where(it == 1, 1 + comp, 4 + comp), mc6]
+            cc = _deq_ac4(cac[:, 4 * comp:4 * comp + 4], lsc[:, None],
+                          qc6[:, None, None, None]).reshape(nmb, 4, 16)
+            ls0c = jnp.asarray(ls4_tab)[
+                jnp.where(it == 1, 1 + comp, 4 + comp), mc6, 0, 0]
+            dcd = ((dc_c[:, comp] * ls0c[:, None])
+                   << qc6[:, None]) >> 5                    # spec 8.5.11
+            cc = cc.at[:, :, 0].set(dcd)
+            rc = idct4x4(cc.reshape(nmb * 4, 4, 4)).reshape(nmb, 4, 4, 4)
+            resid_c = jnp.zeros((nmb, 8, 8), jnp.int32)
+            for b in range(4):
+                bx, by = b & 1, b >> 1
+                resid_c = resid_c.at[:, by * 4:by * 4 + 4,
+                                     bx * 4:bx * 4 + 4].set(rc[:, b])
+            outs.append(resid_c)
+        return resid_y, outs[0], outs[1]
 
     # 4x4-block lattice for partitioned frames (part=True): one MC
     # gather per 4x4 block, per list, at block-granular mv/ref
@@ -211,7 +272,7 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
            ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
-           wtab0=None, wtab1=None, w0tab=None, row_top=None):
+           wtab0=None, wtab1=None, w0tab=None, row_top=None, t8=None):
         # multi-reference stacks arrive as tuples of planes and are
         # stacked INSIDE the program: one dispatch per frame instead of
         # one eager stack op per plane (the axon tunnel makes every
@@ -222,8 +283,11 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
             ry1, ru1, rv1 = (jnp.stack(ry1), jnp.stack(ru1),
                              jnp.stack(rv1))
         intra16 = (intra & ~i4) if any_i4 else intra
+        if any_t8:
+            intra16 = intra16 & ~t8
         resid_y, resid_u, resid_v = residual_stage(
-            intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac)
+            intra, intra16, qp, luma_dc, luma_ac, chroma_dc, chroma_ac,
+            t8=t8)
 
         xs = jnp.asarray(mbx_all * 16)
         ys = jnp.asarray(mby_all * 16)
@@ -486,7 +550,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           deblock: bool = False, nrefs: int = 1,
                           db_offsets=(0, 0), any_i4: bool = False,
                           bpred: bool = False, part: bool = False,
-                          nrefs1: int = 1, weighted=None):
+                          nrefs1: int = 1, weighted=None, wmat=None,
+                          cqpo=(0, 0), any_t8: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -498,7 +563,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 
     nmb = mb_w * mb_h
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
-                              part, nrefs1, weighted)
+                              part, nrefs1, weighted, wmat, cqpo, any_t8)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
@@ -506,7 +571,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
            pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None,
-           row_top=None):
+           row_top=None, t8=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -519,23 +584,26 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   bmv0=bmv0, bref0=bref0, bsel=bsel,
                                   bmv1=bmv1, bref1=bref1, wtab0=wtab0,
                                   wtab1=wtab1, w0tab=w0tab,
-                                  row_top=row_top)
+                                  row_top=row_top, t8=t8)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
             db = deblock_frame_exact_jit(mb_w, mb_h, db_offsets[0],
-                                         db_offsets[1], part=part)
+                                         db_offsets[1], part=part,
+                                         cqpo=cqpo, any_t8=any_t8)
+            dbt8 = (t8,) if any_t8 else ()
             if part:
                 yp, up, vp = db(
                     planes[0].astype(jnp.int32),
                     planes[1].astype(jnp.int32),
                     planes[2].astype(jnp.int32), intra, qp, nnz,
-                    bmv0, pid0, bmv1, pid1)
+                    bmv0, pid0, bmv1, pid1, *dbt8)
             else:
                 yp, up, vp = db(
                     planes[0].astype(jnp.int32),
                     planes[1].astype(jnp.int32),
-                    planes[2].astype(jnp.int32), intra, qp, nnz, mv)
+                    planes[2].astype(jnp.int32), intra, qp, nnz, mv,
+                    *dbt8)
             yp = yp.astype(jnp.uint8)
             up = up.astype(jnp.uint8)
             vp = vp.astype(jnp.uint8)

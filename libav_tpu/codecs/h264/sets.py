@@ -1,12 +1,106 @@
 """SPS/PPS parameter sets: parse + write (reference: libavcodec/h264_ps.c;
-spec ISO 14496-10 §7.3.2.1/7.3.2.2)."""
+spec ISO 14496-10 §7.3.2.1/7.3.2.2), including High-profile scaling
+lists (7.3.2.1.1 scaling_list + Table 7-2 fall-back rules) and the PPS
+tail (transform_8x8_mode_flag, pic scaling matrix,
+second_chroma_qp_index_offset)."""
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from libav_tpu.avutil.error import AVError, INVALIDDATA
 from libav_tpu.bitstream import GetBits, PutBits
+
+# zigzag scans used by scaling_list() transmission (spec 8.5.6/8.5.5):
+# 4x4 from cavlc.SCAN4x4; 8x8 is the classic zigzag (ff_zigzag_direct)
+SCAN4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15],
+                 dtype=np.int32)
+SCAN8 = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# default scaling lists, raster order (spec Tables 7-3/7-4; the same ISO
+# constants appear in reference h264_ps.c default_scaling4/8)
+DEFAULT_4x4 = (
+    np.array([6, 13, 20, 28, 13, 20, 28, 32,
+              20, 28, 32, 37, 28, 32, 37, 42], np.int32),       # intra
+    np.array([10, 14, 20, 24, 14, 20, 24, 27,
+              20, 24, 27, 30, 24, 27, 30, 34], np.int32))       # inter
+DEFAULT_8x8 = (
+    np.array([6, 10, 13, 16, 18, 23, 25, 27,
+              10, 11, 16, 18, 23, 25, 27, 29,
+              13, 16, 18, 23, 25, 27, 29, 31,
+              16, 18, 23, 25, 27, 29, 31, 33,
+              18, 23, 25, 27, 29, 31, 33, 36,
+              23, 25, 27, 29, 31, 33, 36, 38,
+              25, 27, 29, 31, 33, 36, 38, 40,
+              27, 29, 31, 33, 36, 38, 40, 42], np.int32),       # intra
+    np.array([9, 13, 15, 17, 19, 21, 22, 24,
+              13, 13, 17, 19, 21, 22, 24, 25,
+              15, 17, 19, 21, 22, 24, 25, 27,
+              17, 19, 21, 22, 24, 25, 27, 28,
+              19, 21, 22, 24, 25, 27, 28, 30,
+              21, 22, 24, 25, 27, 28, 30, 32,
+              22, 24, 25, 27, 28, 30, 32, 33,
+              24, 25, 27, 28, 30, 32, 33, 35], np.int32))       # inter
+
+FLAT_4x4 = np.full(16, 16, np.int32)
+FLAT_8x8 = np.full(64, 16, np.int32)
+
+
+def _parse_scaling_list(gb: GetBits, size: int):
+    """One scaling_list() (spec 7.3.2.1.1). Returns the raster-order
+    list, or None when the stream selects the default (first delta makes
+    nextScale 0)."""
+    scan = SCAN4 if size == 16 else SCAN8
+    out = np.zeros(size, np.int32)
+    last, nxt = 8, 8
+    for j in range(size):
+        if nxt != 0:
+            delta = gb.get_se_golomb()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                return None          # use default list
+        last = nxt if nxt != 0 else last
+        out[int(scan[j])] = last
+    return out
+
+
+def _parse_scaling_matrices(gb: GetBits, is_sps: bool, sps_m4, sps_m8,
+                            n8: int):
+    """scaling matrix block shared by SPS/PPS (Table 7-2 fall-back):
+    6 4x4 lists + n8 8x8 lists. sps_m4/sps_m8 are the active SPS lists
+    for PPS fall-back rule B (None at seq level)."""
+    m4 = [None] * 6
+    m8 = [None] * 6
+    for i in range(6):
+        if gb.get_bits(1):
+            m4[i] = _parse_scaling_list(gb, 16)
+            if m4[i] is None:
+                m4[i] = DEFAULT_4x4[0 if i < 3 else 1].copy()
+        else:                       # fall-back
+            if i in (0, 3):
+                m4[i] = (DEFAULT_4x4[0 if i == 0 else 1].copy()
+                         if is_sps or sps_m4 is None
+                         else sps_m4[i].copy())
+            else:
+                m4[i] = m4[i - 1].copy()
+    for k in range(n8):
+        # transmitted order: 8x8 intra Y (idx 0), inter Y (idx 1)
+        if gb.get_bits(1):
+            m8[k] = _parse_scaling_list(gb, 64)
+            if m8[k] is None:
+                m8[k] = DEFAULT_8x8[k & 1].copy()
+        else:
+            m8[k] = (DEFAULT_8x8[k & 1].copy()
+                     if is_sps or sps_m8 is None
+                     else sps_m8[k].copy())
+    return m4, m8
 
 
 @dataclass
@@ -23,6 +117,8 @@ class SPS:
     frame_mbs_only: int = 1
     direct_8x8_inference: int = 1
     crop: tuple = (0, 0, 0, 0)     # left, right, top, bottom (in units)
+    scaling_m4: object = None      # [6] raster 4x4 lists or None (flat)
+    scaling_m8: object = None      # [2] raster 8x8 lists or None (flat)
 
     @property
     def width(self):
@@ -45,6 +141,10 @@ class PPS:
     num_ref_idx_l1_active: int = 1
     weighted_pred: int = 0
     weighted_bipred_idc: int = 0
+    transform_8x8_mode: int = 0
+    scaling_m4: object = None      # PPS-level lists override SPS-level
+    scaling_m8: object = None
+    second_chroma_qp_index_offset: int = None   # defaults to the first
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -59,11 +159,14 @@ def parse_sps(rbsp: bytes) -> SPS:
         chroma = gb.get_ue_golomb()
         if chroma == 3:
             gb.get_bits(1)
-        gb.get_ue_golomb()   # bit_depth_luma_minus8
-        gb.get_ue_golomb()   # bit_depth_chroma_minus8
+        if chroma != 1:
+            raise AVError(INVALIDDATA, "only 4:2:0 supported")
+        if gb.get_ue_golomb() or gb.get_ue_golomb():
+            raise AVError(INVALIDDATA, "only 8-bit supported")
         gb.get_bits(1)       # qpprime
         if gb.get_bits(1):   # seq_scaling_matrix_present
-            raise AVError(INVALIDDATA, "scaling matrices not supported yet")
+            s.scaling_m4, s.scaling_m8 = _parse_scaling_matrices(
+                gb, True, None, None, 2)
     s.log2_max_frame_num = gb.get_ue_golomb() + 4
     s.poc_type = gb.get_ue_golomb()
     if s.poc_type == 0:
@@ -89,12 +192,41 @@ def parse_sps(rbsp: bytes) -> SPS:
     return s
 
 
+def _write_scaling_list(pb: PutBits, lst, size: int):
+    """Delta-code one raster-order list in scan order (7.3.2.1.1)."""
+    scan = SCAN4 if size == 16 else SCAN8
+    last = 8
+    for j in range(size):
+        cur = int(lst[int(scan[j])])
+        delta = (cur - last) & 0xFF
+        if delta >= 128:
+            delta -= 256
+        pb.put_se_golomb(delta)
+        last = cur
+
+
 def write_sps(s: SPS) -> bytes:
     pb = PutBits()
     pb.put_bits(8, s.profile_idc)
     pb.put_bits(8, 0x40 if s.profile_idc == 66 else 0)  # constraint_set1
     pb.put_bits(8, s.level_idc)
     pb.put_ue_golomb(s.sps_id)
+    if s.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        pb.put_ue_golomb(1)           # chroma_format_idc 4:2:0
+        pb.put_ue_golomb(0)           # bit_depth_luma_minus8
+        pb.put_ue_golomb(0)           # bit_depth_chroma_minus8
+        pb.put_bits(1, 0)             # qpprime_y_zero_transform_bypass
+        has_m = s.scaling_m4 is not None or s.scaling_m8 is not None
+        pb.put_bits(1, 1 if has_m else 0)
+        if has_m:
+            m4 = s.scaling_m4 or [FLAT_4x4] * 6
+            m8 = s.scaling_m8 or [FLAT_8x8, FLAT_8x8]
+            for i in range(6):
+                pb.put_bits(1, 1)
+                _write_scaling_list(pb, m4[i], 16)
+            for k in range(2):
+                pb.put_bits(1, 1)
+                _write_scaling_list(pb, m8[k], 64)
     pb.put_ue_golomb(s.log2_max_frame_num - 4)
     pb.put_ue_golomb(s.poc_type)
     if s.poc_type == 0:
@@ -116,8 +248,10 @@ def write_sps(s: SPS) -> bytes:
     return pb.flush()
 
 
-def parse_pps(rbsp: bytes) -> PPS:
-    """reference: h264_ps.c ff_h264_decode_picture_parameter_set"""
+def parse_pps(rbsp: bytes, sps_map=None) -> PPS:
+    """reference: h264_ps.c ff_h264_decode_picture_parameter_set.
+    sps_map (id -> SPS) supplies the active SPS scaling lists for the
+    pic-level fall-back rule B (Table 7-2)."""
     gb = GetBits(rbsp)
     p = PPS()
     p.pps_id = gb.get_ue_golomb()
@@ -138,7 +272,42 @@ def parse_pps(rbsp: bytes) -> PPS:
     p.deblocking_filter_control_present = gb.get_bits(1)
     gb.get_bits(1)       # constrained_intra_pred
     gb.get_bits(1)       # redundant_pic_cnt_present
+    if _more_rbsp_data(gb, rbsp):      # High-profile PPS tail (7.3.2.2)
+        sps = (sps_map or {}).get(p.sps_id)
+        p.transform_8x8_mode = gb.get_bits(1)
+        if gb.get_bits(1):             # pic_scaling_matrix_present
+            p.scaling_m4, p.scaling_m8 = _parse_scaling_matrices(
+                gb, False,
+                sps.scaling_m4 if sps is not None else None,
+                sps.scaling_m8 if sps is not None else None,
+                2 * p.transform_8x8_mode)
+        p.second_chroma_qp_index_offset = gb.get_se_golomb()
     return p
+
+
+def _more_rbsp_data(gb: GetBits, rbsp: bytes) -> bool:
+    """True while bits remain before the rbsp_stop_one_bit (spec 7.2)."""
+    i = len(rbsp) - 1
+    while i >= 0 and rbsp[i] == 0:
+        i -= 1
+    if i < 0:
+        return False
+    b = rbsp[i]
+    low = (b & -b).bit_length() - 1          # lowest set bit
+    stop_pos = i * 8 + (7 - low)
+    return gb.pos < stop_pos
+
+
+def effective_matrices(sps: SPS, pps: PPS):
+    """The weight matrices in effect (PPS-level overrides SPS-level,
+    flat-16 otherwise): (W4[6 raster16], W8[2 raster64])."""
+    m4 = pps.scaling_m4 if pps.scaling_m4 is not None else sps.scaling_m4
+    m8 = pps.scaling_m8 if pps.scaling_m8 is not None else sps.scaling_m8
+    if m4 is None:
+        m4 = [FLAT_4x4] * 6
+    if m8 is None or m8[0] is None:
+        m8 = [FLAT_8x8, FLAT_8x8]
+    return m4, m8
 
 
 def write_pps(p: PPS) -> bytes:
@@ -158,6 +327,21 @@ def write_pps(p: PPS) -> bytes:
     pb.put_bits(1, p.deblocking_filter_control_present)
     pb.put_bits(1, 0)
     pb.put_bits(1, 0)
+    if p.transform_8x8_mode or p.scaling_m4 is not None or \
+            p.second_chroma_qp_index_offset is not None:
+        pb.put_bits(1, p.transform_8x8_mode)
+        has_m = p.scaling_m4 is not None
+        pb.put_bits(1, 1 if has_m else 0)
+        if has_m:
+            for i in range(6):
+                pb.put_bits(1, 1)
+                _write_scaling_list(pb, p.scaling_m4[i], 16)
+            for k in range(2 * p.transform_8x8_mode):
+                pb.put_bits(1, 1)
+                _write_scaling_list(pb, p.scaling_m8[k], 64)
+        pb.put_se_golomb(p.second_chroma_qp_index_offset
+                         if p.second_chroma_qp_index_offset is not None
+                         else p.chroma_qp_index_offset)
     pb.put_bits(1, 1)    # stop bit
     pb.align(0)
     return pb.flush()

@@ -230,8 +230,14 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=32)
 def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
-                            b_off: int = 0, part: bool = False):
+                            b_off: int = 0, part: bool = False,
+                            cqpo=(0, 0), any_t8: bool = False):
     """Returns fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb) -> planes.
+
+    cqpo: (cb, cr) chroma_qp_index_offsets applied before the chroma QP
+    mapping (spec 8.7.2: QPc per plane). any_t8 adds a trailing t8
+    (nmb,) bool arg: 8x8-transform MBs do not filter their 4x4-internal
+    luma edges (spec 8.7: transform_size_8x8_flag edge set).
 
     yp (H, W) int32, up/vp (H/2, W/2) int32;
     intra_mb (nmb,) bool; qp_mb (nmb,) int32; nnz4 (4mb_h, 4mb_w) int;
@@ -313,7 +319,7 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
         return bs_dir(1), bs_dir(0)
 
     def fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb, pid0=None,
-           mv4_1=None, pid1=None):
+           mv4_1=None, pid1=None, t8=None):
         intra4 = jnp.repeat(jnp.repeat(
             intra_mb.reshape(mb_h, mb_w), 4, 0), 4, 1)
         qp4 = jnp.repeat(jnp.repeat(
@@ -334,18 +340,31 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
         nnz4 = nnz4.astype(jnp.int32)
 
         bs_v, bs_h = build_bs(intra4, nnz4, m0, p0, m1, p1)
+        if any_t8:
+            # 8x8-transform MBs skip their 4x4-internal luma edges
+            t84 = jnp.repeat(jnp.repeat(
+                t8.reshape(mb_h, mb_w), 4, 0), 4, 1)
+            colk = (jnp.arange(bw) % 4)[None, :]
+            rowk = (jnp.arange(bh) % 4)[:, None]
+            bs_v = jnp.where(t84 & ((colk % 2) == 1), 0, bs_v)
+            bs_h = jnp.where(t84 & ((rowk % 2) == 1), 0, bs_h)
         qp_v = (qp4 + jnp.roll(qp4, 1, axis=1) + 1) >> 1
         qp_h = (qp4 + jnp.roll(qp4, 1, axis=0) + 1) >> 1
         cqp = jnp.asarray(CHROMA_QP)
-        qp_vc = (cqp[qp4] + cqp[jnp.roll(qp4, 1, axis=1)] + 1) >> 1
-        qp_hc = (cqp[qp4] + cqp[jnp.roll(qp4, 1, axis=0)] + 1) >> 1
+        qp4u = cqp[jnp.clip(qp4 + cqpo[0], 0, 51)]
+        qp4v = cqp[jnp.clip(qp4 + cqpo[1], 0, 51)]
+        qp_vc = ((qp4u + jnp.roll(qp4u, 1, axis=1) + 1) >> 1,
+                 (qp4v + jnp.roll(qp4v, 1, axis=1) + 1) >> 1)
+        qp_hc = ((qp4u + jnp.roll(qp4u, 1, axis=0) + 1) >> 1,
+                 (qp4v + jnp.roll(qp4v, 1, axis=0) + 1) >> 1)
 
         # pad grids with two zero scratch MB rows at the bottom
         def padg(g):
             return jnp.pad(g, ((0, 8), (0, 0)))
         bs_v, bs_h = padg(bs_v), padg(bs_h)
         qp_v, qp_h = padg(qp_v), padg(qp_h)
-        qp_vc, qp_hc = padg(qp_vc), padg(qp_hc)
+        qp_vc = (padg(qp_vc[0]), padg(qp_vc[1]))
+        qp_hc = (padg(qp_hc[0]), padg(qp_hc[1]))
 
         # pad planes: 4 left/top margin + 2 scratch MB rows below
         ypad = jnp.pad(yp.astype(jnp.int32), ((4, 36), (4, 0)))
@@ -405,9 +424,9 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
                     # luma block col = 4x + 2k
                     bs = bs_v[by0[:, None] + (np.arange(8) // 2)[None, :],
                               (bx0 + 2 * k)[:, None]].reshape(-1)
-                    qq = qp_vc[by0[:, None] +
-                               (np.arange(8) // 2)[None, :],
-                               (bx0 + 2 * k)[:, None]].reshape(-1)
+                    qq = qp_vc[plane_i][by0[:, None] +
+                                        (np.arange(8) // 2)[None, :],
+                                        (bx0 + 2 * k)[:, None]].reshape(-1)
                     out = filter_edge_qp(lines, qq, bs, True,
                                          a_off, b_off)
                     C = C.at[:, 4:12, c - 4:c + 4].set(
@@ -419,9 +438,10 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
                     bs = bs_h[(by0 + 2 * k)[:, None],
                               bx0[:, None] +
                               (np.arange(8) // 2)[None, :]].reshape(-1)
-                    qq = qp_hc[(by0 + 2 * k)[:, None],
-                               bx0[:, None] +
-                               (np.arange(8) // 2)[None, :]].reshape(-1)
+                    qq = qp_hc[plane_i][(by0 + 2 * k)[:, None],
+                                        bx0[:, None] +
+                                        (np.arange(8) // 2)[None, :]
+                                        ].reshape(-1)
                     out = filter_edge_qp(lines, qq, bs, True,
                                          a_off, b_off)
                     C = C.at[:, r - 4:r + 4, 4:12].set(

@@ -359,3 +359,207 @@ def pred4x4(mode, t8, l4, tl, avail_top, avail_left):
     v = (g * wsel).sum(axis=2)
     out = (v + jnp.asarray(_P4_RND)[mode]) >> jnp.asarray(_P4_SH)[mode]
     return out.reshape(-1, 4, 4)
+
+
+# --------------------------------------------------------------------- #
+# Intra 8x8 luma (High profile, spec 8.3.2; reference
+# h264pred_template.c pred8x8l_*): nine modes over LOW-PASS FILTERED
+# reference samples (8.3.2.2.1), expressed as the same table-driven
+# 3-term weighted gather as pred4x4.
+# Sample vector layout: [t0..t15 (filtered top+topright), l0..l7
+# (filtered left), lt (filtered topleft), dc] = 26 entries.
+# --------------------------------------------------------------------- #
+
+def _p8_tables():
+    LT = 24
+    DC = 25
+
+    def T(x):
+        assert x >= -1
+        return LT if x == -1 else x
+
+    def L(y):
+        assert y >= -1
+        return LT if y == -1 else 16 + y
+
+    idx = np.zeros((9, 64, 3), np.int32)
+    w = np.zeros((9, 64, 3), np.int32)
+    rnd = np.zeros((9, 64), np.int32)
+    sh = np.zeros((9, 64), np.int32)
+
+    def put(m, x, y, terms, r, s):
+        k = 8 * y + x
+        for j, (i_, w_) in enumerate(terms):
+            idx[m, k, j] = i_
+            w[m, k, j] = w_
+        rnd[m, k] = r
+        sh[m, k] = s
+
+    for y in range(8):
+        for x in range(8):
+            put(0, x, y, [(T(x), 1)], 0, 0)                      # vertical
+            put(1, x, y, [(L(y), 1)], 0, 0)                      # horizontal
+            put(2, x, y, [(DC, 1)], 0, 0)                        # DC
+            # 3: diagonal down-left
+            if x == 7 and y == 7:
+                put(3, x, y, [(T(14), 1), (T(15), 3)], 2, 2)
+            else:
+                put(3, x, y, [(T(x + y), 1), (T(x + y + 1), 2),
+                              (T(x + y + 2), 1)], 2, 2)
+            # 4: diagonal down-right
+            if x > y:
+                put(4, x, y, [(T(x - y - 2), 1), (T(x - y - 1), 2),
+                              (T(x - y), 1)], 2, 2)
+            elif x < y:
+                put(4, x, y, [(L(y - x - 2), 1), (L(y - x - 1), 2),
+                              (L(y - x), 1)], 2, 2)
+            else:
+                put(4, x, y, [(L(0), 1), (LT, 2), (T(0), 1)], 2, 2)
+            # 5: vertical-right
+            zvr = 2 * x - y
+            if zvr >= 0 and zvr % 2 == 0:
+                put(5, x, y, [(T(x - (y >> 1) - 1), 1),
+                              (T(x - (y >> 1)), 1)], 1, 1)
+            elif zvr >= 0:
+                put(5, x, y, [(T(x - (y >> 1) - 2), 1),
+                              (T(x - (y >> 1) - 1), 2),
+                              (T(x - (y >> 1)), 1)], 2, 2)
+            elif zvr == -1:
+                put(5, x, y, [(L(0), 1), (LT, 2), (T(0), 1)], 2, 2)
+            else:
+                put(5, x, y, [(L(y - 2 * x - 1), 1),
+                              (L(y - 2 * x - 2), 2),
+                              (L(y - 2 * x - 3), 1)], 2, 2)
+            # 6: horizontal-down
+            zhd = 2 * y - x
+            if zhd >= 0 and zhd % 2 == 0:
+                put(6, x, y, [(L(y - (x >> 1) - 1), 1),
+                              (L(y - (x >> 1)), 1)], 1, 1)
+            elif zhd >= 0:
+                put(6, x, y, [(L(y - (x >> 1) - 2), 1),
+                              (L(y - (x >> 1) - 1), 2),
+                              (L(y - (x >> 1)), 1)], 2, 2)
+            elif zhd == -1:
+                put(6, x, y, [(L(0), 1), (LT, 2), (T(0), 1)], 2, 2)
+            else:
+                put(6, x, y, [(T(x - 2 * y - 1), 1),
+                              (T(x - 2 * y - 2), 2),
+                              (T(x - 2 * y - 3), 1)], 2, 2)
+            # 7: vertical-left
+            if y % 2 == 0:
+                put(7, x, y, [(T(x + (y >> 1)), 1),
+                              (T(x + (y >> 1) + 1), 1)], 1, 1)
+            else:
+                put(7, x, y, [(T(x + (y >> 1)), 1),
+                              (T(x + (y >> 1) + 1), 2),
+                              (T(x + (y >> 1) + 2), 1)], 2, 2)
+            # 8: horizontal-up
+            zhu = x + 2 * y
+            if zhu > 13:
+                put(8, x, y, [(L(7), 1)], 0, 0)
+            elif zhu == 13:
+                put(8, x, y, [(L(6), 1), (L(7), 3)], 2, 2)
+            elif zhu % 2 == 0:
+                put(8, x, y, [(L(y + (x >> 1)), 1),
+                              (L(y + (x >> 1) + 1), 1)], 1, 1)
+            else:
+                put(8, x, y, [(L(y + (x >> 1)), 1),
+                              (L(y + (x >> 1) + 1), 2),
+                              (L(y + (x >> 1) + 2), 1)], 2, 2)
+    return idx, w, rnd, sh
+
+
+_P8_IDX, _P8_W, _P8_RND, _P8_SH = _p8_tables()
+assert (_P8_IDX >= 0).all() and (_P8_IDX <= 25).all()
+
+
+def _filter8_np(top16, left8, tl, at, al, atl, atr):
+    """Reference-sample filtering (spec 8.3.2.2.1) — numpy scalar for
+    one block. top16: raw p[0..15,-1] (with x>=8 already = p[7,-1] copies
+    when atr False is fine — they are substituted here anyway), left8:
+    raw p[-1,0..7], tl: raw p[-1,-1]. Returns (t[16], l[8], lt, dc)."""
+    top16 = top16.astype(np.int64)
+    left8 = left8.astype(np.int64)
+    tl = int(tl)
+    t = np.zeros(16, np.int64)
+    l = np.zeros(8, np.int64)
+    if not atr:
+        top16 = top16.copy()
+        top16[8:] = top16[7]
+    t[0] = ((tl if atl else top16[0]) + 2 * top16[0] + top16[1] + 2) >> 2
+    for x in range(1, 15):
+        t[x] = (top16[x - 1] + 2 * top16[x] + top16[x + 1] + 2) >> 2
+    t[15] = (top16[14] + 3 * top16[15] + 2) >> 2
+    l[0] = ((tl if atl else left8[0]) + 2 * left8[0] + left8[1] + 2) >> 2
+    for y in range(1, 7):
+        l[y] = (left8[y - 1] + 2 * left8[y] + left8[y + 1] + 2) >> 2
+    l[7] = (left8[6] + 3 * left8[7] + 2) >> 2
+    lt = (left8[0] + 2 * tl + top16[0] + 2) >> 2
+    if at and al:
+        dc = (t[:8].sum() + l.sum() + 8) >> 4
+    elif at:
+        dc = (t[:8].sum() + 4) >> 3
+    elif al:
+        dc = (l.sum() + 4) >> 3
+    else:
+        dc = 128
+    return t, l, lt, dc
+
+
+def pred8x8_luma_ref(mode, top16, left8, tl, at, al, atl, atr):
+    """Golden scalar I_8x8 prediction: raw neighbor samples in, (B,8,8)
+    predictions out."""
+    B = len(mode)
+    out = np.zeros((B, 8, 8), np.int64)
+    for i in range(B):
+        t, l, lt, dc = _filter8_np(top16[i], left8[i], int(tl[i]),
+                                   bool(at[i]), bool(al[i]),
+                                   bool(atl[i]), bool(atr[i]))
+        src = np.concatenate([t, l, [lt], [dc]])
+        m = int(mode[i])
+        v = (src[_P8_IDX[m]] * _P8_W[m]).sum(axis=1)
+        out[i] = ((v + _P8_RND[m]) >> _P8_SH[m]).reshape(8, 8)
+    return out
+
+
+def pred8x8_luma(mode, top16, left8, tl, at, al, atl, atr):
+    """Batched device I_8x8 prediction; same contract as the golden ref.
+    mode (B,), top16 (B,16) raw, left8 (B,8) raw, tl (B,), flags (B,)
+    bool -> (B,8,8) int32."""
+    import jax.numpy as jnp
+    top16 = top16.astype(jnp.int32)
+    left8 = left8.astype(jnp.int32)
+    tli = tl.astype(jnp.int32)
+    at = at.astype(bool)
+    al = al.astype(bool)
+    atl = atl.astype(bool)
+    atr = atr.astype(bool)
+    top16 = jnp.where(atr[:, None],
+                      top16,
+                      jnp.concatenate([top16[:, :8],
+                                       jnp.repeat(top16[:, 7:8], 8, 1)],
+                                      axis=1))
+    tp = jnp.pad(top16, ((0, 0), (1, 1)), mode="edge")   # tp[x+1]=top[x]
+    t = (tp[:, :-2] + 2 * tp[:, 1:-1] + tp[:, 2:] + 2) >> 2   # (B,16)
+    t = t.at[:, 0].set(((jnp.where(atl, tli, top16[:, 0]))
+                        + 2 * top16[:, 0] + top16[:, 1] + 2) >> 2)
+    t = t.at[:, 15].set((top16[:, 14] + 3 * top16[:, 15] + 2) >> 2)
+    lp = jnp.pad(left8, ((0, 0), (1, 1)), mode="edge")
+    l = (lp[:, :-2] + 2 * lp[:, 1:-1] + lp[:, 2:] + 2) >> 2    # (B,8)
+    l = l.at[:, 0].set(((jnp.where(atl, tli, left8[:, 0]))
+                        + 2 * left8[:, 0] + left8[:, 1] + 2) >> 2)
+    l = l.at[:, 7].set((left8[:, 6] + 3 * left8[:, 7] + 2) >> 2)
+    lt = (left8[:, 0] + 2 * tli + top16[:, 0] + 2) >> 2
+    ts = t[:, :8].sum(axis=1)
+    ls = l.sum(axis=1)
+    dc = jnp.where(at & al, (ts + ls + 8) >> 4,
+                   jnp.where(at, (ts + 4) >> 3,
+                             jnp.where(al, (ls + 4) >> 3, 128)))
+    src = jnp.concatenate([t, l, lt[:, None], dc[:, None]], axis=1)
+    idx = jnp.asarray(_P8_IDX)[mode]              # (B, 64, 3)
+    g = jnp.take_along_axis(src, idx.reshape(idx.shape[0], -1),
+                            axis=1).reshape(-1, 64, 3)
+    wsel = jnp.asarray(_P8_W)[mode]
+    v = (g * wsel).sum(axis=2)
+    out = (v + jnp.asarray(_P8_RND)[mode]) >> jnp.asarray(_P8_SH)[mode]
+    return out.reshape(-1, 8, 8)

@@ -140,6 +140,141 @@ def dequant4x4(levels, qp: int):
     return levels.astype(jnp.int32) * jnp.asarray(dequant_scale(qp))
 
 
+# ---- 8x8 transform (High profile, spec 8.5.12.2/8.5.13) -------------- #
+
+# normAdjust8x8 class values (spec Table in 8.5.13; same ISO constants as
+# reference h264data.c ff_h264_dequant8_coeff_init), class index per
+# (i%4, j%4) position
+_V8_CLS = np.array([0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1],
+                   dtype=np.int32).reshape(4, 4)
+_V8 = np.array([
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 30, 40, 38],
+    [36, 32, 58, 34, 46, 43],
+], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _pos_class8() -> np.ndarray:
+    """(8,8) normAdjust8x8 class per position."""
+    ii, jj = np.mgrid[0:8, 0:8]
+    return _V8_CLS[ii % 4, jj % 4]
+
+
+def dequant8x8_tab(qp: int, w=None) -> np.ndarray:
+    """(8,8) exact dequant of level -> d (spec 8.5.13): with
+    LS8 = W * normAdjust8x8, d = (c*LS8) << (qp/6-6) for qp/6 >= 6 else
+    (c*LS8 + 2^(5-qp/6)) >> (6-qp/6).  Returned as a (mult, add, shift)
+    triple folded for tensor use is overkill — this returns the LS8
+    table; callers apply the shift branch."""
+    v = _V8[qp % 6][_pos_class8()]
+    if w is None:
+        w = np.full((8, 8), 16, np.int32)
+    return (v * w.reshape(8, 8)).astype(np.int32)
+
+
+def dequant8x8_ref(levels: np.ndarray, qp: int, w=None) -> np.ndarray:
+    """Golden scalar 8x8 dequant (spec 8.5.13)."""
+    ls = dequant8x8_tab(qp, w).astype(np.int64)
+    c = levels.astype(np.int64)
+    q6 = qp // 6
+    if q6 >= 6:
+        return ((c * ls) << (q6 - 6)).astype(np.int32)
+    return ((c * ls + (1 << (5 - q6))) >> (6 - q6)).astype(np.int32)
+
+
+def _idct8_1d(d, axis_first):
+    """One 8-point inverse pass (spec 8.5.12.2 butterflies) over numpy
+    int64 arrays indexed d[k] (list of 8 slices)."""
+    a0 = d[0] + d[4]
+    a2 = d[0] - d[4]
+    a4 = (d[2] >> 1) - d[6]
+    a6 = (d[6] >> 1) + d[2]
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -d[3] + d[5] - d[7] - (d[7] >> 1)
+    a3 = d[1] + d[7] - d[3] - (d[3] >> 1)
+    a5 = -d[1] + d[7] + d[5] + (d[5] >> 1)
+    a7 = d[3] + d[5] + d[1] + (d[1] >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    return [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+
+
+def idct8x8_h264_ref(blocks: np.ndarray) -> np.ndarray:
+    """Golden exact inverse 8x8 transform (spec 8.5.12.2): d -> r with
+    the (f + 32) >> 6 output normalization (DC pre-add like the
+    reference's block[0] += 32, which is equivalent)."""
+    d = blocks.astype(np.int64)
+    rows = _idct8_1d([d[..., k, :] for k in range(8)], True)
+    f = np.stack(rows, axis=-2)
+    cols = _idct8_1d([f[..., :, k] for k in range(8)], False)
+    h = np.stack(cols, axis=-1)
+    return ((h + 32) >> 6).astype(np.int32)
+
+
+def idct8x8_h264(blocks):
+    """Batched exact inverse 8x8 transform. (B, 8, 8) int32 -> same."""
+    import jax.numpy as jnp
+    d = blocks.astype(jnp.int32)
+    rows = _idct8_1d([d[:, k, :] for k in range(8)], True)
+    f = jnp.stack(rows, axis=-2)
+    cols = _idct8_1d([f[:, :, k] for k in range(8)], False)
+    h = jnp.stack(cols, axis=-1)
+    return (h + 32) >> 6
+
+
+# forward 8x8 transform (encoder side; the standard companion butterfly
+# design — JM/mpegvideo-style — any forward works, decode is normative)
+def fdct8x8_h264_ref(x: np.ndarray) -> np.ndarray:
+    b = x.astype(np.float64)
+    M = _fdct8_matrix()
+    return (M @ b @ M.T)
+
+
+@functools.lru_cache(maxsize=None)
+def _idct8_matrix() -> np.ndarray:
+    """T: the exact linear part of one idct8 pass (shifts treated as
+    exact halving, which they are in the float model)."""
+    T = np.zeros((8, 8))
+    for k in range(8):
+        dd = [np.array([1.0 if i == k else 0.0]) for i in range(8)]
+        a0 = dd[0] + dd[4]
+        a2 = dd[0] - dd[4]
+        a4 = dd[2] / 2 - dd[6]
+        a6 = dd[6] / 2 + dd[2]
+        b0 = a0 + a6
+        b2 = a2 + a4
+        b4 = a2 - a4
+        b6 = a0 - a6
+        a1 = -dd[3] + dd[5] - dd[7] - dd[7] / 2
+        a3 = dd[1] + dd[7] - dd[3] - dd[3] / 2
+        a5 = -dd[1] + dd[7] + dd[5] + dd[5] / 2
+        a7 = dd[3] + dd[5] + dd[1] + dd[1] / 2
+        b1 = a7 / 4 + a1
+        b3 = a3 + a5 / 4
+        b5 = a3 / 4 - a5
+        b7 = a7 - a1 / 4
+        T[:, k] = [v[0] for v in (b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                                  b6 - b1, b4 - b3, b2 - b5, b0 - b7)]
+    return T
+
+
+@functools.lru_cache(maxsize=None)
+def _fdct8_matrix() -> np.ndarray:
+    """F = 8 * T^-1, so the encoder target d* = (F X F^T) / 64 feeds the
+    normative inverse with r = (T d T^T)/64 ~= X."""
+    return np.linalg.inv(_idct8_matrix()) * 8.0
+
+
 # ---- luma DC (I_16x16) 4x4 Hadamard (spec 8.5.10) -------------------- #
 
 def hadamard4x4_ref(dc: np.ndarray) -> np.ndarray:
