@@ -204,8 +204,12 @@ _SIG8_INC = (
     4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
     7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
     12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
-# last_significant 8x8 ctx increments (spec Table 9-43 right column)
-_LAST8_INC = tuple(0 if i < 8 else (i >> 3) for i in range(63))
+# last_significant 8x8 ctx increments (spec Table 9-43 right column /
+# reference cabac.c last_coeff_flag_offset_8x8)
+_LAST8_INC = (
+    (0,) + (1,) * 15 + (2,) * 16 + (3,) * 8 + (4,) * 8 +
+    (5,) * 4 + (6,) * 4 + (7,) * 4 + (8,) * 3)
+assert len(_LAST8_INC) == 63
 
 
 def code_residual(eng, cat: int, levels, max_coeff: int):
@@ -744,6 +748,21 @@ class CabacMbLayer:
 
     def end_of_slice(self, value=None) -> int:
         return self.eng.terminate(self._v(value))
+
+    def transform_size_8x8(self, i: int, value=None) -> int:
+        """transform_size_8x8_flag (spec 9.3.3.1.1.10, ctxIdxOffset 399:
+        inc = left neighbor's flag + top neighbor's flag)."""
+        c = self.ctx
+        left, top = c.neighbors(i, self.cur_slice)
+        inc = (1 if left >= 0 and c.transform8[left] else 0) + \
+              (1 if top >= 0 and c.transform8[top] else 0)
+        return self.eng.decision(399 + inc, self._v(value))
+
+    def residual8(self, levels64):
+        """One 8x8 luma residual block, ctxBlockCat 5 (no
+        coded_block_flag for 4:2:0 — presence is signalled by the cbp
+        bit, spec 7.4.5.3.3). levels64 in 8x8 zigzag scan order."""
+        return code_residual(self.eng, 5, levels64, 64)
 
     # -- residual with coded_block_flag -------------------------------------
 

@@ -124,6 +124,8 @@ class FrameData:
                                   else nmb // mb_w, alloc=not light)
                       if mb_w is not None else None)
         self.nslices = 0
+        # 8x8 transform flag per MB (High profile); shared by all paths
+        self.transform8 = np.zeros(nmb, dtype=bool)
         # B-slice reference lists (DPB entries), set per slice
         self.list0 = self.list1 = None
         # B-slice state: per-MB list selection (0=L0 1=L1 2=Bi), list-1
@@ -599,6 +601,8 @@ class H264Decoder(Decoder):
                 __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
                 not getattr(self, "_force_python", False)
             if use_native_cb:
+                fd.t8_params = (int(pps.transform_8x8_mode),
+                                int(sps.direct_8x8_inference))
                 self._queue_cabac_native(
                     data, fd, sps, first_mb, slice_type, qp,
                     num_ref_l0, num_ref_l1, cabac_init_idc)
@@ -642,9 +646,9 @@ class H264Decoder(Decoder):
 
     def _decode_inter_mb(self, rd, fd, i, mb_x, mb_y, slice_type, mb_type,
                          nref0, nref1, cur_slice):
-        part.code_inter_mb(rd, fd, i, mb_x, mb_y,
-                           slice_type == SLICE_B, mb_type, nref0, nref1,
-                           cur_slice, self._cur_col)
+        return part.code_inter_mb(rd, fd, i, mb_x, mb_y,
+                                  slice_type == SLICE_B, mb_type, nref0,
+                                  nref1, cur_slice, self._cur_col)
 
     _slice_exec = None
 
@@ -687,6 +691,7 @@ class H264Decoder(Decoder):
             fd.nnz_u = v["nnz_u"]
             fd.nnz_v = v["nnz_v"]
             fd.sparse = (v["yvals"], v["cvals"], v["sctx"])
+            fd.transform8 = v["transform8"]
             g = fd.grids
             g.bref = v["bref"]
             g.bmv = v["bmv"]
@@ -734,12 +739,14 @@ class H264Decoder(Decoder):
         # skips the private-buffer merge below
         import os as _os
         serial = len(jobs) == 1 or (_os.cpu_count() or 1) <= 1
+        t8m, d8i = getattr(fd, "t8_params", (0, 1))
         if serial:
             rcs = []
             for d, fmb, st_, qp, idc, n0, n1, cs, col in jobs:
                 rcs.append(CN.decode_slice(arena, coeffs, d, mb_w, mb_h,
                                            fmb, st_, qp, idc, n0, n1,
-                                           cs, cs == 0, col=col))
+                                           cs, cs == 0, col=col,
+                                           t8mode=t8m, d8x8inf=d8i))
         else:
             CN.reset_arena(v)
             bounds = [j[1] for j in jobs] + [nmb]
@@ -754,7 +761,8 @@ class H264Decoder(Decoder):
                 cf = np.empty((ycap + nsl * 8) * 16, np.int16)
                 rc = CN.decode_slice(arena, cf, d, mb_w, mb_h, fmb, st_,
                                      qp, idc, n0, n1, cs, False, col=col,
-                                     sctx=sc, ycap=ycap)
+                                     sctx=sc, ycap=ycap,
+                                     t8mode=t8m, d8x8inf=d8i)
                 return rc, sc, cf, ycap, nsl
             if self._slice_exec is None:
                 import concurrent.futures as _cf
@@ -811,6 +819,11 @@ class H264Decoder(Decoder):
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
 
+        pps_t8 = bool(self.active_pps is not None
+                      and self.active_pps.transform_8x8_mode)
+        d8i = bool(sps.direct_8x8_inference)
+        scan8 = sets.SCAN8
+
         def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
             for b in range(16):
                 gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
@@ -825,6 +838,24 @@ class H264Decoder(Decoder):
                 else:
                     nnz = 0
                 mc.nnz_y[gy, gx] = nnz
+
+        def luma8_resid(i, mb_x, mb_y, cbp_luma):
+            """8x8 transform residual: one cat-5 block per coded
+            quadrant, de-zigzagged to raster rows 4b..4b+3 of luma_ac
+            (the transport layout the device t8 path reshapes)."""
+            for b in range(4):
+                if cbp_luma & (1 << b):
+                    lv = np.zeros(64, np.int32)
+                    nnz = layer.residual8(lv)
+                    raster = np.zeros(64, np.int32)
+                    raster[scan8] = lv
+                    fd.luma_ac[i, 4 * b:4 * b + 4, :] = \
+                        raster.reshape(4, 16)
+                else:
+                    nnz = 0
+                gx = 4 * mb_x + 2 * (b & 1)
+                gy = 4 * mb_y + 2 * (b >> 1)
+                mc.nnz_y[gy:gy + 2, gx:gx + 2] = nnz
 
         def chroma_resid(i, mb_x, mb_y, cbp_chroma):
             if cbp_chroma:
@@ -850,6 +881,11 @@ class H264Decoder(Decoder):
             if kind == 0:                          # I_NxN
                 fd.i4[i] = True
                 grid = fd.i4_grid
+                t8 = False
+                if pps_t8:
+                    t8 = bool(layer.transform_size_8x8(i))
+                    mc.transform8[i] = t8
+                    fd.transform8[i] = t8
 
                 def cell(gx_, gy_):
                     if gx_ < 0 or gy_ < 0:
@@ -859,14 +895,24 @@ class H264Decoder(Decoder):
                         return -1          # other slice (6.4.9)
                     return int(grid[gy_, gx_])
 
-                for b in range(16):
-                    dx, dy = _BLK_XY[b]
-                    gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
-                    m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
-                    pm = 2 if m_ < 0 else m_
-                    m4 = layer.intra4x4_pred_mode(pm)
-                    fd.i4_modes[i, b] = m4
-                    grid[gy, gx] = m4
+                if t8:                     # I_8x8: 4 quadrant modes
+                    for b in range(4):
+                        gx = 4 * mb_x + 2 * (b & 1)
+                        gy = 4 * mb_y + 2 * (b >> 1)
+                        m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                        pm = 2 if m_ < 0 else m_
+                        m8 = layer.intra4x4_pred_mode(pm)
+                        fd.i4_modes[i, 4 * b:4 * b + 4] = m8
+                        grid[gy:gy + 2, gx:gx + 2] = m8
+                else:
+                    for b in range(16):
+                        dx, dy = _BLK_XY[b]
+                        gx, gy = 4 * mb_x + dx, 4 * mb_y + dy
+                        m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                        pm = 2 if m_ < 0 else m_
+                        m4 = layer.intra4x4_pred_mode(pm)
+                        fd.i4_modes[i, b] = m4
+                        grid[gy, gx] = m4
                 cm = layer.intra_chroma_pred_mode(i)
                 fd.chroma_mode[i] = cm
                 mc.chroma_mode[i] = cm
@@ -878,7 +924,10 @@ class H264Decoder(Decoder):
                     layer.last_dqp = 0
                 fd.qp[i] = cur_qp
                 fd.coded[i] = True
-                luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+                if t8:
+                    luma8_resid(i, mb_x, mb_y, cbp & 15)
+                else:
+                    luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp >> 4)
                 return cur_qp
             mc.intra16[i] = True
@@ -897,11 +946,17 @@ class H264Decoder(Decoder):
             return cur_qp
 
         def decode_inter(i, mb_x, mb_y, mb_type, cur_qp):
-            self._decode_inter_mb(layer, fd, i, mb_x, mb_y, slice_type,
-                                  mb_type, num_ref_l0, num_ref_l1,
-                                  cur_slice)
+            subs = self._decode_inter_mb(layer, fd, i, mb_x, mb_y,
+                                         slice_type, mb_type, num_ref_l0,
+                                         num_ref_l1, cur_slice)
             cbp = layer.cbp(i)
             mc.cbp[i] = cbp
+            t8 = False
+            if pps_t8 and (cbp & 15) and part.t8_inter_allowed(
+                    slice_type == SLICE_B, mb_type, subs, d8i):
+                t8 = bool(layer.transform_size_8x8(i))
+                mc.transform8[i] = t8
+                fd.transform8[i] = t8
             if cbp:
                 cur_qp = self._apply_dqp(cur_qp, layer.mb_qp_delta())
             else:
@@ -909,7 +964,10 @@ class H264Decoder(Decoder):
             fd.qp[i] = cur_qp
             fd.coded[i] = True
             fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
-            luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
+            if t8:
+                luma8_resid(i, mb_x, mb_y, cbp & 15)
+            else:
+                luma_resid(i, mb_x, mb_y, cbp & 15, cat=2)
             chroma_resid(i, mb_x, mb_y, cbp >> 4)
             return cur_qp
 
@@ -1395,6 +1453,8 @@ class H264Decoder(Decoder):
         any_i4 = bool(np.any(fd.i4))
         t8arr = getattr(fd, "transform8", None)
         any_t8 = bool(t8arr is not None and np.any(t8arr))
+        any_i8 = bool(any_t8 and np.any(np.asarray(fd.i4, bool)
+                                        & np.asarray(t8arr, bool)))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
@@ -1407,7 +1467,8 @@ class H264Decoder(Decoder):
                                        "i" if weights == "implicit" else
                                        ("e", weights[0], weights[1])
                                        if weights is not None else None),
-                                   wmat=wmat, cqpo=cqpo, any_t8=any_t8)
+                                   wmat=wmat, cqpo=cqpo, any_t8=any_t8,
+                                   any_i8=any_i8)
         kw = {}
         if any_t8:
             kw["t8"] = np.asarray(t8arr).astype(bool)

@@ -68,7 +68,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    nrefs: int = 1, any_i4: bool = False,
                    bpred: bool = False, part: bool = False,
                    nrefs1: int = 1, weighted=None, wmat=None,
-                   cqpo=(0, 0), any_t8: bool = False):
+                   cqpo=(0, 0), any_t8: bool = False,
+                   any_i8: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -507,7 +508,45 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                     rec = jnp.clip(p4 + blkres, 0, 255)
                     patch = patch.at[:, py0:py0 + 4, px0:px0 + 4].set(rec)
                 is_i4 = i4[idx][:, None, None]
-                oy = jnp.where(is_i4, patch[:, 1:17, 1:17], oy)
+                if any_i8:
+                    # I_8x8 (i4 & t8): 4 quadrants in Z order against
+                    # the same patch; pred8x8_luma applies the spec
+                    # 8.3.2.2.1 reference filtering internally. The i4
+                    # pass above already wrote this MB's patch with
+                    # garbage (its mode slots hold 8x8 modes) — each
+                    # quadrant is overwritten before any later read.
+                    rtrue = jnp.ones((maxw,), bool)
+                    atr_q1 = at & (bx < mb_w - 1)
+                    quad_av = [(at, al, at & al, at),
+                               (at, rtrue, at, atr_q1),
+                               (rtrue, al, al, rtrue),
+                               (rtrue, rtrue, rtrue, ~rtrue)]
+                    is8v = (i4 & t8)[idx]
+                    for b in range(4):
+                        qx, qy = (b & 1) * 8, (b >> 1) * 8
+                        px0, py0 = 1 + qx, 1 + qy
+                        top16 = patch[:, py0 - 1, px0:px0 + 16]
+                        left8 = patch[:, py0:py0 + 8, px0 - 1]
+                        tl8 = patch[:, py0 - 1, px0 - 1]
+                        aq = quad_av[b]
+                        md8 = i4_modes[idx, 4 * b].astype(jnp.int32)
+                        p8 = h264pred.pred8x8_luma(
+                            md8, top16, left8, tl8, *aq)
+                        rec = jnp.clip(
+                            p8 + resid_y[idx, qy:qy + 8, qx:qx + 8],
+                            0, 255)
+                        # only I_8x8 MBs take the 8x8 recon — same-wave
+                        # I_4x4 MBs keep their already-correct patch
+                        rec = jnp.where(is8v[:, None, None], rec,
+                                        patch[:, py0:py0 + 8,
+                                              px0:px0 + 8])
+                        patch = patch.at[:, py0:py0 + 8,
+                                         px0:px0 + 8].set(rec)
+                    is_i8 = is8v[:, None, None]
+                    oy = jnp.where(is_i8 | is_i4,
+                                   patch[:, 1:17, 1:17], oy)
+                else:
+                    oy = jnp.where(is_i4, patch[:, 1:17, 1:17], oy)
 
             fy = fy.at[y0[:, None, None] + r16[None, :, None],
                        x0[:, None, None] + r16[None, None, :]].set(oy)
@@ -551,7 +590,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           db_offsets=(0, 0), any_i4: bool = False,
                           bpred: bool = False, part: bool = False,
                           nrefs1: int = 1, weighted=None, wmat=None,
-                          cqpo=(0, 0), any_t8: bool = False):
+                          cqpo=(0, 0), any_t8: bool = False,
+                          any_i8: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -563,7 +603,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 
     nmb = mb_w * mb_h
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
-                              part, nrefs1, weighted, wmat, cqpo, any_t8)
+                              part, nrefs1, weighted, wmat, cqpo, any_t8,
+                              any_i8)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
@@ -591,19 +632,19 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
             db = deblock_frame_exact_jit(mb_w, mb_h, db_offsets[0],
                                          db_offsets[1], part=part,
                                          cqpo=cqpo, any_t8=any_t8)
-            dbt8 = (t8,) if any_t8 else ()
+            dbkw = {"t8": t8} if any_t8 else {}
             if part:
                 yp, up, vp = db(
                     planes[0].astype(jnp.int32),
                     planes[1].astype(jnp.int32),
                     planes[2].astype(jnp.int32), intra, qp, nnz,
-                    bmv0, pid0, bmv1, pid1, *dbt8)
+                    bmv0, pid0, bmv1, pid1, **dbkw)
             else:
                 yp, up, vp = db(
                     planes[0].astype(jnp.int32),
                     planes[1].astype(jnp.int32),
                     planes[2].astype(jnp.int32), intra, qp, nnz, mv,
-                    *dbt8)
+                    **dbkw)
             yp = yp.astype(jnp.uint8)
             up = up.astype(jnp.uint8)
             vp = vp.astype(jnp.uint8)
@@ -626,7 +667,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 
 @functools.lru_cache(maxsize=16)
 def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
-                           any_i4: bool = False):
+                           any_i4: bool = False, any_t8: bool = False,
+                           any_i8: bool = False):
     """Dense-input recon + in-loop deblocking (the encoder's closed-loop
     reference path when deblocking is enabled; the decoder uses the
     sparse variant with deblock=True)."""
@@ -634,17 +676,21 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
     import jax.numpy as jnp
     from libav_tpu.ops.mc import EDGE
 
-    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, 1, any_i4)
+    dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, 1, any_i4,
+                              any_t8=any_t8, any_i8=any_i8)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc, luma_ac,
-           chroma_dc, chroma_ac, nnz, ry, ru, rv, i4=None, i4_modes=None):
+           chroma_dc, chroma_ac, nnz, ry, ru, rv, i4=None, i4_modes=None,
+           t8=None):
         planes, _ = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                              luma_dc, luma_ac, chroma_dc, chroma_ac,
-                             ry, ru, rv, i4=i4, i4_modes=i4_modes)
+                             ry, ru, rv, i4=i4, i4_modes=i4_modes, t8=t8)
         from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
-        yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h)(
+        kw = {"t8": t8} if any_t8 else {}
+        yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h,
+                                             any_t8=any_t8)(
             planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),
-            planes[2].astype(jnp.int32), intra, qp, nnz, mv)
+            planes[2].astype(jnp.int32), intra, qp, nnz, mv, **kw)
         yp = yp.astype(jnp.uint8)
         up = up.astype(jnp.uint8)
         vp = vp.astype(jnp.uint8)

@@ -603,18 +603,235 @@ def _encode_i4_jit(mb_w: int, mb_h: int, qp: int):
 
 
 @functools.lru_cache(maxsize=32)
+def _encode_i8_jit(mb_w: int, mb_h: int, qp: int):
+    """I_8x8 wavefront encode (High profile): per 8x8 quadrant, evaluate
+    all nine filtered-edge intra modes, pick min-SAD, forward 8x8
+    transform + quant, reconstruct via the normative inverse (8.5.13 +
+    8.5.12.2). Chroma is DC-predicted like _encode_i4_jit. Returns
+    ((modes (.,4), levels (.,4,8,8) raster, udc, uac, vdc, vac), recon)
+    in wave layout plus the wave tables."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops.h264pred import pred8x8_luma
+    from libav_tpu.ops.h264transform import (_fdct8_matrix, dequant8x8_tab,
+                                             idct8x8_h264, idct4x4, fdct4x4,
+                                             quant_mf, dequant_scale)
+    from libav_tpu.ops.h264transform import _V as _VT
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    qpc = int(CHROMA_QP[qp])
+    mfc = np.asarray(quant_mf(qpc))
+    sc = np.asarray(dequant_scale(qpc))
+    qbits_c = 15 + qpc // 6
+    fc_ = (1 << qbits_c) // 3
+    v0c = int(_VT[qpc % 6, 0])
+    F8 = np.asarray(_fdct8_matrix(), np.float32)
+    ls8 = dequant8x8_tab(qp).astype(np.int64)    # flat W (intra list)
+    q6 = qp // 6
+    step8 = (ls8.astype(np.float64) * (2.0 ** (q6 - 6))).astype(np.float32)
+
+    n_waves = (mb_w - 1) + 2 * (mb_h - 1) + 1
+    waves = [[] for _ in range(n_waves)]
+    for y in range(mb_h):
+        for x in range(mb_w):
+            waves[x + 2 * y].append(y * mb_w + x)
+    maxw = max(len(wv) for wv in waves)
+    wave_idx = np.zeros((n_waves, maxw), dtype=np.int32)
+    wave_mask = np.zeros((n_waves, maxw), dtype=bool)
+    for w, wv in enumerate(waves):
+        for slot, i in enumerate(wv):
+            wave_idx[w, slot] = i
+            wave_mask[w, slot] = True
+    mbx_all = (np.arange(nmb) % mb_w).astype(np.int32)
+    mby_all = (np.arange(nmb) // mb_w).astype(np.int32)
+    MODE_NEEDS = np.array([(1, 0, 0), (0, 1, 0), (0, 0, 0), (1, 0, 0),
+                           (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 0, 0),
+                           (0, 1, 0)], np.int32)
+    r16 = np.arange(16)
+    r8 = np.arange(8)
+
+    def quant(wv, mf, f, qbits):
+        return jnp.sign(wv) * ((jnp.abs(wv) * mf + f) >> qbits)
+
+    def deq8(lv):
+        """Exact 8x8 dequant (spec 8.5.13), flat W."""
+        l64 = lv.astype(jnp.int32)
+        if q6 >= 6:
+            return (l64 * jnp.asarray(ls8, jnp.int32)) << (q6 - 6)
+        return (l64 * jnp.asarray(ls8, jnp.int32) +
+                (1 << (5 - q6))) >> (6 - q6)
+
+    def fn(src_y, src_u, src_v, row_top=None):
+        fy = jnp.full((1 + H + 16, 1 + W + 16), 128, jnp.int32)
+        fu = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        fv = jnp.full((1 + H // 2 + 8, 1 + W // 2 + 8), 128, jnp.int32)
+        sy_blocks = (src_y.astype(jnp.int32)
+                     .reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 16, 16))
+        su_blocks = (src_u.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+        sv_blocks = (src_v.astype(jnp.int32)
+                     .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                     .reshape(nmb, 8, 8))
+
+        def chroma_path(resid):
+            B = resid.shape[0]
+            blocks = jnp.stack(
+                [resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                       (b & 1) * 4:(b & 1) * 4 + 4] for b in range(4)],
+                axis=1)
+            wv = fdct4x4(blocks.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            dcw = wv[:, :, 0, 0]
+            a, b_, c, d = dcw[:, 0], dcw[:, 1], dcw[:, 2], dcw[:, 3]
+            had = jnp.stack([a + b_ + c + d, a - b_ + c - d,
+                             a + b_ - c - d, a - b_ - c + d], axis=1)
+            dc_lv = quant(had, mfc[0, 0], (1 << (qbits_c + 1)) // 3,
+                          qbits_c + 1)
+            ac_lv = quant(wv, mfc, fc_, qbits_c)
+            ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+            la, lb, lc, ld = (dc_lv[:, 0], dc_lv[:, 1], dc_lv[:, 2],
+                              dc_lv[:, 3])
+            f2 = jnp.stack([la + lb + lc + ld, la - lb + lc - ld,
+                            la + lb - lc - ld, la - lb - lc + ld], axis=1)
+            dc_deq = ((f2 * v0c) << (qpc // 6)) >> 1
+            deq = ac_lv * sc
+            deq = deq.at[:, :, 0, 0].set(dc_deq)
+            rec = idct4x4(deq.reshape(B * 4, 4, 4)).reshape(B, 4, 4, 4)
+            rr = jnp.zeros((B, 8, 8), jnp.int32)
+            for b in range(4):
+                rr = rr.at[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
+                           (b & 1) * 4:(b & 1) * 4 + 4].set(rec[:, b])
+            return dc_lv, ac_lv, rr
+
+        def step(carry, wave):
+            fy, fu, fv = carry
+            idx, mask = wave
+            bx = jnp.where(mask, jnp.asarray(mbx_all)[idx], mb_w)
+            by = jnp.where(mask, jnp.asarray(mby_all)[idx], 0)
+            y0 = by * 16 + 1
+            x0 = bx * 16 + 1
+            cy0 = by * 8 + 1
+            cx0 = bx * 8 + 1
+            at = (by > 0) if row_top is None else \
+                jnp.asarray(row_top)[jnp.clip(by, 0, mb_h - 1)]
+            al = bx > 0
+            rtrue = jnp.ones((maxw,), bool)
+            atr_frame = at & (bx < mb_w - 1)
+
+            top = fy[y0[:, None] - 1, x0[:, None] + r16]
+            left = fy[y0[:, None] + r16, x0[:, None] - 1]
+            tl = fy[y0 - 1, x0 - 1]
+            tr8 = fy[y0[:, None] - 1, x0[:, None] + 16 + r8]
+            patch = jnp.zeros((maxw, 17, 25), jnp.int32)
+            patch = patch.at[:, 0, 0].set(tl)
+            patch = patch.at[:, 0, 1:17].set(top)
+            patch = patch.at[:, 0, 17:25].set(tr8)
+            patch = patch.at[:, 1:17, 0].set(left)
+
+            quad_av = [(at, al, at & al, at),
+                       (at, rtrue, at, atr_frame),
+                       (rtrue, al, al, rtrue),
+                       (rtrue, rtrue, rtrue, ~rtrue)]
+            src_mb = sy_blocks[idx]
+            modes_out = []
+            levels_out = []
+            for b in range(4):
+                qx, qy = (b & 1) * 8, (b >> 1) * 8
+                px0, py0 = 1 + qx, 1 + qy
+                top16 = patch[:, py0 - 1, px0:px0 + 16]
+                left8 = patch[:, py0:py0 + 8, px0 - 1]
+                tl8 = patch[:, py0 - 1, px0 - 1]
+                av_t, av_l, av_tl, av_tr = quad_av[b]
+                srcb = src_mb[:, qy:qy + 8, qx:qx + 8]
+                costs = []
+                preds = []
+                for m in range(9):
+                    pm = pred8x8_luma(jnp.full((maxw,), m, jnp.int32),
+                                      top16, left8, tl8, av_t, av_l,
+                                      av_tl, av_tr)
+                    ok = rtrue
+                    if MODE_NEEDS[m][0]:
+                        ok = ok & av_t
+                    if MODE_NEEDS[m][1]:
+                        ok = ok & av_l
+                    if MODE_NEEDS[m][2]:
+                        ok = ok & av_tl
+                    sad = jnp.abs(srcb - pm).sum(axis=(1, 2))
+                    costs.append(jnp.where(ok, sad, 1 << 30))
+                    preds.append(pm)
+                cost = jnp.stack(costs)
+                mode = jnp.argmin(cost, axis=0).astype(jnp.int32)
+                pstack = jnp.stack(preds)
+                pred = jnp.take_along_axis(
+                    pstack, mode[None, :, None, None], axis=0)[0]
+                resid = (srcb - pred).astype(jnp.float32)
+                c8 = jnp.einsum("ki,bij,lj->bkl", jnp.asarray(F8), resid,
+                                jnp.asarray(F8))
+                lv = jnp.round(c8 / jnp.asarray(step8)).astype(jnp.int32)
+                r8b = idct8x8_h264(deq8(lv))
+                rec = jnp.clip(pred + r8b, 0, 255)
+                patch = patch.at[:, py0:py0 + 8, px0:px0 + 8].set(rec)
+                modes_out.append(mode)
+                levels_out.append(lv)
+
+            oy = patch[:, 1:17, 1:17]
+            fy = fy.at[y0[:, None, None] + r16[None, :, None],
+                       x0[:, None, None] + r16[None, None, :]].set(oy)
+
+            def dc_pred(frame, yy, xx, n, has_t, has_l):
+                topv = frame[yy[:, None] - 1, xx[:, None] + np.arange(n)]
+                leftv = frame[yy[:, None] + np.arange(n), xx[:, None] - 1]
+                ts = topv.sum(axis=1)
+                ls = leftv.sum(axis=1)
+                lg = int(np.log2(n))
+                return jnp.where(has_t & has_l, (ts + ls + n) >> (lg + 1),
+                                 jnp.where(has_t, (ts + n // 2) >> lg,
+                                           jnp.where(has_l,
+                                                     (ls + n // 2) >> lg,
+                                                     128)))
+
+            dcu = dc_pred(fu, cy0, cx0, 8, at, al)
+            dcv = dc_pred(fv, cy0, cx0, 8, at, al)
+            udc, uac, urr = chroma_path(su_blocks[idx] - dcu[:, None, None])
+            vdc, vac, vrr = chroma_path(sv_blocks[idx] - dcv[:, None, None])
+            ou = jnp.clip(dcu[:, None, None] + urr, 0, 255)
+            ov = jnp.clip(dcv[:, None, None] + vrr, 0, 255)
+            fu = fu.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ou)
+            fv = fv.at[cy0[:, None, None] + r8[None, :, None],
+                       cx0[:, None, None] + r8[None, None, :]].set(ov)
+            return (fy, fu, fv), (jnp.stack(modes_out, axis=1),
+                                  jnp.stack(levels_out, axis=1),
+                                  udc, uac, vdc, vac)
+
+        (fy, fu, fv), outs = jax.lax.scan(
+            step, (fy, fu, fv),
+            (jnp.asarray(wave_idx), jnp.asarray(wave_mask)))
+        return outs, (fy[1:1 + H, 1:1 + W].astype(jnp.uint8),
+                      fu[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8),
+                      fv[1:1 + H // 2, 1:1 + W // 2].astype(jnp.uint8))
+
+    return jax.jit(fn), (wave_idx, wave_mask)
+
+
+@functools.lru_cache(maxsize=32)
 def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
-                  nrefs: int = 1):
+                  nrefs: int = 1, dct8: bool = False):
     """P-frame encode: full-pel diamond + quarter-pel refine on the padded
     reference(s), qpel prediction, transform/quant, levels out. With
     nrefs>1 the refs arrive stacked and each MB picks the cheaper
     reference (ref_idx output; ties and a small coding-cost bias favor
-    ref 0)."""
+    ref 0). dct8=True additionally returns the 8x8-transform luma levels
+    (raster (nmb,4,8,8)) — the packer chooses per MB which transform a
+    macroblock signals."""
     import jax
     import jax.numpy as jnp
     from libav_tpu.ops import h264mc
     from libav_tpu.ops.me import _search_jit
-    from libav_tpu.ops.h264transform import fdct4x4, quant_mf
+    from libav_tpu.ops.h264transform import (fdct4x4, quant_mf,
+                                             _fdct8_matrix, dequant8x8_tab)
     from libav_tpu.ops.mc import EDGE
 
     nmb = mb_w * mb_h
@@ -701,6 +918,18 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
                         for bx, by in zip(blk_x, blk_y)], axis=1)
         wy = fdct4x4(yb.reshape(nmb * 16, 4, 4)).reshape(nmb, 16, 4, 4)
         luma_lv = quant(wy, mfy, fy_, qbits_y)
+        if dct8:
+            F8 = np.asarray(_fdct8_matrix(), np.float32)
+            from libav_tpu.ops.h264transform import dequant8x8_tab as _d8t
+            ls8 = _d8t(qp, np.full((8, 8), 16, np.int32))
+            step8 = (ls8.astype(np.float64) *
+                     (2.0 ** (qp // 6 - 6))).astype(np.float32)
+            q8 = jnp.stack([resid_y[:, (b >> 1) * 8:(b >> 1) * 8 + 8,
+                                    (b & 1) * 8:(b & 1) * 8 + 8]
+                            for b in range(4)], axis=1).astype(jnp.float32)
+            c8 = jnp.einsum("ki,nbij,lj->nbkl", jnp.asarray(F8), q8,
+                            jnp.asarray(F8))
+            luma_lv8 = jnp.round(c8 / jnp.asarray(step8)).astype(jnp.int32)
 
         def chroma_levels(resid):
             cb = jnp.stack([resid[:, (b >> 1) * 4:(b >> 1) * 4 + 4,
@@ -719,6 +948,8 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
 
         udc, uac = chroma_levels(resid_u)
         vdc, vac = chroma_levels(resid_v)
+        if dct8:
+            return (mv, luma_lv, udc, uac, vdc, vac, ref_idx, luma_lv8)
         return mv, luma_lv, udc, uac, vdc, vac, ref_idx
 
     return jax.jit(fn)
@@ -866,6 +1097,18 @@ class H264Encoder(Encoder):
                "16x8/8x16/8x8 partition and sub-partition shape, plus "
                "B direct/skip — conformance-stream generator)",
                "string", "off"),
+        Option("i8x8", "code I frames as I_8x8 (High profile 8x8 "
+               "transform + filtered-edge prediction; CABAC)", "int",
+               0, 0, 1),
+        Option("dct8x8", "8x8 transform for P luma residuals "
+               "(transform_size_8x8_flag, alternating per MB; CABAC)",
+               "int", 0, 0, 1),
+        Option("scmatrix", "scaling matrices in the SPS: off, default "
+               "(JVT lists) — signalling-level conformance feature; the "
+               "encoder's own quant stays flat", "string", "off"),
+        Option("cqpo", "chroma_qp_index_offset", "int", 0, -12, 12),
+        Option("cqpo2", "second_chroma_qp_index_offset (-99 = same as "
+               "cqpo)", "int", -99, -99, 12),
     ]
     CAPABILITIES = ("delay",)
 
@@ -897,6 +1140,30 @@ class H264Encoder(Encoder):
         self.pps.weighted_pred = 1 if self.weightp else 0
         self.pps.weighted_bipred_idc = {"off": 0, "explicit": 1,
                                         "implicit": 2}[self.weightb]
+        self.t8 = bool(self.dct8x8 or self.i8x8)
+        if self.t8 and not self.cabac:
+            raise AVError(EINVAL, "h264: 8x8 transform requires "
+                                  "-entropy cabac here")
+        if self.t8 and self.parts == "all":
+            raise AVError(EINVAL, "h264: dct8x8 with parts=all not "
+                                  "supported (sub-8x8 partitions forbid "
+                                  "the 8x8 transform)")
+        if self.scmatrix not in ("off", "default"):
+            raise AVError(EINVAL, f"h264: bad scmatrix {self.scmatrix}")
+        if self.t8 or self.scmatrix != "off":
+            self.sps.profile_idc = 100           # High
+        self.pps.transform_8x8_mode = 1 if self.t8 else 0
+        if self.scmatrix == "default":
+            self.sps.scaling_m4 = (
+                [sets.DEFAULT_4x4[0].copy() for _ in range(3)] +
+                [sets.DEFAULT_4x4[1].copy() for _ in range(3)])
+            self.sps.scaling_m8 = [sets.DEFAULT_8x8[0].copy(),
+                                   sets.DEFAULT_8x8[1].copy()]
+        self.pps.chroma_qp_index_offset = self.cqpo
+        if self.cqpo2 != -99:
+            self.pps.second_chroma_qp_index_offset = self.cqpo2
+        elif self.cqpo:
+            self.pps.second_chroma_qp_index_offset = self.cqpo
         self._frame_idx = 0     # display index of next input frame
         self._fn = 0            # frame_num (increments on refs only)
         self._idr_disp = 0      # display idx of the last IDR (POC base)
@@ -968,7 +1235,11 @@ class H264Encoder(Encoder):
                 rt[0] = False
                 for k in range(1, self.slices):
                     rt[self.mb_h * k // self.slices] = False
-            if self.i4x4:
+            if self.i8x8:
+                fn, _ = _encode_i8_jit(self.mb_w, self.mb_h, self.qp)
+                outs, recon = fn(y, u, v, row_top=rt)
+                data = self._pack_i8(outs, recon)
+            elif self.i4x4:
                 fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
                 outs, recon = fn(y, u, v, row_top=rt)
                 data = self._pack_i4(outs, recon)
@@ -979,18 +1250,25 @@ class H264Encoder(Encoder):
         else:
             self._poc = 2 * (disp - self._idr_disp)
             nrefs = min(self.refs, len(self._dpb)) or 1
-            fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs)
+            fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs,
+                               dct8=bool(self.dct8x8))
             if nrefs > 1:
                 import jax.numpy as jnp
                 refs = tuple(jnp.stack([d[k] for d in self._dpb[:nrefs]])
                              for k in range(3))
             else:
                 refs = self._refs
-            mv, luma_lv, udc, uac, vdc, vac, ridx = fn(y, u, v, *refs)
+            if self.dct8x8:
+                (mv, luma_lv, udc, uac, vdc, vac, ridx,
+                 lv8) = fn(y, u, v, *refs)
+                lv8 = np.asarray(lv8)
+            else:
+                mv, luma_lv, udc, uac, vdc, vac, ridx = fn(y, u, v, *refs)
+                lv8 = None
             data = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
                                 np.asarray(udc), np.asarray(uac),
                                 np.asarray(vdc), np.asarray(vac),
-                                np.asarray(ridx), nrefs)
+                                np.asarray(ridx), nrefs, lv8=lv8)
         pts = frame.pts if frame.pts is not None else disp
         pkt = Packet(data=data, pts=pts, dts=self._next_dts(pts),
                      duration=1,
@@ -1044,6 +1322,12 @@ class H264Encoder(Encoder):
         if any_i4:
             i4kw = dict(i4=fd.i4.astype(bool),
                         i4_modes=fd.i4_modes.astype(np.int8))
+        t8a = np.asarray(fd.transform8, bool)
+        any_t8 = bool(np.any(t8a))
+        any_i8 = bool(np.any(np.asarray(fd.i4, bool) & t8a))
+        t8kw = dict(any_t8=any_t8, any_i8=any_i8)
+        if any_t8:
+            i4kw["t8"] = t8a
         multi = bool(np.any(fd.ref_idx > 0))
         if multi:
             import jax.numpy as jnp
@@ -1053,7 +1337,8 @@ class H264Encoder(Encoder):
                 dpb.append(zero_refs_h264(self.mb_w, self.mb_h))
             refs = tuple(jnp.stack([d[k] for d in dpb]) for k in range(3))
             fn = recon_h264_jit(self.mb_w, self.mb_h,
-                                bool(np.any(fd.intra)), nrefs, any_i4)
+                                bool(np.any(fd.intra)), nrefs, any_i4,
+                                **t8kw)
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,
@@ -1064,11 +1349,18 @@ class H264Encoder(Encoder):
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
         if self.deblock:
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
-                                        bool(np.any(fd.intra)), any_i4)
+                                        bool(np.any(fd.intra)), any_i4,
+                                        **t8kw)
             nnz = np.zeros((4 * self.mb_h, 4 * self.mb_w), np.int8)
             bx = _BLK_XY_DEV[:, 0]
             by = _BLK_XY_DEV[:, 1]
             any_ac = np.any(fd.luma_ac.reshape(-1, 16, 16) != 0, axis=2)
+            if any_t8:
+                # decoder sets the whole quadrant's cells when the 8x8
+                # block is coded — replicate so deblock bS agrees
+                q = any_ac.reshape(-1, 4, 4).any(axis=2)       # (nmb, 4)
+                any_ac = np.where(t8a[:, None],
+                                  np.repeat(q, 4, axis=1), any_ac)
             for b in range(16):
                 g = any_ac[:, b].reshape(self.mb_h, self.mb_w)
                 yy = 4 * np.arange(self.mb_h)[:, None] + int(by[b])
@@ -1080,7 +1372,8 @@ class H264Encoder(Encoder):
                            nnz, *refs, **i4kw)
         else:
             fn = recon_h264_jit(self.mb_w, self.mb_h,
-                                bool(np.any(fd.intra)), 1, any_i4)
+                                bool(np.any(fd.intra)), 1, any_i4,
+                                **t8kw)
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,
@@ -1299,8 +1592,55 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return bytes(out)
 
+    def _pack_i8(self, outs, recon) -> bytes:
+        """I_8x8 frame packing: modes per quadrant replicated over the
+        quadrant's 4 Z-order 4x4 slots, levels as raster rows (the t8
+        transport layout)."""
+        nmb = self.mb_w * self.mb_h
+        _, (wave_idx, wave_mask) = _encode_i8_jit(self.mb_w, self.mb_h,
+                                                  self.qp)
+        modes_w, lv_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o)
+                                                     for o in outs]
+        fd = FrameData(nmb, self.mb_w, self.mb_h)
+        fd.intra[:] = True
+        fd.i4[:] = True
+        fd.transform8[:] = True
+        fd.chroma_mode[:] = 0
+        fd.qp[:] = self.qp
+        scan = cavlc.SCAN4x4
+        flat = wave_idx.reshape(-1)
+        maskf = wave_mask.reshape(-1)
+        modes = np.zeros((nmb, 4), np.int32)
+        lv = np.zeros((nmb, 4, 8, 8), np.int32)
+        udc = np.zeros((nmb, 4), np.int32)
+        uac = np.zeros((nmb, 4, 4, 4), np.int32)
+        vdc = np.zeros((nmb, 4), np.int32)
+        vac = np.zeros((nmb, 4, 4, 4), np.int32)
+        modes[flat[maskf]] = modes_w.reshape(-1, 4)[maskf]
+        lv[flat[maskf]] = lv_w.reshape(-1, 4, 8, 8)[maskf]
+        udc[flat[maskf]] = udc_w.reshape(-1, 4)[maskf]
+        uac[flat[maskf]] = uac_w.reshape(-1, 4, 4, 4)[maskf]
+        vdc[flat[maskf]] = vdc_w.reshape(-1, 4)[maskf]
+        vac[flat[maskf]] = vac_w.reshape(-1, 4, 4, 4)[maskf]
+        fd.i4_modes = np.repeat(modes, 4, axis=1).astype(np.int8)
+        fd.luma_ac = lv.reshape(nmb, 4, 64).reshape(nmb, 16, 16)
+        fd.chroma_dc[:, 0] = udc
+        fd.chroma_dc[:, 1] = vdc
+        cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
+        fd.chroma_ac = cac[:, :, scan]
+        fd.chroma_ac[:, :, 0] = 0
+
+        out = bytearray()
+        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
+        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
+        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
+        self._idr_id += 1
+        self._dpb = []
+        self._update_ref_from_levels(fd)
+        return bytes(out)
+
     def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac,
-                ridx=None, nrefs: int = 1) -> bytes:
+                ridx=None, nrefs: int = 1, lv8=None) -> bytes:
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
         fd = FrameData(nmb, self.mb_w, self.mb_h)
@@ -1309,6 +1649,17 @@ class H264Encoder(Encoder):
             fd.ref_idx = ridx.astype(np.int32)
         fd.qp[:] = self.qp
         fd.luma_ac = luma_lv.reshape(nmb, 16, 16)[:, :, scan]
+        if lv8 is not None:
+            # alternating per-MB 8x8 transform (checkerboard), only
+            # where the 8x8 path has coefficients to signal
+            mbx = np.arange(nmb) % self.mb_w
+            mby = np.arange(nmb) // self.mb_w
+            want8 = ((mbx + mby) % 2 == 0)
+            has8 = lv8.reshape(nmb, -1).any(axis=1)
+            t8 = want8 & has8
+            fd.transform8[:] = t8
+            fd.luma_ac[t8] = lv8.reshape(nmb, 4, 64)[t8].reshape(
+                -1, 16, 16)
         fd.chroma_dc[:, 0] = udc
         fd.chroma_dc[:, 1] = vdc
         cac = np.concatenate([uac, vac], axis=1).reshape(nmb, 8, 16)
@@ -1367,6 +1718,9 @@ class H264Encoder(Encoder):
         if i4_grid is None:
             i4_grid = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
 
+        from libav_tpu.codecs.h264.sets import SCAN8 as _SCAN8
+        pps_t8 = bool(self.pps.transform_8x8_mode)
+
         def luma_resid(i, mb_x, mb_y, cbp_luma, cat):
             for b in range(16):
                 gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
@@ -1382,6 +1736,17 @@ class H264Encoder(Encoder):
                 else:
                     nnz = 0
                 mc.nnz_y[gy, gx] = nnz
+
+        def luma8_resid(i, mb_x, mb_y, cbp_luma):
+            for b in range(4):
+                if cbp_luma & (1 << b):
+                    raster = fd.luma_ac[i, 4 * b:4 * b + 4, :].reshape(64)
+                    nnz = layer.residual8(raster[_SCAN8])
+                else:
+                    nnz = 0
+                gx = 4 * mb_x + 2 * (b & 1)
+                gy = 4 * mb_y + 2 * (b >> 1)
+                mc.nnz_y[gy:gy + 2, gx:gx + 2] = nnz
 
         def chroma_resid(i, mb_x, mb_y, cbp_chroma):
             if cbp_chroma:
@@ -1421,12 +1786,18 @@ class H264Encoder(Encoder):
                 mc.slice_id[i] = cur_slice
                 mc.direct[i] = btype == 0
                 fd.grids.slice_id[i] = cur_slice
-                part.code_inter_mb(
+                subs = part.code_inter_mb(
                     _CabacWriter(layer, plan),
                     fd, i, mb_x, mb_y, True, btype, 1, 1, cur_slice, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
+                if pps_t8 and cbp_luma and part.t8_inter_allowed(
+                        True, btype, subs,
+                        bool(self.sps.direct_8x8_inference)):
+                    # B residuals stay 4x4 in this encoder: flag = 0
+                    layer.transform_size_8x8(i, 0)
+                    mc.transform8[i] = False
                 if cbp:
                     layer.mb_qp_delta(0)
                 else:
@@ -1467,21 +1838,32 @@ class H264Encoder(Encoder):
                 layer.mb_type_p_inter(ptype)
                 mc.slice_id[i] = cur_slice
                 fd.grids.slice_id[i] = cur_slice
-                part.code_inter_mb(
+                subs = part.code_inter_mb(
                     _CabacWriter(layer, plan),
                     fd, i, mb_x, mb_y, False, ptype, nrefs, 0, cur_slice,
                     None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
+                t8 = bool(fd.transform8[i])
+                if pps_t8 and cbp_luma and part.t8_inter_allowed(
+                        False, ptype, subs, True):
+                    layer.transform_size_8x8(i, 1 if t8 else 0)
+                    mc.transform8[i] = t8
+                else:
+                    t8 = False
                 if cbp:
                     layer.mb_qp_delta(0)
                 else:
                     layer.last_dqp = 0
                 fd.coded[i] = True
-                luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
+                if t8:
+                    luma8_resid(i, mb_x, mb_y, cbp_luma)
+                else:
+                    luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
             elif fd.i4[i]:
+                t8 = bool(fd.transform8[i])
                 cbp_luma = 0
                 for b in range(16):
                     if np.any(fd.luma_ac[i, b]):
@@ -1494,6 +1876,9 @@ class H264Encoder(Encoder):
                 fd.grids.slice_id[i] = cur_slice
                 fd.grids.set_intra(mb_x, mb_y)
                 layer.mb_type_intra(i, (0, 0, 0, 0))
+                if pps_t8:
+                    layer.transform_size_8x8(i, 1 if t8 else 0)
+                    mc.transform8[i] = t8
                 def cell(gx_, gy_):
                     if gx_ < 0 or gy_ < 0:
                         return -1
@@ -1502,13 +1887,23 @@ class H264Encoder(Encoder):
                         return -1
                     return int(i4_grid[gy_, gx_])
 
-                for b in range(16):
-                    gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
-                    m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
-                    pred = 2 if m_ < 0 else m_
-                    mode = int(fd.i4_modes[i, b])
-                    layer.intra4x4_pred_mode(pred, mode)
-                    i4_grid[gy, gx] = mode
+                if t8:
+                    for b in range(4):
+                        gx = 4 * mb_x + 2 * (b & 1)
+                        gy = 4 * mb_y + 2 * (b >> 1)
+                        m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                        pred = 2 if m_ < 0 else m_
+                        mode = int(fd.i4_modes[i, 4 * b])
+                        layer.intra4x4_pred_mode(pred, mode)
+                        i4_grid[gy:gy + 2, gx:gx + 2] = mode
+                else:
+                    for b in range(16):
+                        gx, gy = 4 * mb_x + blkx[b], 4 * mb_y + blky[b]
+                        m_ = min(cell(gx - 1, gy), cell(gx, gy - 1))
+                        pred = 2 if m_ < 0 else m_
+                        mode = int(fd.i4_modes[i, b])
+                        layer.intra4x4_pred_mode(pred, mode)
+                        i4_grid[gy, gx] = mode
                 layer.intra_chroma_pred_mode(i, int(fd.chroma_mode[i]))
                 mc.chroma_mode[i] = int(fd.chroma_mode[i])
                 cbp = cbp_luma | (cbp_chroma << 4)
@@ -1519,7 +1914,10 @@ class H264Encoder(Encoder):
                 else:
                     layer.last_dqp = 0
                 fd.coded[i] = True
-                luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
+                if t8:
+                    luma8_resid(i, mb_x, mb_y, cbp_luma)
+                else:
+                    luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
             else:
                 cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0

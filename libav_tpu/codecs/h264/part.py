@@ -413,3 +413,20 @@ def code_inter_mb(rd, fd, i: int, mb_x: int, mb_y: int, bslice: bool,
             fd.sel[i] = mb_type - 1
         if mb_type > 3 or max(refs[0]) > 0 or max(refs[1]) > 0:
             g.any_part = True
+    return subs
+
+
+def t8_inter_allowed(bslice: bool, mb_type: int, subs,
+                     direct_8x8_inference: bool) -> bool:
+    """noSubMbPartSizeLessThan8x8Flag && the B_Direct inference condition
+    (spec 7.3.5 transform_size_8x8_flag presence for inter MBs)."""
+    if bslice:
+        if mb_type == 0:
+            return bool(direct_8x8_inference)
+        if mb_type == 22:
+            return all((s == 0 and direct_8x8_inference) or
+                       (s != 0 and B_SUB[s][0] == 0) for s in subs)
+        return True
+    if mb_type <= 2:
+        return True
+    return all(s == 0 for s in subs)

@@ -307,7 +307,7 @@ def effective_matrices(sps: SPS, pps: PPS):
         m4 = [FLAT_4x4] * 6
     if m8 is None or m8[0] is None:
         m8 = [FLAT_8x8, FLAT_8x8]
-    return m4, m8
+    return list(m4[:6]), [m8[0], m8[1]]
 
 
 def write_pps(p: PPS) -> bytes:

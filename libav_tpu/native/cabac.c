@@ -350,6 +350,67 @@ static int residual_block(CD *c, int cat, int *levels, int max_coeff)
     return nidx;
 }
 
+/* ctxBlockCat 5: 8x8 luma residual, 64 coeffs in 8x8-zigzag scan order,
+ * no coded_block_flag (4:2:0). levels[64] zeroed by caller. */
+static int residual_block8(CD *c, int *levels)
+{
+    int idx[64], nidx = 0, i, node = 0, k, bit;
+    int broke = 0;
+    CD_LOCALS(c);
+    for (i = 0; i < 63; i++) {
+        M_DEC(402 + sig8_inc_t[i], bit);
+        if (bit) {
+            idx[nidx++] = i;
+            M_DEC(417 + last8_inc_t[i], bit);
+            if (bit) {
+                broke = 1;
+                break;
+            }
+        }
+    }
+    if (!broke)
+        idx[nidx++] = 63;
+    for (k = nidx - 1; k >= 0; k--) {
+        int pos = idx[k], mag;
+        M_DEC(426 + lvl1_ctx[node], bit);
+        if (!bit) {
+            mag = 1;
+            node = trans_eq1[node];
+        } else {
+            int gctx = 426 + gt1_ctx[node];
+            node = trans_gt1[node];
+            mag = 2;
+            for (;;) {
+                if (mag >= 15)
+                    break;
+                M_DEC(gctx, bit);
+                if (!bit)
+                    break;
+                mag++;
+            }
+            if (mag == 15) {
+                int j = 0, add = 1;
+                for (;;) {
+                    M_BYPASS(bit);
+                    if (!bit || j >= 30)
+                        break;
+                    j++;
+                }
+                while (j) {
+                    j--;
+                    M_BYPASS(bit);
+                    add = add * 2 + bit;
+                }
+                mag = add + 14;
+            }
+        }
+        M_BYPASS(bit);
+        levels[pos] = bit ? -mag : mag;
+    }
+    CD_SAVE(c);
+    return nidx;
+}
+
 /* ---- mvd UEG3 (mirrors code_ueg3_mvd) ---- */
 
 static int decode_mvd(CD *c, int ctx_base, int amvd, int *err)
@@ -407,11 +468,33 @@ typedef struct cb_S {
         *i4_modes, *luma_dc, *chroma_dc,
         *nnz_y, *nnz_u, *nnz_v,
         *bref, *bmv, *bmvd, *bdirect, *gslice, *i4grid, *flags,
+        *t8,                    /* transform_size_8x8 per MB */
         *sctx;                  /* ycount, ccount, yidx[ycap], cidx[...] */
     int ycap;
+    int t8mode, d8x8inf;        /* PPS transform_8x8_mode, SPS inference */
     int16_t *yvals, *cvals;
     const int *col;             /* (ref,mvx,mvy)*bh*bw or NULL */
 } S;
+
+/* 8x8 zigzag scan (spec 8.5.6 frame scan) */
+static const uint8_t scan8x8_t[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+/* cat-5 ctx increments (spec Table 9-43 / reference h264_cabac.c
+ * significant_coeff_flag_offset_8x8[0], cabac.c
+ * last_coeff_flag_offset_8x8) */
+static const uint8_t sig8_inc_t[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const uint8_t last8_inc_t[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
 
 /* Z-order 4x4 block offsets within MB (spec 6.4.3) */
 static const int blk_x_t[16] = {0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3};
@@ -1020,6 +1103,53 @@ static void cb_chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
     }
 }
 
+/* transform_size_8x8_flag (ctx 399 + left/top flags) */
+static int dec_t8flag(S *s, int i)
+{
+    int left, top, inc = 0;
+    mb_neighbors(s, i, &left, &top);
+    if (left >= 0 && s->t8[left])
+        inc++;
+    if (top >= 0 && s->t8[top])
+        inc++;
+    return cd_dec(&s->cd, 399 + inc);
+}
+
+/* 8x8 luma residuals: one cat-5 block per coded quadrant, de-zigzagged
+ * to raster and published as the 4 sparse rows of its Z-order 4x4
+ * slots (transport layout shared with the device t8 path) */
+static void cb_luma8_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma)
+{
+    int b, k;
+    for (b = 0; b < 4; b++) {
+        int gx = 4 * mb_x + 2 * (b & 1);
+        int gy = 4 * mb_y + 2 * (b >> 1);
+        int nnz = 0;
+        if (cbp_luma & (1 << b)) {
+            int lv[64], raster[64];
+            memset(lv, 0, sizeof(lv));
+            nnz = residual_block8(&s->cd, lv);
+            for (k = 0; k < 64; k++)
+                raster[scan8x8_t[k]] = lv[k];
+            for (k = 0; k < 4; k++) {
+                int yc = s->sctx[0];
+                int16_t *row;
+                int j;
+                if (yc >= s->ycap) { s->err = ERR_INVALID; return; }
+                row = s->yvals + (long long)yc * 16;
+                for (j = 0; j < 16; j++)
+                    row[j] = (int16_t)raster[16 * k + j];
+                s->sctx[2 + yc] = i * 16 + 4 * b + k;
+                s->sctx[0] = yc + 1;
+            }
+        }
+        s->nnz_y[gy * s->bw + gx] = nnz;
+        s->nnz_y[gy * s->bw + gx + 1] = nnz;
+        s->nnz_y[(gy + 1) * s->bw + gx] = nnz;
+        s->nnz_y[(gy + 1) * s->bw + gx + 1] = nnz;
+    }
+}
+
 /* ---- partition tables (mirror part.py) ---- */
 
 /* P_PARTS / B 16x8+8x16 shapes: x,y,w,h in 4x4 units */
@@ -1052,7 +1182,8 @@ static const int b_sub_pf[13]     = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
 
 /* ---- shared inter walk (mirrors part.code_inter_mb) ---- */
 
-static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
+static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type,
+                         int *t8ok)
 {
     int bslice = s->slice_type == 1;
     int bx0 = 4 * mb_x, by0 = 4 * mb_y;
@@ -1066,9 +1197,11 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
     nref[0] = s->nref0;
     nref[1] = s->nref1;
     memset(pending_on, 0, sizeof(pending_on));
+    *t8ok = 1;                   /* 16x16/16x8/8x16 partitions */
 
     if (bslice && mb_type == 0) {
         direct_mb_motion(s, mb_x, mb_y, 0xF);
+        *t8ok = s->d8x8inf;
         return 0;
     }
     if (bslice && mb_type == 22) {
@@ -1077,6 +1210,9 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
             subs[q] = dec_sub_mb_type_b(s);
             if (subs[q] == 0)
                 dq_mask |= 1 << q;
+            if (!((subs[q] == 0 && s->d8x8inf) ||
+                  (subs[q] != 0 && b_sub_layout[subs[q]] == 0)))
+                *t8ok = 0;
         }
         has_subs = 1;
         for (q = 0; q < 4; q++) {
@@ -1134,8 +1270,11 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type)
         nbig = p_nparts[mb_type];
     } else {                    /* P_8x8 (CABAC has no P_8x8ref0) */
         int q;
-        for (q = 0; q < 4; q++)
+        for (q = 0; q < 4; q++) {
             subs[q] = dec_sub_mb_type_p(s);
+            if (subs[q] != 0)
+                *t8ok = 0;
+        }
         has_subs = 1;
         for (q = 0; q < 4; q++) {
             big[q][0] = 2 * (q & 1);
@@ -1282,15 +1421,36 @@ static int decode_intra_mb(S *s, int i, int mb_x, int mb_y, int *qp)
     kind = dec_mb_type_intra(s, i, &cbp_l, &cbp_c, &mode);
     if (s->err)
         return s->err;
-    if (kind == 0) {            /* I_NxN -> I_4x4 (no 8x8 transform) */
+    if (kind == 0) {            /* I_NxN: I_4x4 or I_8x8 */
+        int t8 = 0;
+        if (s->t8mode) {
+            t8 = dec_t8flag(s, i);
+            s->t8[i] = t8;
+        }
         s->i4[i] = 1;
-        for (b = 0; b < 16; b++) {
-            int gx = 4 * mb_x + blk_x_t[b];
-            int gy = 4 * mb_y + blk_y_t[b];
-            int pm = pred_i4_mode(s, gx, gy);
-            int m4 = dec_intra4x4_mode(s, pm);
-            s->i4_modes[i * 16 + b] = m4;
-            s->i4grid[gy * s->bw + gx] = m4;
+        if (t8) {
+            for (b = 0; b < 4; b++) {
+                int gx = 4 * mb_x + 2 * (b & 1);
+                int gy = 4 * mb_y + 2 * (b >> 1);
+                int pm = pred_i4_mode(s, gx, gy);
+                int m8 = dec_intra4x4_mode(s, pm);
+                int k;
+                for (k = 0; k < 4; k++)
+                    s->i4_modes[i * 16 + 4 * b + k] = m8;
+                s->i4grid[gy * s->bw + gx] = m8;
+                s->i4grid[gy * s->bw + gx + 1] = m8;
+                s->i4grid[(gy + 1) * s->bw + gx] = m8;
+                s->i4grid[(gy + 1) * s->bw + gx + 1] = m8;
+            }
+        } else {
+            for (b = 0; b < 16; b++) {
+                int gx = 4 * mb_x + blk_x_t[b];
+                int gy = 4 * mb_y + blk_y_t[b];
+                int pm = pred_i4_mode(s, gx, gy);
+                int m4 = dec_intra4x4_mode(s, pm);
+                s->i4_modes[i * 16 + b] = m4;
+                s->i4grid[gy * s->bw + gx] = m4;
+            }
         }
         s->chroma_mode[i] = dec_chroma_mode(s, i);
         cbp = dec_cbp(s, i);
@@ -1301,7 +1461,10 @@ static int decode_intra_mb(S *s, int i, int mb_x, int mb_y, int *qp)
             s->last_dqp = 0;
         s->qp[i] = *qp;
         s->coded[i] = 1;
-        cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
+        if (t8)
+            cb_luma8_resid(s, i, mb_x, mb_y, cbp & 15);
+        else
+            cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
         cb_chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
         return 0;
     }
@@ -1325,10 +1488,16 @@ static int decode_intra_mb(S *s, int i, int mb_x, int mb_y, int *qp)
     return 0;
 }
 
-static int decode_inter_tail(S *s, int i, int mb_x, int mb_y, int *qp)
+static int decode_inter_tail(S *s, int i, int mb_x, int mb_y, int *qp,
+                             int t8ok)
 {
     int cbp = dec_cbp(s, i);
+    int t8 = 0;
     s->cbp[i] = cbp;
+    if (s->t8mode && (cbp & 15) && t8ok) {
+        t8 = dec_t8flag(s, i);
+        s->t8[i] = t8;
+    }
     if (cbp)
         *qp = apply_dqp(*qp, dec_dqp(s));
     else
@@ -1336,7 +1505,10 @@ static int decode_inter_tail(S *s, int i, int mb_x, int mb_y, int *qp)
     s->qp[i] = *qp;
     s->coded[i] = 1;
     set_i4grid(s, mb_x, mb_y, 2);
-    cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
+    if (t8)
+        cb_luma8_resid(s, i, mb_x, mb_y, cbp & 15);
+    else
+        cb_luma_resid(s, i, mb_x, mb_y, cbp & 15, 2);
     cb_chroma_resid(s, i, mb_x, mb_y, cbp >> 4);
     return 0;
 }
@@ -1415,11 +1587,14 @@ int h264_cabac_decode_slice(
     s.bdirect = a;          a += 16 * nmb;
     s.gslice = a;           a += nmb;
     s.i4grid = a;           a += 16 * nmb;
+    s.t8 = a;               a += nmb;
     s.flags = a;            a += 4;
     s.sctx = a;             /* 2 + 16nmb + 8nmb */
     s.ycap = 16 * nmb;
     s.yvals = coeffs;
     s.col = params[10] ? ctx_in : 0;
+    s.t8mode = params[12];
+    s.d8x8inf = params[13];
     if (ctx_out) {
         /* parallel slice decode: per-slice sparse output buffers
          * (ctx_out = private sctx, coeffs sized by params[11]) */
@@ -1452,6 +1627,7 @@ int h264_cabac_decode_slice(
             s.gslice[i] = -1;
         for (i = 0; i < 16 * nmb; i++)
             s.i4grid[i] = -1;
+        memset(s.t8, 0, (size_t)nmb * 4);
         s.flags[0] = 0;
         s.sctx[0] = 0;
         s.sctx[1] = 0;
@@ -1476,11 +1652,12 @@ int h264_cabac_decode_slice(
                     rc = decode_intra_mb(&s, i, mb_x, mb_y, &qp);
                     if (rc) return rc;
                 } else {
+                    int t8ok = 0;
                     s.direct[i] = btype == 0;
-                    rc = code_inter_mb(&s, i, mb_x, mb_y, btype);
+                    rc = code_inter_mb(&s, i, mb_x, mb_y, btype, &t8ok);
                     if (rc) return rc;
                     if (s.err) return s.err;
-                    decode_inter_tail(&s, i, mb_x, mb_y, &qp);
+                    decode_inter_tail(&s, i, mb_x, mb_y, &qp, t8ok);
                 }
             }
         } else if (s.slice_type == 0) {
@@ -1497,10 +1674,11 @@ int h264_cabac_decode_slice(
                     ptype = 3 * cd_dec(&s.cd, 16);
                 else
                     ptype = 2 - cd_dec(&s.cd, 17);
-                rc = code_inter_mb(&s, i, mb_x, mb_y, ptype);
+                int t8ok = 0;
+                rc = code_inter_mb(&s, i, mb_x, mb_y, ptype, &t8ok);
                 if (rc) return rc;
                 if (s.err) return s.err;
-                decode_inter_tail(&s, i, mb_x, mb_y, &qp);
+                decode_inter_tail(&s, i, mb_x, mb_y, &qp, t8ok);
             }
         } else {
             rc = decode_intra_mb(&s, i, mb_x, mb_y, &qp);

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-ARENA_WORDS_PER_MB = 296          # + 6 tail words
+ARENA_WORDS_PER_MB = 297          # + 6 tail words
 ARENA_TAIL = 6
 
 
@@ -64,6 +64,7 @@ def views(arena: np.ndarray, coeffs: np.ndarray, nmb: int, mb_w: int,
         bdirect=take(16 * nmb, (bh, bw)),
         gslice=take(nmb, (nmb,)),
         i4grid=take(16 * nmb, (bh, bw)),
+        transform8=take(nmb, (nmb,)),
         flags=take(4, (4,)),
         sctx=take(2 + 24 * nmb, (2 + 24 * nmb,)),
     )
@@ -78,7 +79,7 @@ def reset_arena(v: dict):
     for k in ("intra", "i4", "intra16", "luma_mode", "chroma_mode",
               "qp", "coded", "skip", "direct", "cbp", "mv", "ref_idx",
               "sel", "luma_dc", "chroma_dc", "nnz_y", "nnz_u", "nnz_v",
-              "bmv", "bmvd", "bdirect", "flags"):
+              "bmv", "bmvd", "bdirect", "transform8", "flags"):
         v[k][:] = 0
     v["mcslice"][:] = -1
     v["gslice"][:] = -1
@@ -93,7 +94,8 @@ def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
                  mb_w: int, mb_h: int, first_mb: int, slice_type: int,
                  qp: int, cabac_init_idc: int, nref0: int, nref1: int,
                  cur_slice: int, reset: bool, col=None,
-                 sctx=None, ycap: int = 0) -> int:
+                 sctx=None, ycap: int = 0, t8mode: int = 0,
+                 d8x8inf: int = 1) -> int:
     """Run the C CABAC MB loop. col = packed int32 (bh*bw, 3) colocated
     (ref, mvx, mvy) for spatial direct, or None. With sctx/ycap the
     sparse outputs go to private per-slice buffers (parallel slice
@@ -104,7 +106,7 @@ def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
     params = np.array([mb_w, mb_h, first_mb, slice_type, qp,
                        cabac_init_idc, nref0, nref1, cur_slice,
                        1 if reset else 0, 0 if col is None else 1,
-                       ycap],
+                       ycap, t8mode, d8x8inf],
                       dtype=np.int32)
     cg = ffi.NULL if col is None else \
         ffi.cast("const int*", ffi.from_buffer(col))

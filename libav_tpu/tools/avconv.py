@@ -233,7 +233,7 @@ _PASSTHRU_VALUE_OPTS = {
     "coder", "refs", "map", "dct", "idct", "mbd", "cmp", "subcmp",
     "b_strategy", "compression_level", "channel_layout", "dither",
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
-    "slices",
+    "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -188,6 +188,29 @@ class TestEncodeParity:
         ("h264", "h264", ["-g", "6", "-qp", "27", "-entropy", "cabac",
                           "-slices", "4", "-bf", "2", "-parts", "all",
                           "-deblock", "1"]),
+        # High profile: 8x8 transform — I_8x8 filtered-edge prediction,
+        # inter transform_size_8x8_flag (alternating), CABAC cat-5
+        ("h264", "h264", ["-g", "1", "-qp", "26", "-entropy", "cabac",
+                          "-i8x8", "1"]),
+        ("h264", "h264", ["-g", "4", "-qp", "26", "-entropy", "cabac",
+                          "-i4x4", "1", "-dct8x8", "1"]),
+        ("h264", "h264", ["-g", "4", "-qp", "24", "-entropy", "cabac",
+                          "-i8x8", "1", "-dct8x8", "1", "-deblock", "1"]),
+        # High profile: scaling matrices (seq-level JVT default lists)
+        ("h264", "h264", ["-g", "3", "-qp", "26", "-entropy", "cabac",
+                          "-i4x4", "1", "-scmatrix", "default"]),
+        ("h264", "h264", ["-g", "3", "-qp", "30", "-scmatrix",
+                          "default"]),
+        # chroma_qp_index_offset + distinct second offset (Cb/Cr QPc)
+        ("h264", "h264", ["-g", "3", "-qp", "26", "-entropy", "cabac",
+                          "-i4x4", "1", "-cqpo", "4", "-cqpo2", "-3",
+                          "-deblock", "1"]),
+        ("h264", "h264", ["-g", "3", "-qp", "28", "-cqpo", "-5"]),
+        # everything High at once
+        ("h264", "h264", ["-g", "4", "-qp", "26", "-entropy", "cabac",
+                          "-i8x8", "1", "-dct8x8", "1", "-scmatrix",
+                          "default", "-cqpo", "2", "-deblock", "1",
+                          "-bf", "1"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv
