@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 
 W, H, NFRAMES = 1920, 1080, 8
 ENC_SETTINGS = dict(qp=28, gop_size=NFRAMES, entropy="cabac",
-                    i4x4=1, b_frames=2, deblock=1, slices=4)
+                    i8x8=1, dct8x8=1, b_frames=2, deblock=1, slices=4)
 CACHE = os.path.join(REPO, ".bench_cache")
 STREAM = os.path.join(
     CACHE, "gop_" + "_".join(f"{k}{v}" for k, v in ENC_SETTINGS.items())

@@ -350,6 +350,26 @@ static int residual_block(CD *c, int cat, int *levels, int max_coeff)
     return nidx;
 }
 
+/* 8x8 zigzag scan (spec 8.5.6 frame scan) */
+static const uint8_t scan8x8_t[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+/* cat-5 ctx increments (spec Table 9-43 / reference h264_cabac.c
+ * significant_coeff_flag_offset_8x8[0], cabac.c
+ * last_coeff_flag_offset_8x8) */
+static const uint8_t sig8_inc_t[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const uint8_t last8_inc_t[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
+
 /* ctxBlockCat 5: 8x8 luma residual, 64 coeffs in 8x8-zigzag scan order,
  * no coded_block_flag (4:2:0). levels[64] zeroed by caller. */
 static int residual_block8(CD *c, int *levels)
@@ -476,25 +496,6 @@ typedef struct cb_S {
     const int *col;             /* (ref,mvx,mvy)*bh*bw or NULL */
 } S;
 
-/* 8x8 zigzag scan (spec 8.5.6 frame scan) */
-static const uint8_t scan8x8_t[64] = {
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
-/* cat-5 ctx increments (spec Table 9-43 / reference h264_cabac.c
- * significant_coeff_flag_offset_8x8[0], cabac.c
- * last_coeff_flag_offset_8x8) */
-static const uint8_t sig8_inc_t[63] = {
-    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
-    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
-    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
-    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
-static const uint8_t last8_inc_t[63] = {
-    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
-    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
-    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
 
 /* Z-order 4x4 block offsets within MB (spec 6.4.3) */
 static const int blk_x_t[16] = {0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3};

@@ -212,12 +212,18 @@ def _idct8_1d(d, axis_first):
 def idct8x8_h264_ref(blocks: np.ndarray) -> np.ndarray:
     """Golden exact inverse 8x8 transform (spec 8.5.12.2): d -> r with
     the (f + 32) >> 6 output normalization (DC pre-add like the
-    reference's block[0] += 32, which is equivalent)."""
+    reference's block[0] += 32, which is equivalent).
+
+    Pass order is normative: HORIZONTAL (within each row) first, then
+    vertical — the floor shifts (>>1, >>2) make the passes
+    non-commutative, so the order changes outputs by +-1 (the reference
+    implements the same order through transposed block storage,
+    h264_slice.c init_scan_tables T() + h264idct_template.c)."""
     d = blocks.astype(np.int64)
-    rows = _idct8_1d([d[..., k, :] for k in range(8)], True)
-    f = np.stack(rows, axis=-2)
-    cols = _idct8_1d([f[..., :, k] for k in range(8)], False)
-    h = np.stack(cols, axis=-1)
+    cols = _idct8_1d([d[..., :, k] for k in range(8)], True)
+    f = np.stack(cols, axis=-1)
+    rows = _idct8_1d([f[..., k, :] for k in range(8)], False)
+    h = np.stack(rows, axis=-2)
     return ((h + 32) >> 6).astype(np.int32)
 
 
@@ -225,10 +231,10 @@ def idct8x8_h264(blocks):
     """Batched exact inverse 8x8 transform. (B, 8, 8) int32 -> same."""
     import jax.numpy as jnp
     d = blocks.astype(jnp.int32)
-    rows = _idct8_1d([d[:, k, :] for k in range(8)], True)
-    f = jnp.stack(rows, axis=-2)
-    cols = _idct8_1d([f[:, :, k] for k in range(8)], False)
-    h = jnp.stack(cols, axis=-1)
+    cols = _idct8_1d([d[:, :, k] for k in range(8)], True)
+    f = jnp.stack(cols, axis=-1)
+    rows = _idct8_1d([f[:, k, :] for k in range(8)], False)
+    h = jnp.stack(rows, axis=-2)
     return (h + 32) >> 6
 
 
