@@ -10,8 +10,11 @@ Supported: MPEG-1 I/P/B CPB; MPEG-2 main profile frame pictures
 (progressive + interlaced tools: field MC in frame pictures with per-
 field vectors/selects and field DCT, intra_dc_precision, q_scale_type,
 intra_vlc_format, alternate_scan, both dequant paths with mismatch
-control). Field pictures (picture_structure != frame) and dual-prime
-are round-2 items.
+control); MPEG-2 FIELD PICTURES (picture_structure top/bottom) with
+whole-field MC, 16x8 MC and dual prime, incl. the second-field
+most-recent-reference-fields rule (13818-2 7.6.2.1); dual prime in
+frame pictures. Not yet: B field pictures are decoded but untested
+(no conformance source), concealment for mpeg12 is fail-safe only.
 """
 
 from __future__ import annotations
@@ -85,6 +88,10 @@ class MBData:
         self.mv_bwd2 = np.zeros((nmb, 2, 2), dtype=np.int32)
         self.sel_fwd = np.zeros((nmb, 2), dtype=np.int32)
         self.sel_bwd = np.zeros((nmb, 2), dtype=np.int32)
+        # dual prime (P only): averaged same/opposite-parity predictions
+        self.dp = np.zeros(nmb, dtype=bool)
+        self.mv_dp2 = np.zeros((nmb, 2, 2), dtype=np.int32)
+        self.sel_dp = np.zeros((nmb, 2), dtype=np.int32)
 
 
 def find_start_codes(data: bytes) -> List[Tuple[int, int]]:
@@ -115,10 +122,16 @@ class MPEG1Decoder(Decoder):
         self.ref_next_frame: Optional[Frame] = None
         self._pending: List[Frame] = []
         self._frame_num = 0
+        # field-picture state: pending first field + the two most recent
+        # reference FIELDS by parity (13818-2 7.6.2.1)
+        self._first_field = None
+        self._recent_fields = {0: None, 1: None}
 
     def _flush(self):
         self.ref_prev = self.ref_next = None
         self.ref_prev_frame = self.ref_next_frame = None
+        self._first_field = None
+        self._recent_fields = {0: None, 1: None}
 
     # ------------------------------------------------------------------ #
 
@@ -280,6 +293,8 @@ class MPEG1Decoder(Decoder):
 
     def _finish_picture(self, slices) -> List[Frame]:
         seq, pic = self.seq, self.pic
+        if seq.mpeg2 and pic.picture_structure != 3:
+            return self._finish_field(slices)
         nmb = seq.mb_width * seq.mb_height
         mb = MBData(nmb)
         for code, seg in slices:
@@ -312,6 +327,125 @@ class MPEG1Decoder(Decoder):
                 self.ref_prev_frame = frame
         return out
 
+    def _finish_field(self, slices) -> List[Frame]:
+        """One FIELD picture decoded; two consecutive field pictures
+        weave into a frame (reference: mpeg12dec.c mpeg_field_start +
+        frame_end logic)."""
+        from libav_tpu.codecs.mpegvideo import weave_fields_jit
+        seq, pic = self.seq, self.pic
+        if seq.mb_height % 2:
+            raise AVError(INVALIDDATA, "field pictures need even MB "
+                                       "height")
+        mb_h_f = self._cur_mb_h()
+        nmb = seq.mb_width * mb_h_f
+        mb = MBData(nmb)
+        for code, seg in slices:
+            try:
+                self._decode_slice(code, seg, mb)
+            except AVError as e:
+                log.warning(self, "field slice %d decode error: %s",
+                            code, e)
+        parity = pic.picture_structure - 1
+        planes, padded = self._reconstruct_field(mb)
+        is_ref = pic.pict_type != PICT_B
+        if is_ref:
+            self._recent_fields[parity] = padded
+        if self._first_field is None:
+            self._first_field = (parity, planes, pic.pict_type,
+                                 getattr(self, "_cur_pts", None),
+                                 getattr(self, "_cur_tb", None))
+            return []
+        p0, planes0, type0, pts0, tb0 = self._first_field
+        self._first_field = None
+        if p0 == parity:
+            # same parity twice: treat the earlier one as lost
+            self._first_field = (parity, planes, pic.pict_type,
+                                 getattr(self, "_cur_pts", None),
+                                 getattr(self, "_cur_tb", None))
+            return []
+        top = planes0 if p0 == 0 else planes
+        bot = planes if p0 == 0 else planes0
+        fplanes, fpadded = weave_fields_jit(seq.mb_width,
+                                            seq.mb_height)(*top, *bot)
+        self._padded_refs = fpadded
+        frame = Frame(width=seq.width, height=seq.height,
+                      format="yuv420p")
+        frame.planes = [p[:h, :w] for p, (w, h) in
+                        zip(fplanes,
+                            [(seq.width, seq.height),
+                             ((seq.width + 1) // 2,
+                              (seq.height + 1) // 2),
+                             ((seq.width + 1) // 2,
+                              (seq.height + 1) // 2)])]
+        frame.pts = pts0
+        frame.time_base = tb0
+        frame.interlaced_frame = True
+        frame.top_field_first = p0 == 0
+        frame.pict_type = {PICT_I: PictureType.I, PICT_P: PictureType.P,
+                           PICT_B: PictureType.B}.get(type0,
+                                                      PictureType.I)
+        frame.key_frame = type0 == PICT_I
+        out = []
+        if type0 == PICT_B and pic.pict_type == PICT_B:
+            out.append(frame)
+        else:
+            if self.ref_next_frame is not None and \
+                    not getattr(self.ref_next_frame, "_emitted", False):
+                self.ref_next_frame._emitted = True
+                out.append(self.ref_next_frame)
+            self.ref_prev = self.ref_next
+            self.ref_prev_frame = self.ref_next_frame
+            self.ref_next = fpadded
+            self.ref_next_frame = frame
+            if self.ref_prev is None:
+                self.ref_prev = self.ref_next
+                self.ref_prev_frame = frame
+        return out
+
+    def _reconstruct_field(self, mb: MBData):
+        """Run the field-picture device program; returns (planes,
+        padded) in FIELD geometry."""
+        from libav_tpu.codecs.mpegvideo import (fields_of_frame_jit,
+                                                recon_field_jit,
+                                                zero_pad_refs)
+        seq, pic = self.seq, self.pic
+        mb_h_f = self._cur_mb_h()
+        zero_f = zero_pad_refs(seq.mb_width, mb_h_f)
+
+        def fields_of(frame_padded):
+            if frame_padded is None:
+                return (zero_f, zero_f)
+            return fields_of_frame_jit(seq.mb_width,
+                                       seq.mb_height)(*frame_padded)
+
+        if pic.pict_type == PICT_B:
+            f0t, f0b = fields_of(self.ref_prev)
+            f1t, f1b = fields_of(self.ref_next or self.ref_prev)
+        else:
+            # P/I: the two most recent reference fields (incl. the first
+            # field of the current frame when decoding the second)
+            f0t = self._recent_fields[0] or zero_f
+            f0b = self._recent_fields[1] or zero_f
+            # second-field rule: exclude the current picture's own slot
+            # is unnecessary — _recent_fields was updated only after the
+            # previous field finished, so slots hold the legal sources
+            f1t, f1b = zero_f, zero_f
+
+        dual = bool(mb.dp.any())
+        fn = recon_field_jit(seq.mb_width, mb_h_f,
+                             bool(pic.alternate_scan),
+                             pic.pict_type != PICT_I, dual)
+        scan = alternate_scan() if pic.alternate_scan else zigzag_scan()
+        intra_q = self.seq.intra_matrix[scan].astype(np.int32)
+        inter_q = self.seq.inter_matrix[scan].astype(np.int32)
+        kw = {}
+        if dual:
+            kw = dict(dp=mb.dp, mv_dp2=mb.mv_dp2, sel_dp=mb.sel_dp)
+        return fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd, mb.use_bwd,
+                  mb.mv_fwd2, mb.sel_fwd, mb.mv_bwd2, mb.sel_bwd,
+                  intra_q, inter_q,
+                  *f0t, *f0b, *f1t, *f1b, **kw)
+
     def _decode_slice(self, code: int, seg: bytes, mb: MBData):
         """reference: mpeg12dec.c mpeg_decode_slice :1642"""
         seq, pic = self.seq, self.pic
@@ -323,6 +457,7 @@ class MPEG1Decoder(Decoder):
         while gb.get_bits(1):   # extra_bit_slice
             gb.get_bits(8)
 
+        mb_h_cur = self._cur_mb_h()
         mb_x = -1
         dc_pred = self._dc_reset()     # lum, cb, cr
         # motion predictors PMV[dir][vector][xy] (ISO 13818-2 7.6.3)
@@ -352,13 +487,13 @@ class MPEG1Decoder(Decoder):
                 if mb_x >= seq.mb_width:
                     mb_x = 0
                     mb_y += 1
-                if mb_y >= seq.mb_height:
+                if mb_y >= mb_h_cur:
                     raise AVError(INVALIDDATA, "MB address out of range")
 
             if first_in_slice:
                 mb_x = inc - 1
                 first_in_slice = False
-                if mb_x >= seq.mb_width or mb_y >= seq.mb_height:
+                if mb_x >= seq.mb_width or mb_y >= mb_h_cur:
                     raise AVError(INVALIDDATA, "MB address out of range")
             else:
                 # skipped MBs
@@ -374,6 +509,13 @@ class MPEG1Decoder(Decoder):
             idx = mb_y * seq.mb_width + mb_x
             qscale, dc_pred, prev_mb_params = self._decode_mb(
                 gb, mb, idx, qscale, dc_pred, pmv)
+
+    def _cur_mb_h(self) -> int:
+        """MB rows of the current picture (field pictures cover half the
+        frame height; ISO 13818-2 6.3.10)."""
+        if self.seq.mpeg2 and self.pic.picture_structure != 3:
+            return (self.seq.mb_height + 1) >> 1
+        return self.seq.mb_height
 
     def _qscale(self, code: int) -> int:
         """MPEG-2 linear: 2*code; non-linear: table 7-6; MPEG-1: code."""
@@ -395,6 +537,9 @@ class MPEG1Decoder(Decoder):
                    dc_pred, pmv):
         """reference: mpeg12dec.c mpeg_decode_mb :659"""
         seq, pic = self.seq, self.pic
+        if seq.mpeg2 and pic.picture_structure != 3:
+            return self._decode_mb_field(gb, mb, idx, qscale, dc_pred,
+                                         pmv)
         # macroblock_type
         if pic.pict_type == PICT_I:
             if gb.get_bits(1):
@@ -413,8 +558,6 @@ class MPEG1Decoder(Decoder):
                 not pic.frame_pred_frame_dct and \
                 (flags & (T.MB_FOR | T.MB_BACK)):
             motion_type = gb.get_bits(2)
-            if motion_type == 3:
-                raise AVError(INVALIDDATA, "dual-prime MC unsupported")
         dct_type = 0
         if seq.mpeg2 and pic.picture_structure == 3 and \
                 not pic.frame_pred_frame_dct and \
@@ -434,7 +577,37 @@ class MPEG1Decoder(Decoder):
         else:
             dc_pred[:] = self._dc_reset()
 
-        if flags & T.MB_FOR:
+        if motion_type == 3 and (flags & T.MB_FOR):
+            # frame-picture dual prime (13818-2 7.6.3.6; reference
+            # mpeg_decode_mb MT_DMV + mpegvideo_motion.c MV_TYPE_DMV):
+            # same-parity field predictions with the transmitted vector,
+            # averaged with cross-parity predictions from the derived
+            # vectors
+            fx, fy = pic.f_code[0][0], pic.f_code[0][1]
+            mx = self._decode_motion(gb, fx, int(pmv[0, 0, 0]))
+            dmx = self._read_dmv(gb)
+            my = self._decode_motion(gb, fy, int(pmv[0, 0, 1]) >> 1)
+            dmy = self._read_dmv(gb)
+            pmv[0, :, 0] = mx
+            pmv[0, :, 1] = my << 1
+            mb.use_fwd[idx] = True
+            mb.field_mc[idx] = True
+            mb.mv_fwd2[idx, 0] = mb.mv_fwd2[idx, 1] = (mx, my)
+            mb.sel_fwd[idx] = (0, 1)          # top<-top, bottom<-bottom
+            mb.mv_fwd[idx] = (mx, 2 * my)
+            m = 1 if pic.top_field_first else 3
+            mb.dp[idx] = True
+            mb.mv_dp2[idx, 0] = (((mx * m + (1 if mx > 0 else 0)) >> 1)
+                                 + dmx,
+                                 ((my * m + (1 if my > 0 else 0)) >> 1)
+                                 + dmy - 1)
+            m = 4 - m
+            mb.mv_dp2[idx, 1] = (((mx * m + (1 if mx > 0 else 0)) >> 1)
+                                 + dmx,
+                                 ((my * m + (1 if my > 0 else 0)) >> 1)
+                                 + dmy + 1)
+            mb.sel_dp[idx] = (1, 0)           # top<-bottom, bottom<-top
+        elif flags & T.MB_FOR:
             kind, mv2, sels = self._read_mv_pair(gb, pmv, 0, motion_type)
             mb.use_fwd[idx] = True
             if kind == "field":
@@ -494,8 +667,154 @@ class MPEG1Decoder(Decoder):
                        mb.mv_fwd[idx].copy(), mb.mv_bwd[idx].copy())
         return qscale, dc_pred, prev_params
 
+    # -- field pictures (ISO 13818-2 6.3.10/7.6; reference:
+    #    mpeg12dec.c mpeg_decode_mb field branches) ---------------------- #
+
+    def _decode_mb_field(self, gb, mb: MBData, idx: int, qscale: int,
+                         dc_pred, pmv):
+        """MB layer of a field picture: field_motion_type selects whole-
+        field MC (1 vector), 16x8 MC (2 vectors) or dual prime; vertical
+        predictors are NOT halved; no dct_type flag."""
+        seq, pic = self.seq, self.pic
+        parity = pic.picture_structure - 1      # 0 top, 1 bottom
+        if pic.pict_type == PICT_I:
+            if gb.get_bits(1):
+                flags = T.MB_INTRA
+            else:
+                if not gb.get_bits(1):
+                    raise AVError(INVALIDDATA, "bad I-MB type code")
+                flags = T.MB_QUANT | T.MB_INTRA
+        elif pic.pict_type == PICT_P:
+            flags = T.mb_ptype_vlc().read(gb)
+        else:
+            flags = T.mb_btype_vlc().read(gb)
+
+        motion_type = 0
+        if flags & (T.MB_FOR | T.MB_BACK):
+            if pic.frame_pred_frame_dct:
+                motion_type = 2
+            else:
+                motion_type = gb.get_bits(2)
+        if flags & T.MB_QUANT:
+            qscale = self._qscale(gb.get_bits(5))
+        mb.qscale[idx] = max(qscale, 1)
+
+        if flags & T.MB_INTRA:
+            mb.intra[idx] = True
+            pmv[:] = 0
+            if pic.concealment_mvs:
+                self._read_field_mv(gb, mb, idx, pmv, 0, 1, parity)
+                gb.get_bits(1)
+                mb.use_fwd[idx] = False
+            mb.coded[idx] = True
+        else:
+            dc_pred[:] = self._dc_reset()
+
+        for d, fl in ((0, T.MB_FOR), (1, T.MB_BACK)):
+            if flags & fl:
+                self._read_field_mv(gb, mb, idx, pmv, d, motion_type,
+                                    parity)
+                (mb.use_fwd, mb.use_bwd)[d][idx] = True
+        if pic.pict_type == PICT_P and \
+                not (flags & (T.MB_FOR | T.MB_INTRA)):
+            # no-MV P macroblock: same-parity field, zero vector
+            pmv[:] = 0
+            mb.use_fwd[idx] = True
+            mb.mv_fwd2[idx] = 0
+            mb.sel_fwd[idx] = parity
+
+        cbp = 0
+        if flags & T.MB_PAT:
+            cbp = T.cbp_vlc().read(gb)
+        elif flags & T.MB_INTRA:
+            cbp = 0x3F
+        if cbp or (flags & T.MB_INTRA):
+            for blk in range(6):
+                if cbp & (0x20 >> blk):
+                    if flags & T.MB_INTRA:
+                        dc_pred = self._decode_intra_block(
+                            gb, mb.coeffs[idx, blk], blk, dc_pred)
+                    else:
+                        self._decode_inter_block(gb, mb.coeffs[idx, blk])
+            mb.coded[idx] = True
+
+        prev_params = (bool(mb.use_fwd[idx]), bool(mb.use_bwd[idx]),
+                       mb.mv_fwd2[idx].copy(), mb.mv_bwd2[idx].copy(),
+                       mb.sel_fwd[idx].copy(), mb.sel_bwd[idx].copy())
+        return qscale, dc_pred, prev_params
+
+    def _read_field_mv(self, gb, mb: MBData, idx: int, pmv, d: int,
+                       motion_type: int, parity: int):
+        """One direction's vectors in a field picture (reference:
+        mpeg_decode_mb MT_FIELD/MT_16X8/MT_DMV field branches)."""
+        pic = self.pic
+        fx, fy = pic.f_code[d][0], pic.f_code[d][1]
+        mv2 = mb.mv_fwd2 if d == 0 else mb.mv_bwd2
+        sel = mb.sel_fwd if d == 0 else mb.sel_bwd
+        if motion_type == 1:            # whole-field MC, one vector
+            s = gb.get_bits(1)
+            x = self._decode_motion(gb, fx, int(pmv[d, 0, 0]))
+            y = self._decode_motion(gb, fy, int(pmv[d, 0, 1]))
+            pmv[d, :, 0] = x
+            pmv[d, :, 1] = y
+            mv2[idx, 0] = mv2[idx, 1] = (x, y)
+            sel[idx, 0] = sel[idx, 1] = s
+        elif motion_type == 2:          # 16x8: upper and lower halves
+            for j in range(2):
+                s = gb.get_bits(1)
+                x = self._decode_motion(gb, fx, int(pmv[d, j, 0]))
+                y = self._decode_motion(gb, fy, int(pmv[d, j, 1]))
+                pmv[d, j] = (x, y)
+                mv2[idx, j] = (x, y)
+                sel[idx, j] = s
+        elif motion_type == 3:          # dual prime (P only)
+            x = self._decode_motion(gb, fx, int(pmv[d, 0, 0]))
+            dmx = self._read_dmv(gb)
+            y = self._decode_motion(gb, fy, int(pmv[d, 0, 1]))
+            dmy = self._read_dmv(gb)
+            pmv[d, :, 0] = x
+            pmv[d, :, 1] = y
+            # same-parity prediction
+            mv2[idx, 0] = mv2[idx, 1] = (x, y)
+            sel[idx, 0] = sel[idx, 1] = parity
+            # opposite-parity prediction (7.6.3.6, m=1 for fields)
+            ox = ((x + (1 if x > 0 else 0)) >> 1) + dmx
+            oy = ((y + (1 if y > 0 else 0)) >> 1) + dmy
+            oy += -1 if parity == 0 else 1
+            mb.dp[idx] = True
+            mb.mv_dp2[idx, 0] = mb.mv_dp2[idx, 1] = (ox, oy)
+            mb.sel_dp[idx, 0] = mb.sel_dp[idx, 1] = 1 - parity
+        else:
+            raise AVError(INVALIDDATA, "motion_type 0 in field picture")
+
+    def _read_dmv(self, gb) -> int:
+        """dmvector[] (ISO 13818-2 Table B-11: '0'=0, '10'=+1, '11'=-1;
+        reference get_dmv)."""
+        if gb.get_bits(1):
+            return -1 if gb.get_bits(1) else 1
+        return 0
+
+    def _skipped_mb_field(self, mb: MBData, idx: int, prev_params):
+        """Skipped MB in a field picture: P = same-parity zero vector,
+        B = repeat previous MB's prediction (13818-2 7.6.6)."""
+        parity = self.pic.picture_structure - 1
+        if self.pic.pict_type == PICT_P:
+            mb.use_fwd[idx] = True
+            mb.mv_fwd2[idx] = 0
+            mb.sel_fwd[idx] = parity
+        elif self.pic.pict_type == PICT_B and prev_params is not None:
+            uf, ub, mf2, mb2, sf, sb = prev_params
+            mb.use_fwd[idx] = uf
+            mb.use_bwd[idx] = ub
+            mb.mv_fwd2[idx] = mf2
+            mb.mv_bwd2[idx] = mb2
+            mb.sel_fwd[idx] = sf
+            mb.sel_bwd[idx] = sb
+
     def _skipped_mb(self, mb: MBData, idx: int, pmv, prev_params):
         """reference: mpeg12dec.c skipped-MB handling in mpeg_decode_slice"""
+        if self.seq.mpeg2 and self.pic.picture_structure != 3:
+            return self._skipped_mb_field(mb, idx, prev_params)
         if self.pic.pict_type == PICT_P:
             mb.use_fwd[idx] = True
             mb.mv_fwd[idx] = 0
@@ -643,10 +962,11 @@ class MPEG1Decoder(Decoder):
         from libav_tpu.codecs.mpegvideo import recon_jit
         seq, pic = self.seq, self.pic
         interlaced = bool(mb.field_mc.any() or mb.dct_field.any())
+        dual = bool(mb.dp.any())
         fn = recon_jit(seq.mb_width, seq.mb_height,
                        "mpeg2" if seq.mpeg2 else "mpeg1",
                        bool(pic.alternate_scan), pic.pict_type != PICT_I,
-                       interlaced=interlaced)
+                       interlaced=interlaced, dual=dual)
 
         scan = alternate_scan() if pic.alternate_scan else zigzag_scan()
         # qmat in scan order to match coefficient layout
@@ -667,6 +987,8 @@ class MPEG1Decoder(Decoder):
             kw = dict(field_mc=mb.field_mc, dct_field=mb.dct_field,
                       mvf2=mb.mv_fwd2, mvb2=mb.mv_bwd2,
                       sel_f=mb.sel_fwd, sel_b=mb.sel_bwd)
+            if dual:
+                kw.update(dp=mb.dp, mv_dp2=mb.mv_dp2, sel_dp=mb.sel_dp)
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
                             intra_q.astype(np.int32),

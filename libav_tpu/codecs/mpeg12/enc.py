@@ -537,18 +537,283 @@ MPEG1Encoder._slice_mbs_b = _slice_mbs_b_impl
 @register_codec
 class MPEG2Encoder(MPEG1Encoder):
     """MPEG-2 main-profile encoder (reference: mpeg12enc.c MPEG-2 branches:
-    sequence/picture-coding extensions, linear q_scale_type 0)."""
+    sequence/picture-coding extensions, linear q_scale_type 0).
+
+    fieldpic=1 emits FIELD PICTURES (picture_structure top/bottom): each
+    input frame codes as two field pictures; P-field MBs cycle every
+    field_motion_type (whole-field / 16x8 / dual prime) as a
+    conformance-stream generator for the interlaced decode paths."""
 
     NAME = "mpeg2video"
     LONG_NAME = "MPEG-2 video (TPU ME/DCT/quant)"
 
     QUANT_KIND = "mpeg2"
+    OPTIONS = MPEG1Encoder.OPTIONS + [
+        Option("fieldpic", "code field pictures (1080i-style interlaced "
+               "coding; I+P, cycles every field_motion_type)", "int",
+               0, 0, 1),
+        Option("fieldstress", "P-field motion-type mix: same, opp, "
+               "whole, h16, dponly or full", "string", "full"),
+    ]
 
     def _init(self):
         super()._init()
         # linear MPEG-2 qscale = 2 * code -> keep qscale even
         if self.qscale & 1:
             self.qscale += 1
+        if self.fieldpic:
+            if self.b_frames:
+                raise AVError(EINVAL, "mpeg2video: fieldpic with "
+                                      "b_frames not supported")
+            if self.mb_h % 2:
+                raise AVError(EINVAL, "mpeg2video: fieldpic needs "
+                                      "height multiple of 32")
+            self._recent_fields = {0: None, 1: None}
+
+    def _encode(self, frame: Frame) -> List[Packet]:
+        if not self.fieldpic:
+            return super()._encode(frame)
+        return [self._encode_field_frame(frame)]
+
+    def _encode_field_frame(self, frame: Frame) -> Packet:
+        """Two field pictures (top first) in one packet; the first field
+        of a GOP-start frame is I, everything else P (13818-2 allows
+        I+P frames)."""
+        from libav_tpu.codecs.mpegvideo import (encode_field_stress_jit,
+                                                recon_field_jit,
+                                                encode_jit,
+                                                zero_pad_refs)
+        disp = self._disp_idx
+        self._disp_idx += 1
+        is_i = (disp % self.gop_size) == 0 or \
+            self._recent_fields[0] is None
+        y, u, v = self._padded_input(frame)
+        mb_h_f = self.mb_h // 2
+        nmb_f = self.mb_w * mb_h_f
+        q = self.qscale
+        qs = np.full(nmb_f, q, dtype=np.int32)
+        out = bytearray()
+        out_first = True
+        for parity in (0, 1):       # top field first
+            fy, fu, fv = y[parity::2], u[parity::2], v[parity::2]
+            # I frames code both fields intra: keeps the reference
+            # decoder from synthesizing a dummy prior reference for an
+            # I+P first frame, and matches common broadcast practice
+            ftype = PICT_I if is_i else PICT_P
+            if ftype == PICT_I:
+                enc = encode_jit(self.mb_w, mb_h_f, False,
+                                 self.QUANT_KIND)
+                zero = zero_pad_refs(self.mb_w, mb_h_f)
+                levels, mvs, intra = enc(fy, fu, fv, qs,
+                                         self.intra_q_zz,
+                                         self.inter_q_zz, *zero)
+                levels = np.asarray(levels).astype(np.int16)
+                mvs = np.asarray(mvs)
+                modes = None
+            else:
+                zero = zero_pad_refs(self.mb_w, mb_h_f)
+                st = self._recent_fields[0] or zero
+                sb = self._recent_fields[1] or zero
+                # never reference a field that does not exist yet
+                # (second field of the very first frame has only the
+                # opposite-parity I field)
+                pat = getattr(self, "fieldstress", "full")
+                if self._recent_fields[parity] is None:
+                    pat = "opp"
+                elif self._recent_fields[1 - parity] is None:
+                    pat = "same"
+                fn, mode_pat = encode_field_stress_jit(self.mb_w,
+                                                       mb_h_f, parity,
+                                                       pattern=pat)
+                levels, mvs = fn(fy, fu, fv, qs, self.inter_q_zz,
+                                 *st, *sb)
+                levels = np.asarray(levels).astype(np.int16)
+                mvs = np.asarray(mvs)
+                modes = mode_pat
+            # closed loop: reconstruct through the decoder's program
+            recf = recon_field_jit(self.mb_w, mb_h_f, False,
+                                   ftype != PICT_I,
+                                   dual=modes is not None and
+                                   bool((modes == 3).any()))
+            kw = {}
+            intra_f = (np.zeros(nmb_f, bool) if ftype != PICT_I
+                       else np.ones(nmb_f, bool))
+            mv2 = np.zeros((nmb_f, 2, 2), np.int32)
+            self_sel = np.zeros((nmb_f, 2), np.int32)
+            if ftype != PICT_I:
+                mv2[:, 0] = mvs
+                mv2[:, 1] = mvs
+                pat = modes
+                # selects mirror the packer: 0 same, 1 opposite,
+                # 2 = upper same/lower opposite, 3 = dual prime
+                same_sel = parity
+                opp_sel = 1 - parity
+                self_sel[:, 0] = np.where(pat == 1, opp_sel, same_sel)
+                self_sel[:, 1] = np.where((pat == 1) | (pat == 2),
+                                          opp_sel, same_sel)
+                if bool((pat == 3).any()):
+                    dp = pat == 3
+                    dx = (mvs[:, 0] + (mvs[:, 0] > 0)) >> 1
+                    dy = ((mvs[:, 1] + (mvs[:, 1] > 0)) >> 1) + \
+                        (-1 if parity == 0 else 1)
+                    mv_dp2 = np.zeros((nmb_f, 2, 2), np.int32)
+                    mv_dp2[:, 0, 0] = mv_dp2[:, 1, 0] = dx
+                    mv_dp2[:, 0, 1] = mv_dp2[:, 1, 1] = dy
+                    sel_dp = np.full((nmb_f, 2), opp_sel, np.int32)
+                    kw = dict(dp=dp, mv_dp2=mv_dp2, sel_dp=sel_dp)
+            st = self._recent_fields[0] or zero_pad_refs(self.mb_w,
+                                                         mb_h_f)
+            sb = self._recent_fields[1] or zero_pad_refs(self.mb_w,
+                                                         mb_h_f)
+            zf = zero_pad_refs(self.mb_w, mb_h_f)
+            _, padded = recf(levels, qs, intra_f,
+                             ~intra_f, np.zeros(nmb_f, bool),
+                             mv2, self_sel,
+                             np.zeros((nmb_f, 2, 2), np.int32),
+                             np.zeros((nmb_f, 2), np.int32),
+                             self.intra_q_zz, self.inter_q_zz,
+                             *st, *sb, *zf, *zf, **kw)
+            self._recent_fields[parity] = padded
+            if out_first:
+                if ftype == PICT_I:
+                    out += self._seq_header()
+                out_first = False
+            out += self._picture_header_field(ftype, disp, parity)
+            out += self._slices_field(levels, mvs, intra_f if ftype ==
+                                      PICT_I else np.zeros(nmb_f, bool),
+                                      ftype, qs, modes, parity, mb_h_f)
+        self._frame_idx += 1
+        return Packet(data=bytes(out), pts=frame.pts, dts=frame.pts,
+                      duration=1,
+                      flags=PKT_FLAG_KEY if is_i else 0,
+                      time_base=frame.time_base)
+
+    def _picture_header_field(self, pict_type, disp: int,
+                              parity: int) -> bytes:
+        pb = PutBits()
+        pb.put_bits(10, disp % 1024)
+        pb.put_bits(3, pict_type)
+        pb.put_bits(16, 0xFFFF)
+        if pict_type in (PICT_P, PICT_B):
+            pb.put_bits(1, 0)
+            pb.put_bits(3, self.F_CODE)
+        if pict_type == PICT_B:
+            pb.put_bits(1, 0)
+            pb.put_bits(3, self.F_CODE)
+        out = b"\x00\x00\x01\x00" + pb.flush()
+        pb = PutBits()
+        pb.put_bits(4, 8)
+        fc = self.F_CODE if pict_type in (PICT_P, PICT_B) else 15
+        pb.put_bits(4, fc)
+        pb.put_bits(4, fc)
+        pb.put_bits(4, 15)
+        pb.put_bits(4, 15)
+        pb.put_bits(2, 0)        # intra_dc_precision
+        pb.put_bits(2, 1 + parity)   # picture_structure: top/bottom
+        pb.put_bits(1, 0)        # top_field_first
+        pb.put_bits(1, 0)        # frame_pred_frame_dct
+        pb.put_bits(1, 0)        # concealment
+        pb.put_bits(1, 0)        # q_scale_type
+        pb.put_bits(1, 0)        # intra_vlc_format
+        pb.put_bits(1, 0)        # alternate_scan
+        pb.put_bits(1, 0)        # repeat_first_field
+        pb.put_bits(1, 1)        # chroma_420_type
+        pb.put_bits(1, 0)        # progressive_frame
+        pb.put_bits(1, 0)        # composite_display
+        return out + b"\x00\x00\x01\xB5" + pb.flush()
+
+    def _slices_field(self, levels, mvs, intra, pict_type, qscale,
+                      modes, parity, mb_h_f) -> bytes:
+        out = bytearray()
+        for mb_y in range(mb_h_f):
+            pb = PutBits()
+            pb.put_bits(5, self._qscale_code(
+                int(qscale[mb_y * self.mb_w])))
+            pb.put_bits(1, 0)
+            self._slice_mbs_field(pb, mb_y, levels, mvs, intra,
+                                  pict_type, modes, parity)
+            pb.align(pad_bit=0)
+            out += b"\x00\x00\x01" + bytes([1 + mb_y]) + pb.flush()
+        return bytes(out)
+
+    def _slice_mbs_field(self, pb, mb_y, levels, mvs, intra, pict_type,
+                         modes, parity):
+        """Field-picture MB layer emission (13818-2 6.3.17.2):
+        field_motion_type + motion_vertical_field_select per vector."""
+        mw = self.mb_w
+        dc_pred = [128, 128, 128]
+        pmv = np.zeros((2, 2), dtype=np.int32)   # rows 0/1
+        for mb_x in range(mw):
+            idx = mb_y * mw + mb_x
+            lv = levels[idx]
+            is_intra = bool(intra[idx])
+            cbp = 0
+            for b in range(6):
+                if np.any(lv[b][1:] if is_intra else lv[b]):
+                    cbp |= 0x20 >> b
+                if is_intra:
+                    cbp |= 0x20 >> b
+            pb.put_bits(T.MB_ADDR_INC[1][0], T.MB_ADDR_INC[0][0])
+            if pict_type == PICT_I:
+                pb.put_bits(1, 1)
+                flags = T.MB_INTRA
+            else:
+                if cbp:
+                    pb.put_bits(1, 1)
+                    flags = T.MB_FOR | T.MB_PAT
+                else:
+                    pb.put_bits(3, 0b001)
+                    flags = T.MB_FOR
+            if flags & T.MB_FOR:
+                mode = int(modes[idx])
+                mv = mvs[idx]
+                same_sel, opp_sel = parity, 1 - parity
+                if mode == 0 or mode == 1:
+                    pb.put_bits(2, 1)            # field_motion_type 01
+                    pb.put_bits(1, same_sel if mode == 0 else opp_sel)
+                    _encode_motion(pb, int(mv[0]) - int(pmv[0, 0]),
+                                   self.F_CODE)
+                    _encode_motion(pb, int(mv[1]) - int(pmv[0, 1]),
+                                   self.F_CODE)
+                    pmv[:, 0] = mv[0]
+                    pmv[:, 1] = mv[1]
+                elif mode == 2:
+                    pb.put_bits(2, 2)            # 16x8
+                    for j, s in ((0, same_sel), (1, opp_sel)):
+                        pb.put_bits(1, s)
+                        _encode_motion(pb, int(mv[0]) - int(pmv[j, 0]),
+                                       self.F_CODE)
+                        _encode_motion(pb, int(mv[1]) - int(pmv[j, 1]),
+                                       self.F_CODE)
+                        pmv[j] = mv
+                else:
+                    pb.put_bits(2, 3)            # dual prime
+                    _encode_motion(pb, int(mv[0]) - int(pmv[0, 0]),
+                                   self.F_CODE)
+                    pb.put_bits(1, 0)            # dmvector[0] = 0
+                    _encode_motion(pb, int(mv[1]) - int(pmv[0, 1]),
+                                   self.F_CODE)
+                    pb.put_bits(1, 0)            # dmvector[1] = 0
+                    pmv[:, 0] = mv[0]
+                    pmv[:, 1] = mv[1]
+            if flags & T.MB_PAT:
+                code, bits = T.MB_PAT_CODES[cbp]
+                pb.put_bits(bits, code)
+            if not (flags & T.MB_INTRA):
+                dc_pred = [128, 128, 128]
+            for b in range(6):
+                if not (cbp & (0x20 >> b)):
+                    continue
+                if flags & T.MB_INTRA:
+                    comp = 0 if b < 4 else (1 if b == 4 else 2)
+                    dc = self._dc_for_pack(int(lv[b][0]))
+                    _encode_dc(pb, dc - dc_pred[comp], lum=b < 4)
+                    dc_pred[comp] = dc
+                    _encode_block_ac(pb, lv[b], start=1,
+                                     first_inter=False, mpeg2=True)
+                else:
+                    _encode_block_ac(pb, lv[b], start=0,
+                                     first_inter=True, mpeg2=True)
 
     def _seq_header(self) -> bytes:
         out = super()._seq_header()
@@ -556,7 +821,7 @@ class MPEG2Encoder(MPEG1Encoder):
         pb = PutBits()
         pb.put_bits(4, 1)        # extension id: sequence
         pb.put_bits(8, 0x48)     # profile_and_level: main@main
-        pb.put_bits(1, 1)        # progressive_sequence
+        pb.put_bits(1, 0 if getattr(self, "fieldpic", 0) else 1)
         pb.put_bits(2, 1)        # chroma_format 4:2:0
         pb.put_bits(2, 0)        # horizontal_size_extension
         pb.put_bits(2, 0)        # vertical_size_extension

@@ -23,7 +23,8 @@ from libav_tpu.ops.quant import alternate_scan, zigzag_scan
 @functools.lru_cache(maxsize=64)
 def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
               inter_frame: bool, rounding: int = 0,
-              interlaced: bool = False, qpel: bool = False):
+              interlaced: bool = False, qpel: bool = False,
+              dual: bool = False):
     """interlaced=True compiles the MPEG-2 frame-picture interlace
     variant (reference: mpegvideo_motion.c mpv_motion field paths +
     mpegvideo.c dct_type handling): extra per-MB inputs select 16x8
@@ -123,7 +124,7 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     def fn(coeffs, qscale, intra, use_fwd, use_bwd, mv_fwd, mv_bwd,
            intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v,
            field_mc=None, dct_field=None, mvf2=None, mvb2=None,
-           sel_f=None, sel_b=None):
+           sel_f=None, sel_b=None, dp=None, mv_dp2=None, sel_dp=None):
         c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
         qs = jnp.repeat(qscale, 6)
         intra_b = jnp.repeat(intra, 6)
@@ -182,6 +183,16 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                 by = jnp.where(fm, bfy, by)
                 bu = jnp.where(fm, bfu, bu)
                 bv = jnp.where(fm, bfv, bv)
+                if dual:
+                    # frame-picture dual prime: average the same-parity
+                    # field prediction with the cross-parity one from
+                    # the derived vectors (13818-2 7.6.3.6)
+                    oy, ou, ov = field_pred(r0y, r0u, r0v, mv_dp2,
+                                            sel_dp, rnd)
+                    dpm = dp[:, None, None]
+                    fy = jnp.where(dpm, avg_pred(fy, oy), fy)
+                    fu = jnp.where(dpm, avg_pred(fu, ou), fu)
+                    fv = jnp.where(dpm, avg_pred(fv, ov), fv)
 
             im = intra[:, None, None]
             pred_y = jnp.where(im, 0, combine(fy, by))
@@ -218,6 +229,301 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                                           pad(vplane))
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def recon_field_jit(mb_w: int, mb_h_f: int, alt_scan: bool,
+                    inter_frame: bool, dual: bool = False):
+    """MPEG-2 FIELD-PICTURE reconstruction (ISO 13818-2 7.6.2; reference
+    mpegvideo_motion.c mpeg_motion with field_based picture): the coded
+    picture is one field of mb_w x mb_h_f macroblocks. References arrive
+    as padded FIELD plane triples per parity: (f0t, f0b) forward /
+    most-recent, (f1t, f1b) backward. Per MB, two (vector, field_select)
+    rows cover the upper/lower 16x8 halves (whole-field MC duplicates
+    the row); dual=True adds the dual-prime inputs whose two rows are
+    averaged whole-field predictions instead."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import idct as idct_ops, quant as quant_ops
+    from libav_tpu.ops.mc import EDGE, avg_pred, mc_hpel, chroma_mv_div2
+
+    nmb = mb_w * mb_h_f
+    scan = alternate_scan() if alt_scan else zigzag_scan()
+    pos = np.empty(64, dtype=np.int64)
+    pos[np.asarray(scan)] = np.arange(64)
+    H, W = mb_h_f * 16, mb_w * 16
+
+    mbx = (np.arange(nmb, dtype=np.int32) % mb_w)
+    mby = (np.arange(nmb, dtype=np.int32) // mb_w)
+
+    def fn(coeffs, qscale, intra, use_fwd, use_bwd,
+           mvf2, sel_f, mvb2, sel_b, intra_q, inter_q,
+           f0ty, f0tu, f0tv, f0by, f0bu, f0bv,
+           f1ty, f1tu, f1tv, f1by, f1bu, f1bv,
+           dp=None, mv_dp2=None, sel_dp=None):
+        c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
+        qs = jnp.repeat(qscale, 6)
+        intra_b = jnp.repeat(intra, 6)
+        deq_i = quant_ops.mpeg2_dequant_intra(c, qs, intra_q)
+        deq_p = quant_ops.mpeg2_dequant_inter(c, qs, inter_q)
+        deq = jnp.where(intra_b[:, None], deq_i, deq_p)
+        blocks = deq[:, pos].reshape(nmb * 6, 8, 8)
+        blocks = quant_ops.mpeg2_mismatch_control(blocks)
+        resid = idct_ops.idct8x8_int(blocks).reshape(nmb, 6, 8, 8)
+
+        if inter_frame:
+            xs = jnp.asarray(mbx * 16)
+            ys = jnp.asarray(mby * 16)
+            cxs = jnp.asarray(mbx * 8)
+            cys = jnp.asarray(mby * 8)
+
+            def whole(planes_t, planes_b, mv, sel):
+                """16-row field MC from top/bottom ref fields."""
+                mvx, mvy = mv[:, 0], mv[:, 1]
+                s = sel[:, None, None]
+                py = jnp.where(
+                    s == 0,
+                    mc_hpel(planes_t[0], xs, ys, mvx, mvy, 16, 1),
+                    mc_hpel(planes_b[0], xs, ys, mvx, mvy, 16, 1))
+                cmv = chroma_mv_div2(mv)
+                pu = jnp.where(
+                    s == 0,
+                    mc_hpel(planes_t[1], cxs, cys, cmv[:, 0], cmv[:, 1],
+                            8, 1),
+                    mc_hpel(planes_b[1], cxs, cys, cmv[:, 0], cmv[:, 1],
+                            8, 1))
+                pv = jnp.where(
+                    s == 0,
+                    mc_hpel(planes_t[2], cxs, cys, cmv[:, 0], cmv[:, 1],
+                            8, 1),
+                    mc_hpel(planes_b[2], cxs, cys, cmv[:, 0], cmv[:, 1],
+                            8, 1))
+                return py, pu, pv
+
+            def halves(pt, pb, mv2, sel):
+                """upper/lower 16x8 halves from the two vector rows."""
+                y0, u0, v0 = whole(pt, pb, mv2[:, 0], sel[:, 0])
+                y1, u1, v1 = whole(pt, pb, mv2[:, 1], sel[:, 1])
+                y = jnp.concatenate([y0[:, :8], y1[:, 8:]], axis=1)
+                u = jnp.concatenate([u0[:, :4], u1[:, 4:]], axis=1)
+                v = jnp.concatenate([v0[:, :4], v1[:, 4:]], axis=1)
+                return y, u, v
+
+            f_t = (f0ty, f0tu, f0tv)
+            f_b = (f0by, f0bu, f0bv)
+            b_t = (f1ty, f1tu, f1tv)
+            b_b = (f1by, f1bu, f1bv)
+            fy, fu, fv = halves(f_t, f_b, mvf2, sel_f)
+            by, bu, bv = halves(b_t, b_b, mvb2, sel_b)
+            if dual:
+                ay, au, av = whole(f_t, f_b, mvf2[:, 0], sel_f[:, 0])
+                oy, ou, ov = whole(f_t, f_b, mv_dp2[:, 0], sel_dp[:, 0])
+                dpm = dp[:, None, None]
+                fy = jnp.where(dpm, avg_pred(ay, oy), fy)
+                fu = jnp.where(dpm, avg_pred(au, ou), fu)
+                fv = jnp.where(dpm, avg_pred(av, ov), fv)
+
+            both = (use_fwd & use_bwd)[:, None, None]
+            f_only = (use_fwd & ~use_bwd)[:, None, None]
+            b_only = (~use_fwd & use_bwd)[:, None, None]
+
+            def combine(pf, pb):
+                return jnp.where(both, avg_pred(pf, pb),
+                                 jnp.where(f_only, pf,
+                                           jnp.where(b_only, pb, 0)))
+
+            im = intra[:, None, None]
+            pred_y = jnp.where(im, 0, combine(fy, by))
+            pred_u = jnp.where(im, 0, combine(fu, bu))
+            pred_v = jnp.where(im, 0, combine(fv, bv))
+        else:
+            pred_y = jnp.zeros((nmb, 16, 16), jnp.int32)
+            pred_u = jnp.zeros((nmb, 8, 8), jnp.int32)
+            pred_v = jnp.zeros((nmb, 8, 8), jnp.int32)
+
+        luma_res = (resid[:, :4].reshape(nmb, 2, 2, 8, 8)
+                    .transpose(0, 1, 3, 2, 4).reshape(nmb, 16, 16))
+        yblk = jnp.clip(pred_y + luma_res, 0, 255).astype(jnp.uint8)
+        ublk = jnp.clip(pred_u + resid[:, 4], 0, 255).astype(jnp.uint8)
+        vblk = jnp.clip(pred_v + resid[:, 5], 0, 255).astype(jnp.uint8)
+        yplane = (yblk.reshape(mb_h_f, mb_w, 16, 16)
+                  .transpose(0, 2, 1, 3).reshape(H, W))
+        uplane = (ublk.reshape(mb_h_f, mb_w, 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
+        vplane = (vblk.reshape(mb_h_f, mb_w, 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(H // 2, W // 2))
+        pad = lambda p: jnp.pad(p, EDGE, mode="edge")
+        return (yplane, uplane, vplane), (pad(yplane), pad(uplane),
+                                          pad(vplane))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def fields_of_frame_jit(mb_w: int, mb_h: int):
+    """Padded frame planes -> ((top y,u,v), (bottom y,u,v)) padded field
+    planes (one dispatch)."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops.mc import EDGE
+
+    def fn(y, u, v):
+        def split(p):
+            core = p[EDGE:p.shape[0] - EDGE, EDGE:p.shape[1] - EDGE]
+            pads = ((EDGE, EDGE), (EDGE, EDGE))
+            return (jnp.pad(core[0::2], pads, mode="edge"),
+                    jnp.pad(core[1::2], pads, mode="edge"))
+        yt, yb = split(y)
+        ut, ub = split(u)
+        vt, vb = split(v)
+        return (yt, ut, vt), (yb, ub, vb)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def weave_fields_jit(mb_w: int, mb_h: int):
+    """(top, bottom) unpadded field planes -> frame planes + padded
+    frame planes (for the reference DPB)."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops.mc import EDGE
+
+    def fn(ty, tu, tv, by, bu, bv):
+        def weave(t, b):
+            out = jnp.zeros((t.shape[0] * 2, t.shape[1]), t.dtype)
+            return out.at[0::2].set(t).at[1::2].set(b)
+        y = weave(ty, by)
+        u = weave(tu, bu)
+        v = weave(tv, bv)
+        pad = lambda p: jnp.pad(p, EDGE, mode="edge")
+        return (y, u, v), (pad(y), pad(u), pad(v))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def encode_field_stress_jit(mb_w: int, mb_h_f: int, parity: int,
+                            search_range: int = 15,
+                            pattern: str = "full"):
+    """P FIELD picture encode, conformance-generator flavor: per-MB mode
+    cycles through whole-field MC (same parity), whole-field MC
+    (opposite parity), 16x8 MC (upper same / lower opposite) and dual
+    prime (dmv = 0) — every field_motion_type decode path of ISO
+    13818-2 7.6.2/7.6.3.6. One field ME supplies the vector for every
+    mode. Returns (levels, mv) in field geometry."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import avg_pred, mc_hpel, chroma_mv_div2
+    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
+
+    nmb = mb_w * mb_h_f
+    zz = zigzag_scan()
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+    if pattern == "same":
+        mode_pat = np.zeros(nmb, dtype=np.int64)
+    elif pattern == "opp":
+        mode_pat = np.ones(nmb, dtype=np.int64)
+    elif pattern == "whole":
+        mode_pat = (np.arange(nmb) + np.arange(nmb) // mb_w) % 2
+    elif pattern == "h16":
+        mode_pat = ((np.arange(nmb) + np.arange(nmb) // mb_w) % 2) * 2
+    elif pattern == "dponly":
+        mode_pat = ((np.arange(nmb) + np.arange(nmb) // mb_w) % 2) * 3
+    else:
+        mode_pat = (np.arange(nmb) + np.arange(nmb) // mb_w) % 4
+    # dual prime only on interior MBs: the reference decoder SKIPS any
+    # motion compensation whose source window leaves the picture
+    # (mpegvideo_motion.c "MPEG motion vector out of boundary"), so a
+    # conforming stream must keep the derived cross-parity vector in
+    # bounds; interior MBs leave a full-MB margin
+    bx = np.arange(nmb) % mb_w
+    by = np.arange(nmb) // mb_w
+    interior = (bx > 0) & (bx < mb_w - 1) & (by > 0) & (by < mb_h_f - 1)
+    mode_pat = np.where((mode_pat == 3) & ~interior, 0, mode_pat)
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        yb = blockify(y, 8).reshape(mb_h_f, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    H, W = mb_h_f * 16, mb_w * 16
+
+    def planes_of(py, pu, pv):
+        return ((py.reshape(mb_h_f, mb_w, 16, 16)
+                 .transpose(0, 2, 1, 3).reshape(H, W)),
+                (pu.reshape(mb_h_f, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)),
+                (pv.reshape(mb_h_f, mb_w, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H // 2, W // 2)))
+
+    def fn(src_y, src_u, src_v, qscale, inter_qmat_zz,
+           sty, stu, stv, sby, sbu, sbv):
+        # (sty..) = top-parity ref field planes, (sby..) = bottom
+        cy = src_y.astype(jnp.int32)
+        cur_mbs = (cy.reshape(mb_h_f, 16, mb_w, 16)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+        blocks = mb_blocks(cy, src_u.astype(jnp.int32),
+                           src_v.astype(jnp.int32))
+        same = (sty, stu, stv) if parity == 0 else (sby, sbu, sbv)
+        opp = (sby, sbu, sbv) if parity == 0 else (sty, stu, stv)
+
+        fmv, _ = _search_jit(mb_w, mb_h_f, search_range, True)(
+            cur_mbs, same[0])
+        mv, _ = _hpel_refine_jit(mb_w, mb_h_f, True)(cur_mbs, same[0],
+                                                     fmv)
+
+        def mc6(planes, m):
+            py = mc_hpel(planes[0], mbx, mby, m[:, 0], m[:, 1], 16, 1)
+            cmv = chroma_mv_div2(m)
+            pu = mc_hpel(planes[1], mbx // 2, mby // 2, cmv[:, 0],
+                         cmv[:, 1], 8, 1)
+            pv = mc_hpel(planes[2], mbx // 2, mby // 2, cmv[:, 0],
+                         cmv[:, 1], 8, 1)
+            return py, pu, pv
+
+        ps = mc6(same, mv)
+        po = mc6(opp, mv)
+        # dual prime opposite-parity derived vector (dmv = 0)
+        dx = ((mv[:, 0] + (mv[:, 0] > 0)) >> 1)
+        dy = ((mv[:, 1] + (mv[:, 1] > 0)) >> 1) + (-1 if parity == 0
+                                                   else 1)
+        pdp_o = mc6(opp, jnp.stack([dx, dy], axis=1))
+        pat = jnp.asarray(mode_pat)[:, None, None]
+
+        def pick(a, b, c, d):
+            return jnp.where(pat == 0, a,
+                             jnp.where(pat == 1, b,
+                                       jnp.where(pat == 2, c, d)))
+
+        outs = []
+        for k in range(3):
+            h16 = jnp.concatenate(
+                [ps[k][:, :ps[k].shape[1] // 2],
+                 po[k][:, po[k].shape[1] // 2:]], axis=1)
+            dp = avg_pred(ps[k], pdp_o[k])
+            outs.append(pick(ps[k], po[k], h16, dp))
+        pred_y, pred_u, pred_v = outs
+
+        resid = blocks - mb_blocks(*planes_of(pred_y, pred_u, pred_v))
+        coeffs8 = fdct_ops.fdct8x8_int(resid.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        qs6 = jnp.repeat(qscale, 6)
+        q = jnp.maximum((qs6[:, None] * inter_qmat_zz[None, :]) // 2, 1)
+        lv = jnp.sign(czz) * (jnp.abs(czz) // q)
+        levels = jnp.clip(lv, -2047, 2047)
+        return levels.reshape(nmb, 6, 64), mv
+
+    return jax.jit(fn), mode_pat
 
 
 @functools.lru_cache(maxsize=32)

@@ -328,3 +328,68 @@ class TestRefListModification:
             ry = raw[k * fsz:k * fsz + W * H].reshape(H, W)
             np.testing.assert_array_equal(
                 ry, np.asarray(out[k].to_host().planes[0]))
+
+
+class TestMpeg2FieldPictures:
+    """MPEG-2 FIELD PICTURES (config 2 '1080i'): our field encode ->
+    reference decode == our decode, for every field_motion_type
+    (whole-field both parities, 16x8, dual prime). The reference
+    prepends one dummy black frame for field streams (mpegvideo.c
+    frame_start allocates a dummy last picture for non-frame
+    picture_structure), so frames compare with a +1 shift."""
+
+    @pytest.mark.parametrize("pattern", ["same", "whole", "h16",
+                                         "dponly", "full"])
+    def test_field_roundtrip(self, tmp_path, pattern):
+        import subprocess
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.avutil.rational import Rational
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mpeg12.enc import MPEG2Encoder
+        from libav_tpu.codecs.mpeg12.dec import MPEG2Decoder
+
+        W, H = 128, 96
+        def mk(t):
+            f = Frame.alloc_video(W, H, "yuv420p")
+            yy, xx = np.mgrid[0:H, 0:W]
+            f.planes[0] = ((xx * 2 + yy * 3 + t * 6) % 256).astype(
+                np.uint8)
+            ch, cw = f.planes[1].shape
+            yy, xx = np.mgrid[0:ch, 0:cw]
+            f.planes[1] = (128 + 54 * np.sin((xx + 3 * t) / 9.0)).astype(
+                np.uint8)
+            f.planes[2] = (128 + 54 * np.cos((yy - 2 * t) / 7.0)).astype(
+                np.uint8)
+            f.pts = t
+            return f
+
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", width=W, height=H,
+                              pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = MPEG2Encoder(par)
+        enc.set_opt("qscale", 6)
+        enc.set_opt("gop_size", 8)
+        enc.set_opt("fieldpic", 1)
+        enc.set_opt("fieldstress", pattern)
+        pkts = enc.encode_all([mk(t) for t in range(4)])
+        es = str(tmp_path / "field.m2v")
+        with open(es, "wb") as fo:
+            for p in pkts:
+                fo.write(bytes(p.data))
+        yuv = str(tmp_path / "ref.yuv")
+        ref_run(["-i", es, "-f", "rawvideo", yuv])
+        dec = MPEG2Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mpeg2video")).open()
+        outs = dec.decode_all([Packet(data=p.data, pts=i)
+                               for i, p in enumerate(pkts)])
+        raw = np.fromfile(yuv, dtype=np.uint8)
+        fsz = W * H * 3 // 2
+        nref = raw.size // fsz
+        assert nref == len(outs) + 1      # +1 leading dummy
+        for k, f in enumerate(outs):
+            r = raw[(k + 1) * fsz:(k + 2) * fsz]
+            o = np.concatenate(
+                [np.asarray(f.to_host().planes[p]).reshape(-1)
+                 for p in range(3)])
+            np.testing.assert_array_equal(o, r)
