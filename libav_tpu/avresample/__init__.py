@@ -187,6 +187,27 @@ class AudioResampler(OptionedObject):
         """reference: avresample_convert (avresample.h:83)"""
         if not self._opened:
             self.open()
+        # s16 rate-only conversion takes the reference-bit-exact core
+        # (libavresample s16 internal path, streaming): identical output
+        # to the reference's `-ar` chain, asserted by test_fate_cross
+        if (self._mix_matrix is None and
+                self.in_sample_rate != self.out_sample_rate and
+                self.in_sample_fmt in ("s16", "s16p") and
+                self.out_sample_fmt == self.in_sample_fmt):
+            fmt = frame.format
+            ch = frame.channels or len(frame.planes)
+            if is_planar(fmt):
+                x = np.stack([np.asarray(p) for p in frame.planes])
+            else:
+                x = np.asarray(frame.planes[0]).reshape(-1, ch).T.copy()
+            st = getattr(self, "_s16exact", None)
+            if st is None:
+                from libav_tpu.avresample.refexact import \
+                    StreamingResamplerS16
+                st = self._s16exact = StreamingResamplerS16(
+                    ch, self.in_sample_rate, self.out_sample_rate)
+            y = st.feed(x.astype(np.int16))
+            return self._frame_of_s16(y, frame)
         x = self._to_float_planar(frame)                    # (ch, n)
         if self._mix_matrix is not None:
             x = self._mix_matrix @ x
@@ -195,6 +216,34 @@ class AudioResampler(OptionedObject):
             x = np.asarray(fn(x.astype(np.float32)))
         out = self._from_float_planar(x, frame)
         return out
+
+    def _frame_of_s16(self, y: np.ndarray, like: Frame) -> Frame:
+        ch = y.shape[0]
+        out = like.clone_props()
+        out.sample_rate = self.out_sample_rate
+        out.format = self.out_sample_fmt
+        out.channels = ch
+        if is_planar(self.out_sample_fmt):
+            out.planes = [y[c].copy() for c in range(ch)]
+        else:
+            out.planes = [np.ascontiguousarray(y.T).reshape(-1)]
+        out.nb_samples = y.shape[1]
+        return out
+
+    def flush_resampler(self):
+        """Final padding output of the bit-exact streaming path (None
+        when inactive or empty) — the avresample_convert(NULL) drain."""
+        st = getattr(self, "_s16exact", None)
+        if st is None:
+            return None
+        y = st.flush()
+        if y.shape[1] == 0:
+            return None
+        from libav_tpu.avutil.frame import Frame as _F
+        f = _F()
+        f.format = self.out_sample_fmt
+        f.channels = y.shape[0]
+        return self._frame_of_s16(y, f)
 
     def _to_float_planar(self, frame: Frame) -> np.ndarray:
         fmt = frame.format

@@ -31,7 +31,10 @@ BILINEAR = 2
 BICUBIC = 4
 POINT = 0x10
 AREA = 0x20
+GAUSS = 0x80
+SINC = 0x100
 LANCZOS = 0x200
+SPLINE = 0x400
 ACCURATE_RND = 0x40000
 BITEXACT = 0x80000
 
@@ -167,32 +170,24 @@ class SwsContext:
 
     # ------------------------------------------------------------------ #
 
+    # SWS_* flag -> bitexact-core algorithm name
+    _ALGO_OF_FLAG = {BILINEAR: "bilinear", BICUBIC: "bicubic",
+                     POINT: "neighbor", AREA: "area",
+                     LANCZOS: "lanczos", GAUSS: "gauss", SINC: "sinc",
+                     SPLINE: "spline"}
+
     def _plane_scaler(self, sh, sw, dh, dw):
-        key = ("scale", sh, sw, dh, dw)
-        if key not in self._jit_cache:
-            import jax
-            import jax.numpy as jnp
-
-            vpos, vw = build_filter(sh, dh, self.flags)
-            hpos, hw = build_filter(sw, dw, self.flags)
-            vtaps, htaps = vw.shape[1], hw.shape[1]
-            vidx = np.clip(vpos[:, None] + np.arange(vtaps)[None], 0, sh - 1)
-            hidx = np.clip(hpos[:, None] + np.arange(htaps)[None], 0, sw - 1)
-            vwj = vw.astype(np.float32)
-            hwj = hw.astype(np.float32)
-
-            def fn(plane):
-                x = plane.astype(jnp.float32)
-                # vertical: out[d, w] = sum_t x[vidx[d,t], w] * vw[d,t]
-                xv = x[jnp.asarray(vidx)]                  # (dh, vtaps, sw)
-                x = jnp.einsum("dtw,dt->dw", xv, jnp.asarray(vwj))
-                # horizontal
-                xh = x[:, jnp.asarray(hidx)]               # (dh, dw, htaps)
-                x = jnp.einsum("dwt,wt->dw", xh, jnp.asarray(hwj))
-                return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
-
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
+        """Per-plane scaler: the reference-bit-exact fixed-point chain
+        (swscale/bitexact.py — initFilter + hScale8To15 + yuv2planeX
+        semantics), so `-s WxH` output equals the reference's
+        SWS_BITEXACT|SWS_ACCURATE_RND path byte for byte."""
+        from libav_tpu.swscale.bitexact import scale_plane_jit
+        algo = "bicubic"
+        for flag, name in self._ALGO_OF_FLAG.items():
+            if self.flags & flag:
+                algo = name
+                break
+        return scale_plane_jit(sw, sh, dw, dh, algo)
 
     def _scale_yuv(self, planes, src_fmt, dst_fmt):
         src_w, src_h, _ = self.src

@@ -44,6 +44,7 @@ class OutputStreamSpec:
     channels: Optional[int] = None
     sample_fmt: Optional[str] = None
     vf: Optional[str] = None         # -vf/-af filtergraph description
+    sws_flags: Optional[str] = None  # scaler algorithm name
 
 
 def parse_time(v: str) -> float:
@@ -174,6 +175,14 @@ def parse_args(argv: List[str]) -> Options:
             o.audio.vf = take()
         elif a in ("-filter_complex", "-lavfi"):
             o.filter_complex = take()
+        elif a == "-sws_flags":
+            # accept the reference's spelling: algo[+accurate_rnd...]
+            # (our scaler is always the bitexact/accurate_rnd chain)
+            v = take()
+            algo = [t for t in v.replace("+", " ").split()
+                    if t not in ("accurate_rnd", "bitexact", "full_chroma_int",
+                                 "full_chroma_inp", "print_info")]
+            o.video.sws_flags = algo[0] if algo else None
         elif a == "-flags":
             o.extra["flags"] = take()
         elif a == "-b:v" or a == "-b":
@@ -566,8 +575,15 @@ class _VideoChain:
             if spec.size:
                 w, h = (int(x) for x in spec.size.lower().split("x"))
             dst_fmt = spec.pix_fmt or frame.format
+            from libav_tpu import swscale as _sw
+            flg = {"bilinear": _sw.BILINEAR, "bicubic": _sw.BICUBIC,
+                   "neighbor": _sw.POINT, "point": _sw.POINT,
+                   "area": _sw.AREA, "lanczos": _sw.LANCZOS,
+                   "spline": getattr(_sw, "SPLINE", _sw.BICUBIC),
+                   }.get(getattr(spec, "sws_flags", None) or "bicubic",
+                         _sw.BICUBIC)
             sws = SwsContext.get(frame.width, frame.height, frame.format,
-                                 w, h, dst_fmt)
+                                 w, h, dst_fmt, flags=flg)
             frame = sws.scale_frame(frame)
         return frame
 
@@ -603,6 +619,11 @@ class _VideoChain:
         except AVError:
             pass
         self._pump_frames()
+        rs = getattr(self, "_resampler", None)
+        if rs is not None and not self.done:
+            tail = rs.flush_resampler()
+            if tail is not None:
+                self._encode_frame(tail)
         if getattr(self, "graph", None) is not None and not self.done:
             for f in self.graph.push_eof():
                 self._encode_frame(self._scale(f))

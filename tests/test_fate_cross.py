@@ -393,3 +393,53 @@ class TestMpeg2FieldPictures:
                 [np.asarray(f.to_host().planes[p]).reshape(-1)
                  for p in range(3)])
             np.testing.assert_array_equal(o, r)
+
+
+class TestSwscaleParity:
+    """swscale vs the reference's `-sws_flags +accurate_rnd+bitexact`
+    (config 5; reference tests/fate-run.sh:127-129): our -s output must
+    be byte-identical for down- and up-scale across algorithms."""
+
+    @pytest.mark.parametrize("size,flags", [
+        ("120x96", None),                 # default bicubic, downscale
+        ("256x192", None),                # upscale
+        ("100x82", None),                 # odd sizes
+        ("120x96", "bilinear"),
+        ("96x80", "lanczos"),
+        ("64x48", "area"),
+        ("130x110", "spline"),
+    ])
+    def test_scale(self, y4m, tmp_path, size, flags):
+        from libav_tpu.tools import avconv
+        swf = (flags or "bicubic") + "+accurate_rnd+bitexact"
+        refyuv = str(tmp_path / "ref.yuv")
+        ouryuv = str(tmp_path / "our.yuv")
+        ref_run(["-i", y4m, "-s", size, "-sws_flags", swf,
+                 "-f", "rawvideo", refyuv])
+        args = ["-y", "-i", y4m, "-s", size]
+        if flags:
+            args += ["-sws_flags", flags]
+        assert avconv.main(args + ["-f", "rawvideo", ouryuv]) == 0
+        a = np.fromfile(refyuv, np.uint8)
+        b = np.fromfile(ouryuv, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAvresampleParity:
+    """`-ar` resampling vs the reference: byte-identical s16 output
+    (libavresample's Kaiser-1024-phase bank + mirror padding + s16
+    accumulate, replicated exactly in avresample/refexact.py)."""
+
+    @pytest.mark.parametrize("rate", [44100, 32000, 96000, 22050])
+    def test_resample_s16(self, wav48, tmp_path, rate):
+        from libav_tpu.tools import avconv
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", wav48, "-ar", str(rate), "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-i", wav48, "-ar", str(rate),
+                            "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2")
+        b = np.fromfile(ourpcm, dtype="<i2")
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
