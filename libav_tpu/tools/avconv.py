@@ -62,8 +62,25 @@ def parse_time(v: str) -> float:
 
 
 @dataclass
+class OutputGroup:
+    """One output file with its own codec/map/trim options (reference:
+    avconv_opt.c per-output OptionsContext)."""
+    url: str = None
+    format: Optional[str] = None
+    video: OutputStreamSpec = None
+    audio: OutputStreamSpec = None
+    no_video: bool = False
+    no_audio: bool = False
+    maps: List[str] = field(default_factory=list)
+    start_time: Optional[float] = None
+    duration: Optional[float] = None
+    extra: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
 class Options:
     inputs: List[Dict[str, Any]] = field(default_factory=list)
+    outputs: List[OutputGroup] = field(default_factory=list)
     output_url: Optional[str] = None
     start_time: Optional[float] = None   # -ss (output trim)
     duration: Optional[float] = None     # -t
@@ -88,6 +105,7 @@ def parse_args(argv: List[str]) -> Options:
     """reference: avconv_opt.c (subset of the option grammar)"""
     o = Options()
     pending: Dict[str, str] = {}   # input options accumulated before -i
+    cur_maps: List[str] = []
     i = 0
 
     def take():
@@ -195,6 +213,8 @@ def parse_args(argv: List[str]) -> Options:
             o.start_time = parse_time(take())
         elif a == "-t":
             o.duration = parse_time(take())
+        elif a == "-map":
+            cur_maps.append(take())
         elif a in ("-stats", "-nostats", "-hide_banner"):
             pass                      # accepted no-op flags
         elif a.startswith("-") and a != "-":
@@ -207,11 +227,33 @@ def parse_args(argv: List[str]) -> Options:
             else:
                 raise AVError(-22, f"Unrecognized option '{a}'")
         else:
-            o.output_url = a
+            # an output URL closes the current output group; per-output
+            # options reset for the next one (reference: avconv_opt.c
+            # open_output_file)
+            o.video.extra.update(o.extra)
+            o.audio.extra.update(o.extra)
+            o.shared_keys |= {_EXTRA_OPT_MAP.get(k, k) for k in o.extra}
+            o.outputs.append(OutputGroup(
+                url=a, format=o.output_format, video=o.video,
+                audio=o.audio, no_video=o.no_video,
+                no_audio=o.no_audio, maps=list(cur_maps),
+                start_time=o.start_time, duration=o.duration,
+                extra=dict(o.extra)))
+            if o.output_url is None:
+                o.output_url = a
+            o.video = OutputStreamSpec()
+            o.audio = OutputStreamSpec()
+            o.no_video = o.no_audio = False
+            o.output_format = None
+            o.extra = {}
+            cur_maps = []
         i += 1
-    o.shared_keys = {_EXTRA_OPT_MAP.get(k, k) for k in o.extra}
-    o.video.extra.update(o.extra)
-    o.audio.extra.update(o.extra)
+    if o.outputs:
+        g0 = o.outputs[0]
+        o.video, o.audio = g0.video, g0.audio
+        o.no_video, o.no_audio = g0.no_video, g0.no_audio
+        o.output_format = g0.format
+        o.extra = g0.extra
     return o
 
 
@@ -239,7 +281,7 @@ _PASSTHRU_VALUE_OPTS = {
     "qp", "qmin", "qmax", "qcomp", "qblur", "qdiff", "rc_eq", "pass",
     "passlogfile", "maxrate", "minrate", "bufsize", "profile", "level",
     "me_range", "sc_threshold", "trellis", "aspect", "b_frames",
-    "coder", "refs", "map", "dct", "idct", "mbd", "cmp", "subcmp",
+    "coder", "refs", "dct", "idct", "mbd", "cmp", "subcmp",
     "b_strategy", "compression_level", "channel_layout", "dither",
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
@@ -342,18 +384,63 @@ def _setup_filter_complex(o: Options, chains, vin):
         ic2.close()
 
 
+class _GroupView:
+    """Per-output-group view with the Options interface the chains
+    consume (video/audio specs, trims, shared option accounting)."""
+
+    def __init__(self, o: Options, g: OutputGroup):
+        self.video = g.video
+        self.audio = g.audio
+        self.start_time = g.start_time
+        self.duration = g.duration
+        self.shared_keys = o.shared_keys
+        self.opt_consumed = o.opt_consumed
+        self.input_seeked = getattr(o, "input_seeked", False)
+
+
+def _resolve_map(ics, spec: str):
+    """-map IN[:v|:a[:IDX]] | IN:STREAM -> [(input_idx, stream)]
+    (reference: avconv_opt.c opt_map subset, no negative maps)."""
+    parts = spec.split(":")
+    try:
+        ii = int(parts[0])
+        ic = ics[ii]
+    except (ValueError, IndexError):
+        raise AVError(-22, f"invalid -map input index in {spec!r}")
+    if len(parts) == 1:
+        return [(ii, s) for s in ic.streams]
+    if parts[1] in ("v", "a"):
+        want = MediaType.VIDEO if parts[1] == "v" else MediaType.AUDIO
+        matches = [s for s in ic.streams
+                   if s.codecpar.codec_type == want]
+        if len(parts) == 3:
+            k = int(parts[2])
+            if k >= len(matches):
+                raise AVError(-22, f"-map {spec}: no such stream")
+            matches = [matches[k]]
+        if not matches:
+            raise AVError(-22, f"-map {spec}: no matching stream")
+        return [(ii, s) for s in matches]
+    k = int(parts[1])
+    if k >= len(ic.streams):
+        raise AVError(-22, f"-map {spec}: no such stream")
+    return [(ii, ic.streams[k])]
+
+
 def transcode(o: Options) -> int:
-    """reference: avconv.c:2770 transcode()"""
+    """reference: avconv.c:2770 transcode() — N inputs, M outputs with
+    -map stream selection (default: first video + first audio of
+    input 0)."""
     t0 = time.time()
     if not o.inputs:
         raise AVError(-22, "no input specified (-i)")
-    if o.output_url is None:
+    if not o.outputs:
         raise AVError(-22, "no output specified")
 
-    ic = FormatContext.open_input(
-        o.inputs[0]["url"],
-        o.inputs[0]["opts"].pop("format", None),
-        o.inputs[0]["opts"] or None)
+    ics = [FormatContext.open_input(
+        inp["url"], inp["opts"].pop("format", None), inp["opts"] or None)
+        for inp in o.inputs]
+    ic = ics[0]
 
     # fast input seek for -ss when the demuxer supports it (the frame-
     # accurate trim in the chains still drops anything before -ss)
@@ -363,57 +450,80 @@ def transcode(o: Options) -> int:
             ic.seek(st0.index,
                     int(o.start_time * st0.time_base.den
                         / max(st0.time_base.num, 1)))
-            # a successful demuxer seek already positioned the stream at
-            # -ss; the counter-clock fallback for pts-less frames must
-            # start at -ss, not 0, or it would trim a second time
             o.input_seeked = True
         except AVError:
             pass                 # demuxer without seeking: decode+drop
 
-    # stream selection: first video + first audio (reference:
-    # avconv_opt.c choose_output default mapping)
-    vin = next((s for s in ic.streams
-                if s.codecpar.codec_type == MediaType.VIDEO and not o.no_video), None)
-    ain = next((s for s in ic.streams
-                if s.codecpar.codec_type == MediaType.AUDIO and not o.no_audio), None)
-
-    oc = FormatContext.open_output(o.output_url, o.output_format)
-
-    chains = {}
-    if vin is not None:
-        chains[vin.index] = _VideoChain(vin, oc, o)
-    if ain is not None:
-        chains[ain.index] = _AudioChain(ain, oc, o)
-    if not chains:
-        raise AVError(-22, "no streams selected")
-
-    if o.filter_complex:
-        _setup_filter_complex(o, chains, vin)
+    ocs = []
+    consumers: Dict[tuple, list] = {}
+    all_chains = []
+    for g in o.outputs:
+        oc = FormatContext.open_output(g.url, g.format)
+        ocs.append(oc)
+        gv = _GroupView(o, g)
+        if g.maps:
+            sel = []
+            for m in g.maps:
+                sel.extend(_resolve_map(ics, m))
+        else:
+            # default mapping: first video + first audio of input 0
+            sel = []
+            vin = next((s for s in ic.streams
+                        if s.codecpar.codec_type == MediaType.VIDEO
+                        and not g.no_video), None)
+            ain = next((s for s in ic.streams
+                        if s.codecpar.codec_type == MediaType.AUDIO
+                        and not g.no_audio), None)
+            sel = [(0, s) for s in (vin, ain) if s is not None]
+        chains = {}
+        for ii, ist in sel:
+            t = ist.codecpar.codec_type
+            if t == MediaType.VIDEO and not g.no_video:
+                ch = _VideoChain(ist, oc, gv)
+            elif t == MediaType.AUDIO and not g.no_audio:
+                ch = _AudioChain(ist, oc, gv)
+            else:
+                continue
+            consumers.setdefault((ii, ist.index), []).append(ch)
+            chains[ist.index] = ch
+            all_chains.append((oc, ch))
+        if not chains:
+            raise AVError(-22, f"no streams selected for {g.url}")
+        if o.filter_complex and oc is ocs[0]:
+            vin0 = next((s for s in ic.streams
+                         if s.codecpar.codec_type == MediaType.VIDEO),
+                        None)
+            _setup_filter_complex(o, chains, vin0)
 
     packets_read = 0
     # input reader thread: demux/IO overlaps the decode pipeline
     # (reference: avconv.c:2386 input_thread)
     from libav_tpu.parallel.prefetch import PacketPrefetcher
-    pf = PacketPrefetcher(ic)
-    try:
-        for pkt in pf:
-            ch = chains.get(pkt.stream_index)
-            if ch is None:
-                continue
-            packets_read += 1
-            ch.send(pkt)
-            if ch.done:
-                # finished early (-t/-frames): unblock mux interleaving
-                oc.write_stream_eof(ch.ost.index)
-            if all(c.done for c in chains.values()):
-                break
-    finally:
-        pf.close()
-    for ch in chains.values():
+    for ii, icx in enumerate(ics):
+        if not any(k[0] == ii for k in consumers):
+            continue
+        pf = PacketPrefetcher(icx)
+        try:
+            for pkt in pf:
+                chs = consumers.get((ii, pkt.stream_index))
+                if not chs:
+                    continue
+                packets_read += 1
+                for ch in chs:
+                    ch.send(pkt)
+                    if ch.done:
+                        ch.oc.write_stream_eof(ch.ost.index)
+                if all(c.done for _, c in all_chains):
+                    break
+        finally:
+            pf.close()
+    for oc, ch in all_chains:
         ch.drain()
         oc.write_stream_eof(ch.ost.index)
-    oc.write_trailer()
-    ic.close()
+    for oc in ocs:
+        oc.write_trailer()
+    for icx in ics:
+        icx.close()
 
     # honest options: a globally-scoped encoder option that no encoder
     # in the job consumed is an error, not a silent no-op
@@ -429,7 +539,7 @@ def transcode(o: Options) -> int:
 
     if o.benchmark:
         dt = time.time() - t0
-        total = sum(c.frame_count for c in chains.values())
+        total = sum(c.frame_count for _, c in all_chains)
         sys.stderr.write(f"bench: utime={dt:.3f}s frames={total} "
                          f"fps={total/dt if dt else 0:.1f}\n")
     return 0

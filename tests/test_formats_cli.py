@@ -257,3 +257,65 @@ class TestTrim:
         assert parse_time("01:02") == 62.0
         assert parse_time("1:02:03.5") == 3723.5
         assert parse_time("-2") == -2.0
+
+
+class TestMapMultiOutput:
+    """-map stream selection + multiple output files (reference:
+    avconv_opt.c mapping semantics)."""
+
+    def test_two_outputs(self, tmp_path):
+        import os
+        from libav_tpu.tools import avconv
+        from fate_util import write_y4m
+        src = str(tmp_path / "s.y4m")
+        write_y4m(src, w=96, h=80, n=3)
+        o1 = str(tmp_path / "a.m1v")
+        o2 = str(tmp_path / "b.avi")
+        rc = avconv.main(["-y", "-i", src,
+                          "-c:v", "mpeg1video", "-f", "mpeg1video", o1,
+                          "-c:v", "mjpeg", "-q:v", "5", "-f", "avi", o2])
+        assert rc == 0
+        assert os.path.getsize(o1) > 0 and os.path.getsize(o2) > 0
+        from libav_tpu.formats.api import FormatContext
+        assert FormatContext.open_input(o1).streams[0].codecpar.codec_id \
+            == "mpeg1video"
+        assert FormatContext.open_input(o2).streams[0].codecpar.codec_id \
+            == "mjpeg"
+
+    def test_map_two_inputs(self, tmp_path):
+        from libav_tpu.tools import avconv
+        from fate_util import write_y4m, write_wav48
+        v = str(tmp_path / "v.y4m")
+        a = str(tmp_path / "a.wav")
+        write_y4m(v, w=96, h=80, n=3)
+        write_wav48(a, seconds=0.1)
+        out = str(tmp_path / "o.avi")
+        rc = avconv.main(["-y", "-i", v, "-i", a, "-map", "0:v",
+                          "-map", "1:a", "-c:v", "mjpeg", "-q:v", "5",
+                          "-c:a", "pcm_s16le", "-f", "avi", out])
+        assert rc == 0
+        from libav_tpu.formats.api import FormatContext
+        kinds = [s.codecpar.codec_type
+                 for s in FormatContext.open_input(out).streams]
+        assert kinds == ["video", "audio"]
+
+    def test_map_audio_only(self, tmp_path):
+        from libav_tpu.tools import avconv
+        from fate_util import write_wav48
+        a = str(tmp_path / "a.wav")
+        write_wav48(a, seconds=0.1)
+        out = str(tmp_path / "o.wav")
+        assert avconv.main(["-y", "-i", a, "-map", "0:a", "-f", "wav",
+                            out]) == 0
+
+    def test_unknown_encoder_option_errors(self, tmp_path):
+        """-trellis on an encoder without trellis must error, not
+        silently no-op (honest option surface)."""
+        from libav_tpu.tools import avconv
+        from fate_util import write_y4m
+        src = str(tmp_path / "s.y4m")
+        write_y4m(src, w=96, h=80, n=2)
+        out = str(tmp_path / "o.m1v")
+        rc = avconv.main(["-y", "-i", src, "-c:v", "mpeg1video",
+                          "-trellis", "2", "-f", "mpeg1video", out])
+        assert rc != 0
