@@ -54,14 +54,16 @@ class DPBEntry:
     POC, frame_num (for PicNum reordering/MMCO), padded planes, and the
     saved block motion for spatial-direct colocated lookups
     (h264_direct.c)."""
-    __slots__ = ("poc", "planes", "colref", "colmv", "frame_num")
+    __slots__ = ("poc", "planes", "colref", "colmv", "colpoc",
+                 "frame_num")
 
     def __init__(self, poc, planes, colref=None, colmv=None,
-                 frame_num=0):
+                 colpoc=None, frame_num=0):
         self.poc = poc
         self.planes = planes
         self.colref = colref
         self.colmv = colmv
+        self.colpoc = colpoc
         self.frame_num = frame_num
 
 
@@ -485,11 +487,11 @@ class H264Decoder(Decoder):
         num_ref_l1 = pps.num_ref_idx_l1_active
         if slice_type == SLICE_B:
             self._direct_spatial = bool(gb.get_bits(1))
-            if not self._direct_spatial:
-                # silent wrong motion is worse than a hard stop
-                # (h264_direct.c pred_temp_direct_motion not implemented)
-                raise AVError(INVALIDDATA,
-                              "temporal direct not supported")
+            if not self._direct_spatial and \
+                    not getattr(self, "_force_python", False):
+                # temporal direct is implemented in the Python layer
+                # only: reroute the whole AU off the native C path
+                raise _NativeUnsupported()
         if slice_type in (SLICE_P, SLICE_B):
             if gb.get_bits(1):                   # num_ref_idx_override
                 num_ref_l0 = gb.get_ue_golomb() + 1
@@ -586,6 +588,19 @@ class H264Decoder(Decoder):
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
         fd.list0, fd.list1 = self._cur_lists
+        fd.tdirect = None
+        if slice_type == SLICE_B and \
+                not getattr(self, "_direct_spatial", True) and \
+                fd.list1:
+            e1 = fd.list1[0]
+            fd.col_poc = e1.poc
+            fd.t8_params = (int(pps.transform_8x8_mode),
+                            int(sps.direct_8x8_inference))
+            fd.tdirect = (poc if poc is not None else 0,
+                          tuple(e.poc for e in fd.list0),
+                          e1.colref, e1.colmv,
+                          e1.colpoc if e1.colpoc is not None else
+                          np.zeros_like(e1.colref, np.int32))
         if not hasattr(fd, "slice_starts"):
             fd.slice_starts = []
         fd.slice_starts.append(first_mb)
@@ -1311,9 +1326,20 @@ class H264Decoder(Decoder):
         return w0
 
     def _col_motion(self, fd):
-        """Merged (refIdxCol, mvCol) grids saved with reference frames
-        for spatial-direct colZeroFlag (spec 8.4.1.2.2: list0 motion if
-        used, else list1, else no-ref)."""
+        """Merged (refIdxCol, mvCol, refPocCol) grids saved with
+        reference frames for direct prediction (spec 8.4.1.2.2
+        colZeroFlag; 8.4.1.2.3 needs the POC of the picture each
+        colocated block referenced for DistScaleFactor)."""
+        l0pocs = np.array([e.poc for e in (fd.list0 or [])] + [0],
+                          np.int32)
+        l1pocs = np.array([e.poc for e in (fd.list1 or [])] + [0],
+                          np.int32)
+
+        def pocs_of(pocs, ref):
+            return np.where(
+                ref >= 0,
+                pocs[np.clip(ref, 0, len(pocs) - 1)], 0).astype(np.int32)
+
         g = fd.grids
         if g is None or not np.any(g.slice_id >= 0):
             sps = self.active_sps
@@ -1324,14 +1350,16 @@ class H264Decoder(Decoder):
             colref = np.repeat(np.repeat(ref, 4, 0), 4, 1)
             colmv = np.repeat(np.repeat(
                 fd.mv.reshape(mbh, mbw, 2), 4, 0), 4, 1).astype(np.int16)
-            return colref, colmv
+            return colref, colmv, pocs_of(l0pocs, colref)
         use0 = g.bref[0] >= 0
         colref = np.where(use0, g.bref[0],
                           np.where(g.bref[1] >= 0, g.bref[1],
                                    -1)).astype(np.int8)
         colmv = np.where(use0[..., None], g.bmv[0],
                          g.bmv[1]).astype(np.int16)
-        return colref, colmv
+        colpoc = np.where(use0, pocs_of(l0pocs, g.bref[0]),
+                          pocs_of(l1pocs, g.bref[1]))
+        return colref, colmv, colpoc
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps, deblock, ab_offset, weights, pps = fd.recon_ctx

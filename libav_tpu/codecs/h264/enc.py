@@ -1109,6 +1109,9 @@ class H264Encoder(Encoder):
         Option("cqpo", "chroma_qp_index_offset", "int", 0, -12, 12),
         Option("cqpo2", "second_chroma_qp_index_offset (-99 = same as "
                "cqpo)", "int", -99, -99, 12),
+        Option("direct", "B direct prediction mode signalled in slice "
+               "headers: spatial or temporal (8.4.1.2.3)", "string",
+               "spatial"),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1148,6 +1151,8 @@ class H264Encoder(Encoder):
             raise AVError(EINVAL, "h264: dct8x8 with parts=all not "
                                   "supported (sub-8x8 partitions forbid "
                                   "the 8x8 transform)")
+        if self.direct not in ("spatial", "temporal"):
+            raise AVError(EINVAL, f"h264: bad direct {self.direct}")
         if self.scmatrix not in ("off", "default"):
             raise AVError(EINVAL, f"h264: bad scmatrix {self.scmatrix}")
         if self.t8 or self.scmatrix != "off":
@@ -1402,7 +1407,8 @@ class H264Encoder(Encoder):
             pb.put_bits(self.sps.log2_max_poc_lsb,
                         self._poc % (1 << self.sps.log2_max_poc_lsb))
         if slice_type == SLICE_B:
-            pb.put_bits(1, 1)                    # direct_spatial_mv_pred
+            # direct_spatial_mv_pred_flag (0 = temporal, 8.4.1.2.3)
+            pb.put_bits(1, 0 if self.direct == "temporal" else 1)
         if slice_type in (SLICE_P, SLICE_B):
             if nrefs > 1:
                 pb.put_bits(1, 1)                # num_ref_idx_override

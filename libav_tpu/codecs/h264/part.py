@@ -258,11 +258,70 @@ def pred_spatial_direct(g: MotionGrids, mb_x: int, mb_y: int,
 #   motion(lst, bx, by, pred)               -> (mv, mvd)
 # --------------------------------------------------------------------- #
 
+def temporal_direct_mb_motion(fd, mb_x: int, mb_y: int, cur_slice: int,
+                              quads=None):
+    """Temporal direct prediction (spec 8.4.1.2.3; reference
+    h264_direct.c pred_temp_direct_motion): per 8x8 quadrant (the
+    direct_8x8_inference corner sampling), scale the colocated list-0
+    motion by the POC distance ratio. fd.tdirect = (cur_poc, l0pocs,
+    colref, colmv, colpoc) where colpoc holds the POC of the picture
+    each colocated block referenced (sentinel None entries handled as
+    intra)."""
+    g = fd.grids
+    cur_poc, l0pocs, cref, cmv, cpoc = fd.tdirect
+    poc_of_idx = {}
+    for k, p in enumerate(l0pocs):
+        poc_of_idx.setdefault(p, k)
+    bx0, by0 = 4 * mb_x, 4 * mb_y
+    # direct_8x8_inference: corner block per quadrant (spec 8.4.1.2.2);
+    # when 0 every 4x4 samples its own colocated block
+    inference = bool(getattr(fd, "t8_params", (0, 1))[1])
+    corner = {0: (0, 0), 1: (3, 0), 2: (0, 3), 3: (3, 3)}
+
+    def derive(ccx, ccy):
+        r = int(cref[by0 + ccy, bx0 + ccx]) if cref is not None else -1
+        if r < 0:                       # colocated intra/unavailable
+            return 0, (0, 0), (0, 0)
+        mvc = (int(cmv[by0 + ccy, bx0 + ccx, 0]),
+               int(cmv[by0 + ccy, bx0 + ccx, 1]))
+        colpoc = int(cpoc[by0 + ccy, bx0 + ccx])
+        ref0 = poc_of_idx.get(colpoc, 0)
+        poc0 = l0pocs[ref0] if ref0 < len(l0pocs) else colpoc
+        poc1 = fd.col_poc              # the colocated picture itself
+        td = min(127, max(-128, poc1 - poc0))
+        if td == 0:
+            return ref0, mvc, (0, 0)
+        tb = min(127, max(-128, cur_poc - poc0))
+        num = 16384 + (abs(td) >> 1)
+        tx = num // td if td > 0 else -(num // -td)
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+        mv0 = (((dsf * mvc[0] + 128) >> 8),
+               ((dsf * mvc[1] + 128) >> 8))
+        return ref0, mv0, (mv0[0] - mvc[0], mv0[1] - mvc[1])
+
+    for q in (range(4) if quads is None else quads):
+        qx, qy = 2 * (q & 1), 2 * (q >> 1)
+        qd = derive(*corner[q]) if inference else None
+        for dy in range(2):
+            for dx in range(2):
+                lx, ly = qx + dx, qy + dy
+                ref0, mv0, mv1 = qd if qd is not None else derive(lx, ly)
+                g.set_part(0, bx0 + lx, by0 + ly, 1, 1, ref0, mv0,
+                           (0, 0), direct=True)
+                g.set_part(1, bx0 + lx, by0 + ly, 1, 1, 0, mv1,
+                           (0, 0), direct=True)
+        g.bdirect[by0 + qy:by0 + qy + 2, bx0 + qx:bx0 + qx + 2] = True
+    g.any_part = True
+
+
 def direct_mb_motion(fd, mb_x: int, mb_y: int, cur_slice: int, col,
                      quads=None):
-    """Apply spatial direct prediction (8.4.1.2.2) to the whole MB or to
-    the listed 8x8 quadrants (reference: h264_direct.c
-    pred_spatial_direct_motion)."""
+    """Apply direct prediction to the whole MB or the listed quadrants:
+    spatial (8.4.1.2.2) by default, temporal (8.4.1.2.3) when the slice
+    header cleared direct_spatial_mv_pred_flag (fd.tdirect set)."""
+    if getattr(fd, "tdirect", None) is not None:
+        return temporal_direct_mb_motion(fd, mb_x, mb_y, cur_slice,
+                                         quads)
     g = fd.grids
     ref0, ref1, mv0, mv1, col_zero = pred_spatial_direct(
         g, mb_x, mb_y, cur_slice, col)

@@ -156,6 +156,16 @@ class TestEncodeParity:
                           "-parts", "all"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-parts", "all", "-entropy", "cabac"]),
+        # temporal direct (direct_spatial_mv_pred_flag=0, 8.4.1.2.3:
+        # POC-distance DistScaleFactor scaling of colocated motion)
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-direct", "temporal"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
+                          "-parts", "all", "-direct", "temporal",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "6", "-qp", "26", "-bf", "2",
+                          "-direct", "temporal", "-deblock", "1",
+                          "-entropy", "cabac", "-slices", "2"]),
         # block-granular two-list deblock bS
         ("h264", "h264", ["-g", "6", "-qp", "26", "-parts", "all",
                           "-deblock", "1"]),
