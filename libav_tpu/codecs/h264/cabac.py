@@ -97,6 +97,18 @@ class CabacDecoder:
     def bytes_consumed(self) -> int:
         return (self.pos + 7) >> 3
 
+    def read_pcm(self, n: int) -> bytes:
+        """I_PCM raw samples: byte-align past the terminate bin, read n
+        bytes, re-initialise the arithmetic engine (spec 9.3.1.2 — the
+        context states persist; reference h264_cabac.c:2030
+        ff_init_cabac_decoder after intra_pcm_ptr)."""
+        byte = self.bytes_consumed()
+        out = bytes(self.data[byte:byte + n])
+        self.pos = 8 * (byte + n)
+        self.range = 510
+        self.offset = self._bits(9)
+        return out
+
 
 class CabacEncoder:
     """Arithmetic encoding engine (spec 9.3.4), writing into a PutBits."""
@@ -179,6 +191,17 @@ class CabacEncoder:
         self._renorm()
         self._put((self.low >> 9) & 1)
         self.pb.put_bits(2, ((self.low >> 7) & 3) | 1)
+
+    def write_pcm(self, data: bytes):
+        """After terminate(1): pcm_alignment_zero_bit(s), the raw
+        samples, then a fresh arithmetic engine (contexts persist)."""
+        self.pb.align(0)
+        for b in data:
+            self.pb.put_bits(8, b)
+        self.low = 0
+        self.range = 510
+        self.bo = 0
+        self.first = True
 
 
 # --------------------------------------------------------------------- #
@@ -452,9 +475,12 @@ class CabacMbLayer:
             off = (base + 1, base + 2, base + 2, base + 3, base + 3)
         if not b0:
             return (0, 0, 0, 0) if not self.enc else value
-        pcm = eng.terminate(self._v(0))
+        pcm = eng.terminate(self._v(
+            None if value is None else (1 if value[0] == 2 else 0)))
         if pcm:
-            raise AVError(INVALIDDATA, "I_PCM not supported")
+            # I_PCM: caller reads/writes the raw samples via
+            # pcm_samples() (reference h264_cabac.c:1316)
+            return (2, 0, 0, 0) if not self.enc else value
         if self.enc:
             _, cbp_l, cbp_c, mode = value
             eng.decision(off[0], 1 if cbp_l else 0)
@@ -748,6 +774,26 @@ class CabacMbLayer:
 
     def end_of_slice(self, value=None) -> int:
         return self.eng.terminate(self._v(value))
+
+    def pcm_samples(self, i: int, value=None) -> bytes:
+        """I_PCM raw sample transport + the reference's bookkeeping for
+        every context the MB participates in afterwards
+        (h264_cabac.c:2045-2052: cbp 0xf7ef, chroma_pred_mode 0,
+        qscale 0, nnz 16, last_qscale_diff 0)."""
+        c = self.ctx
+        c.intra[i] = True
+        c.intra16[i] = True                # counts as non-I_NxN (1304)
+        c.cbp[i] = 0x1EF       # luma 0xf, chroma 2, Y/Cb/Cr DC coded
+        c.chroma_mode[i] = 0
+        mb_x, mb_y = i % c.mb_w, i // c.mb_w
+        c.nnz_y[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 16
+        c.nnz_u[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 16
+        c.nnz_v[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 16
+        self.last_dqp = 0
+        if self.enc:
+            self.eng.write_pcm(value)
+            return value
+        return self.eng.read_pcm(384)
 
     def transform_size_8x8(self, i: int, value=None) -> int:
         """transform_size_8x8_flag (spec 9.3.3.1.1.10, ctxIdxOffset 399:

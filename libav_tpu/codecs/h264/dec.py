@@ -567,6 +567,7 @@ class H264Decoder(Decoder):
                     fd.grids.reset()
                 fd.nslices = 0
                 fd.slice_starts = []
+                fd.ipcm = None
             else:
                 from libav_tpu.native import h264_cabac_host as _CN
                 light = bool(pps.entropy_coding_mode) and \
@@ -893,6 +894,12 @@ class H264Decoder(Decoder):
             kind, cbp_l, cbp_c, mode = layer.mb_type_intra(i)
             fd.intra[i] = True
             fd.grids.set_intra(mb_x, mb_y)
+            if kind == 2:                          # I_PCM
+                raw = layer.pcm_samples(i)
+                if len(raw) < 384:
+                    raise AVError(INVALIDDATA, "truncated I_PCM samples")
+                self._ipcm_mb(fd, i, mb_x, mb_y, raw)
+                return cur_qp
             if kind == 0:                          # I_NxN
                 fd.i4[i] = True
                 grid = fd.i4_grid
@@ -1045,6 +1052,37 @@ class H264Decoder(Decoder):
         fd.coded[i] = True
         fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
 
+    def _ipcm_mb(self, fd, i, mb_x, mb_y, data: bytes):
+        """I_PCM bookkeeping shared by the CAVLC and CABAC paths
+        (reference h264_cabac.c:2045-2052: all-coded cbp, qscale 0 for
+        the loop filter, nnz 16 everywhere, chroma mode 0). The raw
+        samples overlay the MB inside the device wavefront."""
+        nmb = fd.intra.shape[0]
+        if getattr(fd, "ipcm", None) is None:
+            fd.ipcm = np.zeros(nmb, bool)
+            fd.ipcm_y = np.zeros((nmb, 16, 16), np.uint8)
+            fd.ipcm_u = np.zeros((nmb, 8, 8), np.uint8)
+            fd.ipcm_v = np.zeros((nmb, 8, 8), np.uint8)
+        a = np.frombuffer(data, np.uint8)
+        fd.ipcm[i] = True
+        fd.ipcm_y[i] = a[:256].reshape(16, 16)
+        fd.ipcm_u[i] = a[256:320].reshape(8, 8)
+        fd.ipcm_v[i] = a[320:384].reshape(8, 8)
+        fd.intra[i] = True
+        fd.grids.set_intra(mb_x, mb_y)
+        fd.luma_mode[i] = 2
+        fd.chroma_mode[i] = 0
+        fd.qp[i] = 0                    # deblock quantiser (spec 8.7)
+        fd.luma_dc[i] = 0
+        fd.luma_ac[i] = 0
+        fd.chroma_dc[i] = 0
+        fd.chroma_ac[i] = 0
+        fd.i4_grid[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 2
+        fd.nnz_y[4 * mb_y:4 * mb_y + 4, 4 * mb_x:4 * mb_x + 4] = 16
+        fd.nnz_u[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 16
+        fd.nnz_v[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 16
+        fd.coded[i] = True
+
     def _decode_mbs(self, gb, fd: FrameData, sps, first_mb, slice_type,
                     qp, num_ref_l0, num_ref_l1=0, cur_slice=0):
         mb_w = sps.mb_width
@@ -1094,8 +1132,15 @@ class H264Decoder(Decoder):
             mb_type -= 5
         if mb_type == 0:
             return self._decode_i4x4(gb, fd, i, mb_x, mb_y, qp)
-        if mb_type == 25:
-            raise AVError(INVALIDDATA, "I_PCM not supported")
+        if mb_type == 25:                    # I_PCM (spec 7.3.5)
+            gb.align()                       # pcm_alignment_zero_bit
+            start = gb.pos >> 3
+            raw = bytes(gb.data[start:start + 384])
+            if len(raw) < 384:
+                raise AVError(INVALIDDATA, "truncated I_PCM samples")
+            gb.pos += 384 * 8
+            self._ipcm_mb(fd, i, mb_x, mb_y, raw)
+            return qp
         m = mb_type - 1
         pred_mode = m % 4
         cbp_chroma = (m // 4) % 3
@@ -1483,6 +1528,8 @@ class H264Decoder(Decoder):
         any_t8 = bool(t8arr is not None and np.any(t8arr))
         any_i8 = bool(any_t8 and np.any(np.asarray(fd.i4, bool)
                                         & np.asarray(t8arr, bool)))
+        ipcm = getattr(fd, "ipcm", None)
+        any_ipcm = bool(ipcm is not None and np.any(ipcm))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
@@ -1496,8 +1543,13 @@ class H264Decoder(Decoder):
                                        ("e", weights[0], weights[1])
                                        if weights is not None else None),
                                    wmat=wmat, cqpo=cqpo, any_t8=any_t8,
-                                   any_i8=any_i8)
+                                   any_i8=any_i8, any_ipcm=any_ipcm)
         kw = {}
+        if any_ipcm:
+            kw["ipcm"] = ipcm.astype(bool)
+            kw["ipcm_y"] = fd.ipcm_y
+            kw["ipcm_u"] = fd.ipcm_u
+            kw["ipcm_v"] = fd.ipcm_v
         if any_t8:
             kw["t8"] = np.asarray(t8arr).astype(bool)
         if deblock:

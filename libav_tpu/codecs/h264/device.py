@@ -69,7 +69,7 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    bpred: bool = False, part: bool = False,
                    nrefs1: int = 1, weighted=None, wmat=None,
                    cqpo=(0, 0), any_t8: bool = False,
-                   any_i8: bool = False):
+                   any_i8: bool = False, any_ipcm: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -273,7 +273,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
            ry, ru, rv, ref_idx=None, i4=None, i4_modes=None,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
-           wtab0=None, wtab1=None, w0tab=None, row_top=None, t8=None):
+           wtab0=None, wtab1=None, w0tab=None, row_top=None, t8=None,
+           ipcm=None, ipcm_y=None, ipcm_u=None, ipcm_v=None):
         # multi-reference stacks arrive as tuples of planes and are
         # stacked INSIDE the program: one dispatch per frame instead of
         # one eager stack op per plane (the axon tunnel makes every
@@ -548,6 +549,15 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                 else:
                     oy = jnp.where(is_i4, patch[:, 1:17, 1:17], oy)
 
+            if any_ipcm:
+                # I_PCM overlay (spec 8.3.5): the raw samples replace
+                # the whole MB inside the wavefront, so later intra
+                # neighbors read them from the frame buffer
+                pm = ipcm[idx][:, None, None]
+                oy = jnp.where(pm, ipcm_y[idx].astype(jnp.int32), oy)
+                ou = jnp.where(pm, ipcm_u[idx].astype(jnp.int32), ou)
+                ov = jnp.where(pm, ipcm_v[idx].astype(jnp.int32), ov)
+
             fy = fy.at[y0[:, None, None] + r16[None, :, None],
                        x0[:, None, None] + r16[None, None, :]].set(oy)
             fu = fu.at[cy0[:, None, None] + r8[None, :, None],
@@ -591,7 +601,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           bpred: bool = False, part: bool = False,
                           nrefs1: int = 1, weighted=None, wmat=None,
                           cqpo=(0, 0), any_t8: bool = False,
-                          any_i8: bool = False):
+                          any_i8: bool = False, any_ipcm: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -604,7 +614,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     nmb = mb_w * mb_h
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
                               part, nrefs1, weighted, wmat, cqpo, any_t8,
-                              any_i8)
+                              any_i8, any_ipcm)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
@@ -612,7 +622,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
            pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None,
-           row_top=None, t8=None):
+           row_top=None, t8=None, ipcm=None, ipcm_y=None, ipcm_u=None,
+           ipcm_v=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -625,7 +636,9 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   bmv0=bmv0, bref0=bref0, bsel=bsel,
                                   bmv1=bmv1, bref1=bref1, wtab0=wtab0,
                                   wtab1=wtab1, w0tab=w0tab,
-                                  row_top=row_top, t8=t8)
+                                  row_top=row_top, t8=t8, ipcm=ipcm,
+                                  ipcm_y=ipcm_y, ipcm_u=ipcm_u,
+                                  ipcm_v=ipcm_v)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
@@ -668,7 +681,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 @functools.lru_cache(maxsize=16)
 def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                            any_i4: bool = False, any_t8: bool = False,
-                           any_i8: bool = False):
+                           any_i8: bool = False, any_ipcm: bool = False):
     """Dense-input recon + in-loop deblocking (the encoder's closed-loop
     reference path when deblocking is enabled; the decoder uses the
     sparse variant with deblock=True)."""
@@ -677,14 +690,17 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
     from libav_tpu.ops.mc import EDGE
 
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, 1, any_i4,
-                              any_t8=any_t8, any_i8=any_i8)
+                              any_t8=any_t8, any_i8=any_i8,
+                              any_ipcm=any_ipcm)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc, luma_ac,
            chroma_dc, chroma_ac, nnz, ry, ru, rv, i4=None, i4_modes=None,
-           t8=None):
+           t8=None, ipcm=None, ipcm_y=None, ipcm_u=None, ipcm_v=None):
         planes, _ = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                              luma_dc, luma_ac, chroma_dc, chroma_ac,
-                             ry, ru, rv, i4=i4, i4_modes=i4_modes, t8=t8)
+                             ry, ru, rv, i4=i4, i4_modes=i4_modes, t8=t8,
+                             ipcm=ipcm, ipcm_y=ipcm_y, ipcm_u=ipcm_u,
+                             ipcm_v=ipcm_v)
         from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
         kw = {"t8": t8} if any_t8 else {}
         yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h,

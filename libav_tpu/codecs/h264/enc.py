@@ -1112,6 +1112,9 @@ class H264Encoder(Encoder):
         Option("direct", "B direct prediction mode signalled in slice "
                "headers: spatial or temporal (8.4.1.2.3)", "string",
                "spatial"),
+        Option("ipcm", "emit every Nth I-frame MB as I_PCM carrying its "
+               "own reconstruction (0 = off) — conformance stress for "
+               "raw-sample macroblocks", "int", 0, 0, 16),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1153,6 +1156,9 @@ class H264Encoder(Encoder):
                                   "the 8x8 transform)")
         if self.direct not in ("spatial", "temporal"):
             raise AVError(EINVAL, f"h264: bad direct {self.direct}")
+        if self.ipcm and (self.i4x4 or self.i8x8):
+            raise AVError(EINVAL, "h264: ipcm stress requires the "
+                                  "I_16x16 intra path (no -i4x4/-i8x8)")
         if self.scmatrix not in ("off", "default"):
             raise AVError(EINVAL, f"h264: bad scmatrix {self.scmatrix}")
         if self.t8 or self.scmatrix != "off":
@@ -1330,9 +1336,14 @@ class H264Encoder(Encoder):
         t8a = np.asarray(fd.transform8, bool)
         any_t8 = bool(np.any(t8a))
         any_i8 = bool(np.any(np.asarray(fd.i4, bool) & t8a))
-        t8kw = dict(any_t8=any_t8, any_i8=any_i8)
+        ipcm = getattr(fd, "ipcm", None)
+        any_ipcm = bool(ipcm is not None and np.any(ipcm))
+        t8kw = dict(any_t8=any_t8, any_i8=any_i8, any_ipcm=any_ipcm)
         if any_t8:
             i4kw["t8"] = t8a
+        if any_ipcm:
+            i4kw.update(ipcm=ipcm.astype(bool), ipcm_y=fd.ipcm_y,
+                        ipcm_u=fd.ipcm_u, ipcm_v=fd.ipcm_v)
         multi = bool(np.any(fd.ref_idx > 0))
         if multi:
             import jax.numpy as jnp
@@ -1546,6 +1557,26 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
+        if self.ipcm:
+            # every Nth MB becomes I_PCM carrying its OWN pre-deblock
+            # reconstruction: the decoded pixels equal the coded ones,
+            # so neighbor intra prediction stays closed-loop while the
+            # raw-sample transport + engine re-init get exercised
+            pmask = (np.arange(nmb) % self.ipcm) == (self.ipcm - 1)
+            ry, ru, rv = [np.asarray(p) for p in recon]
+            fd.ipcm = pmask
+            fd.ipcm_y = (ry.reshape(self.mb_h, 16, self.mb_w, 16)
+                         .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+            fd.ipcm_u = (ru.reshape(self.mb_h, 8, self.mb_w, 8)
+                         .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+            fd.ipcm_v = (rv.reshape(self.mb_h, 8, self.mb_w, 8)
+                         .transpose(0, 2, 1, 3).reshape(nmb, 8, 8))
+            fd.luma_dc[pmask] = 0
+            fd.luma_ac[pmask] = 0
+            fd.chroma_dc[pmask] = 0
+            fd.chroma_ac[pmask] = 0
+            fd.qp[pmask] = 0             # deblock quantiser (spec 8.7)
+
         out = bytearray()
         out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
         out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
@@ -1697,6 +1728,11 @@ class H264Encoder(Encoder):
                                  nal_mod.NAL_SLICE, ref_idc=0)
 
     # ------------------------------------------------------------------ #
+
+    def _ipcm_payload(self, fd, i) -> bytes:
+        return (bytes(fd.ipcm_y[i].astype(np.uint8).ravel()) +
+                bytes(fd.ipcm_u[i].astype(np.uint8).ravel()) +
+                bytes(fd.ipcm_v[i].astype(np.uint8).ravel()))
 
     def _pack_mbs_cabac(self, pb: PutBits, fd: FrameData, slice_type: int,
                         nrefs: int = 1, first_mb: int = 0, end_mb=None,
@@ -1926,6 +1962,17 @@ class H264Encoder(Encoder):
                     luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
             else:
+                if getattr(fd, "ipcm", None) is not None and fd.ipcm[i]:
+                    mc.slice_id[i] = cur_slice
+                    fd.grids.slice_id[i] = cur_slice
+                    fd.grids.set_intra(mb_x, mb_y)
+                    i4_grid[4 * mb_y:4 * mb_y + 4,
+                            4 * mb_x:4 * mb_x + 4] = 2
+                    layer.mb_type_intra(i, (2, 0, 0, 0))
+                    layer.pcm_samples(i, self._ipcm_payload(fd, i))
+                    fd.coded[i] = True
+                    layer.end_of_slice(0 if i < end_mb - 1 else 1)
+                    continue
                 cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
                 has_cac = np.any(fd.chroma_ac[i])
                 has_cdc = np.any(fd.chroma_dc[i])
@@ -2036,6 +2083,19 @@ class H264Encoder(Encoder):
                 self._pack_residual_inter(pb, fd, i, mb_x, mb_y, cbp_luma,
                                           cbp_chroma, nnz_y, nnz_u, nnz_v)
             else:
+                if getattr(fd, "ipcm", None) is not None and fd.ipcm[i]:
+                    pb.put_ue_golomb(25)         # I_PCM (Table 7-11)
+                    pb.align(0)                  # pcm_alignment_zero_bit
+                    for byt in self._ipcm_payload(fd, i):
+                        pb.put_bits(8, byt)
+                    nnz_y[4 * mb_y:4 * mb_y + 4,
+                          4 * mb_x:4 * mb_x + 4] = 16
+                    nnz_u[2 * mb_y:2 * mb_y + 2,
+                          2 * mb_x:2 * mb_x + 2] = 16
+                    nnz_v[2 * mb_y:2 * mb_y + 2,
+                          2 * mb_x:2 * mb_x + 2] = 16
+                    fd.coded[i] = True
+                    continue
                 # I_16x16: mb_type from pred mode/cbp
                 cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
                 has_cac = np.any(fd.chroma_ac[i])

@@ -156,6 +156,15 @@ class TestEncodeParity:
                           "-parts", "all"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-parts", "all", "-entropy", "cabac"]),
+        # I_PCM raw-sample MBs (7.3.5: alignment + 384 bytes; CABAC:
+        # terminate bin + engine re-init, neighbor ctx bookkeeping)
+        ("h264", "h264", ["-g", "3", "-qp", "26", "-ipcm", "5"]),
+        ("h264", "h264", ["-g", "3", "-qp", "26", "-ipcm", "5",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "3", "-qp", "28", "-ipcm", "3",
+                          "-deblock", "1", "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "1", "-qp", "26", "-ipcm", "4",
+                          "-entropy", "cabac", "-slices", "2"]),
         # temporal direct (direct_spatial_mv_pred_flag=0, 8.4.1.2.3:
         # POC-distance DistScaleFactor scaling of colocated motion)
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
