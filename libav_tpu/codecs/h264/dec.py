@@ -461,9 +461,46 @@ class H264Decoder(Decoder):
             else:
                 msb = prev_msb
             poc = msb + poc_lsb
+            if pps.pic_order_present:
+                dbot = gb.get_se_golomb()  # delta_pic_order_cnt_bottom
+                if dbot < 0:
+                    poc += dbot            # PicOrderCnt = Min(tf, bf)
             if ref_idc:
                 self._poc_state = (msb, poc_lsb)
             self._reorder = True
+        else:
+            # FrameNumOffset with frame_num wrap (8.2.1.2 / 8.2.1.3)
+            max_fn = 1 << sps.log2_max_frame_num
+            if idr:
+                fno = 0
+            else:
+                pfn, pfno = getattr(self, "_fno_state", (0, 0))
+                fno = pfno + max_fn if frame_num < pfn else pfno
+            self._fno_state = (frame_num, fno)
+            if sps.poc_type == 1:
+                d0 = d1 = 0
+                if not sps.delta_pic_order_always_zero:
+                    d0 = gb.get_se_golomb()
+                    if pps.pic_order_present:
+                        d1 = gb.get_se_golomb()
+                offs = sps.offset_for_ref_frame
+                ncyc = len(offs)
+                abs_fn = (fno + frame_num) if ncyc else 0
+                if ref_idc == 0 and abs_fn > 0:
+                    abs_fn -= 1
+                expected = 0
+                if abs_fn > 0:
+                    cyc, in_cyc = divmod(abs_fn - 1, ncyc)
+                    expected = cyc * sum(offs) + sum(offs[:in_cyc + 1])
+                if ref_idc == 0:
+                    expected += sps.offset_for_non_ref_pic
+                tf = expected + d0
+                bf = tf + sps.offset_for_top_to_bottom + d1
+                poc = min(tf, bf)
+                self._reorder = True
+            else:                          # poc_type 2 (8.2.1.3)
+                poc = 2 * (fno + frame_num) - (0 if ref_idc else 1)
+                self._reorder = False
         # default reference picture lists (spec 8.2.4.2): P list0 in
         # decode order (sliding-window DPB order); B list0 = past by POC
         # descending then future ascending, list1 mirrored

@@ -1115,6 +1115,10 @@ class H264Encoder(Encoder):
         Option("ipcm", "emit every Nth I-frame MB as I_PCM carrying its "
                "own reconstruction (0 = off) — conformance stress for "
                "raw-sample macroblocks", "int", 0, 0, 16),
+        Option("poc", "pic_order_cnt_type in the SPS: -1 auto (0 with "
+               "B frames, 2 otherwise), 0 lsb-coded, 1 ref-frame offset "
+               "cycle (8.2.1.2), 2 decode-order (P-only)", "int",
+               -1, -1, 2),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1189,6 +1193,20 @@ class H264Encoder(Encoder):
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
+        if self.poc in (1, 2) and self.b_frames:
+            raise AVError(EINVAL, "h264: poc_type 1/2 requires decode "
+                                  "order == display order (no -bf)")
+        if self.poc == 0:
+            self.sps.poc_type = 0
+            self.sps.log2_max_poc_lsb = 8
+        elif self.poc == 1:
+            # one-entry ref cycle of +2: expectedPicOrderCnt == 2*n for
+            # the P-only chain, slice deltas emitted as 0 (8.2.1.2)
+            self.sps.poc_type = 1
+            self.sps.delta_pic_order_always_zero = 0
+            self.sps.offset_for_ref_frame = (2,)
+        elif self.poc == 2:
+            self.sps.poc_type = 2
         if self.b_frames:
             if self.refs > 1:
                 raise AVError(EINVAL, "h264: b_frames with refs>1 "
@@ -1417,6 +1435,9 @@ class H264Encoder(Encoder):
         if self.sps.poc_type == 0:
             pb.put_bits(self.sps.log2_max_poc_lsb,
                         self._poc % (1 << self.sps.log2_max_poc_lsb))
+        elif self.sps.poc_type == 1 and \
+                not self.sps.delta_pic_order_always_zero:
+            pb.put_se_golomb(0)          # delta_pic_order_cnt[0]
         if slice_type == SLICE_B:
             # direct_spatial_mv_pred_flag (0 = temporal, 8.4.1.2.3)
             pb.put_bits(1, 0 if self.direct == "temporal" else 1)

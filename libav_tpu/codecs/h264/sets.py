@@ -111,6 +111,11 @@ class SPS:
     log2_max_frame_num: int = 8
     poc_type: int = 2
     log2_max_poc_lsb: int = 8
+    # poc_type 1 parameters (spec 7.4.2.1 / 8.2.1.2)
+    delta_pic_order_always_zero: int = 0
+    offset_for_non_ref_pic: int = 0
+    offset_for_top_to_bottom: int = 0
+    offset_for_ref_frame: tuple = ()
     max_num_ref_frames: int = 1
     mb_width: int = 0
     mb_height: int = 0
@@ -134,6 +139,7 @@ class PPS:
     pps_id: int = 0
     sps_id: int = 0
     entropy_coding_mode: int = 0   # 0 = CAVLC
+    pic_order_present: int = 0     # bottom_field_pic_order_in_frame
     pic_init_qp: int = 26
     chroma_qp_index_offset: int = 0
     deblocking_filter_control_present: int = 1
@@ -172,11 +178,11 @@ def parse_sps(rbsp: bytes) -> SPS:
     if s.poc_type == 0:
         s.log2_max_poc_lsb = gb.get_ue_golomb() + 4
     elif s.poc_type == 1:
-        gb.get_bits(1)
-        gb.get_se_golomb()
-        gb.get_se_golomb()
-        for _ in range(gb.get_ue_golomb()):
-            gb.get_se_golomb()
+        s.delta_pic_order_always_zero = gb.get_bits(1)
+        s.offset_for_non_ref_pic = gb.get_se_golomb()
+        s.offset_for_top_to_bottom = gb.get_se_golomb()
+        s.offset_for_ref_frame = tuple(
+            gb.get_se_golomb() for _ in range(gb.get_ue_golomb()))
     s.max_num_ref_frames = gb.get_ue_golomb()
     gb.get_bits(1)   # gaps_in_frame_num_allowed
     s.mb_width = gb.get_ue_golomb() + 1
@@ -231,6 +237,13 @@ def write_sps(s: SPS) -> bytes:
     pb.put_ue_golomb(s.poc_type)
     if s.poc_type == 0:
         pb.put_ue_golomb(s.log2_max_poc_lsb - 4)
+    elif s.poc_type == 1:
+        pb.put_bits(1, s.delta_pic_order_always_zero)
+        pb.put_se_golomb(s.offset_for_non_ref_pic)
+        pb.put_se_golomb(s.offset_for_top_to_bottom)
+        pb.put_ue_golomb(len(s.offset_for_ref_frame))
+        for o in s.offset_for_ref_frame:
+            pb.put_se_golomb(o)
     pb.put_ue_golomb(s.max_num_ref_frames)
     pb.put_bits(1, 0)
     pb.put_ue_golomb(s.mb_width - 1)
@@ -257,8 +270,7 @@ def parse_pps(rbsp: bytes, sps_map=None) -> PPS:
     p.pps_id = gb.get_ue_golomb()
     p.sps_id = gb.get_ue_golomb()
     p.entropy_coding_mode = gb.get_bits(1)
-    if gb.get_bits(1):   # bottom_field_pic_order
-        pass
+    p.pic_order_present = gb.get_bits(1)
     n_slice_groups = gb.get_ue_golomb() + 1
     if n_slice_groups > 1:
         raise AVError(INVALIDDATA, "FMO not supported")

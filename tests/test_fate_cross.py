@@ -156,6 +156,14 @@ class TestEncodeParity:
                           "-parts", "all"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-parts", "all", "-entropy", "cabac"]),
+        # pic_order_cnt_type 1 (offset-cycle expectedPicOrderCnt) and 2
+        # (decode-order POC) derivations (8.2.1.2 / 8.2.1.3)
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-poc", "2"]),
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-poc", "1"]),
+        ("h264", "h264", ["-g", "4", "-qp", "28", "-poc", "1",
+                          "-entropy", "cabac", "-deblock", "1"]),
+        ("h264", "h264", ["-g", "5", "-qp", "30", "-poc", "2",
+                          "-refs", "2", "-entropy", "cabac"]),
         # I_PCM raw-sample MBs (7.3.5: alignment + 384 bytes; CABAC:
         # terminate bin + engine re-init, neighbor ctx bookkeeping)
         ("h264", "h264", ["-g", "3", "-qp", "26", "-ipcm", "5"]),
