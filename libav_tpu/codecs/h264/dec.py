@@ -55,7 +55,7 @@ class DPBEntry:
     saved block motion for spatial-direct colocated lookups
     (h264_direct.c)."""
     __slots__ = ("poc", "planes", "colref", "colmv", "colpoc",
-                 "frame_num")
+                 "frame_num", "long_term", "lt_idx")
 
     def __init__(self, poc, planes, colref=None, colmv=None,
                  colpoc=None, frame_num=0):
@@ -64,6 +64,8 @@ class DPBEntry:
         self.colref = colref
         self.colmv = colmv
         self.colpoc = colpoc
+        self.long_term = False         # 8.2.5: long-term reference
+        self.lt_idx = -1               # LongTermFrameIdx
         self.frame_num = frame_num
 
 
@@ -365,8 +367,34 @@ class H264Decoder(Decoder):
                 ent = DPBEntry(poc_ if poc_ is not None else 0, None,
                                *self._col_motion(fd),
                                frame_num=getattr(self, "_frame_num", 0))
+                pend = getattr(self, "_pending_mmco", None)
+                adaptive = pend is not None
+                if pend:
+                    self._exec_mmco(pend, ent.frame_num, self.active_sps)
+                self._pending_mmco = None
                 max_refs = max(1, self.active_sps.max_num_ref_frames)
-                self._dpb = [ent] + self._dpb[:max_refs - 1]
+                mark = getattr(self, "_mark_lt", None)
+                shorts = [e for e in self._dpb if not e.long_term]
+                longs = [e for e in self._dpb if e.long_term]
+                # capacity: the sliding window (8.2.5.3) runs only
+                # WITHOUT adaptive marking; with MMCO present a
+                # conforming op list keeps the count bounded, and
+                # overflow is corrupt-stream recovery (reference
+                # h264_refs.c:707 discards with the same tolerance)
+                if mark is not None:       # MMCO 6 / IDR long_term flag
+                    ent.long_term = True
+                    ent.lt_idx = mark
+                    longs = [ent] + [e for e in longs
+                                     if e.lt_idx != mark]
+                    while len(shorts) + len(longs) - 1 > max_refs \
+                            and shorts:
+                        shorts.pop()       # oldest short-term
+                    self._dpb = shorts + longs
+                else:
+                    lim = max_refs + (1 if adaptive else 0)
+                    while len(shorts) + len(longs) + 1 > lim and shorts:
+                        shorts.pop()
+                    self._dpb = [ent] + shorts + longs
                 fd.dpb_entry = ent
         return fd, slice_info
 
@@ -505,18 +533,21 @@ class H264Decoder(Decoder):
         # decode order (sliding-window DPB order); B list0 = past by POC
         # descending then future ascending, list1 mirrored
         pc = poc if poc is not None else 0
+        shorts = [e for e in self._dpb if not e.long_term]
+        longs = sorted((e for e in self._dpb if e.long_term),
+                       key=lambda e: e.lt_idx)
         if slice_type == SLICE_B:
-            past = sorted((e for e in self._dpb if e.poc <= pc),
+            past = sorted((e for e in shorts if e.poc <= pc),
                           key=lambda e: -e.poc)
-            futr = sorted((e for e in self._dpb if e.poc > pc),
+            futr = sorted((e for e in shorts if e.poc > pc),
                           key=lambda e: e.poc)
-            list0 = (past + futr) or list(self._dpb)
-            list1 = (futr + past) or list(self._dpb)
+            list0 = (past + futr + longs) or list(self._dpb)
+            list1 = (futr + past + longs) or list(self._dpb)
             self._cur_col = ((list1[0].colref, list1[0].colmv)
                              if list1 and list1[0].colref is not None
                              else None)
         else:
-            list0, list1 = list(self._dpb), []
+            list0, list1 = shorts + longs, []
             self._cur_col = None
         self._cur_lists = (list0, list1)
 
@@ -556,13 +587,19 @@ class H264Decoder(Decoder):
         elif pps.weighted_bipred_idc == 2 and slice_type == SLICE_B:
             self._weights = "implicit"
         # dec_ref_pic_marking (only present for reference pictures)
+        self._mark_lt = None         # LongTermFrameIdx for the CURRENT pic
         if idr:
             gb.get_bits(1)                       # no_output_of_prior_pics
-            gb.get_bits(1)                       # long_term_reference
+            if gb.get_bits(1):                   # long_term_reference_flag
+                self._mark_lt = 0                # 8.2.5.1: idx 0
             self._dpb = []
         elif ref_idc:
+            self._pending_mmco = None
             if gb.get_bits(1):                   # adaptive marking (MMCO)
-                self._decode_mmco(gb, frame_num, sps)
+                # parsed per slice, EXECUTED once at picture end
+                # (reference h264_refs.c: marking after the frame) —
+                # every slice of the AU carries the identical op list
+                self._pending_mmco = self._parse_mmco(gb)
         cabac_init_idc = 0
         if pps.entropy_coding_mode and slice_type != SLICE_I:
             cabac_init_idc = gb.get_ue_golomb()
@@ -1309,9 +1346,19 @@ class H264Decoder(Decoder):
             idc = gb.get_ue_golomb()
             if idc == 3:
                 break
-            if idc > 1:
-                raise AVError(INVALIDDATA,
-                              "long-term ref reorder unsupported")
+            if idc == 2:               # long_term_pic_num (8.2.4.3.2)
+                ltp = gb.get_ue_golomb()
+                target = next((e for e in out
+                               if e.long_term and e.lt_idx == ltp), None)
+                if target is None:
+                    raise AVError(INVALIDDATA,
+                                  "ref reorder: long-term pic not in DPB")
+                out.remove(target)
+                out.insert(min(idx, len(out)), target)
+                idx += 1
+                continue
+            if idc > 2:
+                raise AVError(INVALIDDATA, "bad modification_of_pic_nums")
             abs_diff = gb.get_ue_golomb() + 1
             if idc == 0:
                 nowrap = pred - abs_diff
@@ -1337,29 +1384,58 @@ class H264Decoder(Decoder):
             idx += 1
         return out
 
-    def _decode_mmco(self, gb, frame_num, sps):
-        """dec_ref_pic_marking adaptive ops (spec 8.2.5.4; reference
-        h264_refs.c ff_h264_execute_ref_pic_marking): op 1 (unmark a
-        short-term picture) and op 5 (unmark all) supported."""
-        max_fn = 1 << sps.log2_max_frame_num
+    @staticmethod
+    def _parse_mmco(gb):
+        """dec_ref_pic_marking adaptive op list (7.3.3.3)."""
+        nargs = {1: 1, 2: 1, 3: 2, 4: 1, 5: 0, 6: 1}
+        ops = []
         while True:
             op = gb.get_ue_golomb()
             if op == 0:
-                break
-            if op == 1:
-                picx = frame_num - (gb.get_ue_golomb() + 1)
-                keep = []
+                return ops
+            if op not in nargs:
+                raise AVError(INVALIDDATA, f"MMCO op {op} unsupported")
+            ops.append((op,) + tuple(gb.get_ue_golomb()
+                                     for _ in range(nargs[op])))
+
+    def _exec_mmco(self, ops, frame_num, sps):
+        """Execute the marking ops at picture end (spec 8.2.5.4;
+        reference h264_refs.c ff_h264_execute_ref_pic_marking)."""
+        max_fn = 1 << sps.log2_max_frame_num
+
+        def fnw(e):
+            return e.frame_num - max_fn if e.frame_num > frame_num \
+                else e.frame_num
+
+        for op in ops:
+            if op[0] == 1:             # unmark a short-term picture
+                picx = frame_num - (op[1] + 1)
+                self._dpb = [e for e in self._dpb
+                             if e.long_term or fnw(e) != picx]
+            elif op[0] == 2:           # unmark a long-term picture
+                self._dpb = [e for e in self._dpb
+                             if not (e.long_term and e.lt_idx == op[1])]
+            elif op[0] == 3:           # short-term -> LongTermFrameIdx
+                picx = frame_num - (op[1] + 1)
                 for e in self._dpb:
-                    fnw = e.frame_num - max_fn \
-                        if e.frame_num > frame_num else e.frame_num
-                    if fnw != picx:
-                        keep.append(e)
-                self._dpb = keep
-            elif op == 5:
+                    if not e.long_term and fnw(e) == picx:
+                        # a picture already holding this idx is
+                        # unmarked first (8.2.5.4.3)
+                        self._dpb = [x for x in self._dpb
+                                     if not (x.long_term and
+                                             x.lt_idx == op[2])]
+                        e.long_term = True
+                        e.lt_idx = op[2]
+                        break
+            elif op[0] == 4:           # max_long_term_frame_idx
+                self._dpb = [e for e in self._dpb
+                             if not (e.long_term and
+                                     e.lt_idx > op[1] - 1)]
+            elif op[0] == 5:           # unmark all
                 self._dpb = []
                 self._poc_state = (0, 0)
-            else:
-                raise AVError(INVALIDDATA, f"MMCO op {op} unsupported")
+            elif op[0] == 6:           # mark CURRENT pic long-term
+                self._mark_lt = op[1]
 
     @staticmethod
     def _parse_weight_table(gb, nref0, nref1):

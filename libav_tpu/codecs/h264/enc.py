@@ -1119,6 +1119,9 @@ class H264Encoder(Encoder):
                "B frames, 2 otherwise), 0 lsb-coded, 1 ref-frame offset "
                "cycle (8.2.1.2), 2 decode-order (P-only)", "int",
                -1, -1, 2),
+        Option("mmco", "long-term reference stress: IDR long_term flag, "
+               "MMCO 1/2/3/4/6 marking schedule and long-term list "
+               "reordering across each GOP (P-only)", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1193,6 +1196,14 @@ class H264Encoder(Encoder):
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
+        if self.mmco:
+            if self.b_frames or self.deblock or self.refs > 1:
+                raise AVError(EINVAL, "h264: -mmco stress requires no "
+                                      "-bf/-deblock/-refs")
+            # 2 short-term + 1 long-term resident (8.2.5.3 exempts
+            # long-term pictures from the sliding window)
+            self.sps.max_num_ref_frames = 3
+            self._ltmodel = []
         if self.poc in (1, 2) and self.b_frames:
             raise AVError(EINVAL, "h264: poc_type 1/2 requires decode "
                                   "order == display order (no -bf)")
@@ -1257,6 +1268,11 @@ class H264Encoder(Encoder):
         if is_i:
             self._idr_disp = disp
             self._poc = 0
+            if self.mmco:
+                self._idr_lt_flag = True     # IDR becomes LT idx 0
+                self._mmco_ops = None
+                self._reorder_l0 = None
+                self._mmco_nrefs = 0
             rt = None
             if self.cabac and self.slices > 1:
                 # intra prediction must not cross slice boundaries
@@ -1278,7 +1294,12 @@ class H264Encoder(Encoder):
                 data = self._pack_i(outs, recon)
         else:
             self._poc = 2 * (disp - self._idr_disp)
+            mark_lt = None
+            if self.mmco:
+                mark_lt = self._mmco_schedule()
             nrefs = min(self.refs, len(self._dpb)) or 1
+            if self.mmco:
+                nrefs = self._mmco_nrefs
             fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp, nrefs=nrefs,
                                dct8=bool(self.dct8x8))
             if nrefs > 1:
@@ -1298,12 +1319,99 @@ class H264Encoder(Encoder):
                                 np.asarray(udc), np.asarray(uac),
                                 np.asarray(vdc), np.asarray(vac),
                                 np.asarray(ridx), nrefs, lv8=lv8)
+            if self.mmco:
+                self._mmco_update_model(mark_lt)
+        if is_i and self.mmco:
+            # the freshly reconstructed IDR is the resident long-term
+            self._ltmodel = [{"planes": self._refs, "fn": 0, "lt": 0}]
         pts = frame.pts if frame.pts is not None else disp
         pkt = Packet(data=data, pts=pts, dts=self._next_dts(pts),
                      duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)
         return pkt
+
+    def _mmco_schedule(self):
+        """Per-P marking/reorder schedule over the long-term model
+        (cycles through MMCO 1/2/3/4/6 + long-term list reordering).
+        Sets _mmco_ops/_reorder_l0/_dpb/_mmco_nrefs; returns the
+        LongTermFrameIdx the CURRENT picture takes (MMCO 6) or None."""
+        cur_fn = self._fn
+        q = cur_fn if cur_fn <= 6 else (cur_fn - 1) % 6 + 1
+        self._cur_fn = cur_fn
+        shorts = [e for e in self._ltmodel if e["lt"] is None]
+        longs = sorted((e for e in self._ltmodel if e["lt"] is not None),
+                       key=lambda e: e["lt"])
+        list0 = shorts + longs
+        self._reorder_l0 = None
+        if q == 4 and any(e["lt"] == 0 for e in longs):
+            # ref_pic_list_modification idc 2: long-term pic to index 0
+            self._reorder_l0 = [(2, 0)]
+            tgt = next(e for e in longs if e["lt"] == 0)
+            list0 = [tgt] + [e for e in list0 if e is not tgt]
+        ops, mark_lt = [], None
+        if q == 2 and shorts:
+            ops = [(3, 0, 1)]            # newest short -> LT idx 1
+            if len(shorts) >= 2:
+                # keep the count within max_num_ref_frames: with
+                # adaptive marking there is NO sliding window (8.2.5.3)
+                d = cur_fn - shorts[-1]["fn"] - 1
+                ops.insert(0, (1, d))
+        elif q == 3:
+            ops = [(2, 1), (4, 1)]       # unmark LT 1; max idx 0
+        elif q == 4:
+            ops = [(6, 1)]               # current picture -> LT idx 1
+            mark_lt = 1
+            if len(shorts) >= 2:
+                # free a slot: unmark the oldest short-term
+                d = cur_fn - shorts[-1]["fn"] - 1
+                ops.insert(0, (1, d))
+        elif q == 6:
+            ops = [(2, 1)]
+        self._mmco_ops = ops or None
+        self._mmco_nrefs = min(2, len(list0)) or 1
+        self._dpb = [e["planes"] for e in list0]
+        self._mmco_list0 = list0
+        return mark_lt
+
+    def _mmco_update_model(self, mark_lt):
+        """Mirror the decoder's marking for the frame just coded
+        (8.2.5.3/8.2.5.4), then insert its reconstruction."""
+        cur_fn = self._cur_fn
+        m = self._ltmodel
+        for op in (self._mmco_ops or ()):
+            if op[0] == 1:
+                fnx = cur_fn - op[1] - 1
+                m = [e for e in m if e["lt"] is not None
+                     or e["fn"] != fnx]
+            elif op[0] == 2:
+                m = [e for e in m if e["lt"] != op[1]]
+            elif op[0] == 3:
+                fnx = cur_fn - op[1] - 1
+                for e in m:
+                    if e["lt"] is None and e["fn"] == fnx:
+                        m = [x for x in m if x["lt"] != op[2]]
+                        e["lt"] = op[2]
+                        break
+            elif op[0] == 4:
+                m = [e for e in m if e["lt"] is None
+                     or e["lt"] <= op[1] - 1]
+        ent = {"planes": self._refs, "fn": cur_fn, "lt": mark_lt}
+        adaptive = bool(self._mmco_ops)
+        shorts = [e for e in m if e["lt"] is None]
+        longs = [e for e in m if e["lt"] is not None]
+        if mark_lt is not None:
+            longs = [ent] + [e for e in longs if e["lt"] != mark_lt]
+            while len(shorts) + len(longs) - 1 > 3 and shorts:
+                shorts.pop()
+        else:
+            lim = 3 + (1 if adaptive else 0)
+            while len(shorts) + len(longs) + 1 > lim and shorts:
+                shorts.pop()
+            shorts = [ent] + shorts
+        self._ltmodel = shorts + longs
+        self._mmco_ops = None
+        self._reorder_l0 = None
 
     def _next_dts(self, pts):
         """Coded packet k gets dts = display pts[k-1] (one-frame delay);
@@ -1381,6 +1489,9 @@ class H264Encoder(Encoder):
             self._dpb = [padded] + self._dpb[:self.refs - 1]
             return
         refs = self._refs or zero_refs_h264(self.mb_w, self.mb_h)
+        if getattr(self, "_mmco_nrefs", 0) and self._dpb \
+                and not np.any(fd.intra):
+            refs = self._dpb[0]      # decoder's list0[0] (may be LT)
         if self.deblock:
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
                                         bool(np.any(fd.intra)), any_i4,
@@ -1482,10 +1593,19 @@ class H264Encoder(Encoder):
                         pb.put_se_golomb(30 + 3 * r + c)    # chroma w
                         pb.put_se_golomb(1 - c)             # chroma o
         if idr:
-            pb.put_bits(1, 0)
-            pb.put_bits(1, 0)
+            pb.put_bits(1, 0)                    # no_output_of_prior_pics
+            pb.put_bits(1, 1 if getattr(self, "_idr_lt_flag", False)
+                        else 0)                  # long_term_reference
         elif is_ref:
-            pb.put_bits(1, 0)                    # adaptive marking
+            ops = getattr(self, "_mmco_ops", None)
+            if ops:                              # adaptive marking (MMCO)
+                pb.put_bits(1, 1)
+                for op in ops:
+                    for v in op:
+                        pb.put_ue_golomb(v)
+                pb.put_ue_golomb(0)              # end of op list
+            else:
+                pb.put_bits(1, 0)
         if is_ref and advance:
             self._fn += 1
         if self.cabac and slice_type != SLICE_I:

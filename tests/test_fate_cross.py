@@ -156,6 +156,16 @@ class TestEncodeParity:
                           "-parts", "all"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-parts", "all", "-entropy", "cabac"]),
+        # long-term references: IDR long_term_reference_flag, MMCO
+        # 1/2/3/4/6 marking schedule, long-term default-list placement
+        # and ref_pic_list_modification idc 2 (8.2.4/8.2.5)
+        ("h264", "h264", ["-g", "12", "-qp", "28", "-mmco", "1"]),
+        ("h264", "h264", ["-g", "12", "-qp", "28", "-mmco", "1",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "8", "-qp", "26", "-mmco", "1",
+                          "-entropy", "cabac", "-slices", "2"]),
+        ("h264", "h264", ["-g", "12", "-qp", "28", "-mmco", "1",
+                          "-parts", "all", "-entropy", "cabac"]),
         # pic_order_cnt_type 1 (offset-cycle expectedPicOrderCnt) and 2
         # (decode-order POC) derivations (8.2.1.2 / 8.2.1.3)
         ("h264", "h264", ["-g", "4", "-qp", "28", "-poc", "2"]),
@@ -249,6 +259,22 @@ class TestEncodeParity:
         ours = our_framecrc(enc)
         assert len(crc_column(ref)) > 0
         assert crc_column(ours) == crc_column(ref)
+
+    def test_mmco_long_gop(self, tmp_path):
+        """12-frame GOP: the full MMCO schedule runs two cycles,
+        covering the adaptive-marking capacity rule (no sliding window
+        when MMCO present, 8.2.5.3) at fn 8-11."""
+        from libav_tpu.tools import avconv
+        src = str(tmp_path / "src12.y4m")
+        write_y4m(src, w=192, h=160, n=12)
+        for extra in ([], ["-entropy", "cabac", "-parts", "all"]):
+            enc = str(tmp_path / "mmco12.h264")
+            rc = avconv.main(["-y", "-i", src, "-c:v", "h264", "-g",
+                              "12", "-qp", "28", "-mmco", "1"] + extra +
+                             ["-f", "h264", enc])
+            assert rc == 0
+            assert crc_column(our_framecrc(enc)) == \
+                crc_column(ref_framecrc(enc))
 
     def test_aac_tns_ref_decodes_ours(self, wav48, tmp_path):
         """TNS-filtered stream: reference decode == our decode (+-1)."""
