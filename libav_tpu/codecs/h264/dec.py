@@ -10,9 +10,10 @@ multi-reference lists, weighted prediction (explicit + implicit);
 POC-ordered DPB output reorder; normative in-loop deblocking (two-list
 block-granular bS); multi-slice frames with slice-parallel entropy;
 frame-pipelined host entropy vs device recon; mid-slice error
-concealment; ref_pic_list_modification + MMCO 1/5. Not yet: 8x8
-transform/I_8x8, interlaced coding (PAFF/MBAFF), temporal direct,
-I_PCM, poc_type 1/2, MMCO 2/3/4/6 + long-term refs.
+concealment; ref_pic_list_modification (short + long-term); full MMCO
+1-6 + long-term references; High-profile 8x8 transform/I_8x8 + scaling
+matrices; spatial + temporal direct; I_PCM; poc_type 0/1/2;
+gaps_in_frame_num. Not yet: interlaced coding (PAFF/MBAFF).
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ class DPBEntry:
     saved block motion for spatial-direct colocated lookups
     (h264_direct.c)."""
     __slots__ = ("poc", "planes", "colref", "colmv", "colpoc",
-                 "frame_num", "long_term", "lt_idx")
+                 "frame_num", "long_term", "lt_idx", "src")
 
     def __init__(self, poc, planes, colref=None, colmv=None,
                  colpoc=None, frame_num=0):
@@ -66,6 +67,7 @@ class DPBEntry:
         self.colpoc = colpoc
         self.long_term = False         # 8.2.5: long-term reference
         self.lt_idx = -1               # LongTermFrameIdx
+        self.src = None                # gap dummy: copy-of entry
         self.frame_num = frame_num
 
 
@@ -395,6 +397,7 @@ class H264Decoder(Decoder):
                     while len(shorts) + len(longs) + 1 > lim and shorts:
                         shorts.pop()
                     self._dpb = [ent] + shorts + longs
+                self._prev_frame_num = ent.frame_num
                 fd.dpb_entry = ent
         return fd, slice_info
 
@@ -470,6 +473,39 @@ class H264Decoder(Decoder):
 
         frame_num = gb.get_bits(sps.log2_max_frame_num)
         self._frame_num = frame_num
+        if not idr:
+            # gaps_in_frame_num (spec 8.2.5.2; reference
+            # h264_slice.c:1404): insert "non-existing" short-term
+            # frames for the skipped frame_num values — each carries a
+            # copy of the newest reference (error-concealment rule,
+            # :1425) and takes poc + 2
+            max_fn = 1 << sps.log2_max_frame_num
+            prev = getattr(self, "_prev_frame_num", frame_num)
+            if frame_num != prev and frame_num != (prev + 1) % max_fn:
+                up = prev if prev <= frame_num else prev - max_fn
+                if frame_num - up > sps.max_num_ref_frames:
+                    # shorten oversized gaps (reference :1335)
+                    up = frame_num - sps.max_num_ref_frames - 1
+                cur = up
+                while (cur + 1) % max_fn != frame_num:
+                    cur = (cur + 1) % max_fn
+                    newest = next((e for e in self._dpb
+                                   if not e.long_term), None)
+                    ent = DPBEntry(
+                        (newest.poc + 2) if newest else 0,
+                        newest.planes if newest else None,
+                        newest.colref if newest else None,
+                        newest.colmv if newest else None,
+                        newest.colpoc if newest else None,
+                        frame_num=cur)
+                    ent.src = newest   # pixels may be filled in later
+                    shorts = [e for e in self._dpb if not e.long_term]
+                    longs = [e for e in self._dpb if e.long_term]
+                    mr = max(1, sps.max_num_ref_frames)
+                    while len(shorts) + len(longs) + 1 > mr and shorts:
+                        shorts.pop()
+                    self._dpb = [ent] + shorts + longs
+                self._prev_frame_num = (frame_num - 1) % max_fn
         if idr:
             gb.get_ue_golomb()                   # idr_pic_id
         poc = None
@@ -1572,12 +1608,21 @@ class H264Decoder(Decoder):
         nrefs1 = 1
         refs1 = None
 
+        def planes_of(e):
+            # gap dummies (8.2.5.2) share the pixels of the reference
+            # they were concealed from, which may have been filled in
+            # after the dummy was created (worker/main pipeline)
+            while e.planes is None and e.src is not None:
+                e = e.src
+            return e.planes
+
         def stack(entries, n):
             # tuples-of-planes; the device program stacks them in-jit
             # (no eager per-frame stack dispatches on the tunnel)
-            dpb = [e.planes for e in entries[:n]]
+            dpb = [planes_of(e) for e in entries[:n]]
             while len(dpb) < n:
                 dpb.append(zero())
+            dpb = [d if d is not None else zero() for d in dpb]
             if n == 1:
                 return dpb[0]
             return tuple(tuple(d[k] for d in dpb) for k in range(3))

@@ -1122,6 +1122,10 @@ class H264Encoder(Encoder):
         Option("mmco", "long-term reference stress: IDR long_term flag, "
                "MMCO 1/2/3/4/6 marking schedule and long-term list "
                "reordering across each GOP (P-only)", "int", 0, 0, 1),
+        Option("fgap", "advance frame_num by 1+N per reference frame "
+               "with gaps_in_frame_num_value_allowed set — decoders "
+               "must insert non-existing frames (8.2.5.2)", "int",
+               0, 0, 8),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1196,6 +1200,11 @@ class H264Encoder(Encoder):
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
+        if self.fgap:
+            if self.b_frames or self.refs > 1 or self.mmco:
+                raise AVError(EINVAL, "h264: -fgap requires single-ref "
+                                      "P-only coding without -mmco")
+            self.sps.gaps_allowed = 1
         if self.mmco:
             if self.b_frames or self.deblock or self.refs > 1:
                 raise AVError(EINVAL, "h264: -mmco stress requires no "
@@ -1607,7 +1616,7 @@ class H264Encoder(Encoder):
             else:
                 pb.put_bits(1, 0)
         if is_ref and advance:
-            self._fn += 1
+            self._fn += 1 + (self.fgap if not idr else 0)
         if self.cabac and slice_type != SLICE_I:
             pb.put_ue_golomb(0)                  # cabac_init_idc
         pb.put_se_golomb(self.qp - self.pps.pic_init_qp)

@@ -117,6 +117,7 @@ class SPS:
     offset_for_top_to_bottom: int = 0
     offset_for_ref_frame: tuple = ()
     max_num_ref_frames: int = 1
+    gaps_allowed: int = 0          # gaps_in_frame_num_value_allowed
     mb_width: int = 0
     mb_height: int = 0
     frame_mbs_only: int = 1
@@ -184,7 +185,7 @@ def parse_sps(rbsp: bytes) -> SPS:
         s.offset_for_ref_frame = tuple(
             gb.get_se_golomb() for _ in range(gb.get_ue_golomb()))
     s.max_num_ref_frames = gb.get_ue_golomb()
-    gb.get_bits(1)   # gaps_in_frame_num_allowed
+    s.gaps_allowed = gb.get_bits(1)
     s.mb_width = gb.get_ue_golomb() + 1
     s.mb_height = gb.get_ue_golomb() + 1
     s.frame_mbs_only = gb.get_bits(1)
@@ -245,7 +246,7 @@ def write_sps(s: SPS) -> bytes:
         for o in s.offset_for_ref_frame:
             pb.put_se_golomb(o)
     pb.put_ue_golomb(s.max_num_ref_frames)
-    pb.put_bits(1, 0)
+    pb.put_bits(1, s.gaps_allowed)
     pb.put_ue_golomb(s.mb_width - 1)
     pb.put_ue_golomb(s.mb_height - 1)
     pb.put_bits(1, s.frame_mbs_only)

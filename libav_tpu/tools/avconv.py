@@ -285,7 +285,7 @@ _PASSTHRU_VALUE_OPTS = {
     "b_strategy", "compression_level", "channel_layout", "dither",
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
-    "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco",
+    "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco", "fgap",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -156,6 +156,13 @@ class TestEncodeParity:
                           "-parts", "all"]),
         ("h264", "h264", ["-g", "6", "-qp", "28", "-bf", "2",
                           "-parts", "all", "-entropy", "cabac"]),
+        # gaps_in_frame_num (8.2.5.2): non-existing frame insertion
+        # with the newest-ref concealment copy
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-fgap", "1"]),
+        ("h264", "h264", ["-g", "6", "-qp", "28", "-fgap", "3",
+                          "-entropy", "cabac"]),
+        ("h264", "h264", ["-g", "6", "-qp", "26", "-fgap", "1",
+                          "-deblock", "1", "-entropy", "cabac"]),
         # long-term references: IDR long_term_reference_flag, MMCO
         # 1/2/3/4/6 marking schedule, long-term default-list placement
         # and ref_pic_list_modification idc 2 (8.2.4/8.2.5)
