@@ -7,8 +7,8 @@ types); device: shared recon_jit 'h263' kind.
 
 Supported: I/P/B VOPs (B: direct with TRB/TRD colocated scaling plus
 fwd/bwd/bi modes and colocated-skip inheritance), quarter-sample (qpel)
-P decode, quant_type 0, 1MV. Not yet: 4MV, AC prediction, GMC, data
-partitioning, MPEG quant, qpel B-VOPs.
+P decode, AC prediction (alternate scans + qscale rescale), quant_type
+0, 1MV. Not yet: 4MV, GMC, data partitioning, MPEG quant, qpel B-VOPs.
 """
 
 from __future__ import annotations
@@ -26,7 +26,16 @@ from libav_tpu.codecs.api import Decoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg4 import tables as T
 from libav_tpu.codecs.mpeg12.dec import MBData, find_start_codes
 from libav_tpu.codecs.mpegvideo import recon_jit, zero_pad_refs
-from libav_tpu.ops.quant import mpeg4_dc_scaler
+from libav_tpu.ops.quant import (alternate_horizontal_scan,
+                                 alternate_scan, mpeg4_dc_scaler,
+                                 zigzag_scan)
+
+
+def _rdiv(a: int, b: int) -> int:
+    """ROUNDED_DIV with C truncation semantics (reference ROUNDED_DIV)."""
+    if a >= 0:
+        return (a + (b >> 1)) // b
+    return -((-a + (b >> 1)) // b)
 
 PICT_I, PICT_P, PICT_B, PICT_S = 0, 1, 2, 3
 
@@ -366,6 +375,12 @@ class MPEG4Decoder(Decoder):
         dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
         dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
         dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+        # AC prediction stores (reference mpegvideo ac_val): per block
+        # position, [0:7] = first column values 1..7, [7:14] = first row
+        # values 1..7 of the FINAL block levels; zero for inter/border
+        acv = (np.zeros((2 * mh + 1, 2 * mw + 1, 14), np.int64),
+               np.zeros((mh + 1, mw + 1, 14), np.int64),
+               np.zeros((mh + 1, mw + 1, 14), np.int64))
 
         for mb_y in range(mh):
             for mb_x in range(mw):
@@ -395,8 +410,6 @@ class MPEG4Decoder(Decoder):
                 ac_pred = 0
                 if is_intra:
                     ac_pred = gb.get_bits(1)
-                    if ac_pred:
-                        raise AVError(INVALIDDATA, "AC prediction not supported yet")
                 cbpy_code = T.cbpy_vlc().read(gb)
                 cbpy = cbpy_code if is_intra else 15 - cbpy_code
                 if has_q:
@@ -430,7 +443,8 @@ class MPEG4Decoder(Decoder):
                     if is_intra:
                         self._decode_intra_block(
                             gb, mb.coeffs[idx, b], b, mb_x, mb_y,
-                            qscale, dc_y, dc_u, dc_v, coded)
+                            qscale, dc_y, dc_u, dc_v, coded,
+                            ac_pred, acv, mb.qscale)
                     elif coded:
                         self._decode_rl_block(gb, mb.coeffs[idx, b], 0, False)
 
@@ -472,7 +486,8 @@ class MPEG4Decoder(Decoder):
         return -val if sign else val
 
     def _decode_intra_block(self, gb, out, b, mb_x, mb_y, qscale,
-                            dc_y, dc_u, dc_v, coded):
+                            dc_y, dc_u, dc_v, coded, ac_pred=0,
+                            acv=None, qs_tab=None):
         luma = b < 4
         dcs = mpeg4_dc_scaler(qscale, luma)
         vlc = T.dc_lum_vlc() if luma else T.dc_chrom_vlc()
@@ -484,13 +499,35 @@ class MPEG4Decoder(Decoder):
                 diff -= (1 << size) - 1
             if size > 8:
                 gb.get_bits(1)  # marker
-        pred, store = _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y)
+        pred, store, dc_dir = _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y)
         pred_lvl = (pred + dcs // 2) // dcs
         lvl = int(pred_lvl) + diff
         out[0] = lvl
         store(lvl * dcs)
+        if ac_pred:
+            # AC prediction (ISO 14496-2 §7.4.3.3; reference
+            # ff_mpeg4_pred_ac mpeg4videodec.c:68): predicted blocks use
+            # the alternate scan matching the DC direction
+            scan = np.asarray(alternate_scan() if dc_dir == 0
+                              else alternate_horizontal_scan())
+            tmp = np.zeros(64, np.int64)
+            if coded:
+                self._decode_rl_block(gb, tmp, 1, True)
+            raster = np.zeros(64, np.int64)
+            raster[scan] = tmp
+            raster[0] = lvl
+            _pred_ac(self, raster, b, mb_x, mb_y, dc_dir, acv,
+                     qs_tab, qscale, self.mb_w)
+            _store_ac(raster, b, mb_x, mb_y, acv)
+            out[np.arange(64)] = raster[np.asarray(zigzag_scan())]
+            out[0] = lvl
+            return
         if coded:
             self._decode_rl_block(gb, out, 1, True)
+        if acv is not None:
+            raster = np.zeros(64, np.int64)
+            raster[np.asarray(zigzag_scan())] = out
+            _store_ac(raster, b, mb_x, mb_y, acv)
 
     def _decode_rl_block(self, gb, out, start, intra):
         """3D RL decode incl. ESC1/2/3 (reference: mpeg4videodec.c
@@ -537,6 +574,8 @@ class MPEG4Decoder(Decoder):
 
 
 def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):
+    """-> (pred, store, dir): dir 0 = from left (A), 1 = from top (C)
+    (ISO 14496-2 §7.4.3.2)."""
     if b < 4:
         bx = 2 * mb_x + (b & 1) + 1
         by = 2 * mb_y + (b >> 1) + 1
@@ -547,8 +586,55 @@ def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):
     A = grid[by, bx - 1]
     B = grid[by - 1, bx - 1]
     C = grid[by - 1, bx]
-    pred = C if abs(A - B) < abs(B - C) else A
+    if abs(A - B) < abs(B - C):
+        pred, dc_dir = C, 1
+    else:
+        pred, dc_dir = A, 0
 
     def store(val):
         grid[by, bx] = val
-    return pred, store
+    return pred, store, dc_dir
+
+
+def _ac_cell(b, mb_x, mb_y):
+    """(grid index, bx, by) in the +1-offset ac_val grids."""
+    if b < 4:
+        return 0, 2 * mb_x + (b & 1) + 1, 2 * mb_y + (b >> 1) + 1
+    return (1 if b == 4 else 2), mb_x + 1, mb_y + 1
+
+
+def _pred_ac(ctx, raster, b, mb_x, mb_y, dc_dir, acv, qs_tab, qscale,
+             mb_w):
+    """Add the stored neighbor column/row (reference
+    ff_mpeg4_pred_ac:78-110), rescaling by the neighbor MB's qscale when
+    it lies in a different macroblock."""
+    g, bx, by = _ac_cell(b, mb_x, mb_y)
+    grid = acv[g]
+    if dc_dir == 0:                     # left column
+        vals = grid[by, bx - 1, 0:7]
+        nq_i = (mb_y * mb_w + mb_x - 1)
+        same = (mb_x == 0 or b in (1, 3) or qs_tab is None or
+                int(qs_tab[nq_i]) == qscale or int(qs_tab[nq_i]) == 0)
+        if same:
+            raster[8::8] += vals
+        else:
+            nq = int(qs_tab[nq_i])
+            for i in range(7):
+                raster[8 * (i + 1)] += _rdiv(int(vals[i]) * nq, qscale)
+    else:                               # top row
+        vals = grid[by - 1, bx, 7:14]
+        nq_i = ((mb_y - 1) * mb_w + mb_x)
+        same = (mb_y == 0 or b in (2, 3) or qs_tab is None or
+                int(qs_tab[nq_i]) == qscale or int(qs_tab[nq_i]) == 0)
+        if same:
+            raster[1:8] += vals
+        else:
+            nq = int(qs_tab[nq_i])
+            for i in range(7):
+                raster[i + 1] += _rdiv(int(vals[i]) * nq, qscale)
+
+
+def _store_ac(raster, b, mb_x, mb_y, acv):
+    g, bx, by = _ac_cell(b, mb_x, mb_y)
+    acv[g][by, bx, 0:7] = raster[8::8]
+    acv[g][by, bx, 7:14] = raster[1:8]

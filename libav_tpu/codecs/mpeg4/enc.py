@@ -26,7 +26,11 @@ from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg4 import tables as T
 from libav_tpu.codecs.mpegvideo import encode_jit, recon_jit, zero_pad_refs
-from libav_tpu.ops.quant import mpeg4_dc_scaler
+from libav_tpu.ops.quant import (alternate_horizontal_scan,
+                                 alternate_scan, mpeg4_dc_scaler,
+                                 zigzag_scan)
+from libav_tpu.codecs.mpeg4.dec import (_ac_cell, _pred_ac, _rdiv,
+                                        _store_ac)
 
 VOS_STARTCODE = b"\x00\x00\x01\xB0"
 VISOBJ_STARTCODE = b"\x00\x00\x01\xB5"
@@ -113,6 +117,9 @@ class MPEG4Encoder(Encoder):
     OPTIONS = Encoder.OPTIONS + [
         Option("qscale", "fixed quantizer 1-31", "int", 6, 1, 31),
         Option("gop_size", "GOP length", "int", 12, 1, 600),
+        Option("acpred", "intra AC prediction (ac_pred_flag=1: "
+               "left/top AC predictors + alternate scans)", "int",
+               0, 0, 1),
     ]
 
     F_CODE = 1
@@ -268,6 +275,12 @@ class MPEG4Encoder(Encoder):
         dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
         dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
         dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+        use_acp = bool(self.acpred)
+        acv = (np.zeros((2 * mh + 1, 2 * mw + 1, 14), np.int64),
+               np.zeros((mh + 1, mw + 1, 14), np.int64),
+               np.zeros((mh + 1, mw + 1, 14), np.int64)) if use_acp \
+            else None
+        zz = np.asarray(zigzag_scan())
 
         for mb_y in range(mh):
             for mb_x in range(mw):
@@ -277,10 +290,21 @@ class MPEG4Encoder(Encoder):
                 mv = mvs[idx]
                 q = int(qscale[idx])
 
+                acp_blocks = None
+                if use_acp and is_intra:
+                    # subtract the AC predictors per block and pick the
+                    # per-block alternate scan (mirrors dec._pred_ac);
+                    # cbp is computed from the RESIDUAL coefficients
+                    acp_blocks = self._acpred_blocks(
+                        lv, mb_x, mb_y, q, qscale, dc_y, dc_u, dc_v,
+                        acv, zz)
+
                 cbp = 0
                 for b in range(6):
                     start = 1 if is_intra else 0
-                    if np.any(lv[b][start:]):
+                    coeffs = acp_blocks[b][0][start:] \
+                        if acp_blocks is not None else lv[b][start:]
+                    if np.any(coeffs):
                         cbp |= 0x20 >> b
                 cbpc = cbp & 3
                 cbpy = cbp >> 2
@@ -300,7 +324,7 @@ class MPEG4Encoder(Encoder):
                     pb.put_bits(T.INTRA_MCBPC[1][i], T.INTRA_MCBPC[0][i])
 
                 if is_intra:
-                    pb.put_bits(1, 0)   # ac_pred_flag
+                    pb.put_bits(1, 1 if acp_blocks is not None else 0)
                     code, bits = T.CBPY[cbpy]
                     pb.put_bits(bits, code)
                 else:
@@ -317,15 +341,87 @@ class MPEG4Encoder(Encoder):
                         luma = b < 4
                         dcs = mpeg4_dc_scaler(q, luma)
                         lvl_dc = int(lv[b][0])
-                        pred, store = self._dc_ctx(dc_y, dc_u, dc_v, b,
-                                                   mb_x, mb_y)
-                        pred_lvl = (pred + dcs // 2) // dcs
-                        encode_dc(pb, lvl_dc - int(pred_lvl), luma)
-                        store(lvl_dc * dcs)
+                        if acp_blocks is not None:
+                            # DC ctx consumed + stored by _acpred_blocks
+                            pred_lvl = acp_blocks[b][1]
+                            encode_dc(pb, lvl_dc - int(pred_lvl), luma)
+                        else:
+                            pred, store = self._dc_ctx(dc_y, dc_u, dc_v,
+                                                       b, mb_x, mb_y)
+                            pred_lvl = (pred + dcs // 2) // dcs
+                            encode_dc(pb, lvl_dc - int(pred_lvl), luma)
+                            store(lvl_dc * dcs)
                         if coded:
-                            encode_block_rl(pb, lv[b], 1, True)
+                            encode_block_rl(
+                                pb, acp_blocks[b][0] if acp_blocks
+                                is not None else lv[b], 1, True)
                     elif coded:
                         encode_block_rl(pb, lv[b], 0, False)
+
+    def _acpred_blocks(self, lv, mb_x, mb_y, q, qscale, dc_y, dc_u,
+                       dc_v, acv, zz):
+        """Per-block (scanned residual levels, (dc_pred_lvl, dc_store)):
+        the encode mirror of dec._pred_ac — subtract the stored
+        neighbor column/row, rescan with the direction's alternate
+        scan, store this block's own final values."""
+        out = []
+        qs_tab = qscale
+        for b in range(6):
+            luma = b < 4
+            dcs = mpeg4_dc_scaler(q, luma)
+            # DC direction decides predictor source and scan
+            if b < 4:
+                gx = 2 * mb_x + (b & 1) + 1
+                gy = 2 * mb_y + (b >> 1) + 1
+                grid = dc_y
+            else:
+                gx, gy = mb_x + 1, mb_y + 1
+                grid = dc_u if b == 4 else dc_v
+            A = grid[gy, gx - 1]
+            B = grid[gy - 1, gx - 1]
+            C = grid[gy - 1, gx]
+            if abs(A - B) < abs(B - C):
+                pred, dc_dir = C, 1
+            else:
+                pred, dc_dir = A, 0
+            pred_lvl = (pred + dcs // 2) // dcs
+            # store NOW: blocks later in this MB predict from it
+            grid[gy, gx] = int(lv[b][0]) * dcs
+
+            raster = np.zeros(64, np.int64)
+            raster[zz] = lv[b]
+            resid = raster.copy()
+            g_, bx_, by_ = _ac_cell(b, mb_x, mb_y)
+            if dc_dir == 0:
+                vals = acv[g_][by_, bx_ - 1, 0:7]
+                nq_i = mb_y * self.mb_w + mb_x - 1
+                same = (mb_x == 0 or b in (1, 3) or
+                        int(qs_tab[nq_i]) == q)
+                if same:
+                    resid[8::8] -= vals
+                else:
+                    nq = int(qs_tab[nq_i])
+                    for i in range(7):
+                        resid[8 * (i + 1)] -= _rdiv(int(vals[i]) * nq, q)
+                scan = np.asarray(alternate_scan())
+            else:
+                vals = acv[g_][by_ - 1, bx_, 7:14]
+                nq_i = (mb_y - 1) * self.mb_w + mb_x
+                same = (mb_y == 0 or b in (2, 3) or
+                        int(qs_tab[nq_i]) == q)
+                if same:
+                    resid[1:8] -= vals
+                else:
+                    nq = int(qs_tab[nq_i])
+                    for i in range(7):
+                        resid[i + 1] -= _rdiv(int(vals[i]) * nq, q)
+                scan = np.asarray(alternate_horizontal_scan())
+            # this block's own (unsubtracted) column/row, for later
+            # neighbors — stored after the prediction read above
+            _store_ac(raster, b, mb_x, mb_y, acv)
+            scanned = resid[scan]
+            out.append((scanned, pred_lvl))
+        return out
 
     @staticmethod
     def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):

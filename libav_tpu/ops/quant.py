@@ -28,6 +28,21 @@ def zigzag_scan() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def alternate_horizontal_scan() -> np.ndarray:
+    """MPEG-4 alternate horizontal scan, used for intra blocks whose AC
+    prediction came from the block above (ISO 14496-2 Table 12-2 /
+    disclosed spec-constant extraction from the reference's
+    ff_alternate_horizontal_scan, mpegvideodata.c:82)."""
+    t = [
+        0,  1,  2,  3,  8,  9, 16, 17, 10, 11,  4,  5,  6,  7, 15, 14,
+        13, 12, 19, 18, 24, 25, 32, 33, 26, 27, 20, 21, 22, 23, 28, 29,
+        30, 31, 34, 35, 40, 41, 48, 49, 42, 43, 36, 37, 38, 39, 44, 45,
+        46, 47, 50, 51, 56, 57, 58, 59, 52, 53, 54, 55, 60, 61, 62, 63,
+    ]
+    return np.array(t, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def alternate_scan() -> np.ndarray:
     """MPEG-2 alternate (vertical) scan for interlaced content
     (reference: ff_alternate_vertical_scan)."""

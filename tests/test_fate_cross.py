@@ -62,6 +62,9 @@ class TestDecodeParity:
         # MPEG-4 B-VOPs: direct (TRB/TRD-scaled colocated MVs),
         # forward/backward/interpolated modes, col-skip inheritance
         ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5"]),
+        # MPEG-4 AC prediction (mbd=rd makes the reference encoder set
+        # ac_pred adaptively: alternate scans + predictor rescale)
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mbd", "rd"]),
     ])
     def test_video(self, y4m, tmp_path, codec, ext, args):
         enc = str(tmp_path / f"ref.{ext}")
@@ -133,6 +136,8 @@ class TestEncodeParity:
         ("mpeg1video", "mpeg1video", ["-g", "4"]),
         ("mpeg2video", "mpeg2video", ["-g", "4"]),
         ("mpeg4", "m4v", ["-g", "4"]),
+        ("mpeg4", "m4v", ["-g", "4", "-acpred", "1"]),
+        ("mpeg4", "m4v", ["-g", "2", "-acpred", "1", "-q:v", "8"]),
         ("h264", "h264", ["-g", "4", "-qp", "28"]),
         ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1"]),
         ("h264", "h264", ["-g", "4", "-qp", "28", "-entropy", "cabac"]),
