@@ -151,7 +151,11 @@ class MPEG4Decoder(Decoder):
             raise AVError(INVALIDDATA, "only 8-bit supported")
         self.quant_type = gb.get_bits(1)
         if self.quant_type:
-            raise AVError(INVALIDDATA, "MPEG quant_type=1 not supported yet")
+            # MPEG quant: default matrices + optional zigzag-coded
+            # custom lists with last-value replication (reference
+            # mpeg4videodec.c:1830)
+            self.intra_mat = self._parse_qmat(gb, T.DEFAULT_INTRA_MATRIX)
+            self.inter_mat = self._parse_qmat(gb, T.DEFAULT_INTER_MATRIX)
         self.quarter_sample = gb.get_bits(1) if ver_id != 1 else 0
         if not gb.get_bits(1):  # complexity_estimation_disable
             raise AVError(INVALIDDATA, "complexity estimation not supported")
@@ -168,6 +172,25 @@ class MPEG4Decoder(Decoder):
         self.height = self.vol_height
         self.mb_w = (self.vol_width + 15) >> 4
         self.mb_h = (self.vol_height + 15) >> 4
+
+    @staticmethod
+    def _parse_qmat(gb, default):
+        m = np.array(default, np.int32)          # raster order
+        if gb.get_bits(1):
+            zz = np.asarray(zigzag_scan())
+            last = 0
+            i = 0
+            while i < 64:
+                v = gb.get_bits(8)
+                if v == 0:
+                    break
+                last = v
+                m[zz[i]] = v
+                i += 1
+            if i < 64 and last:
+                for j in range(i, 64):
+                    m[zz[j]] = last
+        return m
 
     # ------------------------------------------------------------------ #
 
@@ -227,7 +250,14 @@ class MPEG4Decoder(Decoder):
             self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
                              qscale)
 
-        fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
+        kind = "mpeg4mq" if self.quant_type else "h263"
+        if self.quant_type:
+            zz = np.asarray(zigzag_scan())
+            qi = self.intra_mat[zz].astype(np.int32)
+            qp_ = self.inter_mat[zz].astype(np.int32)
+        else:
+            qi = qp_ = self._dummy_q
+        fn = recon_jit(self.mb_w, self.mb_h, kind, False,
                        pict_type != PICT_I, rounding,
                        qpel=bool(self.quarter_sample and
                                  pict_type != PICT_B))
@@ -240,7 +270,7 @@ class MPEG4Decoder(Decoder):
             r1 = zero
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
-                            self._dummy_q, self._dummy_q, *r0, *r1)
+                            qi, qp_, *r0, *r1)
         f = Frame(width=self.vol_width, height=self.vol_height,
                   format="yuv420p")
         cw, ch = (self.vol_width + 1) // 2, (self.vol_height + 1) // 2

@@ -120,6 +120,8 @@ class MPEG4Encoder(Encoder):
         Option("acpred", "intra AC prediction (ac_pred_flag=1: "
                "left/top AC predictors + alternate scans)", "int",
                0, 0, 1),
+        Option("mpegq", "MPEG quant (VOL quant_type=1: default "
+               "matrix-weighted quantisation)", "int", 0, 0, 1),
     ]
 
     F_CODE = 1
@@ -136,6 +138,15 @@ class MPEG4Encoder(Encoder):
         self._time_res = max(self._fr.num, 1)
         self._time_inc_bits = max(1, (self._time_res - 1).bit_length())
         self._dummy_q = np.ones(64, dtype=np.int32)
+        if self.mpegq:
+            from libav_tpu.ops.quant import zigzag_scan
+            zz = np.asarray(zigzag_scan())
+            self._qi = np.array(T.DEFAULT_INTRA_MATRIX,
+                                np.int32)[zz]
+            self._qp = np.array(T.DEFAULT_INTER_MATRIX,
+                                np.int32)[zz]
+        else:
+            self._qi = self._qp = self._dummy_q
 
     # ------------------------------------------------------------------ #
 
@@ -145,20 +156,21 @@ class MPEG4Encoder(Encoder):
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
 
         y, u, v = self._padded_input(frame)
-        enc = encode_jit(self.mb_w, self.mb_h, not is_i, "h263")
+        kind = "mpeg4mq" if self.mpegq else "h263"
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind)
         refs = self._refs if not is_i else zero_pad_refs(self.mb_w, self.mb_h)
-        levels, mvs, intra = enc(y, u, v, qscale, self._dummy_q,
-                                 self._dummy_q, *refs)
+        levels, mvs, intra = enc(y, u, v, qscale, self._qi,
+                                 self._qp, *refs)
         levels = np.asarray(levels).astype(np.int16)
         mvs = np.asarray(mvs)
         intra = np.asarray(intra)
 
-        recon = recon_jit(self.mb_w, self.mb_h, "h263", False, not is_i)
+        recon = recon_jit(self.mb_w, self.mb_h, kind, False, not is_i)
         use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
         _, padded = recon(levels, qscale, intra, use_fwd,
                           np.zeros(nmb, dtype=bool), mvs,
                           np.zeros((nmb, 2), np.int32),
-                          self._dummy_q, self._dummy_q,
+                          self._qi, self._qp,
                           *refs, *zero_pad_refs(self.mb_w, self.mb_h))
         self._refs = padded
 
@@ -223,7 +235,10 @@ class MPEG4Encoder(Encoder):
         pb.put_bits(1, 1)       # obmc_disable
         pb.put_bits(1, 0)       # sprite_enable: none
         pb.put_bits(1, 0)       # not_8_bit
-        pb.put_bits(1, 0)       # quant_type = 0 (H.263)
+        pb.put_bits(1, 1 if self.mpegq else 0)   # quant_type
+        if self.mpegq:
+            pb.put_bits(1, 0)   # load_intra_quant_mat: defaults
+            pb.put_bits(1, 0)   # load_nonintra_quant_mat: defaults
         pb.put_bits(1, 1)       # complexity_estimation_disable
         pb.put_bits(1, 1)       # resync_marker_disable
         pb.put_bits(1, 0)       # data_partitioned

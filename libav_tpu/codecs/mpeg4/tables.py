@@ -213,3 +213,20 @@ def rl_max_run(intra: bool) -> Dict[Tuple[int, int], int]:
     for last, run, level in rl_decode_tuple(intra):
         out[(last, level)] = max(out.get((last, level), 0), run)
     return out
+
+
+# MPEG quant (quant_type=1) default matrices, raster order (ISO 14496-2
+# Tables 6-9/6-10 — disclosed spec-constant extraction, reference
+# mpeg4data.h:337/348)
+DEFAULT_INTRA_MATRIX = [
+    8, 17, 18, 19, 21, 23, 25, 27, 17, 18, 19, 21, 23, 25, 27, 28,
+    20, 21, 22, 23, 24, 26, 28, 30, 21, 22, 23, 24, 26, 28, 30, 32,
+    22, 23, 24, 26, 28, 30, 32, 35, 23, 24, 26, 28, 30, 32, 35, 38,
+    25, 26, 28, 30, 32, 35, 38, 41, 27, 28, 30, 32, 35, 38, 41, 45,
+]
+DEFAULT_INTER_MATRIX = [
+    16, 17, 18, 19, 20, 21, 22, 23, 17, 18, 19, 20, 21, 22, 23, 24,
+    18, 19, 20, 21, 22, 23, 24, 25, 19, 20, 21, 22, 23, 24, 26, 27,
+    20, 21, 22, 23, 25, 26, 27, 28, 21, 22, 23, 24, 26, 27, 28, 30,
+    22, 23, 24, 26, 27, 28, 30, 31, 23, 24, 25, 27, 28, 30, 31, 33,
+]

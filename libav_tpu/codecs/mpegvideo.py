@@ -37,7 +37,7 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     from libav_tpu.ops.mc import (EDGE, avg_pred, mc_hpel, chroma_mv_div2,
                                   chroma_mv_h263, chroma_mv_qpel,
                                   mc_qpel_mpeg4)
-    if quant_kind in ("h263", "mpeg4"):
+    if quant_kind in ("h263", "mpeg4", "mpeg4mq"):
         # H.263/MPEG-4 derive chroma MVs with the rounding table
         # (motion_est.h:96), not MPEG-1/2 truncation
         chroma_mv_div2 = chroma_mv_h263
@@ -62,13 +62,18 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
             deq_i = quant_ops.mpeg2_dequant_intra(c, qs, intra_q)
             deq_p = quant_ops.mpeg2_dequant_inter(c, qs, inter_q)
             return jnp.where(intra_b[:, None], deq_i, deq_p)
-        # h263 / mpeg4 short header quant
+        # h263 / mpeg4 quant: DC scaler table (ISO 14496-2 tab 7-2)
         lum = jnp.asarray(luma_blk)
         dcs_l = jnp.where(qs < 5, 8, jnp.where(qs < 9, 2 * qs,
                           jnp.where(qs < 25, qs + 8, 2 * qs - 16)))
         dcs_c = jnp.where(qs < 5, 8, jnp.where(qs < 25, (qs + 13) // 2,
                                                qs - 6))
         dcs = jnp.where(lum, dcs_l, dcs_c)
+        if quant_kind == "mpeg4mq":
+            # MPEG-4 quant_type=1 (matrix quant, bitexact mismatch)
+            deq_i = quant_ops.mpeg4_mq_dequant_intra(c, qs, intra_q, dcs)
+            deq_p = quant_ops.mpeg4_mq_dequant_inter(c, qs, inter_q)
+            return jnp.where(intra_b[:, None], deq_i, deq_p)
         deq_i = quant_ops.h263_dequant(c, qs, dcs, True)
         deq_p = quant_ops.h263_dequant(c, qs, dcs, False)
         return jnp.where(intra_b[:, None], deq_i, deq_p)
@@ -681,7 +686,7 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
             lv = jnp.sign(coeffs8) * ((jnp.abs(coeffs8) + q // 2) // q)
         else:
             lv = jnp.sign(coeffs8) * (jnp.abs(coeffs8) // q)
-        lim = 2047 if quant_kind == "mpeg2" else 255
+        lim = 255 if quant_kind == "mpeg1" else 2047
         return jnp.clip(lv, -lim, lim)
 
     def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
@@ -725,10 +730,19 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
         intra6 = jnp.repeat(use_intra, 6)
         dc8 = coeffs8.reshape(nmb * 6, 64)[:, 0]
 
-        if quant_kind == "h263":
-            q16 = 16 * qs6
-            lv = jnp.sign(czz) * (jnp.abs(czz) // q16[:, None])
-            levels = jnp.clip(lv, -255, 255)
+        if quant_kind in ("h263", "mpeg4mq"):
+            if quant_kind == "h263":
+                q16 = 16 * qs6
+                lv = jnp.sign(czz) * (jnp.abs(czz) // q16[:, None])
+                levels = jnp.clip(lv, -255, 255)
+            else:
+                # MPEG-4 quant_type=1: matrix-weighted steps, same
+                # >>3/>>4 fractional scale as MPEG-1 so quantize_mpeg
+                # inverts the mpeg4_mq dequant pair
+                lv_i = quantize_mpeg(czz, qs6, intra_qmat_zz, True)
+                lv_p = quantize_mpeg(czz, qs6, inter_qmat_zz, False)
+                levels = jnp.clip(
+                    jnp.where(intra6[:, None], lv_i, lv_p), -2047, 2047)
             # intra DC by DC scaler (true DCT scale = coeffs8/8)
             dcs_l = jnp.where(qs6 < 5, 8, jnp.where(qs6 < 9, 2 * qs6,
                               jnp.where(qs6 < 25, qs6 + 8, 2 * qs6 - 16)))

@@ -294,3 +294,30 @@ def mpeg_quant(coeffs, qscale, qmat, intra: bool, fdct_scale: int = 8):
     div = jnp.maximum((2 * q * jnp.asarray(qmat, dtype=jnp.int32) * fdct_scale) // 16, 1)
     bias = div // 2 if intra else 3 * div // 8
     return jnp.clip(jnp.sign(c) * ((jnp.abs(c) + bias) // div), -2047, 2047)
+
+
+def mpeg4_mq_dequant_intra(coeffs, qs, qmat, dcs):
+    """MPEG-4 quant_type=1 intra dequant, bitexact variant (reference
+    mpegvideo.c:142 dct_unquantize_mpeg2_intra_bitexact as wired for
+    MPEG-4): AC = sign*((|l|*qscale*M)>>3), DC = l*dc_scaler, then the
+    parity fix block[63] ^= (sum_AC - 1) & 1. coeffs/qmat in the same
+    scan order; slot 63 is raster 63 in every scan."""
+    import jax.numpy as jnp
+    c = coeffs.astype(jnp.int32)
+    a = jnp.abs(c)
+    deq = jnp.sign(c) * ((a * qs[:, None] * qmat[None, :]) >> 3)
+    deq = deq.at[:, 0].set(c[:, 0] * dcs)
+    s = deq[:, 1:].sum(axis=1) - 1
+    return deq.at[:, 63].set(deq[:, 63] ^ (s & 1))
+
+
+def mpeg4_mq_dequant_inter(coeffs, qs, qmat):
+    """MPEG-4 quant_type=1 inter dequant (reference mpegvideo.c:175
+    dct_unquantize_mpeg2_inter_c): sign*(((2|l|+1)*qscale*M)>>4) for
+    nonzero l, then block[63] ^= (sum - 1) & 1."""
+    import jax.numpy as jnp
+    c = coeffs.astype(jnp.int32)
+    a = jnp.abs(c)
+    deq = jnp.sign(c) * (((2 * a + 1) * qs[:, None] * qmat[None, :]) >> 4)
+    s = deq.sum(axis=1) - 1
+    return deq.at[:, 63].set(deq[:, 63] ^ (s & 1))

@@ -65,6 +65,9 @@ class TestDecodeParity:
         # MPEG-4 AC prediction (mbd=rd makes the reference encoder set
         # ac_pred adaptively: alternate scans + predictor rescale)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mbd", "rd"]),
+        # MPEG-4 MPEG quant (quant_type=1 matrix dequant + bitexact
+        # parity fix)
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mpeg_quant", "1"]),
     ])
     def test_video(self, y4m, tmp_path, codec, ext, args):
         enc = str(tmp_path / f"ref.{ext}")
@@ -138,6 +141,9 @@ class TestEncodeParity:
         ("mpeg4", "m4v", ["-g", "4"]),
         ("mpeg4", "m4v", ["-g", "4", "-acpred", "1"]),
         ("mpeg4", "m4v", ["-g", "2", "-acpred", "1", "-q:v", "8"]),
+        ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1"]),
+        ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1", "-acpred", "1",
+                          "-q:v", "4"]),
         ("h264", "h264", ["-g", "4", "-qp", "28"]),
         ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1"]),
         ("h264", "h264", ["-g", "4", "-qp", "28", "-entropy", "cabac"]),
