@@ -7,8 +7,11 @@ Device: ME + prediction + FDCT + H.263-quant via codecs/mpegvideo.encode_jit
 Host: VOS/VOL/VOP headers, MCBPC/CBPY, gradient DC prediction, median MV
 prediction, 3D run-level VLC with ESC3 fallback.
 
-Emits: rectangular VOL, quant_type 0, no B-VOPs/4MV/qpel/GMC/AC-pred yet
-(round-2 items), resync markers disabled.
+Emits: rectangular VOL; quant_type 0 or 1 (MPEG matrices); intra AC
+prediction; B-VOPs (fwd/bwd/bi + modb direct + colocated-skip
+inheritance, anchor-first reordering); quarter-sample P-VOPs (fcode 2,
+closed loop through the decoder's 8-tap qpel MC). Not yet: 4MV, GMC,
+resync markers, qpel B.
 """
 
 from __future__ import annotations
@@ -25,7 +28,8 @@ from libav_tpu.avutil.rational import Rational
 from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg4 import tables as T
-from libav_tpu.codecs.mpegvideo import encode_jit, recon_jit, zero_pad_refs
+from libav_tpu.codecs.mpegvideo import (encode_b_jit, encode_jit,
+                                        recon_jit, zero_pad_refs)
 from libav_tpu.ops.quant import (alternate_horizontal_scan,
                                  alternate_scan, mpeg4_dc_scaler,
                                  zigzag_scan)
@@ -38,7 +42,7 @@ VO_STARTCODE = b"\x00\x00\x01\x00"
 VOL_STARTCODE = b"\x00\x00\x01\x20"
 VOP_STARTCODE = b"\x00\x00\x01\xB6"
 
-PICT_I, PICT_P = 0, 1
+PICT_I, PICT_P, PICT_B = 0, 1, 2
 
 
 def encode_mv_component(pb: PutBits, delta: int, fcode: int = 1):
@@ -122,7 +126,13 @@ class MPEG4Encoder(Encoder):
                0, 0, 1),
         Option("mpegq", "MPEG quant (VOL quant_type=1: default "
                "matrix-weighted quantisation)", "int", 0, 0, 1),
+        Option("b_frames", "max B-VOPs between anchors", "int", 0, 0, 2),
+        Option("bdirect", "emit direct mode (modb=1, zero delta-MV) on "
+               "every Nth coded B MB (0 = off)", "int", 7, 0, 64),
+        Option("qpel", "quarter-sample mode (VOL quarter_sample=1, "
+               "8-tap MC; P-VOPs)", "int", 0, 0, 1),
     ]
+    CAPABILITIES = ("delay",)
 
     F_CODE = 1
 
@@ -131,8 +141,17 @@ class MPEG4Encoder(Encoder):
             raise AVError(EINVAL, "mpeg4: width/height required")
         self.mb_w = (self.width + 15) >> 4
         self.mb_h = (self.height + 15) >> 4
+        if self.qpel and self.b_frames:
+            raise AVError(EINVAL, "mpeg4: qpel B-VOPs not supported")
+        self._fcode = 2 if self.qpel else 1
         self._frame_idx = 0
         self._refs = None
+        self._refs_prev = None
+        self._pending = []           # buffered display frames (B runs)
+        self._enc_time_base = 0      # decoder's time_base mirror (secs)
+        self._prev_anchor_secs = 0
+        self._col_skip = None
+        self._col_mv = None
         fr = self.params.framerate
         self._fr = fr if fr else Rational(25, 1)
         self._time_res = max(self._fr.num, 1)
@@ -151,10 +170,34 @@ class MPEG4Encoder(Encoder):
     # ------------------------------------------------------------------ #
 
     def _encode(self, frame: Frame) -> List[Packet]:
-        is_i = (self._frame_idx % self.gop_size) == 0 or self._refs is None
+        disp = self._frame_idx
+        self._frame_idx += 1
+        is_i = (disp % self.gop_size) == 0 or self._refs is None
+        if not is_i and self.b_frames and \
+                len(self._pending) < self.b_frames and \
+                (disp + 1) % self.gop_size != 0:
+            self._pending.append((frame, disp))
+            return []
+        pkts = [self._code_anchor(frame, disp, is_i)]
+        for bf, bd in self._pending:
+            pkts.append(self._code_b(bf, bd))
+        self._pending = []
+        return pkts
+
+    def _drain(self) -> List[Packet]:
+        if not self._pending:
+            return []
+        last_f, last_d = self._pending[-1]
+        rest = self._pending[:-1]
+        self._pending = []
+        pkts = [self._code_anchor(last_f, last_d, False)]
+        for bf, bd in rest:
+            pkts.append(self._code_b(bf, bd))
+        return pkts
+
+    def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
         nmb = self.mb_w * self.mb_h
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
-
         y, u, v = self._padded_input(frame)
         kind = "mpeg4mq" if self.mpegq else "h263"
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind)
@@ -164,23 +207,112 @@ class MPEG4Encoder(Encoder):
         levels = np.asarray(levels).astype(np.int16)
         mvs = np.asarray(mvs)
         intra = np.asarray(intra)
+        if self.qpel and not is_i:
+            # half-pel ME doubled to quarter-pel units; the closed loop
+            # reconstructs through the SAME 8-tap qpel MC the decoder
+            # uses, so prediction drift cannot accumulate
+            mvs = mvs * 2
 
-        recon = recon_jit(self.mb_w, self.mb_h, kind, False, not is_i)
+        recon = recon_jit(self.mb_w, self.mb_h, kind, False, not is_i,
+                          qpel=bool(self.qpel and not is_i))
         use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
         _, padded = recon(levels, qscale, intra, use_fwd,
                           np.zeros(nmb, dtype=bool), mvs,
                           np.zeros((nmb, 2), np.int32),
                           self._qi, self._qp,
                           *refs, *zero_pad_refs(self.mb_w, self.mb_h))
+        self._refs_prev = self._refs
         self._refs = padded
 
+        # colocated data the decoder will use for B direct/skip
+        # (decoder mirror: skip inheritance + TRB/TRD direct scaling)
+        if is_i:
+            self._col_skip = np.zeros(nmb, bool)
+            self._col_mv = np.zeros((nmb, 2), np.int32)
+        else:
+            cbp_any = np.any(
+                levels.reshape(nmb, 6, 64) != 0, axis=(1, 2))
+            self._col_skip = (~intra) & ~cbp_any & \
+                (mvs[:, 0] == 0) & (mvs[:, 1] == 0)
+            self._col_mv = np.where(intra[:, None], 0, mvs)
+        self._anchor_disps = (getattr(self, "_cur_anchor_disp", disp),
+                              disp)
+        self._cur_anchor_disp = disp
+
         data = self._pack(levels, mvs, intra, qscale,
-                          PICT_I if is_i else PICT_P)
+                          PICT_I if is_i else PICT_P, disp)
         pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)
-        self._frame_idx += 1
-        return [pkt]
+        return pkt
+
+    def _code_b(self, frame: Frame, disp: int) -> Packet:
+        nmb = self.mb_w * self.mb_h
+        qscale = np.full(nmb, self.qscale, dtype=np.int32)
+        y, u, v = self._padded_input(frame)
+        kind = "mpeg4mq" if self.mpegq else "h263"
+        fn = encode_b_jit(self.mb_w, self.mb_h, kind)
+        r0 = self._refs_prev or zero_pad_refs(self.mb_w, self.mb_h)
+        r1 = self._refs or zero_pad_refs(self.mb_w, self.mb_h)
+        levels, mv_f, mv_b, sel, _ = fn(y, u, v, qscale, self._qi,
+                                        self._qp, *r0, *r1)
+        levels = np.asarray(levels).astype(np.int16)
+        mv_f = np.asarray(mv_f)
+        mv_b = np.asarray(mv_b)
+        sel = np.asarray(sel)
+
+        pb = PutBits()
+        self._vop_header(pb, PICT_B, disp)
+        self._b_layer(pb, levels, mv_f, mv_b, sel)
+        self._stuff(pb)
+        data = VOP_STARTCODE + pb.flush()
+        return Packet(data=data, pts=frame.pts, dts=frame.pts,
+                      duration=1, flags=0, time_base=frame.time_base)
+
+    def _b_layer(self, pb, levels, mv_f, mv_b, sel):
+        """B-VOP macroblock layer (decoder mirror: dec._decode_mbs_b;
+        reference mpeg4videoenc.c mpeg4_encode_mb B branch)."""
+        mw, mh = self.mb_w, self.mb_h
+        col_skip = self._col_skip if self._col_skip is not None else \
+            np.zeros(mw * mh, bool)
+        ndirect = self.bdirect
+        for mb_y in range(mh):
+            last_mv = [[0, 0], [0, 0]]
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                if col_skip[idx]:
+                    continue             # decoder inherits the skip
+                if ndirect and idx % ndirect == ndirect // 2:
+                    pb.put_bits(1, 1)    # modb=1: direct, no dMV/cbp
+                    continue
+                mode = int(sel[idx])     # 0=fwd 1=bwd 2=bi
+                lv = levels[idx]
+                cbp = 0
+                for b in range(6):
+                    if np.any(lv[b]):
+                        cbp |= 0x20 >> b
+                pb.put_bits(1, 0)        # modb1
+                pb.put_bits(1, 0 if cbp else 1)   # modb2
+                mbt = {0: 3, 1: 2, 2: 1}[mode]
+                for _ in range(mbt):
+                    pb.put_bits(1, 0)
+                pb.put_bits(1, 1)        # mb_type unary terminator
+                if cbp:
+                    pb.put_bits(6, cbp)
+                    pb.put_bits(1, 0)    # dbquant: 0
+                if mode in (0, 2):       # forward MV
+                    mv = (int(mv_f[idx][0]), int(mv_f[idx][1]))
+                    encode_mv_component(pb, mv[0] - last_mv[0][0], 1)
+                    encode_mv_component(pb, mv[1] - last_mv[0][1], 1)
+                    last_mv[0] = [mv[0], mv[1]]
+                if mode in (1, 2):       # backward MV
+                    mv = (int(mv_b[idx][0]), int(mv_b[idx][1]))
+                    encode_mv_component(pb, mv[0] - last_mv[1][0], 1)
+                    encode_mv_component(pb, mv[1] - last_mv[1][1], 1)
+                    last_mv[1] = [mv[0], mv[1]]
+                for b in range(6):
+                    if cbp & (0x20 >> b):
+                        encode_block_rl(pb, lv[b], 0, False)
 
     def _padded_input(self, frame: Frame):
         H, W = self.mb_h * 16, self.mb_w * 16
@@ -217,8 +349,14 @@ class MPEG4Encoder(Encoder):
         out += VO_STARTCODE     # video_object 0
         pb = PutBits()
         pb.put_bits(1, 0)       # random_accessible_vol
-        pb.put_bits(8, 0x01)    # video_object_type_indication: simple
-        pb.put_bits(1, 0)       # is_object_layer_identifier
+        # video_object_type_indication: simple (1) / adv. simple (17)
+        pb.put_bits(8, 0x11 if self.qpel else 0x01)
+        if self.qpel:
+            pb.put_bits(1, 1)   # is_object_layer_identifier
+            pb.put_bits(4, 5)   # vol_ver_id
+            pb.put_bits(3, 1)   # vol_priority
+        else:
+            pb.put_bits(1, 0)   # is_object_layer_identifier
         pb.put_bits(4, 1)       # aspect_ratio_info: 1:1
         pb.put_bits(1, 0)       # vol_control_parameters
         pb.put_bits(2, 0)       # shape: rectangular
@@ -233,33 +371,43 @@ class MPEG4Encoder(Encoder):
         pb.put_bits(1, 1)       # marker
         pb.put_bits(1, 0)       # interlaced
         pb.put_bits(1, 1)       # obmc_disable
-        pb.put_bits(1, 0)       # sprite_enable: none
+        # sprite_enable: 1 bit at ver_id 1, 2 bits otherwise
+        pb.put_bits(1 if not self.qpel else 2, 0)
         pb.put_bits(1, 0)       # not_8_bit
         pb.put_bits(1, 1 if self.mpegq else 0)   # quant_type
         if self.mpegq:
             pb.put_bits(1, 0)   # load_intra_quant_mat: defaults
             pb.put_bits(1, 0)   # load_nonintra_quant_mat: defaults
+        if self.qpel:
+            pb.put_bits(1, 1)   # quarter_sample
         pb.put_bits(1, 1)       # complexity_estimation_disable
         pb.put_bits(1, 1)       # resync_marker_disable
         pb.put_bits(1, 0)       # data_partitioned
+        if self.qpel:           # ver_id != 1 extras
+            pb.put_bits(1, 0)   # newpred_enable
+            pb.put_bits(1, 0)   # reduced_res_vop_enable
         pb.put_bits(1, 0)       # scalability
         self._stuff(pb)
         out += VOL_STARTCODE + pb.flush()
         return bytes(out)
 
-    def _vop_header(self, pb: PutBits, pict_type: int):
+    def _vop_header(self, pb: PutBits, pict_type: int, disp: int):
+        """VOP header with the decoder's exact time bookkeeping
+        (ISO 14496-2 §6.2.5: modulo_time_base counts whole seconds —
+        non-B relative to time_base, B relative to last_time_base)."""
         pb.put_bits(2, pict_type)
-        # modulo_time_base: number of whole seconds since last sync
-        t_num = self._frame_idx * self._fr.den
-        secs = t_num // self._fr.num
-        prev_secs = getattr(self, "_prev_secs", 0)
-        for _ in range(max(0, secs - prev_secs)):
+        t_total = disp * self._fr.den
+        secs = t_total // self._time_res
+        tinc = t_total % self._time_res
+        base = self._prev_anchor_secs if pict_type == PICT_B \
+            else self._enc_time_base
+        for _ in range(max(0, secs - base)):
             pb.put_bits(1, 1)
-        self._prev_secs = secs
         pb.put_bits(1, 0)
+        if pict_type != PICT_B:
+            self._prev_anchor_secs = self._enc_time_base
+            self._enc_time_base = secs
         pb.put_bits(1, 1)       # marker
-        tinc = (self._frame_idx * self._fr.den * self._time_res
-                // self._fr.num) % self._time_res if self._fr.num else 0
         pb.put_bits(self._time_inc_bits, tinc)
         pb.put_bits(1, 1)       # marker
         pb.put_bits(1, 1)       # vop_coded
@@ -267,17 +415,20 @@ class MPEG4Encoder(Encoder):
             pb.put_bits(1, 0)   # vop_rounding_type
         pb.put_bits(3, 0)       # intra_dc_vlc_thr: always intra DC VLC
         pb.put_bits(5, self.qscale)
-        if pict_type == PICT_P:
-            pb.put_bits(3, self.F_CODE)
+        if pict_type in (PICT_P, PICT_B):
+            pb.put_bits(3, self._fcode)
+        if pict_type == PICT_B:
+            pb.put_bits(3, 1)   # vop_bcode
 
     # ------------------------------------------------------------------ #
 
-    def _pack(self, levels, mvs, intra, qscale, pict_type) -> bytes:
+    def _pack(self, levels, mvs, intra, qscale, pict_type,
+              disp=0) -> bytes:
         out = bytearray()
         if pict_type == PICT_I:
             out += self._vol_headers()
         pb = PutBits()
-        self._vop_header(pb, pict_type)
+        self._vop_header(pb, pict_type, disp)
         self._mb_layer(pb, levels, mvs, intra, qscale, pict_type)
         self._stuff(pb)
         return bytes(out) + VOP_STARTCODE + pb.flush()
@@ -347,8 +498,8 @@ class MPEG4Encoder(Encoder):
                     pb.put_bits(bits, code)
                     # motion vector, median predicted
                     px, py = self._mv_pred(mvs, intra, mb_x, mb_y, pict_type)
-                    encode_mv_component(pb, int(mv[0]) - px, self.F_CODE)
-                    encode_mv_component(pb, int(mv[1]) - py, self.F_CODE)
+                    encode_mv_component(pb, int(mv[0]) - px, self._fcode)
+                    encode_mv_component(pb, int(mv[1]) - py, self._fcode)
 
                 for b in range(6):
                     coded = bool(cbp & (0x20 >> b))

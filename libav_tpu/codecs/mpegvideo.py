@@ -639,6 +639,96 @@ def zero_pad_refs(mb_w: int, mb_h: int):
     return (y, c, c)
 
 
+@functools.lru_cache(maxsize=16)
+def encode_b_jit(mb_w: int, mb_h: int, quant_kind: str = "h263",
+                 search_range: int = 12):
+    """B-picture device encode (reference: the B branch of
+    mpegvideo_enc.c encode_mb): forward + backward half-pel ME, per-MB
+    fwd/bwd/bi mode decision by SAD, residual FDCT + inter quant.
+    Returns (levels zigzag (nmb,6,64), mv_f, mv_b, sel 0=fwd 1=bwd
+    2=bi, sad of the chosen mode)."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import mc_hpel, chroma_mv_h263
+    from libav_tpu.ops.me import _search_jit, _hpel_refine_jit
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    zz = zigzag_scan()
+    mbx = ((np.arange(nmb) % mb_w) * 16).astype(np.int32)
+    mby = ((np.arange(nmb) // mb_w) * 16).astype(np.int32)
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    def pred_planes(ry, ru, rv, mv):
+        py = mc_hpel(ry, mbx, mby, mv[:, 0], mv[:, 1], 16)
+        cmv = chroma_mv_h263(mv)
+        pu = mc_hpel(ru, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+        pv = mc_hpel(rv, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)
+        return py, pu, pv
+
+    def fn(cur_y, cur_u, cur_v, qscale, intra_qmat_zz, inter_qmat_zz,
+           r0y, r0u, r0v, r1y, r1u, r1v):
+        cy = cur_y.astype(jnp.int32)
+        blocks = mb_blocks(cy, cur_u.astype(jnp.int32),
+                           cur_v.astype(jnp.int32))
+        cur_mbs = (cy.reshape(mb_h, 16, mb_w, 16)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 16, 16))
+        fmv0, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, r0y)
+        mv_f, sad_f = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r0y, fmv0)
+        bmv0, _ = _search_jit(mb_w, mb_h, search_range)(cur_mbs, r1y)
+        mv_b, sad_b = _hpel_refine_jit(mb_w, mb_h)(cur_mbs, r1y, bmv0)
+
+        pf = pred_planes(r0y, r0u, r0v, mv_f)
+        pb_ = pred_planes(r1y, r1u, r1v, mv_b)
+        bi_y = (pf[0] + pb_[0] + 1) >> 1
+        sad_bi = jnp.abs(cur_mbs - bi_y).sum(axis=(1, 2))
+        # small bias toward bi (it spends two MV fields)
+        sel = jnp.where(sad_bi + 128 < jnp.minimum(sad_f, sad_b), 2,
+                        jnp.where(sad_b < sad_f, 1, 0))
+        sad = jnp.where(sel == 2, sad_bi,
+                        jnp.where(sel == 1, sad_b, sad_f))
+
+        def plane_of(k, size):
+            a = pf[k]
+            b = pb_[k]
+            bi = (a + b + 1) >> 1
+            p = jnp.where((sel == 2)[:, None, None], bi,
+                          jnp.where((sel == 1)[:, None, None], b, a))
+            return (p.reshape(mb_h, mb_w, size, size)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(mb_h * size, mb_w * size))
+
+        pred_blocks = mb_blocks(plane_of(0, 16), plane_of(1, 8),
+                                plane_of(2, 8))
+        resid = blocks - pred_blocks
+        coeffs8 = fdct_ops.fdct8x8_int(resid.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        qs6 = jnp.repeat(qscale, 6)
+        if quant_kind == "mpeg4mq":
+            q = jnp.maximum(qs6[:, None] * inter_qmat_zz[None, :], 1)
+            lv = jnp.sign(czz) * (jnp.abs(czz) // q)
+            levels = jnp.clip(lv, -2047, 2047)
+        else:
+            q16 = 16 * qs6
+            lv = jnp.sign(czz) * (jnp.abs(czz) // q16[:, None])
+            levels = jnp.clip(lv, -255, 255)
+        return (levels.reshape(nmb, 6, 64), mv_f, mv_b, sel, sad)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=32)
 def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
                search_range: int = 15):

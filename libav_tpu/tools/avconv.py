@@ -286,7 +286,7 @@ _PASSTHRU_VALUE_OPTS = {
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
     "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco", "fgap",
-    "acpred", "mpegq",
+    "acpred", "mpegq", "bdirect", "qpel",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -144,6 +144,15 @@ class TestEncodeParity:
         ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1"]),
         ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1", "-acpred", "1",
                           "-q:v", "4"]),
+        # MPEG-4 ASP encode: B-VOPs (fwd/bwd/bi + modb direct + skip
+        # inheritance), quarter-sample P with fcode 2
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2"]),
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-mpegq", "1",
+                          "-acpred", "1"]),
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-bdirect", "3"]),
+        ("mpeg4", "m4v", ["-g", "4", "-qpel", "1"]),
+        ("mpeg4", "m4v", ["-g", "4", "-qpel", "1", "-mpegq", "1",
+                          "-q:v", "4"]),
         ("h264", "h264", ["-g", "4", "-qp", "28"]),
         ("h264", "h264", ["-g", "4", "-qp", "26", "-deblock", "1"]),
         ("h264", "h264", ["-g", "4", "-qp", "28", "-entropy", "cabac"]),
