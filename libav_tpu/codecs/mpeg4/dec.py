@@ -8,7 +8,8 @@ types); device: shared recon_jit 'h263' kind.
 Supported: I/P/B VOPs (B: direct with TRB/TRD colocated scaling plus
 fwd/bwd/bi modes and colocated-skip inheritance), quarter-sample (qpel)
 P decode, AC prediction (alternate scans + qscale rescale), quant_type
-0, 1MV. Not yet: 4MV, GMC, data partitioning, MPEG quant, qpel B-VOPs.
+0 and 1 (MPEG matrices), qpel B-VOPs, 1MV. Not yet: 4MV, GMC, data
+partitioning.
 """
 
 from __future__ import annotations
@@ -204,8 +205,6 @@ class MPEG4Decoder(Decoder):
         pict_type = gb.get_bits(2)
         if pict_type == PICT_S:
             raise AVError(INVALIDDATA, "S(GMC)-VOP not supported yet")
-        if pict_type == PICT_B and self.quarter_sample:
-            raise AVError(INVALIDDATA, "qpel B-VOP not supported yet")
         time_incr = 0
         while gb.get_bits(1):   # modulo_time_base
             time_incr += 1
@@ -244,6 +243,7 @@ class MPEG4Decoder(Decoder):
         mb = MBData(nmb)
         mb.qscale[:] = max(qscale, 1)
         mb.skipped = np.zeros(nmb, dtype=bool)
+        mb.direct8 = np.zeros(nmb, dtype=bool)
         if pict_type == PICT_B:
             self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
         else:
@@ -251,6 +251,8 @@ class MPEG4Decoder(Decoder):
                              qscale)
 
         kind = "mpeg4mq" if self.quant_type else "h263"
+        qd8 = bool(self.quarter_sample and pict_type == PICT_B and
+                   np.any(mb.direct8))
         if self.quant_type:
             zz = np.asarray(zigzag_scan())
             qi = self.intra_mat[zz].astype(np.int32)
@@ -259,8 +261,7 @@ class MPEG4Decoder(Decoder):
             qi = qp_ = self._dummy_q
         fn = recon_jit(self.mb_w, self.mb_h, kind, False,
                        pict_type != PICT_I, rounding,
-                       qpel=bool(self.quarter_sample and
-                                 pict_type != PICT_B))
+                       qpel=bool(self.quarter_sample), qpel_d8=qd8)
         zero = zero_pad_refs(self.mb_w, self.mb_h)
         if pict_type == PICT_B:
             r0 = self._refs_prev or zero      # forward = past anchor
@@ -268,9 +269,10 @@ class MPEG4Decoder(Decoder):
         else:
             r0 = self._refs or zero
             r1 = zero
+        dkw = {"direct8": mb.direct8} if qd8 else {}
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
-                            qi, qp_, *r0, *r1)
+                            qi, qp_, *r0, *r1, **dkw)
         f = Frame(width=self.vol_width, height=self.vol_height,
                   format="yuv420p")
         cw, ch = (self.vol_width + 1) // 2, (self.vol_height + 1) // 2
@@ -375,6 +377,7 @@ class MPEG4Decoder(Decoder):
                             mb.use_bwd[idx] = True
                             mb.mv_bwd[idx] = (vx, vy)
                 if direct:
+                    mb.direct8[idx] = True
                     if modb1:
                         dmx = dmy = 0
                     else:

@@ -24,7 +24,7 @@ from libav_tpu.ops.quant import alternate_scan, zigzag_scan
 def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
               inter_frame: bool, rounding: int = 0,
               interlaced: bool = False, qpel: bool = False,
-              dual: bool = False):
+              dual: bool = False, qpel_d8: bool = False):
     """interlaced=True compiles the MPEG-2 frame-picture interlace
     variant (reference: mpegvideo_motion.c mpv_motion field paths +
     mpegvideo.c dct_type handling): extra per-MB inputs select 16x8
@@ -36,7 +36,8 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     from libav_tpu.ops import idct as idct_ops, quant as quant_ops
     from libav_tpu.ops.mc import (EDGE, avg_pred, mc_hpel, chroma_mv_div2,
                                   chroma_mv_h263, chroma_mv_qpel,
-                                  mc_qpel_mpeg4)
+                                  chroma_mv_qpel_direct8, mc_qpel_mpeg4,
+                                  mc_qpel_mpeg4_tiled8)
     if quant_kind in ("h263", "mpeg4", "mpeg4mq"):
         # H.263/MPEG-4 derive chroma MVs with the rounding table
         # (motion_est.h:96), not MPEG-1/2 truncation
@@ -129,7 +130,8 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
     def fn(coeffs, qscale, intra, use_fwd, use_bwd, mv_fwd, mv_bwd,
            intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v,
            field_mc=None, dct_field=None, mvf2=None, mvb2=None,
-           sel_f=None, sel_b=None, dp=None, mv_dp2=None, sel_dp=None):
+           sel_f=None, sel_b=None, dp=None, mv_dp2=None, sel_dp=None,
+           direct8=None):
         c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
         qs = jnp.repeat(qscale, 6)
         intra_b = jnp.repeat(intra, 6)
@@ -151,6 +153,17 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                                    mv_fwd[:, 1], no_rnd=rounding)
                 by = mc_qpel_mpeg4(r1y, xs, ys, mv_bwd[:, 0],
                                    mv_bwd[:, 1], no_rnd=rounding)
+                if qpel_d8:
+                    # qpel direct mode runs as four 8x8 blocks with the
+                    # same MV (mpeg4video.c:176 MV_TYPE_8X8) — the 8-wide
+                    # reflection boundaries change the samples
+                    d8m = direct8[:, None, None]
+                    fy = jnp.where(d8m, mc_qpel_mpeg4_tiled8(
+                        r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1],
+                        no_rnd=rounding), fy)
+                    by = jnp.where(d8m, mc_qpel_mpeg4_tiled8(
+                        r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1],
+                        no_rnd=rounding), by)
             else:
                 fy = mc_hpel(r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1],
                              16, rnd)
@@ -161,6 +174,12 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
             if qpel:
                 cmf = chroma_mv_qpel(mv_fwd)
                 cmb = chroma_mv_qpel(mv_bwd)
+                if qpel_d8:
+                    d8c = direct8[:, None]
+                    cmf = jnp.where(d8c, chroma_mv_qpel_direct8(mv_fwd),
+                                    cmf)
+                    cmb = jnp.where(d8c, chroma_mv_qpel_direct8(mv_bwd),
+                                    cmb)
             else:
                 cmf = chroma_mv_div2(mv_fwd)
                 cmb = chroma_mv_div2(mv_bwd)

@@ -156,12 +156,13 @@ def chroma_mv_h263_4mv(mv_sum):
 # (17, 16) integer matrix so both directions run as matmuls.
 # ---------------------------------------------------------------------- #
 
-def _qpel_lowpass_matrix() -> np.ndarray:
-    """M[i, j]: contribution of src[i] (017) to dst[j] (016),
-    transcribed from qpeldsp.c mpeg4_qpel16_h_lowpass."""
-    M = np.zeros((17, 16), dtype=np.int32)
-    for j in range(16):
-        # clamped index pattern from the reference table:
+def _qpel_lowpass_matrix(n: int = 16) -> np.ndarray:
+    """M[i, j]: contribution of src[i] (0..n) to dst[j] (0..n-1),
+    transcribed from qpeldsp.c mpeg4_qpel16_h_lowpass (n=16) /
+    mpeg4_qpel8_h_lowpass (n=8) — edge taps reflect within the n+1
+    extended block, which is why 8x8-tiled MC differs from 16x16."""
+    M = np.zeros((n + 1, n), dtype=np.int32)
+    for j in range(n):
         pairs = [((j, j + 1), 20),
                  ((j - 1, j + 2), -6),
                  ((j - 2, j + 3), 3),
@@ -170,8 +171,8 @@ def _qpel_lowpass_matrix() -> np.ndarray:
             for i in (i1, i2):
                 if i < 0:
                     i = -i - 1          # left reflection 0,1,2 pattern
-                if i > 16:
-                    i = 33 - i          # right reflection (2*16+1-i)
+                if i > n:
+                    i = 2 * n + 1 - i   # right reflection
                 M[i, j] += w
     return M
 
@@ -244,6 +245,69 @@ def mc_qpel_mpeg4(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
                      jnp.where(dy == 1, (Xt + vx + a2) >> 1,
                                jnp.where(dy == 2, vx,
                                          (Xb + vx + a2) >> 1)))
+
+
+def mc_qpel_mpeg4_8(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
+    """8x8-block quarter-sample MC (qpeldsp.c put_qpel8 chain): same
+    staged lowpass as the 16x16 version but with the 8-wide reflection
+    matrix. Inputs are per-8x8-block position/mv arrays."""
+    import jax
+    import jax.numpy as jnp
+    M = jnp.asarray(_qpel_lowpass_matrix(8))
+    r1 = 15 if no_rnd else 16
+    a2 = 0 if no_rnd else 1
+    H, W = padded.shape
+    x0 = jnp.clip(xs + (mvx >> 2) + EDGE, 0, W - 9)
+    y0 = jnp.clip(ys + (mvy >> 2) + EDGE, 0, H - 9)
+    dx = (mvx & 3)[:, None, None]
+    dy = (mvy & 3)[:, None, None]
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (9, 9))
+    p = jax.vmap(slice_one)(y0, x0).astype(jnp.int32)    # (B,9,9)
+
+    hh = jnp.clip((p @ M + r1) >> 5, 0, 255)             # (B,9,8)
+    Xl = p[:, :, :8]
+    Xr = p[:, :, 1:9]
+    X = jnp.where(dx == 0, Xl,
+                  jnp.where(dx == 1, (hh + Xl + a2) >> 1,
+                            jnp.where(dx == 2, hh,
+                                      (hh + Xr + a2) >> 1)))
+    vx = jnp.clip((jnp.einsum("ij,bik->bjk", M, X,
+                              preferred_element_type=jnp.int32)
+                   + r1) >> 5, 0, 255)                   # (B,8,8)
+    Xt = X[:, :8]
+    Xb = X[:, 1:9]
+    return jnp.where(dy == 0, Xt,
+                     jnp.where(dy == 1, (Xt + vx + a2) >> 1,
+                               jnp.where(dy == 2, vx,
+                                         (Xb + vx + a2) >> 1)))
+
+
+def mc_qpel_mpeg4_tiled8(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
+    """16x16 prediction built from four 8x8 qpel blocks with the SAME
+    motion vector — the reference's MV_TYPE_8X8 path that MPEG-4 qpel
+    direct mode takes (mpegvideo_motion.c apply_8x8; mpeg4video.c:176
+    sets MV_TYPE_8X8 for quarter_sample direct)."""
+    import jax.numpy as jnp
+    B = xs.shape[0]
+    offs = jnp.asarray([(0, 0), (8, 0), (0, 8), (8, 8)], jnp.int32)
+    xs4 = (xs[:, None] + offs[None, :, 0]).reshape(-1)
+    ys4 = (ys[:, None] + offs[None, :, 1]).reshape(-1)
+    mvx4 = jnp.repeat(mvx, 4)
+    mvy4 = jnp.repeat(mvy, 4)
+    blk = mc_qpel_mpeg4_8(padded, xs4, ys4, mvx4, mvy4, no_rnd)
+    blk = blk.reshape(B, 2, 2, 8, 8)
+    return (blk.transpose(0, 1, 3, 2, 4).reshape(B, 16, 16))
+
+
+def chroma_mv_qpel_direct8(mv):
+    """Chroma MV for the qpel direct (MV_TYPE_8X8, equal vectors) path:
+    each block's qpel MV is C-trunc halved, the four are summed, and
+    the 4MV rounding applies (apply_8x8 + chroma_4mv_motion)."""
+    import jax.numpy as jnp
+    t = jnp.where(mv >= 0, mv >> 1, -((-mv) >> 1))       # C trunc /2
+    return chroma_mv_h263_4mv(4 * t)
 
 
 def chroma_mv_qpel(mv):

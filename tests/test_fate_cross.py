@@ -62,6 +62,10 @@ class TestDecodeParity:
         # MPEG-4 B-VOPs: direct (TRB/TRD-scaled colocated MVs),
         # forward/backward/interpolated modes, col-skip inheritance
         ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5"]),
+        # MPEG-4 qpel B-VOPs (direct mode runs as four 8x8 qpel blocks
+        # with 8-wide reflection + 4MV chroma rounding)
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5", "-flags",
+                          "+bitexact+qpel"]),
         # MPEG-4 AC prediction (mbd=rd makes the reference encoder set
         # ac_pred adaptively: alternate scans + predictor rescale)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mbd", "rd"]),
