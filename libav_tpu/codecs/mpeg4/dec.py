@@ -8,8 +8,8 @@ types); device: shared recon_jit 'h263' kind.
 Supported: I/P/B VOPs (B: direct with TRB/TRD colocated scaling plus
 fwd/bwd/bi modes and colocated-skip inheritance), quarter-sample (qpel)
 P decode, AC prediction (alternate scans + qscale rescale), quant_type
-0 and 1 (MPEG matrices), qpel B-VOPs, 1MV. Not yet: 4MV, GMC, data
-partitioning.
+0 and 1 (MPEG matrices), qpel B-VOPs, 1MV + 4MV (block-granular
+prediction grid, 8x8-tiled MC). Not yet: GMC, data partitioning.
 """
 
 from __future__ import annotations
@@ -243,7 +243,9 @@ class MPEG4Decoder(Decoder):
         mb = MBData(nmb)
         mb.qscale[:] = max(qscale, 1)
         mb.skipped = np.zeros(nmb, dtype=bool)
-        mb.direct8 = np.zeros(nmb, dtype=bool)
+        mb.use4 = np.zeros(nmb, dtype=bool)
+        mb.mv4f = np.zeros((nmb, 4, 2), dtype=np.int32)
+        mb.mv4b = np.zeros((nmb, 4, 2), dtype=np.int32)
         if pict_type == PICT_B:
             self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
         else:
@@ -251,8 +253,7 @@ class MPEG4Decoder(Decoder):
                              qscale)
 
         kind = "mpeg4mq" if self.quant_type else "h263"
-        qd8 = bool(self.quarter_sample and pict_type == PICT_B and
-                   np.any(mb.direct8))
+        any4 = bool(np.any(mb.use4))
         if self.quant_type:
             zz = np.asarray(zigzag_scan())
             qi = self.intra_mat[zz].astype(np.int32)
@@ -261,7 +262,7 @@ class MPEG4Decoder(Decoder):
             qi = qp_ = self._dummy_q
         fn = recon_jit(self.mb_w, self.mb_h, kind, False,
                        pict_type != PICT_I, rounding,
-                       qpel=bool(self.quarter_sample), qpel_d8=qd8)
+                       qpel=bool(self.quarter_sample), any_4mv=any4)
         zero = zero_pad_refs(self.mb_w, self.mb_h)
         if pict_type == PICT_B:
             r0 = self._refs_prev or zero      # forward = past anchor
@@ -269,7 +270,8 @@ class MPEG4Decoder(Decoder):
         else:
             r0 = self._refs or zero
             r1 = zero
-        dkw = {"direct8": mb.direct8} if qd8 else {}
+        dkw = {"use4": mb.use4, "mv4f": mb.mv4f,
+               "mv4b": mb.mv4b} if any4 else {}
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
                             mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
                             qi, qp_, *r0, *r1, **dkw)
@@ -291,9 +293,17 @@ class MPEG4Decoder(Decoder):
         if pict_type == PICT_P:
             self._col_mv = mb.mv_fwd.copy()
             self._col_skip = mb.skipped.copy()
+            # per-block colocated motion for direct (4MV P -> 8x8
+            # direct, reference ff_mpeg4_set_direct_mv IS_8X8 branch)
+            cm4 = np.repeat(mb.mv_fwd[:, None, :], 4, axis=1)
+            cm4[mb.use4] = mb.mv4f[mb.use4]
+            self._col_mv4 = cm4
+            self._col_is4 = mb.use4.copy()
         else:
             self._col_mv = np.zeros((nmb, 2), dtype=np.int32)
             self._col_skip = np.zeros(nmb, dtype=bool)
+            self._col_mv4 = np.zeros((nmb, 4, 2), dtype=np.int32)
+            self._col_is4 = np.zeros(nmb, dtype=bool)
         out = []
         if self._pending is not None:
             pf, ppts = self._pending
@@ -319,6 +329,12 @@ class MPEG4Decoder(Decoder):
             np.zeros((mw * mh, 2), dtype=np.int32)
         col_skip = self._col_skip if self._col_skip is not None else \
             np.zeros(mw * mh, dtype=bool)
+        col_mv4 = getattr(self, "_col_mv4", None)
+        if col_mv4 is None:
+            col_mv4 = np.zeros((mw * mh, 4, 2), dtype=np.int32)
+        col_is4 = getattr(self, "_col_is4", None)
+        if col_is4 is None:
+            col_is4 = np.zeros(mw * mh, dtype=bool)
 
         def wrap(v, fc):
             rng = 32 << (fc - 1)
@@ -377,23 +393,40 @@ class MPEG4Decoder(Decoder):
                             mb.use_bwd[idx] = True
                             mb.mv_bwd[idx] = (vx, vy)
                 if direct:
-                    mb.direct8[idx] = True
                     if modb1:
                         dmx = dmy = 0
                     else:
                         dmx = self._decode_mv(gb, 1)
                         dmy = self._decode_mv(gb, 1)
-                    cx, cy = int(col_mv[idx][0]), int(col_mv[idx][1])
-                    fx = self._tdiv(cx * tb, tp) + dmx
-                    fy = self._tdiv(cy * tb, tp) + dmy
-                    bx = (fx - cx) if dmx else self._tdiv(
-                        cx * (tb - tp), tp)
-                    by = (fy - cy) if dmy else self._tdiv(
-                        cy * (tb - tp), tp)
+
+                    def dscale(cx, cy):
+                        fx = self._tdiv(cx * tb, tp) + dmx
+                        fy = self._tdiv(cy * tb, tp) + dmy
+                        bx = (fx - cx) if dmx else self._tdiv(
+                            cx * (tb - tp), tp)
+                        by = (fy - cy) if dmy else self._tdiv(
+                            cy * (tb - tp), tp)
+                        return (fx, fy), (bx, by)
+
+                    if self.quarter_sample or col_is4[idx]:
+                        # MV_TYPE_8X8 direct: per-block colocated MVs
+                        # (also taken for EQUAL vectors in qpel mode —
+                        # 8-wide qpel reflection + 4MV chroma rounding)
+                        mb.use4[idx] = True
+                        for k in range(4):
+                            f, b_ = dscale(int(col_mv4[idx, k, 0]),
+                                           int(col_mv4[idx, k, 1]))
+                            mb.mv4f[idx, k] = f
+                            mb.mv4b[idx, k] = b_
+                        mb.mv_fwd[idx] = mb.mv4f[idx, 0]
+                        mb.mv_bwd[idx] = mb.mv4b[idx, 0]
+                    else:
+                        f, b_ = dscale(int(col_mv[idx][0]),
+                                       int(col_mv[idx][1]))
+                        mb.mv_fwd[idx] = f
+                        mb.mv_bwd[idx] = b_
                     mb.use_fwd[idx] = True
                     mb.use_bwd[idx] = True
-                    mb.mv_fwd[idx] = (fx, fy)
-                    mb.mv_bwd[idx] = (bx, by)
                     mb.qscale[idx] = qscale
                 for b in range(6):
                     if cbp & (0x20 >> b):
@@ -405,6 +438,51 @@ class MPEG4Decoder(Decoder):
     def _decode_mbs(self, gb, mb: MBData, pict_type, fcode, intra_dc_thr,
                     qscale):
         mw, mh = self.mb_w, self.mb_h
+        # block-granular motion grid with the reference's exact layout
+        # (h263.c ff_h263_pred_motion, mpegvideo.c ff_init_block_index:
+        # b8_stride = 2*mb_w+1 leaves zero pad slots that serve as the
+        # out-of-bounds candidates)
+        b8w = 2 * mw + 1
+        motbuf = np.zeros(((2 * mh + 1) * b8w + 8, 2), np.int32)
+        OFF = 4
+        blk_off = (2, 1, 1, -1)          # C offset per block (h263.c)
+
+        def bidx(mb_x, mb_y, k):
+            return (b8w * (2 * mb_y + (k >> 1)) - 2 + 2 * mb_x +
+                    (k & 1))
+
+        def grid_pred(mb_x, mb_y, k):
+            """(px, py) per ff_h263_pred_motion (resync_mb_x = 0,
+            h263_pred = 1, whole-frame slices)."""
+            xy = bidx(mb_x, mb_y, k)
+            A = motbuf[OFF + xy - 1]
+            if mb_y == 0 and k < 3:
+                if k == 0:
+                    if mb_x == 0:
+                        return 0, 0
+                    return int(A[0]), int(A[1])
+                if k == 1:
+                    return int(A[0]), int(A[1])
+                B = motbuf[OFF + xy - b8w]
+                C = motbuf[OFF + xy + blk_off[k] - b8w]
+                Ax, Ay = (0, 0) if mb_x == 0 else (int(A[0]), int(A[1]))
+                return (int(np.median([Ax, B[0], C[0]])),
+                        int(np.median([Ay, B[1], C[1]])))
+            B = motbuf[OFF + xy - b8w]
+            C = motbuf[OFF + xy + blk_off[k] - b8w]
+            return (int(np.median([int(A[0]), B[0], C[0]])),
+                    int(np.median([int(A[1]), B[1], C[1]])))
+
+        def grid_put(mb_x, mb_y, k, vx, vy):
+            motbuf[OFF + bidx(mb_x, mb_y, k)] = (vx, vy)
+
+        def wrap_mv(v, fc):
+            rng = 32 << (fc - 1)
+            if v < -rng:
+                v += 2 * rng
+            elif v >= rng:
+                v -= 2 * rng
+            return v
         dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
         dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
         dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
@@ -418,6 +496,7 @@ class MPEG4Decoder(Decoder):
         for mb_y in range(mh):
             for mb_x in range(mw):
                 idx = mb_y * mw + mb_x
+                four_mv = False
                 if pict_type == PICT_P:
                     if gb.get_bits(1):      # not_coded: skip MB
                         mb.use_fwd[idx] = True
@@ -428,8 +507,10 @@ class MPEG4Decoder(Decoder):
                     group, cbpc = v >> 2, v & 3
                     if group == 5:          # stuffing
                         continue
-                    if group in (T.MBT_INTER4V, 6):   # 4MV / 4MV+Q
-                        raise AVError(INVALIDDATA, "4MV not supported yet")
+                    if group == 6:
+                        raise AVError(INVALIDDATA,
+                                      "INTER4V+Q not supported")
+                    four_mv = group == T.MBT_INTER4V
                     is_intra = group in (T.MBT_INTRA, T.MBT_INTRAQ)
                     has_q = group in (T.MBT_INTERQ, T.MBT_INTRAQ)
                 else:
@@ -452,23 +533,26 @@ class MPEG4Decoder(Decoder):
 
                 if is_intra:
                     mb.intra[idx] = True
+                elif four_mv:               # INTER4V (8x8 vectors)
+                    mb.use_fwd[idx] = True
+                    mb.use4[idx] = True
+                    for k in range(4):
+                        px, py = grid_pred(mb_x, mb_y, k)
+                        vx = wrap_mv(px + self._decode_mv(gb, fcode),
+                                     fcode)
+                        vy = wrap_mv(py + self._decode_mv(gb, fcode),
+                                     fcode)
+                        grid_put(mb_x, mb_y, k, vx, vy)
+                        mb.mv4f[idx, k] = (vx, vy)
+                    mb.mv_fwd[idx] = mb.mv4f[idx, 0]
                 else:
-                    px, py = self._mv_pred(mb, mb_x, mb_y)
-                    dx = self._decode_mv(gb, fcode)
-                    dy = self._decode_mv(gb, fcode)
-                    rng = 32 << (fcode - 1)
-                    vx = px + dx
-                    vy = py + dy
-                    if vx < -rng:
-                        vx += 2 * rng
-                    elif vx >= rng:
-                        vx -= 2 * rng
-                    if vy < -rng:
-                        vy += 2 * rng
-                    elif vy >= rng:
-                        vy -= 2 * rng
+                    px, py = grid_pred(mb_x, mb_y, 0)
+                    vx = wrap_mv(px + self._decode_mv(gb, fcode), fcode)
+                    vy = wrap_mv(py + self._decode_mv(gb, fcode), fcode)
                     mb.use_fwd[idx] = True
                     mb.mv_fwd[idx] = (vx, vy)
+                    for k in range(4):
+                        grid_put(mb_x, mb_y, k, vx, vy)
 
                 cbp = (cbpy << 2) | cbpc
                 for b in range(6):

@@ -24,7 +24,7 @@ from libav_tpu.ops.quant import alternate_scan, zigzag_scan
 def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
               inter_frame: bool, rounding: int = 0,
               interlaced: bool = False, qpel: bool = False,
-              dual: bool = False, qpel_d8: bool = False):
+              dual: bool = False, any_4mv: bool = False):
     """interlaced=True compiles the MPEG-2 frame-picture interlace
     variant (reference: mpegvideo_motion.c mpv_motion field paths +
     mpegvideo.c dct_type handling): extra per-MB inputs select 16x8
@@ -35,8 +35,9 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
 
     from libav_tpu.ops import idct as idct_ops, quant as quant_ops
     from libav_tpu.ops.mc import (EDGE, avg_pred, mc_hpel, chroma_mv_div2,
+                                  chroma_mv_4mv_hpel, chroma_mv_4mv_qpel,
                                   chroma_mv_h263, chroma_mv_qpel,
-                                  chroma_mv_qpel_direct8, mc_qpel_mpeg4,
+                                  mc_hpel_tiled8, mc_qpel_mpeg4,
                                   mc_qpel_mpeg4_tiled8)
     if quant_kind in ("h263", "mpeg4", "mpeg4mq"):
         # H.263/MPEG-4 derive chroma MVs with the rounding table
@@ -131,7 +132,7 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
            intra_q, inter_q, r0y, r0u, r0v, r1y, r1u, r1v,
            field_mc=None, dct_field=None, mvf2=None, mvb2=None,
            sel_f=None, sel_b=None, dp=None, mv_dp2=None, sel_dp=None,
-           direct8=None):
+           use4=None, mv4f=None, mv4b=None):
         c = coeffs.reshape(nmb * 6, 64).astype(jnp.int32)
         qs = jnp.repeat(qscale, 6)
         intra_b = jnp.repeat(intra, 6)
@@ -153,36 +154,42 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                                    mv_fwd[:, 1], no_rnd=rounding)
                 by = mc_qpel_mpeg4(r1y, xs, ys, mv_bwd[:, 0],
                                    mv_bwd[:, 1], no_rnd=rounding)
-                if qpel_d8:
-                    # qpel direct mode runs as four 8x8 blocks with the
-                    # same MV (mpeg4video.c:176 MV_TYPE_8X8) — the 8-wide
-                    # reflection boundaries change the samples
-                    d8m = direct8[:, None, None]
-                    fy = jnp.where(d8m, mc_qpel_mpeg4_tiled8(
-                        r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1],
-                        no_rnd=rounding), fy)
-                    by = jnp.where(d8m, mc_qpel_mpeg4_tiled8(
-                        r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1],
-                        no_rnd=rounding), by)
+                if any_4mv:
+                    # MV_TYPE_8X8 (4MV / qpel direct): four 8x8 qpel
+                    # blocks — the 8-wide reflection boundaries change
+                    # the samples vs one 16x16 block
+                    m4 = use4[:, None, None]
+                    fy = jnp.where(m4, mc_qpel_mpeg4_tiled8(
+                        r0y, xs, ys, mv4f, no_rnd=rounding), fy)
+                    by = jnp.where(m4, mc_qpel_mpeg4_tiled8(
+                        r1y, xs, ys, mv4b, no_rnd=rounding), by)
             else:
                 fy = mc_hpel(r0y, xs, ys, mv_fwd[:, 0], mv_fwd[:, 1],
                              16, rnd)
                 by = mc_hpel(r1y, xs, ys, mv_bwd[:, 0], mv_bwd[:, 1],
                              16, rnd)
+                if any_4mv:
+                    m4 = use4[:, None, None]
+                    fy = jnp.where(m4, mc_hpel_tiled8(r0y, xs, ys,
+                                                      mv4f, rnd), fy)
+                    by = jnp.where(m4, mc_hpel_tiled8(r1y, xs, ys,
+                                                      mv4b, rnd), by)
             cxs = jnp.asarray(mbx * 8)
             cys = jnp.asarray(mby * 8)
             if qpel:
                 cmf = chroma_mv_qpel(mv_fwd)
                 cmb = chroma_mv_qpel(mv_bwd)
-                if qpel_d8:
-                    d8c = direct8[:, None]
-                    cmf = jnp.where(d8c, chroma_mv_qpel_direct8(mv_fwd),
-                                    cmf)
-                    cmb = jnp.where(d8c, chroma_mv_qpel_direct8(mv_bwd),
-                                    cmb)
+                if any_4mv:
+                    c4 = use4[:, None]
+                    cmf = jnp.where(c4, chroma_mv_4mv_qpel(mv4f), cmf)
+                    cmb = jnp.where(c4, chroma_mv_4mv_qpel(mv4b), cmb)
             else:
                 cmf = chroma_mv_div2(mv_fwd)
                 cmb = chroma_mv_div2(mv_bwd)
+                if any_4mv:
+                    c4 = use4[:, None]
+                    cmf = jnp.where(c4, chroma_mv_4mv_hpel(mv4f), cmf)
+                    cmb = jnp.where(c4, chroma_mv_4mv_hpel(mv4b), cmb)
             fu = mc_hpel(r0u, cxs, cys, cmf[:, 0], cmf[:, 1], 8, rnd)
             fv = mc_hpel(r0v, cxs, cys, cmf[:, 0], cmf[:, 1], 8, rnd)
             bu = mc_hpel(r1u, cxs, cys, cmb[:, 0], cmb[:, 1], 8, rnd)

@@ -284,30 +284,49 @@ def mc_qpel_mpeg4_8(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
                                          (Xb + vx + a2) >> 1)))
 
 
-def mc_qpel_mpeg4_tiled8(padded, xs, ys, mvx, mvy, no_rnd: int = 0):
-    """16x16 prediction built from four 8x8 qpel blocks with the SAME
-    motion vector — the reference's MV_TYPE_8X8 path that MPEG-4 qpel
-    direct mode takes (mpegvideo_motion.c apply_8x8; mpeg4video.c:176
-    sets MV_TYPE_8X8 for quarter_sample direct)."""
+def mc_qpel_mpeg4_tiled8(padded, xs, ys, mv4, no_rnd: int = 0):
+    """16x16 prediction built from four 8x8 qpel blocks with per-block
+    motion vectors mv4 (B,4,2) — the reference's MV_TYPE_8X8 path
+    (mpegvideo_motion.c apply_8x8): MPEG-4 4MV in quarter-sample mode
+    and qpel direct mode (mpeg4video.c:176, equal vectors)."""
     import jax.numpy as jnp
     B = xs.shape[0]
     offs = jnp.asarray([(0, 0), (8, 0), (0, 8), (8, 8)], jnp.int32)
     xs4 = (xs[:, None] + offs[None, :, 0]).reshape(-1)
     ys4 = (ys[:, None] + offs[None, :, 1]).reshape(-1)
-    mvx4 = jnp.repeat(mvx, 4)
-    mvy4 = jnp.repeat(mvy, 4)
-    blk = mc_qpel_mpeg4_8(padded, xs4, ys4, mvx4, mvy4, no_rnd)
+    blk = mc_qpel_mpeg4_8(padded, xs4, ys4,
+                          mv4[:, :, 0].reshape(-1),
+                          mv4[:, :, 1].reshape(-1), no_rnd)
     blk = blk.reshape(B, 2, 2, 8, 8)
     return (blk.transpose(0, 1, 3, 2, 4).reshape(B, 16, 16))
 
 
-def chroma_mv_qpel_direct8(mv):
-    """Chroma MV for the qpel direct (MV_TYPE_8X8, equal vectors) path:
-    each block's qpel MV is C-trunc halved, the four are summed, and
-    the 4MV rounding applies (apply_8x8 + chroma_4mv_motion)."""
+def mc_hpel_tiled8(padded, xs, ys, mv4, rnd: int = 1):
+    """16x16 from four 8x8 half-pel blocks with per-block MVs (B,4,2)
+    (reference apply_8x8 non-quarter branch / hpel_motion per block)."""
     import jax.numpy as jnp
-    t = jnp.where(mv >= 0, mv >> 1, -((-mv) >> 1))       # C trunc /2
-    return chroma_mv_h263_4mv(4 * t)
+    B = xs.shape[0]
+    offs = jnp.asarray([(0, 0), (8, 0), (0, 8), (8, 8)], jnp.int32)
+    xs4 = (xs[:, None] + offs[None, :, 0]).reshape(-1)
+    ys4 = (ys[:, None] + offs[None, :, 1]).reshape(-1)
+    blk = mc_hpel(padded, xs4, ys4, mv4[:, :, 0].reshape(-1),
+                  mv4[:, :, 1].reshape(-1), 8, rnd)
+    blk = blk.reshape(B, 2, 2, 8, 8)
+    return (blk.transpose(0, 1, 3, 2, 4).reshape(B, 16, 16))
+
+
+def chroma_mv_4mv_hpel(mv4):
+    """Chroma MV from four half-pel luma MVs (B,4,2): plain sum + 4MV
+    rounding (apply_8x8 + chroma_4mv_motion)."""
+    return chroma_mv_h263_4mv(mv4.sum(axis=1))
+
+
+def chroma_mv_4mv_qpel(mv4):
+    """Chroma MV from four quarter-pel luma MVs: each C-trunc halved,
+    summed, then 4MV rounding (apply_8x8 quarter branch)."""
+    import jax.numpy as jnp
+    t = jnp.where(mv4 >= 0, mv4 >> 1, -((-mv4) >> 1))    # C trunc /2
+    return chroma_mv_h263_4mv(t.sum(axis=1))
 
 
 def chroma_mv_qpel(mv):

@@ -62,6 +62,15 @@ class TestDecodeParity:
         # MPEG-4 B-VOPs: direct (TRB/TRD-scaled colocated MVs),
         # forward/backward/interpolated modes, col-skip inheritance
         ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5"]),
+        # MPEG-4 4MV (INTER4V): block-granular MV prediction grid,
+        # 8x8-tiled MC, 4MV chroma rounding; direct inherits per-block
+        # colocated vectors; combined with qpel and B-VOPs
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-flags",
+                          "+bitexact+mv4"]),
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5", "-flags",
+                          "+bitexact+mv4"]),
+        ("mpeg4", "m4v", ["-g", "6", "-bf", "1", "-q:v", "5", "-flags",
+                          "+bitexact+mv4+qpel"]),
         # MPEG-4 qpel B-VOPs (direct mode runs as four 8x8 qpel blocks
         # with 8-wide reflection + 4MV chroma rounding)
         ("mpeg4", "m4v", ["-g", "6", "-bf", "2", "-q:v", "5", "-flags",
