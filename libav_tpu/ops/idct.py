@@ -135,7 +135,15 @@ def idct8x8_int(blocks):
     cross-validation against the reference decoder requires these exact
     rounding/wraparound semantics (including the per-row DC shortcut and
     the int16 row storage the C version has implicitly).
+
+    On TPU at frame-scale batches the coefficient-major Pallas kernel
+    is selected (1.4-1.6x vs the einsum — see BASELINE.md round-3
+    measurement); results are bit-identical either way.
     """
+    import jax
+    B = blocks.shape[0]
+    if jax.default_backend() == "tpu" and B >= 3072:
+        return _idct8x8_int_pallas(blocks)
     jnp = _jnp()
 
     def wrap16(v):
@@ -154,6 +162,71 @@ def idct8x8_int(blocks):
     z = jnp.einsum("ki,bij->bkj", M, y, preferred_element_type=jnp.int32)
     z = (z + _COL_BIAS) >> COL_SHIFT
     return z
+
+
+def _idct8x8_int_pallas(blocks):
+    """Coefficient-major Pallas IDCT: sublanes = 64 coefficient slots,
+    lanes = blocks, so each butterfly step is one full-width VPU MAC
+    (measured 1.4-1.6x vs XLA einsum at >=3k-block batches)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = np.asarray(simple_idct_matrix(), np.int64)
+    LANES = 128
+    B = blocks.shape[0]
+    Bp = (B + LANES - 1) // LANES * LANES
+
+    def wrap16(v):
+        return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+    def kernel(x_ref, o_ref):
+        x = wrap16(x_ref[:])                       # (64, LANES) int32
+        rows = []
+        for r in range(8):
+            seg = x[8 * r:8 * r + 8, :]
+            outs = []
+            dc_only = ((seg[1, :] == 0) & (seg[2, :] == 0) &
+                       (seg[3, :] == 0) & (seg[4, :] == 0) &
+                       (seg[5, :] == 0) & (seg[6, :] == 0) &
+                       (seg[7, :] == 0))
+            dc_row = wrap16(seg[0, :] << 3)
+            for k in range(8):
+                a = jnp.full((LANES,), 1 << (ROW_SHIFT - 1), jnp.int32)
+                for j in range(8):
+                    w = int(M[k, j])
+                    if w:
+                        a = a + seg[j, :] * w
+                outs.append(wrap16(jnp.where(dc_only, dc_row,
+                                             a >> ROW_SHIFT)))
+            rows.append(jnp.stack(outs))
+        y = jnp.concatenate(rows, axis=0)          # (64, LANES)
+        outs = []
+        for k in range(8):
+            accs = [jnp.full((LANES,), _COL_BIAS, jnp.int32)
+                    for _ in range(8)]
+            for i in range(8):
+                w = int(M[k, i])
+                if w:
+                    for c in range(8):
+                        accs[c] = accs[c] + y[8 * i + c, :] * w
+            outs.extend(a >> COL_SHIFT for a in accs)
+        o_ref[:] = jnp.stack(outs)
+
+    x = blocks.astype(jnp.int32).reshape(B, 64)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    zT = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, Bp), jnp.int32),
+        grid=(Bp // LANES,),
+        in_specs=[pl.BlockSpec((64, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((64, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(x.T)
+    return zT.T[:B].reshape(B, 8, 8)
 
 
 def idct8x8_float(blocks):
