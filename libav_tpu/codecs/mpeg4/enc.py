@@ -28,7 +28,7 @@ from libav_tpu.avutil.rational import Rational
 from libav_tpu.bitstream import PutBits
 from libav_tpu.codecs.api import Encoder, MediaType, register_codec
 from libav_tpu.codecs.mpeg4 import tables as T
-from libav_tpu.codecs.mpegvideo import (encode_b_jit, encode_jit,
+from libav_tpu.codecs.mpegvideo import (encode_b_h263_jit, encode_jit,
                                         recon_jit, zero_pad_refs)
 from libav_tpu.ops.quant import (alternate_horizontal_scan,
                                  alternate_scan, mpeg4_dc_scaler,
@@ -251,7 +251,7 @@ class MPEG4Encoder(Encoder):
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
         y, u, v = self._padded_input(frame)
         kind = "mpeg4mq" if self.mpegq else "h263"
-        fn = encode_b_jit(self.mb_w, self.mb_h, kind)
+        fn = encode_b_h263_jit(self.mb_w, self.mb_h, kind)
         r0 = self._refs_prev or zero_pad_refs(self.mb_w, self.mb_h)
         r1 = self._refs or zero_pad_refs(self.mb_w, self.mb_h)
         levels, mv_f, mv_b, sel, _ = fn(y, u, v, qscale, self._qi,

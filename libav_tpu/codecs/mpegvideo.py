@@ -666,8 +666,8 @@ def zero_pad_refs(mb_w: int, mb_h: int):
 
 
 @functools.lru_cache(maxsize=16)
-def encode_b_jit(mb_w: int, mb_h: int, quant_kind: str = "h263",
-                 search_range: int = 12):
+def encode_b_h263_jit(mb_w: int, mb_h: int, quant_kind: str = "h263",
+                      search_range: int = 12):
     """B-picture device encode (reference: the B branch of
     mpegvideo_enc.c encode_mb): forward + backward half-pel ME, per-MB
     fwd/bwd/bi mode decision by SAD, residual FDCT + inter quant.
