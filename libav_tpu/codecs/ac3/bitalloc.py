@@ -126,8 +126,12 @@ def calc_mask(band_psd: np.ndarray, start: int, end: int, fast_gain: int,
 
 
 def calc_bap(psd: np.ndarray, mask: np.ndarray, start: int, end: int,
-             snr_offset: int, floor: int) -> np.ndarray:
-    """Final bit allocation pointers (A/52 §7.2.2.4)."""
+             snr_offset: int, floor: int, bap_tab=None) -> np.ndarray:
+    """Final bit allocation pointers (A/52 §7.2.2.4). bap_tab overrides
+    the standard 64-entry address->bap table (E-AC-3 AHT channels use
+    the hebap table, A/52B Table E3.5)."""
+    if bap_tab is None:
+        bap_tab = T.BAP_TAB
     bap = np.zeros(end, dtype=np.int32)
     b2b = T.bin_to_band()
     m = mask.copy()
@@ -140,7 +144,7 @@ def calc_bap(psd: np.ndarray, mask: np.ndarray, start: int, end: int,
         for k in range(i, band_end):
             address = (int(psd[k]) - mval) >> 5
             address = min(63, max(0, address))
-            bap[k] = T.BAP_TAB[address]
+            bap[k] = bap_tab[address]
         i = band_end
         band += 1
     return bap
@@ -150,7 +154,8 @@ def run_bit_alloc(exps: np.ndarray, start: int, end: int, fscod: int,
                   sdcycod=2, fdcycod=1, sgaincod=1, dbpbcod=2, floorcod=7,
                   fgaincod=4, csnroffst=0, fsnroffst=0,
                   fast_gain=None, snr_offset=None, is_lfe=False,
-                  cpl_leak=None, dba=None, sr_shift=0) -> np.ndarray:
+                  cpl_leak=None, dba=None, sr_shift=0,
+                  bap_tab=None) -> np.ndarray:
     """One-call helper: exponents -> bap (both sides use this).
     fast_gain/snr_offset may be given directly (decoder) or via
     fgaincod/csnroffst/fsnroffst codes (encoder)."""
@@ -165,4 +170,5 @@ def run_bit_alloc(exps: np.ndarray, start: int, end: int, fscod: int,
                      sr_shift=sr_shift)
     if snr_offset is None:
         snr_offset = (((csnroffst - 15) << 4) + fsnroffst) << 2
-    return calc_bap(psd, mask, start, end, snr_offset, T.FLOOR[floorcod])
+    return calc_bap(psd, mask, start, end, snr_offset, T.FLOOR[floorcod],
+                    bap_tab=bap_tab)

@@ -23,7 +23,8 @@ from libav_tpu.avutil.frame import Frame, Packet
 from libav_tpu.avutil.samplefmt import default_channel_layout
 from libav_tpu.bitstream import GetBits
 from libav_tpu.codecs.api import Decoder, MediaType, register_codec
-from libav_tpu.codecs.ac3 import bitalloc, tables as T
+from libav_tpu.codecs.ac3 import bitalloc, eac3, tables as T
+from libav_tpu.codecs.ac3 import eac3_tables as E
 
 EXP_REUSE, EXP_D15, EXP_D25, EXP_D45 = 0, 1, 2, 3
 DBA_NONE, DBA_REUSE, DBA_NEW, DBA_RESERVED = 0, 1, 2, 3
@@ -84,15 +85,18 @@ def _build_mant_tables():
         b2[i] = [_symmetric_dequant(i // 25, 5),
                  _symmetric_dequant((i % 25) // 5, 5),
                  _symmetric_dequant(i % 5, 5)]
-    b3 = np.array([_symmetric_dequant(i, 7) for i in range(8)],
-                  dtype=np.int64)
+    # invalid-code behavior must track the reference exactly: its init
+    # (ac3dec.c:152-158) fills only the 7/15 valid b3/b5 codes (the rest
+    # decode as 0) but computes b4 for all 128 group codes (codes >= 121
+    # extrapolate via symmetric_dequant(11, 11)).
+    b3 = np.zeros(8, dtype=np.int64)
+    b3[:7] = [_symmetric_dequant(i, 7) for i in range(7)]
     b4 = np.zeros((128, 2), dtype=np.int64)
     for i in range(128):
-        if i < 121:
-            b4[i] = [_symmetric_dequant(i // 11, 11),
-                     _symmetric_dequant(i % 11, 11)]
-    b5 = np.array([_symmetric_dequant(i, 15) for i in range(16)],
-                  dtype=np.int64)
+        b4[i] = [_symmetric_dequant(i // 11, 11),
+                 _symmetric_dequant(i % 11, 11)]
+    b5 = np.zeros(16, dtype=np.int64)
+    b5[:15] = [_symmetric_dequant(i, 15) for i in range(15)]
     return b1, b2, b3, b4, b5
 
 
@@ -154,9 +158,10 @@ class AC3Decoder(Decoder):
             if f is None:
                 break
             frame, consumed = f
-            frame.pts = pkt.pts if not frames else frame.pts
-            frame.time_base = pkt.time_base
-            frames.append(frame)
+            if frame is not None:       # None = skipped E-AC-3 substream
+                frame.pts = pkt.pts if not frames else frame.pts
+                frame.time_base = pkt.time_base
+                frames.append(frame)
             pos = sync + consumed
         return frames
 
@@ -166,53 +171,85 @@ class AC3Decoder(Decoder):
         gb = GetBits(data)
         if gb.get_bits(16) != 0x0B77:
             raise AVError(INVALIDDATA, "bad AC-3 sync word")
-        gb.get_bits(16)             # crc1 (not verified)
-        fscod = gb.get_bits(2)
-        frmsizecod = gb.get_bits(6)
-        if fscod == 3 or frmsizecod >= 38:
-            raise AVError(INVALIDDATA, "bad fscod/frmsizecod")
-        frame_bytes = int(T.FRAME_SIZE[frmsizecod][fscod]) * 2
-        if len(data) < frame_bytes:
-            return None
+        bsid_peek = (data[5] >> 3) & 0x1F
+        if bsid_peek > 16:
+            raise AVError(INVALIDDATA, f"invalid bsid {bsid_peek}")
+        num_blocks = 6
+        e = None                    # E-AC-3 per-frame syntax state
+        if bsid_peek <= 10:
+            gb.get_bits(16)         # crc1 (not verified)
+            fscod = gb.get_bits(2)
+            frmsizecod = gb.get_bits(6)
+            if fscod == 3 or frmsizecod >= 38:
+                raise AVError(INVALIDDATA, "bad fscod/frmsizecod")
+            frame_bytes = int(T.FRAME_SIZE[frmsizecod][fscod]) * 2
+            if len(data) < frame_bytes:
+                return None
 
-        bsid = gb.get_bits(5)
-        if bsid > 10:
-            raise AVError(INVALIDDATA, f"unsupported bsid {bsid} (E-AC-3?)")
-        sr_shift = max(bsid - 8, 0)
-        sample_rate = int(T.SAMPLE_RATES[fscod]) >> sr_shift
-        gb.get_bits(3)              # bsmod
-        acmod = gb.get_bits(3)
-        nfchans = int(T.CHANNELS[acmod])
-        if acmod & 1 and acmod != 1:
-            gb.get_bits(2)          # cmixlev
-        if acmod & 4:
-            gb.get_bits(2)          # surmixlev
-        if acmod == 2:
-            gb.get_bits(2)          # dsurmod
-        lfeon = gb.get_bits(1)
-        gb.get_bits(5)              # dialnorm
-        if gb.get_bits(1):
-            gb.get_bits(8)          # compr
-        if gb.get_bits(1):
-            gb.get_bits(8)          # langcod
-        if gb.get_bits(1):
-            gb.get_bits(7)          # mixlevel + roomtyp
-        if acmod == 0:
-            gb.get_bits(5)
+            bsid = gb.get_bits(5)
+            sr_shift = max(bsid - 8, 0)
+            sample_rate = int(T.SAMPLE_RATES[fscod]) >> sr_shift
+            gb.get_bits(3)          # bsmod
+            acmod = gb.get_bits(3)
+            nfchans = int(T.CHANNELS[acmod])
+            if acmod & 1 and acmod != 1:
+                gb.get_bits(2)      # cmixlev
+            if acmod & 4:
+                gb.get_bits(2)      # surmixlev
+            if acmod == 2:
+                gb.get_bits(2)      # dsurmod
+            lfeon = gb.get_bits(1)
+            gb.get_bits(5)          # dialnorm
             if gb.get_bits(1):
-                gb.get_bits(8)
+                gb.get_bits(8)      # compr
             if gb.get_bits(1):
-                gb.get_bits(8)
+                gb.get_bits(8)      # langcod
             if gb.get_bits(1):
-                gb.get_bits(7)
-        gb.get_bits(2)              # copyrightb + origbs
-        if gb.get_bits(1):
-            gb.get_bits(14)         # timecod1
-        if gb.get_bits(1):
-            gb.get_bits(14)         # timecod2
-        if gb.get_bits(1):          # addbsie
-            n = gb.get_bits(6)
-            gb.skip_bits((n + 1) * 8)
+                gb.get_bits(7)      # mixlevel + roomtyp
+            if acmod == 0:
+                gb.get_bits(5)
+                if gb.get_bits(1):
+                    gb.get_bits(8)
+                if gb.get_bits(1):
+                    gb.get_bits(8)
+                if gb.get_bits(1):
+                    gb.get_bits(7)
+            gb.get_bits(2)          # copyrightb + origbs
+            if gb.get_bits(1):
+                gb.get_bits(14)     # timecod1
+            if gb.get_bits(1):
+                gb.get_bits(14)     # timecod2
+            if gb.get_bits(1):      # addbsie
+                n = gb.get_bits(6)
+                gb.skip_bits((n + 1) * 8)
+            frame_type = eac3.FRAME_TYPE_AC3_CONVERT
+        else:
+            # E-AC-3 BSI (reference: ac3_parser.c :112, eac3dec.c
+            # ff_eac3_parse_header)
+            frame_type = gb.get_bits(2)
+            if frame_type == eac3.FRAME_TYPE_RESERVED:
+                raise AVError(INVALIDDATA, "reserved E-AC-3 frame type")
+            substreamid = gb.get_bits(3)
+            frame_bytes = (gb.get_bits(11) + 1) * 2
+            if len(data) < frame_bytes:
+                return None
+            fscod = gb.get_bits(2)
+            if fscod == 3:
+                raise AVError(INVALIDDATA,
+                              "E-AC-3 reduced sampling rates not supported")
+            num_blocks = eac3.EAC3_BLOCKS[gb.get_bits(2)]
+            sample_rate = int(T.SAMPLE_RATES[fscod])
+            sr_shift = 0
+            acmod = gb.get_bits(3)
+            lfeon = gb.get_bits(1)
+            gb.get_bits(5)          # bsid (peeked already)
+            nfchans = int(T.CHANNELS[acmod])
+            if frame_type == eac3.FRAME_TYPE_DEPENDENT or substreamid:
+                # only independent substream 0 is decoded (like reference)
+                return None, frame_bytes
+            e = eac3.parse_frame_header(
+                gb, acmod, lfeon, num_blocks, frame_type, fscod,
+                nfchans, nfchans, frame_bytes)
 
         lfe_ch = nfchans            # row index of LFE when present
         nrows = nfchans + (1 if lfeon else 0)
@@ -242,15 +279,44 @@ class AC3Decoder(Decoder):
                          for ch in list(range(nrows)) + [CPL]},
             "dba": {},
             "dynrng": 1.0,
+            # E-AC-3 syntax state (AC-3 defaults per ac3dec.c :311)
+            "e": e,
+            "frame_type": frame_type,
+            "blksw": [0] * nfchans,
+            "dith": [1] * nfchans,
+            "block_switch_syntax": True if e is None
+                                   else bool(e["block_switch_syntax"]),
+            "dither_flag_syntax": True if e is None
+                                  else bool(e["dither_flag_syntax"]),
+            "bit_allocation_syntax": True if e is None
+                                     else bool(e["bit_allocation_syntax"]),
+            "fast_gain_syntax": False if e is None
+                                else bool(e["fast_gain_syntax"]),
+            "dba_syntax": True if e is None else bool(e["dba_syntax"]),
+            "skip_syntax": True if e is None else bool(e["skip_syntax"]),
+            "snr_offset_strategy": 2 if e is None
+                                   else e["snr_offset_strategy"],
+            "first_cpl_leak": e is not None,
+            "first_cpl_coords": [True] * nfchans,
+            "spx_in_use": False,
+            "chinspx": [False] * nfchans,
+            "first_spx_coords": [True] * nfchans,
+            "spx_noise_blend": np.zeros((nfchans, 18), dtype=np.float32),
+            "spx_signal_blend": np.zeros((nfchans, 18), dtype=np.float32),
+            "aht": {} if e is None else e["aht"],
+            "pre_mant": {},
         }
         st["start"][CPL] = 0
         st["end"][CPL] = 0
+        if e is not None and e["frame_snr_offset"] is not None:
+            for ch in list(range(nrows)) + [CPL]:
+                st["snr_offset"][ch] = e["frame_snr_offset"]
 
-        out = np.zeros((nrows, 1536), dtype=np.float64)
+        out = np.zeros((nrows, 256 * num_blocks), dtype=np.float64)
         if self._delay is None or self._delay.shape[0] != nrows:
             self._delay = np.zeros((nrows, 128), dtype=np.float64)
 
-        for blk in range(6):
+        for blk in range(num_blocks):
             self._decode_block(gb, blk, st, nfchans, nrows, lfeon, lfe_ch,
                                acmod, fscod, sr_shift,
                                out[:, blk * 256:(blk + 1) * 256])
@@ -262,7 +328,7 @@ class AC3Decoder(Decoder):
             order = list(range(nfchans)) + [lfe_ch]
         else:
             order = list(range(nfchans))
-        frame = Frame(nb_samples=1536, sample_rate=sample_rate,
+        frame = Frame(nb_samples=256 * num_blocks, sample_rate=sample_rate,
                       format="fltp", channels=nrows,
                       channel_layout=default_channel_layout(nrows))
         frame.planes = [out[c].astype(np.float32) for c in order]
@@ -272,9 +338,16 @@ class AC3Decoder(Decoder):
 
     def _decode_block(self, gb, blk, st, nfchans, nrows, lfeon, lfe_ch,
                       acmod, fscod, sr_shift, out):
-        """reference: ac3dec.c decode_audio_block"""
-        blksw = [gb.get_bits(1) for _ in range(nfchans)]
-        dith = [gb.get_bits(1) for _ in range(nfchans)]
+        """reference: ac3dec.c decode_audio_block (s->eac3 branches
+        included — eac3dec.c ff_eac3_parse_header feeds st["e"])"""
+        fh = st["e"]                # E-AC-3 frame header state, or None
+        eac3_mode = fh is not None
+        if st["block_switch_syntax"]:
+            st["blksw"] = [gb.get_bits(1) for _ in range(nfchans)]
+        blksw = st["blksw"]
+        if st["dither_flag_syntax"]:
+            st["dith"] = [gb.get_bits(1) for _ in range(nfchans)]
+        dith = st["dith"]
         i = 1 if acmod == 0 else 0
         while True:
             if gb.get_bits(1):
@@ -287,39 +360,60 @@ class AC3Decoder(Decoder):
                 break
             i -= 1
 
+        # ---- spectral extension strategy + coordinates (E-AC-3) ----
+        if eac3_mode and (blk == 0 or gb.get_bits(1)):
+            st["spx_in_use"] = bool(gb.get_bits(1))
+            if st["spx_in_use"]:
+                eac3.spx_strategy(gb, blk, acmod, nfchans, st)
+            else:
+                st["chinspx"] = [False] * nfchans
+                st["first_spx_coords"] = [True] * nfchans
+        if st["spx_in_use"]:
+            eac3.spx_coordinates(gb, nfchans, st)
+
         # ---- coupling strategy ----
-        if gb.get_bits(1):          # cplstre
-            st["cpl_in_use"] = bool(gb.get_bits(1))
+        if (fh["cpl_strategy_exists"][blk] if eac3_mode
+                else gb.get_bits(1)):
+            if eac3_mode:
+                st["cpl_in_use"] = fh["cpl_in_use_frame"][blk]
+            else:
+                st["cpl_in_use"] = bool(gb.get_bits(1))
             if st["cpl_in_use"]:
                 if acmod < 2:
                     raise AVError(INVALIDDATA, "coupling in mono")
-                st["chincpl"] = [bool(gb.get_bits(1))
-                                 for _ in range(nfchans)]
+                if eac3_mode and gb.get_bits(1):
+                    raise AVError(INVALIDDATA,
+                                  "enhanced coupling not supported")
+                if eac3_mode and acmod == 2:
+                    st["chincpl"] = [True, True]
+                else:
+                    st["chincpl"] = [bool(gb.get_bits(1))
+                                     for _ in range(nfchans)]
                 if acmod == 2:
                     st["phsflginu"] = bool(gb.get_bits(1))
                 cplbegf = gb.get_bits(4)
-                cplendf = gb.get_bits(4) + 3
+                if st["spx_in_use"]:
+                    cplendf = (st["spx_src_start"] - 37) // 12
+                else:
+                    cplendf = gb.get_bits(4) + 3
                 if cplbegf >= cplendf:
                     raise AVError(INVALIDDATA, "bad coupling range")
                 st["start"][CPL] = cplbegf * 12 + 37
                 st["end"][CPL] = cplendf * 12 + 37
-                # band structure (A/52: cplbndstrc bits)
-                nsub = cplendf - cplbegf
-                struct_bits = [gb.get_bits(1) for _ in range(nsub - 1)]
-                sizes = [12]
-                for b in struct_bits:
-                    if b:
-                        sizes[-1] += 12
-                    else:
-                        sizes.append(12)
-                st["num_cpl_bands"] = len(sizes)
-                st["cpl_band_sizes"] = sizes
+                prev = (st["num_cpl_bands"], st["cpl_band_sizes"])
+                st["num_cpl_bands"], st["cpl_band_sizes"] = \
+                    eac3.band_structure(gb, blk, eac3_mode, cplbegf,
+                                        cplendf,
+                                        E.DEFAULT_CPL_BAND_STRUCT, prev)
             else:
                 st["chincpl"] = [False] * nfchans
+                st["first_cpl_coords"] = [True] * nfchans
+                st["first_cpl_leak"] = eac3_mode
                 st["phsflginu"] = False
-        elif blk == 0:
-            raise AVError(INVALIDDATA,
-                          "coupling strategy must be present in block 0")
+        elif not eac3_mode:
+            if blk == 0:
+                raise AVError(INVALIDDATA,
+                              "coupling strategy must be present in block 0")
         cpl_in_use = st["cpl_in_use"]
 
         # ---- coupling coordinates ----
@@ -327,8 +421,11 @@ class AC3Decoder(Decoder):
             coords_exist = False
             for ch in range(nfchans):
                 if not st["chincpl"][ch]:
+                    st["first_cpl_coords"][ch] = True
                     continue
-                if gb.get_bits(1):  # cplcoe
+                if (eac3_mode and st["first_cpl_coords"][ch]) \
+                        or gb.get_bits(1):   # cplcoe
+                    st["first_cpl_coords"][ch] = False
                     coords_exist = True
                     mstr = 3 * gb.get_bits(2)
                     for bnd in range(st["num_cpl_bands"]):
@@ -349,10 +446,12 @@ class AC3Decoder(Decoder):
 
         # ---- rematrixing ----
         if acmod == 2:
-            if gb.get_bits(1):      # rematstr
+            if (eac3_mode and blk == 0) or gb.get_bits(1):  # rematstr
                 nbnd = 4
                 if cpl_in_use and st["start"][CPL] <= 61:
                     nbnd -= 1 + (st["start"][CPL] == 37)
+                elif st["spx_in_use"] and st["spx_src_start"] <= 61:
+                    nbnd -= 1
                 st["num_remat"] = nbnd
                 st["remat_flags"] = [gb.get_bits(1) for _ in range(nbnd)]
             elif blk == 0:
@@ -363,14 +462,19 @@ class AC3Decoder(Decoder):
         chans = ([CPL] if cpl_in_use else []) + list(range(nrows))
         estrat = {}
         for ch in chans:
-            bits = 1 if (lfeon and ch == lfe_ch) else 2
-            estrat[ch] = gb.get_bits(bits)
+            if eac3_mode:
+                estrat[ch] = fh["exp_strategy"][blk].get(ch, EXP_REUSE)
+            else:
+                bits = 1 if (lfeon and ch == lfe_ch) else 2
+                estrat[ch] = gb.get_bits(bits)
 
         # ---- channel bandwidth ----
         for ch in range(nfchans):
             if estrat[ch] != EXP_REUSE:
                 if st["chincpl"][ch]:
                     st["end"][ch] = st["start"][CPL]
+                elif st["chinspx"][ch]:
+                    st["end"][ch] = st["spx_src_start"]
                 else:
                     bwcod = gb.get_bits(6)
                     if bwcod > 60:
@@ -400,33 +504,58 @@ class AC3Decoder(Decoder):
         st["exp_strategy"] = estrat
 
         # ---- bit allocation info ----
-        if gb.get_bits(1):
-            st["ba"] = dict(sdcycod=gb.get_bits(2), fdcycod=gb.get_bits(2),
-                            sgaincod=gb.get_bits(2), dbpbcod=gb.get_bits(2),
-                            floorcod=gb.get_bits(3))
-        elif blk == 0:
-            raise AVError(INVALIDDATA,
-                          "bit allocation info missing in block 0")
+        if st["bit_allocation_syntax"]:
+            if gb.get_bits(1):
+                st["ba"] = dict(sdcycod=gb.get_bits(2),
+                                fdcycod=gb.get_bits(2),
+                                sgaincod=gb.get_bits(2),
+                                dbpbcod=gb.get_bits(2),
+                                floorcod=gb.get_bits(3))
+            elif blk == 0:
+                raise AVError(INVALIDDATA,
+                              "bit allocation info missing in block 0")
 
-        # ---- snr offsets + fast gains ----
-        if gb.get_bits(1):
-            csnr = (gb.get_bits(6) - 15) << 4
+        # ---- snr offsets (+ fast gains for plain AC-3) ----
+        if not eac3_mode or blk == 0:
+            if st["snr_offset_strategy"] and gb.get_bits(1):
+                csnr = (gb.get_bits(6) - 15) << 4
+                snr = 0
+                first = chans[0]
+                for ch in chans:
+                    if ch == first or st["snr_offset_strategy"] == 2:
+                        snr = (csnr + gb.get_bits(4)) << 2
+                    st["snr_offset"][ch] = snr
+                    if not eac3_mode:
+                        st["fast_gain"][ch] = \
+                            int(T.FAST_GAIN[gb.get_bits(3)])
+            elif not eac3_mode and blk == 0:
+                raise AVError(INVALIDDATA,
+                              "snr offsets missing in block 0")
+
+        # ---- fast gain (E-AC-3) ----
+        if st["fast_gain_syntax"] and gb.get_bits(1):
             for ch in chans:
-                st["snr_offset"][ch] = (csnr + gb.get_bits(4)) << 2
                 st["fast_gain"][ch] = int(T.FAST_GAIN[gb.get_bits(3)])
-        elif blk == 0:
-            raise AVError(INVALIDDATA, "snr offsets missing in block 0")
+        elif eac3_mode and blk == 0:
+            for ch in chans:
+                st["fast_gain"][ch] = int(T.FAST_GAIN[4])
+
+        # ---- E-AC-3 to AC-3 converter SNR offset ----
+        if st["frame_type"] == eac3.FRAME_TYPE_INDEPENDENT \
+                and gb.get_bits(1):
+            gb.skip_bits(10)
 
         # ---- coupling leak ----
         if cpl_in_use:
-            if gb.get_bits(1):
+            if st["first_cpl_leak"] or gb.get_bits(1):
                 st["cpl_leak"] = (gb.get_bits(3), gb.get_bits(3))
-            elif blk == 0:
+            elif not eac3_mode and blk == 0:
                 raise AVError(INVALIDDATA,
                               "coupling leak missing in block 0")
+            st["first_cpl_leak"] = False
 
         # ---- delta bit allocation ----
-        if gb.get_bits(1):          # deltbaie
+        if st["dba_syntax"] and gb.get_bits(1):     # deltbaie
             dchans = ([CPL] if cpl_in_use else []) + list(range(nfchans))
             for ch in dchans:
                 st["dba_mode"][ch] = gb.get_bits(2)
@@ -456,10 +585,12 @@ class AC3Decoder(Decoder):
                 snr_offset=st["snr_offset"][ch],
                 is_lfe=(lfeon and ch == lfe_ch),
                 cpl_leak=st["cpl_leak"] if ch == CPL else None,
-                dba=dba, sr_shift=sr_shift, **st["ba"])
+                dba=dba, sr_shift=sr_shift,
+                bap_tab=(E.HEBAP_TAB if st["aht"].get(ch) else None),
+                **st["ba"])
 
         # ---- skip field ----
-        if gb.get_bits(1):
+        if st["skip_syntax"] and gb.get_bits(1):
             skipl = gb.get_bits(9)
             gb.skip_bits(skipl * 8)
 
@@ -469,19 +600,28 @@ class AC3Decoder(Decoder):
         cpl_bap = bap.get(CPL)
         m = _MantState()
         got_cpl = False
+
+        def coeffs_ch(ch, dither):
+            """reference: ac3dec.c decode_transform_coeffs_ch — AHT
+            channels decode all 6 blocks of pre-mantissas at block 0."""
+            s0, s1 = st["start"][ch], st["end"][ch]
+            if st["aht"].get(ch):
+                if blk == 0:
+                    st["pre_mant"][ch] = eac3.decode_aht_ch(
+                        gb, bap[ch], s0, s1, self._dith)
+                pre = st["pre_mant"][ch]
+                return pre[s0:s1, blk] >> st["exps"][ch][s0:s1]
+            return self._decode_mants(gb, bap[ch], st["exps"][ch],
+                                      s0, s1, dither, m)
+
         for ch in range(nrows):
             is_lfe_ch = lfeon and ch == lfe_ch
             dither = (not is_lfe_ch) and ch < nfchans and dith[ch]
-            fixed[ch, st["start"][ch]:st["end"][ch]] = \
-                self._decode_mants(gb, bap[ch], st["exps"][ch],
-                                   st["start"][ch], st["end"][ch],
-                                   dither, m)
+            fixed[ch, st["start"][ch]:st["end"][ch]] = coeffs_ch(ch, dither)
             if ch < nfchans and st["chincpl"][ch]:
                 if not got_cpl:
                     cpl_fixed[st["start"][CPL]:st["end"][CPL]] = \
-                        self._decode_mants(gb, cpl_bap, st["exps"][CPL],
-                                           st["start"][CPL],
-                                           st["end"][CPL], True, m)
+                        coeffs_ch(CPL, True)
                     got_cpl = True
                 # uncouple this channel
                 bin0 = st["start"][CPL]
@@ -515,9 +655,12 @@ class AC3Decoder(Decoder):
                     fixed[0, b0:b1] = t + fixed[1, b0:b1]
                     fixed[1, b0:b1] = t - fixed[1, b0:b1]
 
-        # ---- scale to float + IMDCT ----
+        # ---- scale to float, spectral extension, IMDCT ----
         gain = st["dynrng"] / 4194304.0
         coeffs = fixed.astype(np.float64) * gain
+        if st["spx_in_use"]:
+            eac3.apply_spectral_extension(st, coeffs, nfchans,
+                                          fh["spx_atten_code"], self._dith)
         self._imdct_block(coeffs, blksw + [0] * (nrows - nfchans), out)
 
     # ------------------------------------------------------------------ #
@@ -587,16 +730,14 @@ class AC3Decoder(Decoder):
             # -64/-128 = (N/2)x(-1/2): ops/fftmdct's imdct carries 2/N
             # and the opposite sign of the reference's imdct_half
             if blksw[ch]:
-                even = coeffs[ch, 0::2].astype(np.float32)
-                odd = coeffs[ch, 1::2].astype(np.float32)
-                g1 = np.asarray(F.imdct((even * -64.0)[None, :]))[0]
-                g2 = np.asarray(F.imdct((odd * -64.0)[None, :]))[0]
-                cur = g1[64:192].astype(np.float64)
-                nxt = g2[64:192].astype(np.float64)
+                even = coeffs[ch, 0::2]
+                odd = coeffs[ch, 1::2]
+                g1 = F.imdct_host((even * -64.0)[None, :])[0]
+                g2 = F.imdct_host((odd * -64.0)[None, :])[0]
+                cur = g1[64:192]
+                nxt = g2[64:192]
             else:
-                g = np.asarray(
-                    F.imdct((coeffs[ch].astype(np.float32)
-                             * -128.0)[None, :]))[0].astype(np.float64)
+                g = F.imdct_host((coeffs[ch] * -128.0)[None, :])[0]
                 cur = g[128:256]
                 nxt = g[256:384]
             d = self._delay[ch]
@@ -604,3 +745,12 @@ class AC3Decoder(Decoder):
             out[ch, :128] = d * w[255 - a] - cur[127 - a] * w[a]
             out[ch, 128:] = d[127 - a] * w[127 - a] + cur * w[128 + a]
             self._delay[ch] = nxt
+
+
+@register_codec
+class EAC3Decoder(AC3Decoder):
+    """E-AC-3 (ATSC A/52B Annex E) rides the unified AC-3 block decoder
+    — the bsid>10 path of _decode_syncframe (reference: eac3dec.c is
+    compiled into ac3dec.c the same way)."""
+    NAME = "eac3"
+    LONG_NAME = "ATSC A/52B E-AC-3 (TPU IMDCT)"

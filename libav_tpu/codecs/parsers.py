@@ -98,23 +98,27 @@ class AC3Parser(Parser):
     NAME = "ac3"
 
     def _split(self, buf, eof):
-        from libav_tpu.codecs.ac3.tables import FRAME_SIZE
+        from libav_tpu.codecs.ac3.eac3 import parse_frame_info
         frames = []
         pos = 0
         while True:
             i = buf.find(b"\x0b\x77", pos)
-            if i < 0 or i + 5 >= len(buf):
+            if i < 0 or i + 8 > len(buf):
                 return frames, pos if not frames else pos
-            fscod = buf[i + 4] >> 6
-            fsc = buf[i + 4] & 0x3F
-            if fscod == 3 or fsc >= 38:
+            hdr = parse_frame_info(buf, i)
+            if hdr is None:
                 pos = i + 2
                 continue
-            size = int(FRAME_SIZE[fsc][fscod]) * 2
+            size = hdr["frame_bytes"]
             if i + size > len(buf):
                 return frames, i
             frames.append(buf[i:i + size])
             pos = i + size
+
+
+@register_parser
+class EAC3Parser(AC3Parser):
+    NAME = "eac3"
 
 
 @register_parser

@@ -1,5 +1,6 @@
-"""Raw AC-3 elementary stream (.ac3) demuxer/muxer (reference:
-libavformat/ac3dec.c raw demuxer + rawenc.c)."""
+"""Raw AC-3 / E-AC-3 elementary stream (.ac3/.eac3) demuxer/muxer
+(reference: libavformat/ac3dec.c raw demuxer + rawenc.c; frame sizing
+via ac3_parser.c ff_ac3_parse_header for both bsid ranges)."""
 
 from __future__ import annotations
 
@@ -7,7 +8,7 @@ from libav_tpu.avutil.error import AVError, EOF_
 from libav_tpu.avutil.frame import Packet, PKT_FLAG_KEY
 from libav_tpu.avutil.rational import Rational
 from libav_tpu.codecs.api import CodecParameters, MediaType
-from libav_tpu.codecs.ac3.tables import FRAME_SIZE, SAMPLE_RATES, CHANNELS
+from libav_tpu.codecs.ac3.eac3 import parse_frame_info
 from libav_tpu.formats.api import (InputFormat, OutputFormat, Stream,
                                    register_input, register_output)
 
@@ -15,11 +16,11 @@ from libav_tpu.formats.api import (InputFormat, OutputFormat, Stream,
 @register_input
 class AC3Demuxer(InputFormat):
     NAME = "ac3"
-    EXTENSIONS = ("ac3",)
+    EXTENSIONS = ("ac3", "eac3", "ec3")
 
     @classmethod
     def probe(cls, data: bytes, url: str = "") -> int:
-        if data[:2] == b"\x0b\x77":
+        if data[:2] == b"\x0b\x77" and parse_frame_info(data):
             return 75
         ext = url.rsplit(".", 1)[-1].lower() if "." in url else ""
         return 50 if ext in cls.EXTENSIONS else 0
@@ -31,49 +32,41 @@ class AC3Demuxer(InputFormat):
         self._pts = 0
         # peek first frame header for stream parameters
         i = self._data.find(b"\x0b\x77")
-        rate, ch = 48000, 2
-        if i >= 0 and len(self._data) > i + 7:
-            fscod = self._data[i + 4] >> 6
-            acmod = self._data[i + 6] >> 5
-            if fscod < 3:
-                rate = SAMPLE_RATES[fscod]
-            ch = CHANNELS[acmod]
-            # lfeon follows acmod and the acmod-dependent mix levels
-            # (bsi layout: bsid(5) bsmod(3) acmod(3) [cmix][surmix]
-            # [dsurmod] lfeon — byte 6 holds acmod in the top 3 bits)
-            bits = (self._data[i + 6] << 8) | self._data[i + 7]
-            pos = 3                      # past acmod within these 13 bits
-            if acmod & 1 and acmod != 1:
-                pos += 2
-            if acmod & 4:
-                pos += 2
-            if acmod == 2:
-                pos += 2
-            lfeon = (bits >> (15 - pos)) & 1
-            ch += lfeon
-        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="ac3",
+        rate, ch, fsz, codec = 48000, 2, 1536, "ac3"
+        while i >= 0:
+            hdr = parse_frame_info(self._data, i)
+            if hdr:
+                rate, ch = hdr["sample_rate"], hdr["channels"]
+                fsz = 256 * hdr["num_blocks"]
+                codec = "eac3" if hdr["eac3"] else "ac3"
+                break
+            i = self._data.find(b"\x0b\x77", i + 2)
+        par = CodecParameters(codec_type=MediaType.AUDIO, codec_id=codec,
                               sample_rate=rate, channels=ch,
-                              sample_fmt="fltp", frame_size=1536)
+                              sample_fmt="fltp", frame_size=fsz)
         self.streams = [Stream(index=0, codecpar=par,
                                time_base=Rational(1, rate))]
 
     def read_packet(self) -> Packet:
-        i = self._data.find(b"\x0b\x77", self._pos)
-        if i < 0 or i + 5 >= len(self._data):
-            raise AVError(EOF_)
-        fscod = self._data[i + 4] >> 6
-        frmsizecod = self._data[i + 4] & 0x3F
-        if fscod == 3 or frmsizecod >= 38:
-            raise AVError(EOF_)
-        size = int(FRAME_SIZE[frmsizecod][fscod]) * 2
-        chunk = self._data[i:i + size]
-        if len(chunk) < size:
-            raise AVError(EOF_)
-        self._pos = i + size
-        pkt = Packet(data=chunk, pts=self._pts, dts=self._pts,
-                     duration=1536, stream_index=0, flags=PKT_FLAG_KEY)
-        self._pts += 1536
-        return pkt
+        pos = self._pos
+        while True:
+            i = self._data.find(b"\x0b\x77", pos)
+            if i < 0 or i + 8 > len(self._data):
+                raise AVError(EOF_)
+            hdr = parse_frame_info(self._data, i)
+            if hdr is None:
+                pos = i + 2
+                continue
+            size = hdr["frame_bytes"]
+            chunk = self._data[i:i + size]
+            if len(chunk) < size:
+                raise AVError(EOF_)
+            self._pos = i + size
+            dur = 256 * hdr["num_blocks"]
+            pkt = Packet(data=chunk, pts=self._pts, dts=self._pts,
+                         duration=dur, stream_index=0, flags=PKT_FLAG_KEY)
+            self._pts += dur
+            return pkt
 
 
 @register_output
@@ -81,6 +74,16 @@ class AC3Muxer(OutputFormat):
     NAME = "ac3"
     EXTENSIONS = ("ac3",)
     AUDIO_CODEC = "ac3"
+
+    def write_packet(self, pkt: Packet):
+        self.pb.write(pkt.data)
+
+
+@register_output
+class EAC3Muxer(OutputFormat):
+    NAME = "eac3"
+    EXTENSIONS = ("eac3", "ec3")
+    AUDIO_CODEC = "eac3"
 
     def write_packet(self, pkt: Packet):
         self.pb.write(pkt.data)

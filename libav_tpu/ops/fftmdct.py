@@ -73,6 +73,17 @@ def imdct(spec):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+def imdct_host(spec: np.ndarray) -> np.ndarray:
+    """Host (numpy) inverse MDCT with 2/N scale, for latency-bound
+    per-block audio transforms (N <= 256): a device round trip per
+    256-sample block costs orders of magnitude more than the matmul
+    itself, so audio block decode stays on host and only frame-scale
+    batches go through `imdct` on the MXU."""
+    N = spec.shape[-1]
+    M = _mdct_matrix(N)
+    return (2.0 / N) * (spec.astype(np.float64) @ M)
+
+
 # ---------------------------------------------------------------------- #
 # Windows (reference: aactab.c KBD windows, sinewin.h; ac3 window ac3tab)
 # ---------------------------------------------------------------------- #

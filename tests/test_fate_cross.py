@@ -109,6 +109,79 @@ class TestDecodeParity:
         assert a.size == b.size and a.size > 0
         assert np.abs(a - b).max() <= 1
 
+    @pytest.mark.parametrize("channels,bitrate", [
+        (1, "96k"), (2, "128k"), (2, "96k"), (6, "384k")])
+    def test_eac3(self, wav48, tmp_path, channels, bitrate):
+        """E-AC-3 (A/52B Annex E): bsid-16 frame header, audio-frame
+        syntax flags, per-frame exponent strategy, eac3 band-structure
+        and first-coords coupling rules — our decode tracks the
+        reference decoder within 1 LSB (reference: eac3dec.c)."""
+        enc = str(tmp_path / "ref.eac3")
+        ref_run(["-i", wav48, "-ac", str(channels), "-c:a", "eac3",
+                 "-b:a", bitrate, enc])
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc, "-f", "s16le", refpcm])
+        from libav_tpu.tools import avconv
+        assert avconv.main(["-y", "-i", enc, "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+
+    @pytest.mark.parametrize("name,specs", [
+        # (emitter knobs; see tests/eac3_stress.py)
+        ("plain",   [dict(acmod=2, seed=1), dict(acmod=2, seed=2)]),
+        ("mono",    [dict(acmod=1, seed=4)]),
+        ("lfe",     [dict(acmod=2, lfeon=1, seed=5)]),
+        ("aht",     [dict(acmod=2, aht=(0, 1), seed=6)]),
+        ("gaq1",    [dict(acmod=2, aht=(0, 1), gaq_mode=1, seed=7)]),
+        ("gaq2",    [dict(acmod=2, aht=(0, 1), gaq_mode=2, seed=21)]),
+        ("gaq3",    [dict(acmod=2, aht=(0, 1), gaq_mode=3, seed=8)]),
+        ("cpl",     [dict(acmod=2, cpl=True, seed=9)]),
+        ("phsflg",  [dict(acmod=2, cpl=True, phsflg=True, seed=14)]),
+        ("cpl_def", [dict(acmod=2, cpl=True, cpl_default_struct=True,
+                          seed=15)]),
+        ("spx",     [dict(acmod=2, spx=True, seed=10)]),
+        ("spx_def", [dict(acmod=2, spx=True, spx_default_struct=True,
+                          seed=16)]),
+        ("spx_restrobe", [dict(acmod=2, spx=True, spx_restrobe=True,
+                               seed=17)]),
+        ("cpl_spx", [dict(acmod=2, cpl=True, spx=True, seed=18)]),
+        ("aht_cpl", [dict(acmod=2, aht=(0, 1, -1), cpl=True, seed=19)]),
+        ("aht_lfe", [dict(acmod=2, lfeon=1, aht=(0, 1, 2), seed=20)]),
+        ("5_1",     [dict(acmod=7, lfeon=1, bwcod=12, csnr=20, seed=22)]),
+        ("5_1_cpl", [dict(acmod=7, lfeon=1, cpl=True, seed=23)]),
+        ("blk1",    [dict(acmod=2, num_blocks=1, seed=11)]),
+        ("blk2",    [dict(acmod=2, num_blocks=2, seed=27)]),
+        ("blk3",    [dict(acmod=2, num_blocks=3, seed=12)]),
+        ("metadata", [dict(acmod=2, mixmd=True, infomd=True, seed=13)]),
+        ("multi",   [dict(acmod=2, seed=24), dict(acmod=2, cpl=True,
+                     seed=25), dict(acmod=2, spx=True, seed=26)]),
+    ])
+    def test_eac3_stress(self, tmp_path, name, specs):
+        """E-AC-3 decode paths the reference *encoder* never emits —
+        AHT (GAQ 0-3, VQ, zero-hebap dither), spectral extension
+        (band structures, re-strobe, attenuation path), eac3 coupling
+        rules, short frames, metadata skips — via the syntactic stress
+        emitter; our decode tracks the reference decoder within 1 LSB
+        (reference: eac3dec.c, ac3dec.c s->eac3 branches).  Also locks
+        the reference's invalid-code conventions (b3/b5 code 7/15 ->
+        0, b4 codes >= 121 extrapolated, ac3dec.c:134-158)."""
+        import eac3_stress as ST
+        stream = str(tmp_path / f"{name}.eac3")
+        ST.write_stream(stream, [ST._FrameSpec(**s) for s in specs])
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-f", "eac3", "-i", stream, "-f", "s16le", refpcm])
+        from libav_tpu.tools import avconv
+        assert avconv.main(["-y", "-i", stream, "-f", "s16le",
+                            ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+
     def test_ac3_ref_decodes_ours(self, wav48, tmp_path):
         """our AC-3 stream: the reference and our decoder must agree
         within 1 LSB (conformance of exponent/mantissa coding)."""
