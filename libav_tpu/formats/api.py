@@ -243,6 +243,15 @@ class FormatContext:
                     dev_cls = c
             except AVError:
                 pass
+        # NOFILE inputs (rtp://...): the demuxer does its own network
+        # I/O (reference: AVFMT_NOFILE on the input side)
+        if dev_cls is None and not format_name and ":" in url:
+            try:
+                c = find_input_format(url.split(":", 1)[0])
+                if getattr(c, "FLAG_NOFILE", False):
+                    dev_cls = c
+            except AVError:
+                pass
         if dev_cls is not None:
             ctx.iformat = dev_cls(options)
             ctx.iformat.url = url

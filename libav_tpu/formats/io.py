@@ -276,11 +276,261 @@ class HTTPSProtocol(HTTPProtocol):
 _PROTOCOLS["https"] = HTTPSProtocol
 
 
+@register_protocol
+class UDPProtocol(URLProtocol):
+    """reference: libavformat/udp.c (udp://host:port?localport=N).
+    Reads are datagram-granular like the reference's recvfrom loop;
+    writes send one datagram per write call."""
+    NAME = "udp"
+
+    class _Dgram:
+        def __init__(self, sock, dest=None):
+            self.sock = sock
+            self.dest = dest
+            self._buf = b""
+            self.pos = 0
+
+        def read(self, n=-1):
+            if n < 0:
+                raise AVError(EINVAL, "udp: bounded reads only")
+            while len(self._buf) < n:
+                pkt = self.sock.recv(65536)
+                if not pkt:
+                    break
+                self._buf += pkt
+            out, self._buf = self._buf[:n], self._buf[n:]
+            self.pos += len(out)
+            return out
+
+        def write(self, data):
+            self.sock.sendto(data, self.dest)
+            self.pos += len(data)
+            return len(data)
+
+        def tell(self):
+            return self.pos
+
+        def close(self):
+            self.sock.close()
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        from urllib.parse import parse_qs
+        u = urlparse(url)
+        opts = {k: v[-1] for k, v in parse_qs(u.query).items()}
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if mode == "r":
+            sock.bind((u.hostname or "0.0.0.0", u.port or 0))
+            if "timeout" in opts:          # microseconds like the reference
+                sock.settimeout(float(opts["timeout"]) / 1e6)
+            return IOContext(cls._Dgram(sock), seekable=False, url=url)
+        if "localport" in opts:
+            sock.bind(("0.0.0.0", int(opts["localport"])))
+        return IOContext(cls._Dgram(sock, (u.hostname, u.port)),
+                         seekable=False, url=url)
+
+
+@register_protocol
+class UnixProtocol(URLProtocol):
+    """reference: libavformat/unix.c (unix:///path/to/socket)"""
+    NAME = "unix"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        path = urlparse(url).path or url.split(":", 1)[1]
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.connect(path)
+        f = sock.makefile("rb" if mode == "r" else "wb")
+        return IOContext(f, seekable=False, url=url)
+
+
+@register_protocol
+class TLSProtocol(URLProtocol):
+    """reference: libavformat/tls.c (tls://host:port?verify=0&cafile=...)"""
+    NAME = "tls"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        import ssl
+        from urllib.parse import parse_qs
+        u = urlparse(url)
+        if u.port is None:
+            raise AVError(EINVAL, "tls: port required (tls://host:port)")
+        opts = {k: v[-1] for k, v in parse_qs(u.query).items()}
+        ctx = ssl.create_default_context(
+            cafile=opts.get("cafile") or None)
+        if opts.get("verify", "1") == "0":
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        raw = socket.create_connection((u.hostname, u.port))
+        sock = ctx.wrap_socket(raw, server_hostname=u.hostname)
+        f = sock.makefile("rb" if mode == "r" else "wb")
+        return IOContext(f, seekable=False, url=url)
+
+
+@register_protocol
+class SubfileProtocol(URLProtocol):
+    """reference: libavformat/subfile.c
+    (subfile,,start,N,end,M,,:path — reads bytes [N, M) of path)."""
+    NAME = "subfile"
+
+    class _Window:
+        def __init__(self, inner, start, end):
+            self.inner, self.start, self.end = inner, start, end
+            inner.seek(start)
+
+        def read(self, n=-1):
+            left = self.end - self.inner.tell()
+            if left <= 0:
+                return b""
+            return self.inner.read(left if n < 0 else min(n, left))
+
+        def tell(self):
+            return self.inner.tell() - self.start
+
+        def seek(self, pos, whence=SEEK_SET):
+            if whence == SEEK_CUR:
+                pos += self.tell()
+            elif whence == SEEK_END:
+                pos += self.end - self.start
+            return self.inner.seek(self.start + pos) - self.start
+
+        def close(self):
+            self.inner.close()
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "r":
+            raise AVError(EINVAL, "subfile: read-only")
+        head, path = url.split(":", 1)       # subfile,,k,v,...,,:url
+        kv = head[len("subfile"):].strip(",").split(",")
+        opts = dict(zip(kv[0::2], kv[1::2]))
+        start, end = int(opts.get("start", 0)), int(opts["end"])
+        inner = url_open(path, "r")
+        return IOContext(cls._Window(inner, start, end),
+                         seekable=True, url=url)
+
+
+@register_protocol
+class CacheProtocol(URLProtocol):
+    """reference: libavformat/cache.c — makes a forward-only inner
+    stream seekable by spooling everything read so far to a temp file."""
+    NAME = "cache"
+
+    class _Spool:
+        def __init__(self, inner):
+            import tempfile
+            self.inner = inner
+            self.tmp = tempfile.TemporaryFile()
+            self.cached = 0
+            self.pos = 0
+            self.eof = False
+
+        def _fill(self, upto):
+            while not self.eof and self.cached < upto:
+                chunk = self.inner.read(min(1 << 16, upto - self.cached))
+                if not chunk:
+                    self.eof = True
+                    break
+                self.tmp.seek(self.cached)
+                self.tmp.write(chunk)
+                self.cached += len(chunk)
+
+        def read(self, n=-1):
+            if n < 0:
+                self._fill(1 << 62)
+                n = self.cached - self.pos
+            self._fill(self.pos + n)
+            self.tmp.seek(self.pos)
+            out = self.tmp.read(min(n, self.cached - self.pos))
+            self.pos += len(out)
+            return out
+
+        def tell(self):
+            return self.pos
+
+        def seek(self, pos, whence=SEEK_SET):
+            if whence == SEEK_CUR:
+                pos += self.pos
+            elif whence == SEEK_END:
+                self._fill(1 << 62)
+                pos += self.cached
+            self._fill(pos)
+            self.pos = min(pos, self.cached)
+            return self.pos
+
+        def close(self):
+            self.tmp.close()
+            self.inner.close()
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "r":
+            raise AVError(EINVAL, "cache: read-only")
+        inner = url_open(url.split(":", 1)[1], "r")
+        return IOContext(cls._Spool(inner), seekable=True, url=url)
+
+
+@register_protocol
+class TeeProtocol(URLProtocol):
+    """reference: libavformat/tee_utils / teeproto.c —
+    tee:out1|out2 writes everything to every named output."""
+    NAME = "tee"
+
+    class _Fan:
+        def __init__(self, outs):
+            self.outs = outs
+            self.pos = 0
+
+        def write(self, data):
+            for o in self.outs:
+                o.write(data)
+            self.pos += len(data)
+            return len(data)
+
+        def tell(self):
+            return self.pos
+
+        def close(self):
+            for o in self.outs:
+                o.close()
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "w":
+            raise AVError(EINVAL, "tee: write-only")
+        outs = [url_open(n, "w") for n in url.split(":", 1)[1].split("|")]
+        return IOContext(cls._Fan(outs), seekable=False, url=url)
+
+
+@register_protocol
+class FTPProtocol(URLProtocol):
+    """reference: libavformat/ftp.c — read side via ftplib."""
+    NAME = "ftp"
+
+    @classmethod
+    def open(cls, url: str, mode: str) -> IOContext:
+        if mode != "r":
+            raise AVError(EINVAL, "ftp write not supported")
+        import ftplib
+        import io as _io
+        u = urlparse(url)
+        ftp = ftplib.FTP()
+        ftp.connect(u.hostname, u.port or 21)
+        ftp.login(u.username or "anonymous", u.password or "")
+        buf = _io.BytesIO()
+        ftp.retrbinary(f"RETR {u.path}", buf.write)
+        ftp.quit()
+        buf.seek(0)
+        return IOContext(buf, seekable=True, url=url)
+
+
 def url_open(url: str, mode: str = "r") -> IOContext:
     """reference: avio.h avio_open2 -> URLProtocol dispatch"""
     if url == "-":
         return PipeProtocol.open("pipe:", mode)
     scheme = url.split(":", 1)[0] if ":" in url else "file"
+    scheme = scheme.split(",", 1)[0]   # subfile,,start,... option syntax
     if len(scheme) <= 1:   # windows-style path or plain file
         scheme = "file"
     proto = _PROTOCOLS.get(scheme, FileProtocol)
