@@ -228,28 +228,77 @@ class FpsFilter(Filter):
 
 @register_filter
 class YadifFilter(Filter):
-    """Deinterlacer (reference: vf_yadif.c) — bob-blend simplification:
-    spatial interpolation of the missing field with temporal blend
-    (mode 0 output = 1 frame per frame). Full edge-directed yadif kernel
-    is a round-2 Pallas candidate."""
+    """Yadif deinterlacer (reference: vf_yadif.c) — the full
+    edge-directed kernel on device (ops/yadif.py), with the reference's
+    prev/cur/next frame window, mode 0-3 (frame/field rate, with/without
+    the spatial interlacing check), parity detection (return_frame
+    vf_yadif.c:277-283), pts doubling, and the EOF extrapolated-next
+    flush (request_frame vf_yadif.c:383-389)."""
     NAME = "yadif"
-    OPTIONS = [Option("mode", "0=frame 1=field", "int", 0, 0, 3)]
+    OPTIONS = [
+        Option("mode", "0=frame 1=field 2/3=no spatial check", "int", 0, 0, 3),
+        Option("parity", "-1=auto 0=tff 1=bff", "int", -1, -1, 1),
+        Option("auto", "only deinterlace frames marked interlaced", "int", 0, 0, 1),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._prev = self._cur = self._next = None
+
+    def _filter_out(self, is_second: bool) -> Frame:
+        from libav_tpu.ops.yadif import yadif_plane
+        cur = self._cur
+        if self.parity == -1:
+            tff = int(cur.top_field_first) if cur.interlaced_frame else 1
+        else:
+            tff = self.parity ^ 1
+        parity = tff ^ (not is_second)
+        out = cur.clone_props()
+        out.interlaced_frame = False
+        out.planes = [
+            yadif_plane(np.asarray(p), np.asarray(c), np.asarray(n),
+                        parity, tff, int(self.mode))
+            for p, c, n in zip(self._prev.planes, cur.planes,
+                               self._next.planes)]
+        if is_second:
+            cp, npts = cur.pts, self._next.pts
+            out.pts = (cp + npts) if (cp is not None and npts is not None) \
+                else None
+        elif out.pts is not None:
+            out.pts = out.pts * 2
+        return out
+
+    def _advance(self, frame: Frame) -> List[Frame]:
+        self._prev, self._cur, self._next = self._cur, self._next, frame
+        if self._cur is None:
+            return []
+        if self.auto and not self._cur.interlaced_frame:
+            out = self._cur.clone_props()
+            out.planes = list(self._cur.planes)
+            self._prev = None
+            if out.pts is not None:
+                out.pts *= 2
+            return [out]
+        if self._prev is None:
+            self._prev = self._cur
+        outs = [self._filter_out(False)]
+        if self.mode & 1:
+            outs.append(self._filter_out(True))
+        return outs
 
     def filter_frame(self, frame: Frame) -> List[Frame]:
-        if not frame.interlaced_frame:
-            return [frame]
-        out = frame.clone_props()
-        out.interlaced_frame = False
-        planes = []
-        for p in frame.planes:
-            a = np.asarray(p).astype(np.int32)
-            b = a.copy()
-            # interpolate the second field from the first
-            if a.shape[0] >= 3:
-                b[1:-1:2] = (a[0:-2:2] + a[2::2] + 1) >> 1
-            planes.append(b.astype(np.uint8))
-        out.planes = planes
-        return [out]
+        return self._advance(frame)
+
+    def flush(self) -> List[Frame]:
+        if self._next is None:
+            return []
+        last = self._next
+        tail = last.clone_props()
+        tail.planes = list(last.planes)
+        if last.pts is not None and self._cur is not None \
+                and self._cur.pts is not None:
+            tail.pts = last.pts * 2 - self._cur.pts
+        return self._advance(tail)
 
 
 @register_filter

@@ -609,3 +609,28 @@ class TestAvresampleParity:
         b = np.fromfile(ourpcm, dtype="<i2")
         assert a.size == b.size and a.size > 0
         np.testing.assert_array_equal(a, b)
+
+
+class TestYadifParity:
+    """yadif vs the reference's vf_yadif.c C kernel: byte-identical
+    rawvideo output for frame- and field-rate modes, both parities,
+    and the spatial-check-less modes 2/3 (ops/yadif.py)."""
+
+    @pytest.mark.parametrize("vf", [
+        "yadif",                    # mode 0, auto parity (tff)
+        "yadif=1",                  # field rate
+        "yadif=0:1",                # bff
+        "yadif=2",                  # no spatial interlacing check
+        "yadif=3:0",                # field rate + no check, tff
+    ])
+    def test_yadif(self, y4m, tmp_path, vf):
+        from libav_tpu.tools import avconv
+        refyuv = str(tmp_path / "ref.yuv")
+        ouryuv = str(tmp_path / "our.yuv")
+        ref_run(["-i", y4m, "-vf", vf, "-f", "rawvideo", refyuv])
+        assert avconv.main(["-y", "-i", y4m, "-vf", vf,
+                            "-f", "rawvideo", ouryuv]) == 0
+        a = np.fromfile(refyuv, np.uint8)
+        b = np.fromfile(ouryuv, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
