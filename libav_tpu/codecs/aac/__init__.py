@@ -1,14 +1,15 @@
-"""AAC-LC codec (reference: libavcodec/aacdec.c (3359) — SURVEY.md §3.4;
-the second half of north-star config 5).
+"""AAC codec family (reference: libavcodec/aacdec.c :2967, aacenc, and
+aacsbr.c for HE-AAC SBR).
 
-Host: ADTS/raw-data-block parse, section/scalefactor/spectral Huffman
-decode (serial); device: batched inverse quantization (|q|^(4/3) power on
-VPU), IMDCT-1024 on MXU, windowed overlap-add.
-
-Round-1 subset: LC profile, long windows (ONLY_LONG_SEQUENCE), SCE/CPE
-with per-channel ICS, sine or KBD windows, no TNS/PNS/IS/M-S/SBR/PS
-(parsed errors where applicable). The encoder emits this subset.
+Decoder: AAC-LC (long/short windows, sine+KBD, M/S, TNS, PNS, I_CS
+tool chain) plus SBR (HE-AAC v1; sbr.py — QMF banks as precomputed
+linear operators, covariance HF inverse filtering, limiter/boost gain
+adjustment, noise+sinusoid assembly), cross-validated against the
+reference decoder at float32 precision.  Encoder: AAC-LC with TNS/PNS
+emission and SBR stress-profile emission for conformance streams.
 """
 
 from libav_tpu.codecs.aac.dec import AACDecoder
 from libav_tpu.codecs.aac.enc import AACEncoder
+
+__all__ = ["AACDecoder", "AACEncoder"]

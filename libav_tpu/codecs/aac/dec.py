@@ -380,10 +380,14 @@ class AACDecoder(Decoder):
         # PNS noise generator state (reference aacdec.c:1101
         # random_state init; persists across frames)
         self._rng = [0x1F2E3D4C]
+        # SBR contexts keyed by element ordinal within the frame
+        # (reference: per-ChannelElement SpectralBandReplication)
+        self._sbr = {}
 
     def _flush(self):
         self._overlap = None
         self._prev_shape = []
+        self._sbr = {}
 
     def _decode(self, pkt: Packet) -> List[Frame]:
         data = pkt.data
@@ -396,16 +400,19 @@ class AACDecoder(Decoder):
             body = data
         gb = GetBits(body)
         specs = []
+        elements = []        # (is_cpe, first_channel_index) per SCE/CPE
         while True:
             ele = gb.get_bits(3)
             if ele == END:
                 break
             tag_bits = gb.get_bits(4)  # element_instance_tag
             if ele == SCE:
+                elements.append((False, len(specs)))
                 specs.append(_finish_ics(
                     decode_ics(gb, sample_rate, rng=self._rng),
                     sample_rate))
             elif ele == CPE:
+                elements.append((True, len(specs)))
                 common = gb.get_bits(1)
                 if common:
                     # shared ics_info + mid/side stereo (reference:
@@ -445,7 +452,21 @@ class AACDecoder(Decoder):
                 cnt = tag_bits
                 if cnt == 15:
                     cnt += gb.get_bits(8) - 1
-                gb.skip_bits(8 * cnt)
+                if cnt > 0:
+                    # extension_payload (reference aacdec.c
+                    # decode_extension_payload): SBR extends the
+                    # immediately preceding SCE/CPE
+                    ext_type = gb.get_bits(4)
+                    if ext_type in (13, 14) and elements:   # EXT_SBR_DATA
+                        from libav_tpu.codecs.aac.sbr import SBRContext
+                        idx = len(elements) - 1
+                        ctx = self._sbr.get(idx)
+                        if ctx is None:
+                            ctx = self._sbr[idx] = SBRContext()
+                        ctx.decode_extension(gb, ext_type == 14, cnt,
+                                             elements[idx][0], sample_rate)
+                    else:
+                        gb.skip_bits(8 * cnt - 4)
             elif ele == DSE:
                 gb.get_bits(1)
                 cnt = gb.get_bits(8)
@@ -462,11 +483,25 @@ class AACDecoder(Decoder):
         if self._overlap is None or self._overlap.shape[0] != nch:
             self._overlap = np.zeros((nch, 1024), dtype=np.float64)
             self._prev_shape = [0] * nch
-        pcm = np.stack([self._imdct_channel(c, *specs[c])
-                        for c in range(nch)])
-        f = Frame(nb_samples=1024, sample_rate=sample_rate, format="fltp",
-                  channels=nch, channel_layout=default_channel_layout(nch))
-        f.planes = [pcm[c].astype(np.float32) for c in range(nch)]
+        pcm = [self._imdct_channel(c, *specs[c]) for c in range(nch)]
+        out_rate, out_samples = sample_rate, 1024
+        if self._sbr:
+            # HE-AAC: run SBR per element (pure upsampling mode for any
+            # element without its own SBR data, like sbr_turnoff)
+            from libav_tpu.codecs.aac.sbr import SBRContext
+            out = []
+            for idx, (is_cpe, ch0) in enumerate(elements):
+                ctx = self._sbr.get(idx)
+                if ctx is None:
+                    ctx = self._sbr[idx] = SBRContext()
+                chans = pcm[ch0:ch0 + (2 if is_cpe else 1)]
+                out.extend(ctx.apply(chans))
+            pcm = out
+            out_rate, out_samples = sample_rate * 2, 2048
+        f = Frame(nb_samples=out_samples, sample_rate=out_rate,
+                  format="fltp", channels=nch,
+                  channel_layout=default_channel_layout(nch))
+        f.planes = [p.astype(np.float32) for p in pcm]
         f.pts = pkt.pts
         f.time_base = pkt.time_base
         return [f]

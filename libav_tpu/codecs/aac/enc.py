@@ -41,6 +41,9 @@ class AACEncoder(Encoder):
                0, 0, 1),
         Option("pns", "perceptual noise substitution on the upper bands "
                "(long windows)", "int", 0, 0, 1),
+        Option("sbr", "emit SBR (HE-AAC) extension data; 1..5 selects a "
+               "stress profile (grid class/coupling/limiter variations)",
+               "int", 0, 0, 5),
     ]
 
     FRAME_SAMPLES = 1024
@@ -60,6 +63,8 @@ class AACEncoder(Encoder):
         self._chunks = []        # lookahead queue for block switching
         self._prev_short = False
         self._pts = 0
+        self._sbr_frame = 0
+        self._sbr_bands = None
 
     # ------------------------------------------------------------------ #
 
@@ -191,6 +196,8 @@ class AACEncoder(Encoder):
                 pb.put_bits(1, 0)    # common_window = 0
                 self._encode_ics(pb, spec[0], seq)
                 self._encode_ics(pb, spec[1], seq)
+        if self.sbr:
+            self._write_sbr_fil(pb)
         pb.put_bits(3, END)
         pb.align(0)
         body = pb.flush()
@@ -219,6 +226,240 @@ class AACEncoder(Encoder):
         pb.put_bits(11, 0x7FF)
         pb.put_bits(2, 0)
         return pb.flush() + body
+
+    # -- SBR stress emission ------------------------------------------- #
+    # Legal-syntax SBR payloads for conformance-stream generation: the
+    # envelope/noise values are synthetic; validity is cross-checked by
+    # decoding with both our decoder and the reference (aacsbr.c) and
+    # comparing PCM (tests/test_fate_cross.py).  Profiles cover the grid
+    # classes, delta-time/freq coding, invf modes, add_harmonic,
+    # limiter/interpolation/smoothing header variants and CPE coupling.
+
+    # (amp_res, start, stop, xover, extra1=(fscale,alter,noise_bands),
+    #  extra2=(lim_bands, lim_gains, interpol, smooth), grid)
+    _SBR_PROFILES = {
+        1: (0, 4, 7, 2, None, None, "fixfix1"),
+        2: (1, 6, 7, 1, (1, 0, 2), None, "fixfix4"),
+        3: (0, 5, 6, 0, (3, 1, 3), (2, 2, 0, 0), "varvar"),
+        4: (1, 3, 7, 2, (0, 1, 1), (3, 0, 1, 1), "fixvar"),
+        5: (0, 4, 7, 1, None, (1, 1, 1, 0), "fixfix2"),
+    }
+
+    def _sbr_put_huff(self, pb, name, delta):
+        from libav_tpu.codecs.aac import sbr_tables as ST
+        bits, codes = ST.HUFFMAN[name]
+        sym = delta + ST.LAV[name]
+        pb.put_bits(bits[sym], codes[sym])
+
+    def _sbr_band_counts(self):
+        """Build the decoder's band tables once to know n[0], n[1], n_q."""
+        if self._sbr_bands is None:
+            from libav_tpu.codecs.aac.sbr import SBRContext
+            amp, start, stop, xover, e1, e2, grid = \
+                self._SBR_PROFILES[self.sbr]
+            ctx = SBRContext()
+            ctx.sample_rate = 2 * self.sample_rate
+            ctx.spectrum_params = (start, stop, xover) + (e1 or (2, 1, 2))
+            ctx._make_f_master()
+            ctx._make_f_derived()
+            self._sbr_bands = (ctx.n[0], ctx.n[1], ctx.n_q)
+        return self._sbr_bands
+
+    def _write_sbr_fil(self, pb: PutBits):
+        amp, start, stop, xover, e1, e2, grid = self._SBR_PROFILES[self.sbr]
+        n0, n1, n_q = self._sbr_band_counts()
+        fi = self._sbr_frame
+        self._sbr_frame += 1
+        coupling = self.channels == 2 and self.sbr == 5
+
+        spb = PutBits()
+        # -- sbr header (every frame; reset only fires on frame 0)
+        spb.put_bits(1, 1)               # bs_header_flag
+        spb.put_bits(1, amp)
+        spb.put_bits(4, start)
+        spb.put_bits(4, stop)
+        spb.put_bits(3, xover)
+        spb.put_bits(2, 0)               # reserved
+        spb.put_bits(1, e1 is not None)
+        spb.put_bits(1, e2 is not None)
+        if e1 is not None:
+            spb.put_bits(2, e1[0])
+            spb.put_bits(1, e1[1])
+            spb.put_bits(2, e1[2])
+        if e2 is not None:
+            spb.put_bits(2, e2[0])
+            spb.put_bits(2, e2[1])
+            spb.put_bits(1, e2[2])
+            spb.put_bits(1, e2[3])
+
+        # -- grid
+        def put_grid():
+            if grid == "fixfix1":
+                spb.put_bits(2, 0)
+                spb.put_bits(2, 0)
+                spb.put_bits(1, 1)
+                return 1, [1, 1]
+            if grid == "fixfix2":
+                spb.put_bits(2, 0)
+                spb.put_bits(2, 1)
+                spb.put_bits(1, 1)
+                return 2, [1, 1, 1]
+            if grid == "fixfix4":
+                spb.put_bits(2, 0)
+                spb.put_bits(2, 2)
+                spb.put_bits(1, 1)
+                return 4, [1, 1, 1, 1, 1]
+            if grid == "fixvar":
+                spb.put_bits(2, 1)
+                spb.put_bits(2, 2)       # abs_bord_trail = 18
+                spb.put_bits(2, 1)       # num_rel_trail -> num_env = 2
+                spb.put_bits(2, 1)       # border at 18 - 2*1 - 2 = 14
+                spb.put_bits(2, 1)       # bs_pointer
+                fr = [None, 0, 1]        # read reversed: env2 then env1
+                spb.put_bits(1, fr[2])
+                spb.put_bits(1, fr[1])
+                return 2, fr
+            # varvar: t_env = [0, 2, 15, 17], 3 envelopes
+            spb.put_bits(2, 3)
+            spb.put_bits(2, 0)           # bs_var_bord_0
+            spb.put_bits(2, 1)           # bs_var_bord_1 -> trail 17
+            spb.put_bits(2, 1)           # num_rel_0
+            spb.put_bits(2, 1)           # num_rel_1
+            spb.put_bits(2, 0)           # lead rel border -> t1 = 2
+            spb.put_bits(2, 0)           # trail rel border -> t2 = 15
+            spb.put_bits(2, 0)           # bs_pointer
+            for b in (1, 0, 1):
+                spb.put_bits(1, b)
+            return 3, [None, 1, 0, 1]
+
+        # amp_res is forced to 0 for single-envelope FIXFIX frames
+        amp_eff = 0 if grid == "fixfix1" else amp
+
+        def put_dtdf(num_env, num_noise):
+            dfe = [0] * num_env
+            dfn = [0] * num_noise
+            if fi > 0 and fi % 2:
+                dfe[0] = 1
+                dfn[0] = 1
+            for b in dfe:
+                spb.put_bits(1, b)
+            for b in dfn:
+                spb.put_bits(1, b)
+            return dfe, dfn
+
+        def put_invf():
+            for i in range(n_q):
+                spb.put_bits(2, (i + fi) % 4)
+
+        def put_env(num_env, fr, dfe, ch_bal):
+            if ch_bal:
+                t = "t_huffman_env_bal_3_0dB" if amp_eff else \
+                    "t_huffman_env_bal_1_5dB"
+                f = "f_huffman_env_bal_3_0dB" if amp_eff else \
+                    "f_huffman_env_bal_1_5dB"
+                bits = 5 if amp_eff else 6
+                base = 12
+                fdel = (0, 1, -1)
+            else:
+                t = "t_huffman_env_3_0dB" if amp_eff else \
+                    "t_huffman_env_1_5dB"
+                f = "f_huffman_env_3_0dB" if amp_eff else \
+                    "f_huffman_env_1_5dB"
+                bits = 6 if amp_eff else 7
+                base = (26 if amp_eff else 52) + 2 * (fi % 3)
+                fdel = (0, 1, -1, 2, -2)
+            for e in range(num_env):
+                nb = n1 if fr[e + 1] else n0
+                if dfe[e]:
+                    for j in range(nb):
+                        self._sbr_put_huff(spb, t, (1, -1, 0)[j % 3])
+                else:
+                    spb.put_bits(bits, base + e)
+                    for j in range(1, nb):
+                        self._sbr_put_huff(spb, f, fdel[j % len(fdel)])
+
+        def put_noise(num_noise, dfn, ch_bal):
+            if ch_bal:
+                t, f = "t_huffman_noise_bal_3_0dB", "f_huffman_env_bal_3_0dB"
+                base = 6
+            else:
+                t, f = "t_huffman_noise_3_0dB", "f_huffman_env_3_0dB"
+                base = 10 + fi % 4
+            for i in range(num_noise):
+                if dfn[i]:
+                    for j in range(n_q):
+                        self._sbr_put_huff(spb, t, (1, -1)[j % 2])
+                else:
+                    spb.put_bits(5, base)
+                    for j in range(1, n_q):
+                        self._sbr_put_huff(spb, f, (1, -1)[j % 2])
+
+        def put_add_harmonic():
+            if self.sbr == 2:
+                spb.put_bits(1, 1)
+                for i in range(n1):
+                    spb.put_bits(1, int(i % 4 == 0))
+            else:
+                spb.put_bits(1, 0)
+
+        if self.channels == 1:
+            spb.put_bits(1, 0)           # bs_data_extra
+            num_env, fr = put_grid()
+            num_noise = 2 if num_env > 1 else 1
+            dfe, dfn = put_dtdf(num_env, num_noise)
+            put_invf()
+            put_env(num_env, fr, dfe, False)
+            put_noise(num_noise, dfn, False)
+            put_add_harmonic()
+        else:
+            spb.put_bits(1, 0)           # bs_data_extra
+            spb.put_bits(1, int(coupling))
+            if coupling:
+                num_env, fr = put_grid()
+                num_noise = 2 if num_env > 1 else 1
+                dfe0, dfn0 = put_dtdf(num_env, num_noise)
+                dfe1, dfn1 = put_dtdf(num_env, num_noise)
+                put_invf()
+                put_env(num_env, fr, dfe0, False)
+                put_noise(num_noise, dfn0, False)
+                put_env(num_env, fr, dfe1, True)
+                put_noise(num_noise, dfn1, True)
+            else:
+                num_env, fr = put_grid()
+                _, fr2 = put_grid()
+                num_noise = 2 if num_env > 1 else 1
+                dfe0, dfn0 = put_dtdf(num_env, num_noise)
+                dfe1, dfn1 = put_dtdf(num_env, num_noise)
+                put_invf()
+                put_invf()
+                put_env(num_env, fr, dfe0, False)
+                put_env(num_env, fr2, dfe1, False)
+                put_noise(num_noise, dfn0, False)
+                put_noise(num_noise, dfn1, False)
+            put_add_harmonic()
+            put_add_harmonic()
+        spb.put_bits(1, 0)               # bs_extended_data
+
+        nbits = spb.bits_written()
+        total = 4 + nbits                # + bs_extension_type
+        cnt = (total + 7) // 8
+        pb.put_bits(3, 6)                # FIL
+        if cnt >= 15:
+            pb.put_bits(4, 15)
+            pb.put_bits(8, cnt - 14)
+        else:
+            pb.put_bits(4, cnt)
+        pb.put_bits(4, 13)               # EXT_SBR_DATA
+        pad = cnt * 8 - total            # bs_fill_bits
+        if pad:
+            spb.put_bits(pad, 0)
+        nb = cnt * 8 - 4                 # payload bits after the ext type
+        payload = spb.flush()
+        full, rem = divmod(nb, 8)
+        for byte in payload[:full]:
+            pb.put_bits(8, byte)
+        if rem:
+            pb.put_bits(rem, payload[full] >> (8 - rem))
 
     # ------------------------------------------------------------------ #
 
