@@ -27,4 +27,22 @@ Public API parity targets (reference file:line cited in each module):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# When the caller pins a CPU run via env (JAX_PLATFORM_NAME=cpu or
+# JAX_PLATFORMS=cpu), pin it at the jax-config level too: plugin
+# platforms (axon) otherwise still get initialized inside
+# xla_bridge.backends() and a wedged device tunnel hangs every CLI
+# invocation.  Config-level jax_platforms restricts initialization to
+# the named platform entirely.  TPU runs (no cpu pin) are untouched.
+_plat = _os.environ.get("JAX_PLATFORM_NAME", "") or \
+    _os.environ.get("JAX_PLATFORMS", "")
+if _plat.split(",")[0] == "cpu":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from libav_tpu.avutil.error import AVError  # noqa: F401

@@ -71,8 +71,12 @@ def register_codec(cls):
     Encoder subclass."""
     if issubclass(cls, Decoder):
         _DECODERS[cls.NAME] = cls
+        for alias in getattr(cls, "ALIASES", ()):
+            _DECODERS[alias] = cls
     elif issubclass(cls, Encoder):
         _ENCODERS[cls.NAME] = cls
+        for alias in getattr(cls, "ALIASES", ()):
+            _ENCODERS[alias] = cls
     else:
         raise TypeError(cls)
     return cls

@@ -706,3 +706,110 @@ class TestSbrParity:
         for c in range(nch):
             d = np.abs(ours[:m, c] - ref[:m, c])
             assert d.max() < 2e-4, f"ch{c}: max diff {d.max()}"
+
+
+class TestMpegAudioParity:
+    """MPEG audio layers I-III vs the reference float decoders
+    (mpegaudiodec_template.c): reference-encoded MP2 and our-encoded
+    MP1/MP2/MP3 (incl. MS joint stereo) must decode identically in both
+    decoders (codecs/mpegaudio/)."""
+
+    @staticmethod
+    def _sig(nch, n, sr):
+        t = np.arange(n) / sr
+        out = []
+        for c in range(nch):
+            r = np.random.default_rng(5 + c)
+            out.append(np.clip(
+                np.sin(2 * np.pi * (440 + 300 * c) * t) * 0.4 +
+                np.sin(2 * np.pi * 3000 * t) * 0.1 +
+                r.normal(0, 0.05, n), -0.95, 0.95))
+        return out
+
+    def _encode_ours(self, codec, nch, js, tmp_path):
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs import find_encoder
+        sr = 44100
+        fs = 384 if codec == "mp1" else 1152
+        n = 24 * 1152
+        sigs = self._sig(nch, n, sr)
+        enc = find_encoder(codec)(CodecParameters(
+            codec_type=MediaType.AUDIO, codec_id=codec, sample_rate=sr,
+            channels=nch, sample_fmt="fltp"))
+        if js:
+            enc.set_opt("js", 1)
+        frames = []
+        for i in range(0, n - n % fs, fs):
+            f = Frame(nb_samples=fs, sample_rate=sr, format="fltp",
+                      channels=nch)
+            f.planes = [s[i:i + fs].astype(np.float32) for s in sigs]
+            frames.append(f)
+        pkts = enc.encode_all(frames)
+        path = str(tmp_path / f"our.{codec}")
+        open(path, "wb").write(b"".join(p.data for p in pkts))
+        return path, pkts
+
+    def _compare(self, codec, path, pkts, nch, tmp_path):
+        from libav_tpu.avutil.frame import Packet
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs import find_decoder
+        refpcm = str(tmp_path / "ref.f32")
+        ref_run(["-c:a", codec + "float", "-i", path,
+                 "-f", "f32le", refpcm])
+        ref = np.fromfile(refpcm, np.float32).astype(
+            np.float64).reshape(-1, nch)
+        dec = find_decoder(codec)(CodecParameters(
+            codec_type=MediaType.AUDIO, codec_id=codec))
+        out = dec.decode_all([Packet(data=p.data) for p in pkts])
+        mine = np.stack(
+            [np.concatenate([np.asarray(f.planes[c]) for f in out])
+             for c in range(nch)], axis=1)
+        m = min(len(mine), len(ref))
+        assert m > 10000
+        d = np.abs(mine[:m] - ref[:m])
+        assert d.max() < 1e-4, f"max diff {d.max()}"
+
+    @pytest.mark.parametrize("codec,nch,js", [
+        ("mp1", 2, 0),
+        ("mp2", 1, 0),
+        ("mp2", 2, 0),
+        ("mp3", 1, 0),
+        ("mp3", 2, 0),
+        ("mp3", 2, 1),     # MS joint stereo
+    ])
+    def test_our_encode(self, tmp_path, codec, nch, js):
+        path, pkts = self._encode_ours(codec, nch, js, tmp_path)
+        self._compare(codec, path, pkts, nch, tmp_path)
+
+    @pytest.mark.parametrize("nch,kbps", [(1, 96), (2, 224), (2, 64)])
+    def test_ref_encoded_mp2(self, tmp_path, nch, kbps):
+        """reference mp2 encoder -> both decoders agree (covers the
+        allocation tables our encoder does not pick)."""
+        from libav_tpu.avutil.frame import Packet
+        from libav_tpu.codecs.mpegaudio.dec import parse_header
+        sr = 44100
+        n = 24 * 1152
+        sigs = self._sig(nch, n, sr)
+        import wave
+        wavpath = str(tmp_path / "in.wav")
+        w = wave.open(wavpath, "wb")
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        data = np.stack(sigs, axis=1)
+        w.writeframes((data * 32767).astype("<i2").tobytes())
+        w.close()
+        path = str(tmp_path / "ref.mp2")
+        ref_run(["-i", wavpath, "-c:a", "mp2", "-b:a", f"{kbps}k", path])
+        raw = open(path, "rb").read()
+        pkts = []
+        i = 0
+        while i + 4 <= len(raw):
+            hdr = parse_header(int.from_bytes(raw[i:i + 4], "big"))
+            if hdr is None:
+                break
+            pkts.append(Packet(data=raw[i:i + hdr["frame_size"]]))
+            i += hdr["frame_size"]
+        assert len(pkts) > 10
+        self._compare("mp2", path, pkts, nch, tmp_path)
