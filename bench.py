@@ -125,6 +125,20 @@ def reference_fps(datas) -> float:
         os.unlink(raw)
 
 
+def probe_device() -> bool:
+    """True if the default (TPU) jax backend initializes within 90s.
+    A wedged axon tunnel HANGS backend init (xla_bridge.backends ->
+    make_c_api_client), so probe in a killable subprocess and fall back
+    to the CPU backend rather than hanging the whole benchmark."""
+    code = "import jax; jax.devices(); print('DEV_OK')"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=90)
+        return "DEV_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if len(sys.argv) == 3 and sys.argv[1] == "--encode":
         encode_child(sys.argv[2])
@@ -133,6 +147,12 @@ def main():
     datas = ensure_stream()
     ref_fps = reference_fps(datas)
 
+    if not probe_device():
+        print("bench: device backend unavailable/wedged -> CPU fallback",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
