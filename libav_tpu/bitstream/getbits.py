@@ -70,6 +70,14 @@ class GetBits:
     def get_bits_long(self, n: int) -> int:
         return self.get_bits(n)
 
+    def get_xbits(self, n: int) -> int:
+        """reference: get_bits.h get_xbits — n-bit value where a 0 MSB
+        means negative: v - (2^n - 1)."""
+        v = self.get_bits(n)
+        if n and not (v >> (n - 1)):
+            v -= (1 << n) - 1
+        return v
+
     def get_sbits(self, n: int) -> int:
         v = self.get_bits(n)
         return v - (1 << n) if v >= (1 << (n - 1)) else v

@@ -146,8 +146,17 @@ class MPEG4Decoder(Decoder):
         # vol_sprite_usage: 1 bit for ver_id 1, 2 bits otherwise
         # (reference mpeg4videodec.c:1782)
         sprite = gb.get_bits(1 if ver_id == 1 else 2)
-        if sprite:
-            raise AVError(INVALIDDATA, "sprite/GMC not supported yet")
+        self.sprite_usage = sprite
+        if sprite == 1:
+            raise AVError(INVALIDDATA, "static sprites not supported")
+        if sprite == 2:          # GMC (reference :1790-1813)
+            self.num_warp_points = gb.get_bits(6)
+            if self.num_warp_points > 3:
+                raise AVError(INVALIDDATA, "too many warping points")
+            self.warp_accuracy = gb.get_bits(2)
+            if gb.get_bits(1):   # sprite_brightness_change
+                raise AVError(INVALIDDATA,
+                              "sprite brightness change not supported")
         if gb.get_bits(1):      # not_8_bit
             raise AVError(INVALIDDATA, "only 8-bit supported")
         self.quant_type = gb.get_bits(1)
@@ -203,8 +212,8 @@ class MPEG4Decoder(Decoder):
             raise AVError(INVALIDDATA, "VOP before VOL header")
         gb = GetBits(seg)
         pict_type = gb.get_bits(2)
-        if pict_type == PICT_S:
-            raise AVError(INVALIDDATA, "S(GMC)-VOP not supported yet")
+        if pict_type == PICT_S and getattr(self, "sprite_usage", 0) != 2:
+            raise AVError(INVALIDDATA, "S-VOP without GMC VOL")
         time_incr = 0
         while gb.get_bits(1):   # modulo_time_base
             time_incr += 1
@@ -229,12 +238,31 @@ class MPEG4Decoder(Decoder):
         if not gb.get_bits(1):  # vop_coded
             return []
         rounding = 0
-        if pict_type == PICT_P:
+        if pict_type in (PICT_P, PICT_S):
             rounding = gb.get_bits(1)
         intra_dc_thr = gb.get_bits(3)
+        gmc_params = None
+        if pict_type == PICT_S:
+            # sprite trajectory (reference decode_vop_header sprite
+            # block between intra_dc_thr and vop_quant)
+            from libav_tpu.ops.gmc import GMCParams, compute_warp_params
+            traj = []
+            for _ in range(self.num_warp_points):
+                ln = T.sprite_traj_vlc().read(gb)
+                x = gb.get_xbits(ln) if ln else 0
+                gb.get_bits(1)
+                ln = T.sprite_traj_vlc().read(gb)
+                y = gb.get_xbits(ln) if ln else 0
+                gb.get_bits(1)
+                traj.append((x, y))
+            off, dlt, shf, rp = compute_warp_params(
+                traj, self.num_warp_points, self.warp_accuracy,
+                self.vol_width, self.vol_height)
+            gmc_params = GMCParams(off, dlt, shf, rp,
+                                   self.warp_accuracy, rounding)
         qscale = gb.get_bits(5)
         fcode = bcode = 1
-        if pict_type in (PICT_P, PICT_B):
+        if pict_type in (PICT_P, PICT_B, PICT_S):
             fcode = gb.get_bits(3)
         if pict_type == PICT_B:
             bcode = gb.get_bits(3)
@@ -250,7 +278,7 @@ class MPEG4Decoder(Decoder):
             self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
         else:
             self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
-                             qscale)
+                             qscale, gmc_params)
 
         kind = "mpeg4mq" if self.quant_type else "h263"
         any4 = bool(np.any(mb.use4))
@@ -267,6 +295,12 @@ class MPEG4Decoder(Decoder):
         if pict_type == PICT_B:
             r0 = self._refs_prev or zero      # forward = past anchor
             r1 = self._refs or zero           # backward = future anchor
+        elif pict_type == PICT_S:
+            # GMC: the whole-frame warp is computed once; mcsel MBs
+            # read it as a zero-motion "backward" reference
+            from libav_tpu.ops.gmc import warp_refs
+            r0 = self._refs or zero
+            r1 = warp_refs(r0, gmc_params, self.mb_w, self.mb_h)
         else:
             r0 = self._refs or zero
             r1 = zero
@@ -290,7 +324,7 @@ class MPEG4Decoder(Decoder):
         # anchor: save refs/colocated motion, emit the held anchor
         self._refs_prev = self._refs
         self._refs = padded
-        if pict_type == PICT_P:
+        if pict_type in (PICT_P, PICT_S):
             self._col_mv = mb.mv_fwd.copy()
             self._col_skip = mb.skipped.copy()
             # per-block colocated motion for direct (4MV P -> 8x8
@@ -436,8 +470,22 @@ class MPEG4Decoder(Decoder):
     # ------------------------------------------------------------------ #
 
     def _decode_mbs(self, gb, mb: MBData, pict_type, fcode, intra_dc_thr,
-                    qscale):
+                    qscale, gmc_params=None):
         mw, mh = self.mb_w, self.mb_h
+        amv_cache = {}
+
+        def amv(mb_x, mb_y):
+            """GMC average MV (get_amv), cached — constant across the
+            frame when real_sprite_warping_points == 1."""
+            from libav_tpu.ops.gmc import get_amv
+            key = (0, 0) if gmc_params.real_points == 1 else (mb_x, mb_y)
+            if key not in amv_cache:
+                amv_cache[key] = (
+                    get_amv(gmc_params, self.quarter_sample, fcode,
+                            key[0], key[1], 0),
+                    get_amv(gmc_params, self.quarter_sample, fcode,
+                            key[0], key[1], 1))
+            return amv_cache[key]
         # block-granular motion grid with the reference's exact layout
         # (h263.c ff_h263_pred_motion, mpegvideo.c ff_init_block_index:
         # b8_stride = 2*mb_w+1 leaves zero pad slots that serve as the
@@ -497,11 +545,22 @@ class MPEG4Decoder(Decoder):
             for mb_x in range(mw):
                 idx = mb_y * mw + mb_x
                 four_mv = False
-                if pict_type == PICT_P:
+                mcsel = 0
+                if pict_type in (PICT_P, PICT_S):
                     if gb.get_bits(1):      # not_coded: skip MB
-                        mb.use_fwd[idx] = True
-                        mb.mv_fwd[idx] = 0
-                        mb.skipped[idx] = True
+                        if pict_type == PICT_S:
+                            # GMC skip: prediction from the warp, amv
+                            # stored for neighbors/colocated (reference
+                            # mpeg4videodec.c:1297-1306, mb_skipped=0)
+                            vx, vy = amv(mb_x, mb_y)
+                            mb.use_bwd[idx] = True
+                            mb.mv_fwd[idx] = (vx, vy)
+                            for k in range(4):
+                                grid_put(mb_x, mb_y, k, vx, vy)
+                        else:
+                            mb.use_fwd[idx] = True
+                            mb.mv_fwd[idx] = 0
+                            mb.skipped[idx] = True
                         continue
                     v = T.inter_mcbpc_vlc().read(gb)
                     group, cbpc = v >> 2, v & 3
@@ -524,6 +583,8 @@ class MPEG4Decoder(Decoder):
                 ac_pred = 0
                 if is_intra:
                     ac_pred = gb.get_bits(1)
+                if pict_type == PICT_S and not is_intra and not four_mv:
+                    mcsel = gb.get_bits(1)  # reference :1332-1336
                 cbpy_code = T.cbpy_vlc().read(gb)
                 cbpy = cbpy_code if is_intra else 15 - cbpy_code
                 if has_q:
@@ -545,6 +606,12 @@ class MPEG4Decoder(Decoder):
                         grid_put(mb_x, mb_y, k, vx, vy)
                         mb.mv4f[idx, k] = (vx, vy)
                     mb.mv_fwd[idx] = mb.mv4f[idx, 0]
+                elif mcsel:
+                    vx, vy = amv(mb_x, mb_y)
+                    mb.use_bwd[idx] = True   # GMC warp as zero-mv ref1
+                    mb.mv_fwd[idx] = (vx, vy)
+                    for k in range(4):
+                        grid_put(mb_x, mb_y, k, vx, vy)
                 else:
                     px, py = grid_pred(mb_x, mb_y, 0)
                     vx = wrap_mv(px + self._decode_mv(gb, fcode), fcode)

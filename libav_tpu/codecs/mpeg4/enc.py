@@ -36,13 +36,57 @@ from libav_tpu.ops.quant import (alternate_horizontal_scan,
 from libav_tpu.codecs.mpeg4.dec import (_ac_cell, _pred_ac, _rdiv,
                                         _store_ac)
 
+@functools.lru_cache(maxsize=8)
+def _gmc_resid_jit(mb_w: int, mb_h: int):
+    """Levels for GMC MBs: src - warped prediction, FDCT, h263 inter
+    quant (mirror of the inter branch of mpegvideo.encode_jit without
+    ME — GMC prediction is the zero-motion warp)."""
+    import jax
+    import jax.numpy as jnp
+    from libav_tpu.ops import fdct as fdct_ops
+    from libav_tpu.ops.mc import EDGE
+    from libav_tpu.ops.quant import zigzag_scan
+
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    zz = zigzag_scan()
+
+    def blockify(plane, bs):
+        bh, bw = plane.shape[0] // bs, plane.shape[1] // bs
+        return (plane.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3)
+                .reshape(bh * bw, bs, bs))
+
+    def mb_blocks(y, u, v):
+        yb = blockify(y, 8).reshape(mb_h, 2, mb_w, 2, 8, 8)
+        yb = yb.transpose(0, 2, 1, 3, 4, 5).reshape(nmb, 4, 8, 8)
+        ub = blockify(u, 8)[:, None]
+        vb = blockify(v, 8)[:, None]
+        return jnp.concatenate([yb, ub, vb], axis=1).astype(jnp.int32)
+
+    def fn(cy, cu, cv, wy, wu, wv, qscale):
+        cur = mb_blocks(cy.astype(jnp.int32), cu.astype(jnp.int32),
+                        cv.astype(jnp.int32))
+        pred = mb_blocks(
+            wy[EDGE:EDGE + H, EDGE:EDGE + W].astype(jnp.int32),
+            wu[EDGE:EDGE + H // 2, EDGE:EDGE + W // 2].astype(jnp.int32),
+            wv[EDGE:EDGE + H // 2, EDGE:EDGE + W // 2].astype(jnp.int32))
+        resid = cur - pred
+        coeffs8 = fdct_ops.fdct8x8_int(resid.reshape(nmb * 6, 8, 8))
+        czz = coeffs8.reshape(nmb * 6, 64)[:, zz]
+        q16 = 16 * jnp.repeat(qscale, 6)
+        lv = jnp.sign(czz) * (jnp.abs(czz) // q16[:, None])
+        return jnp.clip(lv, -255, 255).reshape(nmb, 6, 64)
+
+    return jax.jit(fn)
+
+
 VOS_STARTCODE = b"\x00\x00\x01\xB0"
 VISOBJ_STARTCODE = b"\x00\x00\x01\xB5"
 VO_STARTCODE = b"\x00\x00\x01\x00"
 VOL_STARTCODE = b"\x00\x00\x01\x20"
 VOP_STARTCODE = b"\x00\x00\x01\xB6"
 
-PICT_I, PICT_P, PICT_B = 0, 1, 2
+PICT_I, PICT_P, PICT_B, PICT_S = 0, 1, 2, 3
 
 
 def encode_mv_component(pb: PutBits, delta: int, fcode: int = 1):
@@ -131,6 +175,12 @@ class MPEG4Encoder(Encoder):
                "every Nth coded B MB (0 = off)", "int", 7, 0, 64),
         Option("qpel", "quarter-sample mode (VOL quarter_sample=1, "
                "8-tap MC; P-VOPs)", "int", 0, 0, 1),
+        Option("gmc", "global motion compensation: S(GMC)-VOPs with N "
+               "sprite warping points (0 = off)", "int", 0, 0, 3),
+        Option("gmc_acc", "sprite_warping_accuracy (0=1/2 .. 3=1/16 "
+               "pel)", "int", 3, 0, 3),
+        Option("gmc_sel", "mcsel choice: 0=checkerboard of inter MBs, "
+               "1=all inter MBs", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -143,7 +193,11 @@ class MPEG4Encoder(Encoder):
         self.mb_h = (self.height + 15) >> 4
         if self.qpel and self.b_frames:
             raise AVError(EINVAL, "mpeg4: qpel B-VOPs not supported")
+        if self.gmc and (self.qpel or self.mpegq):
+            raise AVError(EINVAL, "mpeg4: gmc with qpel/mpegq not "
+                          "supported by this encoder")
         self._fcode = 2 if self.qpel else 1
+        self._gmc_n = 0
         self._frame_idx = 0
         self._refs = None
         self._refs_prev = None
@@ -213,14 +267,52 @@ class MPEG4Encoder(Encoder):
             # uses, so prediction drift cannot accumulate
             mvs = mvs * 2
 
+        gmc_mask = np.zeros(nmb, dtype=bool)
+        traj = None
+        r1 = zero_pad_refs(self.mb_w, self.mb_h)
+        if self.gmc and not is_i:
+            from libav_tpu.ops.gmc import (GMCParams, compute_warp_params,
+                                           get_amv, warp_refs)
+            n = self._gmc_n
+            self._gmc_n += 1
+            traj = [((2 * n) % 17 - 8, (3 * n) % 13 - 6),
+                    (1 + n % 2, n % 3 - 1), (n % 3 - 1, 1)][:self.gmc]
+            off, dlt, shf, rp = compute_warp_params(
+                traj, self.gmc, self.gmc_acc, self.width, self.height)
+            params = GMCParams(off, dlt, shf, rp, self.gmc_acc, 0)
+            r1 = warp_refs(refs, params, self.mb_w, self.mb_h)
+            # mcsel on a checkerboard of non-intra MBs
+            gx = np.arange(nmb) % self.mb_w
+            gy = np.arange(nmb) // self.mb_w
+            if self.gmc_sel == 1:
+                gmc_mask = (~intra)
+            else:
+                gmc_mask = (~intra) & (((gx + gy) & 1) == 0)
+            mvs = mvs.copy()
+            glevels = np.asarray(_gmc_resid_jit(self.mb_w, self.mb_h)(
+                y, u, v, r1[0], r1[1], r1[2], qscale)).astype(np.int16)
+            levels = levels.copy()
+            levels[gmc_mask] = glevels[gmc_mask]
+            # amv into the MV array (neighbors predict from it and the
+            # decoder stores it for B direct)
+            amv_c = {}
+            for idx in np.nonzero(gmc_mask)[0]:
+                key = (0, 0) if rp == 1 else (int(gx[idx]), int(gy[idx]))
+                if key not in amv_c:
+                    amv_c[key] = (
+                        get_amv(params, 0, self._fcode, key[0], key[1], 0),
+                        get_amv(params, 0, self._fcode, key[0], key[1], 1))
+                mvs[idx] = amv_c[key]
+
         recon = recon_jit(self.mb_w, self.mb_h, kind, False, not is_i,
                           qpel=bool(self.qpel and not is_i))
-        use_fwd = (~intra) if not is_i else np.zeros(nmb, dtype=bool)
+        use_fwd = (~intra & ~gmc_mask) if not is_i else \
+            np.zeros(nmb, dtype=bool)
         _, padded = recon(levels, qscale, intra, use_fwd,
-                          np.zeros(nmb, dtype=bool), mvs,
+                          gmc_mask, mvs,
                           np.zeros((nmb, 2), np.int32),
                           self._qi, self._qp,
-                          *refs, *zero_pad_refs(self.mb_w, self.mb_h))
+                          *refs, *r1)
         self._refs_prev = self._refs
         self._refs = padded
 
@@ -232,7 +324,7 @@ class MPEG4Encoder(Encoder):
         else:
             cbp_any = np.any(
                 levels.reshape(nmb, 6, 64) != 0, axis=(1, 2))
-            self._col_skip = (~intra) & ~cbp_any & \
+            self._col_skip = (~intra) & ~cbp_any & ~gmc_mask & \
                 (mvs[:, 0] == 0) & (mvs[:, 1] == 0)
             self._col_mv = np.where(intra[:, None], 0, mvs)
         self._anchor_disps = (getattr(self, "_cur_anchor_disp", disp),
@@ -240,7 +332,9 @@ class MPEG4Encoder(Encoder):
         self._cur_anchor_disp = disp
 
         data = self._pack(levels, mvs, intra, qscale,
-                          PICT_I if is_i else PICT_P, disp)
+                          PICT_I if is_i else
+                          (PICT_S if self.gmc else PICT_P), disp,
+                          traj=traj, gmc_mask=gmc_mask)
         pkt = Packet(data=data, pts=frame.pts, dts=frame.pts, duration=1,
                      flags=PKT_FLAG_KEY if is_i else 0,
                      time_base=frame.time_base)
@@ -350,8 +444,9 @@ class MPEG4Encoder(Encoder):
         pb = PutBits()
         pb.put_bits(1, 0)       # random_accessible_vol
         # video_object_type_indication: simple (1) / adv. simple (17)
-        pb.put_bits(8, 0x11 if self.qpel else 0x01)
-        if self.qpel:
+        asp = bool(self.qpel or self.gmc)
+        pb.put_bits(8, 0x11 if asp else 0x01)
+        if asp:
             pb.put_bits(1, 1)   # is_object_layer_identifier
             pb.put_bits(4, 5)   # vol_ver_id
             pb.put_bits(3, 1)   # vol_priority
@@ -372,18 +467,25 @@ class MPEG4Encoder(Encoder):
         pb.put_bits(1, 0)       # interlaced
         pb.put_bits(1, 1)       # obmc_disable
         # sprite_enable: 1 bit at ver_id 1, 2 bits otherwise
-        pb.put_bits(1 if not self.qpel else 2, 0)
+        if asp:
+            pb.put_bits(2, 2 if self.gmc else 0)
+            if self.gmc:        # reference :1790-1813
+                pb.put_bits(6, self.gmc)            # warping points
+                pb.put_bits(2, self.gmc_acc)
+                pb.put_bits(1, 0)                   # brightness_change
+        else:
+            pb.put_bits(1, 0)
         pb.put_bits(1, 0)       # not_8_bit
         pb.put_bits(1, 1 if self.mpegq else 0)   # quant_type
         if self.mpegq:
             pb.put_bits(1, 0)   # load_intra_quant_mat: defaults
             pb.put_bits(1, 0)   # load_nonintra_quant_mat: defaults
-        if self.qpel:
-            pb.put_bits(1, 1)   # quarter_sample
+        if asp:
+            pb.put_bits(1, 1 if self.qpel else 0)   # quarter_sample
         pb.put_bits(1, 1)       # complexity_estimation_disable
         pb.put_bits(1, 1)       # resync_marker_disable
         pb.put_bits(1, 0)       # data_partitioned
-        if self.qpel:           # ver_id != 1 extras
+        if asp:                 # ver_id != 1 extras
             pb.put_bits(1, 0)   # newpred_enable
             pb.put_bits(1, 0)   # reduced_res_vop_enable
         pb.put_bits(1, 0)       # scalability
@@ -391,7 +493,21 @@ class MPEG4Encoder(Encoder):
         out += VOL_STARTCODE + pb.flush()
         return bytes(out)
 
-    def _vop_header(self, pb: PutBits, pict_type: int, disp: int):
+    @staticmethod
+    def _write_traj(pb: PutBits, traj):
+        """Sprite trajectory dmv writer (inverse of get_xbits + Table
+        B-30 length codes)."""
+        for (x, y) in traj:
+            for v in (x, y):
+                ln = abs(v).bit_length()
+                code, bits = T.SPRITE_TRAJ[ln]
+                pb.put_bits(bits, code)
+                if ln:
+                    raw = v if v > 0 else v + (1 << ln) - 1
+                    pb.put_bits(ln, raw)
+                pb.put_bits(1, 1)   # marker
+    def _vop_header(self, pb: PutBits, pict_type: int, disp: int,
+                    traj=None):
         """VOP header with the decoder's exact time bookkeeping
         (ISO 14496-2 §6.2.5: modulo_time_base counts whole seconds —
         non-B relative to time_base, B relative to last_time_base)."""
@@ -411,11 +527,13 @@ class MPEG4Encoder(Encoder):
         pb.put_bits(self._time_inc_bits, tinc)
         pb.put_bits(1, 1)       # marker
         pb.put_bits(1, 1)       # vop_coded
-        if pict_type == PICT_P:
+        if pict_type in (PICT_P, PICT_S):
             pb.put_bits(1, 0)   # vop_rounding_type
         pb.put_bits(3, 0)       # intra_dc_vlc_thr: always intra DC VLC
+        if pict_type == PICT_S:
+            self._write_traj(pb, traj)
         pb.put_bits(5, self.qscale)
-        if pict_type in (PICT_P, PICT_B):
+        if pict_type in (PICT_P, PICT_B, PICT_S):
             pb.put_bits(3, self._fcode)
         if pict_type == PICT_B:
             pb.put_bits(3, 1)   # vop_bcode
@@ -423,17 +541,19 @@ class MPEG4Encoder(Encoder):
     # ------------------------------------------------------------------ #
 
     def _pack(self, levels, mvs, intra, qscale, pict_type,
-              disp=0) -> bytes:
+              disp=0, traj=None, gmc_mask=None) -> bytes:
         out = bytearray()
         if pict_type == PICT_I:
             out += self._vol_headers()
         pb = PutBits()
-        self._vop_header(pb, pict_type, disp)
-        self._mb_layer(pb, levels, mvs, intra, qscale, pict_type)
+        self._vop_header(pb, pict_type, disp, traj=traj)
+        self._mb_layer(pb, levels, mvs, intra, qscale, pict_type,
+                       gmc_mask=gmc_mask)
         self._stuff(pb)
         return bytes(out) + VOP_STARTCODE + pb.flush()
 
-    def _mb_layer(self, pb, levels, mvs, intra, qscale, pict_type):
+    def _mb_layer(self, pb, levels, mvs, intra, qscale, pict_type,
+                  gmc_mask=None):
         mw, mh = self.mb_w, self.mb_h
         nmb = mw * mh
         # DC predictor store: luma block grid + chroma MB grids, in
@@ -475,9 +595,15 @@ class MPEG4Encoder(Encoder):
                 cbpc = cbp & 3
                 cbpy = cbp >> 2
 
-                if pict_type == PICT_P:
-                    not_coded = (not is_intra and cbp == 0
-                                 and mv[0] == 0 and mv[1] == 0)
+                if pict_type in (PICT_P, PICT_S):
+                    is_gmc = gmc_mask is not None and bool(gmc_mask[idx])
+                    if pict_type == PICT_S:
+                        # not_coded in an S-VOP decodes as a GMC skip,
+                        # so only GMC MBs without residual may use it
+                        not_coded = is_gmc and cbp == 0
+                    else:
+                        not_coded = (not is_intra and cbp == 0
+                                     and mv[0] == 0 and mv[1] == 0)
                     if not_coded:
                         pb.put_bits(1, 1)   # not_coded = skip
                         continue
@@ -494,12 +620,18 @@ class MPEG4Encoder(Encoder):
                     code, bits = T.CBPY[cbpy]
                     pb.put_bits(bits, code)
                 else:
+                    if pict_type == PICT_S:
+                        pb.put_bits(1, 1 if is_gmc else 0)   # mcsel
                     code, bits = T.CBPY[15 - cbpy]
                     pb.put_bits(bits, code)
-                    # motion vector, median predicted
-                    px, py = self._mv_pred(mvs, intra, mb_x, mb_y, pict_type)
-                    encode_mv_component(pb, int(mv[0]) - px, self._fcode)
-                    encode_mv_component(pb, int(mv[1]) - py, self._fcode)
+                    if not (pict_type == PICT_S and is_gmc):
+                        # motion vector, median predicted
+                        px, py = self._mv_pred(mvs, intra, mb_x, mb_y,
+                                               pict_type)
+                        encode_mv_component(pb, int(mv[0]) - px,
+                                            self._fcode)
+                        encode_mv_component(pb, int(mv[1]) - py,
+                                            self._fcode)
 
                 for b in range(6):
                     coded = bool(cbp & (0x20 >> b))

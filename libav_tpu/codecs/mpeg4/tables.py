@@ -230,3 +230,18 @@ DEFAULT_INTER_MATRIX = [
     20, 21, 22, 23, 25, 26, 27, 28, 21, 22, 23, 24, 26, 27, 28, 30,
     22, 23, 24, 26, 27, 28, 30, 31, 23, 24, 25, 27, 28, 30, 31, 33,
 ]
+
+
+# sprite trajectory dmv length codes (ISO 14496-2 Table B-30; reference
+# mpeg4data.h ff_sprite_trajectory_tab) — value = length class 0..14
+SPRITE_TRAJ = (
+    (0x00, 2), (0x02, 3), (0x03, 3), (0x04, 3), (0x05, 3), (0x06, 3),
+    (0x0E, 4), (0x1E, 5), (0x3E, 6), (0x7E, 7), (0xFE, 8),
+    (0x1FE, 9), (0x3FE, 10), (0x7FE, 11), (0xFFE, 12),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def sprite_traj_vlc() -> VLC:
+    return VLC(9, codes=[c for c, b in SPRITE_TRAJ],
+               lengths=[b for c, b in SPRITE_TRAJ])

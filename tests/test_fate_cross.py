@@ -813,3 +813,62 @@ class TestMpegAudioParity:
             i += hdr["frame_size"]
         assert len(pkts) > 10
         self._compare("mp2", path, pkts, nch, tmp_path)
+
+
+class TestGmcParity:
+    """MPEG-4 GMC (S-VOPs): our encoder emits sprite trajectories +
+    mcsel macroblocks (1-3 warping points, all accuracies, GMC skip);
+    decode must be bit-exact vs the reference decoder (ops/gmc.py warp
+    kernels, mpeg4videodec.c sprite trajectory/get_amv/gmc_motion)."""
+
+    @pytest.mark.parametrize("points,acc,bf", [
+        (1, 3, 0),   # translation fast path (gmc1), 1/16 pel
+        (1, 0, 0),   # half-pel phases -> put_pixels fallback + RSHIFT amv
+        (2, 3, 0),   # general affine warp
+        (3, 1, 0),   # 3-point warp, 1/4 pel
+        (3, 3, 2),   # GMC anchors with B-VOPs (amv colocated motion)
+    ])
+    def test_gmc(self, tmp_path, points, acc, bf):
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mpeg4 import MPEG4Encoder, MPEG4Decoder
+        w, h, n = 96, 64, 8
+        rng = np.random.default_rng(11)
+        base = rng.integers(16, 235, (h * 3 // 2, w)).astype(np.uint8)
+        frames = []
+        for t in range(n):
+            fl = np.roll(np.roll(base, 3 * t, axis=1), t, axis=0)
+            f = Frame(width=w, height=h, format="yuv420p")
+            f.planes = [fl[:h].copy(),
+                        fl[h:h + h // 4].reshape(h // 2, w // 2).copy(),
+                        fl[h + h // 4:].reshape(h // 2, w // 2).copy()]
+            f.pts = t
+            frames.append(f)
+        enc = MPEG4Encoder(CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id="mpeg4",
+            width=w, height=h))
+        enc.set_opt("gmc", points)
+        enc.set_opt("gmc_acc", acc)
+        enc.set_opt("gop_size", n)
+        enc.set_opt("b_frames", bf)
+        pkts = enc.encode_all(frames)
+        path = str(tmp_path / "gmc.m4v")
+        open(path, "wb").write(b"".join(p.data for p in pkts))
+
+        dec = MPEG4Decoder(CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id="mpeg4",
+            width=w, height=h))
+        out = dec.decode_all([Packet(data=p.data, pts=p.pts)
+                              for p in pkts])
+        out.sort(key=lambda f: f.pts if f.pts is not None else 0)
+
+        refyuv = str(tmp_path / "ref.yuv")
+        ref_run(["-flags", "+bitexact", "-idct", "simple",
+                 "-i", path, "-f", "rawvideo", refyuv])
+        ref = np.fromfile(refyuv, np.uint8)
+        fsz = w * h * 3 // 2
+        assert len(ref) // fsz == len(out) == n
+        for k, f in enumerate(out):
+            o = np.concatenate([np.asarray(f.planes[i]).reshape(-1)
+                                for i in range(3)])
+            np.testing.assert_array_equal(o, ref[k * fsz:(k + 1) * fsz])
