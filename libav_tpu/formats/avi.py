@@ -23,9 +23,9 @@ _CODEC_TO_FOURCC = {"mjpeg": b"MJPG", "mpeg4": b"FMP4", "h264": b"H264",
                     "mpeg1video": b"mpg1", "mpeg2video": b"mpg2",
                     "rawvideo": b"\x00\x00\x00\x00"}
 _WFMT_TO_CODEC = {1: "pcm_s16le", 3: "pcm_f32le", 0x2000: "ac3",
-                  0xFF: "aac", 0x55: "mp3"}
+                  0xFF: "aac", 0x55: "mp3", 0x50: "mp2"}
 _CODEC_TO_WFMT = {"pcm_s16le": 1, "pcm_f32le": 3, "ac3": 0x2000,
-                  "aac": 0xFF}
+                  "aac": 0xFF, "mp3": 0x55, "mp2": 0x50, "mp1": 0x50}
 
 
 from libav_tpu.formats.api import sniff_key as _sniff_key

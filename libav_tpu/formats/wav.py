@@ -12,7 +12,8 @@ from libav_tpu.codecs.api import CodecParameters, MediaType
 from libav_tpu.formats.api import (InputFormat, OutputFormat, Stream,
                                    register_input, register_output)
 
-_TAG_TO_CODEC = {1: None, 3: None, 0x2000: "ac3", 0x55: "mp3", 0xFF: "aac"}
+_TAG_TO_CODEC = {1: None, 3: None, 0x2000: "ac3", 0x55: "mp3",
+                 0x50: "mp2", 0xFF: "aac"}
 _PCM_FMT = {(1, 8): ("pcm_u8", "u8"), (1, 16): ("pcm_s16le", "s16"),
             (1, 24): ("pcm_s24le", "s32"), (1, 32): ("pcm_s32le", "s32"),
             (3, 32): ("pcm_f32le", "flt"), (3, 64): ("pcm_f64le", "dbl")}

@@ -228,3 +228,31 @@ class TestFaultInjectionRound1b:
                 dec._pump()
             except AVError:
                 pass
+
+
+class TestAvplayAV:
+    """avplay A/V sync path: audio-master clock (pacing sink), video
+    delayed/dropped against it (tools/avplay.py, reference avplay.c
+    compute_target_delay)."""
+
+    def test_av_sync(self, tmp_path):
+        import numpy as np
+        from libav_tpu.tools import avplay
+        from libav_tpu.tools import avconv
+        from tests.fate_util import write_y4m, write_wav48
+        y4m = str(tmp_path / "in.y4m")
+        wav = str(tmp_path / "in.wav")
+        write_y4m(y4m, 64, 48, 13)
+        write_wav48(wav, seconds=0.6)
+        avi = str(tmp_path / "av.avi")
+        rc = avconv.main(["-y", "-i", y4m, "-i", wav,
+                          "-c:v", "mpeg1video", "-c:a", "mp2",
+                          "-map", "0:v", "-map", "1:a", avi])
+        assert rc == 0
+        pcm = str(tmp_path / "out.pcm")
+        p = avplay.Player(avi, vo="null", ao="file", ao_path=pcm,
+                          duration=0.45)
+        assert p.run() == 0
+        data = np.fromfile(pcm, "<i2")
+        assert data.size > 4000          # audio actually played
+        assert np.abs(data.astype(np.float64)).mean() > 100
