@@ -81,6 +81,8 @@ class MBData:
         self.mv_fwd = np.zeros((nmb, 2), dtype=np.int32)
         self.mv_bwd = np.zeros((nmb, 2), dtype=np.int32)
         self.coded = np.zeros(nmb, dtype=bool)
+        # per-MB entropy-decode success, for error concealment (er.py)
+        self.ok = np.zeros(nmb, dtype=bool)
         # MPEG-2 frame-picture interlace tools
         self.field_mc = np.zeros(nmb, dtype=bool)
         self.dct_field = np.zeros(nmb, dtype=bool)
@@ -298,10 +300,24 @@ class MPEG1Decoder(Decoder):
         nmb = seq.mb_width * seq.mb_height
         mb = MBData(nmb)
         for code, seg in slices:
+            ok_before = mb.ok.copy()
             try:
                 self._decode_slice(code, seg, mb)
             except AVError as e:
+                # the whole slice is suspect: error detection lags the
+                # actual corruption (reference er_add_slice marks the
+                # resync-to-resync range damaged)
+                mb.ok[:] = ok_before
                 log.warning(self, "slice %d decode error: %s", code, e)
+        if not mb.ok.all():
+            # shared temporal concealment (er.py; reference
+            # error_resilience.c guess_mv path)
+            from libav_tpu.codecs.er import conceal_missing
+            n = conceal_missing(mb, seq.mb_width, seq.mb_height,
+                                self.ref_next is not None)
+            if n:
+                log.warning(self, "concealed %d missing MBs", n)
+                self._concealed_inter = True
         frame = self._reconstruct(mb)
         frame.pts = getattr(self, "_cur_pts", None)
         frame.time_base = getattr(self, "_cur_tb", None)
@@ -501,6 +517,7 @@ class MPEG1Decoder(Decoder):
                     advance()
                     self._skipped_mb(mb, mb_y * seq.mb_width + mb_x,
                                      pmv, prev_mb_params)
+                    mb.ok[mb_y * seq.mb_width + mb_x] = True
                 advance()
                 if inc > 1:
                     dc_pred = self._dc_reset()
@@ -509,6 +526,7 @@ class MPEG1Decoder(Decoder):
             idx = mb_y * seq.mb_width + mb_x
             qscale, dc_pred, prev_mb_params = self._decode_mb(
                 gb, mb, idx, qscale, dc_pred, pmv)
+            mb.ok[idx] = True
 
     def _cur_mb_h(self) -> int:
         """MB rows of the current picture (field pictures cover half the
@@ -963,9 +981,12 @@ class MPEG1Decoder(Decoder):
         seq, pic = self.seq, self.pic
         interlaced = bool(mb.field_mc.any() or mb.dct_field.any())
         dual = bool(mb.dp.any())
+        inter = pic.pict_type != PICT_I or \
+            getattr(self, "_concealed_inter", False)
+        self._concealed_inter = False
         fn = recon_jit(seq.mb_width, seq.mb_height,
                        "mpeg2" if seq.mpeg2 else "mpeg1",
-                       bool(pic.alternate_scan), pic.pict_type != PICT_I,
+                       bool(pic.alternate_scan), inter,
                        interlaced=interlaced, dual=dual)
 
         scan = alternate_scan() if pic.alternate_scan else zigzag_scan()

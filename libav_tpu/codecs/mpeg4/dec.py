@@ -274,11 +274,24 @@ class MPEG4Decoder(Decoder):
         mb.use4 = np.zeros(nmb, dtype=bool)
         mb.mv4f = np.zeros((nmb, 4, 2), dtype=np.int32)
         mb.mv4b = np.zeros((nmb, 4, 2), dtype=np.int32)
-        if pict_type == PICT_B:
-            self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
-        else:
-            self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
-                             qscale, gmc_params)
+        try:
+            if pict_type == PICT_B:
+                self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
+            else:
+                self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
+                                 qscale, gmc_params)
+        except AVError as e:
+            # no resync markers: the whole VOP is the damage range
+            # (reference er_add_slice resync-to-resync semantics)
+            mb.ok[:] = False
+            log.warning(self, "MB decode error, concealing: %s", e)
+        if not mb.ok.all():
+            from libav_tpu.codecs.er import conceal_missing
+            n = conceal_missing(mb, self.mb_w, self.mb_h,
+                                self._refs is not None)
+            if n > 0:
+                log.warning(self, "concealed %d missing MBs", n)
+                self._concealed_inter = True
 
         kind = "mpeg4mq" if self.quant_type else "h263"
         any4 = bool(np.any(mb.use4))
@@ -288,8 +301,11 @@ class MPEG4Decoder(Decoder):
             qp_ = self.inter_mat[zz].astype(np.int32)
         else:
             qi = qp_ = self._dummy_q
+        inter = pict_type != PICT_I or \
+            getattr(self, "_concealed_inter", False)
+        self._concealed_inter = False
         fn = recon_jit(self.mb_w, self.mb_h, kind, False,
-                       pict_type != PICT_I, rounding,
+                       inter, rounding,
                        qpel=bool(self.quarter_sample), any_4mv=any4)
         zero = zero_pad_refs(self.mb_w, self.mb_h)
         if pict_type == PICT_B:
@@ -386,6 +402,7 @@ class MPEG4Decoder(Decoder):
                     # colocated next-P MB was skipped: skip here too
                     mb.use_fwd[idx] = True
                     mb.mv_fwd[idx] = 0
+                    mb.ok[idx] = True
                     continue
                 modb1 = gb.get_bits(1)
                 direct = False
@@ -466,6 +483,7 @@ class MPEG4Decoder(Decoder):
                     if cbp & (0x20 >> b):
                         self._decode_rl_block(gb, mb.coeffs[idx, b], 0,
                                               False)
+                mb.ok[idx] = True
 
     # ------------------------------------------------------------------ #
 
@@ -561,6 +579,7 @@ class MPEG4Decoder(Decoder):
                             mb.use_fwd[idx] = True
                             mb.mv_fwd[idx] = 0
                             mb.skipped[idx] = True
+                        mb.ok[idx] = True
                         continue
                     v = T.inter_mcbpc_vlc().read(gb)
                     group, cbpc = v >> 2, v & 3
@@ -631,6 +650,7 @@ class MPEG4Decoder(Decoder):
                             ac_pred, acv, mb.qscale)
                     elif coded:
                         self._decode_rl_block(gb, mb.coeffs[idx, b], 0, False)
+                mb.ok[idx] = True
 
     def _mv_pred(self, mb: MBData, mb_x, mb_y) -> Tuple[int, int]:
         """Must mirror MPEG4Encoder._mv_pred exactly."""

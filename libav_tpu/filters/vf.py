@@ -365,3 +365,440 @@ class SetPtsFilter(Filter):
         out.pts = int(v)
         self._n += 1
         return [out]
+
+
+# ---------------------------------------------------------------------------
+# round-3 breadth batch (reference: the corresponding vf_*.c filters;
+# drawbox/fade/boxblur/lut are bit-exact vs the reference C filters,
+# cross-validated in tests/test_fate_cross.py)
+
+
+@register_filter
+class CopyFilter(Filter):
+    """reference: vf_copy.c"""
+    NAME = "copy"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = [np.asarray(p).copy() for p in frame.planes]
+        return [out]
+
+
+def _parse_color(s: str):
+    """(R, G, B) from a color name or 0xRRGGBB / #RRGGBB
+    (reference: libavutil/parseutils.c av_parse_color, common subset)."""
+    names = {"black": (0, 0, 0), "white": (255, 255, 255),
+             "red": (255, 0, 0), "green": (0, 128, 0),
+             "blue": (0, 0, 255), "yellow": (255, 255, 0),
+             "gray": (128, 128, 128), "grey": (128, 128, 128)}
+    s = s.strip().lower()
+    if s in names:
+        return names[s]
+    if s.startswith("#"):
+        s = s[1:]
+    elif s.startswith("0x"):
+        s = s[2:]
+    v = int(s, 16)
+    return ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+
+
+def _rgb_to_yuv(r, g, b):
+    """reference: libavutil/colorspace.h RGB_TO_{Y,U,V}_CCIR fixed-point
+    macros (SCALEBITS=10, FIX(x)=round(x*1024))."""
+    def fix(x):
+        return int(x * 1024 + 0.5)
+    half = 1 << 9
+    y = (fix(0.29900 * 219 / 255) * r + fix(0.58700 * 219 / 255) * g +
+         fix(0.11400 * 219 / 255) * b + half + (16 << 10)) >> 10
+    u = ((-fix(0.16874 * 224 / 255) * r - fix(0.33126 * 224 / 255) * g +
+          fix(0.50000 * 224 / 255) * b + half - 1) >> 10) + 128
+    v = ((fix(0.50000 * 224 / 255) * r - fix(0.41869 * 224 / 255) * g -
+          fix(0.08131 * 224 / 255) * b + half - 1) >> 10) + 128
+    return y, u, v
+
+
+@register_filter
+class DrawBoxFilter(Filter):
+    """reference: vf_drawbox.c — 3-pixel-thick box border in yuv420p."""
+    NAME = "drawbox"
+    OPTIONS = [
+        Option("x", "left edge", "int", 0, -(1 << 14), 1 << 14),
+        Option("y", "top edge", "int", 0, -(1 << 14), 1 << 14),
+        Option("width", "box width (0 = frame)", "int", 0, 0, 1 << 14),
+        Option("height", "box height (0 = frame)", "int", 0, 0, 1 << 14),
+        Option("color", "box color", "string", "black"),
+    ]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        cy, cu, cv = _rgb_to_yuv(*_parse_color(self.color))
+        w = self.width or frame.width
+        h = self.height or frame.height
+        xb, yb = int(self.x), int(self.y)
+        Y = np.asarray(frame.planes[0]).copy()
+        U = np.asarray(frame.planes[1]).copy()
+        V = np.asarray(frame.planes[2]).copy()
+        ys = np.arange(max(yb, 0), min(frame.height, yb + h))
+        xs = np.arange(max(xb, 0), min(frame.width, xb + w))
+        if len(ys) and len(xs):
+            on_y = (ys - yb < 3) | (yb + h - ys < 4)
+            on_x = (xs - xb < 3) | (xb + w - xs < 4)
+            border = on_y[:, None] | on_x[None, :]
+            by, bx = np.nonzero(border)
+            py, px = ys[by], xs[bx]
+            Y[py, px] = cy
+            U[py >> 1, px >> 1] = cu
+            V[py >> 1, px >> 1] = cv
+        out = frame.clone_props()
+        out.planes = [Y, U, V]
+        return [out]
+
+
+@register_filter
+class FadeFilter(Filter):
+    """reference: vf_fade.c — 16.16 fixed-point fade factor; luma
+    p=(p*f+32768)>>16, chroma p=((p-128)*f+8421367)>>16."""
+    NAME = "fade"
+    OPTIONS = [
+        Option("type", "in|out", "string", "in"),
+        Option("start_frame", "first affected frame", "int", 0, 0,
+               1 << 30),
+        Option("nb_frames", "effect length in frames", "int", 1, 0,
+               1 << 30),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._factor = 0 if self.type == "in" else (1 << 16)
+        per = (1 << 16) // max(1, self.nb_frames)
+        self._per_frame = per if self.type == "in" else -per
+        self._index = 0
+        self._stop = self.start_frame + self.nb_frames
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame
+        if self._factor < 0xFFFF:
+            f = self._factor
+            out = frame.clone_props()
+            luma = np.asarray(frame.planes[0]).astype(np.int32)
+            planes = [((luma * f + 32768) >> 16).astype(np.uint8)]
+            for p in frame.planes[1:3]:
+                c = np.asarray(p).astype(np.int32)
+                # the reference's chroma slice iterates FRAME rows and
+                # indexes (i >> vsub): every 4:2:0 chroma row is faded
+                # twice (vf_fade.c filter_slice_chroma) — replicate
+                for _ in range(2):
+                    c = ((c - 128) * f + 8421367) >> 16
+                planes.append(c.astype(np.uint8))
+            out.planes = planes
+        if self.start_frame <= self._index <= self._stop:
+            self._factor += self._per_frame
+        self._factor = max(0, min(0xFFFF, self._factor))
+        self._index += 1
+        return [out]
+
+
+def _boxblur_1d(a: np.ndarray, radius: int) -> np.ndarray:
+    """vf_boxblur.c blur(): symmetric-padded running box sum with
+    (sum*inv + 32768) >> 16 normalization, along the last axis."""
+    if radius <= 0:
+        return a.copy()
+    length = 2 * radius + 1
+    inv = ((1 << 16) + length // 2) // length
+    pad = np.pad(a.astype(np.int64), [(0, 0)] * (a.ndim - 1) +
+                 [(radius, radius)], mode="symmetric")
+    cs = np.cumsum(pad, axis=-1)
+    first = cs[..., length - 1:length]
+    rest = cs[..., length:] - cs[..., :-length]
+    sums = np.concatenate([first, rest], axis=-1)
+    return ((sums * inv + (1 << 15)) >> 16).astype(np.uint8)
+
+
+@register_filter
+class BoxBlurFilter(Filter):
+    """reference: vf_boxblur.c — horizontal+vertical running box blur,
+    applied `power` times per direction."""
+    NAME = "boxblur"
+    OPTIONS = [
+        Option("luma_radius", "luma box radius", "int", 2, 0, 1 << 10),
+        Option("luma_power", "luma passes", "int", 2, 0, 16),
+        Option("chroma_radius", "chroma box radius (-1 = luma)", "int",
+               -1, -1, 1 << 10),
+        Option("chroma_power", "chroma passes (-1 = luma)", "int",
+               -1, -1, 16),
+    ]
+
+    @staticmethod
+    def _blur_plane(p, radius, power):
+        a = np.asarray(p)
+        for _ in range(power):
+            a = _boxblur_1d(a, radius)
+        a = a.T
+        for _ in range(power):
+            a = _boxblur_1d(a, radius)
+        return np.ascontiguousarray(a.T)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        cr = self.luma_radius if self.chroma_radius < 0 else \
+            self.chroma_radius
+        cp = self.luma_power if self.chroma_power < 0 else \
+            self.chroma_power
+        out = frame.clone_props()
+        out.planes = [
+            self._blur_plane(frame.planes[0], self.luma_radius,
+                             self.luma_power),
+            self._blur_plane(frame.planes[1], cr, cp),
+            self._blur_plane(frame.planes[2], cr, cp)]
+        return [out]
+
+
+class _LutBase(Filter):
+    """reference: vf_lut.c — per-component 256-entry LUT from
+    expressions over val/maxval/minval/negval/clipval."""
+
+    _MIN = (16, 16, 16)
+    _MAX = (235, 240, 240)
+
+    def _luts(self, w, h):
+        from libav_tpu.avutil.eval import expr_eval
+        luts = []
+        for comp in range(3):
+            expr = self._expr(comp)
+            mn, mx = self._MIN[comp], self._MAX[comp]
+            lut = np.empty(256, np.uint8)
+            for val in range(256):
+                variables = dict(val=float(val), maxval=float(mx),
+                                 minval=float(mn),
+                                 clipval=float(min(max(val, mn), mx)),
+                                 negval=float(min(max(mn + mx - val, mn),
+                                                  mx)),
+                                 w=float(w), h=float(h))
+                res = expr_eval(expr, variables)
+                lut[val] = min(max(int(res), mn), mx)
+            luts.append(lut)
+        return luts
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if not hasattr(self, "_lut_cache"):
+            self._lut_cache = self._luts(frame.width, frame.height)
+        out = frame.clone_props()
+        out.planes = [self._lut_cache[i][np.asarray(p)]
+                      for i, p in enumerate(frame.planes[:3])]
+        return [out]
+
+
+@register_filter
+class LutYuvFilter(_LutBase):
+    NAME = "lutyuv"
+    OPTIONS = [
+        Option("c0", "component 0 expression", "string", "val"),
+        Option("c1", "component 1 expression", "string", "val"),
+        Option("c2", "component 2 expression", "string", "val"),
+        Option("y", "Y expression", "string", ""),
+        Option("u", "U expression", "string", ""),
+        Option("v", "V expression", "string", ""),
+    ]
+
+    def _expr(self, comp):
+        named = (self.y, self.u, self.v)[comp]
+        return named or (self.c0, self.c1, self.c2)[comp]
+
+
+@register_filter
+class NegateFilter(_LutBase):
+    """reference: vf_lut.c negate registration (negval for all)."""
+    NAME = "negate"
+
+    def _expr(self, comp):
+        return "negval"
+
+
+@register_filter
+class ShufflePlanesFilter(Filter):
+    """reference: vf_shuffleplanes.c"""
+    NAME = "shuffleplanes"
+    OPTIONS = [Option("map0", "source of plane 0", "int", 0, 0, 3),
+               Option("map1", "source of plane 1", "int", 1, 0, 3),
+               Option("map2", "source of plane 2", "int", 2, 0, 3)]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        m = (self.map0, self.map1, self.map2)
+        shapes = [np.asarray(p).shape for p in frame.planes]
+        for i, src in enumerate(m):
+            if shapes[src] != shapes[i]:
+                raise AVError(EINVAL, "shuffleplanes: plane size "
+                                      "mismatch (chroma<->luma)")
+        out = frame.clone_props()
+        out.planes = [np.asarray(frame.planes[src]).copy() for src in m]
+        return [out]
+
+
+@register_filter
+class FieldOrderFilter(Filter):
+    """reference: vf_fieldorder.c — shift the frame one line up/down,
+    duplicating the edge line, to swap tff<->bff."""
+    NAME = "fieldorder"
+    OPTIONS = [Option("order", "output field order 0=bff 1=tff", "int",
+                      1, 0, 1)]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if not frame.interlaced_frame or \
+                int(bool(frame.top_field_first)) == self.order:
+            return [frame]
+        out = frame.clone_props()
+        planes = []
+        for p in frame.planes:
+            a = np.asarray(p)
+            if self.order:      # shift up
+                b = np.concatenate([a[1:], a[-1:]])
+            else:               # shift down
+                b = np.concatenate([a[:1], a[:-1]])
+            planes.append(b.copy())
+        out.planes = planes
+        out.top_field_first = bool(self.order)
+        return [out]
+
+
+@register_filter
+class SettbFilter(Filter):
+    """reference: vf_settb.c — rewrite the output time base, rescaling
+    pts."""
+    NAME = "settb"
+    OPTIONS = [Option("expr", "time base (e.g. 1/90000)", "string",
+                      "1/25")]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        num, den = (self.expr.split("/") + ["1"])[:2]
+        tb = Rational(int(num), int(den))
+        out = frame.clone_props()
+        out.planes = list(frame.planes)
+        if frame.pts is not None and frame.time_base:
+            out.pts = int(round(frame.pts *
+                                (frame.time_base / tb).to_float()))
+        out.time_base = tb
+        return [out]
+
+
+@register_filter
+class ShowInfoFilter(Filter):
+    """reference: vf_showinfo.c — log per-frame info + plane checksums."""
+    NAME = "showinfo"
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._n = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        import zlib
+        from libav_tpu.avutil import log
+        sums = [zlib.adler32(np.ascontiguousarray(
+            np.asarray(p)).tobytes()) for p in frame.planes]
+        log.info(self, "n:%d pts:%s fmt:%s %dx%d i:%d checksums:%s",
+                 self._n, frame.pts, frame.format, frame.width,
+                 frame.height, int(bool(frame.interlaced_frame)),
+                 " ".join(f"{s:08X}" for s in sums))
+        self._n += 1
+        return [frame]
+
+
+@register_filter
+class TrimFilter(Filter):
+    """reference: vf_trim.c — pass frames inside [start_frame,
+    end_frame) / [start, end) seconds."""
+    NAME = "trim"
+    OPTIONS = [
+        Option("start_frame", "first kept frame", "int", 0, 0, 1 << 30),
+        Option("end_frame", "first dropped frame (0 = inf)", "int", 0,
+               0, 1 << 30),
+        Option("start", "start seconds", "string", ""),
+        Option("end", "end seconds", "string", ""),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._n = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        n = self._n
+        self._n += 1
+        if self.start or self.end:
+            if frame.pts is None or not frame.time_base:
+                return [frame]
+            t = frame.pts * frame.time_base.num / frame.time_base.den
+            if self.start and t < float(self.start):
+                return []
+            if self.end and t >= float(self.end):
+                return []
+            return [frame]
+        if n < self.start_frame:
+            return []
+        if self.end_frame and n >= self.end_frame:
+            return []
+        return [frame]
+
+
+@register_filter
+class SelectFilter(Filter):
+    """reference: vf_select.c — keep frames for which the expression is
+    non-zero (vars: n, selected_n, key)."""
+    NAME = "select"
+    OPTIONS = [Option("expr", "selection expression", "string", "1")]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._n = 0
+        self._selected = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        from libav_tpu.avutil.eval import expr_eval
+        from libav_tpu.avutil.frame import PictureType
+        v = expr_eval(self.expr, dict(
+            n=float(self._n), selected_n=float(self._selected),
+            key=1.0 if getattr(frame, "key_frame", False) else 0.0))
+        self._n += 1
+        if v == 0:
+            return []
+        self._selected += 1
+        return [frame]
+
+
+@register_filter
+class BlackFrameFilter(Filter):
+    """reference: vf_blackframe.c — log frames blacker than a
+    percentage threshold."""
+    NAME = "blackframe"
+    OPTIONS = [Option("amount", "percent of black pixels", "int", 98,
+                      0, 100),
+               Option("threshold", "luma threshold for black", "int",
+                      32, 0, 255)]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._n = 0
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        from libav_tpu.avutil import log
+        y = np.asarray(frame.planes[0])
+        pblack = int((y < self.threshold).mean() * 100)
+        if pblack >= self.amount:
+            log.info(self, "frame:%d pblack:%d pts:%s", self._n,
+                     pblack, frame.pts)
+        self._n += 1
+        return [frame]
+
+
+@register_filter
+class NoFormatFilter(Filter):
+    """reference: vf_noformat.c — force conversion away from the named
+    pixel format."""
+    NAME = "noformat"
+    OPTIONS = [Option("pix_fmt", "forbidden pixel format", "string",
+                      "")]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if not self.pix_fmt or frame.format != self.pix_fmt:
+            return [frame]
+        from libav_tpu.swscale import SwsContext
+        target = "yuv422p" if frame.format == "yuv420p" else "yuv420p"
+        sws = SwsContext.get(frame.width, frame.height, frame.format,
+                             frame.width, frame.height, target)
+        return [sws.scale_frame(frame)]

@@ -256,3 +256,161 @@ class TestAvplayAV:
         data = np.fromfile(pcm, "<i2")
         assert data.size > 4000          # audio actually played
         assert np.abs(data.astype(np.float64)).mean() > 100
+
+
+class TestSharedConcealment:
+    """Shared MB-command concealment for the mpegvideo family
+    (codecs/er.py; reference error_resilience.c): truncating a P
+    frame's tail must conceal the missing MBs from the previous
+    reference at guessed MVs, keeping a PSNR floor vs the clean
+    decode — and stay deterministic."""
+
+    @staticmethod
+    def _psnr(a, b):
+        import numpy as np
+        d = np.asarray(a).astype(float) - np.asarray(b).astype(float)
+        mse = (d * d).mean()
+        return 99.0 if mse < 1e-9 else 10 * np.log10(255 * 255 / mse)
+
+    def _stream(self, codec):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs import find_encoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        w, h, n = 96, 64, 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(n):
+            # smooth gradient + small moving block: frame-repeat
+            # concealment stays high-PSNR, motion stays codable
+            y = ((xx + yy) % 200 + 20).astype(np.uint8)
+            y[10 + 2 * t:26 + 2 * t, 20 + 2 * t:36 + 2 * t] = 220
+            f = Frame(width=w, height=h, format="yuv420p")
+            f.planes = [y,
+                        np.full((h // 2, w // 2), 120, np.uint8),
+                        np.full((h // 2, w // 2), 130, np.uint8)]
+            f.pts = t
+            frames.append(f)
+        enc = find_encoder(codec)(CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id=codec, width=w,
+            height=h))
+        enc.set_opt("gop_size", n)
+        return enc.encode_all(frames)
+
+    @pytest.mark.parametrize("codec", ["mpeg1video", "mpeg2video",
+                                       "mpeg4"])
+    def test_psnr_floor(self, codec):
+        from libav_tpu.avutil.frame import Packet
+        from libav_tpu.codecs import find_decoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        pkts = self._stream(codec)
+
+        def dec_all(datas):
+            d = find_decoder(codec)(CodecParameters(
+                codec_type=MediaType.VIDEO, codec_id=codec))
+            return d.decode_all([Packet(data=x, pts=i)
+                                 for i, x in enumerate(datas)])
+
+        clean = dec_all([bytes(p.data) for p in pkts])
+        bad = [bytes(p.data) for p in pkts]
+        b = bytearray(bad[2])
+        b[-16:] = b"\x00" * 16
+        bad[2] = bytes(b)
+        out = dec_all(bad)
+        assert len(out) == len(clean)
+        for c, o in zip(clean, out):
+            p = self._psnr(c.to_host().planes[0], o.to_host().planes[0])
+            assert p > 20.0, f"{codec}: concealment floor {p:.1f} dB"
+        out2 = dec_all(bad)
+        import numpy as np
+        for a, b2 in zip(out, out2):
+            np.testing.assert_array_equal(
+                np.asarray(a.to_host().planes[0]),
+                np.asarray(b2.to_host().planes[0]))
+
+
+class TestFilterBatch:
+    """Round-3 filter batch (filters/vf.py): boxblur vs a literal
+    transcription of the reference blur(); behavior smoke tests for the
+    rest (drawbox/fade/negate/lutyuv are cross-validated bit-exact in
+    test_fate_cross.py)."""
+
+    @staticmethod
+    def _frame(w=48, h=32, seed=0):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        rng = np.random.default_rng(seed)
+        f = Frame(width=w, height=h, format="yuv420p")
+        f.planes = [rng.integers(0, 256, (h, w)).astype(np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)]
+        f.pts = 0
+        return f
+
+    def test_boxblur_matches_literal(self):
+        import numpy as np
+        from libav_tpu.filters.vf import _boxblur_1d
+
+        def literal(src, radius):
+            # vf_boxblur.c blur() transcription
+            length = radius * 2 + 1
+            inv = ((1 << 16) + length // 2) // length
+            ln = len(src)
+            dst = np.zeros(ln, np.int64)
+            s = 0
+            for x in range(radius):
+                s += int(src[x]) << 1
+            s += int(src[radius])
+            x = 0
+            while x <= radius:
+                s += int(src[radius + x]) - int(src[radius - x])
+                dst[x] = (s * inv + (1 << 15)) >> 16
+                x += 1
+            while x < ln - radius:
+                s += int(src[radius + x]) - int(src[x - radius - 1])
+                dst[x] = (s * inv + (1 << 15)) >> 16
+                x += 1
+            while x < ln:
+                s += int(src[2 * ln - radius - x - 1]) - \
+                    int(src[x - radius - 1])
+                dst[x] = (s * inv + (1 << 15)) >> 16
+                x += 1
+            return dst.astype(np.uint8)
+
+        rng = np.random.default_rng(3)
+        for radius in (1, 2, 5):
+            a = rng.integers(0, 256, 64).astype(np.uint8)
+            np.testing.assert_array_equal(
+                _boxblur_1d(a[None, :], radius)[0], literal(a, radius))
+
+    def test_smoke(self):
+        import numpy as np
+        from libav_tpu.filters.graph import get_filter
+        f = self._frame()
+        for name, args in [("copy", ""), ("shuffleplanes", "0:2:1"),
+                           ("settb", "1/90000"), ("showinfo", ""),
+                           ("blackframe", ""), ("boxblur", "2:1"),
+                           ("noformat", "yuv420p")]:
+            flt = get_filter(name)(args)
+            out = flt.push(f)
+            assert len(out) == 1, name
+        # trim drops outside the window
+        t = get_filter("trim")("1:3")
+        kept = []
+        for i in range(5):
+            fr = self._frame(seed=i)
+            kept += t.push(fr)
+        assert len(kept) == 2
+        # select every other frame
+        s = get_filter("select")("mod(n,2)")
+        kept = []
+        for i in range(6):
+            kept += s.push(self._frame(seed=i))
+        assert len(kept) == 3
+        # fieldorder swaps when flagged interlaced
+        fo = get_filter("fieldorder")("0")
+        fr = self._frame()
+        fr.interlaced_frame = True
+        fr.top_field_first = True
+        out = fo.push(fr)[0]
+        assert not out.top_field_first or out is fr

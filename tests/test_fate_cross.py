@@ -872,3 +872,29 @@ class TestGmcParity:
             o = np.concatenate([np.asarray(f.planes[i]).reshape(-1)
                                 for i in range(3)])
             np.testing.assert_array_equal(o, ref[k * fsz:(k + 1) * fsz])
+
+
+class TestFilterParity:
+    """Filter batch vs the reference C filters — byte-identical rawvideo
+    output (drawbox/fade/boxblur/negate/lutyuv; filters/vf.py)."""
+
+    @pytest.mark.parametrize("vf", [
+        "drawbox=10:8:40:30:red",
+        "drawbox=x=-4:y=-4:width=30:height=30:color=0x3366AA",
+        "fade=in:0:10",
+        "fade=out:4:6",
+        "negate",
+        "lutyuv=y=negval",
+        "lutyuv=y=val/2:u=clipval:v=maxval-val+minval",
+    ])
+    def test_filter(self, y4m, tmp_path, vf):
+        from libav_tpu.tools import avconv
+        refyuv = str(tmp_path / "ref.yuv")
+        ouryuv = str(tmp_path / "our.yuv")
+        ref_run(["-i", y4m, "-vf", vf, "-f", "rawvideo", refyuv])
+        assert avconv.main(["-y", "-i", y4m, "-vf", vf,
+                            "-f", "rawvideo", ouryuv]) == 0
+        a = np.fromfile(refyuv, np.uint8)
+        b = np.fromfile(ouryuv, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
