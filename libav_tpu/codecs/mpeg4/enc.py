@@ -181,6 +181,10 @@ class MPEG4Encoder(Encoder):
                "pel)", "int", 3, 0, 3),
         Option("gmc_sel", "mcsel choice: 0=checkerboard of inter MBs, "
                "1=all inter MBs", "int", 0, 0, 1),
+        Option("trellis", "rate-distortion optimal quantization of "
+               "inter blocks (codecs/trellis.py)", "int", 0, 0, 1),
+        Option("trellis_lambda", "trellis RD lambda scale x100", "int",
+               25, 1, 400),
     ]
     CAPABILITIES = ("delay",)
 
@@ -254,13 +258,28 @@ class MPEG4Encoder(Encoder):
         qscale = np.full(nmb, self.qscale, dtype=np.int32)
         y, u, v = self._padded_input(frame)
         kind = "mpeg4mq" if self.mpegq else "h263"
-        enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind)
+        want_tr = bool(self.trellis and not is_i and not self.mpegq)
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind,
+                         want_coeffs=want_tr)
         refs = self._refs if not is_i else zero_pad_refs(self.mb_w, self.mb_h)
-        levels, mvs, intra = enc(y, u, v, qscale, self._qi,
-                                 self._qp, *refs)
+        outs = enc(y, u, v, qscale, self._qi, self._qp, *refs)
+        if want_tr:
+            levels, mvs, intra, czz = outs
+            czz = np.asarray(czz)
+        else:
+            levels, mvs, intra = outs
         levels = np.asarray(levels).astype(np.int16)
         mvs = np.asarray(mvs)
         intra = np.asarray(intra)
+        if want_tr and np.any(~intra):
+            from libav_tpu.codecs.trellis import trellis_inter
+            sel = np.repeat(~intra, 6)
+            flat = levels.reshape(-1, 64).copy()
+            flat[sel] = trellis_inter(
+                czz.reshape(-1, 64)[sel], flat[sel],
+                np.repeat(qscale, 6)[sel],
+                lam_scale=self.trellis_lambda / 100.0)
+            levels = flat.reshape(nmb, 6, 64)
         if self.qpel and not is_i:
             # half-pel ME doubled to quarter-pel units; the closed loop
             # reconstructs through the SAME 8-tap qpel MC the decoder

@@ -757,7 +757,7 @@ def encode_b_h263_jit(mb_w: int, mb_h: int, quant_kind: str = "h263",
 
 @functools.lru_cache(maxsize=32)
 def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
-               search_range: int = 15):
+               search_range: int = 15, want_coeffs: bool = False):
     """Device encode program: pixels (+ref) -> quantized levels (zigzag
     order), MVs (half-pel), intra decisions (reference: the device half of
     mpegvideo_enc.c encode_picture :3393 — ME, prediction, FDCT, quant).
@@ -880,6 +880,9 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
                 dc_pix = dc_pix * 8
             levels = levels.at[:, 0].set(
                 jnp.where(intra6, dc_pix, levels[:, 0]))
+        if want_coeffs:
+            return levels.reshape(nmb, 6, 64), mv, use_intra, \
+                czz.reshape(nmb, 6, 64)
         return levels.reshape(nmb, 6, 64), mv, use_intra
 
     return jax.jit(fn)

@@ -898,3 +898,52 @@ class TestFilterParity:
         b = np.fromfile(ouryuv, np.uint8)
         assert a.size == b.size and a.size > 0
         np.testing.assert_array_equal(a, b)
+
+
+class TestTrellisParity:
+    """-trellis RD quantization (codecs/trellis.py, reference
+    dct_quantize_trellis_c role): streams stay bit-exact-decodable by
+    the reference and spend fewer bits than the baseline quantizer."""
+
+    def test_trellis(self, tmp_path):
+        from libav_tpu.avutil.frame import Frame, Packet
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.mpeg4 import MPEG4Encoder, MPEG4Decoder
+        w, h, n = 96, 64, 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(n):
+            y = ((xx * 2 + yy + t * 5) % 220 + 16).astype(np.uint8)
+            f = Frame(width=w, height=h, format="yuv420p")
+            f.planes = [y, np.full((h // 2, w // 2), 110, np.uint8),
+                        np.full((h // 2, w // 2), 140, np.uint8)]
+            f.pts = t
+            frames.append(f)
+        sizes = {}
+        for tr in (0, 1):
+            enc = MPEG4Encoder(CodecParameters(
+                codec_type=MediaType.VIDEO, codec_id="mpeg4",
+                width=w, height=h))
+            enc.set_opt("gop_size", n)
+            enc.set_opt("trellis", tr)
+            pkts = enc.encode_all(frames)
+            sizes[tr] = sum(len(p.data) for p in pkts)
+            path = str(tmp_path / f"tr{tr}.m4v")
+            open(path, "wb").write(b"".join(p.data for p in pkts))
+            dec = MPEG4Decoder(CodecParameters(
+                codec_type=MediaType.VIDEO, codec_id="mpeg4",
+                width=w, height=h))
+            out = dec.decode_all([Packet(data=p.data, pts=p.pts)
+                                  for p in pkts])
+            out.sort(key=lambda f: f.pts)
+            refyuv = str(tmp_path / "ref.yuv")
+            ref_run(["-flags", "+bitexact", "-idct", "simple",
+                     "-i", path, "-f", "rawvideo", refyuv])
+            ref = np.fromfile(refyuv, np.uint8)
+            fsz = w * h * 3 // 2
+            for k, f in enumerate(out):
+                o = np.concatenate([np.asarray(f.planes[i]).reshape(-1)
+                                    for i in range(3)])
+                np.testing.assert_array_equal(
+                    o, ref[k * fsz:(k + 1) * fsz])
+        assert sizes[1] < sizes[0], sizes
