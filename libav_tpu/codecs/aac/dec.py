@@ -497,6 +497,7 @@ class AACDecoder(Decoder):
                 chans = pcm[ch0:ch0 + (2 if is_cpe else 1)]
                 out.extend(ctx.apply(chans))
             pcm = out
+            nch = len(pcm)       # PS upmixes mono elements to stereo
             out_rate, out_samples = sample_rate * 2, 2048
         f = Frame(nb_samples=out_samples, sample_rate=out_rate,
                   format="fltp", channels=nch,

@@ -44,6 +44,9 @@ class AACEncoder(Encoder):
         Option("sbr", "emit SBR (HE-AAC) extension data; 1..5 selects a "
                "stress profile (grid class/coupling/limiter variations)",
                "int", 0, 0, 5),
+        Option("ps", "emit parametric stereo data in the SBR extension "
+               "(HE-AACv2, mono core); 1=20-band HA, 2=fine-quant HB, "
+               "3=34-band + IPD/OPD", "int", 0, 0, 3),
     ]
 
     FRAME_SAMPLES = 1024
@@ -438,7 +441,29 @@ class AACEncoder(Encoder):
                 put_noise(num_noise, dfn1, False)
             put_add_harmonic()
             put_add_harmonic()
-        spb.put_bits(1, 0)               # bs_extended_data
+        if self.ps and self.channels == 1:
+            psb = PutBits()
+            self._write_ps(psb)
+            ps_bits = psb.bits_written()
+            ext_bytes = (2 + ps_bits + 7) // 8
+            spb.put_bits(1, 1)           # bs_extended_data
+            if ext_bytes >= 15:
+                spb.put_bits(4, 15)
+                spb.put_bits(8, ext_bytes - 15)
+            else:
+                spb.put_bits(4, ext_bytes)
+            spb.put_bits(2, 2)           # EXTENSION_ID_PS
+            pdata = psb.flush()
+            full, rem = divmod(ps_bits, 8)
+            for byte in pdata[:full]:
+                spb.put_bits(8, byte)
+            if rem:
+                spb.put_bits(rem, pdata[full] >> (8 - rem))
+            pad = ext_bytes * 8 - 2 - ps_bits
+            if pad:
+                spb.put_bits(pad, 0)     # bs_fill_bits
+        else:
+            spb.put_bits(1, 0)           # bs_extended_data
 
         nbits = spb.bits_written()
         total = 4 + nbits                # + bs_extension_type
@@ -460,6 +485,97 @@ class AACEncoder(Encoder):
             pb.put_bits(8, byte)
         if rem:
             pb.put_bits(rem, payload[full] >> (8 - rem))
+
+    def _write_ps(self, pb: PutBits):
+        """Parametric stereo payload (ISO 14496-3 8.4.2.2 ps_data;
+        decoded by aacps.c ff_ps_read_data): fixed-grid single envelope
+        with df/dt-alternating IID+ICC, optional IPD/OPD."""
+        from libav_tpu.codecs.aac import ps_tables as PT
+        fi = getattr(self, "_ps_frame", 0)
+        self._ps_frame = fi + 1
+        prof = self.ps
+        iid_mode = {1: 1, 2: 4, 3: 2}[prof]
+        icc_mode = {1: 1, 2: 4, 3: 2}[prof]
+        npar = (10, 20, 34, 10, 20, 34)[iid_mode]
+        nipd = (5, 11, 17, 5, 11, 17)[iid_mode]
+        quant = int(iid_mode > 2)
+
+        def huff(name, sym):
+            bits, codes = PT.HUFFMAN[name]
+            pb.put_bits(bits[sym], codes[sym])
+
+        pb.put_bits(1, 1)                # enable_ps_header
+        pb.put_bits(1, 1)                # enable_iid
+        pb.put_bits(3, iid_mode)
+        pb.put_bits(1, 1)                # enable_icc
+        pb.put_bits(3, icc_mode)
+        pb.put_bits(1, int(prof == 3))   # enable_ext
+        pb.put_bits(1, 0)                # frame_class = fixed
+        pb.put_bits(2, 1)                # num_env = 1
+        iid = [((b + fi) % 9) - 4 for b in range(npar)]
+        icc = [(b + fi) % 6 for b in range(npar)]
+        dt = 1 if (fi % 2 and fi > 0) else 0
+        # IID envelope
+        pb.put_bits(1, dt)
+        tname = ("huff_iid_df0", "huff_iid_df1",
+                 "huff_iid_dt0", "huff_iid_dt1")[2 * dt + quant]
+        off = PT.HUFF_OFFSET[tname]
+        if dt:
+            # repeat previous values: all deltas 0
+            for b in range(npar):
+                huff(tname, off)
+        else:
+            prev = 0
+            for b in range(npar):
+                huff(tname, iid[b] - prev + off)
+                prev = iid[b]
+        # ICC envelope
+        pb.put_bits(1, dt)
+        tname = "huff_icc_dt" if dt else "huff_icc_df"
+        off = PT.HUFF_OFFSET[tname]
+        if dt:
+            for b in range(npar):
+                huff(tname, off)
+        else:
+            prev = 0
+            for b in range(npar):
+                huff(tname, icc[b] - prev + off)
+                prev = icc[b]
+        if prof == 3:
+            epb = PutBits()
+            epb.put_bits(1, 1)           # enable_ipdopd
+            for _ in range(1):           # num_env
+                epb.put_bits(1, 0)       # ipd dt
+                prev = 0
+                for b in range(nipd):
+                    v = (b + fi) % 8
+                    d = (v - prev) & 0x07
+                    # df table symbol = delta (masked); offsets are 0
+                    epb.put_bits(PT.HUFFMAN["huff_ipd_df"][0][d],
+                                 PT.HUFFMAN["huff_ipd_df"][1][d])
+                    prev = v
+                epb.put_bits(1, 0)       # opd dt
+                prev = 0
+                for b in range(nipd):
+                    v = (7 - b + fi) % 8
+                    d = (v - prev) & 0x07
+                    epb.put_bits(PT.HUFFMAN["huff_opd_df"][0][d],
+                                 PT.HUFFMAN["huff_opd_df"][1][d])
+                    prev = v
+            epb.put_bits(1, 0)           # reserved_ps
+            ebits = epb.bits_written()
+            ext_bytes = (2 + ebits + 7) // 8
+            pb.put_bits(4, ext_bytes)    # bs_extension_size (< 15)
+            pb.put_bits(2, 0)            # ps_extension_id 0
+            edata = epb.flush()
+            full, rem = divmod(ebits, 8)
+            for byte in edata[:full]:
+                pb.put_bits(8, byte)
+            if rem:
+                pb.put_bits(rem, edata[full] >> (8 - rem))
+            pad = ext_bytes * 8 - 2 - ebits
+            if pad:
+                pb.put_bits(pad, 0)
 
     # ------------------------------------------------------------------ #
 

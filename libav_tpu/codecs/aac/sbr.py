@@ -218,6 +218,7 @@ class SBRContext:
         self.patch_num_subbands = []
         self.patch_start_subband = []
         self.data = [SBRChannel(), SBRChannel()]
+        self.ps = None                       # PSContext when HE-AACv2
 
     def _turnoff(self):
         self.start = False
@@ -711,9 +712,14 @@ class SBRContext:
             while nbl > 7:
                 nbl -= 2
                 ext_id = gb.get_bits(2)
-                _ = ext_id                   # PS handled as skip for now
-                gb.skip_bits(nbl)
-                nbl = 0
+                if ext_id == 2:              # EXTENSION_ID_PS
+                    from libav_tpu.codecs.aac.ps import PSContext
+                    if self.ps is None:
+                        self.ps = PSContext()
+                    nbl -= self.ps.read_data(gb, nbl)
+                else:
+                    gb.skip_bits(nbl)
+                    nbl = 0
             if nbl > 0:
                 gb.skip_bits(nbl)
 
@@ -1124,6 +1130,16 @@ class SBRContext:
                 except AVError:
                     self._turnoff()
             X = self._x_gen(cd, X_low)
+            if nch == 1 and self.ps is not None:
+                # HE-AACv2: mono -> stereo through parametric stereo
+                # (ff_sbr_apply ps branch); the second SBRChannel holds
+                # the right channel's synthesis state
+                if self.ps.start:
+                    L, R = self.ps.apply(X, self.kx[1] + self.m[1])
+                else:
+                    L, R = X, X.copy()
+                return [self._qmf_synthesis(self.data[0], L),
+                        self._qmf_synthesis(self.data[1], R)]
             out.append(self._qmf_synthesis(cd, X))
         return out
 

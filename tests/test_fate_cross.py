@@ -645,15 +645,18 @@ class TestSbrParity:
     inverse filter is numerically unstable on pure tones (the reference
     says so itself), hence the broadband test signal."""
 
-    @pytest.mark.parametrize("profile,nch", [
-        (1, 1),   # FIXFIX/1env, defaults
-        (2, 1),   # FIXFIX/4env, amp_res=1, add_harmonic, fscale=1
-        (3, 1),   # VARVAR/3env, fscale=3, interpol_freq=0, smoothing on
-        (4, 1),   # FIXVAR/2env + e_a, fscale=0 linear, limiter variants
-        (5, 2),   # FIXFIX/2env CPE with coupling
-        (3, 2),   # non-coupled CPE
+    @pytest.mark.parametrize("profile,nch,ps", [
+        (1, 1, 0),   # FIXFIX/1env, defaults
+        (2, 1, 0),   # FIXFIX/4env, amp_res=1, add_harmonic, fscale=1
+        (3, 1, 0),   # VARVAR/3env, fscale=3, interpol_freq=0, smoothing
+        (4, 1, 0),   # FIXVAR/2env + e_a, fscale=0 linear, limiter variants
+        (5, 2, 0),   # FIXFIX/2env CPE with coupling
+        (3, 2, 0),   # non-coupled CPE
+        (1, 1, 1),   # HE-AACv2: PS 20-band HA matrices
+        (2, 1, 2),   # PS fine-quant IID + HB (icc_mode >= 3) mixing
+        (3, 1, 3),   # PS 34-band + IPD/OPD phase smoothing
     ])
-    def test_sbr(self, tmp_path, profile, nch):
+    def test_sbr(self, tmp_path, profile, nch, ps):
         import subprocess
         from libav_tpu.avutil.frame import Frame, Packet
         from libav_tpu.codecs.api import CodecParameters, MediaType
@@ -676,6 +679,8 @@ class TestSbrParity:
                               sample_fmt="fltp")
         enc = AACEncoder(par)
         enc.set_opt("sbr", profile)
+        if ps:
+            enc.set_opt("ps", ps)
         frames = []
         for i in range(0, n, 1024):
             f = Frame(nb_samples=1024, sample_rate=sr, format="fltp",
@@ -698,12 +703,18 @@ class TestSbrParity:
         out = dec.decode_all([Packet(data=p.data) for p in pkts])
         assert out[0].nb_samples == 2048
         assert out[0].sample_rate == 2 * sr
+        onch = len(out[0].planes)
+        if ps:
+            assert onch == 2     # PS upmixes the mono element
         ours = np.stack(
             [np.concatenate([np.asarray(f.planes[c]) for f in out])
-             for c in range(nch)], axis=1).astype(np.float64)
+             for c in range(onch)], axis=1).astype(np.float64)
+        if onch == 1 and refch == 2:
+            ours = np.repeat(ours, 2, axis=1)
+            onch = 2
         m = min(len(ours), len(ref))
         assert m >= (nfr - 1) * 2048
-        for c in range(nch):
+        for c in range(onch):
             d = np.abs(ours[:m, c] - ref[:m, c])
             assert d.max() < 2e-4, f"ch{c}: max diff {d.max()}"
 
