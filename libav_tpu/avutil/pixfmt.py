@@ -160,6 +160,91 @@ _reg(PixFmtDescriptor("rgb565le", 3, 0, 0, FLAG_RGB, (
 _reg(PixFmtDescriptor("rgb555le", 3, 0, 0, FLAG_RGB, (
     ComponentDesc(0, 2, 0, 5), ComponentDesc(0, 2, 0, 5), ComponentDesc(0, 2, 0, 5))))
 
+# -- breadth batch (reference pixfmt.h rows; descriptor-driven like
+# pixdesc.c, so every generic plane-math path picks these up) ----------
+
+# planar YUV bit-depth matrix (le/be) incl. 440 and alpha variants
+for _nm, _lw, _lh in [("yuv420p", 1, 1), ("yuv422p", 1, 0),
+                      ("yuv444p", 0, 0), ("yuv440p", 0, 1)]:
+    for _d in (9, 10, 12, 14, 16):
+        for _e in ("le", "be"):
+            _fl = FLAG_PLANAR | (FLAG_BE if _e == "be" else 0)
+            _reg(PixFmtDescriptor(
+                f"{_nm}{_d}{_e}", 3, _lw, _lh, _fl,
+                tuple(ComponentDesc(_p, 2, 0, _d) for _p in range(3))))
+_reg(_planar_yuv("yuv440p", 0, 1))
+for _nm, _lw, _lh in [("yuva420p", 1, 1), ("yuva422p", 1, 0),
+                      ("yuva444p", 0, 0)]:
+    _reg(_planar_yuv(_nm, _lw, _lh, alpha=True))
+
+# planar GBR (gbrp family, reference pixfmt.h AV_PIX_FMT_GBRP*)
+for _d in (8, 9, 10, 12, 14, 16):
+    for _e in (("",) if _d == 8 else ("le", "be")):
+        _nm = "gbrp" if _d == 8 else f"gbrp{_d}{_e}"
+        _st = 1 if _d == 8 else 2
+        _fl = FLAG_PLANAR | FLAG_RGB | (FLAG_BE if _e == "be" else 0)
+        _reg(PixFmtDescriptor(_nm, 3, 0, 0, _fl, (
+            ComponentDesc(2, _st, 0, _d), ComponentDesc(0, _st, 0, _d),
+            ComponentDesc(1, _st, 0, _d))))
+_reg(PixFmtDescriptor("gbrap", 4, 0, 0,
+                      FLAG_PLANAR | FLAG_RGB | FLAG_ALPHA, (
+    ComponentDesc(2, 1, 0, 8), ComponentDesc(0, 1, 0, 8),
+    ComponentDesc(1, 1, 0, 8), ComponentDesc(3, 1, 0, 8))))
+
+# gray depths
+for _d in (9, 10, 12, 14):
+    for _e in ("le", "be"):
+        _reg(PixFmtDescriptor(f"gray{_d}{_e}", 1, 0, 0,
+                              FLAG_BE if _e == "be" else 0,
+                              (ComponentDesc(0, 2, 0, _d),)))
+_reg(PixFmtDescriptor("gray16be", 1, 0, 0, FLAG_BE,
+                      (ComponentDesc(0, 2, 0, 16),)))
+_reg(PixFmtDescriptor("ya8", 2, 0, 0, FLAG_ALPHA, (
+    ComponentDesc(0, 2, 0, 8), ComponentDesc(0, 2, 1, 8))))
+
+# packed RGB extras
+_reg(PixFmtDescriptor("rgb48le", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 6, 0, 16), ComponentDesc(0, 6, 2, 16),
+    ComponentDesc(0, 6, 4, 16))))
+_reg(PixFmtDescriptor("rgb48be", 3, 0, 0, FLAG_RGB | FLAG_BE, (
+    ComponentDesc(0, 6, 0, 16), ComponentDesc(0, 6, 2, 16),
+    ComponentDesc(0, 6, 4, 16))))
+_reg(PixFmtDescriptor("bgr48le", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 6, 4, 16), ComponentDesc(0, 6, 2, 16),
+    ComponentDesc(0, 6, 0, 16))))
+_reg(PixFmtDescriptor("rgba64le", 4, 0, 0, FLAG_RGB | FLAG_ALPHA, (
+    ComponentDesc(0, 8, 0, 16), ComponentDesc(0, 8, 2, 16),
+    ComponentDesc(0, 8, 4, 16), ComponentDesc(0, 8, 6, 16))))
+_reg(PixFmtDescriptor("bgr565le", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 2, 0, 5), ComponentDesc(0, 2, 0, 6),
+    ComponentDesc(0, 2, 0, 5))))
+_reg(PixFmtDescriptor("bgr555le", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 2, 0, 5), ComponentDesc(0, 2, 0, 5),
+    ComponentDesc(0, 2, 0, 5))))
+_reg(PixFmtDescriptor("rgb8", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 1, 0, 3), ComponentDesc(0, 1, 0, 3),
+    ComponentDesc(0, 1, 0, 2))))
+_reg(PixFmtDescriptor("bgr8", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 1, 0, 2), ComponentDesc(0, 1, 0, 3),
+    ComponentDesc(0, 1, 0, 3))))
+_reg(PixFmtDescriptor("0rgb", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 4, 1, 8), ComponentDesc(0, 4, 2, 8),
+    ComponentDesc(0, 4, 3, 8))))
+_reg(PixFmtDescriptor("rgb0", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 4, 0, 8), ComponentDesc(0, 4, 1, 8),
+    ComponentDesc(0, 4, 2, 8))))
+_reg(PixFmtDescriptor("0bgr", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 4, 3, 8), ComponentDesc(0, 4, 2, 8),
+    ComponentDesc(0, 4, 1, 8))))
+_reg(PixFmtDescriptor("bgr0", 3, 0, 0, FLAG_RGB, (
+    ComponentDesc(0, 4, 2, 8), ComponentDesc(0, 4, 1, 8),
+    ComponentDesc(0, 4, 0, 8))))
+
+# semi-planar extras
+_reg(PixFmtDescriptor("nv16", 3, 1, 0, FLAG_PLANAR, (
+    ComponentDesc(0, 1, 0, 8), ComponentDesc(1, 2, 0, 8),
+    ComponentDesc(1, 2, 1, 8))))
+
 
 def pixdesc(fmt: str) -> PixFmtDescriptor:
     """reference: pixdesc.c av_pix_fmt_desc_get"""

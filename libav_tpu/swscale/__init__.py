@@ -147,8 +147,18 @@ class SwsContext:
         src_w, src_h, src_fmt = self.src
         dst_w, dst_h, dst_fmt = self.dst
 
-        sf, df = _family(src_fmt), _family(dst_fmt)
+        # pack/unpack layer: normalize non-canonical formats
+        # (nv12/yuyv/gbrp/high-depth/...) to 8-bit planar/rgb24 first
+        from libav_tpu.swscale import packing as PK
         planes = [p for p in frame.planes]
+        if not PK.is_canonical(src_fmt):
+            src_fmt, planes = PK.unpack(planes, src_fmt, src_w, src_h)
+        pack_to = None
+        if not PK.is_canonical(dst_fmt):
+            pack_to = dst_fmt
+            dst_fmt = PK.canonical_of(dst_fmt)
+
+        sf, df = _family(src_fmt), _family(dst_fmt)
 
         if sf == "yuv" and df == "yuv":
             out_planes = self._scale_yuv(planes, src_fmt, dst_fmt)
@@ -158,9 +168,15 @@ class SwsContext:
             out_planes = self._rgb_to_yuv(planes, src_fmt, dst_fmt)
         elif sf == "gray" or df == "gray":
             out_planes = self._scale_gray(planes, src_fmt, dst_fmt)
+        elif sf == "rgb" and df == "rgb":
+            out_planes = self._rgb_to_rgb(planes, src_fmt, dst_fmt)
         else:
             raise AVError(EINVAL, f"swscale: {src_fmt} -> {dst_fmt} unsupported")
 
+        if pack_to is not None:
+            out_planes = PK.pack(out_planes, dst_fmt, pack_to,
+                                 dst_w, dst_h)
+            dst_fmt = pack_to
         out = frame.clone_props()
         out.width, out.height, out.format = dst_w, dst_h, dst_fmt
         out.planes = out_planes
@@ -316,10 +332,53 @@ class SwsContext:
             raise AVError(EINVAL, "rgb->yuv with resize: resize separately")
         return out
 
+    def _rgb_to_rgb(self, planes, src_fmt, dst_fmt):
+        """Interleaved-RGB reorder (+ optional per-channel resize);
+        reference: rgb2rgb.c permutations + swscale_unscaled fast
+        paths."""
+        import numpy as np
+        src_w, src_h, _ = self.src
+        dst_w, dst_h, _ = self.dst
+        (so, sstep) = _RGB_ORDERS[src_fmt]
+        (do, dstep) = _RGB_ORDERS[dst_fmt]
+        px = np.asarray(planes[0]).reshape(src_h, src_w, sstep)
+        rgb = px[:, :, list(so)]
+        alpha = None
+        if sstep == 4:
+            aidx = [i for i in range(4) if i not in so][0]
+            alpha = px[:, :, aidx]
+        if (src_w, src_h) != (dst_w, dst_h):
+            fn = self._plane_scaler(src_h, src_w, dst_h, dst_w)
+            rgb = np.stack([np.asarray(fn(np.ascontiguousarray(
+                rgb[:, :, c]))) for c in range(3)], axis=-1)
+            alpha = np.asarray(fn(np.ascontiguousarray(alpha))) \
+                if alpha is not None else None
+        out = np.full((dst_h, dst_w, dstep), 255, np.uint8)
+        for c in range(3):
+            out[:, :, do[c]] = rgb[:, :, c]
+        if dstep == 4 and alpha is not None:
+            aidx = [i for i in range(4) if i not in do][0]
+            out[:, :, aidx] = alpha
+        return [np.ascontiguousarray(out.reshape(dst_h, -1))]
+        
+
+
+# interleaved byte orders of the canonical rgb family: component
+# positions of (R, G, B) within the pixel, pixel size
+_RGB_ORDERS = {"rgb24": ((0, 1, 2), 3), "bgr24": ((2, 1, 0), 3),
+               "rgba": ((0, 1, 2), 4), "bgra": ((2, 1, 0), 4),
+               "argb": ((1, 2, 3), 4), "abgr": ((3, 2, 1), 4)}
+
 
 def _family(fmt: str) -> str:
-    if fmt == "gray":
+    from libav_tpu.avutil.pixfmt import FLAG_RGB, pixdesc
+    if fmt.startswith("gray") or fmt == "ya8":
         return "gray"
     if fmt in ("rgb24", "bgr24", "rgba", "bgra", "argb", "abgr"):
         return "rgb"
+    try:
+        if pixdesc(fmt).flags & FLAG_RGB:
+            return "rgb"
+    except KeyError:
+        pass
     return "yuv"

@@ -958,3 +958,28 @@ class TestTrellisParity:
                 np.testing.assert_array_equal(
                     o, ref[k * fsz:(k + 1) * fsz])
         assert sizes[1] < sizes[0], sizes
+
+
+class TestPixFmtParity:
+    """-pix_fmt conversions vs the reference (packing layer
+    swscale/packing.py + pixfmt descriptor breadth): rearrangements and
+    bit-depth expansions are byte-identical."""
+
+    @pytest.mark.parametrize("pf", [
+        "nv12", "nv21", "gray", "gray16le", "yuyv422", "uyvy422",
+        "yuv444p", "yuv440p", "yuv420p9le", "yuv420p10le",
+        "yuv420p12le", "yuv420p16le",
+    ])
+    def test_pixfmt(self, y4m, tmp_path, pf):
+        from libav_tpu.tools import avconv
+        ref = str(tmp_path / "ref.raw")
+        our = str(tmp_path / "our.raw")
+        ref_run(["-i", y4m, "-pix_fmt", pf,
+                 "-sws_flags", "+accurate_rnd+bitexact",
+                 "-f", "rawvideo", ref])
+        assert avconv.main(["-y", "-i", y4m, "-pix_fmt", pf,
+                            "-f", "rawvideo", our]) == 0
+        a = np.fromfile(ref, np.uint8)
+        b = np.fromfile(our, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)

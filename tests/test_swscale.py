@@ -101,3 +101,50 @@ class TestColor:
         f.planes[0][:] = 0
         rgb = SwsContext.get(8, 8, "yuvj444p", 8, 8, "rgb24").scale_frame(f)
         assert rgb.planes[0].min() == 0
+
+
+class TestPackingRoundtrips:
+    """Pack/unpack layer (swscale/packing.py): pure rearrangements and
+    depth expansions are lossless round trips."""
+
+    def test_roundtrips(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.swscale import SwsContext
+        w, h = 64, 48
+        rng = np.random.default_rng(0)
+
+        def mk(fmt, planes):
+            f = Frame(width=w, height=h, format=fmt)
+            f.planes = planes
+            return f
+
+        f420 = mk("yuv420p", [
+            rng.integers(0, 256, (h, w)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)])
+        f422 = mk("yuv422p", [
+            rng.integers(0, 256, (h, w)).astype(np.uint8),
+            rng.integers(0, 256, (h, w // 2)).astype(np.uint8),
+            rng.integers(0, 256, (h, w // 2)).astype(np.uint8)])
+        frgb = mk("rgb24",
+                  [rng.integers(0, 256, (h, w * 3)).astype(np.uint8)])
+
+        cases = [(f420, ["nv12", "nv21", "yuv420p10le", "yuv420p12be",
+                         "yuv420p16le", "yuva420p"]),
+                 (f422, ["yuyv422", "uyvy422", "nv16"]),
+                 (frgb, ["gbrp", "gbrp10le", "bgr0", "0rgb", "rgba",
+                         "abgr", "rgb48le", "rgba64le"])]
+        for src, fmts in cases:
+            cf = src.format
+            for fmt in fmts:
+                g = SwsContext.get(w, h, cf, w, h, fmt).scale_frame(src)
+                assert g.format == fmt
+                b = SwsContext.get(w, h, fmt, w, h, cf).scale_frame(g)
+                for x, y in zip(src.planes, b.planes):
+                    np.testing.assert_array_equal(
+                        np.asarray(x), np.asarray(y), err_msg=fmt)
+
+    def test_pixfmt_count(self):
+        from libav_tpu.avutil.pixfmt import _DESCRIPTORS
+        assert len(set(d.name for d in _DESCRIPTORS.values())) >= 100
