@@ -134,6 +134,53 @@ class TestTools:
         out = capsys.readouterr().out
         assert "pkt 00000" in out and "crc=0x" in out
 
+    def test_avprobe_show_frames(self, tmp_path):
+        import io
+
+        from libav_tpu.tools import avprobe
+        from tests.test_mjpeg import synth_frame, encode
+        p = tmp_path / "x.jpg"
+        p.write_bytes(encode(synth_frame(32, 32), 90))
+        buf = io.StringIO()
+        assert avprobe.probe(str(p), show_format=False, show_streams=False,
+                             out=buf, show_frames=True) == 0
+        out = buf.getvalue()
+        assert "[frames.frame]" in out
+        assert "media_type=video" in out and "pict_type=I" in out
+        assert "width=32" in out and "pix_fmt=yuvj420p" in out
+
+    def test_avprobe_show_frames_audio(self, tmp_path):
+        import io
+
+        import numpy as np
+
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs import CodecParameters, find_encoder
+        from libav_tpu.formats import FormatContext
+        from libav_tpu.tools import avprobe
+
+        par = CodecParameters(codec_type=1, codec_id="pcm_s16le",
+                              sample_rate=8000, channels=1,
+                              sample_fmt="s16")
+        enc = find_encoder("pcm_s16le")(par).open()
+        fr = Frame(format="s16", nb_samples=256, sample_rate=8000,
+                   channels=1, pts=0)
+        fr.planes = [np.zeros((1, 256), np.int16)]
+        p = tmp_path / "a.wav"
+        oc = FormatContext.open_output(str(p), "wav")
+        oc.new_stream(par)
+        oc.write_header()
+        enc.send_frame(fr)
+        enc.send_frame(None)
+        for pk in enc._pump():
+            oc.write_packet(pk)
+        oc.write_trailer()
+        buf = io.StringIO()
+        assert avprobe.probe(str(p), show_format=False, show_streams=False,
+                             out=buf, show_frames=True) == 0
+        out = buf.getvalue()
+        assert "media_type=audio" in out and "nb_samples=256" in out
+
     def test_avplay_null(self, tmp_path):
         from libav_tpu.tools import avplay
         from tests.test_mjpeg import synth_frame, encode
