@@ -802,3 +802,340 @@ class NoFormatFilter(Filter):
         sws = SwsContext.get(frame.width, frame.height, frame.format,
                              frame.width, frame.height, target)
         return [sws.scale_frame(frame)]
+
+
+def _hqdn3d_lut(dist25: float) -> np.ndarray:
+    """vf_hqdn3d.c:173 precalc_coefs (8-bit: LUT_BITS=4) — correction
+    toward `prev` indexed by (prev-cur)>>4 in the <<8 pixel domain."""
+    import math
+    lut_bits = 4
+    gamma = math.log(0.25) / math.log(1.0 - min(dist25, 252.0) / 255.0
+                                      - 0.00001)
+    i = np.arange(-(255 << lut_bits), (255 << lut_bits) + 1, dtype=np.int64)
+    f = ((i << (9 - lut_bits)) + (1 << (8 - lut_bits)) - 1) / 512.0
+    simil = 1.0 - np.abs(f) / 255.0
+    # the outermost two bins have |f| marginally > 255 (simil < 0,
+    # pow -> NaN in the reference too); unreachable for real pixel
+    # pairs after the +127 LOAD offset — pin to 0
+    c = np.where(simil > 0,
+                 np.power(np.maximum(simil, 0), gamma) * 256.0 * f, 0.0)
+    ct = np.zeros(512 << lut_bits, dtype=np.int64)
+    ct[(256 << lut_bits) + i] = np.rint(c).astype(np.int64)
+    return ct
+
+
+@register_filter
+class Hqdn3dFilter(Filter):
+    """High-quality 3D denoiser (reference: vf_hqdn3d.c) — recursive
+    LUT-driven lowpass horizontally, vertically and temporally in a <<8
+    fixed-point domain.  The horizontal IIR runs as one numpy step per
+    column vectorized over rows; vertical/temporal passes are fully
+    vectorized.  line/frame history stores truncate to uint16 exactly
+    like the reference's line_ant/frame_ant buffers."""
+    NAME = "hqdn3d"
+    OPTIONS = [
+        Option("luma_spatial", "spatial luma strength", "float", 0.0,
+               0.0, 255.0),
+        Option("chroma_spatial", "spatial chroma strength", "float",
+               0.0, 0.0, 255.0),
+        Option("luma_tmp", "temporal luma strength", "float", 0.0,
+               0.0, 255.0),
+        Option("chroma_tmp", "temporal chroma strength", "float", 0.0,
+               0.0, 255.0),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        # defaults cascade (vf_hqdn3d.c:198 init)
+        ls = self.luma_spatial or 4.0
+        cs = self.chroma_spatial or 3.0 * ls / 4.0
+        lt = self.luma_tmp or 6.0 * ls / 4.0
+        ct = self.chroma_tmp or lt * cs / ls
+        self._strength = (ls, cs, lt, ct)
+        self._luts = [_hqdn3d_lut(s) for s in (ls, cs, lt, ct)]
+        self._spatial_on = (bool(ls), bool(cs))
+        self._frame_ant = [None, None, None]
+
+    @staticmethod
+    def _lowpass(prev, cur, lut):
+        d = (np.asarray(prev, dtype=np.int64) - cur) >> 4
+        return cur + lut[(256 << 4) + d]
+
+    def _denoise(self, plane, c):
+        src = np.asarray(plane).astype(np.int64)
+        h, w = src.shape
+        load = (src << 8) + 127
+        spatial = self._luts[2 if c else 0]
+        temporal = self._luts[3 if c else 1]
+        fa = self._frame_ant[c]
+        if fa is None or fa.shape != (h, w):
+            fa = load & 0xFFFF
+        if self._spatial_on[1 if c else 0]:
+            # horizontal IIR (pixel_ant): row 0 lowpasses at x=0 too
+            p = np.empty((h, w), dtype=np.int64)
+            pix = load[:, 0].copy()
+            pix[0] = self._lowpass(pix[0], load[0, 0], spatial)
+            p[:, 0] = pix
+            for x in range(1, w):
+                pix = self._lowpass(pix, load[:, x], spatial)
+                p[:, x] = pix
+            # vertical IIR (line_ant, uint16-truncated store)
+            v = np.empty((h, w), dtype=np.int64)
+            line = p[0] & 0xFFFF
+            v[0] = p[0]
+            for y in range(1, h):
+                vy = self._lowpass(line, p[y], spatial)
+                v[y] = vy
+                line = vy & 0xFFFF
+            out = self._lowpass(fa, v, temporal)
+        else:
+            out = self._lowpass(fa, load, temporal)
+        self._frame_ant[c] = out & 0xFFFF
+        return (out >> 8).astype(np.uint8)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = [self._denoise(p, 1 if i else 0)
+                      for i, p in enumerate(frame.planes[:3])]
+        return [out]
+
+
+def _binomial(steps: int) -> np.ndarray:
+    """2*steps cascaded 2-tap box filters == binomial row 2*steps."""
+    k = np.ones(1, dtype=np.int64)
+    for _ in range(2 * steps):
+        k = np.convolve(k, [1, 1])
+    return k
+
+
+@register_filter
+class UnsharpFilter(Filter):
+    """Sharpen/blur (reference: vf_unsharp.c) — the reference's
+    finite-state-machine Gaussian approximation is an exact separable
+    binomial filter with edge replication; computed here as two integer
+    convolutions, then res = src + ((src - ((blur+half)>>scalebits))
+    * amount) >> 16 per apply_unsharp (vf_unsharp.c:113)."""
+    NAME = "unsharp"
+    OPTIONS = [
+        Option("luma_msize_x", "luma matrix width", "int", 5, 3, 13),
+        Option("luma_msize_y", "luma matrix height", "int", 5, 3, 13),
+        Option("luma_amount", "luma strength", "float", 1.0, -2.0, 5.0),
+        Option("chroma_msize_x", "chroma matrix width", "int", 5, 3, 13),
+        Option("chroma_msize_y", "chroma matrix height", "int", 5, 3, 13),
+        Option("chroma_amount", "chroma strength", "float", 0.0, -2.0,
+               5.0),
+    ]
+
+    @staticmethod
+    def _apply(plane, mx, my, amount_f):
+        amount = int(amount_f * 65536.0)
+        a = np.asarray(plane)
+        if amount == 0:
+            return a.copy()
+        sx, sy = mx // 2, my // 2
+        scalebits = (sx + sy) * 2
+        halfscale = 1 << (scalebits - 1)
+        src = a.astype(np.int64)
+        pad = np.pad(src, ((sy, sy), (sx, sx)), mode="edge")
+        kx, ky = _binomial(sx), _binomial(sy)
+        t = np.apply_along_axis(
+            lambda r: np.convolve(r, kx, mode="valid"), 1, pad)
+        t = np.apply_along_axis(
+            lambda col: np.convolve(col, ky, mode="valid"), 0, t)
+        blur = (t + halfscale) >> scalebits
+        res = src + (((src - blur) * amount) >> 16)
+        return np.clip(res, 0, 255).astype(np.uint8)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = [
+            self._apply(frame.planes[0], self.luma_msize_x,
+                        self.luma_msize_y, self.luma_amount),
+            self._apply(frame.planes[1], self.chroma_msize_x,
+                        self.chroma_msize_y, self.chroma_amount),
+            self._apply(frame.planes[2], self.chroma_msize_x,
+                        self.chroma_msize_y, self.chroma_amount)]
+        return [out]
+
+
+_GRADFUN_DITHER = np.array([
+    [0x00, 0x60, 0x18, 0x78, 0x06, 0x66, 0x1E, 0x7E],
+    [0x40, 0x20, 0x58, 0x38, 0x46, 0x26, 0x5E, 0x3E],
+    [0x10, 0x70, 0x08, 0x68, 0x16, 0x76, 0x0E, 0x6E],
+    [0x50, 0x30, 0x48, 0x28, 0x56, 0x36, 0x4E, 0x2E],
+    [0x04, 0x64, 0x1C, 0x7C, 0x02, 0x62, 0x1A, 0x7A],
+    [0x44, 0x24, 0x5C, 0x3C, 0x42, 0x22, 0x5A, 0x3A],
+    [0x14, 0x74, 0x0C, 0x6C, 0x12, 0x72, 0x0A, 0x6A],
+    [0x54, 0x34, 0x4C, 0x2C, 0x52, 0x32, 0x4A, 0x2A]], dtype=np.int64)
+
+
+@register_filter
+class GradFunFilter(Filter):
+    """Debanding (reference: vf_gradfun.c) — 2x2-downsampled rolling
+    vertical window sum in a uint16 ring (ff_gradfun_blur_line_c),
+    in-place horizontal running mean scaled by (1<<21)/r^2
+    (filter():94-110), then the per-pixel pull-toward-dc with ordered
+    dither (ff_gradfun_filter_line_c)."""
+    NAME = "gradfun"
+    OPTIONS = [
+        Option("strength", "max change per pixel", "float", 1.2, 0.51,
+               64.0),
+        Option("radius", "gradient fit neighborhood", "int", 16, 4, 32),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._thresh = int((1 << 15) / self.strength)
+        self._radius = self.radius & ~1
+
+    def _filter_plane(self, plane, r):
+        src = np.asarray(plane).astype(np.int64)
+        h, w = src.shape
+        if min(w, h) <= 2 * r:
+            return np.asarray(plane).copy()
+        thresh = self._thresh
+        hw = w // 2
+        dc_factor = (1 << 21) // (r * r)
+        off = 16                                   # dc[-r/2..] headroom
+        dc = np.zeros(off + ((w + r + 1) // 2) + 16, dtype=np.int64)
+        ring = np.zeros((r, hw), dtype=np.int64)   # uint16 cum rows
+        dst = np.empty_like(src, dtype=np.int64)
+
+        def blur_line(slot, prev_vals, y2):
+            s = src[y2]
+            v = (prev_vals + s[0:2 * hw:2] + s[1:2 * hw:2]
+                 + src[y2 + 1, 0:2 * hw:2] + src[y2 + 1, 1:2 * hw:2]) \
+                & 0xFFFF
+            dc[off:off + hw] = (v - ring[slot]) & 0xFFFF
+            ring[slot] = v
+
+        def hblur():
+            vals = dc[off:off + hw].copy()
+            cs = np.concatenate([[0], np.cumsum(vals)])
+            # v(x) = sum dc[x-r+1..x]; dc[x-r] = v*f >> 16 (uint32 mul)
+            win = cs[r:] - cs[:-r]                 # x = r-1 .. hw-1
+            scaled = ((win[1:] * dc_factor) & 0xFFFFFFFF) >> 16
+            dc[off:off + hw - r] = scaled & 0xFFFF
+            vlast = win[-1]
+            tail = ((vlast * dc_factor) & 0xFFFFFFFF) >> 16
+            dc[off + hw - r:off + (w + r + 1) // 2 - r] = tail & 0xFFFF
+            dc[off - r // 2:off] = dc[off]
+
+        def filter_line(y):
+            pix = src[y] << 7
+            idx = (np.arange(w) >> 1) - r // 2 + off
+            delta = dc[idx] - pix
+            m = np.maximum(0, 127 - ((np.abs(delta) * thresh) >> 16))
+            m = (m * m * delta) >> 14
+            pix = pix + m + _GRADFUN_DITHER[y & 7][np.arange(w) & 7]
+            dst[y] = np.clip(pix >> 7, 0, 255)
+
+        prev = np.zeros(hw, dtype=np.int64)
+        for y in range(r):
+            blur_line(y, ring[y - 1] if y else prev, 2 * y)
+        y = r
+        while True:
+            if y < h - r:
+                mod = ((y + r) // 2) % r
+                blur_line(mod, ring[mod - 1 if mod else r - 1], y + r)
+                hblur()
+            if y == r:
+                for y0 in range(r):
+                    filter_line(y0)
+            filter_line(y)
+            y += 1
+            if y >= h:
+                break
+            filter_line(y)
+            y += 1
+            if y >= h:
+                break
+        return dst.astype(np.uint8)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        hsub, vsub = chroma_sub(frame.format)
+        r = self._radius
+        cr = min(max((((r >> hsub) + (r >> vsub)) // 2 + 1) & ~1, 4), 32)
+        out = frame.clone_props()
+        out.planes = [self._filter_plane(p, r if i == 0 else cr)
+                      for i, p in enumerate(frame.planes)]
+        return [out]
+
+
+@register_filter
+class InterlaceFilter(Filter):
+    """Progressive -> interlaced (reference: vf_interlace.c) — weave
+    the upper field of one frame with the lower field of the next
+    (scan=tff/bff), halving the frame rate; optional [1 2 1]/4 vertical
+    lowpass per kept field row (lowpass_line_c, edges clamped at the
+    first/last row of each field's span)."""
+    NAME = "interlace"
+    OPTIONS = [
+        Option("scan", "tff|bff", "string", "tff"),
+        Option("lowpass", "vertical lowpass on", "int", 1, 0, 1),
+    ]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._cur = self._next = None
+
+    @staticmethod
+    def _field(dst, srcp, upper: bool, lowpass: int):
+        h = srcp.shape[0]
+        lines = (h + (1 if upper else 0)) // 2
+        start = 0 if upper else 1
+        rows = start + 2 * np.arange(lines)
+        if lowpass:
+            above = np.maximum(rows - 1, rows[0])
+            below = np.minimum(rows + 1, rows[-1])
+            # reference clamps to the field's own first/last source row
+            above[0] = rows[0]
+            below[-1] = rows[-1]
+            s = srcp.astype(np.int64)
+            dst[rows] = (1 + 2 * s[rows] + s[above] + s[below]) >> 2
+        else:
+            dst[rows] = srcp[rows]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        self._cur, self._next = self._next, frame
+        if self._cur is None:
+            return []
+        cur, nxt = self._cur, self._next
+        if cur.interlaced_frame:
+            # already interlaced: pass through at half rate, frames
+            # slide by one (vf_interlace.c:193 keeps cur/next)
+            out = cur.clone_props()
+            out.planes = list(cur.planes)
+            if out.pts is not None and out.pts != NOPTS_VALUE:
+                out.pts = int(out.pts / 2)
+            return [out]
+        # a weave consumes both frames (vf_interlace.c:217,221)
+        self._cur = self._next = None
+        tff = self.scan != "bff"
+        out = cur.clone_props()
+        out.interlaced_frame = True
+        out.top_field_first = tff
+        if out.pts is not None and out.pts != NOPTS_VALUE:
+            out.pts = int(out.pts / 2)
+        planes = []
+        for pc, pn in zip(cur.planes, nxt.planes):
+            pc, pn = np.asarray(pc), np.asarray(pn)
+            d = np.empty_like(pc, dtype=np.int64)
+            self._field(d, pc, tff, self.lowpass)
+            self._field(d, pn, not tff, self.lowpass)
+            planes.append(d.astype(np.uint8))
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class SplitFilter(Filter):
+    """reference: split.c — duplicate the input to N outputs.  The
+    graph executor fans every output frame out to all out links, so
+    split is the identity here; `outputs` documents intent (the DAG
+    wiring comes from the [label] count)."""
+    NAME = "split"
+    OPTIONS = [Option("outputs", "number of outputs", "int", 2, 1, 16)]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        return [frame]

@@ -461,3 +461,144 @@ class TestFilterBatch:
         fr.top_field_first = True
         out = fo.push(fr)[0]
         assert not out.top_field_first or out is fr
+
+
+class TestFilterDag:
+    """Filter-graph DAG support (filters/graph.py _parse_dag/_run_dag,
+    reference graphparser.c labeled-pad semantics) plus the round-3b
+    filter batch (hqdn3d/unsharp/gradfun/interlace/split; unsharp and
+    gradfun are cross-validated bit-exact in test_fate_cross.py)."""
+
+    @staticmethod
+    def _frame(t=0, w=64, h=48):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        f = Frame(width=w, height=h, format="yuv420p", pts=t)
+        y = (np.arange(h * w).reshape(h, w) % 200 + t * 3).astype(np.uint8)
+        f.planes = [y, np.full((h // 2, w // 2), 100, np.uint8),
+                    np.full((h // 2, w // 2), 140, np.uint8)]
+        f.time_base = None
+        return f
+
+    def test_split_overlay_dag(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph(
+            "split[a][b];[a]crop=16:16:0:0[c];[b][c]overlay=x=40:y=30")
+        outs = []
+        for t in range(3):
+            outs += g.push(self._frame(t))
+        outs += g.push_eof()
+        assert len(outs) == 3
+        src = self._frame(0)
+        exp = np.asarray(src.planes[0]).copy()
+        exp[30:46, 40:56] = np.asarray(src.planes[0])[0:16, 0:16]
+        np.testing.assert_array_equal(outs[0].planes[0], exp)
+
+    def test_dag_linear_equivalence(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        a = FilterGraph("hflip,vflip")
+        b = FilterGraph("[in]hflip[m];[m]vflip[out]")
+        fa = a.push(self._frame(0))[0]
+        fb = b.push(self._frame(0))[0]
+        np.testing.assert_array_equal(fa.planes[0], fb.planes[0])
+
+    def test_dag_errors(self):
+        import pytest
+        from libav_tpu.avutil.error import AVError
+        from libav_tpu.filters.graph import FilterGraph
+        with pytest.raises(AVError):
+            FilterGraph("[a]hflip[b];[c]vflip[d]")  # two open inputs
+
+    def test_interlace_pairs(self):
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("interlace")
+        outs = []
+        for t in range(6):
+            outs += g.push(self._frame(t))
+        assert len(outs) == 3
+        assert all(f.interlaced_frame and f.top_field_first for f in outs)
+        assert [f.pts for f in outs] == [0, 1, 2]
+
+    def test_interlace_weave(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("interlace=lowpass=0")
+        f0, f1 = self._frame(0), self._frame(1)
+        out = (g.push(f0) + g.push(f1))[0]
+        y = np.asarray(out.planes[0])
+        np.testing.assert_array_equal(y[0::2], np.asarray(f0.planes[0])[0::2])
+        np.testing.assert_array_equal(y[1::2], np.asarray(f1.planes[0])[1::2])
+
+    def test_hqdn3d_static_converges(self):
+        # a static scene must stay (nearly) unchanged and temporally
+        # stable: repeated frames converge to a fixed point
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("hqdn3d")
+        last = None
+        for _ in range(4):
+            last2 = g.push(self._frame(0))[0]
+            if last is not None:
+                diff = np.abs(last2.planes[0].astype(int) -
+                              last.planes[0].astype(int))
+                assert diff.max() <= 1
+            last = last2
+        base = np.asarray(self._frame(0).planes[0]).astype(int)
+        assert np.abs(last.planes[0].astype(int) - base).max() <= 2
+
+    def test_hqdn3d_denoises(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        rng = np.random.default_rng(7)
+        g = FilterGraph("hqdn3d=8:6:12:9")
+        outs = []
+        for t in range(6):
+            f = self._frame(0)
+            noise = rng.integers(-6, 7, f.planes[0].shape)
+            f.planes[0] = np.clip(f.planes[0].astype(int) + noise,
+                                  0, 255).astype(np.uint8)
+            outs.append((f, g.push(f)[0]))
+        base = np.asarray(self._frame(0).planes[0]).astype(float)
+        err_in = np.abs(outs[-1][0].planes[0] - base).mean()
+        err_out = np.abs(outs[-1][1].planes[0] - base).mean()
+        assert err_out < err_in * 0.7
+
+    def test_unsharp_sharpens_blur_blurs(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.filters.graph import FilterGraph
+
+        def noisy():
+            rng = np.random.default_rng(11)
+            f = Frame(width=64, height=48, format="yuv420p", pts=0)
+            f.planes = [rng.integers(0, 256, (48, 64)).astype(np.uint8),
+                        np.full((24, 32), 128, np.uint8),
+                        np.full((24, 32), 128, np.uint8)]
+            return f
+
+        tv = lambda a: np.abs(np.diff(np.asarray(a).astype(int),
+                                      axis=1)).sum()
+        base = tv(noisy().planes[0])
+        sharp = FilterGraph("unsharp=5:5:1.5").push(noisy())[0]
+        blur = FilterGraph("unsharp=5:5:-1.5").push(noisy())[0]
+        assert tv(sharp.planes[0]) > base
+        assert tv(blur.planes[0]) < base
+
+    def test_gradfun_debands(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.filters.graph import FilterGraph
+        h, w = 96, 128
+        y = np.repeat(np.arange(w) // 16, 1).astype(np.uint8) * 8 + 60
+        f = Frame(width=w, height=h, format="yuv420p", pts=0)
+        f.planes = [np.tile(y, (h, 1)),
+                    np.full((h // 2, w // 2), 128, np.uint8),
+                    np.full((h // 2, w // 2), 128, np.uint8)]
+        out = FilterGraph("gradfun=3.0:16").push(f)[0]
+        # the hard 8-step banding must be softened in the interior
+        # (borders keep the unsmoothed dc; dither adds +-1)
+        mid = out.planes[0][40:56, 24:104].astype(int)
+        steps = np.abs(np.diff(mid, axis=1)).max()
+        assert steps < 8

@@ -897,6 +897,10 @@ class TestFilterParity:
         "negate",
         "lutyuv=y=negval",
         "lutyuv=y=val/2:u=clipval:v=maxval-val+minval",
+        "unsharp",
+        "unsharp=7:7:-1.5:5:5:1.0",
+        "gradfun",
+        "gradfun=3.0:8",
     ])
     def test_filter(self, y4m, tmp_path, vf):
         from libav_tpu.tools import avconv
