@@ -852,7 +852,9 @@ class Hqdn3dFilter(Filter):
         lt = self.luma_tmp or 6.0 * ls / 4.0
         ct = self.chroma_tmp or lt * cs / ls
         self._strength = (ls, cs, lt, ct)
-        self._luts = [_hqdn3d_lut(s) for s in (ls, cs, lt, ct)]
+        # LUT order matches the reference coefs[]: LUMA_SPATIAL,
+        # LUMA_TMP, CHROMA_SPATIAL, CHROMA_TMP (vf_hqdn3d.h:38)
+        self._luts = [_hqdn3d_lut(s) for s in (ls, lt, cs, ct)]
         self._spatial_on = (bool(ls), bool(cs))
         self._frame_ant = [None, None, None]
 
@@ -861,13 +863,14 @@ class Hqdn3dFilter(Filter):
         d = (np.asarray(prev, dtype=np.int64) - cur) >> 4
         return cur + lut[(256 << 4) + d]
 
-    def _denoise(self, plane, c):
+    def _denoise(self, plane, p_idx):
+        c = 1 if p_idx else 0
         src = np.asarray(plane).astype(np.int64)
         h, w = src.shape
         load = (src << 8) + 127
-        spatial = self._luts[2 if c else 0]
-        temporal = self._luts[3 if c else 1]
-        fa = self._frame_ant[c]
+        spatial = self._luts[2] if c else self._luts[0]
+        temporal = self._luts[3] if c else self._luts[1]
+        fa = self._frame_ant[p_idx]
         if fa is None or fa.shape != (h, w):
             fa = load & 0xFFFF
         if self._spatial_on[1 if c else 0]:
@@ -890,12 +893,12 @@ class Hqdn3dFilter(Filter):
             out = self._lowpass(fa, v, temporal)
         else:
             out = self._lowpass(fa, load, temporal)
-        self._frame_ant[c] = out & 0xFFFF
+        self._frame_ant[p_idx] = out & 0xFFFF
         return (out >> 8).astype(np.uint8)
 
     def filter_frame(self, frame: Frame) -> List[Frame]:
         out = frame.clone_props()
-        out.planes = [self._denoise(p, 1 if i else 0)
+        out.planes = [self._denoise(p, i)
                       for i, p in enumerate(frame.planes[:3])]
         return [out]
 

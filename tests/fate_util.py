@@ -110,3 +110,20 @@ def write_wav48(path: str, seconds=1.0, transient=False):
     oc.write_packet(Packet(data=data.tobytes(), pts=0, dts=0,
                            duration=nsamp, stream_index=0))
     oc.write_trailer()
+
+
+GPL_AVCONV = "/root/repo/.refbuild-gpl/avconv"
+
+
+def gpl_run(args, timeout=300) -> bytes:
+    """Run the GPL-enabled reference build (hqdn3d/interlace oracles)."""
+    import os
+    if not os.path.exists(GPL_AVCONV):
+        import pytest
+        pytest.skip("GPL reference build not present")
+    r = subprocess.run([GPL_AVCONV, "-v", "error", "-y"] + args,
+                       capture_output=True, timeout=timeout)
+    if r.returncode != 0:
+        raise RuntimeError(f"GPL reference avconv failed: "
+                           f"{r.stderr.decode(errors='replace')[-2000:]}")
+    return r.stdout

@@ -987,3 +987,31 @@ class TestPixFmtParity:
         b = np.fromfile(our, np.uint8)
         assert a.size == b.size and a.size > 0
         np.testing.assert_array_equal(a, b)
+
+
+class TestGplFilterParity:
+    """hqdn3d/interlace vs the GPL reference build (these filters are
+    GPL-only, absent from the base .refbuild binary) — byte-identical
+    rawvideo output across the 6-frame fixture."""
+
+    @pytest.mark.parametrize("vf", [
+        "hqdn3d",
+        "hqdn3d=3:2:5:4",
+        "hqdn3d=8:6:12:9",
+        "hqdn3d=2:1:0:0",
+        "interlace",
+        "interlace=scan=bff",
+        "interlace=lowpass=0",
+    ])
+    def test_filter(self, y4m, tmp_path, vf):
+        from tests.fate_util import gpl_run
+        from libav_tpu.tools import avconv
+        refyuv = str(tmp_path / "ref.yuv")
+        ouryuv = str(tmp_path / "our.yuv")
+        gpl_run(["-i", y4m, "-vf", vf, "-f", "rawvideo", refyuv])
+        assert avconv.main(["-y", "-i", y4m, "-vf", vf,
+                            "-f", "rawvideo", ouryuv]) == 0
+        a = np.fromfile(refyuv, np.uint8)
+        b = np.fromfile(ouryuv, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
