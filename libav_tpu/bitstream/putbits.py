@@ -57,3 +57,11 @@ class PutBits:
 
     def data(self) -> bytes:
         return self.flush()
+
+    def copy_bits(self, other: "PutBits"):
+        """Append another writer's content bit-exactly (reference:
+        bitstream.c avpriv_copy_bits role in merge_partitions)."""
+        for byte in other._buf:
+            self.put_bits(8, byte)
+        if other._nbits:
+            self.put_bits(other._nbits, other._cache)

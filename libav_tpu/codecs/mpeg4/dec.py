@@ -9,7 +9,8 @@ Supported: I/P/B VOPs (B: direct with TRB/TRD colocated scaling plus
 fwd/bwd/bi modes and colocated-skip inheritance), quarter-sample (qpel)
 P decode, AC prediction (alternate scans + qscale rescale), quant_type
 0 and 1 (MPEG matrices), qpel B-VOPs, 1MV + 4MV (block-granular
-prediction grid, 8x8-tiled MC). Not yet: GMC, data partitioning.
+prediction grid, 8x8-tiled MC), GMC (S-VOPs), resync markers
+(video packets with slice-aware prediction), data partitioning.
 """
 
 from __future__ import annotations
@@ -39,6 +40,143 @@ def _rdiv(a: int, b: int) -> int:
     return -((-a + (b >> 1)) // b)
 
 PICT_I, PICT_P, PICT_B, PICT_S = 0, 1, 2, 3
+
+# data partitioning / video packet markers (reference: mpeg4video.h:53)
+MOTION_MARKER = 0x1F001
+DC_MARKER = 0x6B001
+# 16-bit stuffing+marker prefixes per bit phase (mpeg4data.h:368)
+RESYNC_PREFIX = (0x7F00, 0x7E00, 0x7C00, 0x7800, 0x7000, 0x6000, 0x4000,
+                 0x0000)
+
+
+def _vpp_prefix_len(pict_type: int, fcode: int, bcode: int) -> int:
+    """reference: mpeg4video.c:30 ff_mpeg4_get_video_packet_prefix_length"""
+    if pict_type == PICT_I:
+        return 16
+    if pict_type == PICT_B:
+        return max(fcode, bcode, 2) + 15
+    return fcode + 15
+
+
+def _med3(a, b, c):
+    a, b, c = int(a), int(b), int(c)
+    return min(max(a, b), max(b, c), max(a, c))
+
+
+class _VopPred:
+    """Per-VOP prediction state with video-packet (slice) semantics:
+    the MV grid with ff_h263_pred_motion's first_slice_line/resync_mb_x
+    candidate masking (h263.c:301), DC grids with ff_mpeg4_pred_dc's
+    out-of-slice 1024 overrides (mpeg4video.h pred_dc), and the
+    ff_mpeg4_clean_buffers ac_val region clear at each packet start
+    (flat-range alias semantics preserved)."""
+
+    _BLK_OFF = (2, 1, 1, -1)
+
+    def __init__(self, mw: int, mh: int):
+        self.mw, self.mh = mw, mh
+        self.b8w = 2 * mw + 1
+        self.motbuf = np.zeros(((2 * mh + 1) * self.b8w + 8, 2), np.int32)
+        self.OFF = 4
+        self.dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, np.int64)
+        self.dc_u = np.full((mh + 1, mw + 1), 1024, np.int64)
+        self.dc_v = np.full((mh + 1, mw + 1), 1024, np.int64)
+        self.acv = (np.zeros((2 * mh + 1, 2 * mw + 1, 14), np.int64),
+                    np.zeros((mh + 1, mw + 1, 14), np.int64),
+                    np.zeros((mh + 1, mw + 1, 14), np.int64))
+        self.rx = 0
+        self.ry = 0
+
+    # -- slice bookkeeping -------------------------------------------- #
+
+    def resync(self, mb_x: int, mb_y: int):
+        """Start a new video packet at (mb_x, mb_y):
+        reference h263dec.c:604 ff_mpeg4_clean_buffers at each resync."""
+        self.rx, self.ry = mb_x, mb_y
+        b8w = self.b8w
+        # luma ac_val clear: flat range [(2y-1)*w + 2x-1, +2w+1) in the
+        # reference's layout; ours is offset +3 (border convention)
+        fl = self.acv[0].reshape(-1, 14)
+        l0 = (2 * mb_y - 1) * b8w + 2 * mb_x - 1 + 3
+        fl[max(0, l0):max(0, min(len(fl), l0 + 2 * b8w + 1))] = 0
+        cw = self.mw + 1
+        c0 = (mb_y - 1) * cw + mb_x - 1 + 2
+        for g in (1, 2):
+            fc = self.acv[g].reshape(-1, 14)
+            fc[max(0, c0):max(0, min(len(fc), c0 + cw + 1))] = 0
+
+    def first_line(self, mb_x: int, mb_y: int) -> bool:
+        """s->first_slice_line (flips at mb_x==resync_mb_x on row
+        resync_mb_y+1, h263dec.c:232)."""
+        return mb_y == self.ry or (mb_y == self.ry + 1 and mb_x < self.rx)
+
+    # -- MV prediction grid (ff_h263_pred_motion) --------------------- #
+
+    def bidx(self, mb_x, mb_y, k):
+        return self.b8w * (2 * mb_y + (k >> 1)) - 2 + 2 * mb_x + (k & 1)
+
+    def grid_put(self, mb_x, mb_y, k, vx, vy):
+        self.motbuf[self.OFF + self.bidx(mb_x, mb_y, k)] = (vx, vy)
+
+    def grid_pred(self, mb_x, mb_y, k):
+        xy = self.OFF + self.bidx(mb_x, mb_y, k)
+        mot = self.motbuf
+        b8w = self.b8w
+        A = mot[xy - 1]
+        if self.first_line(mb_x, mb_y) and k < 3:
+            if k == 0:
+                if mb_x == self.rx:
+                    return 0, 0
+                if mb_x + 1 == self.rx:
+                    C = mot[xy + 2 - b8w]
+                    if mb_x == 0:
+                        return int(C[0]), int(C[1])
+                    return (_med3(A[0], 0, C[0]), _med3(A[1], 0, C[1]))
+                return int(A[0]), int(A[1])
+            if k == 1:
+                if mb_x + 1 == self.rx:
+                    C = mot[xy + 1 - b8w]
+                    return (_med3(A[0], 0, C[0]), _med3(A[1], 0, C[1]))
+                return int(A[0]), int(A[1])
+            # k == 2
+            B = mot[xy - b8w]
+            C = mot[xy + 1 - b8w]
+            if mb_x == self.rx:
+                mot[xy - 1] = 0          # the reference zeroes A in place
+                A = mot[xy - 1]
+            return (_med3(A[0], B[0], C[0]), _med3(A[1], B[1], C[1]))
+        B = mot[xy - b8w]
+        C = mot[xy + self._BLK_OFF[k] - b8w]
+        return (_med3(A[0], B[0], C[0]), _med3(A[1], B[1], C[1]))
+
+    # -- DC prediction (ff_mpeg4_pred_dc slice rules) ------------------ #
+
+    def dc_ctx(self, n, mb_x, mb_y):
+        if n < 4:
+            bx = 2 * mb_x + (n & 1) + 1
+            by = 2 * mb_y + (n >> 1) + 1
+            grid = self.dc_y
+        else:
+            bx, by = mb_x + 1, mb_y + 1
+            grid = self.dc_u if n == 4 else self.dc_v
+        a = int(grid[by, bx - 1])
+        b = int(grid[by - 1, bx - 1])
+        c = int(grid[by - 1, bx])
+        if self.first_line(mb_x, mb_y) and n != 3:
+            if n != 2:
+                b = c = 1024
+            if n != 1 and mb_x == self.rx:
+                b = a = 1024
+        if mb_x == self.rx and mb_y == self.ry + 1 and n in (0, 4, 5):
+            b = 1024
+        if abs(a - b) < abs(b - c):
+            pred, dc_dir = c, 1
+        else:
+            pred, dc_dir = a, 0
+
+        def store(val):
+            grid[by, bx] = val
+        return pred, store, dc_dir
 
 
 @register_codec
@@ -169,9 +307,12 @@ class MPEG4Decoder(Decoder):
         self.quarter_sample = gb.get_bits(1) if ver_id != 1 else 0
         if not gb.get_bits(1):  # complexity_estimation_disable
             raise AVError(INVALIDDATA, "complexity estimation not supported")
-        gb.get_bits(1)          # resync_marker_disable
-        if gb.get_bits(1):      # data_partitioned
-            raise AVError(INVALIDDATA, "data partitioning not supported yet")
+        self.resync_marker = not gb.get_bits(1)  # resync_marker_disable
+        self.data_partitioning = gb.get_bits(1)
+        if self.data_partitioning:
+            self.rvlc = gb.get_bits(1)
+            if self.rvlc:
+                raise AVError(INVALIDDATA, "reversible VLC not supported")
         if ver_id != 1:
             if gb.get_bits(1):  # newpred_enable
                 raise AVError(INVALIDDATA, "newpred not supported")
@@ -274,17 +415,82 @@ class MPEG4Decoder(Decoder):
         mb.use4 = np.zeros(nmb, dtype=bool)
         mb.mv4f = np.zeros((nmb, 4, 2), dtype=np.int32)
         mb.mv4b = np.zeros((nmb, 4, 2), dtype=np.int32)
-        try:
-            if pict_type == PICT_B:
-                self._decode_mbs_b(gb, mb, fcode, bcode, qscale)
-            else:
-                self._decode_mbs(gb, mb, pict_type, fcode, intra_dc_thr,
-                                 qscale, gmc_params)
-        except AVError as e:
-            # no resync markers: the whole VOP is the damage range
-            # (reference er_add_slice resync-to-resync semantics)
-            mb.ok[:] = False
-            log.warning(self, "MB decode error, concealing: %s", e)
+        # slice (video packet) loop: decode resync-to-resync, parse each
+        # video packet header, reset predictors per packet (reference:
+        # h263dec.c ff_h263_decode_frame decode_slice loop :589-608)
+        self._amv_cache = {}
+        pred = _VopPred(self.mb_w, self.mb_h)
+        partitioned = getattr(self, "data_partitioning", 0) and \
+            pict_type != PICT_B
+        col_skip_b = self._col_skip if pict_type == PICT_B and \
+            self._col_skip is not None else None
+        idx = 0
+        while idx < nmb:
+            slice_start = idx
+            try:
+                if partitioned:
+                    idx, qscale = self._decode_partitions(
+                        gb, mb, pict_type, fcode, qscale, pred, idx,
+                        gmc_params)
+                elif pict_type == PICT_B:
+                    idx, qscale = self._decode_mbs_b(
+                        gb, mb, fcode, bcode, qscale, idx)
+                else:
+                    idx, qscale = self._decode_mbs(
+                        gb, mb, pict_type, fcode, intra_dc_thr, qscale,
+                        gmc_params, pred, idx)
+            except AVError as e:
+                log.warning(self, "MB decode error at %d, concealing: "
+                            "%s", idx, e)
+                idx = nmb   # unless a resync marker rescues us below
+                try:
+                    mb_num, q2 = self._resync_scan(gb, pict_type,
+                                                   fcode, bcode)
+                    if mb_num > slice_start:
+                        idx = mb_num
+                        if q2:
+                            qscale = q2
+                        mb.ok[slice_start:idx] = False
+                        if col_skip_b is not None:
+                            while idx < nmb and col_skip_b[idx]:
+                                mb.use_fwd[idx] = True
+                                mb.ok[idx] = True
+                                idx += 1
+                        pred.resync(idx % self.mb_w, idx // self.mb_w)
+                        continue
+                except AVError:
+                    pass
+                mb.ok[slice_start:] = False
+                break
+            # B-VOPs: colocated-skip MBs consume no bits and may sit
+            # between the slice end and the next packet's mb_num
+            # (reference vph :425 skips them when locating the start)
+            if col_skip_b is not None:
+                while idx < nmb and col_skip_b[idx]:
+                    mb.use_fwd[idx] = True
+                    mb.ok[idx] = True
+                    idx += 1
+            if idx >= nmb:
+                break
+            # mid-frame: a resync marker follows — parse the header
+            try:
+                mb_num, q2 = self._resync_scan(gb, pict_type, fcode,
+                                               bcode)
+            except AVError as e:
+                log.warning(self, "bad video packet header: %s", e)
+                mb.ok[idx:] = False
+                break
+            if col_skip_b is not None:
+                while mb_num < nmb and col_skip_b[mb_num]:
+                    mb_num += 1
+            if mb_num != idx:
+                mb.ok[min(mb_num, idx):max(mb_num, idx)] = False
+                idx = mb_num
+            if q2:
+                qscale = q2
+            if idx >= nmb:
+                break
+            pred.resync(idx % self.mb_w, idx // self.mb_w)
         if not mb.ok.all():
             from libav_tpu.codecs.er import conceal_missing
             n = conceal_missing(mb, self.mb_w, self.mb_h,
@@ -368,10 +574,12 @@ class MPEG4Decoder(Decoder):
         q = abs(a) // b
         return q if a >= 0 else -q
 
-    def _decode_mbs_b(self, gb, mb: MBData, fcode, bcode, qscale):
+    def _decode_mbs_b(self, gb, mb: MBData, fcode, bcode, qscale,
+                      start_idx=0):
         """B-VOP macroblock layer (reference: mpeg4videodec.c
         mpeg4_decode_mb B branch; direct mode per
-        ff_mpeg4_set_one_direct_mv with TRB/TRD scaling)."""
+        ff_mpeg4_set_one_direct_mv with TRB/TRD scaling).  Returns
+        (next_idx, qscale) like _decode_mbs."""
         mw, mh = self.mb_w, self.mb_h
         tp = self._pp_time & 0xFFFF
         tb = self._pb_time & 0xFFFF
@@ -394,15 +602,22 @@ class MPEG4Decoder(Decoder):
                 v -= 2 * rng
             return v
 
-        for mb_y in range(mh):
-            last_mv = [[0, 0], [0, 0]]   # per direction
-            for mb_x in range(mw):
-                idx = mb_y * mw + mb_x
+        nmb = mw * mh
+        idx = start_idx
+        last_mv = [[0, 0], [0, 0]]       # per direction
+        last_row = start_idx // mw
+        while idx < nmb:
+            mb_y, mb_x = divmod(idx, mw)
+            if mb_y != last_row:
+                last_mv = [[0, 0], [0, 0]]
+                last_row = mb_y
+            if True:
                 if col_skip[idx]:
                     # colocated next-P MB was skipped: skip here too
                     mb.use_fwd[idx] = True
                     mb.mv_fwd[idx] = 0
                     mb.ok[idx] = True
+                    idx += 1
                     continue
                 modb1 = gb.get_bits(1)
                 direct = False
@@ -484,84 +699,343 @@ class MPEG4Decoder(Decoder):
                         self._decode_rl_block(gb, mb.coeffs[idx, b], 0,
                                               False)
                 mb.ok[idx] = True
+                idx += 1
+                if idx < nmb and self._is_resync(gb, PICT_B, fcode,
+                                                 bcode, False):
+                    return idx, qscale
+        return idx, qscale
 
     # ------------------------------------------------------------------ #
 
+    def _decode_partitions(self, gb, mb: MBData, pict_type, fcode,
+                           qscale, pred: "_VopPred", start_idx,
+                           gmc_params):
+        """Data-partitioned video packet (reference: mpeg4videodec.c:886
+        ff_mpeg4_decode_partitions — partition A (mcbpc+DC / mcbpc+MV),
+        DC/MOTION marker, partition B (ac_pred+cbpy / cbpy+dquant+DC),
+        then the texture partition per mpeg4_decode_partitioned_mb).
+        Returns (next_idx, qscale)."""
+        mw = self.mb_w
+        nmb = mw * self.mb_h
+        grid_pred, grid_put = pred.grid_pred, pred.grid_put
+        wrap_mv = self._wrap_mv
+        quant_tab = (-1, -2, 1, 2)
+
+        kind = {}       # idx -> 'i' | 'p' | 'skip'
+        cbp_t = {}      # idx -> partial cbp (bit 3 = dquant pending)
+        dcs = {}        # idx -> [(level, dir)] * 6 (I-VOP: from part A)
+        mcsel_t = {}
+        acp_t = {}
+        qs = qscale
+        idx = start_idx
+
+        # ---- partition A --------------------------------------------- #
+        while idx < nmb:
+            mb_y, mb_x = divmod(idx, mw)
+            if pict_type == PICT_I:
+                hit = False
+                while True:
+                    if gb.show_bits(19) == DC_MARKER:
+                        hit = True
+                        break
+                    v = T.intra_mcbpc_vlc().read(gb)
+                    if v != 8:          # not stuffing
+                        break
+                if hit:
+                    break
+                cbp_t[idx] = v & 3
+                kind[idx] = 'i'
+                mb.intra[idx] = True
+                if v >= 4:
+                    qs = max(1, min(31, qs + quant_tab[gb.get_bits(2)]))
+                mb.qscale[idx] = qs
+                d6 = []
+                for b in range(6):
+                    d6.append(self._decode_dc(gb, b, mb_x, mb_y, qs,
+                                              pred))
+                dcs[idx] = d6
+                idx += 1
+            else:                        # P / S
+                hit = False
+                while True:
+                    bits = gb.show_bits(17)
+                    if bits == MOTION_MARKER:
+                        hit = True
+                        break
+                    gb.skip_bits(1)
+                    if bits & 0x10000:   # not_coded: skip MB
+                        if pict_type == PICT_S and \
+                                getattr(self, "sprite_usage", 0) == 2:
+                            mx, my = self._amv(gmc_params, fcode,
+                                               mb_x, mb_y)
+                            kind[idx] = 'gmcskip'
+                            mb.use_bwd[idx] = True
+                            mb.mv_fwd[idx] = (mx, my)
+                        else:
+                            mx = my = 0
+                            kind[idx] = 'skip'
+                            mb.use_fwd[idx] = True
+                            mb.skipped[idx] = True
+                        for k in range(4):
+                            grid_put(mb_x, mb_y, k, mx, my)
+                        break
+                    v = T.inter_mcbpc_vlc().read(gb)
+                    if (v >> 2) == 5:    # stuffing: try again
+                        continue
+                    if (v >> 2) == 6:
+                        raise AVError(INVALIDDATA,
+                                      "INTER4V+Q not supported")
+                    cbp_t[idx] = (v & 3) | \
+                        (8 if (v >> 2) in (T.MBT_INTERQ, T.MBT_INTRAQ)
+                         else 0)
+                    if (v >> 2) in (T.MBT_INTRA, T.MBT_INTRAQ):
+                        kind[idx] = 'i'
+                        mb.intra[idx] = True
+                        for k in range(4):
+                            grid_put(mb_x, mb_y, k, 0, 0)
+                    else:
+                        kind[idx] = 'p'
+                        mcsel = 0
+                        four_mv = (v >> 2) == T.MBT_INTER4V
+                        if pict_type == PICT_S and not four_mv and \
+                                getattr(self, "sprite_usage", 0) == 2:
+                            mcsel = gb.get_bits(1)
+                        mcsel_t[idx] = mcsel
+                        if not four_mv:
+                            if mcsel:
+                                mx, my = self._amv(gmc_params, fcode,
+                                                   mb_x, mb_y)
+                                kind[idx] = 'gmc'
+                                mb.use_bwd[idx] = True
+                                mb.mv_fwd[idx] = (mx, my)
+                            else:
+                                px, py = grid_pred(mb_x, mb_y, 0)
+                                mx = wrap_mv(
+                                    px + self._decode_mv(gb, fcode),
+                                    fcode)
+                                my = wrap_mv(
+                                    py + self._decode_mv(gb, fcode),
+                                    fcode)
+                                mb.use_fwd[idx] = True
+                                mb.mv_fwd[idx] = (mx, my)
+                            for k in range(4):
+                                grid_put(mb_x, mb_y, k, mx, my)
+                        else:
+                            mb.use_fwd[idx] = True
+                            mb.use4[idx] = True
+                            for k in range(4):
+                                px, py = grid_pred(mb_x, mb_y, k)
+                                vx = wrap_mv(
+                                    px + self._decode_mv(gb, fcode),
+                                    fcode)
+                                vy = wrap_mv(
+                                    py + self._decode_mv(gb, fcode),
+                                    fcode)
+                                grid_put(mb_x, mb_y, k, vx, vy)
+                                mb.mv4f[idx, k] = (vx, vy)
+                            mb.mv_fwd[idx] = mb.mv4f[idx, 0]
+                    break
+                if hit:
+                    break
+                idx += 1
+
+        mb_count = idx - start_idx
+        if mb_count <= 0:
+            raise AVError(INVALIDDATA, "empty partition")
+
+        # ---- inter-partition marker ---------------------------------- #
+        if pict_type == PICT_I:
+            while gb.show_bits(9) == 1:
+                gb.skip_bits(9)
+            if gb.get_bits(19) != DC_MARKER:
+                raise AVError(INVALIDDATA, "DC marker missing")
+        else:
+            while gb.show_bits(10) == 1:
+                gb.skip_bits(10)
+            if gb.get_bits(17) != MOTION_MARKER:
+                raise AVError(INVALIDDATA, "motion marker missing")
+
+        # ---- partition B --------------------------------------------- #
+        for i in range(start_idx, idx):
+            mb_y, mb_x = divmod(i, mw)
+            k = kind[i]
+            if pict_type == PICT_I:
+                acp_t[i] = gb.get_bits(1)
+                cbpy = T.cbpy_vlc().read(gb)
+                cbp_t[i] |= cbpy << 2
+            elif k == 'i':
+                acp_t[i] = gb.get_bits(1)
+                cbpy = T.cbpy_vlc().read(gb)
+                if cbp_t[i] & 8:
+                    qs = max(1, min(31,
+                                    qs + quant_tab[gb.get_bits(2)]))
+                mb.qscale[i] = qs
+                d6 = []
+                for b in range(6):
+                    d6.append(self._decode_dc(gb, b, mb_x, mb_y, qs,
+                                              pred))
+                dcs[i] = d6
+                cbp_t[i] = (cbp_t[i] & 3) | (cbpy << 2)
+            elif k in ('skip', 'gmcskip'):
+                mb.qscale[i] = qs
+                cbp_t[i] = 0
+            else:
+                cbpy = T.cbpy_vlc().read(gb)
+                if cbp_t[i] & 8:
+                    qs = max(1, min(31,
+                                    qs + quant_tab[gb.get_bits(2)]))
+                mb.qscale[i] = qs
+                cbp_t[i] = (cbp_t[i] & 3) | ((cbpy ^ 0xF) << 2)
+
+        # ---- texture partition --------------------------------------- #
+        for i in range(start_idx, idx):
+            mb_y, mb_x = divmod(i, mw)
+            k = kind[i]
+            if k in ('skip', 'gmcskip'):
+                mb.ok[i] = True
+                continue
+            cbp = cbp_t[i]
+            q = int(mb.qscale[i])
+            for b in range(6):
+                coded = bool(cbp & (0x20 >> b))
+                if k == 'i':
+                    lvl, ddir = dcs[i][b]
+                    self._decode_intra_block(
+                        gb, mb.coeffs[i, b], b, mb_x, mb_y, q, pred,
+                        coded, acp_t[i], mb.qscale, dc_lvl=lvl,
+                        dc_dir=ddir)
+                elif coded:
+                    self._decode_rl_block(gb, mb.coeffs[i, b], 0, False)
+            mb.ok[i] = True
+        return idx, qs
+
+    def _amv(self, gmc_params, fcode, mb_x, mb_y):
+        """GMC average MV (get_amv), cached — constant across the
+        frame when real_sprite_warping_points == 1."""
+        from libav_tpu.ops.gmc import get_amv
+        cache = self._amv_cache
+        key = (0, 0) if gmc_params.real_points == 1 else (mb_x, mb_y)
+        if key not in cache:
+            cache[key] = (
+                get_amv(gmc_params, self.quarter_sample, fcode,
+                        key[0], key[1], 0),
+                get_amv(gmc_params, self.quarter_sample, fcode,
+                        key[0], key[1], 1))
+        return cache[key]
+
+    def _is_resync(self, gb, pict_type, fcode, bcode, partitioned):
+        """reference: mpeg4videodec.c:124 mpeg4_is_resync — true if the
+        next bits are a resync marker or the stream end.  Skips the
+        stuffing-MB patterns exactly like the reference (consuming!)."""
+        bits_count = gb.pos
+        v = gb.show_bits(16)
+        av_pt = (1, 2, 3, 4)[pict_type]      # AV_PICTURE_TYPE numbering
+        while v <= 0xFF:
+            if pict_type == PICT_B or (v >> (8 - av_pt)) != 1 or \
+                    partitioned:
+                break
+            gb.skip_bits(8 + av_pt)
+            bits_count += 8 + av_pt
+            v = gb.show_bits(16)
+        if bits_count + 8 >= gb.size_bits:
+            v >>= 8
+            v |= 0x7F >> (7 - (bits_count & 7))
+            return v == 0x7F
+        if v == RESYNC_PREFIX[bits_count & 7]:
+            save = gb.pos
+            gb.skip_bits(1)
+            gb.align()
+            length = 0
+            while length < 32 and gb.bits_left() > 0 and \
+                    not gb.get_bits(1):
+                length += 1
+            gb.pos = save
+            if length >= _vpp_prefix_len(pict_type, fcode, bcode):
+                return True
+        return False
+
+    def _read_video_packet_header(self, gb, pict_type, fcode, bcode):
+        """reference: mpeg4videodec.c:391
+        ff_mpeg4_decode_video_packet_header (rectangular shape).
+        -> (mb_num, qscale or 0)."""
+        nmb = self.mb_w * self.mb_h
+        mb_num_bits = max(1, (nmb - 1).bit_length())
+        if gb.bits_left() < 20:
+            raise AVError(INVALIDDATA, "no room for video packet")
+        length = 0
+        while length < 32 and not gb.get_bits(1):
+            length += 1
+        if length != _vpp_prefix_len(pict_type, fcode, bcode):
+            raise AVError(INVALIDDATA, "resync marker does not match "
+                                       "f_code")
+        mb_num = gb.get_bits(mb_num_bits)
+        if mb_num >= nmb:
+            raise AVError(INVALIDDATA, "illegal mb_num in video packet")
+        qscale = gb.get_bits(5)           # quant_precision
+        if gb.get_bits(1):                # header_extension (HEC)
+            while gb.get_bits(1):         # modulo_time_base
+                pass
+            gb.get_bits(1)                # marker
+            gb.skip_bits(self.time_inc_bits)
+            gb.get_bits(1)                # marker
+            gb.skip_bits(2)               # vop_coding_type
+            gb.skip_bits(3)               # intra_dc_vlc_threshold
+            if pict_type != PICT_I:
+                gb.get_bits(3)            # fcode_forward
+            if pict_type == PICT_B:
+                gb.get_bits(3)            # fcode_backward
+        return mb_num, qscale
+
+    def _resync_scan(self, gb, pict_type, fcode, bcode):
+        """reference: ituh263dec.c:233 ff_h263_resync — find and parse
+        the next video packet header.  -> (mb_num, qscale)."""
+        gb.skip_bits(1)
+        gb.align()
+        if gb.show_bits(16) == 0:
+            save = gb.pos
+            try:
+                return self._read_video_packet_header(gb, pict_type,
+                                                      fcode, bcode)
+            except AVError:
+                gb.pos = save
+        while gb.bits_left() > 16 + 1 + 5 + 5:
+            if gb.show_bits(16) == 0:
+                save = gb.pos
+                try:
+                    return self._read_video_packet_header(
+                        gb, pict_type, fcode, bcode)
+                except AVError:
+                    gb.pos = save
+            gb.skip_bits(8)
+        raise AVError(INVALIDDATA, "no further resync marker")
+
+    @staticmethod
+    def _wrap_mv(v, fc):
+        rng = 32 << (fc - 1)
+        if v < -rng:
+            v += 2 * rng
+        elif v >= rng:
+            v -= 2 * rng
+        return v
+
     def _decode_mbs(self, gb, mb: MBData, pict_type, fcode, intra_dc_thr,
-                    qscale, gmc_params=None):
+                    qscale, gmc_params, pred: "_VopPred", start_idx):
+        """Decode MBs of one video packet from start_idx; returns
+        (next_idx, qscale) — next_idx == nmb when the VOP is complete
+        (reference: h263dec.c decode_slice + mpeg4_decode_mb per-MB end
+        check)."""
         mw, mh = self.mb_w, self.mb_h
-        amv_cache = {}
+        nmb = mw * mh
+        grid_pred, grid_put = pred.grid_pred, pred.grid_put
+        wrap_mv = self._wrap_mv
 
         def amv(mb_x, mb_y):
-            """GMC average MV (get_amv), cached — constant across the
-            frame when real_sprite_warping_points == 1."""
-            from libav_tpu.ops.gmc import get_amv
-            key = (0, 0) if gmc_params.real_points == 1 else (mb_x, mb_y)
-            if key not in amv_cache:
-                amv_cache[key] = (
-                    get_amv(gmc_params, self.quarter_sample, fcode,
-                            key[0], key[1], 0),
-                    get_amv(gmc_params, self.quarter_sample, fcode,
-                            key[0], key[1], 1))
-            return amv_cache[key]
-        # block-granular motion grid with the reference's exact layout
-        # (h263.c ff_h263_pred_motion, mpegvideo.c ff_init_block_index:
-        # b8_stride = 2*mb_w+1 leaves zero pad slots that serve as the
-        # out-of-bounds candidates)
-        b8w = 2 * mw + 1
-        motbuf = np.zeros(((2 * mh + 1) * b8w + 8, 2), np.int32)
-        OFF = 4
-        blk_off = (2, 1, 1, -1)          # C offset per block (h263.c)
+            return self._amv(gmc_params, fcode, mb_x, mb_y)
 
-        def bidx(mb_x, mb_y, k):
-            return (b8w * (2 * mb_y + (k >> 1)) - 2 + 2 * mb_x +
-                    (k & 1))
-
-        def grid_pred(mb_x, mb_y, k):
-            """(px, py) per ff_h263_pred_motion (resync_mb_x = 0,
-            h263_pred = 1, whole-frame slices)."""
-            xy = bidx(mb_x, mb_y, k)
-            A = motbuf[OFF + xy - 1]
-            if mb_y == 0 and k < 3:
-                if k == 0:
-                    if mb_x == 0:
-                        return 0, 0
-                    return int(A[0]), int(A[1])
-                if k == 1:
-                    return int(A[0]), int(A[1])
-                B = motbuf[OFF + xy - b8w]
-                C = motbuf[OFF + xy + blk_off[k] - b8w]
-                Ax, Ay = (0, 0) if mb_x == 0 else (int(A[0]), int(A[1]))
-                return (int(np.median([Ax, B[0], C[0]])),
-                        int(np.median([Ay, B[1], C[1]])))
-            B = motbuf[OFF + xy - b8w]
-            C = motbuf[OFF + xy + blk_off[k] - b8w]
-            return (int(np.median([int(A[0]), B[0], C[0]])),
-                    int(np.median([int(A[1]), B[1], C[1]])))
-
-        def grid_put(mb_x, mb_y, k, vx, vy):
-            motbuf[OFF + bidx(mb_x, mb_y, k)] = (vx, vy)
-
-        def wrap_mv(v, fc):
-            rng = 32 << (fc - 1)
-            if v < -rng:
-                v += 2 * rng
-            elif v >= rng:
-                v -= 2 * rng
-            return v
-        dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
-        dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
-        dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
-        # AC prediction stores (reference mpegvideo ac_val): per block
-        # position, [0:7] = first column values 1..7, [7:14] = first row
-        # values 1..7 of the FINAL block levels; zero for inter/border
-        acv = (np.zeros((2 * mh + 1, 2 * mw + 1, 14), np.int64),
-               np.zeros((mh + 1, mw + 1, 14), np.int64),
-               np.zeros((mh + 1, mw + 1, 14), np.int64))
-
-        for mb_y in range(mh):
-            for mb_x in range(mw):
-                idx = mb_y * mw + mb_x
+        idx = start_idx
+        while idx < nmb:
+            mb_y, mb_x = divmod(idx, mw)
+            if True:
                 four_mv = False
                 mcsel = 0
                 if pict_type in (PICT_P, PICT_S):
@@ -580,10 +1054,14 @@ class MPEG4Decoder(Decoder):
                             mb.mv_fwd[idx] = 0
                             mb.skipped[idx] = True
                         mb.ok[idx] = True
+                        idx += 1
+                        if idx < nmb and self._is_resync(
+                                gb, pict_type, fcode, 1, False):
+                            return idx, qscale
                         continue
                     v = T.inter_mcbpc_vlc().read(gb)
                     group, cbpc = v >> 2, v & 3
-                    if group == 5:          # stuffing
+                    if group == 5:          # stuffing: retry same MB
                         continue
                     if group == 6:
                         raise AVError(INVALIDDATA,
@@ -594,7 +1072,7 @@ class MPEG4Decoder(Decoder):
                 else:
                     v = T.intra_mcbpc_vlc().read(gb)
                     if v == 8:
-                        continue            # stuffing
+                        continue            # stuffing: retry same MB
                     is_intra = True
                     has_q = v >= 4
                     cbpc = v & 3
@@ -646,11 +1124,16 @@ class MPEG4Decoder(Decoder):
                     if is_intra:
                         self._decode_intra_block(
                             gb, mb.coeffs[idx, b], b, mb_x, mb_y,
-                            qscale, dc_y, dc_u, dc_v, coded,
-                            ac_pred, acv, mb.qscale)
+                            qscale, pred, coded, ac_pred, mb.qscale)
                     elif coded:
-                        self._decode_rl_block(gb, mb.coeffs[idx, b], 0, False)
+                        self._decode_rl_block(gb, mb.coeffs[idx, b], 0,
+                                              False)
                 mb.ok[idx] = True
+                idx += 1
+                if idx < nmb and self._is_resync(gb, pict_type, fcode,
+                                                 1, False):
+                    return idx, qscale
+        return idx, qscale
 
     def _mv_pred(self, mb: MBData, mb_x, mb_y) -> Tuple[int, int]:
         """Must mirror MPEG4Encoder._mv_pred exactly."""
@@ -689,9 +1172,9 @@ class MPEG4Decoder(Decoder):
         val = ((code - 1) << shift) + residual + 1
         return -val if sign else val
 
-    def _decode_intra_block(self, gb, out, b, mb_x, mb_y, qscale,
-                            dc_y, dc_u, dc_v, coded, ac_pred=0,
-                            acv=None, qs_tab=None):
+    def _decode_dc(self, gb, b, mb_x, mb_y, qscale, pred: "_VopPred"):
+        """DC diff decode + gradient prediction (mpeg4_decode_dc).
+        -> (level, dc_dir); stores the dequantized DC in the grid."""
         luma = b < 4
         dcs = mpeg4_dc_scaler(qscale, luma)
         vlc = T.dc_lum_vlc() if luma else T.dc_chrom_vlc()
@@ -703,11 +1186,24 @@ class MPEG4Decoder(Decoder):
                 diff -= (1 << size) - 1
             if size > 8:
                 gb.get_bits(1)  # marker
-        pred, store, dc_dir = _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y)
-        pred_lvl = (pred + dcs // 2) // dcs
+        p, store, dc_dir = pred.dc_ctx(b, mb_x, mb_y)
+        pred_lvl = (p + dcs // 2) // dcs
         lvl = int(pred_lvl) + diff
-        out[0] = lvl
         store(lvl * dcs)
+        return lvl, dc_dir
+
+    def _decode_intra_block(self, gb, out, b, mb_x, mb_y, qscale,
+                            pred: "_VopPred", coded, ac_pred=0,
+                            qs_tab=None, dc_lvl=None, dc_dir=None):
+        """Intra block: DC (unless already decoded in partition A —
+        dc_lvl/dc_dir given) + AC with optional prediction."""
+        acv = pred.acv
+        if dc_lvl is None:
+            lvl, dc_dir = self._decode_dc(gb, b, mb_x, mb_y, qscale,
+                                          pred)
+        else:
+            lvl = dc_lvl
+        out[0] = lvl
         if ac_pred:
             # AC prediction (ISO 14496-2 §7.4.3.3; reference
             # ff_mpeg4_pred_ac mpeg4videodec.c:68): predicted blocks use
@@ -775,29 +1271,6 @@ class MPEG4Decoder(Decoder):
             k += 1
             if last:
                 break
-
-
-def _dc_ctx(dc_y, dc_u, dc_v, b, mb_x, mb_y):
-    """-> (pred, store, dir): dir 0 = from left (A), 1 = from top (C)
-    (ISO 14496-2 §7.4.3.2)."""
-    if b < 4:
-        bx = 2 * mb_x + (b & 1) + 1
-        by = 2 * mb_y + (b >> 1) + 1
-        grid = dc_y
-    else:
-        bx, by = mb_x + 1, mb_y + 1
-        grid = dc_u if b == 4 else dc_v
-    A = grid[by, bx - 1]
-    B = grid[by - 1, bx - 1]
-    C = grid[by - 1, bx]
-    if abs(A - B) < abs(B - C):
-        pred, dc_dir = C, 1
-    else:
-        pred, dc_dir = A, 0
-
-    def store(val):
-        grid[by, bx] = val
-    return pred, store, dc_dir
 
 
 def _ac_cell(b, mb_x, mb_y):

@@ -185,6 +185,12 @@ class MPEG4Encoder(Encoder):
                "inter blocks (codecs/trellis.py)", "int", 0, 0, 1),
         Option("trellis_lambda", "trellis RD lambda scale x100", "int",
                25, 1, 400),
+        Option("ps", "video packet size in bytes: resync markers + "
+               "slice-aware prediction resets (0 = off)", "int",
+               0, 0, 1 << 20),
+        Option("data_partitioning", "partition I/P VOPs into "
+               "mcbpc+DC/MV, ac_pred+cbpy, texture with DC/motion "
+               "markers", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -502,8 +508,10 @@ class MPEG4Encoder(Encoder):
         if asp:
             pb.put_bits(1, 1 if self.qpel else 0)   # quarter_sample
         pb.put_bits(1, 1)       # complexity_estimation_disable
-        pb.put_bits(1, 1)       # resync_marker_disable
-        pb.put_bits(1, 0)       # data_partitioned
+        pb.put_bits(1, 0 if self.ps else 1)   # resync_marker_disable
+        pb.put_bits(1, 1 if self.data_partitioning else 0)
+        if self.data_partitioning:
+            pb.put_bits(1, 0)   # reversible_vlc
         if asp:                 # ver_id != 1 extras
             pb.put_bits(1, 0)   # newpred_enable
             pb.put_bits(1, 0)   # reduced_res_vop_enable
@@ -573,19 +581,39 @@ class MPEG4Encoder(Encoder):
 
     def _mb_layer(self, pb, levels, mvs, intra, qscale, pict_type,
                   gmc_mask=None):
+        """MB layer with optional video packets (`ps`, reference:
+        mpegvideo_enc.c:2762 is_gob_start + write_slice_end +
+        ff_mpeg4_encode_video_packet_header) and data partitioning
+        (`data_partitioning`, mpeg4videoenc.c:479 pb/pb2/tex_pb routing
+        + ff_mpeg4_merge_partitions)."""
+        from libav_tpu.codecs.mpeg4.dec import (DC_MARKER, MOTION_MARKER,
+                                                _VopPred,
+                                                _vpp_prefix_len)
         mw, mh = self.mb_w, self.mb_h
         nmb = mw * mh
-        # DC predictor store: luma block grid + chroma MB grids, in
-        # dequantized units; 1024 = reset (ISO 14496-2 §7.4.1)
-        dc_y = np.full((2 * mh + 1, 2 * mw + 1), 1024, dtype=np.int64)
-        dc_u = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
-        dc_v = np.full((mh + 1, mw + 1), 1024, dtype=np.int64)
+        pred = _VopPred(mw, mh)
         use_acp = bool(self.acpred)
-        acv = (np.zeros((2 * mh + 1, 2 * mw + 1, 14), np.int64),
-               np.zeros((mh + 1, mw + 1, 14), np.int64),
-               np.zeros((mh + 1, mw + 1, 14), np.int64)) if use_acp \
-            else None
         zz = np.asarray(zigzag_scan())
+        dp = bool(self.data_partitioning) and pict_type != PICT_B
+        ps = int(self.ps)
+        pb2 = PutBits() if dp else pb
+        tex = PutBits() if dp else pb
+        dc_pb = pb2 if (dp and pict_type != PICT_I) else pb
+        last_gob = 0
+
+        def merge_partitions():
+            nonlocal pb2, tex, dc_pb
+            if not dp:
+                return
+            if pict_type == PICT_I:
+                pb.put_bits(19, DC_MARKER)
+            else:
+                pb.put_bits(17, MOTION_MARKER)
+            pb.copy_bits(pb2)
+            pb.copy_bits(tex)
+            pb2 = PutBits()
+            tex = PutBits()
+            dc_pb = pb2 if pict_type != PICT_I else pb
 
         for mb_y in range(mh):
             for mb_x in range(mw):
@@ -595,14 +623,28 @@ class MPEG4Encoder(Encoder):
                 mv = mvs[idx]
                 q = int(qscale[idx])
 
+                if ps and idx > 0 and \
+                        ((pb.bits_written() + 7) >> 3) - last_gob >= ps:
+                    # end the packet, byte-align, write the video
+                    # packet header, reset predictors
+                    merge_partitions()
+                    self._stuff(pb)
+                    last_gob = pb.bits_written() >> 3
+                    pb.put_bits(_vpp_prefix_len(pict_type, self._fcode,
+                                                1), 0)
+                    pb.put_bits(1, 1)
+                    pb.put_bits(max(1, (nmb - 1).bit_length()), idx)
+                    pb.put_bits(5, q)
+                    pb.put_bits(1, 0)            # no HEC
+                    pred.resync(mb_x, mb_y)
+
                 acp_blocks = None
                 if use_acp and is_intra:
                     # subtract the AC predictors per block and pick the
                     # per-block alternate scan (mirrors dec._pred_ac);
                     # cbp is computed from the RESIDUAL coefficients
                     acp_blocks = self._acpred_blocks(
-                        lv, mb_x, mb_y, q, qscale, dc_y, dc_u, dc_v,
-                        acv, zz)
+                        lv, mb_x, mb_y, q, qscale, pred, zz)
 
                 cbp = 0
                 for b in range(6):
@@ -625,6 +667,9 @@ class MPEG4Encoder(Encoder):
                                      and mv[0] == 0 and mv[1] == 0)
                     if not_coded:
                         pb.put_bits(1, 1)   # not_coded = skip
+                        for k in range(4):
+                            pred.grid_put(mb_x, mb_y, k, int(mv[0]),
+                                          int(mv[1]))
                         continue
                     pb.put_bits(1, 0)
                     group = T.MBT_INTRA if is_intra else T.MBT_INTER
@@ -635,22 +680,26 @@ class MPEG4Encoder(Encoder):
                     pb.put_bits(T.INTRA_MCBPC[1][i], T.INTRA_MCBPC[0][i])
 
                 if is_intra:
-                    pb.put_bits(1, 1 if acp_blocks is not None else 0)
+                    pb2.put_bits(1, 1 if acp_blocks is not None else 0)
                     code, bits = T.CBPY[cbpy]
-                    pb.put_bits(bits, code)
+                    pb2.put_bits(bits, code)
+                    for k in range(4):
+                        pred.grid_put(mb_x, mb_y, k, 0, 0)
                 else:
                     if pict_type == PICT_S:
                         pb.put_bits(1, 1 if is_gmc else 0)   # mcsel
                     code, bits = T.CBPY[15 - cbpy]
-                    pb.put_bits(bits, code)
+                    pb2.put_bits(bits, code)
                     if not (pict_type == PICT_S and is_gmc):
                         # motion vector, median predicted
-                        px, py = self._mv_pred(mvs, intra, mb_x, mb_y,
-                                               pict_type)
+                        px, py = pred.grid_pred(mb_x, mb_y, 0)
                         encode_mv_component(pb, int(mv[0]) - px,
                                             self._fcode)
                         encode_mv_component(pb, int(mv[1]) - py,
                                             self._fcode)
+                    for k in range(4):
+                        pred.grid_put(mb_x, mb_y, k, int(mv[0]),
+                                      int(mv[1]))
 
                 for b in range(6):
                     coded = bool(cbp & (0x20 >> b))
@@ -661,49 +710,40 @@ class MPEG4Encoder(Encoder):
                         if acp_blocks is not None:
                             # DC ctx consumed + stored by _acpred_blocks
                             pred_lvl = acp_blocks[b][1]
-                            encode_dc(pb, lvl_dc - int(pred_lvl), luma)
+                            encode_dc(dc_pb, lvl_dc - int(pred_lvl),
+                                      luma)
                         else:
-                            pred, store = self._dc_ctx(dc_y, dc_u, dc_v,
-                                                       b, mb_x, mb_y)
-                            pred_lvl = (pred + dcs // 2) // dcs
-                            encode_dc(pb, lvl_dc - int(pred_lvl), luma)
+                            p, store, _dir = pred.dc_ctx(b, mb_x, mb_y)
+                            pred_lvl = (p + dcs // 2) // dcs
+                            encode_dc(dc_pb, lvl_dc - int(pred_lvl),
+                                      luma)
                             store(lvl_dc * dcs)
                         if coded:
                             encode_block_rl(
-                                pb, acp_blocks[b][0] if acp_blocks
+                                tex, acp_blocks[b][0] if acp_blocks
                                 is not None else lv[b], 1, True)
                     elif coded:
-                        encode_block_rl(pb, lv[b], 0, False)
+                        encode_block_rl(tex, lv[b], 0, False)
+        merge_partitions()
 
-    def _acpred_blocks(self, lv, mb_x, mb_y, q, qscale, dc_y, dc_u,
-                       dc_v, acv, zz):
+    def _acpred_blocks(self, lv, mb_x, mb_y, q, qscale, pred_st, zz):
         """Per-block (scanned residual levels, (dc_pred_lvl, dc_store)):
         the encode mirror of dec._pred_ac — subtract the stored
         neighbor column/row, rescan with the direction's alternate
-        scan, store this block's own final values."""
+        scan, store this block's own final values.  Uses the shared
+        slice-aware _VopPred state (video packet boundaries mask the
+        out-of-slice DC candidates and zero the cleaned AC cells)."""
         out = []
         qs_tab = qscale
+        acv = pred_st.acv
         for b in range(6):
             luma = b < 4
             dcs = mpeg4_dc_scaler(q, luma)
             # DC direction decides predictor source and scan
-            if b < 4:
-                gx = 2 * mb_x + (b & 1) + 1
-                gy = 2 * mb_y + (b >> 1) + 1
-                grid = dc_y
-            else:
-                gx, gy = mb_x + 1, mb_y + 1
-                grid = dc_u if b == 4 else dc_v
-            A = grid[gy, gx - 1]
-            B = grid[gy - 1, gx - 1]
-            C = grid[gy - 1, gx]
-            if abs(A - B) < abs(B - C):
-                pred, dc_dir = C, 1
-            else:
-                pred, dc_dir = A, 0
-            pred_lvl = (pred + dcs // 2) // dcs
+            p, store, dc_dir = pred_st.dc_ctx(b, mb_x, mb_y)
+            pred_lvl = (p + dcs // 2) // dcs
             # store NOW: blocks later in this MB predict from it
-            grid[gy, gx] = int(lv[b][0]) * dcs
+            store(int(lv[b][0]) * dcs)
 
             raster = np.zeros(64, np.int64)
             raster[zz] = lv[b]
