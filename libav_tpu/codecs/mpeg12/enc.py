@@ -128,6 +128,11 @@ class MPEG1Encoder(Encoder):
         Option("pass_", "2-pass mode: 1 or 2", "int", 0, 0, 2),
         Option("b_frames", "max B frames between references", "int",
                0, 0, 4),
+        Option("trellis", "rate-distortion optimal quantization of "
+               "inter blocks (codecs/trellis.py, table B.14 costs)",
+               "int", 0, 0, 1),
+        Option("trellis_lambda", "trellis RD lambda scale x100", "int",
+               25, 1, 400),
     ]
 
     F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
@@ -228,17 +233,36 @@ class MPEG1Encoder(Encoder):
                 q = max(2, q + (q & 1))
         qscale = np.full(nmb, q, dtype=np.int32)
 
-        enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND)
+        want_tr = bool(self.trellis and not is_i)
+        enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND,
+                         want_coeffs=want_tr)
         if is_i:
             zero = zero_pad_refs(self.mb_w, self.mb_h)
-            levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
-                                     self.inter_q_zz, *zero)
+            outs = enc(y, u, v, qscale, self.intra_q_zz,
+                       self.inter_q_zz, *zero)
         else:
-            levels, mvs, intra = enc(y, u, v, qscale, self.intra_q_zz,
-                                     self.inter_q_zz, *self._refs)
+            outs = enc(y, u, v, qscale, self.intra_q_zz,
+                       self.inter_q_zz, *self._refs)
+        if want_tr:
+            levels, mvs, intra, czz = outs
+            czz = np.asarray(czz)
+        else:
+            levels, mvs, intra = outs
         levels = np.asarray(levels).astype(np.int16)
         mvs = np.asarray(mvs)
         intra = np.asarray(intra)
+        if want_tr and not intra.all():
+            # RD re-quantization of the inter blocks (reference role:
+            # mpegvideo_enc.c dct_quantize_trellis_c with MPEG-1/2
+            # table B.14 run/level + EOB costs)
+            from libav_tpu.codecs.trellis import trellis_inter
+            sel = np.repeat(~intra, 6)
+            flat = levels.reshape(-1, 64).copy()
+            flat[sel] = trellis_inter(
+                czz.reshape(-1, 64)[sel], flat[sel],
+                np.repeat(qscale, 6)[sel], kind=self.QUANT_KIND,
+                lam_scale=self.trellis_lambda / 100.0)
+            levels = flat.reshape(levels.shape).astype(np.int16)
 
         # reconstruction through the decoder's own device program
         recon = recon_jit(self.mb_w, self.mb_h, self.QUANT_KIND, False, not is_i)

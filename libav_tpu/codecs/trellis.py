@@ -31,6 +31,26 @@ def _cost_h263(intra: bool):
     return cost[0], cost[1]
 
 
+@functools.lru_cache(maxsize=None)
+def _cost_mpeg12(mpeg2: bool):
+    """bits[run, level] for levels 1..255 from table B.14 (+1 sign),
+    escape fallback 6+6+12 (MPEG-2) or 6+6+8/16 (MPEG-1 two-step)."""
+    from libav_tpu.codecs.mpeg12 import tables as T
+    max_lvl = 2047 if mpeg2 else 255
+    cost = np.empty((64, max_lvl), np.int32)
+    if mpeg2:
+        cost[:] = 6 + 6 + 12
+    else:
+        cost[:, :127] = 6 + 6 + 8
+        cost[:, 127:] = 6 + 6 + 16
+    for i in range(111):
+        run = int(T.RUN_LEVEL[0][i])
+        lvl = int(T.RUN_LEVEL[1][i])
+        bits = T.DCT_VLC_MPEG1[i][1]
+        cost[run][lvl - 1] = bits + 1                # +1 sign bit
+    return cost
+
+
 def trellis_inter(czz: np.ndarray, levels: np.ndarray, qscale: np.ndarray,
                   kind: str = "h263", lam_scale: float = 0.30) -> np.ndarray:
     """Re-quantize inter AC coefficients with RD-optimal level/zero
@@ -43,25 +63,46 @@ def trellis_inter(czz: np.ndarray, levels: np.ndarray, qscale: np.ndarray,
     czz = czz.astype(np.int64)
     nblk = czz.shape[0]
     q = qscale.astype(np.int64)
-    lam = lam_scale * (16.0 * q) ** 2       # bits -> distortion units
-    # (x8-scaled fdct domain: one quant step ~ 16q)
 
-    if kind != "h263":
-        raise ValueError("trellis: only the h263/mpeg4 quant kind yet")
-    bits0, bits1 = _cost_h263(False)
-    eob_bits = None
+    if kind == "h263":
+        divisor = 16 * q                    # one quant step in czz units
+        bits0, bits1 = _cost_h263(False)
+        eob_bits = None
+        lvl_max = 2047                      # ESC3 12-bit signed range
+        first_special = False
 
-    def dequant(lv):
-        # h263 inter dequant q*(2|L|+1) - (1 - q&1), scaled x8 to the
-        # device fdct units the czz live in (encode_jit divides by 16q)
-        qq = q.reshape((-1,) + (1,) * (lv.ndim - 1))
-        a = qq * (2 * np.abs(lv) + 1) - (1 - (qq & 1))
-        return 8 * np.sign(lv) * np.where(lv == 0, 0, a)
+        def dequant(lv):
+            # h263 inter dequant q*(2|L|+1) - (1 - q&1), scaled x8 to
+            # the device fdct units (encode_jit divides by 16q)
+            qq = q.reshape((-1,) + (1,) * (lv.ndim - 1))
+            a = qq * (2 * np.abs(lv) + 1) - (1 - (qq & 1))
+            return 8 * np.sign(lv) * np.where(lv == 0, 0, a)
+    elif kind in ("mpeg1", "mpeg2"):
+        # flat default inter matrix (16): divisor = 16q (MPEG-1) / 8q
+        # (MPEG-2 keeps an extra fraction bit; mpegvideo.quantize_mpeg)
+        mpeg2 = kind == "mpeg2"
+        divisor = (8 if mpeg2 else 16) * np.maximum(q, 1)
+        bits0 = _cost_mpeg12(mpeg2)
+        bits1 = None
+        eob_bits = 2                        # table B.14 EOB '10'
+        lvl_max = 2047 if mpeg2 else 255
+        first_special = True                # dct_coeff_first '1s'
 
-    base = np.abs(czz) // (16 * q[:, None])
+        def dequant(lv):
+            qq = q.reshape((-1,) + (1,) * (lv.ndim - 1))
+            mag = ((2 * np.abs(lv) + 1) * qq * 16) >> (5 if mpeg2
+                                                       else 4)
+            if not mpeg2:
+                mag = (mag - 1) | 1         # oddification (ISO 11172-2)
+            return 8 * np.sign(lv) * np.where(lv == 0, 0, mag)
+    else:
+        raise ValueError(f"trellis: unknown quant kind {kind!r}")
+    lam = lam_scale * divisor.astype(np.float64) ** 2
+
+    base = np.abs(czz) // divisor[:, None]
     cand = np.stack([np.zeros_like(base), np.maximum(base - 1, 0),
                      base], axis=2)         # (nblk, 64, 3)
-    cand = np.minimum(cand, 2047)           # ESC3 12-bit signed range
+    cand = np.minimum(cand, lvl_max)
     sign = np.sign(czz)
 
     # distortion of each candidate at each position
@@ -93,7 +134,12 @@ def trellis_inter(czz: np.ndarray, levels: np.ndarray, qscale: np.ndarray,
             lv = cand[:, i, c]
             if not np.any(lv):
                 continue
-            bc = bits0[np.minimum(runs, 63)][:, np.minimum(lv, 64) - 1].T
+            lcap = bits0.shape[1]
+            bc = bits0[np.minimum(runs, 63)][:,
+                                             np.minimum(lv, lcap) - 1].T
+            if first_special and i == 0:
+                # dct_coeff_first: run 0 / |level| 1 codes as '1s'
+                bc = np.where(lv[:, None] == 1, 2, bc)
             # bc: (nblk, i+1) bits for (run, level) — note fancy
             # indexing order: bits0[runs] is (i+1, 64); take level col
             tot = prev + lam[:, None] * bc + dist[:, i, c][:, None]

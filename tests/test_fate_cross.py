@@ -1120,3 +1120,40 @@ class TestResyncDataPartitioning:
                        clean[0].planes[0].astype(int)) > 0).mean()
         # damage is bounded: resync recovered well under the whole frame
         assert diff < 0.9
+
+
+class TestMpeg12Trellis:
+    """MPEG-1/2 -trellis RD quantization (codecs/trellis.py mpeg1/mpeg2
+    kinds: table B.14 run/level costs + EOB + dct_coeff_first, MPEG-1
+    oddified / MPEG-2 half-step dequant distortion): streams stay
+    reference-decodable and spend fewer bits than the baseline."""
+
+    @pytest.mark.parametrize("codec", ["mpeg1video", "mpeg2video"])
+    def test_trellis(self, tmp_path, codec):
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs import find_encoder
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        w, h, n = 96, 64, 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(n):
+            y = ((xx * 2 + yy + t * 5) % 220 + 16).astype(np.uint8)
+            f = Frame(width=w, height=h, format="yuv420p", pts=t)
+            f.planes = [y, np.full((h // 2, w // 2), 110, np.uint8),
+                        np.full((h // 2, w // 2), 140, np.uint8)]
+            frames.append(f)
+        sizes = {}
+        for tr in (0, 1):
+            enc = find_encoder(codec)(CodecParameters(
+                codec_type=MediaType.VIDEO, codec_id=codec,
+                width=w, height=h))
+            enc.set_opt("gop_size", n)
+            enc.set_opt("trellis", tr)
+            pkts = enc.encode_all(frames)
+            sizes[tr] = sum(len(p.data) for p in pkts)
+            path = str(tmp_path / f"tr{tr}.bin")
+            open(path, "wb").write(b"".join(p.data for p in pkts))
+            a = crc_column(ref_framecrc(path))
+            b = crc_column(our_framecrc(path))
+            assert len(a) == n and a == b, f"trellis={tr} not conformant"
+        assert sizes[1] < sizes[0]
