@@ -359,3 +359,20 @@ def encode_residual(pb: PutBits, levels: np.ndarray, nc: int,
         pb.put_bits(RUN_LEN[tab][run], RUN_BITS[tab][run])
         zeros_left -= run
     return total_coeff
+
+
+# field scan for PAFF field macroblocks (spec 8.5.6 Table 8-8;
+# reference h264_slice.c:50 field_scan): raster positions in coding order
+FIELD_SCAN4x4 = np.array([0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14,
+                          3, 7, 11, 15], dtype=np.int32)
+
+# permutation between the two coding orders: ZZ_FROM_FIELD maps a
+# field-scan coefficient sequence to zigzag sequence positions
+# (new_zz[j] = field_seq[ZZ_FROM_FIELD[j]]) and FIELD_FROM_ZZ inverts it
+_fpos = np.empty(16, np.int32)
+_fpos[FIELD_SCAN4x4] = np.arange(16)
+ZZ_FROM_FIELD = _fpos[SCAN4x4].copy()
+_zpos = np.empty(16, np.int32)
+_zpos[SCAN4x4] = np.arange(16)
+FIELD_FROM_ZZ = _zpos[FIELD_SCAN4x4].copy()
+del _fpos, _zpos

@@ -56,7 +56,8 @@ class DPBEntry:
     saved block motion for spatial-direct colocated lookups
     (h264_direct.c)."""
     __slots__ = ("poc", "planes", "colref", "colmv", "colpoc",
-                 "frame_num", "long_term", "lt_idx", "src")
+                 "frame_num", "long_term", "lt_idx", "src",
+                 "field_poc", "field_planes", "field_src")
 
     def __init__(self, poc, planes, colref=None, colmv=None,
                  colpoc=None, frame_num=0):
@@ -69,6 +70,9 @@ class DPBEntry:
         self.lt_idx = -1               # LongTermFrameIdx
         self.src = None                # gap dummy: copy-of entry
         self.frame_num = frame_num
+        self.field_poc = None          # {parity: poc} for PAFF frames
+        self.field_planes = None       # {parity: padded field planes}
+        self.field_src = None          # field view: (frame entry, par)
 
 
 class _GolombReader:
@@ -212,9 +216,12 @@ class H264Decoder(Decoder):
         self._pts_pool = []           # input pts awaiting display order
         self._exec = None             # entropy worker (frame pipeline)
         self._au_fut = None           # in-flight AU entropy future
+        self._incomplete_field = None  # PAFF: (entry, parity, frame_num)
+        self._field_out = None         # PAFF: first field awaiting weave
 
     _cur_col = None
     _cur_lists = ([], [])
+    _cur_field = (0, 0, False)
 
     def _flush(self):
         if getattr(self, "_au_fut", None) is not None:
@@ -227,6 +234,8 @@ class H264Decoder(Decoder):
         self._outq = []
         self._poc_state = (0, 0)
         self._pts_pool = []
+        self._incomplete_field = None
+        self._field_out = None
 
     # ------------------------------------------------------------------ #
 
@@ -270,6 +279,26 @@ class H264Decoder(Decoder):
             fd, slice_info = self._entropy_nals(pkt)
         return fd, slice_info, pkt
 
+    @staticmethod
+    def _weave_fields(top: Frame, bot: Frame) -> Frame:
+        """Complementary field pair -> frame (reference: h264_slice.c
+        field pairing / av_image weave on output)."""
+        out = top.clone_props()
+        out.height = top.height + bot.height
+        out.interlaced_frame = True
+        out.top_field_first = True
+        planes = []
+        for t, b in zip(top.planes, bot.planes):
+            t, b = np.asarray(t), np.asarray(b)
+            w = np.empty((t.shape[0] + b.shape[0], t.shape[1]), t.dtype)
+            w[0::2] = t
+            w[1::2] = b
+            planes.append(w)
+        out.planes = planes
+        out.poc = min(getattr(top, "poc", 0), getattr(bot, "poc", 0))
+        out.key_frame = top.key_frame or bot.key_frame
+        return out
+
     def _finish_au(self, fut) -> List[Frame]:
         fd, slice_info, pkt = fut.result()
         frames = []
@@ -277,6 +306,21 @@ class H264Decoder(Decoder):
             f = self._reconstruct(fd, slice_info)
             f.pts = pkt.pts
             f.time_base = pkt.time_base
+            finfo = getattr(fd, "field_info", (0, 0, False))
+            if finfo[0]:
+                stash = getattr(self, "_field_out", None)
+                if stash is None or stash[1] == finfo[1]:
+                    # first field of a pair: hold for weaving
+                    self._field_out = (f, finfo[1])
+                    return []
+                first, fpar = stash
+                self._field_out = None
+                top, bot = (first, f) if fpar == 0 else (f, first)
+                wf = self._weave_fields(top, bot)
+                wf.pts = first.pts if first.pts is not None and \
+                    first.pts != NOPTS_VALUE else f.pts
+                wf.time_base = f.time_base
+                f = wf
             frames.append(f)
         if not self._reorder:
             return frames
@@ -347,6 +391,13 @@ class H264Decoder(Decoder):
                     break
         if fd is not None and getattr(fd, "pending_slices", None):
             self._run_cabac_slices(fd)
+        if fd is not None and getattr(fd, "field_info", (0,))[0]:
+            # field macroblocks code coefficients in FIELD-scan order
+            # (spec 8.5.6; reference h264_cavlc.c:1113) — reorder to the
+            # zigzag layout the recon program expects
+            from libav_tpu.codecs.h264.cavlc import ZZ_FROM_FIELD
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., ZZ_FROM_FIELD]
         if fd is not None:
             # capture the recon-side context (the worker may already be
             # parsing the NEXT AU's headers when recon runs)
@@ -358,17 +409,41 @@ class H264Decoder(Decoder):
             # per-block picture ids for the deblock bS rule, from the
             # DPB as seen by THIS frame (before its own entry)
             pid_of = {id(e): k for k, e in enumerate(self._dpb)}
-            fd.l0pid = np.array([pid_of.get(id(e), -1)
-                                 for e in (fd.list0 or [])] or [-1],
-                                np.int8)
-            fd.l1pid = np.array([pid_of.get(id(e), -1)
-                                 for e in (fd.list1 or [])] or [-1],
-                                np.int8)
+
+            def pid(e):
+                if e.field_src is not None:  # field views: unique per
+                    src, par = e.field_src   # (frame, parity)
+                    base = pid_of.get(id(src), -1)
+                    return -1 if base < 0 else 2 * base + par
+                return pid_of.get(id(e), -1)
+            fd.l0pid = np.array([pid(e) for e in (fd.list0 or [])]
+                                or [-1], np.int8)
+            fd.l1pid = np.array([pid(e) for e in (fd.list1 or [])]
+                                or [-1], np.int8)
             fd.dpb_entry = None
-            if ridc_:
+            fd.dpb_parity = None
+            finfo = getattr(fd, "field_info", (0, 0, False))
+            if ridc_ and finfo[0] and finfo[2]:
+                # second field completes the pending frame entry
+                # (8.2.5.1: one DPB frame per complementary pair)
+                ent = self._incomplete_field[0]
+                ent.field_poc[finfo[1]] = poc_ if poc_ is not None else 0
+                ent.poc = min(ent.field_poc.values())
+                self._incomplete_field = None
+                self._prev_frame_num = ent.frame_num
+                fd.dpb_entry = ent
+                fd.dpb_parity = finfo[1]
+            elif ridc_:
                 ent = DPBEntry(poc_ if poc_ is not None else 0, None,
                                *self._col_motion(fd),
                                frame_num=getattr(self, "_frame_num", 0))
+                if finfo[0]:
+                    ent.field_poc = {finfo[1]: ent.poc}
+                    ent.field_planes = {}
+                    ent.colref = ent.colmv = ent.colpoc = None
+                    self._incomplete_field = (ent, finfo[1],
+                                              ent.frame_num)
+                    fd.dpb_parity = finfo[1]
                 pend = getattr(self, "_pending_mmco", None)
                 adaptive = pend is not None
                 if pend:
@@ -473,6 +548,25 @@ class H264Decoder(Decoder):
 
         frame_num = gb.get_bits(sps.log2_max_frame_num)
         self._frame_num = frame_num
+        # PAFF field pictures (spec 7.3.3 field_pic_flag; reference
+        # h264_slice.c picture_structure): each field decodes as a
+        # half-height picture; references are fields of DPB frames
+        field_pic = bottom = 0
+        if not sps.frame_mbs_only:
+            field_pic = gb.get_bits(1)
+            if field_pic:
+                bottom = gb.get_bits(1)
+        if field_pic:
+            if any(sps.crop):
+                raise AVError(INVALIDDATA,
+                              "field pictures with cropping unsupported")
+            import dataclasses
+            sps = dataclasses.replace(sps, mb_height=sps.mb_height // 2)
+            self.active_sps = sps
+        pend_f = getattr(self, "_incomplete_field", None)
+        is_second = bool(field_pic and pend_f is not None and
+                         pend_f[2] == frame_num and pend_f[1] != bottom)
+        self._cur_field = (field_pic, bottom, is_second)
         if not idr:
             # gaps_in_frame_num (spec 8.2.5.2; reference
             # h264_slice.c:1404): insert "non-existing" short-term
@@ -525,7 +619,7 @@ class H264Decoder(Decoder):
             else:
                 msb = prev_msb
             poc = msb + poc_lsb
-            if pps.pic_order_present:
+            if pps.pic_order_present and not field_pic:
                 dbot = gb.get_se_golomb()  # delta_pic_order_cnt_bottom
                 if dbot < 0:
                     poc += dbot            # PicOrderCnt = Min(tf, bf)
@@ -572,7 +666,34 @@ class H264Decoder(Decoder):
         shorts = [e for e in self._dpb if not e.long_term]
         longs = sorted((e for e in self._dpb if e.long_term),
                        key=lambda e: e.lt_idx)
-        if slice_type == SLICE_B:
+        if field_pic:
+            if slice_type == SLICE_B:
+                raise AVError(INVALIDDATA,
+                              "B field pictures not supported yet")
+            # P field list0 (8.2.4.2.5): frames in decode order, their
+            # fields interleaved starting with the current parity; the
+            # same frame's first field participates when decoding the
+            # second (it sits at _dpb[0] already)
+            same, opp = [], []
+            for e in shorts:
+                fpocs = getattr(e, "field_poc", None)
+                if fpocs is None:
+                    continue
+                for par, tgt in ((bottom, same), (1 - bottom, opp)):
+                    if par in fpocs:
+                        fv = DPBEntry(fpocs[par], None,
+                                      frame_num=e.frame_num)
+                        fv.field_src = (e, par)
+                        tgt.append(fv)
+            list0 = []
+            for i in range(max(len(same), len(opp))):
+                if i < len(same):
+                    list0.append(same[i])
+                if i < len(opp):
+                    list0.append(opp[i])
+            list1 = []
+            self._cur_col = None
+        elif slice_type == SLICE_B:
             past = sorted((e for e in shorts if e.poc <= pc),
                           key=lambda e: -e.poc)
             futr = sorted((e for e in shorts if e.poc > pc),
@@ -603,8 +724,11 @@ class H264Decoder(Decoder):
                     num_ref_l1 = gb.get_ue_golomb() + 1
             # ref_pic_list_modification (spec 7.3.3.1 / 8.2.4.3;
             # reference h264_refs.c ff_h264_decode_ref_pic_list_reordering)
-            list0 = self._modify_ref_list(gb, list0, frame_num, sps) \
-                if gb.get_bits(1) else list0
+            if gb.get_bits(1):
+                if field_pic:
+                    raise AVError(INVALIDDATA, "ref list modification "
+                                  "on field pictures unsupported")
+                list0 = self._modify_ref_list(gb, list0, frame_num, sps)
             if slice_type == SLICE_B:
                 list1 = self._modify_ref_list(gb, list1, frame_num, sps) \
                     if gb.get_bits(1) else list1
@@ -629,8 +753,13 @@ class H264Decoder(Decoder):
             if gb.get_bits(1):                   # long_term_reference_flag
                 self._mark_lt = 0                # 8.2.5.1: idx 0
             self._dpb = []
+            if not is_second:
+                self._incomplete_field = None
         elif ref_idc:
             self._pending_mmco = None
+            if field_pic and gb.show_bits(1):
+                raise AVError(INVALIDDATA,
+                              "MMCO on field pictures unsupported")
             if gb.get_bits(1):                   # adaptive marking (MMCO)
                 # parsed per slice, EXECUTED once at picture end
                 # (reference h264_refs.c: marking after the frame) —
@@ -653,13 +782,16 @@ class H264Decoder(Decoder):
         # deblock program (spec indexA/indexB; h264_loopfilter.c)
         self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
 
+        if field_pic and pps.entropy_coding_mode:
+            raise AVError(INVALIDDATA,
+                          "CABAC field pictures not supported yet")
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
         use_native = N.available() and not bool(
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
             not pps.entropy_coding_mode and \
             not getattr(self, "_force_python", False) and \
-            slice_type != SLICE_B
+            slice_type != SLICE_B and not field_pic
         if fd is None:
             # pooled FrameData blocks ping-pong between two buffers so
             # the recon of frame N (main thread) never shares storage
@@ -699,6 +831,7 @@ class H264Decoder(Decoder):
                                     dtype=np.int32)
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
         fd.list0, fd.list1 = self._cur_lists
+        fd.field_info = self._cur_field
         fd.tdirect = None
         if slice_type == SLICE_B and \
                 not getattr(self, "_direct_spatial", True) and \
@@ -1609,6 +1742,11 @@ class H264Decoder(Decoder):
         refs1 = None
 
         def planes_of(e):
+            # field views resolve to the frame entry's per-parity planes
+            # (filled by the first field's recon, which always precedes)
+            if e.planes is None and e.field_src is not None:
+                src, par = e.field_src
+                e.planes = (src.field_planes or {}).get(par)
             # gap dummies (8.2.5.2) share the pixels of the reference
             # they were concealed from, which may have been filled in
             # after the dummy was created (worker/main pipeline)
@@ -1701,7 +1839,9 @@ class H264Decoder(Decoder):
                                        ("e", weights[0], weights[1])
                                        if weights is not None else None),
                                    wmat=wmat, cqpo=cqpo, any_t8=any_t8,
-                                   any_i8=any_i8, any_ipcm=any_ipcm)
+                                   any_i8=any_i8, any_ipcm=any_ipcm,
+                                   field=bool(getattr(fd, "field_info",
+                                                      (0,))[0]))
         kw = {}
         if any_ipcm:
             kw["ipcm"] = ipcm.astype(bool)
@@ -1777,7 +1917,10 @@ class H264Decoder(Decoder):
                             yvals, ypad, cvals, cpad,
                             fd.chroma_dc.astype(np.int16), *refs, **kw)
         if getattr(fd, "dpb_entry", None) is not None:
-            fd.dpb_entry.planes = padded
+            if getattr(fd, "dpb_parity", None) is not None:
+                fd.dpb_entry.field_planes[fd.dpb_parity] = padded
+            else:
+                fd.dpb_entry.planes = padded
         f = Frame(width=sps.width, height=sps.height, format="yuv420p")
         f.planes = list(planes)     # cropped inside the device program
         f.pict_type = (PictureType.I if slice_type == SLICE_I else

@@ -601,7 +601,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           bpred: bool = False, part: bool = False,
                           nrefs1: int = 1, weighted=None, wmat=None,
                           cqpo=(0, 0), any_t8: bool = False,
-                          any_i8: bool = False, any_ipcm: bool = False):
+                          any_i8: bool = False, any_ipcm: bool = False,
+                          field: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -644,7 +645,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
             from libav_tpu.ops.mc import EDGE
             db = deblock_frame_exact_jit(mb_w, mb_h, db_offsets[0],
                                          db_offsets[1], part=part,
-                                         cqpo=cqpo, any_t8=any_t8)
+                                         cqpo=cqpo, any_t8=any_t8,
+                                         field=field)
             dbkw = {"t8": t8} if any_t8 else {}
             if part:
                 yp, up, vp = db(
@@ -681,7 +683,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 @functools.lru_cache(maxsize=16)
 def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                            any_i4: bool = False, any_t8: bool = False,
-                           any_i8: bool = False, any_ipcm: bool = False):
+                           any_i8: bool = False, any_ipcm: bool = False,
+                           field: bool = False):
     """Dense-input recon + in-loop deblocking (the encoder's closed-loop
     reference path when deblocking is enabled; the decoder uses the
     sparse variant with deblock=True)."""
@@ -704,7 +707,8 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
         from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
         kw = {"t8": t8} if any_t8 else {}
         yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h,
-                                             any_t8=any_t8)(
+                                             any_t8=any_t8,
+                                             field=field)(
             planes[0].astype(jnp.int32), planes[1].astype(jnp.int32),
             planes[2].astype(jnp.int32), intra, qp, nnz, mv, **kw)
         yp = yp.astype(jnp.uint8)

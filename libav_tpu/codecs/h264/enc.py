@@ -1126,6 +1126,9 @@ class H264Encoder(Encoder):
                "with gaps_in_frame_num_value_allowed set — decoders "
                "must insert non-existing frames (8.2.5.2)", "int",
                0, 0, 8),
+        Option("fieldpic", "PAFF interlaced coding: each frame as two "
+               "field pictures (field_pic_flag=1, top then bottom), "
+               "per-parity prediction chains", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1136,8 +1139,24 @@ class H264Encoder(Encoder):
             self.qp = min(51, 12 + self.qscale)
         self.mb_w = (self.width + 15) >> 4
         self.mb_h = (self.height + 15) >> 4
+        if self.fieldpic:
+            # PAFF: the whole MB pipeline runs on HALF-height fields;
+            # the SPS carries the frame geometry (frame_mbs_only=0)
+            if self.width % 16 or self.height % 32:
+                raise AVError(EINVAL, "h264: fieldpic needs width%16==0 "
+                                      "and height%32==0")
+            if self.b_frames or self.mmco or self.fgap or \
+                    self.refs > 1 or self.parts != "off" or \
+                    self.weightp or self.slices > 1 or \
+                    self.entropy == "cabac" or self.i8x8 or self.dct8x8:
+                raise AVError(EINVAL, "h264: fieldpic combines only "
+                              "with CAVLC i4x4/deblock here")
+            self._field_refs = [None, None]
+            self._cur_parity = 0
         crop_r = (self.mb_w * 16 - self.width) // 2
         crop_b = (self.mb_h * 16 - self.height) // 2
+        if self.fieldpic:
+            self.mb_h //= 2    # the MB pipeline codes one field
         if (self.mb_w * 16 - self.width) % 2 or \
                 (self.mb_h * 16 - self.height) % 2:
             # crop units are 2 luma pixels in 4:2:0; require even sizes
@@ -1145,7 +1164,10 @@ class H264Encoder(Encoder):
         if self.entropy not in ("cavlc", "cabac"):
             raise AVError(EINVAL, f"h264: unknown entropy {self.entropy}")
         self.cabac = self.entropy == "cabac"
-        self.sps = sets.SPS(mb_width=self.mb_w, mb_height=self.mb_h,
+        self.sps = sets.SPS(mb_width=self.mb_w,
+                            mb_height=(2 * self.mb_h if self.fieldpic
+                                       else self.mb_h),
+                            frame_mbs_only=0 if self.fieldpic else 1,
                             crop=(0, crop_r, 0, crop_b))
         if self.cabac:
             self.sps.profile_idc = 77          # main (CABAC needs >= main)
@@ -1197,6 +1219,11 @@ class H264Encoder(Encoder):
         self._dpb = []          # padded recon refs, newest first
         self._idr_id = 0
         self.sps.max_num_ref_frames = self.refs
+        if self.fieldpic:
+            # both fields of the previous frame must survive the sliding
+            # window while the current frame's fields decode, or the
+            # bottom field is left with only cross-parity references
+            self.sps.max_num_ref_frames = 2
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
@@ -1246,6 +1273,10 @@ class H264Encoder(Encoder):
         disp = self._frame_idx
         self._frame_idx += 1
         self._pts_seq.append(frame.pts if frame.pts is not None else disp)
+        if self.fieldpic:
+            is_i = (disp % self.gop_size) == 0 or \
+                self._field_refs[0] is None
+            return self._code_fields(frame, disp, is_i)
         is_i = (disp % self.gop_size) == 0 or self._refs is None
         if not is_i and self.b_frames and \
                 len(self._pending) < self.b_frames and \
@@ -1269,6 +1300,60 @@ class H264Encoder(Encoder):
         l1 = self._refs
         for bf, bd in rest:
             pkts.append(self._code_b(bf, bd, self._b_l0, l1))
+        return pkts
+
+    def _code_fields(self, frame: Frame, disp: int,
+                     is_i: bool) -> List[Packet]:
+        """PAFF: the frame codes as two field pictures (top first),
+        each predicting from the previous same-parity field (default
+        P-field list0[0], spec 8.2.4.2.5). frame_num advances once per
+        frame; POC = 2*n (top) / 2*n+1 (bottom)."""
+        from libav_tpu.avutil.frame import Frame as AVFrame
+        pkts = []
+        planes = [np.asarray(p) for p in frame.planes]
+        pts = frame.pts if frame.pts is not None else disp
+        if is_i:
+            self._idr_disp = disp
+        for par in (0, 1):
+            ff = AVFrame(width=frame.width, height=frame.height // 2,
+                         format="yuv420p")
+            ff.planes = [p[par::2] for p in planes]
+            y, u, v = self._padded_input(ff)
+            self._cur_parity = par
+            self._poc = 2 * (disp - self._idr_disp) + par
+            self._refs = self._field_refs[par]
+            self._dpb = [self._refs] if self._refs is not None else []
+            adv = par == 1           # frame_num advances per FRAME
+            if is_i:
+                if self.i8x8:
+                    fn, _ = _encode_i8_jit(self.mb_w, self.mb_h, self.qp)
+                    outs, recon = fn(y, u, v)
+                    data = self._pack_i8(outs, recon, idr=par == 0,
+                                         advance=adv)
+                elif self.i4x4:
+                    fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
+                    outs, recon = fn(y, u, v)
+                    data = self._pack_i4(outs, recon, idr=par == 0,
+                                         advance=adv)
+                else:
+                    fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+                    outs, recon = fn(y, u, v)
+                    data = self._pack_i(outs, recon, idr=par == 0,
+                                        advance=adv)
+            else:
+                fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp,
+                                   nrefs=1)
+                mv, luma_lv, udc, uac, vdc, vac, ridx = fn(
+                    y, u, v, *self._refs)
+                data = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
+                                    np.asarray(udc), np.asarray(uac),
+                                    np.asarray(vdc), np.asarray(vac),
+                                    np.asarray(ridx), 1, advance=adv)
+            self._field_refs[par] = self._refs   # closed-loop recon
+            pkts.append(Packet(
+                data=data, pts=pts, dts=self._next_dts(pts), duration=1,
+                flags=PKT_FLAG_KEY if is_i and par == 0 else 0,
+                time_base=frame.time_base))
         return pkts
 
     def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
@@ -1504,6 +1589,7 @@ class H264Encoder(Encoder):
         if self.deblock:
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
                                         bool(np.any(fd.intra)), any_i4,
+                                        field=bool(self.fieldpic),
                                         **t8kw)
             nnz = np.zeros((4 * self.mb_h, 4 * self.mb_w), np.int8)
             bx = _BLK_XY_DEV[:, 0]
@@ -1550,6 +1636,9 @@ class H264Encoder(Encoder):
         pb.put_ue_golomb(0)                      # pps_id
         pb.put_bits(self.sps.log2_max_frame_num,
                     self._fn % (1 << self.sps.log2_max_frame_num))
+        if self.fieldpic:
+            pb.put_bits(1, 1)                    # field_pic_flag
+            pb.put_bits(1, self._cur_parity)     # bottom_field_flag
         if idr:
             pb.put_ue_golomb(self._idr_id & 0xFFFF)
         if self.sps.poc_type == 0:
@@ -1628,7 +1717,7 @@ class H264Encoder(Encoder):
             pb.put_ue_golomb(1)                  # disable deblocking
 
     def _emit_slices(self, fd, slice_type, idr, nrefs, nal_type,
-                     ref_idc=None):
+                     ref_idc=None, advance=True):
         """Emit the frame as self.slices NALs (CABAC slice threading;
         one slice otherwise)."""
         n = self.slices if self.cabac else 1
@@ -1641,7 +1730,8 @@ class H264Encoder(Encoder):
         for k in range(n):
             pb = PutBits()
             self._slice_header(pb, slice_type, idr, nrefs=nrefs,
-                               first_mb=bounds[k], advance=k == n - 1)
+                               first_mb=bounds[k],
+                               advance=(k == n - 1) and advance)
             if self.cabac:
                 self._pack_mbs_cabac(pb, fd, slice_type, nrefs,
                                      first_mb=bounds[k],
@@ -1667,7 +1757,7 @@ class H264Encoder(Encoder):
         pb.align(0)
         return nal_mod.make_nal(nal_type, pb.flush())
 
-    def _pack_i(self, outs, recon) -> bytes:
+    def _pack_i(self, outs, recon, idr=True, advance=True) -> bytes:
         nmb = self.mb_w * self.mb_h
         _, (wave_idx, wave_mask) = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
         ydc_w, yac_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o) for o in outs]
@@ -1727,16 +1817,33 @@ class H264Encoder(Encoder):
             fd.chroma_ac[pmask] = 0
             fd.qp[pmask] = 0             # deblock quantiser (spec 8.7)
 
+        if self.fieldpic:
+            # field MBs code coefficients in field-scan order (8.5.6)
+            from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., FIELD_FROM_ZZ]
         out = bytearray()
-        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
-        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
-        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
-        self._idr_id += 1
-        self._dpb = []          # IDR clears the DPB (decoder does the same)
+        if idr:
+            out += nal_mod.make_nal(nal_mod.NAL_SPS,
+                                    sets.write_sps(self.sps))
+            out += nal_mod.make_nal(nal_mod.NAL_PPS,
+                                    sets.write_pps(self.pps))
+            out += self._emit_slices(fd, SLICE_I, True, 1,
+                                     nal_mod.NAL_IDR, advance=advance)
+            self._idr_id += 1
+            self._dpb = []      # IDR clears the DPB (decoder does too)
+        else:
+            # PAFF second field of an IDR frame: plain I slice
+            out += self._emit_slices(fd, SLICE_I, False, 1,
+                                     nal_mod.NAL_SLICE, advance=advance)
+        if self.fieldpic:
+            from libav_tpu.codecs.h264.cavlc import ZZ_FROM_FIELD
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., ZZ_FROM_FIELD]
         self._update_ref_from_levels(fd)
         return bytes(out)
 
-    def _pack_i4(self, outs, recon) -> bytes:
+    def _pack_i4(self, outs, recon, idr=True, advance=True) -> bytes:
         nmb = self.mb_w * self.mb_h
         _, (wave_idx, wave_mask) = _encode_i4_jit(self.mb_w, self.mb_h,
                                                   self.qp)
@@ -1770,16 +1877,33 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
+        if self.fieldpic:
+            # field MBs code coefficients in field-scan order (8.5.6)
+            from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., FIELD_FROM_ZZ]
         out = bytearray()
-        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
-        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
-        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
-        self._idr_id += 1
-        self._dpb = []
+        if idr:
+            out += nal_mod.make_nal(nal_mod.NAL_SPS,
+                                    sets.write_sps(self.sps))
+            out += nal_mod.make_nal(nal_mod.NAL_PPS,
+                                    sets.write_pps(self.pps))
+            out += self._emit_slices(fd, SLICE_I, True, 1,
+                                     nal_mod.NAL_IDR, advance=advance)
+            self._idr_id += 1
+            self._dpb = []      
+        else:
+            # PAFF second field of an IDR frame: plain I slice
+            out += self._emit_slices(fd, SLICE_I, False, 1,
+                                     nal_mod.NAL_SLICE, advance=advance)
+        if self.fieldpic:
+            from libav_tpu.codecs.h264.cavlc import ZZ_FROM_FIELD
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., ZZ_FROM_FIELD]
         self._update_ref_from_levels(fd)
         return bytes(out)
 
-    def _pack_i8(self, outs, recon) -> bytes:
+    def _pack_i8(self, outs, recon, idr=True, advance=True) -> bytes:
         """I_8x8 frame packing: modes per quadrant replicated over the
         quadrant's 4 Z-order 4x4 slots, levels as raster rows (the t8
         transport layout)."""
@@ -1817,17 +1941,35 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
+        if self.fieldpic:
+            # field MBs code coefficients in field-scan order (8.5.6)
+            from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., FIELD_FROM_ZZ]
         out = bytearray()
-        out += nal_mod.make_nal(nal_mod.NAL_SPS, sets.write_sps(self.sps))
-        out += nal_mod.make_nal(nal_mod.NAL_PPS, sets.write_pps(self.pps))
-        out += self._emit_slices(fd, SLICE_I, True, 1, nal_mod.NAL_IDR)
-        self._idr_id += 1
-        self._dpb = []
+        if idr:
+            out += nal_mod.make_nal(nal_mod.NAL_SPS,
+                                    sets.write_sps(self.sps))
+            out += nal_mod.make_nal(nal_mod.NAL_PPS,
+                                    sets.write_pps(self.pps))
+            out += self._emit_slices(fd, SLICE_I, True, 1,
+                                     nal_mod.NAL_IDR, advance=advance)
+            self._idr_id += 1
+            self._dpb = []      
+        else:
+            # PAFF second field of an IDR frame: plain I slice
+            out += self._emit_slices(fd, SLICE_I, False, 1,
+                                     nal_mod.NAL_SLICE, advance=advance)
+        if self.fieldpic:
+            from libav_tpu.codecs.h264.cavlc import ZZ_FROM_FIELD
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., ZZ_FROM_FIELD]
         self._update_ref_from_levels(fd)
         return bytes(out)
 
     def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac,
-                ridx=None, nrefs: int = 1, lv8=None) -> bytes:
+                ridx=None, nrefs: int = 1, lv8=None,
+                advance=True) -> bytes:
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
         fd = FrameData(nmb, self.mb_w, self.mb_h)
@@ -1853,8 +1995,17 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
+        if self.fieldpic:
+            # field MBs code coefficients in field-scan order (8.5.6)
+            from libav_tpu.codecs.h264.cavlc import (FIELD_FROM_ZZ,
+                                                     ZZ_FROM_FIELD)
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., FIELD_FROM_ZZ]
         data = self._emit_slices(fd, SLICE_P, False, nrefs,
-                                 nal_mod.NAL_SLICE)
+                                 nal_mod.NAL_SLICE, advance=advance)
+        if self.fieldpic:
+            for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
+                arr[:] = arr[..., ZZ_FROM_FIELD]
         self._update_ref_from_levels(fd)
         return data
 

@@ -190,7 +190,11 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.mb_height = gb.get_ue_golomb() + 1
     s.frame_mbs_only = gb.get_bits(1)
     if not s.frame_mbs_only:
-        raise AVError(INVALIDDATA, "interlaced (MBAFF/field) not supported yet")
+        # pic_height_in_map_units counts MB PAIRS: frame height doubles
+        # (spec 7.4.2.1.1; reference h264_ps.c FrameHeightInMbs)
+        s.mb_height *= 2
+        if gb.get_bits(1):     # mb_adaptive_frame_field_flag
+            raise AVError(INVALIDDATA, "MBAFF not supported yet")
     s.direct_8x8_inference = gb.get_bits(1)
     if gb.get_bits(1):   # frame_cropping
         s.crop = (gb.get_ue_golomb(), gb.get_ue_golomb(),
@@ -248,8 +252,10 @@ def write_sps(s: SPS) -> bytes:
     pb.put_ue_golomb(s.max_num_ref_frames)
     pb.put_bits(1, s.gaps_allowed)
     pb.put_ue_golomb(s.mb_width - 1)
-    pb.put_ue_golomb(s.mb_height - 1)
+    pb.put_ue_golomb((s.mb_height // (1 if s.frame_mbs_only else 2)) - 1)
     pb.put_bits(1, s.frame_mbs_only)
+    if not s.frame_mbs_only:
+        pb.put_bits(1, 0)      # mb_adaptive_frame_field_flag
     pb.put_bits(1, s.direct_8x8_inference)
     has_crop = any(s.crop)
     pb.put_bits(1, 1 if has_crop else 0)

@@ -231,7 +231,8 @@ import functools as _functools
 @_functools.lru_cache(maxsize=32)
 def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
                             b_off: int = 0, part: bool = False,
-                            cqpo=(0, 0), any_t8: bool = False):
+                            cqpo=(0, 0), any_t8: bool = False,
+                            field: bool = False):
     """Returns fn(yp, up, vp, intra_mb, qp_mb, nnz4, mv_mb) -> planes.
 
     cqpo: (cb, cr) chroma_qp_index_offsets applied before the chroma QP
@@ -306,13 +307,21 @@ def deblock_frame_exact_jit(mb_w: int, mb_h: int, a_off: int = 0,
             mbedge = (idx % 4) == 0
             either_intra = intra4 | ip
             coded = (nnz4 > 0) | (np_ > 0)
-            small = lambda a, b: (jnp.abs(a - b) < 4).all(-1)
+            # field pictures compare vertical MVs in field units:
+            # threshold 2 quarter-pel (reference ff_h264_filter_mb_fast
+            # mvy_limit = 4 >> FIELD_PICTURE)
+            ylim = 2 if field else 4
+            lim = jnp.array([4, ylim])
+            small = lambda a, b: (jnp.abs(a - b) < lim).all(-1)
             straight = (p0 == p0r) & (p1 == p1r) & \
                 small(m0, m0r) & small(m1, m1r)
             cross = (p0 == p1r) & (p1 == p0r) & \
                 small(m0, m1r) & small(m1, m0r)
+            # field pictures never strong-filter horizontal MB edges
+            # (spec 8.7.2.1; reference h264_loopfilter.c:275 bSH=bS3)
+            strong = 3 if (field and shift_axis == 0) else 4
             bs = jnp.where(either_intra,
-                           jnp.where(mbedge, 4, 3),
+                           jnp.where(mbedge, strong, 3),
                            jnp.where(coded, 2,
                                      jnp.where(straight | cross, 0, 1)))
             return jnp.where(idx == 0, 0, bs)
