@@ -303,7 +303,9 @@ class H264Decoder(Decoder):
         fd, slice_info, pkt = fut.result()
         frames = []
         if fd is not None:
-            f = self._reconstruct(fd, slice_info)
+            from libav_tpu.avutil.timer import timer as _t
+            with _t("h264.recon"):
+                f = self._reconstruct(fd, slice_info)
             f.pts = pkt.pts
             f.time_base = pkt.time_base
             finfo = getattr(fd, "field_info", (0, 0, False))
@@ -360,6 +362,11 @@ class H264Decoder(Decoder):
         return out
 
     def _entropy_nals(self, pkt: Packet):
+        from libav_tpu.avutil.timer import timer as _t
+        with _t("h264.entropy"):
+            return self._entropy_nals_timed(pkt)
+
+    def _entropy_nals_timed(self, pkt: Packet):
         nals = nal_mod.split_annexb(pkt.data)
         fd = None
         slice_info = None

@@ -131,6 +131,8 @@ class MPEG1Encoder(Encoder):
         Option("trellis", "rate-distortion optimal quantization of "
                "inter blocks (codecs/trellis.py, table B.14 costs)",
                "int", 0, 0, 1),
+        Option("mbcmp", "macroblock decision metric: sad or satd "
+               "(Hadamard einsum, ops/mecmp.py)", "string", "sad"),
         Option("trellis_lambda", "trellis RD lambda scale x100", "int",
                25, 1, 400),
     ]
@@ -235,7 +237,7 @@ class MPEG1Encoder(Encoder):
 
         want_tr = bool(self.trellis and not is_i)
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND,
-                         want_coeffs=want_tr)
+                         want_coeffs=want_tr, mbcmp=self.mbcmp)
         if is_i:
             zero = zero_pad_refs(self.mb_w, self.mb_h)
             outs = enc(y, u, v, qscale, self.intra_q_zz,

@@ -185,6 +185,8 @@ class MPEG4Encoder(Encoder):
                "inter blocks (codecs/trellis.py)", "int", 0, 0, 1),
         Option("trellis_lambda", "trellis RD lambda scale x100", "int",
                25, 1, 400),
+        Option("mbcmp", "macroblock decision metric: sad or satd "
+               "(Hadamard einsum, ops/mecmp.py)", "string", "sad"),
         Option("ps", "video packet size in bytes: resync markers + "
                "slice-aware prediction resets (0 = off)", "int",
                0, 0, 1 << 20),
@@ -266,7 +268,7 @@ class MPEG4Encoder(Encoder):
         kind = "mpeg4mq" if self.mpegq else "h263"
         want_tr = bool(self.trellis and not is_i and not self.mpegq)
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind,
-                         want_coeffs=want_tr)
+                         want_coeffs=want_tr, mbcmp=self.mbcmp)
         refs = self._refs if not is_i else zero_pad_refs(self.mb_w, self.mb_h)
         outs = enc(y, u, v, qscale, self._qi, self._qp, *refs)
         if want_tr:

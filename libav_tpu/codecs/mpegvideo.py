@@ -757,7 +757,8 @@ def encode_b_h263_jit(mb_w: int, mb_h: int, quant_kind: str = "h263",
 
 @functools.lru_cache(maxsize=32)
 def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
-               search_range: int = 15, want_coeffs: bool = False):
+               search_range: int = 15, want_coeffs: bool = False,
+               mbcmp: str = "sad"):
     """Device encode program: pixels (+ref) -> quantized levels (zigzag
     order), MVs (half-pel), intra decisions (reference: the device half of
     mpegvideo_enc.c encode_picture :3393 — ME, prediction, FDCT, quant).
@@ -820,8 +821,27 @@ def encode_jit(mb_w: int, mb_h: int, inter: bool, quant_kind: str = "mpeg1",
             mv, sad = _hpel_refine_jit(mb_w, mb_h, bounded)(cur_mbs, r0y,
                                                             fmv)
             mb_mean = cur_mbs.mean(axis=(1, 2), keepdims=True)
-            intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
-            use_intra = intra_cost.astype(jnp.int32) + 256 < sad
+            if mbcmp == "satd":
+                # Hadamard-domain decision (reference: -mbcmp satd,
+                # me_cmp.c hadamard8_diff via ops/mecmp einsum kernels)
+                from libav_tpu.ops.mecmp import hadamard_matrix
+                h8 = jnp.asarray(hadamard_matrix(8))
+
+                def satd16(a, b):
+                    d = (a - b).astype(jnp.int32)
+                    q = (d.reshape(-1, 2, 8, 2, 8)
+                         .transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8))
+                    t = jnp.einsum("ij,njk,lk->nil", h8, q, h8)
+                    return (jnp.abs(t).sum(axis=(1, 2))
+                            .reshape(-1, 4).sum(axis=1))
+                pred16 = mc_hpel(r0y, mbx, mby, mv[:, 0],
+                                 mv[:, 1], 16)
+                intra_cost = satd16(cur_mbs, mb_mean)
+                inter_cost = satd16(cur_mbs, pred16)
+                use_intra = intra_cost + 256 < inter_cost
+            else:
+                intra_cost = jnp.abs(cur_mbs - mb_mean).sum(axis=(1, 2))
+                use_intra = intra_cost.astype(jnp.int32) + 256 < sad
             pred_y = mc_hpel(r0y, mbx, mby, mv[:, 0], mv[:, 1], 16)
             cmv = chroma_mv_div2(mv)
             pred_u = mc_hpel(r0u, mbx // 2, mby // 2, cmv[:, 0], cmv[:, 1], 8)

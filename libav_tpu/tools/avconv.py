@@ -91,6 +91,7 @@ class Options:
     no_audio: bool = False
     overwrite: bool = False
     benchmark: bool = False
+    profile_dir: str = ""        # -prof DIR: jax xplane trace + timers
     threads: int = 1
     filter_complex: Optional[str] = None
     extra: Dict[str, str] = field(default_factory=dict)
@@ -173,6 +174,8 @@ def parse_args(argv: List[str]) -> Options:
             o.overwrite = False
         elif a == "-benchmark":
             o.benchmark = True
+        elif a == "-prof":
+            o.profile_dir = take()
         elif a == "-threads":
             o.threads = int(take())
         elif a in ("-video_size",):
@@ -832,7 +835,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write(__doc__ + "\n")
         return 0
     try:
-        return transcode(parse_args(argv))
+        o = parse_args(argv)
+        if o.profile_dir:
+            # structured device tracing (SURVEY.md §5): one xplane
+            # trace for the whole run + the host timer histogram
+            from libav_tpu.avutil import timer as _timer
+            _timer.reset()
+            with _timer.device_trace(o.profile_dir):
+                rc = transcode(o)
+            rep = _timer.report()
+            if rep:
+                sys.stderr.write(rep + "\n")
+            sys.stderr.write(f"profile: xplane trace in "
+                             f"{o.profile_dir}\n")
+            return rc
+        return transcode(o)
     except AVError as e:
         sys.stderr.write(f"avconv: {e}\n")
         return 1

@@ -602,3 +602,43 @@ class TestFilterDag:
         mid = out.planes[0][40:56, 24:104].astype(int)
         steps = np.abs(np.diff(mid, axis=1)).max()
         assert steps < 8
+
+
+class TestMeCmp:
+    """me_cmp metrics (ops/mecmp.py, reference me_cmp.c): the einsum
+    Hadamard SATD matches a literal transcription of the reference
+    butterfly network; sad/sse match numpy; -mbcmp satd streams stay
+    reference-decodable (cross-checked in encoder tests)."""
+
+    def test_satd_vs_butterflies(self):
+        import numpy as np
+        from libav_tpu.ops import mecmp
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 256, (16, 8, 8)).astype(np.uint8)
+        b = rng.integers(0, 256, (16, 8, 8)).astype(np.uint8)
+        got = list(np.asarray(mecmp.satd8(a, b)))
+        exp = [mecmp.hadamard8_diff_ref(a[i], b[i]) for i in range(16)]
+        assert got == exp
+
+    def test_satd16_quadrants(self):
+        import numpy as np
+        from libav_tpu.ops import mecmp
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 256, (4, 16, 16)).astype(np.uint8)
+        b = rng.integers(0, 256, (4, 16, 16)).astype(np.uint8)
+        got = list(np.asarray(mecmp.satd16(a, b)))
+        exp = [sum(mecmp.hadamard8_diff_ref(a[i][y:y + 8, x:x + 8],
+                                            b[i][y:y + 8, x:x + 8])
+                   for y in (0, 8) for x in (0, 8)) for i in range(4)]
+        assert got == exp
+
+    def test_sad_sse(self):
+        import numpy as np
+        from libav_tpu.ops import mecmp
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, (2, 16, 16)).astype(np.uint8)
+        b = rng.integers(0, 256, (2, 16, 16)).astype(np.uint8)
+        assert int(mecmp.sad(a, b)[0]) == \
+            int(np.abs(a[0].astype(int) - b[0]).sum())
+        assert int(mecmp.sse(a, b)[1]) == \
+            int(((a[1].astype(int) - b[1]) ** 2).sum())
