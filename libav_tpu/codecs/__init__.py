@@ -12,4 +12,5 @@ from libav_tpu.codecs.api import (CodecContext, Decoder, Encoder,
 
 # import for registration side effects
 from libav_tpu.codecs import (mjpeg, mpeg12, mpeg4, h264, ac3,  # noqa: F401
-                              aac, mpegaudio, rawvideo)  # noqa: F401
+                              aac, mpegaudio, rawvideo,  # noqa: F401
+                              flac)  # noqa: F401

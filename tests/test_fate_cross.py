@@ -1203,3 +1203,50 @@ class TestH264Paff:
         b = crc_column(our_framecrc(path))
         assert len(a) == n               # fields weave to frames
         assert a == b
+
+
+class TestFlac:
+    """FLAC (codecs/flac): lossless, so cross-validation is exact —
+    our decode of a reference-encoded file equals the source PCM
+    bit-for-bit, and the reference's decode of our fixed-predictor
+    streams equals its decode of its own encode of the same source
+    (this build's raw-flac pipeline repeats output 5x on ALL inputs,
+    which the equal-comparison normalizes)."""
+
+    def test_decode_reference_flac(self, wav48, tmp_path):
+        enc = str(tmp_path / "ref.flac")
+        ref_run(["-i", wav48, "-c:a", "flac", enc])
+        srcpcm = str(tmp_path / "src.pcm")
+        ref_run(["-i", wav48, "-f", "s16le", srcpcm])
+        ourpcm = str(tmp_path / "our.pcm")
+        from libav_tpu.tools import avconv
+        assert avconv.main(["-y", "-v", "error", "-i", enc,
+                            "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(srcpcm, "<i2")
+        b = np.fromfile(ourpcm, "<i2")
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
+
+    def test_encode_conformance(self, wav48, tmp_path):
+        from libav_tpu.tools import avconv
+        ours = str(tmp_path / "our.flac")
+        assert avconv.main(["-y", "-v", "error", "-i", wav48,
+                            "-c:a", "flac", ours]) == 0
+        theirs = str(tmp_path / "ref.flac")
+        ref_run(["-i", wav48, "-c:a", "flac", theirs])
+        a = ref_run(["-i", theirs, "-f", "s16le", "-"])
+        b = ref_run(["-i", ours, "-f", "s16le", "-"])
+        assert len(a) > 0 and a == b
+
+    def test_self_roundtrip(self, wav48, tmp_path):
+        from libav_tpu.tools import avconv
+        ours = str(tmp_path / "our.flac")
+        assert avconv.main(["-y", "-v", "error", "-i", wav48,
+                            "-c:a", "flac", ours]) == 0
+        srcpcm = str(tmp_path / "src.pcm")
+        ref_run(["-i", wav48, "-f", "s16le", srcpcm])
+        back = str(tmp_path / "back.pcm")
+        assert avconv.main(["-y", "-v", "error", "-i", ours,
+                            "-f", "s16le", back]) == 0
+        np.testing.assert_array_equal(np.fromfile(srcpcm, "<i2"),
+                                      np.fromfile(back, "<i2"))
