@@ -1250,3 +1250,23 @@ class TestFlac:
                             "-f", "s16le", back]) == 0
         np.testing.assert_array_equal(np.fromfile(srcpcm, "<i2"),
                                       np.fromfile(back, "<i2"))
+
+
+class TestH263:
+    """H.263 baseline decode (codecs/h263dec.py): reference-encoded
+    .h263 streams decode pixel-identically (I/P, INTRADC FLC, 22-bit
+    escapes, 6-bit MV sign-extension, fixed DC scaler 8)."""
+
+    @pytest.mark.parametrize("size,args", [
+        ("176x144", ["-q:v", "4"]),
+        ("176x144", ["-q:v", "8"]),
+        ("352x288", ["-q:v", "6"]),
+        ("128x96", ["-q:v", "5", "-g", "3"]),
+    ])
+    def test_decode(self, y4m, tmp_path, size, args):
+        enc = str(tmp_path / "t.h263")
+        ref_run(["-i", y4m, "-flags", "+bitexact", "-s", size,
+                 "-c:v", "h263"] + args + [enc])
+        a = crc_column(ref_framecrc(enc))
+        b = crc_column(our_framecrc(enc))
+        assert len(a) > 0 and a == b
