@@ -214,9 +214,13 @@ _GT1_CTX = (5, 5, 5, 5, 6, 7, 8, 9)
 _TRANS_EQ1 = (1, 2, 3, 3, 4, 5, 6, 7)
 _TRANS_GT1 = (4, 4, 4, 4, 5, 6, 7, 7)
 
-# per-ctxBlockCat bases (frame-coded; cats 0..4 for 4x4 + 5 for 8x8 luma)
+# per-ctxBlockCat bases (cats 0..4 for 4x4 + 5 for 8x8 luma); field
+# macroblocks use a separate context bank (spec Table 9-40; reference
+# h264_cabac.c significant/last_coeff_flag_offset[1])
 _SIG_BASE = (105, 105 + 15, 105 + 29, 105 + 44, 105 + 47, 402)
 _LAST_BASE = (166, 166 + 15, 166 + 29, 166 + 44, 166 + 47, 417)
+_SIG_BASE_FIELD = (277, 277 + 15, 277 + 29, 277 + 44, 277 + 47, 436)
+_LAST_BASE_FIELD = (338, 338 + 15, 338 + 29, 338 + 44, 338 + 47, 451)
 _LVL_BASE = (227, 227 + 10, 227 + 20, 227 + 30, 227 + 39, 426)
 _CBF_BASE = (85, 89, 93, 97, 101, 1012)
 
@@ -235,7 +239,17 @@ _LAST8_INC = (
 assert len(_LAST8_INC) == 63
 
 
-def code_residual(eng, cat: int, levels, max_coeff: int):
+# 8x8 significance ctx increments for FIELD macroblocks (Table 9-43
+# field column; reference significant_coeff_flag_offset_8x8[1])
+_SIG8_INC_FIELD = (
+    0, 1, 1, 2, 2, 3, 3, 4, 5, 6, 7, 7, 7, 8, 4, 5,
+    6, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 11, 12, 11,
+    9, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 13, 13, 9,
+    9, 10, 10, 8, 13, 13, 9, 9, 10, 10, 14, 14, 14, 14, 14)
+
+
+def code_residual(eng, cat: int, levels, max_coeff: int,
+                  field: bool = False):
     """Transcode one residual block's significance map + levels.
 
     levels: decode -> an int32[max_coeff] array filled in scan order;
@@ -243,15 +257,16 @@ def code_residual(eng, cat: int, levels, max_coeff: int):
     Returns total number of coefficients (the nnz the caches record).
     """
     enc = isinstance(eng, CabacEncoder)
-    sig_base = _SIG_BASE[cat]
-    last_base = _LAST_BASE[cat]
+    sig_base = (_SIG_BASE_FIELD if field else _SIG_BASE)[cat]
+    last_base = (_LAST_BASE_FIELD if field else _LAST_BASE)[cat]
     lvl_base = _LVL_BASE[cat]
     if enc:
         nz = [i for i in range(max_coeff) if levels[i]]
         last_nz = nz[-1]
     idx = []
     if cat == 5:
-        sig_inc, last_inc = _SIG8_INC, _LAST8_INC
+        sig_inc = _SIG8_INC_FIELD if field else _SIG8_INC
+        last_inc = _LAST8_INC
     else:
         sig_inc = last_inc = range(max_coeff)
     broke = False
@@ -398,11 +413,12 @@ class CabacMbLayer:
     CabacDecoder they are ignored and the decoded value is returned."""
 
     def __init__(self, eng, ctx: MbCtx, slice_type: int, cur_slice: int,
-                 grids=None):
+                 grids=None, field: bool = False):
         self.eng = eng
         self.ctx = ctx
         self.slice_type = slice_type            # 0=P, 1=B, 2=I
         self.cur_slice = cur_slice
+        self.field = field                      # PAFF field picture
         self.last_dqp = 0
         self.enc = isinstance(eng, CabacEncoder)
         # block-granular motion state (part.MotionGrids) for the
@@ -808,7 +824,8 @@ class CabacMbLayer:
         """One 8x8 luma residual block, ctxBlockCat 5 (no
         coded_block_flag for 4:2:0 — presence is signalled by the cbp
         bit, spec 7.4.5.3.3). levels64 in 8x8 zigzag scan order."""
-        return code_residual(self.eng, 5, levels64, 64)
+        return code_residual(self.eng, 5, levels64, 64,
+                             field=self.field)
 
     # -- residual with coded_block_flag -------------------------------------
 
@@ -869,7 +886,8 @@ class CabacMbLayer:
                                         (1 if coded else 0)))
         if not cbf:
             return 0
-        nnz = code_residual(eng, cat, levels, max_coeff)
+        nnz = code_residual(eng, cat, levels, max_coeff,
+                            field=self.field)
         # record DC flags in the cbp table for later neighbors
         if cat == 0:
             self.ctx.cbp[i] |= 0x100

@@ -789,9 +789,6 @@ class H264Decoder(Decoder):
         # deblock program (spec indexA/indexB; h264_loopfilter.c)
         self._ab_offset = (int(ab_offset[0]), int(ab_offset[1]))
 
-        if field_pic and pps.entropy_coding_mode:
-            raise AVError(INVALIDDATA,
-                          "CABAC field pictures not supported yet")
         nmb = sps.mb_width * sps.mb_height
         from libav_tpu.native import h264_cavlc as N
         use_native = N.available() and not bool(
@@ -823,7 +820,8 @@ class H264Decoder(Decoder):
                     _CN.available() and not bool(
                         __import__('os').environ.get(
                             'LIBAV_TPU_NO_NATIVE')) and \
-                    not getattr(self, "_force_python", False)
+                    not getattr(self, "_force_python", False) and \
+                    not self._cur_field[0]
                 fd = FrameData(nmb, sps.mb_width, sps.mb_height,
                                use_block=use_native, light=light)
                 if use_native and fd.block is not None:
@@ -865,7 +863,8 @@ class H264Decoder(Decoder):
             from libav_tpu.native import h264_cabac_host as CN
             use_native_cb = CN.available() and not bool(
                 __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
-                not getattr(self, "_force_python", False)
+                not getattr(self, "_force_python", False) and \
+                not self._cur_field[0]
             if use_native_cb:
                 fd.t8_params = (int(pps.transform_8x8_mode),
                                 int(sps.direct_8x8_inference))
@@ -1081,7 +1080,9 @@ class H264Decoder(Decoder):
         eng = cb.CabacDecoder(data, states)
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
-                                cur_slice, grids=fd.grids)
+                                cur_slice, grids=fd.grids,
+                                field=bool(getattr(fd, "field_info",
+                                                   (0,))[0]))
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
 

@@ -1148,9 +1148,9 @@ class H264Encoder(Encoder):
             if self.b_frames or self.mmco or self.fgap or \
                     self.refs > 1 or self.parts != "off" or \
                     self.weightp or self.slices > 1 or \
-                    self.entropy == "cabac" or self.i8x8 or self.dct8x8:
+                    self.i8x8 or self.dct8x8:
                 raise AVError(EINVAL, "h264: fieldpic combines only "
-                              "with CAVLC i4x4/deblock here")
+                              "with cavlc/cabac i4x4/deblock here")
             self._field_refs = [None, None]
             self._cur_parity = 0
         crop_r = (self.mb_w * 16 - self.width) // 2
@@ -2055,7 +2055,8 @@ class H264Encoder(Encoder):
             mc = cb.MbCtx(mb_w, mb_h)
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
-                                cur_slice, grids=fd.grids)
+                                cur_slice, grids=fd.grids,
+                                field=bool(self.fieldpic))
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
         if i4_grid is None:

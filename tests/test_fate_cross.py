@@ -1164,6 +1164,7 @@ class TestH264Paff:
     field pictures): field_pic_flag slice headers, per-parity prediction
     chains with the 8.2.4.2.5 field ref list, field-scan coefficients,
     field deblock rules (bS3 horizontal intra edges, mvy_limit 2),
+    CABAC field context banks (sig/last 277/338 + field 8x8 ctx map),
     complementary-pair weave — our streams decode identically in the
     reference and in our decoder."""
 
@@ -1173,6 +1174,11 @@ class TestH264Paff:
         {"fieldpic": 1, "gop_size": 6, "deblock": 1},
         {"fieldpic": 1, "gop_size": 3, "i4x4": 1},
         {"fieldpic": 1, "gop_size": 3, "i4x4": 1, "deblock": 1},
+        {"fieldpic": 1, "gop_size": 1, "entropy": "cabac"},
+        {"fieldpic": 1, "gop_size": 6, "entropy": "cabac"},
+        {"fieldpic": 1, "gop_size": 6, "entropy": "cabac",
+         "deblock": 1},
+        {"fieldpic": 1, "gop_size": 3, "entropy": "cabac", "i4x4": 1},
     ])
     def test_paff(self, tmp_path, opts):
         from libav_tpu.avutil.frame import Frame
