@@ -1748,6 +1748,26 @@ class H264Decoder(Decoder):
             g.bmv[1] = 0
         nrefs1 = 1
         refs1 = None
+        # PAFF cross-parity chroma MV offset (spec 8.4.1.4.1): per-MB
+        # +-2 quarter-pel from the parity difference current vs ref
+        field_pic = bool(getattr(fd, "field_info", (0, 0, False))[0])
+        cur_par = getattr(fd, "field_info", (0, 0, False))[1]
+        any_cdy = False
+        cdy_arr = None
+        if field_pic and fd.list0:
+            partab = np.array(
+                [e.field_src[1] if e.field_src is not None else cur_par
+                 for e in fd.list0], np.int32)
+            cdy_tab = 2 * (cur_par - partab)
+            if np.any(cdy_tab):
+                if part_mode or bpred:
+                    log.warning(self, "cross-parity field refs on the "
+                                "block-granular path: chroma MV offset "
+                                "not applied")
+                else:
+                    any_cdy = True
+                    ri = np.clip(fd.ref_idx, 0, len(cdy_tab) - 1)
+                    cdy_arr = cdy_tab[ri].astype(np.int32)
 
         def planes_of(e):
             # field views resolve to the frame entry's per-parity planes
@@ -1848,8 +1868,7 @@ class H264Decoder(Decoder):
                                        if weights is not None else None),
                                    wmat=wmat, cqpo=cqpo, any_t8=any_t8,
                                    any_i8=any_i8, any_ipcm=any_ipcm,
-                                   field=bool(getattr(fd, "field_info",
-                                                      (0,))[0]))
+                                   field=field_pic, any_cdy=any_cdy)
         kw = {}
         if any_ipcm:
             kw["ipcm"] = ipcm.astype(bool)
@@ -1916,6 +1935,8 @@ class H264Decoder(Decoder):
             for s in starts:
                 rt[min(s // sps.mb_width, sps.mb_height - 1)] = False
             kw["row_top"] = rt
+        if any_cdy:
+            kw["cdy"] = cdy_arr
         planes, padded = fn(fd.intra.astype(bool),
                             fd.luma_mode.astype(np.int8),
                             fd.chroma_mode.astype(np.int8),

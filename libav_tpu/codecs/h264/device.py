@@ -69,7 +69,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                    bpred: bool = False, part: bool = False,
                    nrefs1: int = 1, weighted=None, wmat=None,
                    cqpo=(0, 0), any_t8: bool = False,
-                   any_i8: bool = False, any_ipcm: bool = False):
+                   any_i8: bool = False, any_ipcm: bool = False,
+                   any_cdy: bool = False):
     """any_intra=False compiles the fast path for all-inter frames: no
     wavefront scan (inter prediction has no intra-frame dependencies),
     just one batched assemble — the common case for P frames. nrefs>1
@@ -274,7 +275,8 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
            mv1=None, sel=None, ry1=None, ru1=None, rv1=None,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
            wtab0=None, wtab1=None, w0tab=None, row_top=None, t8=None,
-           ipcm=None, ipcm_y=None, ipcm_u=None, ipcm_v=None):
+           ipcm=None, ipcm_y=None, ipcm_u=None, ipcm_v=None,
+           cdy=None):
         # multi-reference stacks arrive as tuples of planes and are
         # stacked INSIDE the program: one dispatch per frame instead of
         # one eager stack op per plane (the axon tunnel makes every
@@ -376,10 +378,14 @@ def recon_h264_jit(mb_w: int, mb_h: int, any_intra: bool = True,
             ridx = ref_idx.astype(jnp.int32) if nrefs > 1 else None
             pred_inter_y = h264mc.qpel_mc(ry, xs, ys, mv32[:, 0],
                                           mv32[:, 1], 16, ridx)
+            # PAFF cross-parity chroma offset (spec 8.4.1.4.1;
+            # reference h264_mb.c mc_dir_part my += 2*(parity diff))
+            cmvy = mv32[:, 1] + cdy.astype(jnp.int32) if any_cdy \
+                else mv32[:, 1]
             pred_inter_u = h264mc.chroma_mc(ru, cxs, cys, mv32[:, 0],
-                                            mv32[:, 1], 8, ridx)
+                                            cmvy, 8, ridx)
             pred_inter_v = h264mc.chroma_mc(rv, cxs, cys, mv32[:, 0],
-                                            mv32[:, 1], 8, ridx)
+                                            cmvy, 8, ridx)
         if bpred and not part:
             # B slice: list-1 prediction + per-MB selection 0=L0 1=L1
             # 2=Bi (average, spec 8.4.2.3 default non-weighted)
@@ -602,7 +608,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           nrefs1: int = 1, weighted=None, wmat=None,
                           cqpo=(0, 0), any_t8: bool = False,
                           any_i8: bool = False, any_ipcm: bool = False,
-                          field: bool = False):
+                          field: bool = False, any_cdy: bool = False):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -615,7 +621,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
     nmb = mb_w * mb_h
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, nrefs, any_i4, bpred,
                               part, nrefs1, weighted, wmat, cqpo, any_t8,
-                              any_i8, any_ipcm)
+                              any_i8, any_ipcm, any_cdy)
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc,
            yvals, yidx, cvals, cidx, chroma_dc, ry, ru, rv, nnz=None,
@@ -624,7 +630,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
            bmv0=None, bref0=None, bsel=None, bmv1=None, bref1=None,
            pid0=None, pid1=None, wtab0=None, wtab1=None, w0tab=None,
            row_top=None, t8=None, ipcm=None, ipcm_y=None, ipcm_u=None,
-           ipcm_v=None):
+           ipcm_v=None, cdy=None):
         luma_ac = (jnp.zeros((nmb * 16 + 1, 16), jnp.int16)
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
@@ -639,7 +645,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                                   wtab1=wtab1, w0tab=w0tab,
                                   row_top=row_top, t8=t8, ipcm=ipcm,
                                   ipcm_y=ipcm_y, ipcm_u=ipcm_u,
-                                  ipcm_v=ipcm_v)
+                                  ipcm_v=ipcm_v, cdy=cdy)
         if deblock:
             from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
             from libav_tpu.ops.mc import EDGE
@@ -684,7 +690,7 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
 def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
                            any_i4: bool = False, any_t8: bool = False,
                            any_i8: bool = False, any_ipcm: bool = False,
-                           field: bool = False):
+                           field: bool = False, cdy: int = 0):
     """Dense-input recon + in-loop deblocking (the encoder's closed-loop
     reference path when deblocking is enabled; the decoder uses the
     sparse variant with deblock=True)."""
@@ -694,16 +700,18 @@ def recon_h264_deblock_jit(mb_w: int, mb_h: int, any_intra: bool = True,
 
     dense_fn = recon_h264_jit(mb_w, mb_h, any_intra, 1, any_i4,
                               any_t8=any_t8, any_i8=any_i8,
-                              any_ipcm=any_ipcm)
+                              any_ipcm=any_ipcm, any_cdy=bool(cdy))
 
     def fn(intra, luma_mode, chroma_mode, mv, qp, luma_dc, luma_ac,
            chroma_dc, chroma_ac, nnz, ry, ru, rv, i4=None, i4_modes=None,
            t8=None, ipcm=None, ipcm_y=None, ipcm_u=None, ipcm_v=None):
+        cdy_arr = (jnp.full(mb_w * mb_h, cdy, jnp.int32)
+                   if cdy else None)
         planes, _ = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                              luma_dc, luma_ac, chroma_dc, chroma_ac,
                              ry, ru, rv, i4=i4, i4_modes=i4_modes, t8=t8,
                              ipcm=ipcm, ipcm_y=ipcm_y, ipcm_u=ipcm_u,
-                             ipcm_v=ipcm_v)
+                             ipcm_v=ipcm_v, cdy=cdy_arr)
         from libav_tpu.ops.h264deblock import deblock_frame_exact_jit
         kw = {"t8": t8} if any_t8 else {}
         yp, up, vp = deblock_frame_exact_jit(mb_w, mb_h,

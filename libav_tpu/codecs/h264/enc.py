@@ -818,6 +818,7 @@ def _encode_i8_jit(mb_w: int, mb_h: int, qp: int):
 
 @functools.lru_cache(maxsize=32)
 def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
+                  cdy: int = 0,
                   nrefs: int = 1, dct8: bool = False):
     """P-frame encode: full-pel diamond + quarter-pel refine on the padded
     reference(s), qpel prediction, transform/quant, levels out. With
@@ -880,12 +881,13 @@ def _encode_p_jit(mb_w: int, mb_h: int, qp: int, search_range: int = 12,
             ref_idx = jnp.zeros((nmb,), jnp.int32)
             pred_y = h264mc.qpel_mc(ry, jnp.asarray(mbx), jnp.asarray(mby),
                                     mv[:, 0], mv[:, 1], 16)
+            cmvy = mv[:, 1] + cdy if cdy else mv[:, 1]
             pred_u = h264mc.chroma_mc(ru, jnp.asarray(mbx // 2),
                                       jnp.asarray(mby // 2),
-                                      mv[:, 0], mv[:, 1], 8)
+                                      mv[:, 0], cmvy, 8)
             pred_v = h264mc.chroma_mc(rv, jnp.asarray(mbx // 2),
                                       jnp.asarray(mby // 2),
-                                      mv[:, 0], mv[:, 1], 8)
+                                      mv[:, 0], cmvy, 8)
         else:
             mvs, costs = [], []
             for r in range(nrefs):
@@ -1129,6 +1131,10 @@ class H264Encoder(Encoder):
         Option("fieldpic", "PAFF interlaced coding: each frame as two "
                "field pictures (field_pic_flag=1, top then bottom), "
                "per-parity prediction chains", "int", 0, 0, 1),
+        Option("fieldref", "PAFF P-field reference policy: same "
+               "(same-parity chains) or pair (1-frame window: bottom "
+               "fields reference the same frame's top field -> "
+               "cross-parity chroma offset stress)", "string", "same"),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1218,12 +1224,15 @@ class H264Encoder(Encoder):
         self._refs = None       # newest padded recon (DPB head)
         self._dpb = []          # padded recon refs, newest first
         self._idr_id = 0
+        self._cur_cdy = 0
         self.sps.max_num_ref_frames = self.refs
         if self.fieldpic:
             # both fields of the previous frame must survive the sliding
             # window while the current frame's fields decode, or the
             # bottom field is left with only cross-parity references
-            self.sps.max_num_ref_frames = 2
+            # (which is exactly what fieldref=pair stresses)
+            self.sps.max_num_ref_frames = \
+                1 if self.fieldref == "pair" else 2
         if self.refs > 1 and self.deblock:
             raise AVError(EINVAL, "h264: refs>1 with deblock not "
                                   "supported yet (round 2)")
@@ -1321,7 +1330,16 @@ class H264Encoder(Encoder):
             y, u, v = self._padded_input(ff)
             self._cur_parity = par
             self._poc = 2 * (disp - self._idr_disp) + par
-            self._refs = self._field_refs[par]
+            cdy = 0
+            if self.fieldref == "pair" and par == 1:
+                # cross-parity: the bottom field predicts from the just
+                # coded top field of the SAME frame (spec 8.4.1.4.1
+                # chroma my += 2 for bottom-from-top)
+                self._refs = self._field_refs[0]
+                cdy = 2
+            else:
+                self._refs = self._field_refs[par]
+            self._cur_cdy = cdy
             self._dpb = [self._refs] if self._refs is not None else []
             adv = par == 1           # frame_num advances per FRAME
             if is_i:
@@ -1342,7 +1360,7 @@ class H264Encoder(Encoder):
                                         advance=adv)
             else:
                 fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp,
-                                   nrefs=1)
+                                   nrefs=1, cdy=cdy)
                 mv, luma_lv, udc, uac, vdc, vac, ridx = fn(
                     y, u, v, *self._refs)
                 data = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
@@ -1590,6 +1608,7 @@ class H264Encoder(Encoder):
             fn = recon_h264_deblock_jit(self.mb_w, self.mb_h,
                                         bool(np.any(fd.intra)), any_i4,
                                         field=bool(self.fieldpic),
+                                        cdy=getattr(self, "_cur_cdy", 0),
                                         **t8kw)
             nnz = np.zeros((4 * self.mb_h, 4 * self.mb_w), np.int8)
             bx = _BLK_XY_DEV[:, 0]
@@ -1611,9 +1630,13 @@ class H264Encoder(Encoder):
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac,
                            nnz, *refs, **i4kw)
         else:
+            cdy0 = getattr(self, "_cur_cdy", 0)
             fn = recon_h264_jit(self.mb_w, self.mb_h,
                                 bool(np.any(fd.intra)), 1, any_i4,
-                                **t8kw)
+                                any_cdy=bool(cdy0), **t8kw)
+            if cdy0:
+                i4kw["cdy"] = np.full(self.mb_w * self.mb_h, cdy0,
+                                      np.int32)
             _, padded = fn(fd.intra.astype(bool), fd.luma_mode,
                            fd.chroma_mode, fd.mv, fd.qp, fd.luma_dc,
                            fd.luma_ac, fd.chroma_dc, fd.chroma_ac, *refs,

@@ -1165,7 +1165,8 @@ class TestH264Paff:
     chains with the 8.2.4.2.5 field ref list, field-scan coefficients,
     field deblock rules (bS3 horizontal intra edges, mvy_limit 2),
     CABAC field context banks (sig/last 277/338 + field 8x8 ctx map),
-    complementary-pair weave — our streams decode identically in the
+    cross-parity chroma MV offset (fieldref=pair: 1-frame window makes
+    bottom fields reference the top field), complementary-pair weave — our streams decode identically in the
     reference and in our decoder."""
 
     @pytest.mark.parametrize("opts", [
@@ -1179,6 +1180,9 @@ class TestH264Paff:
         {"fieldpic": 1, "gop_size": 6, "entropy": "cabac",
          "deblock": 1},
         {"fieldpic": 1, "gop_size": 3, "entropy": "cabac", "i4x4": 1},
+        {"fieldpic": 1, "gop_size": 6, "fieldref": "pair"},
+        {"fieldpic": 1, "gop_size": 6, "fieldref": "pair",
+         "entropy": "cabac"},
     ])
     def test_paff(self, tmp_path, opts):
         from libav_tpu.avutil.frame import Frame
