@@ -642,3 +642,56 @@ class TestMeCmp:
             int(np.abs(a[0].astype(int) - b[0]).sum())
         assert int(mecmp.sse(a, b)[1]) == \
             int(((a[1].astype(int) - b[1]) ** 2).sum())
+
+
+class TestAudioFilters:
+    """Audio filter batch (filters/af.py): asetpts/asettb/ashowinfo/
+    asplit/afifo/asyncts/aformat + DAG amix (multi-input mixing)."""
+
+    @staticmethod
+    def _afr(t, n=256, rate=8000):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        f = Frame(format="s16", nb_samples=n, sample_rate=rate,
+                  channels=1, pts=t)
+        f.planes = [np.arange(n, dtype=np.int16) + t]
+        return f
+
+    def test_asetpts(self):
+        from libav_tpu.filters.graph import FilterGraph
+        assert FilterGraph("asetpts=PTS*2").push(self._afr(5))[0].pts \
+            == 10
+
+    def test_asplit_amix_dag(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("asplit[a][b];[a]anull[x];[b]anull[y];"
+                        "[x][y]amix")
+        outs = g.push(self._afr(0))
+        assert len(outs) == 1
+        np.testing.assert_array_equal(outs[0].planes[0],
+                                      self._afr(0).planes[0])
+
+    def test_asyncts_gap(self):
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("asyncts")
+        g.push(self._afr(0))
+        out = g.push(self._afr(400))      # 144-sample gap -> silence
+        assert out[0].nb_samples == 400 and out[0].pts == 256
+
+    def test_asyncts_overlap(self):
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("asyncts=min_delta=4")
+        g.push(self._afr(0))
+        out = g.push(self._afr(200))      # 56-sample overlap -> drop
+        assert out[0].nb_samples == 200 and out[0].pts == 256
+
+    def test_aformat_convert(self):
+        from libav_tpu.filters.graph import FilterGraph
+        out = FilterGraph("aformat=sample_fmts=fltp").push(self._afr(0))
+        assert out[0].format == "fltp"
+
+    def test_ashowinfo(self, capsys):
+        from libav_tpu.filters.graph import FilterGraph
+        FilterGraph("ashowinfo").push(self._afr(0))
+        assert "checksums" in capsys.readouterr().err
