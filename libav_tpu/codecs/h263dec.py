@@ -41,6 +41,8 @@ class H263Decoder(Decoder):
     TYPE = MediaType.VIDEO
     LONG_NAME = "H.263 / H.263-1996 baseline"
 
+    FLV_ESC = 0        # 0 = H.263 escapes; 2 = Sorenson 7/11-bit
+
     def _init(self):
         self.width = self.height = 0
         self.mb_w = self.mb_h = 0
@@ -49,8 +51,8 @@ class H263Decoder(Decoder):
     def _flush(self):
         self._refs = None
 
-    def _decode(self, pkt: Packet) -> List[Frame]:
-        gb = GetBits(bytes(pkt.data))
+    def _parse_picture_header(self, gb):
+        """-> (pict_type, qscale); sets width/height/mb dims."""
         # picture start code: 22 bits 0000 0000 0000 0000 1 00000
         if gb.get_bits(22) != 0x20:
             raise AVError(INVALIDDATA, "h263: bad picture start code")
@@ -80,6 +82,11 @@ class H263Decoder(Decoder):
         gb.skip_bits(1)                       # CPM (off)
         while gb.get_bits(1):                 # PEI extension bytes
             gb.skip_bits(8)
+        return pict_type, qscale
+
+    def _decode(self, pkt: Packet) -> List[Frame]:
+        gb = GetBits(bytes(pkt.data))
+        pict_type, qscale = self._parse_picture_header(gb)
 
         nmb = self.mb_w * self.mb_h
         mb = MBData(nmb)
@@ -197,8 +204,7 @@ class H263Decoder(Decoder):
         val += pred_v
         return _sign_extend(val, 6)
 
-    @staticmethod
-    def _rl_block(gb, out, start):
+    def _rl_block(self, gb, out, start):
         """TCOEF 3D VLC (table 16 == the MPEG-4 inter RL table) with
         the H.263 22-bit escape: last(1) run(6) level(8 FLC signed,
         ituh263dec.c h263_decode_block ESCAPE branch)."""
@@ -208,10 +214,32 @@ class H263Decoder(Decoder):
         while True:
             v = vlc.read(gb)
             if v == T.ESC_INDEX:
+                if self.FLV_ESC == 2:
+                    # Sorenson escape (flvdec.c ff_flv2_decode_ac_esc)
+                    is11 = gb.get_bits(1)
+                    last = gb.get_bits(1)
+                    run = gb.get_bits(6)
+                    level = gb.get_sbits(11 if is11 else 7)
+                    if level == 0:
+                        raise AVError(INVALIDDATA,
+                                      "flv: illegal escape level")
+                    k += run
+                    if k > 63:
+                        raise AVError(INVALIDDATA,
+                                      "flv: AC index overflow")
+                    out[k] = level
+                    k += 1
+                    if last:
+                        break
+                    continue
                 last = gb.get_bits(1)
                 run = gb.get_bits(6)
                 level = gb.get_sbits(8)
-                if level == 0 or level == -128:
+                if level == -128:
+                    # extended 11-bit level (ituh263dec.c:524)
+                    level = gb.get_bits(5)
+                    level |= gb.get_sbits(6) << 5
+                if level == 0:
                     raise AVError(INVALIDDATA, "h263: illegal escape "
                                                "level")
             else:
@@ -225,3 +253,41 @@ class H263Decoder(Decoder):
             k += 1
             if last:
                 break
+
+
+@register_codec
+class FLV1Decoder(H263Decoder):
+    """Sorenson H.263 / FLV1 (reference: libavcodec/flvdec.c
+    ff_flv_decode_picture_header + the flv2 AC escape in
+    ituh263dec.c:514): H.263 MB layer with an FLV picture header,
+    arbitrary frame sizes and the 7/11-bit escape when format=1."""
+    NAME = "flv1"
+    LONG_NAME = "FLV / Sorenson Spark"
+
+    def _parse_picture_header(self, gb):
+        if gb.get_bits(17) != 1:
+            raise AVError(INVALIDDATA, "flv: bad picture start code")
+        esc_fmt = gb.get_bits(5)
+        if esc_fmt > 1:
+            raise AVError(INVALIDDATA, "flv: bad picture format")
+        self.FLV_ESC = esc_fmt + 1            # 1 = h263 esc, 2 = flv2
+        gb.get_bits(8)                        # picture timestamp
+        sz = gb.get_bits(3)
+        if sz == 0:
+            w, h = gb.get_bits(8), gb.get_bits(8)
+        elif sz == 1:
+            w, h = gb.get_bits(16), gb.get_bits(16)
+        else:
+            w, h = {2: (352, 288), 3: (176, 144), 4: (128, 96),
+                    5: (320, 240), 6: (160, 120)}.get(sz, (0, 0))
+        if not w or not h:
+            raise AVError(INVALIDDATA, "flv: bad size")
+        self.width, self.height = w, h
+        self.mb_w = (w + 15) >> 4
+        self.mb_h = (h + 15) >> 4
+        pict_type = gb.get_bits(2)            # 0=I 1=P 2=disposable P
+        gb.skip_bits(1)                       # deblocking flag
+        qscale = gb.get_bits(5)
+        while gb.get_bits(1):                 # PEI
+            gb.skip_bits(8)
+        return (1 if pict_type else 0), qscale

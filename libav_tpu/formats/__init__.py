@@ -15,5 +15,5 @@ from libav_tpu.formats import (image2, rawvideo, yuv4mpeg, framecrc,  # noqa: F4
                                wav, mpegvideo_raw, m4v, h264raw, ac3raw,  # noqa: F401
                                aacraw, mov, avi, mpegts,  # noqa: F401
                                matroska, pcmraw, hls, rtp,  # noqa: F401
-                               mp3raw, flacfmt, h263raw)  # noqa: F401
+                               mp3raw, flacfmt, h263raw, flv)  # noqa: F401
 from libav_tpu import devices  # noqa: F401,E402  (libavdevice analogue)

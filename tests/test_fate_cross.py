@@ -1280,3 +1280,31 @@ class TestH263:
         a = crc_column(ref_framecrc(enc))
         b = crc_column(our_framecrc(enc))
         assert len(a) > 0 and a == b
+
+
+class TestFlv:
+    """FLV container + FLV1/Sorenson decode (formats/flv.py,
+    codecs/h263dec.py FLV1Decoder): reference flv1-in-flv streams decode
+    pixel-identically (incl. non-multiple-of-16 sizes and the 7/11-bit
+    Sorenson escape); our mp3-in-flv mux is reference-readable."""
+
+    @pytest.mark.parametrize("args", [
+        ["-q:v", "5"],
+        ["-s", "180x140", "-q:v", "6"],
+        ["-s", "160x120", "-q:v", "4", "-g", "3"],
+    ])
+    def test_decode(self, y4m, tmp_path, args):
+        enc = str(tmp_path / "t.flv")
+        ref_run(["-i", y4m, "-flags", "+bitexact", "-c:v", "flv1",
+                 "-an"] + args + [enc])
+        a = crc_column(ref_framecrc(enc))
+        b = crc_column(our_framecrc(enc))
+        assert len(a) > 0 and a == b
+
+    def test_mux_audio(self, wav48, tmp_path):
+        from libav_tpu.tools import avconv
+        ours = str(tmp_path / "our.flv")
+        assert avconv.main(["-y", "-v", "error", "-i", wav48,
+                            "-ar", "44100", "-c:a", "mp3", ours]) == 0
+        out = ref_run(["-i", ours, "-f", "s16le", "-"])
+        assert len(out) > 4096
