@@ -97,22 +97,22 @@ class VLC:
     # ------------------------------------------------------------------ #
 
     def read(self, gb) -> int:
-        """Decode one symbol (reference: get_bits.h:493 get_vlc2)."""
-        idx = gb.show_bits(self.bits)
-        v, l = self.table[idx]
-        if l > 0:
-            gb.skip_bits(l)
-            return v
-        if l == 0:
-            raise AVError(INVALIDDATA, "invalid VLC code")
-        gb.skip_bits(self.bits)
-        sub = self._subtables[v]
-        idx = gb.show_bits(-l)
-        v2, l2 = sub[idx]
-        if l2 <= 0:
-            raise AVError(INVALIDDATA, "invalid VLC code (level 2)")
-        gb.skip_bits(l2)
-        return v2
+        """Decode one symbol (reference: get_bits.h:493 get_vlc2);
+        follows subtables to any depth (26-bit codes exist in the
+        msmpeg4 DC books)."""
+        table = self.table
+        width = self.bits
+        while True:
+            idx = gb.show_bits(width)
+            v, l = table[idx]
+            if l > 0:
+                gb.skip_bits(l)
+                return v
+            if l == 0:
+                raise AVError(INVALIDDATA, "invalid VLC code")
+            gb.skip_bits(width)
+            table = self._subtables[v]
+            width = -l
 
 
 def build_huffman_codes(bits_counts: Sequence[int]) -> List[int]:

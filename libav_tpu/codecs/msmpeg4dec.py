@@ -1,0 +1,392 @@
+"""MSMPEG4v3 (MPEG-4 part 2 Microsoft variant 3, 'DivX 3') decoder
+(reference: libavcodec/msmpeg4dec.c ff_msmpeg4_decode_picture_header /
+msmpeg4v34_decode_mb / ff_msmpeg4_decode_block, msmpeg4.c
+ff_msmpeg4_pred_dc + ff_msmpeg4_coded_block_pred, tables from
+msmpeg4data.c via tools/gen_msmpeg4_tables.py).
+
+Host: picture/MB entropy — 6 run-level codebooks selected per frame,
+two DC codebooks with the divide-style gradient predictor, I-frame
+coded-block-pattern prediction, paired-MV codebooks with the -32/±64
+wrap; device: the shared recon_jit 'h263' kind (same (2|L|+1)q dequant
+and MPEG-4 DC scalers as the reference's unquantizers)."""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+
+from libav_tpu.avutil import log
+from libav_tpu.avutil.error import AVError, INVALIDDATA
+from libav_tpu.avutil.frame import Frame, Packet, PictureType
+from libav_tpu.bitstream import GetBits
+from libav_tpu.bitstream.vlc import VLC
+from libav_tpu.codecs import msmpeg4_tables as M
+from libav_tpu.codecs.api import Decoder, MediaType, register_codec
+from libav_tpu.codecs.mpeg4 import tables as T
+from libav_tpu.codecs.mpeg4.dec import (_VopPred, _pred_ac, _store_ac,
+                                        PICT_I, PICT_P)
+from libav_tpu.codecs.mpeg12.dec import MBData
+from libav_tpu.codecs.mpegvideo import recon_jit, zero_pad_refs
+from libav_tpu.ops.quant import (alternate_horizontal_scan,
+                                 alternate_scan, mpeg4_dc_scaler,
+                                 zigzag_scan)
+
+DC_MAX = 119
+
+
+@functools.lru_cache(maxsize=None)
+def _vlc_pairs(name: str) -> VLC:
+    pairs = getattr(M, name)
+    return VLC(9, codes=[c for c, b in pairs],
+               lengths=[b for c, b in pairs])
+
+
+@functools.lru_cache(maxsize=None)
+def _rl(idx: int):
+    """-> (vlc, tuples, esc_index, lmax, rmax) for ff_rl_table[idx]."""
+    n, last, src = M.RL_META[idx]
+    if src == "MPEG4_INTRA":
+        return (T.rl_vlc(True), T.rl_decode_tuple(True), T.ESC_INDEX,
+                T.rl_max_level(True), T.rl_max_run(True))
+    if src == "H263_INTER":
+        return (T.rl_vlc(False), T.rl_decode_tuple(False), T.ESC_INDEX,
+                T.rl_max_level(False), T.rl_max_run(False))
+    pairs = getattr(M, src + "_VLC")
+    runs = getattr(M, src + "_RUN")
+    lvls = getattr(M, src + "_LEVEL")
+    vlc = VLC(9, codes=[c for c, b in pairs],
+              lengths=[b for c, b in pairs])
+    tuples = {i: (1 if i >= last else 0, runs[i], lvls[i])
+              for i in range(n)}
+    lmax, rmax = {}, {}
+    for lastf, run, lvl in tuples.values():
+        lmax[(lastf, run)] = max(lmax.get((lastf, run), 0), lvl)
+        rmax[(lastf, lvl)] = max(rmax.get((lastf, lvl), 0), run)
+    return vlc, tuples, n, lmax, rmax
+
+
+@functools.lru_cache(maxsize=None)
+def _mv_table(idx: int):
+    code = getattr(M, f"TABLE{idx}_MV_CODE")
+    bits = getattr(M, f"TABLE{idx}_MV_BITS")
+    mvx = getattr(M, f"TABLE{idx}_MVX")
+    mvy = getattr(M, f"TABLE{idx}_MVY")
+    return (VLC(9, codes=code, lengths=bits), mvx, mvy,
+            len(mvx))                          # n = escape symbol
+
+
+def _decode012(gb) -> int:
+    if not gb.get_bits(1):
+        return 0
+    return gb.get_bits(1) + 1
+
+
+@register_codec
+class MSMPEG4v3Decoder(Decoder):
+    NAME = "msmpeg4v3"
+    ALIASES = ("msmpeg4",)
+    TYPE = MediaType.VIDEO
+    LONG_NAME = "MPEG-4 part 2 Microsoft variant 3"
+
+    def _init(self):
+        if self.width <= 0 or self.height <= 0:
+            raise AVError(INVALIDDATA, "msmpeg4: container must supply "
+                                       "dimensions")
+        self.mb_w = (self.width + 15) >> 4
+        self.mb_h = (self.height + 15) >> 4
+        self._refs = None
+
+    def _flush(self):
+        self._refs = None
+
+    # -- picture layer -------------------------------------------------- #
+
+    def _decode(self, pkt: Packet) -> List[Frame]:
+        gb = GetBits(bytes(pkt.data))
+        pict_type = gb.get_bits(2) + 1        # 1=I 2=P (AV enum)
+        if pict_type not in (1, 2):
+            raise AVError(INVALIDDATA, "msmpeg4: bad picture type")
+        qscale = gb.get_bits(5)
+        if qscale == 0:
+            raise AVError(INVALIDDATA, "msmpeg4: qscale 0")
+        self._use_skip = 0
+        if pict_type == 1:
+            code = gb.get_bits(5)
+            if code < 0x17:
+                raise AVError(INVALIDDATA, "msmpeg4: bad slice code")
+            self._slice_height = self.mb_h // (code - 0x16)
+            self._rl_chroma = _decode012(gb)
+            self._rl = _decode012(gb)
+            self._dc_idx = gb.get_bits(1)
+        else:
+            self._use_skip = gb.get_bits(1)
+            self._rl = _decode012(gb)
+            self._rl_chroma = self._rl
+            self._dc_idx = gb.get_bits(1)
+            self._mv_idx = gb.get_bits(1)
+            self._slice_height = self.mb_h
+
+        if pict_type == 1:
+            self._no_rounding = 1
+        elif getattr(self, "_flipflop", 0):
+            self._no_rounding = getattr(self, "_no_rounding", 1) ^ 1
+        else:
+            self._no_rounding = 0
+
+        nmb = self.mb_w * self.mb_h
+        mb = MBData(nmb)
+        mb.qscale[:] = qscale
+        mb.skipped = np.zeros(nmb, dtype=bool)
+        try:
+            self._decode_mbs(gb, mb, pict_type, qscale)
+        except AVError as e:
+            mb.ok[:] = False
+            log.warning(self, "msmpeg4 MB error, concealing: %s", e)
+        if pict_type == 1:
+            # trailing extension header on I frames (msmpeg4dec.c:538
+            # ff_msmpeg4_decode_ext_header): fps(5) bitrate(11)
+            # flipflop_rounding(1)
+            left = gb.size_bits - gb.pos
+            if 17 <= left < 17 + 8:
+                gb.skip_bits(5)
+                gb.get_bits(11)
+                self._flipflop = gb.get_bits(1)
+            elif left < 17 + 8:
+                self._flipflop = 0
+        if not mb.ok.all():
+            from libav_tpu.codecs.er import conceal_missing
+            conceal_missing(mb, self.mb_w, self.mb_h,
+                            self._refs is not None)
+
+        dummy_q = np.ones(64, dtype=np.int32)
+        fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
+                       pict_type == 2, self._no_rounding)
+        zero = zero_pad_refs(self.mb_w, self.mb_h)
+        r0 = self._refs or zero
+        planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,
+                            mb.use_bwd, mb.mv_fwd, mb.mv_bwd,
+                            dummy_q, dummy_q, *r0, *zero)
+        self._refs = padded
+        f = Frame(width=self.width, height=self.height,
+                  format="yuv420p")
+        f.planes = [planes[0][:self.height, :self.width],
+                    planes[1][:(self.height + 1) // 2,
+                              :(self.width + 1) // 2],
+                    planes[2][:(self.height + 1) // 2,
+                              :(self.width + 1) // 2]]
+        f.pict_type = PictureType.I if pict_type == 1 else PictureType.P
+        f.key_frame = pict_type == 1
+        f.pts = pkt.pts
+        f.time_base = pkt.time_base
+        return [f]
+
+    # -- MB layer -------------------------------------------------------- #
+
+    def _decode_mbs(self, gb, mb: MBData, pict_type, qscale):
+        mw, mh = self.mb_w, self.mb_h
+        pred = _VopPred(mw, mh)
+        # coded-block prediction grid for I frames (b8 layout, +1
+        # borders = 0; reference ff_msmpeg4_coded_block_pred)
+        cbg = np.zeros((2 * mh + 1, 2 * mw + 1), np.int8)
+        self._acv = pred.acv
+        self._dcg = (pred.dc_y, pred.dc_u, pred.dc_v)
+        mb_i_vlc = _vlc_pairs("MB_I")
+        mb_p_vlc = _vlc_pairs("MB_NON_INTRA")
+
+        for mb_y in range(mh):
+            if mb_y and mb_y % self._slice_height == 0:
+                pred.resync(0, mb_y)          # slice: reset predictors
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                is_intra = True
+                cbp = 0
+                if pict_type == 2:
+                    if self._use_skip and gb.get_bits(1):
+                        mb.use_fwd[idx] = True
+                        mb.mv_fwd[idx] = 0
+                        mb.skipped[idx] = True
+                        mb.ok[idx] = True
+                        pred.grid_put(mb_x, mb_y, 0, 0, 0)
+                        for k in range(1, 4):
+                            pred.grid_put(mb_x, mb_y, k, 0, 0)
+                        continue
+                    code = mb_p_vlc.read(gb)
+                    is_intra = not (code & 0x40)
+                    cbp = code & 0x3F
+                else:
+                    code = mb_i_vlc.read(gb)
+                    for i in range(6):
+                        val = (code >> (5 - i)) & 1
+                        if i < 4:
+                            bx = 2 * mb_x + (i & 1) + 1
+                            by = 2 * mb_y + (i >> 1) + 1
+                            a = cbg[by, bx - 1]
+                            b = cbg[by - 1, bx - 1]
+                            c = cbg[by - 1, bx]
+                            val ^= int(a if b == c else c)
+                            cbg[by, bx] = val
+                        cbp |= val << (5 - i)
+
+                ac_pred = 0
+                if not is_intra:
+                    px, py = pred.grid_pred(mb_x, mb_y, 0)
+                    vx, vy = self._decode_motion(gb, px, py)
+                    mb.use_fwd[idx] = True
+                    mb.mv_fwd[idx] = (vx, vy)
+                    for k in range(4):
+                        pred.grid_put(mb_x, mb_y, k, vx, vy)
+                else:
+                    mb.intra[idx] = True
+                    if pict_type == 2:
+                        for k in range(4):
+                            pred.grid_put(mb_x, mb_y, k, 0, 0)
+                    ac_pred = gb.get_bits(1)
+
+                first_line = pred.first_line(mb_x, mb_y)
+                for b in range(6):
+                    coded = (cbp >> (5 - b)) & 1
+                    if is_intra:
+                        self._intra_block(gb, mb.coeffs[idx, b], b,
+                                          mb_x, mb_y, qscale, coded,
+                                          ac_pred, first_line)
+                    elif coded:
+                        self._rl_block(gb, mb.coeffs[idx, b], 0,
+                                       3 + self._rl)
+                mb.ok[idx] = True
+
+    # -- motion ---------------------------------------------------------- #
+
+    def _decode_motion(self, gb, px, py):
+        """reference: msmpeg4dec.c ff_msmpeg4_decode_motion."""
+        vlc, mvx, mvy, n = _mv_table(self._mv_idx)
+        code = vlc.read(gb)
+        if code == n:
+            mx, my = gb.get_bits(6), gb.get_bits(6)
+        else:
+            mx, my = mvx[code], mvy[code]
+        mx += px - 32
+        my += py - 32
+        if mx <= -64:
+            mx += 64
+        elif mx >= 64:
+            mx -= 64
+        if my <= -64:
+            my += 64
+        elif my >= 64:
+            my -= 64
+        return mx, my
+
+    # -- blocks ----------------------------------------------------------#
+
+    def _intra_block(self, gb, out, b, mb_x, mb_y, qscale, coded,
+                     ac_pred, first_line):
+        lvl, dc_dir = self._decode_dc(gb, b, mb_x, mb_y, qscale,
+                                      first_line)
+        out[0] = lvl
+        rl_idx = self._rl if b < 4 else 3 + self._rl_chroma
+        if ac_pred:
+            scan = np.asarray(alternate_scan() if dc_dir == 0
+                              else alternate_horizontal_scan())
+            tmp = np.zeros(64, np.int64)
+            if coded:
+                self._rl_block(gb, tmp, 1, rl_idx)
+            raster = np.zeros(64, np.int64)
+            raster[scan] = tmp
+            raster[0] = lvl
+            _pred_ac(self, raster, b, mb_x, mb_y, dc_dir, self._acv,
+                     None, qscale, self.mb_w)
+            _store_ac(raster, b, mb_x, mb_y, self._acv)
+            out[np.arange(64)] = raster[np.asarray(zigzag_scan())]
+            out[0] = lvl
+            return
+        if coded:
+            self._rl_block(gb, out, 1, rl_idx)
+        raster = np.zeros(64, np.int64)
+        raster[np.asarray(zigzag_scan())] = out
+        _store_ac(raster, b, mb_x, mb_y, self._acv)
+
+    def _decode_dc(self, gb, b, mb_x, mb_y, qscale, first_line):
+        """reference: msmpeg4_decode_dc + ff_msmpeg4_pred_dc (v3:
+        divide-then-compare with <=, first-line kill of b/c for the
+        MB-top blocks)."""
+        luma = b < 4
+        name = ("TABLE%d_DC_%s" % (self._dc_idx,
+                                   "LUM" if luma else "CHROMA"))
+        level = _vlc_pairs(name).read(gb)
+        if level == DC_MAX:
+            level = gb.get_bits(8)
+            if gb.get_bits(1):
+                level = -level
+        elif level != 0:
+            if gb.get_bits(1):
+                level = -level
+
+        scale = mpeg4_dc_scaler(qscale, luma)
+        if luma:
+            bx = 2 * mb_x + (b & 1) + 1
+            by = 2 * mb_y + (b >> 1) + 1
+            grid = self._dcg[0]
+        else:
+            bx, by = mb_x + 1, mb_y + 1
+            grid = self._dcg[1 if b == 4 else 2]
+        a = int(grid[by, bx - 1])
+        bb = int(grid[by - 1, bx - 1])
+        c = int(grid[by - 1, bx])
+        if first_line and (b & 2) == 0:
+            bb = c = 1024
+        a = (a + (scale >> 1)) // scale
+        bb = (bb + (scale >> 1)) // scale
+        c = (c + (scale >> 1)) // scale
+        if abs(a - bb) <= abs(bb - c):
+            pred, dc_dir = c, 1
+        else:
+            pred, dc_dir = a, 0
+        level += pred
+        if level < 0:
+            raise AVError(INVALIDDATA, "msmpeg4: dc underflow")
+        grid[by, bx] = level * scale
+        return level, dc_dir
+
+    def _rl_block(self, gb, out, start, rl_idx):
+        """reference: ff_msmpeg4_decode_block AC loop (v3): escape
+        hierarchy 1 = level-extend, 01 = run-extend (+run_diff), 00 =
+        FLC last/run/level."""
+        vlc, tuples, esc, lmax, rmax = _rl(rl_idx)
+        run_diff = 0 if start else 1           # intra 0, inter 1 (v3)
+        k = start
+        while True:
+            v = vlc.read(gb)
+            if v == esc:
+                if gb.get_bits(1):             # first escape: level ext
+                    v2 = vlc.read(gb)
+                    if v2 == esc:
+                        raise AVError(INVALIDDATA, "msmpeg4: double esc")
+                    last, run, level = tuples[v2]
+                    level += lmax.get((last, run), 0)
+                    if gb.get_bits(1):
+                        level = -level
+                elif gb.get_bits(1):           # second: run extend
+                    v2 = vlc.read(gb)
+                    if v2 == esc:
+                        raise AVError(INVALIDDATA, "msmpeg4: double esc")
+                    last, run, level = tuples[v2]
+                    run += rmax.get((last, abs(level)), 0) + run_diff
+                    if gb.get_bits(1):
+                        level = -level
+                else:                          # third: FLC
+                    last = gb.get_bits(1)
+                    run = gb.get_bits(6)
+                    level = gb.get_sbits(8)
+            else:
+                last, run, level = tuples[v]
+                if gb.get_bits(1):
+                    level = -level
+            k += run
+            if k > 63:
+                raise AVError(INVALIDDATA, "msmpeg4: AC overflow")
+            out[k] = level
+            k += 1
+            if last:
+                break

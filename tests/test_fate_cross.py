@@ -1308,3 +1308,25 @@ class TestFlv:
                             "-ar", "44100", "-c:a", "mp3", ours]) == 0
         out = ref_run(["-i", ours, "-f", "s16le", "-"])
         assert len(out) > 4096
+
+
+class TestMsmpeg4:
+    """MSMPEG4v3 decode (codecs/msmpeg4dec.py): reference-encoded
+    MP43-in-AVI decodes pixel-identically — 6 RL codebooks with the
+    level/run-extension escapes, 2 DC codebooks with divide-style
+    prediction, paired-MV tables, I-frame cbp prediction, flipflop
+    rounding from the I-frame ext header."""
+
+    @pytest.mark.parametrize("args", [
+        ["-q:v", "5"],
+        ["-q:v", "10", "-g", "4"],
+        ["-q:v", "3", "-g", "6"],
+        ["-q:v", "16"],
+    ])
+    def test_decode(self, y4m, tmp_path, args):
+        enc = str(tmp_path / "t.avi")
+        ref_run(["-i", y4m, "-flags", "+bitexact", "-c:v", "msmpeg4"]
+                + args + [enc])
+        a = crc_column(ref_framecrc(enc))
+        b = crc_column(our_framecrc(enc))
+        assert len(a) > 0 and a == b
