@@ -89,6 +89,8 @@ class MSMPEG4v3Decoder(Decoder):
     ALIASES = ("msmpeg4",)
     TYPE = MediaType.VIDEO
     LONG_NAME = "MPEG-4 part 2 Microsoft variant 3"
+    QUANT_KIND = "h263"
+    EXT_HEADER_BITS = 17
 
     def _init(self):
         if self.width <= 0 or self.height <= 0:
@@ -112,21 +114,7 @@ class MSMPEG4v3Decoder(Decoder):
         if qscale == 0:
             raise AVError(INVALIDDATA, "msmpeg4: qscale 0")
         self._use_skip = 0
-        if pict_type == 1:
-            code = gb.get_bits(5)
-            if code < 0x17:
-                raise AVError(INVALIDDATA, "msmpeg4: bad slice code")
-            self._slice_height = self.mb_h // (code - 0x16)
-            self._rl_chroma = _decode012(gb)
-            self._rl = _decode012(gb)
-            self._dc_idx = gb.get_bits(1)
-        else:
-            self._use_skip = gb.get_bits(1)
-            self._rl = _decode012(gb)
-            self._rl_chroma = self._rl
-            self._dc_idx = gb.get_bits(1)
-            self._mv_idx = gb.get_bits(1)
-            self._slice_height = self.mb_h
+        self._parse_header_tail(gb, pict_type)
 
         if pict_type == 1:
             self._no_rounding = 1
@@ -144,16 +132,18 @@ class MSMPEG4v3Decoder(Decoder):
         except AVError as e:
             mb.ok[:] = False
             log.warning(self, "msmpeg4 MB error, concealing: %s", e)
-        if pict_type == 1:
+        if pict_type == 1 and self.EXT_HEADER_BITS:
             # trailing extension header on I frames (msmpeg4dec.c:538
             # ff_msmpeg4_decode_ext_header): fps(5) bitrate(11)
-            # flipflop_rounding(1)
+            # [flipflop_rounding(1) for v3]
+            n = self.EXT_HEADER_BITS
             left = gb.size_bits - gb.pos
-            if 17 <= left < 17 + 8:
+            if n <= left < n + 8:
                 gb.skip_bits(5)
                 gb.get_bits(11)
-                self._flipflop = gb.get_bits(1)
-            elif left < 17 + 8:
+                if n >= 17:
+                    self._flipflop = gb.get_bits(1)
+            elif left < n + 8:
                 self._flipflop = 0
         if not mb.ok.all():
             from libav_tpu.codecs.er import conceal_missing
@@ -161,7 +151,7 @@ class MSMPEG4v3Decoder(Decoder):
                             self._refs is not None)
 
         dummy_q = np.ones(64, dtype=np.int32)
-        fn = recon_jit(self.mb_w, self.mb_h, "h263", False,
+        fn = recon_jit(self.mb_w, self.mb_h, self.QUANT_KIND, False,
                        pict_type == 2, self._no_rounding)
         zero = zero_pad_refs(self.mb_w, self.mb_h)
         r0 = self._refs or zero
@@ -181,6 +171,23 @@ class MSMPEG4v3Decoder(Decoder):
         f.pts = pkt.pts
         f.time_base = pkt.time_base
         return [f]
+
+    def _parse_header_tail(self, gb, pict_type):
+        if pict_type == 1:
+            code = gb.get_bits(5)
+            if code < 0x17:
+                raise AVError(INVALIDDATA, "msmpeg4: bad slice code")
+            self._slice_height = self.mb_h // (code - 0x16)
+            self._rl_chroma = _decode012(gb)
+            self._rl = _decode012(gb)
+            self._dc_idx = gb.get_bits(1)
+        else:
+            self._use_skip = gb.get_bits(1)
+            self._rl = _decode012(gb)
+            self._rl_chroma = self._rl
+            self._dc_idx = gb.get_bits(1)
+            self._mv_idx = gb.get_bits(1)
+            self._slice_height = self.mb_h
 
     # -- MB layer -------------------------------------------------------- #
 
@@ -349,12 +356,14 @@ class MSMPEG4v3Decoder(Decoder):
         grid[by, bx] = level * scale
         return level, dc_dir
 
+    INTER_RUN_DIFF = 1                       # v3; v2 uses 0
+
     def _rl_block(self, gb, out, start, rl_idx):
-        """reference: ff_msmpeg4_decode_block AC loop (v3): escape
+        """reference: ff_msmpeg4_decode_block AC loop: escape
         hierarchy 1 = level-extend, 01 = run-extend (+run_diff), 00 =
         FLC last/run/level."""
         vlc, tuples, esc, lmax, rmax = _rl(rl_idx)
-        run_diff = 0 if start else 1           # intra 0, inter 1 (v3)
+        run_diff = 0 if start else self.INTER_RUN_DIFF
         k = start
         while True:
             v = vlc.read(gb)
@@ -390,3 +399,171 @@ class MSMPEG4v3Decoder(Decoder):
             k += 1
             if last:
                 break
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_dc_vlc(luma: bool) -> VLC:
+    """v1/v2 unified DC codebook, generated exactly like the reference
+    (msmpeg4.c init_h263_dc_for_msmpeg4: inverted MPEG-4 DC size code +
+    mantissa + marker past size 8); value = level + 256."""
+    base = T.DC_LUM if luma else T.DC_CHROM
+    codes, lens = [], []
+    for level in range(-256, 256):
+        v = abs(level)
+        size = v.bit_length()
+        l = (-level) ^ ((1 << size) - 1) if level < 0 else level
+        code, ln = base[size]
+        code ^= (1 << ln) - 1
+        if size > 0:
+            code = (code << size) | l
+            ln += size
+            if size > 8:
+                code = (code << 1) | 1
+                ln += 1
+        codes.append(code)
+        lens.append(ln)
+    return VLC(9, codes=codes, lengths=lens)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_vlcs():
+    # ff_v2_mb_type / ff_v2_intra_cbpc (msmpeg4data.c:1786)
+    mbt = [(1, 1), (0, 2), (3, 3), (9, 5), (5, 4), (0x21, 7),
+           (0x20, 7), (0x11, 6)]
+    intra_cbpc = [(1, 1), (0, 3), (1, 3), (1, 2)]
+    return (VLC(6, codes=[c for c, b in mbt],
+                lengths=[b for c, b in mbt]),
+            VLC(3, codes=[c for c, b in intra_cbpc],
+                lengths=[b for c, b in intra_cbpc]))
+
+
+@register_codec
+class MSMPEG4v2Decoder(MSMPEG4v3Decoder):
+    """MSMPEG4v2 (reference: msmpeg4dec.c msmpeg4v12_decode_mb with
+    version 2): fixed codebooks (intra = MPEG-4 intra RL, inter = H.263
+    RL), the generated unified DC book, H.263 MV codes with the ±64
+    wrap, v2 MB-type/cbpc VLCs, DC scale fixed at 8."""
+    NAME = "msmpeg4v2"
+    ALIASES = ()
+    LONG_NAME = "MPEG-4 part 2 Microsoft variant 2"
+    INTER_RUN_DIFF = 0
+    QUANT_KIND = "h263sh"
+    EXT_HEADER_BITS = 16
+
+    def _parse_header_tail(self, gb, pict_type):
+        if pict_type == 1:
+            code = gb.get_bits(5)
+            if code < 0x17:
+                raise AVError(INVALIDDATA, "msmpeg4v2: bad slice code")
+            self._slice_height = self.mb_h // (code - 0x16)
+        else:
+            self._use_skip = gb.get_bits(1)
+            self._slice_height = self.mb_h
+        self._rl = 2
+        self._rl_chroma = 2
+        self._flipflop = 0
+
+    def _decode_mbs(self, gb, mb: MBData, pict_type, qscale):
+        mw, mh = self.mb_w, self.mb_h
+        pred = _VopPred(mw, mh)
+        self._acv = pred.acv
+        self._dcg = (pred.dc_y, pred.dc_u, pred.dc_v)
+        mbt_vlc, icbpc_vlc = _v2_vlcs()
+
+        for mb_y in range(mh):
+            if mb_y and mb_y % self._slice_height == 0:
+                pred.resync(0, mb_y)
+            for mb_x in range(mw):
+                idx = mb_y * mw + mb_x
+                if pict_type == 2:
+                    if self._use_skip and gb.get_bits(1):
+                        mb.use_fwd[idx] = True
+                        mb.mv_fwd[idx] = 0
+                        mb.skipped[idx] = True
+                        mb.ok[idx] = True
+                        for k in range(4):
+                            pred.grid_put(mb_x, mb_y, k, 0, 0)
+                        continue
+                    code = mbt_vlc.read(gb)
+                    is_intra = bool(code >> 2)
+                    cbp = code & 3
+                else:
+                    is_intra = True
+                    cbp = icbpc_vlc.read(gb)
+
+                ac_pred = 0
+                if not is_intra:
+                    cbpy = T.cbpy_vlc().read(gb)
+                    cbp |= cbpy << 2
+                    if (cbp & 3) != 3:
+                        cbp ^= 0x3C
+                    px, py = pred.grid_pred(mb_x, mb_y, 0)
+                    vx = self._v2_motion(gb, px)
+                    vy = self._v2_motion(gb, py)
+                    mb.use_fwd[idx] = True
+                    mb.mv_fwd[idx] = (vx, vy)
+                    for k in range(4):
+                        pred.grid_put(mb_x, mb_y, k, vx, vy)
+                else:
+                    ac_pred = gb.get_bits(1)
+                    cbp |= T.cbpy_vlc().read(gb) << 2
+                    mb.intra[idx] = True
+                    if pict_type == 2:
+                        for k in range(4):
+                            pred.grid_put(mb_x, mb_y, k, 0, 0)
+
+                first_line = pred.first_line(mb_x, mb_y)
+                for b in range(6):
+                    coded = (cbp >> (5 - b)) & 1
+                    if is_intra:
+                        self._intra_block(gb, mb.coeffs[idx, b], b,
+                                          mb_x, mb_y, qscale, coded,
+                                          ac_pred, first_line)
+                    elif coded:
+                        self._rl_block(gb, mb.coeffs[idx, b], 0,
+                                       3 + self._rl_chroma)
+                mb.ok[idx] = True
+
+    @staticmethod
+    def _v2_motion(gb, pred_v):
+        """msmpeg4v2_decode_motion (f_code 1): H.263 MV codes, ±64
+        wrap."""
+        code = T.mv_vlc().read(gb)
+        if code == 0:
+            val = pred_v
+        else:
+            val = -code if gb.get_bits(1) else code
+            val += pred_v
+        if val <= -64:
+            val += 64
+        elif val >= 64:
+            val -= 64
+        return val
+
+    def _decode_dc(self, gb, b, mb_x, mb_y, qscale, first_line):
+        level = _v2_dc_vlc(b < 4).read(gb) - 256
+        scale = 8                              # ff_mpeg1_dc_scale_table
+        if b < 4:
+            bx = 2 * mb_x + (b & 1) + 1
+            by = 2 * mb_y + (b >> 1) + 1
+            grid = self._dcg[0]
+        else:
+            bx, by = mb_x + 1, mb_y + 1
+            grid = self._dcg[1 if b == 4 else 2]
+        a = int(grid[by, bx - 1])
+        bb = int(grid[by - 1, bx - 1])
+        c = int(grid[by - 1, bx])
+        if first_line and (b & 2) == 0:
+            bb = c = 1024
+        a = (a + 4) // 8
+        bb = (bb + 4) // 8
+        c = (c + 4) // 8
+        if abs(a - bb) <= abs(bb - c):
+            pred, dc_dir = c, 1
+        else:
+            pred, dc_dir = a, 0
+        level += pred
+        if level < 0:
+            raise AVError(INVALIDDATA, "msmpeg4v2: dc underflow")
+        grid[by, bx] = level * scale
+        return level, dc_dir

@@ -1317,15 +1317,17 @@ class TestMsmpeg4:
     prediction, paired-MV tables, I-frame cbp prediction, flipflop
     rounding from the I-frame ext header."""
 
-    @pytest.mark.parametrize("args", [
-        ["-q:v", "5"],
-        ["-q:v", "10", "-g", "4"],
-        ["-q:v", "3", "-g", "6"],
-        ["-q:v", "16"],
+    @pytest.mark.parametrize("codec,args", [
+        ("msmpeg4", ["-q:v", "5"]),
+        ("msmpeg4", ["-q:v", "10", "-g", "4"]),
+        ("msmpeg4", ["-q:v", "3", "-g", "6"]),
+        ("msmpeg4", ["-q:v", "16"]),
+        ("msmpeg4v2", ["-q:v", "5"]),
+        ("msmpeg4v2", ["-q:v", "8", "-g", "4"]),
     ])
-    def test_decode(self, y4m, tmp_path, args):
+    def test_decode(self, y4m, tmp_path, codec, args):
         enc = str(tmp_path / "t.avi")
-        ref_run(["-i", y4m, "-flags", "+bitexact", "-c:v", "msmpeg4"]
+        ref_run(["-i", y4m, "-flags", "+bitexact", "-c:v", codec]
                 + args + [enc])
         a = crc_column(ref_framecrc(enc))
         b = crc_column(our_framecrc(enc))
