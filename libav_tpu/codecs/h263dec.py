@@ -61,9 +61,8 @@ class H263Decoder(Decoder):
             raise AVError(INVALIDDATA, "h263: bad PTYPE marker/id")
         gb.skip_bits(3)                       # split/camera/freeze
         fmt = gb.get_bits(3)
-        if fmt in (6, 7):
-            raise AVError(INVALIDDATA, "h263: PLUSPTYPE (H.263+) "
-                                       "not supported")
+        if fmt == 7:
+            return self._parse_plusptype(gb)
         if fmt not in H263_FORMATS:
             raise AVError(INVALIDDATA, f"h263: bad source format {fmt}")
         self.width, self.height = H263_FORMATS[fmt]
@@ -84,6 +83,77 @@ class H263Decoder(Decoder):
             gb.skip_bits(8)
         return pict_type, qscale
 
+    def _parse_plusptype(self, gb):
+        """H.263+ PLUSPTYPE (ituh263dec.c h263_plus branch): UFEP +
+        OPPTYPE (persisted across pictures when UFEP=0) + MPPTYPE +
+        CPFMT custom dimensions; optional coding modes are rejected
+        (the reference encoder emits none without explicit flags)."""
+        ufep = gb.get_bits(3)
+        if ufep == 1:
+            fmt = gb.get_bits(3)
+            custom_pcf = gb.get_bits(1)
+            umvplus = gb.get_bits(1)
+            sac = gb.get_bits(1)
+            obmc = gb.get_bits(1)
+            aic = gb.get_bits(1)
+            loopf = gb.get_bits(1)
+            sliced = gb.get_bits(1)
+            rps = gb.get_bits(1)
+            isd = gb.get_bits(1)
+            aiv = gb.get_bits(1)
+            modq = gb.get_bits(1)
+            if umvplus or sac or obmc or aic or loopf \
+                    or sliced or rps or isd or aiv or modq:
+                raise AVError(INVALIDDATA, "h263+: optional coding "
+                              "modes not supported")
+            gb.skip_bits(1 + 3)               # marker + reserved
+            self._plus_fmt = fmt
+            self._custom_pcf = custom_pcf
+        elif ufep != 0:
+            raise AVError(INVALIDDATA, "h263+: bad UFEP")
+        fmt = getattr(self, "_plus_fmt", None)
+        if fmt is None:
+            raise AVError(INVALIDDATA, "h263+: missing OPPTYPE")
+        ptype = gb.get_bits(3)                # MPPTYPE
+        if ptype == 0:
+            pict_type = 0
+        elif ptype == 1:
+            pict_type = 1
+        else:
+            raise AVError(INVALIDDATA, "h263+: PB/B pictures "
+                                       "unsupported")
+        gb.skip_bits(2)                       # RPR / RRU
+        no_rounding = gb.get_bits(1)          # RTYPE
+        gb.skip_bits(4)                       # reserved(2)+CPM+PSBI? (3
+                                              # reserved + CPM handled
+                                              # below by the reference)
+        if ufep:
+            if fmt == 6:                      # CPFMT
+                ar = gb.get_bits(4)           # aspect ratio
+                w = (gb.get_bits(9) + 1) * 4
+                gb.skip_bits(1)
+                h = gb.get_bits(9) * 4
+                if ar == 15:                  # extended PAR
+                    gb.get_bits(8)
+                    gb.get_bits(8)
+                self.width, self.height = w, h
+            else:
+                if fmt not in H263_FORMATS:
+                    raise AVError(INVALIDDATA, "h263+: bad format")
+                self.width, self.height = H263_FORMATS[fmt]
+            if getattr(self, "_custom_pcf", 0):
+                gb.get_bits(1)                # clock conversion code
+                gb.get_bits(7)                # clock divisor
+        if getattr(self, "_custom_pcf", 0):
+            gb.skip_bits(2)                   # extended temporal ref
+        self.mb_w = (self.width + 15) >> 4
+        self.mb_h = (self.height + 15) >> 4
+        qscale = gb.get_bits(5)
+        while gb.get_bits(1):                 # PEI
+            gb.skip_bits(8)
+        self._no_rounding = no_rounding
+        return pict_type, qscale
+
     def _decode(self, pkt: Packet) -> List[Frame]:
         gb = GetBits(bytes(pkt.data))
         pict_type, qscale = self._parse_picture_header(gb)
@@ -92,6 +162,7 @@ class H263Decoder(Decoder):
         mb = MBData(nmb)
         mb.qscale[:] = max(qscale, 1)
         mb.skipped = np.zeros(nmb, dtype=bool)
+        rounding = getattr(self, "_no_rounding", 0) if pict_type else 0
         pred = _VopPred(self.mb_w, self.mb_h)
         try:
             self._decode_mbs(gb, mb, pict_type, qscale, pred)
@@ -105,7 +176,7 @@ class H263Decoder(Decoder):
 
         dummy_q = np.ones(64, dtype=np.int32)
         fn = recon_jit(self.mb_w, self.mb_h, "h263sh", False,
-                       bool(pict_type), 0)
+                       bool(pict_type), rounding)
         zero = zero_pad_refs(self.mb_w, self.mb_h)
         r0 = self._refs or zero
         planes, padded = fn(mb.coeffs, mb.qscale, mb.intra, mb.use_fwd,

@@ -1263,20 +1263,26 @@ class TestFlac:
 
 
 class TestH263:
-    """H.263 baseline decode (codecs/h263dec.py): reference-encoded
-    .h263 streams decode pixel-identically (I/P, INTRADC FLC, 22-bit
-    escapes, 6-bit MV sign-extension, fixed DC scaler 8)."""
+    """H.263 baseline + H.263+ decode (codecs/h263dec.py):
+    reference-encoded streams decode pixel-identically (I/P, INTRADC
+    FLC, 22-bit escapes with the -128 extension, 6-bit MV wrap, fixed
+    DC scaler 8; PLUSPTYPE with UFEP/OPPTYPE persistence, CPFMT custom
+    sizes, custom PCF, RTYPE rounding)."""
 
-    @pytest.mark.parametrize("size,args", [
-        ("176x144", ["-q:v", "4"]),
-        ("176x144", ["-q:v", "8"]),
-        ("352x288", ["-q:v", "6"]),
-        ("128x96", ["-q:v", "5", "-g", "3"]),
+    @pytest.mark.parametrize("codec,size,args", [
+        ("h263", "176x144", ["-q:v", "4"]),
+        ("h263", "176x144", ["-q:v", "8"]),
+        ("h263", "352x288", ["-q:v", "6"]),
+        ("h263", "128x96", ["-q:v", "5", "-g", "3"]),
+        ("h263p", "176x144", ["-q:v", "5"]),
+        ("h263p", "192x160", ["-q:v", "6"]),   # CPFMT custom size
+        ("h263p", "352x288", ["-q:v", "8"]),
     ])
-    def test_decode(self, y4m, tmp_path, size, args):
-        enc = str(tmp_path / "t.h263")
+    def test_decode(self, y4m, tmp_path, codec, size, args):
+        ext = "h263" if codec == "h263" else "avi"
+        enc = str(tmp_path / f"t.{ext}")
         ref_run(["-i", y4m, "-flags", "+bitexact", "-s", size,
-                 "-c:v", "h263"] + args + [enc])
+                 "-c:v", codec] + args + [enc])
         a = crc_column(ref_framecrc(enc))
         b = crc_column(our_framecrc(enc))
         assert len(a) > 0 and a == b
