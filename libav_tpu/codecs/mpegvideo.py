@@ -39,7 +39,7 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
                                   chroma_mv_h263, chroma_mv_qpel,
                                   mc_hpel_tiled8, mc_qpel_mpeg4,
                                   mc_qpel_mpeg4_tiled8)
-    if quant_kind in ("h263", "h263sh", "mpeg4", "mpeg4mq"):
+    if quant_kind in ("h263", "h263sh", "wmv1", "mpeg4", "mpeg4mq"):
         # H.263/MPEG-4 derive chroma MVs with the rounding table
         # (motion_est.h:96), not MPEG-1/2 truncation
         chroma_mv_div2 = chroma_mv_h263
@@ -75,6 +75,13 @@ def recon_jit(mb_w: int, mb_h: int, quant_kind: str, alt_scan: bool,
             # real H.263 (short header): fixed DC scaler 8
             # (ituh263dec.c INTRADC 8-bit FLC, dequant level*8)
             dcs = jnp.full_like(dcs, 8)
+        if quant_kind == "wmv1":
+            # WMV1/msmpeg4v4 DC scale tables (msmpeg4data.c:1795)
+            from libav_tpu.codecs import msmpeg4_tables as _MT
+            ytab = jnp.asarray(_MT.WMV1_Y_DC_SCALE, jnp.int32)
+            ctab = jnp.asarray(_MT.WMV1_C_DC_SCALE, jnp.int32)
+            dcs = jnp.where(lum, ytab[jnp.clip(qs, 0, 31)],
+                            ctab[jnp.clip(qs, 0, 31)])
         if quant_kind == "mpeg4mq":
             # MPEG-4 quant_type=1 (matrix quant, bitexact mismatch)
             deq_i = quant_ops.mpeg4_mq_dequant_intra(c, qs, intra_q, dcs)

@@ -91,6 +91,18 @@ class MSMPEG4v3Decoder(Decoder):
     LONG_NAME = "MPEG-4 part 2 Microsoft variant 3"
     QUANT_KIND = "h263"
     EXT_HEADER_BITS = 17
+    # coefficient scans (v4/WMV1 overrides with its own tables)
+    SCAN_INTER = None          # None = zigzag (sequence == storage)
+    SCAN_INTRA = None
+    SCAN_INTRA_V = "alt_v"
+    SCAN_INTRA_H = "alt_h"
+
+    def _seq_remap(self, out, seq, scan):
+        """sequence-order coefficients -> zigzag storage via a raster
+        round-trip when the coding scan is not the zigzag."""
+        raster = np.zeros(64, np.int64)
+        raster[np.asarray(scan)] = seq
+        out[np.arange(64)] = raster[np.asarray(zigzag_scan())]
 
     def _init(self):
         if self.width <= 0 or self.height <= 0:
@@ -116,6 +128,7 @@ class MSMPEG4v3Decoder(Decoder):
         self._use_skip = 0
         self._parse_header_tail(gb, pict_type)
 
+        self._cur_qscale = qscale
         if pict_type == 1:
             self._no_rounding = 1
         elif getattr(self, "_flipflop", 0):
@@ -222,6 +235,10 @@ class MSMPEG4v3Decoder(Decoder):
                     code = mb_p_vlc.read(gb)
                     is_intra = not (code & 0x40)
                     cbp = code & 0x3F
+                    if not is_intra and \
+                            getattr(self, "_per_mb_rl", 0) and cbp:
+                        self._rl = _decode012(gb)
+                        self._rl_chroma = self._rl
                 else:
                     code = mb_i_vlc.read(gb)
                     for i in range(6):
@@ -250,6 +267,9 @@ class MSMPEG4v3Decoder(Decoder):
                         for k in range(4):
                             pred.grid_put(mb_x, mb_y, k, 0, 0)
                     ac_pred = gb.get_bits(1)
+                    if getattr(self, "_per_mb_rl", 0) and cbp:
+                        self._rl = _decode012(gb)
+                        self._rl_chroma = self._rl
 
                 first_line = pred.first_line(mb_x, mb_y)
                 for b in range(6):
@@ -259,8 +279,14 @@ class MSMPEG4v3Decoder(Decoder):
                                           mb_x, mb_y, qscale, coded,
                                           ac_pred, first_line)
                     elif coded:
-                        self._rl_block(gb, mb.coeffs[idx, b], 0,
-                                       3 + self._rl)
+                        if self.SCAN_INTER is None:
+                            self._rl_block(gb, mb.coeffs[idx, b], 0,
+                                           3 + self._rl)
+                        else:
+                            seq = np.zeros(64, np.int64)
+                            self._rl_block(gb, seq, 0, 3 + self._rl)
+                            self._seq_remap(mb.coeffs[idx, b], seq,
+                                            self.SCAN_INTER)
                 mb.ok[idx] = True
 
     # -- motion ---------------------------------------------------------- #
@@ -294,8 +320,14 @@ class MSMPEG4v3Decoder(Decoder):
         out[0] = lvl
         rl_idx = self._rl if b < 4 else 3 + self._rl_chroma
         if ac_pred:
-            scan = np.asarray(alternate_scan() if dc_dir == 0
-                              else alternate_horizontal_scan())
+            if dc_dir == 0:
+                scan = (np.asarray(alternate_scan())
+                        if self.SCAN_INTRA_V == "alt_v"
+                        else np.asarray(self.SCAN_INTRA_V))
+            else:
+                scan = (np.asarray(alternate_horizontal_scan())
+                        if self.SCAN_INTRA_H == "alt_h"
+                        else np.asarray(self.SCAN_INTRA_H))
             tmp = np.zeros(64, np.int64)
             if coded:
                 self._rl_block(gb, tmp, 1, rl_idx)
@@ -309,7 +341,13 @@ class MSMPEG4v3Decoder(Decoder):
             out[0] = lvl
             return
         if coded:
-            self._rl_block(gb, out, 1, rl_idx)
+            if self.SCAN_INTRA is None:
+                self._rl_block(gb, out, 1, rl_idx)
+            else:
+                seq = np.zeros(64, np.int64)
+                self._rl_block(gb, seq, 1, rl_idx)
+                self._seq_remap(out, seq, self.SCAN_INTRA)
+                out[0] = lvl
         raster = np.zeros(64, np.int64)
         raster[np.asarray(zigzag_scan())] = out
         _store_ac(raster, b, mb_x, mb_y, self._acv)
@@ -567,3 +605,162 @@ class MSMPEG4v2Decoder(MSMPEG4v3Decoder):
             raise AVError(INVALIDDATA, "msmpeg4v2: dc underflow")
         grid[by, bx] = level * scale
         return level, dc_dir
+
+
+@register_codec
+class WMV1Decoder(MSMPEG4v3Decoder):
+    """WMV1 / msmpeg4 version 4 (reference: msmpeg4dec.c version-4
+    branches): inline ext header (fps/bitrate/flipflop) in I headers,
+    bitrate-gated per-MB RL table selection, the four WMV1 coefficient
+    scans, stateful ESC3 (variable run/level field widths signalled
+    once per frame), v4 DC prediction (strict <, no first-line kill),
+    WMV1 DC scale tables.  inter_intra prediction (tiny low-rate
+    streams) is rejected as unsupported."""
+    NAME = "wmv1"
+    ALIASES = ("msmpeg4v4",)
+    LONG_NAME = "Windows Media Video 7"
+    QUANT_KIND = "wmv1"
+    EXT_HEADER_BITS = 0            # parsed inline in the I header
+    SCAN_INTER = M.WMV1_SCAN[0]
+    SCAN_INTRA = M.WMV1_SCAN[1]
+    SCAN_INTRA_H = M.WMV1_SCAN[2]
+    SCAN_INTRA_V = M.WMV1_SCAN[3]
+    MBAC_BITRATE = 50 * 1024
+    II_BITRATE = 128 * 1024
+
+    def _parse_header_tail(self, gb, pict_type):
+        self._esc3_ll = 0
+        self._esc3_rl = 0
+        if pict_type == 1:
+            code = gb.get_bits(5)
+            if code < 0x17:
+                raise AVError(INVALIDDATA, "wmv1: bad slice code")
+            self._slice_height = self.mb_h // (code - 0x16)
+            # inline ext header (msmpeg4dec.c case 4:
+            # ff_msmpeg4_decode_ext_header at a fixed offset)
+            gb.skip_bits(5)                   # fps
+            self._bit_rate = gb.get_bits(11) * 1024
+            self._flipflop = gb.get_bits(1)
+            self._per_mb_rl = gb.get_bits(1) \
+                if self._bit_rate > self.MBAC_BITRATE else 0
+            if not self._per_mb_rl:
+                self._rl_chroma = _decode012(gb)
+                self._rl = _decode012(gb)
+            self._dc_idx = gb.get_bits(1)
+            self._inter_intra = 0
+        else:
+            self._use_skip = gb.get_bits(1)
+            self._per_mb_rl = gb.get_bits(1) \
+                if getattr(self, "_bit_rate", 0) > self.MBAC_BITRATE \
+                else 0
+            if not self._per_mb_rl:
+                self._rl = _decode012(gb)
+                self._rl_chroma = self._rl
+            self._dc_idx = gb.get_bits(1)
+            self._mv_idx = gb.get_bits(1)
+            self._inter_intra = (
+                self.width * self.height < 320 * 240 and
+                getattr(self, "_bit_rate", 0) <= self.II_BITRATE)
+            if self._inter_intra:
+                raise AVError(INVALIDDATA, "wmv1: inter_intra "
+                              "prediction not supported")
+            self._slice_height = self.mb_h
+
+    def _decode_mbs(self, gb, mb, pict_type, qscale):
+        self._gb_per_mb = gb                  # per-MB RL hook
+        return super()._decode_mbs(gb, mb, pict_type, qscale)
+
+    def _decode_dc(self, gb, b, mb_x, mb_y, qscale, first_line):
+        """v4: strict < comparison, no first-line override
+        (msmpeg4.c ff_msmpeg4_pred_dc version>3 path)."""
+        luma = b < 4
+        name = ("TABLE%d_DC_%s" % (self._dc_idx,
+                                   "LUM" if luma else "CHROMA"))
+        level = _vlc_pairs(name).read(gb)
+        if level == DC_MAX:
+            level = gb.get_bits(8)
+            if gb.get_bits(1):
+                level = -level
+        elif level != 0:
+            if gb.get_bits(1):
+                level = -level
+        tab = M.WMV1_Y_DC_SCALE if luma else M.WMV1_C_DC_SCALE
+        scale = tab[min(max(qscale, 1), 31)]
+        if luma:
+            bx = 2 * mb_x + (b & 1) + 1
+            by = 2 * mb_y + (b >> 1) + 1
+            grid = self._dcg[0]
+        else:
+            bx, by = mb_x + 1, mb_y + 1
+            grid = self._dcg[1 if b == 4 else 2]
+        a = int(grid[by, bx - 1])
+        bb = int(grid[by - 1, bx - 1])
+        c = int(grid[by - 1, bx])
+        a = (a + (scale >> 1)) // scale
+        bb = (bb + (scale >> 1)) // scale
+        c = (c + (scale >> 1)) // scale
+        if abs(a - bb) < abs(bb - c):
+            pred, dc_dir = c, 1
+        else:
+            pred, dc_dir = a, 0
+        level += pred
+        if level < 0:
+            raise AVError(INVALIDDATA, "wmv1: dc underflow")
+        grid[by, bx] = level * scale
+        return level, dc_dir
+
+    def _rl_block(self, gb, out, start, rl_idx):
+        """v4: intra run_diff 1; ESC3 with signalled field widths."""
+        vlc, tuples, esc, lmax, rmax = _rl(rl_idx)
+        run_diff = 1
+        k = start
+        while True:
+            v = vlc.read(gb)
+            if v == esc:
+                if gb.get_bits(1):             # level extend
+                    v2 = vlc.read(gb)
+                    if v2 == esc:
+                        raise AVError(INVALIDDATA, "wmv1: double esc")
+                    last, run, level = tuples[v2]
+                    level += lmax.get((last, run), 0)
+                    if gb.get_bits(1):
+                        level = -level
+                elif gb.get_bits(1):           # run extend
+                    v2 = vlc.read(gb)
+                    if v2 == esc:
+                        raise AVError(INVALIDDATA, "wmv1: double esc")
+                    last, run, level = tuples[v2]
+                    run += rmax.get((last, abs(level)), 0) + run_diff
+                    if gb.get_bits(1):
+                        level = -level
+                else:                          # ESC3 (v4 form)
+                    last = gb.get_bits(1)
+                    if not self._esc3_ll:
+                        if self._cur_qscale < 8:
+                            ll = gb.get_bits(3)
+                            if ll == 0:
+                                ll = 8 + gb.get_bits(1)
+                        else:
+                            ll = 2
+                            while ll < 8 and gb.get_bits(1) == 0:
+                                ll += 1
+                            if ll < 8:
+                                gb.skip_bits(0)   # stop bit consumed
+                        self._esc3_ll = ll
+                        self._esc3_rl = gb.get_bits(2) + 3
+                    run = gb.get_bits(self._esc3_rl)
+                    sign = gb.get_bits(1)
+                    level = gb.get_bits(self._esc3_ll)
+                    if sign:
+                        level = -level
+            else:
+                last, run, level = tuples[v]
+                if gb.get_bits(1):
+                    level = -level
+            k += run
+            if k > 63:
+                raise AVError(INVALIDDATA, "wmv1: AC overflow")
+            out[k] = level
+            k += 1
+            if last:
+                break

@@ -1317,11 +1317,12 @@ class TestFlv:
 
 
 class TestMsmpeg4:
-    """MSMPEG4v3 decode (codecs/msmpeg4dec.py): reference-encoded
-    MP43-in-AVI decodes pixel-identically — 6 RL codebooks with the
-    level/run-extension escapes, 2 DC codebooks with divide-style
-    prediction, paired-MV tables, I-frame cbp prediction, flipflop
-    rounding from the I-frame ext header."""
+    """MSMPEG4 family decode (codecs/msmpeg4dec.py): reference-encoded
+    MP42/MP43/WMV1-in-AVI decodes pixel-identically — 6 RL codebooks
+    with the level/run-extension escapes, per-version DC codebooks and
+    divide-style prediction (v3 <=, v4 <), paired-MV tables, I-frame
+    cbp prediction, flipflop rounding, WMV1 scans + stateful ESC3 +
+    bitrate-gated per-MB RL selection."""
 
     @pytest.mark.parametrize("codec,args", [
         ("msmpeg4", ["-q:v", "5"]),
@@ -1330,6 +1331,9 @@ class TestMsmpeg4:
         ("msmpeg4", ["-q:v", "16"]),
         ("msmpeg4v2", ["-q:v", "5"]),
         ("msmpeg4v2", ["-q:v", "8", "-g", "4"]),
+        ("wmv1", ["-s", "352x288", "-q:v", "5"]),
+        ("wmv1", ["-s", "352x288", "-q:v", "2", "-g", "12"]),
+        ("wmv1", ["-s", "352x288", "-q:v", "16", "-g", "4"]),
     ])
     def test_decode(self, y4m, tmp_path, codec, args):
         enc = str(tmp_path / "t.avi")
