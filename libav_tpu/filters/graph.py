@@ -46,6 +46,7 @@ class Filter(OptionedObject):
         for k, v in kwopts.items():
             self.set_opt(k, v)
         self._configured = False
+        self.init()
 
     def _parse_args(self, args: str):
         """'w=320:h=240' or positional '320:240'
@@ -61,6 +62,9 @@ class Filter(OptionedObject):
                 if i >= len(table):
                     raise AVError(EINVAL, f"{self.NAME}: too many args")
                 self.set_opt(table[i].name, part)
+
+    def init(self):
+        """Called once after options are set (AVFilter.init stand-in)."""
 
     def configure(self, frame: Frame):
         """Called once with the first frame (link negotiation stand-in)."""
@@ -241,6 +245,14 @@ class FilterGraph:
     # -- execution ----------------------------------------------------#
 
     def _fan_out(self, node: _Node, frames: List[Frame]):
+        # channelsplit-style filters return one distinct frame per
+        # output pad instead of fanning a single frame to every link
+        if getattr(node.filter, "PER_PAD_OUTPUT", False) and \
+                len(node.out_links) > 1 and \
+                len(frames) == len(node.out_links):
+            for f, ln in zip(frames, node.out_links):
+                ln.queue.append(f)
+            return
         for f in frames:
             for i, ln in enumerate(node.out_links):
                 if i == 0:

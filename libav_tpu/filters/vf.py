@@ -557,8 +557,11 @@ class _LutBase(Filter):
 
     _MIN = (16, 16, 16)
     _MAX = (235, 240, 240)
+    # packed position -> lut component index (vf_lut.c rgba_map)
+    _PACKED_MAP = {"rgb24": (0, 1, 2), "bgr24": (2, 1, 0)}
 
     def _luts(self, w, h):
+        import math
         from libav_tpu.avutil.eval import expr_eval
         luts = []
         for comp in range(3):
@@ -572,8 +575,21 @@ class _LutBase(Filter):
                                  negval=float(min(max(mn + mx - val, mn),
                                                   mx)),
                                  w=float(w), h=float(h))
-                res = expr_eval(expr, variables)
-                lut[val] = min(max(int(res), mn), mx)
+
+                def _gammaval(g, _v=float(val), _mn=mn, _mx=mx):
+                    base = (_v - _mn) / (_mx - _mn)
+                    if base < 0:
+                        return math.nan
+                    return math.pow(base, g) * (_mx - _mn) + _mn
+
+                res = expr_eval(expr, variables, funcs1={
+                    "clip": lambda x, _mn=mn, _mx=mx:
+                        min(max(x, _mn), _mx),
+                    "gammaval": _gammaval,
+                })
+                # C `(int)NaN` is 0 on the reference targets, then clipped
+                iv = 0 if math.isnan(res) else int(res)
+                lut[val] = min(max(iv, mn), mx)
             luts.append(lut)
         return luts
 
@@ -581,6 +597,13 @@ class _LutBase(Filter):
         if not hasattr(self, "_lut_cache"):
             self._lut_cache = self._luts(frame.width, frame.height)
         out = frame.clone_props()
+        pm = self._PACKED_MAP.get(frame.format)
+        if pm is not None:
+            px = np.asarray(frame.planes[0]).reshape(frame.height, -1, 3)
+            res = np.stack([self._lut_cache[pm[k]][px[:, :, k]]
+                            for k in range(3)], axis=-1)
+            out.planes = [res.reshape(frame.height, -1)]
+            return [out]
         out.planes = [self._lut_cache[i][np.asarray(p)]
                       for i, p in enumerate(frame.planes[:3])]
         return [out]
@@ -1142,3 +1165,315 @@ class SplitFilter(Filter):
 
     def filter_frame(self, frame: Frame) -> List[Frame]:
         return [frame]
+
+
+def _delogo_plane(src: np.ndarray, lx, ly, lw, lh, band, show):
+    """Literal transcription of vf_delogo.c apply_delogo (the interior
+    interpolates from the 3-tap smoothed border rows/columns; a `band`
+    pixel fringe blends toward the source)."""
+    h, w = src.shape
+    s = src.astype(np.int64)
+    dst = s.copy()
+    xclipl = max(-lx, 0)
+    xclipr = max(lx + lw - w, 0)
+    yclipt = max(-ly, 0)
+    yclipb = max(ly + lh - h, 0)
+    x1 = lx + xclipl
+    x2 = lx + lw - xclipr
+    y1 = ly + yclipt
+    y2 = ly + lh - yclipb
+    if x2 - x1 <= 2 or y2 - y1 <= 2 or lw <= 0 or lh <= 0:
+        return src.copy()
+    ys = np.arange(y1 + 1, y2 - 1)
+    xs = np.arange(x1 + 1, x2 - 1)
+    # topleft column smoothing: rows (y-ly-yclipt) +0/-1/+1 from y1
+    ty = ys - ly - yclipt
+    tl = (s[y1 + ty, x1] + s[y1 + ty - 1, x1] + s[y1 + ty + 1, x1])
+    tr = (s[y1 + ty, x2 - 1] + s[y1 + ty - 1, x2 - 1] +
+          s[y1 + ty + 1, x2 - 1])
+    txx = xs - lx - xclipl
+    tx = (s[y1, x1 + txx] + s[y1, x1 + txx - 1] + s[y1, x1 + txx + 1])
+    bx = (s[y2 - 1, x1 + txx] + s[y2 - 1, x1 + txx - 1] +
+          s[y2 - 1, x1 + txx + 1])
+    # integer weights exactly as the reference (C int division LAST)
+    interp = (tl[:, None] * ((lw - (xs - lx))[None, :]) // lw +
+              tr[:, None] * ((xs - lx)[None, :]) // lw +
+              tx[None, :] * ((lh - (ys - ly))[:, None]) // lh +
+              bx[None, :] * ((ys - ly)[:, None]) // lh) // 6
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    inner = ((yy >= ly + band) & (yy < ly + lh - band) &
+             (xx >= lx + band) & (xx < lx + lw - band))
+    dist = np.zeros_like(yy)
+    dist = np.where(xx < lx + band, np.maximum(dist, lx - xx + band),
+                    dist)
+    dist = np.where(xx >= lx + lw - band,
+                    np.maximum(dist, xx - (lx + lw - 1 - band)), dist)
+    dist = np.where(yy < ly + band, np.maximum(dist, ly - yy + band),
+                    dist)
+    dist = np.where(yy >= ly + lh - band,
+                    np.maximum(dist, yy - (ly + lh - 1 - band)), dist)
+    fringe = (s[y1 + 1:y2 - 1, x1 + 1:x2 - 1] * dist +
+              interp * (band - dist)) // band
+    reg = np.where(inner, interp, fringe)
+    if show:
+        reg = np.where(~inner & (dist == band - 1), 0, reg)
+    dst[y1 + 1:y2 - 1, x1 + 1:x2 - 1] = reg
+    return np.clip(dst, 0, 255).astype(np.uint8)
+
+
+@register_filter
+class DelogoFilter(Filter):
+    """reference: vf_delogo.c — interpolate a logo area away."""
+    NAME = "delogo"
+    OPTIONS = [
+        Option("x", "logo x", "int", -1, -1, 1 << 14),
+        Option("y", "logo y", "int", -1, -1, 1 << 14),
+        Option("w", "logo width", "int", -1, -1, 1 << 14),
+        Option("h", "logo height", "int", -1, -1, 1 << 14),
+        Option("band", "fringe width", "int", 4, 1, 1 << 8),
+        Option("show", "show outline", "int", 0, 0, 1),
+    ]
+
+    def init(self):
+        if self.x < 0 or self.y < 0 or self.w < 0 or self.h < 0:
+            raise AVError(EINVAL, "delogo: x/y/w/h must all be set")
+        # the region grows by the band on every side (vf_delogo.c init)
+        if self.show:
+            self.band = 4
+        self.w += self.band * 2
+        self.h += self.band * 2
+        self.x -= self.band
+        self.y -= self.band
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        hs, vs = chroma_sub(frame.format)
+        out = frame.clone_props()
+        planes = []
+        for i, p in enumerate(frame.planes):
+            hsub = hs if i in (1, 2) else 0
+            vsub = vs if i in (1, 2) else 0
+            planes.append(_delogo_plane(
+                np.asarray(p), self.x >> hsub, self.y >> vsub,
+                self.w >> hsub, self.h >> vsub,
+                self.band >> min(hsub, vsub), self.show))
+        out.planes = planes
+        return [out]
+
+
+@register_filter
+class LutFilter(_LutBase):
+    """reference: vf_lut.c generic 'lut' — component ranges depend on
+    the input format (vf_lut.c:211 config_props: planar YUV gets the
+    limited 16..235/16..240 range, everything else full range)."""
+    NAME = "lut"
+    OPTIONS = [
+        Option("c0", "component 0 expression", "string", "val"),
+        Option("c1", "component 1 expression", "string", "val"),
+        Option("c2", "component 2 expression", "string", "val"),
+    ]
+
+    def configure(self, frame):
+        if frame.format.startswith(("yuv4", "yuvj4", "yuva4")) and \
+                not frame.format.startswith("yuvj"):
+            self._MIN, self._MAX = (16, 16, 16), (235, 240, 240)
+        else:
+            self._MIN, self._MAX = (0, 0, 0), (255, 255, 255)
+
+    def _expr(self, comp):
+        return (self.c0, self.c1, self.c2)[comp]
+
+
+@register_filter
+class LutRgbFilter(_LutBase):
+    """reference: vf_lut.c lutrgb — r/g/b expressions on packed RGB."""
+    NAME = "lutrgb"
+    _MIN = (0, 0, 0)
+    _MAX = (255, 255, 255)
+    OPTIONS = [
+        Option("r", "red expression", "string", "val"),
+        Option("g", "green expression", "string", "val"),
+        Option("b", "blue expression", "string", "val"),
+    ]
+
+    def _expr(self, comp):
+        return (self.r, self.g, self.b)[comp]
+
+
+@register_filter
+class CropDetectFilter(Filter):
+    """reference: vf_cropdetect.c — detect black borders, log the
+    suggested crop= string (limit threshold, round alignment)."""
+    NAME = "cropdetect"
+    OPTIONS = [
+        Option("limit", "black threshold", "int", 24, 0, 255),
+        Option("round", "size alignment", "int", 16, 2, 512),
+        Option("reset", "reset after N frames", "int", 0, 0, 1 << 20),
+    ]
+
+    def configure(self, frame):
+        self._x1, self._y1 = frame.width - 1, frame.height - 1
+        self._x2 = self._y2 = 0
+        self._frame_nb = -2    # first 2 frames may be empty
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        import sys
+        self._frame_nb += 1
+        if self._frame_nb <= 0:
+            return [frame]
+        if self.reset > 0 and self._frame_nb > self.reset:
+            self._x1, self._y1 = frame.width - 1, frame.height - 1
+            self._x2 = self._y2 = 0
+            self._frame_nb = 1
+        # checkline = integer mean of the row/column vs limit
+        ymat = np.asarray(frame.planes[0]).astype(np.int64)
+        rows = ymat.sum(axis=1) // frame.width
+        cols = ymat.sum(axis=0) // frame.height
+        top = np.flatnonzero(rows[:self._y1] > self.limit)
+        if len(top):
+            self._y1 = int(top[0])
+        bot = np.flatnonzero(rows[self._y2 + 1:] > self.limit)
+        if len(bot):
+            self._y2 = int(bot[-1]) + self._y2 + 1
+        left = np.flatnonzero(cols[:self._x1] > self.limit)
+        if len(left):
+            self._x1 = int(left[0])
+        right = np.flatnonzero(cols[self._x2 + 1:] > self.limit)
+        if len(right):
+            self._x2 = int(right[-1]) + self._x2 + 1
+        x = (self._x1 + 1) & ~1
+        y = (self._y1 + 1) & ~1
+        w = self._x2 - x + 1
+        h = self._y2 - y + 1
+        if self.round <= 1:
+            self.round = 16
+        if self.round % 2:
+            self.round *= 2
+        sb = w % self.round
+        w -= sb
+        x += (sb // 2 + 1) & ~1
+        sb = h % self.round
+        h -= sb
+        y += (sb // 2 + 1) & ~1
+        sys.stderr.write(
+            f"[cropdetect] x1:{self._x1} x2:{self._x2} y1:{self._y1} "
+            f"y2:{self._y2} w:{w} h:{h} x:{x} y:{y} "
+            f"crop={w}:{h}:{x}:{y}\n")
+        return [frame]
+
+
+@register_filter
+class SetDarFilter(Filter):
+    """reference: vf_aspect.c setdar — evaluate the DAR expression at
+    config time, convert to SAR via av_reduce(dar.num*h, dar.den*w, 100)
+    (vf_aspect.c:116 setdar_config_props)."""
+    NAME = "setdar"
+    OPTIONS = [Option("dar", "display aspect expression", "string", "1")]
+
+    def _eval_ratio(self, frame):
+        from fractions import Fraction
+        from libav_tpu.avutil.eval import expr_eval
+        import math
+        hs, vs = chroma_sub(frame.format)
+        sar_in = frame.sample_aspect_ratio
+        sar = (sar_in.num / sar_in.den
+               if sar_in and sar_in.num else 1.0)
+        a = frame.width / frame.height
+        expr = self.dar.replace(":", "/")
+        res = expr_eval(expr, dict(
+            w=float(frame.width), h=float(frame.height), a=a, sar=sar,
+            dar=a * sar, hsub=float(1 << hs), vsub=float(1 << vs),
+            pi=math.pi, e=math.e, phi=(1 + math.sqrt(5)) / 2))
+        return Fraction(res).limit_denominator(1 << 30)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        from fractions import Fraction
+        out = frame.clone_props()
+        out.planes = list(frame.planes)
+        dar = self._eval_ratio(frame)
+        if dar:
+            sar = Fraction(dar.numerator * frame.height,
+                           dar.denominator * frame.width
+                           ).limit_denominator(100)
+            out.sample_aspect_ratio = Rational(sar.numerator,
+                                               sar.denominator)
+        else:
+            out.sample_aspect_ratio = Rational(1, 1)
+        return [out]
+
+
+@register_filter
+class SetSarFilter(SetDarFilter):
+    """reference: vf_aspect.c setsar — frame SAR set verbatim."""
+    NAME = "setsar"
+    OPTIONS = [Option("sar", "sample aspect expression", "string", "1")]
+
+    def _eval_ratio(self, frame):
+        self.dar = self.sar
+        return super()._eval_ratio(frame)
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        out = frame.clone_props()
+        out.planes = list(frame.planes)
+        sar = self._eval_ratio(frame)
+        out.sample_aspect_ratio = Rational(sar.numerator, sar.denominator)
+        return [out]
+
+
+@register_filter
+class FifoFilter(Filter):
+    """reference: fifo.c — pass-through buffer (push graphs need no
+    explicit buffering)."""
+    NAME = "fifo"
+
+
+@register_filter
+class NullSinkFilter(Filter):
+    """reference: vsink_nullsink.c — swallow frames."""
+    NAME = "nullsink"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        return []
+
+
+@register_filter
+class ANullSinkFilter(NullSinkFilter):
+    NAME = "anullsink"
+    TYPE = "audio"
+
+
+@register_filter
+class PixDescTestFilter(Filter):
+    """reference: vf_pixdesctest.c — repack every plane through the
+    descriptor (an identity that exercises the pixdesc layer)."""
+    NAME = "pixdesctest"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        from libav_tpu.swscale.packing import canonical_of, pack, unpack
+        out = frame.clone_props()
+        try:
+            canon, planes = unpack(frame.planes, frame.format,
+                                   frame.width, frame.height)
+            out.planes = pack(planes, canon, frame.format, frame.width,
+                              frame.height)
+        except Exception:
+            out.planes = [np.asarray(p).copy() for p in frame.planes]
+        return [out]
+
+
+@register_filter
+class HwUploadFilter(Filter):
+    """reference: vf_hwupload.c — host -> device (HBM) transfer; on a
+    TPU host this is the jax.device_put boundary."""
+    NAME = "hwupload"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        return [frame.to_device()]
+
+
+@register_filter
+class HwDownloadFilter(Filter):
+    """reference: vf_hwdownload.c — device -> host transfer."""
+    NAME = "hwdownload"
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        return [frame.to_host()]

@@ -139,7 +139,11 @@ def parse_args(argv: List[str]) -> Options:
         elif a in ("-c:a", "-acodec", "-codec:a"):
             o.audio.codec = take()
         elif a == "-pix_fmt":
-            o.video.pix_fmt = take()
+            v = take()
+            if not o.inputs:
+                pending["pixel_format"] = v
+            else:
+                o.video.pix_fmt = v
         elif a == "-s":
             v = take()
             if not o.inputs:

@@ -127,3 +127,18 @@ def gpl_run(args, timeout=300) -> bytes:
         raise RuntimeError(f"GPL reference avconv failed: "
                            f"{r.stderr.decode(errors='replace')[-2000:]}")
     return r.stdout
+
+
+def gpl_run_stderr(args, timeout=300) -> str:
+    """Like gpl_run but at -v info, returning stderr (log-producing
+    filters: cropdetect, showinfo)."""
+    import os
+    if not os.path.exists(GPL_AVCONV):
+        import pytest
+        pytest.skip("GPL reference build not present")
+    r = subprocess.run([GPL_AVCONV, "-v", "info", "-y"] + args,
+                       capture_output=True, timeout=timeout)
+    if r.returncode != 0:
+        raise RuntimeError(f"GPL reference avconv failed: "
+                           f"{r.stderr.decode(errors='replace')[-2000:]}")
+    return r.stderr.decode(errors="replace")

@@ -695,3 +695,76 @@ class TestAudioFilters:
         from libav_tpu.filters.graph import FilterGraph
         FilterGraph("ashowinfo").push(self._afr(0))
         assert "checksums" in capsys.readouterr().err
+
+
+class TestPropFilters:
+    """Metadata/plumbing filter batch (filters/vf.py + af.py):
+    setdar/setsar (vf_aspect.c), fifo, nullsink/anullsink, pixdesctest,
+    hwupload/hwdownload, join (af_join.c), resample alias."""
+
+    @staticmethod
+    def _vfr(i=0):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.avutil.rational import Rational
+        f = Frame(width=32, height=24, format="yuv420p", pts=i)
+        f.time_base = Rational(1, 25)
+        f.planes = [np.full((24, 32), 100 + i, np.uint8),
+                    np.full((12, 16), 128, np.uint8),
+                    np.full((12, 16), 128, np.uint8)]
+        return f
+
+    @staticmethod
+    def _afr(i=0):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        f = Frame(format="s16", nb_samples=100, sample_rate=8000,
+                  channels=1, pts=i * 100)
+        f.planes = [np.arange(100, dtype=np.int16) + i * 1000]
+        return f
+
+    def test_setdar(self):
+        from libav_tpu.filters.graph import FilterGraph
+        # DAR 16/9 on 32x24 -> SAR = 16*24 / (9*32) = 4/3
+        o = FilterGraph("setdar=dar=16/9").push(self._vfr())[0]
+        assert (o.sample_aspect_ratio.num, o.sample_aspect_ratio.den) \
+            == (4, 3)
+
+    def test_setsar(self):
+        from libav_tpu.filters.graph import FilterGraph
+        o = FilterGraph("setsar=sar=3/2").push(self._vfr())[0]
+        assert (o.sample_aspect_ratio.num, o.sample_aspect_ratio.den) \
+            == (3, 2)
+
+    def test_fifo_pixdesctest_identity(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        o = FilterGraph("fifo,pixdesctest").push(self._vfr())[0]
+        np.testing.assert_array_equal(np.asarray(o.planes[0]),
+                                      np.asarray(self._vfr().planes[0]))
+
+    def test_hwupload_download_roundtrip(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        o = FilterGraph("hwupload,hwdownload").push(self._vfr())[0]
+        np.testing.assert_array_equal(np.asarray(o.planes[0]),
+                                      np.asarray(self._vfr().planes[0]))
+
+    def test_nullsink(self):
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("nullsink")
+        assert g.push(self._vfr()) == [] and g.push_eof() == []
+
+    def test_join(self):
+        import numpy as np
+        from libav_tpu.filters.graph import FilterGraph
+        g = FilterGraph("join=inputs=2")
+        g.filters[0].push_secondary(self._afr(1))
+        o = g.push(self._afr(0))[0]
+        p = np.asarray(o.planes[0]).reshape(-1, 2)
+        assert o.channels == 2 and p[0, 0] == 0 and p[0, 1] == 1000
+
+    def test_resample_alias(self):
+        from libav_tpu.filters.graph import FilterGraph
+        o = FilterGraph("resample").push(self._afr())[0]
+        assert o.sample_rate == 8000 and o.nb_samples == 100

@@ -1002,6 +1002,12 @@ class TestGplFilterParity:
         "interlace",
         "interlace=scan=bff",
         "interlace=lowpass=0",
+        "delogo=x=30:y=20:w=60:h=40",
+        "delogo=x=30:y=20:w=60:h=40:band=8",
+        "delogo=x=30:y=20:w=60:h=40:show=1",
+        "lut=c0=negval:c1=val:c2=maxval-val",
+        "lut=c0=gammaval(0.7)",
+        "lutyuv=y=gammaval(0.5):u=val:v=negval",
     ])
     def test_filter(self, y4m, tmp_path, vf):
         from tests.fate_util import gpl_run
@@ -1015,6 +1021,61 @@ class TestGplFilterParity:
         b = np.fromfile(ouryuv, np.uint8)
         assert a.size == b.size and a.size > 0
         np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("vf", [
+        "lutrgb=r=negval:g=val/2:b=maxval-val",
+        "lutrgb=r=2*val:g=val+100:b=val-64",
+        "lut=c0=negval:c1=val/2:c2=clipval",
+    ])
+    def test_lut_rgb24(self, tmp_path, vf):
+        """The packed-RGB lut path (vf_lut.c:302) — raw rgb24 in/out so
+        no swscale conversion muddies the comparison."""
+        from tests.fate_util import gpl_run
+        from libav_tpu.tools import avconv
+        rng = np.random.default_rng(7)
+        raw = str(tmp_path / "in.raw")
+        rng.integers(0, 256, (4, 64, 48, 3), dtype=np.uint8).tofile(raw)
+        src = ["-f", "rawvideo", "-pix_fmt", "rgb24", "-s", "48x64",
+               "-r", "25", "-i", raw]
+        refraw = str(tmp_path / "ref.raw")
+        ourraw = str(tmp_path / "our.raw")
+        gpl_run(src + ["-vf", vf, "-f", "rawvideo", refraw])
+        assert avconv.main(["-y"] + src + ["-vf", vf, "-f", "rawvideo",
+                            ourraw]) == 0
+        a = np.fromfile(refraw, np.uint8)
+        b = np.fromfile(ourraw, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
+
+    def test_cropdetect(self, tmp_path, capsys):
+        """vf_cropdetect.c semantics: integer line means vs limit,
+        2-frame warmup, even-rounded origin, round-divisible size."""
+        from tests.fate_util import gpl_run_stderr
+        from libav_tpu.tools import avconv
+        rng = np.random.default_rng(3)
+        y4mf = str(tmp_path / "bord.y4m")
+        w, h = 96, 80
+        with open(y4mf, "wb") as f:
+            f.write(b"YUV4MPEG2 W96 H80 F25:1 Ip A1:1 C420jpeg\n")
+            for _ in range(6):
+                y = np.zeros((h, w), np.uint8)
+                y[10:70, 14:82] = rng.integers(60, 220, (60, 68),
+                                               dtype=np.uint8)
+                u = np.full((h // 2, w // 2), 128, np.uint8)
+                f.write(b"FRAME\n" + y.tobytes() + u.tobytes() +
+                        u.tobytes())
+        err = gpl_run_stderr(["-i", y4mf, "-vf",
+                              "cropdetect=limit=24:round=16",
+                              "-f", "null", "-"])
+        ref = [l.split("]")[-1].split(" pts")[0].strip()
+               for l in err.splitlines() if "crop=" in l]
+        assert avconv.main(["-y", "-i", y4mf, "-vf",
+                            "cropdetect=limit=24:round=16",
+                            "-f", "null", "-"]) == 0
+        ours = [l.split("]")[-1].split(" crop=")[0].strip()
+                for l in capsys.readouterr().err.splitlines()
+                if "crop=" in l]
+        assert ours and ours == ref
 
 
 class TestResyncDataPartitioning:
