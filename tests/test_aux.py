@@ -768,3 +768,75 @@ class TestPropFilters:
         from libav_tpu.filters.graph import FilterGraph
         o = FilterGraph("resample").push(self._afr())[0]
         assert o.sample_rate == 8000 and o.nb_samples == 100
+
+
+class TestSourceAndSplitFilters:
+    """channelsplit (per-pad routing), movie source, nullsrc/anullsrc,
+    buffer/abuffer/hwmap pass-throughs."""
+
+    def test_channelsplit_roundtrip(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.filters.graph import FilterGraph
+        f = Frame(format="s16", nb_samples=64, sample_rate=8000,
+                  channels=2, pts=0)
+        inter = np.arange(128, dtype=np.int16)
+        f.planes = [inter.copy()]
+        g = FilterGraph("channelsplit[l][r];[l]anull[x];[r]anull[y];"
+                        "[x][y]join")
+        o = g.push(f)[0]
+        assert o.channels == 2
+        np.testing.assert_array_equal(
+            np.asarray(o.planes[0]).ravel(), inter)
+
+    def test_channelsplit_pads(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.filters.graph import get_filter
+        f = Frame(format="s16", nb_samples=4, sample_rate=8000,
+                  channels=2, pts=0)
+        f.planes = [np.arange(8, dtype=np.int16)]
+        outs = get_filter("channelsplit")("").filter_frame(f)
+        assert len(outs) == 2
+        np.testing.assert_array_equal(np.asarray(outs[0].planes[0]),
+                                      [0, 2, 4, 6])
+        np.testing.assert_array_equal(np.asarray(outs[1].planes[0]),
+                                      [1, 3, 5, 7])
+
+    def test_movie_source(self, tmp_path):
+        import numpy as np
+        from libav_tpu.filters.graph import get_filter
+        y4mf = str(tmp_path / "m.y4m")
+        with open(y4mf, "wb") as fh:
+            fh.write(b"YUV4MPEG2 W32 H16 F25:1 Ip A1:1 C420jpeg\n")
+            for i in range(3):
+                fh.write(b"FRAME\n")
+                fh.write(bytes([i * 40] * (32 * 16)))
+                fh.write(bytes([128] * (16 * 8) * 2))
+        frames = list(get_filter("movie")(
+            f"filename={y4mf}").generate())
+        assert len(frames) == 3 and frames[0].width == 32
+        assert int(np.asarray(frames[1].planes[0])[0, 0]) == 40
+        assert len(list(get_filter("movie")(
+            f"filename={y4mf}:loop=2").generate())) == 6
+
+    def test_nullsrc_anullsrc(self):
+        import numpy as np
+        from libav_tpu.filters.graph import get_filter
+        f = next(get_filter("nullsrc")("size=32x32").generate())
+        assert f.width == 32 and int(np.asarray(f.planes[0]).sum()) == 0
+        a = next(get_filter("anullsrc")("").generate())
+        assert a.channels == 2 and a.nb_samples == 1024
+        assert int(np.abs(np.asarray(a.planes[0])).sum()) == 0
+
+    def test_buffer_hwmap_passthrough(self):
+        import numpy as np
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.filters.graph import FilterGraph
+        f = Frame(width=8, height=8, format="yuv420p", pts=0)
+        f.planes = [np.full((8, 8), 7, np.uint8),
+                    np.full((4, 4), 128, np.uint8),
+                    np.full((4, 4), 128, np.uint8)]
+        o = FilterGraph("buffer,hwmap,buffersink").push(f)[0]
+        np.testing.assert_array_equal(np.asarray(o.planes[0]),
+                                      np.asarray(f.planes[0]))

@@ -1403,3 +1403,111 @@ class TestMsmpeg4:
         a = crc_column(ref_framecrc(enc))
         b = crc_column(our_framecrc(enc))
         assert len(a) > 0 and a == b
+
+
+class TestCompandParity:
+    """af_compand.c transcription vs the reference binary: envelope
+    (update_volume), piecewise soft-knee transfer (get_volume), delay
+    path with drain.  Tolerance 1 LSB — the reference computes in
+    float32 libm (logf/expf), which differs from our float64-then-cast
+    path by an occasional ulp."""
+
+    @pytest.fixture(scope="class")
+    def tone(self, tmp_path_factory):
+        import wave
+        p = str(tmp_path_factory.mktemp("compand") / "tone.wav")
+        sr = 8000
+        n = sr * 2
+        t = np.arange(n) / sr
+        env = 0.1 + 0.85 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.7 * t))
+        sig = np.sin(2 * np.pi * 440 * t) * env
+        st = np.stack([sig, sig * 0.6], -1)
+        s16 = np.clip(np.rint(st * 32767), -32768, 32767
+                      ).astype(np.int16)
+        with wave.open(p, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(s16.tobytes())
+        return p
+
+    @pytest.mark.parametrize("af", [
+        "compand",
+        "compand=attacks=0.01|0.01:decays=0.1|0.1:"
+        "points=-80/-80|-20/-10|0/-5:gain=2",
+        "compand=attacks=0.05:decays=0.2:"
+        "points=-60/-60|-30/-15|0/-10:soft-knee=6",
+        "compand=attacks=0.02:decays=0.15:"
+        "points=-70/-70|-25/-12|0/-6:delay=0.05",
+        "compand=attacks=0.1|0.1:decays=0.3|0.3:"
+        "points=-70/-70|-30/-20|0/-8:volume=-20",
+        "compand=delay=0.1",
+    ])
+    def test_compand(self, tone, tmp_path, af):
+        from tests.fate_util import ref_run
+        from libav_tpu.tools import avconv
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", tone, "-af", af, "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-v", "error", "-i", tone, "-af", af,
+                            "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, np.int16)
+        b = np.fromfile(ourpcm, np.int16)
+        assert a.size == b.size and a.size > 0
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, f"max diff {d.max()}, {np.sum(d > 1)} >1"
+
+
+class TestFramepackParity:
+    """vf_framepack.c — all five packing modes byte-identical through
+    -filter_complex with two inputs."""
+
+    @pytest.mark.parametrize("mode",
+                             ["sbs", "tab", "lines", "columns",
+                              "frameseq"])
+    def test_framepack(self, y4m, tmp_path, mode):
+        from tests.fate_util import ref_run
+        from libav_tpu.tools import avconv
+        flip = str(tmp_path / "flip.y4m")
+        ref_run(["-i", y4m, "-vf", "vflip", flip])
+        fc = f"[0:v][1:v]framepack=format={mode}"
+        refout = str(tmp_path / "ref.raw")
+        ourout = str(tmp_path / "our.raw")
+        ref_run(["-i", y4m, "-i", flip, "-filter_complex", fc,
+                 "-f", "rawvideo", refout])
+        assert avconv.main(["-y", "-v", "error", "-i", y4m, "-i", flip,
+                            "-filter_complex", fc, "-f", "rawvideo",
+                            ourout]) == 0
+        a = np.fromfile(refout, np.uint8)
+        b = np.fromfile(ourout, np.uint8)
+        assert a.size == b.size and a.size > 0
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSourceParity:
+    """Generator sources vs the reference: color (CCIR limited-range
+    fill) and rgbtestsrc (gradient bands) byte-identical."""
+
+    def test_color(self, tmp_path):
+        from tests.fate_util import ref_run
+        from libav_tpu.filters.graph import get_filter
+        refout = str(tmp_path / "ref.raw")
+        ref_run(["-filter_complex", "color=color=red:size=64x48",
+                 "-t", "0.08", "-pix_fmt", "yuv420p", "-f", "rawvideo",
+                 refout])
+        f = next(get_filter("color")("color=red:size=64x48").generate())
+        ours = np.concatenate([np.asarray(p).ravel() for p in f.planes])
+        ref = np.fromfile(refout, np.uint8)
+        np.testing.assert_array_equal(ours, ref[:ours.size])
+
+    def test_rgbtestsrc(self, tmp_path):
+        from tests.fate_util import ref_run
+        from libav_tpu.filters.graph import get_filter
+        refout = str(tmp_path / "ref.raw")
+        ref_run(["-filter_complex", "rgbtestsrc=size=64x48",
+                 "-t", "0.08", "-pix_fmt", "rgb24", "-f", "rawvideo",
+                 refout])
+        f = next(get_filter("rgbtestsrc")("size=64x48").generate())
+        ours = np.asarray(f.planes[0]).ravel()
+        ref = np.fromfile(refout, np.uint8)
+        np.testing.assert_array_equal(ours, ref[:ours.size])
