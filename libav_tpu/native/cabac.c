@@ -81,8 +81,10 @@ static inline int cd_bit1(CD *c)
 
 /* packed state-transition tables over s = 2*p + mps, folding the MPS
  * flip at p==0 into the LPS table (reference cabac_functions.h keeps
- * the same packed-state design in ff_h264_cabac_tables) */
-static uint8_t cd_mps_tr[128], cd_lps_tr[128];
+ * the same packed-state design in ff_h264_cabac_tables).
+ * cd_tr2 interleaves both: cd_tr2[2*s + lps] — one load in the
+ * branchless decode below. */
+static uint8_t cd_mps_tr[128], cd_lps_tr[128], cd_tr2[256];
 static volatile int cd_tr_ready = 0;
 
 static void cd_build_trans(void)
@@ -95,6 +97,8 @@ static void cd_build_trans(void)
         int ml = p == 0 ? mps ^ 1 : mps;
         cd_mps_tr[s] = (uint8_t)(2 * pm + mps);
         cd_lps_tr[s] = (uint8_t)(2 * pl + ml);
+        cd_tr2[2 * s] = cd_mps_tr[s];
+        cd_tr2[2 * s + 1] = cd_lps_tr[s];
     }
     cd_tr_ready = 1;
 }
@@ -146,34 +150,28 @@ static inline void cd_renorm(CD *c)
 
 static inline int cd_dec(CD *c, int ctx)
 {
+    /* branchless MPS/LPS select: m = -1 on the LPS path (the standard
+     * sign-mask formulation the reference's cabac_functions.h get_cabac
+     * also uses), and the renorm shift runs unconditionally (sh = 0 when
+     * range is already >= 0x100) so the only branch left is the rare,
+     * well-predicted refill */
     int s = c->st[ctx];
     int range = c->range, offset = c->offset;
     int rlps = cb_lps_range[s >> 1][(range >> 6) & 3];
     int r2 = range - rlps;
-    int bit;
-    /* MPS runs predict well: keep the branch, but use the packed
-     * transition tables (folds the p==0 MPS flip and the p<62 clamp) */
-    if (offset >= r2) {
-        bit = (s & 1) ^ 1;
-        offset -= r2;
-        range = rlps;
-        c->st[ctx] = cd_lps_tr[s];
-    } else {
-        bit = s & 1;
-        range = r2;
-        c->st[ctx] = cd_mps_tr[s];
-    }
-    if (range < 0x100) {
-#if defined(__GNUC__)
-        int sh = __builtin_clz((unsigned)range) - 23;
-#else
-        int sh = 0;
-        while ((range << sh) < 0x100)
-            sh++;
-#endif
-        range <<= sh;
-        offset = (offset << sh) | cd_bits(c, sh);
-    }
+    int m = (r2 - offset - 1) >> 31;        /* -1: LPS, 0: MPS */
+    int bit = (s ^ m) & 1;
+    int sh;
+    offset -= r2 & m;
+    range = r2 + ((rlps - r2) & m);
+    c->st[ctx] = cd_tr2[2 * s + (m & 1)];
+    sh = __builtin_clz((unsigned)range) - 23;
+    range <<= sh;
+    if (c->ncache < sh)
+        cd_refill(c);
+    c->ncache -= sh;
+    offset = (offset << sh) |
+        (int)((c->cache >> c->ncache) & (((uint32_t)1 << sh) - 1));
     c->range = range;
     c->offset = offset;
     return bit;
@@ -181,12 +179,11 @@ static inline int cd_dec(CD *c, int ctx)
 
 static inline int cd_bypass(CD *c)
 {
+    int m;
     c->offset = (c->offset << 1) | cd_bit1(c);
-    if (c->offset >= c->range) {
-        c->offset -= c->range;
-        return 1;
-    }
-    return 0;
+    m = (c->range - c->offset - 1) >> 31;
+    c->offset -= c->range & m;
+    return m & 1;
 }
 
 static int cd_term(CD *c)
@@ -240,40 +237,34 @@ static int cd_term(CD *c)
 } while (0)
 
 #define M_RENORM() do { \
-    if (l_range < 0x100) { \
-        int sh_ = __builtin_clz((unsigned)l_range) - 23, nb_; \
-        l_range <<= sh_; \
-        M_BITS(sh_, nb_); \
-        l_offset = (l_offset << sh_) | nb_; \
-    } \
+    int sh_ = __builtin_clz((unsigned)l_range) - 23; \
+    l_range <<= sh_; \
+    if (l_ncache < sh_) \
+        M_REFILL(); \
+    l_ncache -= sh_; \
+    l_offset = (l_offset << sh_) | \
+        (int)((l_cache >> l_ncache) & (((uint32_t)1 << sh_) - 1)); \
 } while (0)
 
 #define M_DEC(ctx, out) do { \
     int s_ = l_st[ctx]; \
     int rlps_ = cb_lps_range[s_ >> 1][(l_range >> 6) & 3]; \
     int r2_ = l_range - rlps_; \
-    if (l_offset >= r2_) { \
-        (out) = (s_ & 1) ^ 1; \
-        l_offset -= r2_; \
-        l_range = rlps_; \
-        l_st[ctx] = cd_lps_tr[s_]; \
-    } else { \
-        (out) = s_ & 1; \
-        l_range = r2_; \
-        l_st[ctx] = cd_mps_tr[s_]; \
-    } \
+    int m_ = (r2_ - l_offset - 1) >> 31; \
+    (out) = (s_ ^ m_) & 1; \
+    l_offset -= r2_ & m_; \
+    l_range = r2_ + ((rlps_ - r2_) & m_); \
+    l_st[ctx] = cd_tr2[2 * s_ + (m_ & 1)]; \
     M_RENORM(); \
 } while (0)
 
 #define M_BYPASS(out) do { \
-    int b_; \
+    int b_, m_; \
     M_BITS(1, b_); \
     l_offset = (l_offset << 1) | b_; \
-    if (l_offset >= l_range) { \
-        l_offset -= l_range; \
-        (out) = 1; \
-    } else \
-        (out) = 0; \
+    m_ = (l_range - l_offset - 1) >> 31; \
+    l_offset -= l_range & m_; \
+    (out) = m_ & 1; \
 } while (0)
 
 /* ---- residual coding (mirrors cabac.py code_residual, cats 0..4) --- */

@@ -17,7 +17,7 @@
 #include "../native/cabac.c"
 
 typedef struct {
-    int params[12];
+    int params[14];
     int has_sctx;
     long long dlen;
     unsigned char *data;
@@ -39,6 +39,7 @@ static void reset_arena_c(int *arena, int nmb)
     int *bmv = a;        a += 144 * nmb;    /* bmv, bmvd, bdirect */
     int *gslice = a;     a += nmb;
     int *i4grid = a;     a += 16 * nmb;
+    int *t8 = a;         a += nmb;
     int *flags = a;      a += 4;
     int *sctx = a;
 
@@ -51,6 +52,7 @@ static void reset_arena_c(int *arena, int nmb)
     for (i = 0; i < 32 * nmb; i++) bref[i] = -2;
     for (i = 0; i < nmb; i++) gslice[i] = -1;
     for (i = 0; i < 16 * nmb; i++) i4grid[i] = -1;
+    memset(t8, 0, (size_t)nmb * 4);
     flags[0] = 0;
     sctx[0] = sctx[1] = 0;
 }
@@ -72,7 +74,7 @@ int main(int argc, char **argv)
     calls = calloc(ncalls, sizeof(Call));
     for (k = 0; k < ncalls; k++) {
         Call *c = &calls[k];
-        if (fread(c->params, 4, 12, f) != 12) return 1;
+        if (fread(c->params, 4, 14, f) != 14) return 1;
         if (fread(&c->has_sctx, 4, 1, f) != 1) return 1;
         if (fread(&c->dlen, 8, 1, f) != 1) return 1;
         c->data = malloc(c->dlen + 8);
@@ -88,7 +90,7 @@ int main(int argc, char **argv)
     }
     fclose(f);
 
-    arena = malloc(((size_t)nmb * 296 + 6) * 4);
+    arena = malloc(((size_t)nmb * 297 + 6) * 4);
     coeffs = malloc((size_t)nmb * 24 * 16 * 2);
     psctx = malloc((2 + (size_t)nmb * 24) * 4);
 

@@ -57,9 +57,11 @@ def dump(calls, outdir):
             col = kw.get("col")
             ycap = kw.get("ycap", 0)
             has_sctx = 1 if kw.get("sctx") is not None else 0
-            params = list(a[:10]) + [0 if col is None else 1, ycap]
+            params = list(a[:10]) + [0 if col is None else 1, ycap,
+                                     kw.get("t8mode", 0),
+                                     kw.get("d8x8inf", 1)]
             params[9] = 1 if params[9] else 0
-            f.write(struct.pack("<12i", *[int(x) for x in params]))
+            f.write(struct.pack("<14i", *[int(x) for x in params]))
             f.write(struct.pack("<iq", has_sctx, len(data)))
             f.write(data)
             if col is not None:
