@@ -103,6 +103,8 @@ def reference_fps(datas) -> float:
     host (median of 3; utime from avconv -benchmark)."""
     avconv = os.path.join(REPO, ".refbuild", "avconv")
     if not os.path.exists(avconv):
+        avconv = os.path.join(REPO, ".refbuild-gpl", "avconv")
+    if not os.path.exists(avconv):
         return 0.0
     with tempfile.NamedTemporaryFile(suffix=".h264", delete=False) as tf:
         for d in datas:
