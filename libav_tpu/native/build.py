@@ -128,8 +128,24 @@ def get_lib():
             mod = __import__(modname)
         except ImportError:
             try:
-                _compile()
-                mod = __import__(modname)
+                # serialize concurrent builders across processes (bench
+                # encode child, pytest workers) — a half-written .so from
+                # a sibling process must not be imported
+                _BUILD.mkdir(exist_ok=True)
+                import fcntl
+                with open(_BUILD / ".buildlock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    # importlib caches per-directory listings with 1s mtime
+                    # granularity: a .so written after our first (failed)
+                    # import attempt is invisible without this
+                    import importlib
+                    importlib.invalidate_caches()
+                    try:
+                        mod = __import__(modname)
+                    except ImportError:
+                        _compile()
+                        importlib.invalidate_caches()
+                        mod = __import__(modname)
             except Exception as e:  # pragma: no cover - no-compiler fallback
                 sys.stderr.write(f"[libav_tpu.native] build failed, using "
                                  f"Python paths: {e}\n")

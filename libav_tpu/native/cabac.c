@@ -284,18 +284,27 @@ static int residual_block(CD *c, int cat, int *levels, int max_coeff)
     int idx[16], nidx = 0, i, node = 0, k, bit;
     int sig_base = sig_base_t[cat], last_base = last_base_t[cat],
         lvl_base = lvl_base_t[cat];
-    int broke = 0;
+    int broke = 0, phase = 0;
     CD_LOCALS(c);
-    for (i = 0; i < max_coeff - 1; i++) {
-        M_DEC(sig_base + i, bit);
-        if (bit) {
-            idx[nidx++] = i;
-            M_DEC(last_base + i, bit);
-            if (bit) {
-                broke = 1;
-                break;
-            }
+    /* sig/last scan as a branchless state machine: phase 0 decodes
+     * significant_coeff_flag[i], phase 1 last_significant_coeff_flag[i]
+     * — identical bin sequence to the nested-if form, but the only
+     * data-dependent branch left is the once-per-block last=1 exit
+     * (the per-bin `if (sig)` mispredicted ~once per coefficient,
+     * which dominated the profile: the bin loop is latency-bound) */
+    i = 0;
+    for (;;) {
+        M_DEC((phase ? last_base : sig_base) + i, bit);
+        idx[nidx] = i;
+        nidx += bit & (phase ^ 1);
+        if (bit & phase) {
+            broke = 1;
+            break;
         }
+        i += (bit ^ 1) | phase;
+        phase = bit;
+        if (i >= max_coeff - 1)
+            break;
     }
     if (!broke)
         idx[nidx++] = max_coeff - 1;
@@ -366,18 +375,24 @@ static const uint8_t last8_inc_t[63] = {
 static int residual_block8(CD *c, int *levels)
 {
     int idx[64], nidx = 0, i, node = 0, k, bit;
-    int broke = 0;
+    int broke = 0, phase = 0;
     CD_LOCALS(c);
-    for (i = 0; i < 63; i++) {
-        M_DEC(402 + sig8_inc_t[i], bit);
-        if (bit) {
-            idx[nidx++] = i;
-            M_DEC(417 + last8_inc_t[i], bit);
-            if (bit) {
-                broke = 1;
-                break;
-            }
+    /* same branchless sig/last state machine as residual_block */
+    i = 0;
+    for (;;) {
+        const uint8_t *inc = phase ? last8_inc_t : sig8_inc_t;
+        int base = phase ? 417 : 402;
+        M_DEC(base + inc[i], bit);
+        idx[nidx] = i;
+        nidx += bit & (phase ^ 1);
+        if (bit & phase) {
+            broke = 1;
+            break;
         }
+        i += (bit ^ 1) | phase;
+        phase = bit;
+        if (i >= 63)
+            break;
     }
     if (!broke)
         idx[nidx++] = 63;
@@ -483,6 +498,11 @@ typedef struct cb_S {
         *sctx;                  /* ycount, ccount, yidx[ycap], cidx[...] */
     int ycap;
     int t8mode, d8x8inf;        /* PPS transform_8x8_mode, SPS inference */
+    int cx, cy;                 /* current MB coords (loop-maintained) */
+    int nb_left, nb_top;        /* current MB neighbors, slice-gated —
+                                 * cached once per MB (saves the per-call
+                                 * i%mb_w hardware division that showed up
+                                 * at ~20% of entropy time in gprof) */
     int16_t *yvals, *cvals;
     const int *col;             /* (ref,mvx,mvy)*bh*bw or NULL */
 } S;
@@ -690,15 +710,11 @@ static void direct_mb_motion(S *s, int mb_x, int mb_y, int quads_mask)
 
 /* ---- CABAC MB-layer syntax (mirrors CabacMbLayer ctx derivations) -- */
 
-static void mb_neighbors(S *s, int i, int *left, int *top)
+static inline void mb_neighbors(S *s, int i, int *left, int *top)
 {
-    int x = i % s->mb_w;
-    *left = x > 0 ? i - 1 : -1;
-    *top = i >= s->mb_w ? i - s->mb_w : -1;
-    if (*left >= 0 && s->mcslice[*left] != s->cur_slice)
-        *left = -1;
-    if (*top >= 0 && s->mcslice[*top] != s->cur_slice)
-        *top = -1;
+    (void)i;                    /* always the current MB */
+    *left = s->nb_left;
+    *top = s->nb_top;
 }
 
 static int dec_mb_skip(S *s, int i)
@@ -970,7 +986,7 @@ static int nnz_at(S *s, const int *grid, int gw, int bx, int by,
 
 static int cbf_ctx(S *s, int i, int cat, int blk)
 {
-    int x = i % s->mb_w, y = i / s->mb_w;
+    int x = s->cx, y = s->cy;
     int cur_intra = s->intra[i] != 0;
     int left, top, nza, nzb, inc;
     mb_neighbors(s, i, &left, &top);
@@ -1628,10 +1644,21 @@ int h264_cabac_decode_slice(
     cd_init(&s.cd, buf, buf_size, s.slice_type == 2, params[5], qp);
 
     i = params[2];              /* first_mb */
+    {
+    int mb_x = i % s.mb_w, mb_y = i / s.mb_w;
     while (i < nmb) {
-        int mb_x = i % s.mb_w, mb_y = i / s.mb_w;
         s.mcslice[i] = s.cur_slice;
         s.gslice[i] = s.cur_slice;
+        s.cx = mb_x;
+        s.cy = mb_y;
+        {
+            int l_ = mb_x > 0 ? i - 1 : -1;
+            int t_ = mb_y > 0 ? i - s.mb_w : -1;
+            if (l_ >= 0 && s.mcslice[l_] != s.cur_slice) l_ = -1;
+            if (t_ >= 0 && s.mcslice[t_] != s.cur_slice) t_ = -1;
+            s.nb_left = l_;
+            s.nb_top = t_;
+        }
         if (s.slice_type == 1) {
             if (dec_mb_skip(&s, i)) {
                 cb_skip_mb(&s, i, mb_x, mb_y, qp);
@@ -1679,8 +1706,13 @@ int h264_cabac_decode_slice(
         if (s.err)
             return s.err;
         i++;
+        if (++mb_x == s.mb_w) {
+            mb_x = 0;
+            mb_y++;
+        }
         if (cd_term(&s.cd))
             break;
+    }
     }
     return 0;
 }
