@@ -56,16 +56,23 @@ class DPBEntry:
     saved block motion for spatial-direct colocated lookups
     (h264_direct.c)."""
     __slots__ = ("poc", "planes", "colref", "colmv", "colpoc",
-                 "frame_num", "long_term", "lt_idx", "src",
+                 "colpacked", "frame_num", "long_term", "lt_idx", "src",
                  "field_poc", "field_planes", "field_src")
 
-    def __init__(self, poc, planes, colref=None, colmv=None,
-                 colpoc=None, frame_num=0):
+    def __init__(self, poc, planes, colpacked=None, frame_num=0):
         self.poc = poc
         self.planes = planes
-        self.colref = colref
-        self.colmv = colmv
-        self.colpoc = colpoc
+        # packed (bh, bw, 4) int32 of (ref, mvx, mvy, refpoc) per 4x4
+        # cell — colref/colmv/colpoc are strided views into it (one
+        # contiguous buffer: built in one native pass and handed to the
+        # C spatial-direct reader without repacking)
+        self.colpacked = colpacked
+        if colpacked is not None:
+            self.colref = colpacked[..., 0]
+            self.colmv = colpacked[..., 1:3]
+            self.colpoc = colpacked[..., 3]
+        else:
+            self.colref = self.colmv = self.colpoc = None
         self.long_term = False         # 8.2.5: long-term reference
         self.lt_idx = -1               # LongTermFrameIdx
         self.src = None                # gap dummy: copy-of entry
@@ -248,7 +255,12 @@ class H264Decoder(Decoder):
         # releases the GIL, so the stages genuinely overlap. Output is
         # delayed by one AU (codec delay, drained on flush).
         import os as _os
-        if _os.environ.get("LIBAV_TPU_NO_PIPELINE"):
+        # a worker thread only helps when a second core can run it: on a
+        # single-CPU host the GIL handoffs + context switches make the
+        # pipelined path ~2x slower than serial (measured: 19.8 vs 42.5
+        # fps on the 1080p bench GOP), so fall back to in-line decode
+        if _os.environ.get("LIBAV_TPU_NO_PIPELINE") or \
+                (_os.cpu_count() or 1) <= 1:
             class _Now:
                 def __init__(self, v):
                     self._v = v
@@ -442,12 +454,13 @@ class H264Decoder(Decoder):
                 fd.dpb_parity = finfo[1]
             elif ridc_:
                 ent = DPBEntry(poc_ if poc_ is not None else 0, None,
-                               *self._col_motion(fd),
+                               self._col_motion(fd),
                                frame_num=getattr(self, "_frame_num", 0))
                 if finfo[0]:
                     ent.field_poc = {finfo[1]: ent.poc}
                     ent.field_planes = {}
                     ent.colref = ent.colmv = ent.colpoc = None
+                    ent.colpacked = None
                     self._incomplete_field = (ent, finfo[1],
                                               ent.frame_num)
                     fd.dpb_parity = finfo[1]
@@ -595,9 +608,7 @@ class H264Decoder(Decoder):
                     ent = DPBEntry(
                         (newest.poc + 2) if newest else 0,
                         newest.planes if newest else None,
-                        newest.colref if newest else None,
-                        newest.colmv if newest else None,
-                        newest.colpoc if newest else None,
+                        newest.colpacked if newest else None,
                         frame_num=cur)
                     ent.src = newest   # pixels may be filled in later
                     shorts = [e for e in self._dpb if not e.long_term]
@@ -707,7 +718,8 @@ class H264Decoder(Decoder):
                           key=lambda e: e.poc)
             list0 = (past + futr + longs) or list(self._dpb)
             list1 = (futr + past + longs) or list(self._dpb)
-            self._cur_col = ((list1[0].colref, list1[0].colmv)
+            self._cur_col = ((list1[0].colref, list1[0].colmv,
+                              list1[0].colpacked)
                              if list1 and list1[0].colref is not None
                              else None)
         else:
@@ -741,7 +753,8 @@ class H264Decoder(Decoder):
                     if gb.get_bits(1) else list1
             self._cur_lists = (list0, list1)
             if slice_type == SLICE_B:
-                self._cur_col = ((list1[0].colref, list1[0].colmv)
+                self._cur_col = ((list1[0].colref, list1[0].colmv,
+                                  list1[0].colpacked)
                                  if list1 and list1[0].colref is not None
                                  else None)
         # pred_weight_table (spec 7.3.3.2; reference h264_parse.c
@@ -965,22 +978,16 @@ class H264Decoder(Decoder):
             g.slice_id = v["gslice"]
         col = None
         if slice_type == SLICE_B and self._cur_col is not None:
-            cref, cmv = self._cur_col
-            # cache the packed colocated grid on the source arrays: the
-            # same anchor serves every B frame of the mini-GOP
-            key = (id(cref), id(cmv))
-            cached = getattr(self, "_col_cache", None)
-            if cached is not None and cached[0] == key:
-                col = cached[1]
-            else:
-                col = np.empty((cref.shape[0], cref.shape[1], 3),
+            # the DPB entry's packed (ref,mvx,mvy,poc) grid is already
+            # the layout the C spatial-direct reader consumes
+            col = self._cur_col[2]
+            if col is None:
+                cref, cmv = self._cur_col[0], self._cur_col[1]
+                col = np.empty((cref.shape[0], cref.shape[1], 4),
                                dtype=np.int32)
                 col[..., 0] = cref
-                col[..., 1] = cmv[..., 0]
-                col[..., 2] = cmv[..., 1]
-                col = np.ascontiguousarray(col)
-                # keep cref/cmv referenced so their id()s stay unique
-                self._col_cache = (key, col, cref, cmv)
+                col[..., 1:3] = cmv
+                col[..., 3] = 0
         fd.pending_slices.append(
             (data, first_mb, slice_type, qp, cabac_init_idc,
              max(nref0, 1), max(nref1, 1), fd.native_slices, col))
@@ -1661,14 +1668,16 @@ class H264Decoder(Decoder):
         return w0
 
     def _col_motion(self, fd):
-        """Merged (refIdxCol, mvCol, refPocCol) grids saved with
+        """Packed (refIdxCol, mvCol, refPocCol) grid saved with
         reference frames for direct prediction (spec 8.4.1.2.2
         colZeroFlag; 8.4.1.2.3 needs the POC of the picture each
-        colocated block referenced for DistScaleFactor)."""
-        l0pocs = np.array([e.poc for e in (fd.list0 or [])] + [0],
-                          np.int32)
-        l1pocs = np.array([e.poc for e in (fd.list1 or [])] + [0],
-                          np.int32)
+        colocated block referenced for DistScaleFactor).  Returns one
+        contiguous (bh, bw, 4) int32 array of (ref, mvx, mvy, refpoc)
+        — a single native pass where the arena grids allow it."""
+        l0pocs = np.ascontiguousarray(
+            [e.poc for e in (fd.list0 or [])] + [0], np.int32)
+        l1pocs = np.ascontiguousarray(
+            [e.poc for e in (fd.list1 or [])] + [0], np.int32)
 
         def pocs_of(pocs, ref):
             return np.where(
@@ -1680,21 +1689,30 @@ class H264Decoder(Decoder):
             sps = self.active_sps
             mbw, mbh = sps.mb_width, sps.mb_height
             intra_mb = fd.intra.astype(bool).reshape(mbh, mbw)
-            ref = np.where(intra_mb, -1,
-                           fd.ref_idx.reshape(mbh, mbw)).astype(np.int8)
+            ref = np.where(intra_mb, -1, fd.ref_idx.reshape(mbh, mbw))
             colref = np.repeat(np.repeat(ref, 4, 0), 4, 1)
             colmv = np.repeat(np.repeat(
-                fd.mv.reshape(mbh, mbw, 2), 4, 0), 4, 1).astype(np.int16)
-            return colref, colmv, pocs_of(l0pocs, colref)
-        use0 = g.bref[0] >= 0
-        colref = np.where(use0, g.bref[0],
-                          np.where(g.bref[1] >= 0, g.bref[1],
-                                   -1)).astype(np.int8)
-        colmv = np.where(use0[..., None], g.bmv[0],
-                         g.bmv[1]).astype(np.int16)
-        colpoc = np.where(use0, pocs_of(l0pocs, g.bref[0]),
-                          pocs_of(l1pocs, g.bref[1]))
-        return colref, colmv, colpoc
+                fd.mv.reshape(mbh, mbw, 2), 4, 0), 4, 1)
+            packed = np.empty(colref.shape + (4,), np.int32)
+            packed[..., 0] = colref
+            packed[..., 1:3] = colmv
+            packed[..., 3] = pocs_of(l0pocs, colref)
+            return packed
+        b0, b1 = np.asarray(g.bref[0]), np.asarray(g.bref[1])
+        from libav_tpu.native import h264_cabac_host as CN
+        br, bm = getattr(g, "bref", None), getattr(g, "bmv", None)
+        if (CN.available() and isinstance(br, np.ndarray)
+                and br.dtype == np.int32 and br.ndim == 3
+                and isinstance(bm, np.ndarray) and bm.dtype == np.int32
+                and br.flags["C_CONTIGUOUS"] and bm.flags["C_CONTIGUOUS"]):
+            return CN.col_pack(br, bm, l0pocs, l1pocs)
+        use0 = b0 >= 0
+        packed = np.empty(b0.shape + (4,), np.int32)
+        packed[..., 0] = np.where(use0, b0, np.where(b1 >= 0, b1, -1))
+        packed[..., 1:3] = np.where(use0[..., None], g.bmv[0], g.bmv[1])
+        packed[..., 3] = np.where(use0, pocs_of(l0pocs, b0),
+                                  pocs_of(l1pocs, b1))
+        return packed
 
     def _reconstruct(self, fd: FrameData, slice_info) -> Frame:
         sps, deblock, ab_offset, weights, pps = fd.recon_ctx
@@ -1837,10 +1855,11 @@ class H264Decoder(Decoder):
         # NOTE: these buffers must be freshly allocated per frame — the
         # axon transport reads jit argument buffers asynchronously, so
         # pooling/reuse corrupts frames still in flight (verified by a
-        # framecrc mismatch when pooled)
-        yvals = np.zeros((ycap, 16), np.int16)
+        # framecrc mismatch when pooled).  np.empty is safe: rows past
+        # the fill all scatter to the dropped sentinel row on device.
+        yvals = np.empty((ycap, 16), np.int16)
         yvals[:len(yidx)] = ysrc
-        cvals = np.zeros((ccap, 16), np.int16)
+        cvals = np.empty((ccap, 16), np.int16)
         cvals[:len(cidx)] = csrc
         ypad = np.full(ycap, nmb * 16, np.int32)
         ypad[:len(yidx)] = yidx
@@ -1854,6 +1873,9 @@ class H264Decoder(Decoder):
                                         & np.asarray(t8arr, bool)))
         ipcm = getattr(fd, "ipcm", None)
         any_ipcm = bool(ipcm is not None and np.any(ipcm))
+        # all-zero DC planes travel as a static flag, not 400KB of zeros
+        any_ydc = bool(np.any(fd.luma_dc))
+        any_cdc = bool(np.any(fd.chroma_dc))
         fn = recon_h264_sparse_jit(sps.mb_width, sps.mb_height, any_intra,
                                    ycap, ccap,
                                    crop=(cl, cr, ct, cb,
@@ -1868,7 +1890,8 @@ class H264Decoder(Decoder):
                                        if weights is not None else None),
                                    wmat=wmat, cqpo=cqpo, any_t8=any_t8,
                                    any_i8=any_i8, any_ipcm=any_ipcm,
-                                   field=field_pic, any_cdy=any_cdy)
+                                   field=field_pic, any_cdy=any_cdy,
+                                   any_ydc=any_ydc, any_cdc=any_cdc)
         kw = {}
         if any_ipcm:
             kw["ipcm"] = ipcm.astype(bool)
@@ -1942,9 +1965,11 @@ class H264Decoder(Decoder):
                             fd.chroma_mode.astype(np.int8),
                             fd.mv.astype(np.int16),
                             fd.qp.astype(np.int8),
-                            fd.luma_dc.astype(np.int16),
+                            fd.luma_dc.astype(np.int16) if any_ydc
+                            else None,
                             yvals, ypad, cvals, cpad,
-                            fd.chroma_dc.astype(np.int16), *refs, **kw)
+                            fd.chroma_dc.astype(np.int16) if any_cdc
+                            else None, *refs, **kw)
         if getattr(fd, "dpb_entry", None) is not None:
             if getattr(fd, "dpb_parity", None) is not None:
                 fd.dpb_entry.field_planes[fd.dpb_parity] = padded

@@ -608,7 +608,8 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                           nrefs1: int = 1, weighted=None, wmat=None,
                           cqpo=(0, 0), any_t8: bool = False,
                           any_i8: bool = False, any_ipcm: bool = False,
-                          field: bool = False, any_cdy: bool = False):
+                          field: bool = False, any_cdy: bool = False,
+                          any_ydc: bool = True, any_cdc: bool = True):
     """Sparse-residual variant of recon_h264_jit: the host sends only the
     coded 4x4 blocks (values + flat block indices, zero-padded to the
     bucket capacity with the index sentinel pointing at a scratch row);
@@ -635,6 +636,12 @@ def recon_h264_sparse_jit(mb_w: int, mb_h: int, any_intra: bool,
                    .at[yidx].set(yvals)[:nmb * 16].reshape(nmb, 16, 16))
         chroma_ac = (jnp.zeros((nmb * 8 + 1, 16), jnp.int16)
                      .at[cidx].set(cvals)[:nmb * 8].reshape(nmb, 8, 16))
+        # all-zero DC tensors are rebuilt on device instead of uploaded
+        # (saves ~400KB/frame of host->HBM transfer on P/B frames)
+        if not any_ydc:
+            luma_dc = jnp.zeros((nmb, 16), jnp.int16)
+        if not any_cdc:
+            chroma_dc = jnp.zeros((nmb, 2, 4), jnp.int16)
         planes, padded = dense_fn(intra, luma_mode, chroma_mode, mv, qp,
                                   luma_dc, luma_ac, chroma_dc, chroma_ac,
                                   ry, ru, rv, ref_idx=ref_idx, i4=i4,

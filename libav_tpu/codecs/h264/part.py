@@ -239,7 +239,7 @@ def pred_spatial_direct(g: MotionGrids, mb_x: int, mb_y: int,
 
     col_zero = np.zeros((4, 4), dtype=bool)
     if not direct_zero and col is not None:
-        cref, cmv = col
+        cref, cmv = col[0], col[1]
         cr = cref[by:by + 4, bx:bx + 4]
         cm = cmv[by:by + 4, bx:bx + 4]
         col_zero = (cr == 0) & (np.abs(cm[..., 0]) <= 1) & \

@@ -61,6 +61,10 @@ int h264_cabac_decode_slice(
     const unsigned char *buf, long long buf_size,
     const int *params, const int *ctx_in,
     short *coeffs, int *mb_meta, short *mvs, int *ctx_out);
+void h264_col_pack(
+    const int *bref, const int *bmv,
+    const int *l0pocs, int n0, const int *l1pocs, int n1,
+    long long ncell, int *out);
 """),
 ]
 

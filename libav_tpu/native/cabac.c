@@ -504,7 +504,7 @@ typedef struct cb_S {
                                  * i%mb_w hardware division that showed up
                                  * at ~20% of entropy time in gprof) */
     int16_t *yvals, *cvals;
-    const int *col;             /* (ref,mvx,mvy)*bh*bw or NULL */
+    const int *col;             /* (ref,mvx,mvy,poc)*bh*bw or NULL */
 } S;
 
 
@@ -684,7 +684,7 @@ static void direct_mb_motion(S *s, int mb_x, int mb_y, int quads_mask)
                 int cz = 0;
                 if (!direct_zero && s->col) {
                     const int *cc = s->col +
-                        3 * ((by0 + ly) * s->bw + bx0 + lx);
+                        4 * ((by0 + ly) * s->bw + bx0 + lx);
                     int cr = cc[0], cmx = cc[1], cmy = cc[2];
                     cz = cr == 0 && cmx >= -1 && cmx <= 1 &&
                          cmy >= -1 && cmy <= 1;
@@ -1542,7 +1542,7 @@ static void cb_skip_mb(S *s, int i, int mb_x, int mb_y, int qp)
 /* ---- entry point ----
  * params: [mb_w, mb_h, first_mb, slice_type, qp, cabac_init_idc,
  *          nref0, nref1, cur_slice, reset, has_col]
- * ctx_in: packed colocated motion (ref,mvx,mvy) per 4x4 block or NULL
+ * ctx_in: packed colocated motion (ref,mvx,mvy,poc) per 4x4 block or NULL
  * coeffs: int16 [nmb*16*16 yvals | nmb*8*16 cvals]
  * mb_meta: the int32 arena (layout mirrored in h264_cabac_host.py)
  * mvs/ctx_out: unused (NULL) */
@@ -1715,4 +1715,39 @@ int h264_cabac_decode_slice(
     }
     }
     return 0;
+}
+
+/* Pack the colocated-motion export for a just-decoded reference frame
+ * in one pass (replaces the 4-pass numpy where/astype chain in
+ * dec.py _col_motion, ~1.4ms/frame -> ~0.2ms): per 4x4 cell emit
+ * (ref, mvx, mvy, refpoc) selecting list 0 when its ref is valid,
+ * else list 1, else intra (-1, 0, 0, 0).  bref: [2][ncell] int32,
+ * bmv: [2][ncell][2] int32, l0pocs/l1pocs: poc lookup tables with a
+ * trailing 0 sentinel. */
+void h264_col_pack(const int *bref, const int *bmv,
+                   const int *l0pocs, int n0,
+                   const int *l1pocs, int n1,
+                   long long ncell, int *out)
+{
+    long long i;
+    for (i = 0; i < ncell; i++) {
+        int r0 = bref[i], r1 = bref[ncell + i];
+        int use0 = r0 >= 0;
+        const int *mv = use0 ? bmv + 2 * i : bmv + 2 * (ncell + i);
+        int ref = use0 ? r0 : (r1 >= 0 ? r1 : -1);
+        int poc;
+        if (use0) {
+            int k = r0 < n0 - 1 ? r0 : n0 - 1;
+            poc = l0pocs[k];
+        } else if (r1 >= 0) {
+            int k = r1 < n1 - 1 ? r1 : n1 - 1;
+            poc = l1pocs[k];
+        } else {
+            poc = 0;
+        }
+        out[4 * i]     = ref;
+        out[4 * i + 1] = mv[0];
+        out[4 * i + 2] = mv[1];
+        out[4 * i + 3] = poc;
+    }
 }

@@ -90,6 +90,27 @@ def reset_arena(v: dict):
     v["sctx"][1] = 0
 
 
+def col_pack(bref: np.ndarray, bmv: np.ndarray, l0pocs: np.ndarray,
+             l1pocs: np.ndarray) -> np.ndarray:
+    """One-pass packed colocated-motion export: (bh, bw, 4) int32 rows
+    of (ref, mvx, mvy, refpoc).  bref (2, bh, bw) / bmv (2, bh, bw, 2)
+    are the contiguous int32 arena views; l0pocs/l1pocs carry a
+    trailing-0 sentinel."""
+    from libav_tpu.native.build import get_lib, get_ffi
+    lib = get_lib()
+    ffi = get_ffi()
+    _, bh, bw = bref.shape
+    out = np.empty((bh, bw, 4), np.int32)
+    lib.h264_col_pack(
+        ffi.cast("const int*", ffi.from_buffer(bref)),
+        ffi.cast("const int*", ffi.from_buffer(bmv)),
+        ffi.cast("const int*", ffi.from_buffer(l0pocs)), len(l0pocs),
+        ffi.cast("const int*", ffi.from_buffer(l1pocs)), len(l1pocs),
+        bh * bw,
+        ffi.cast("int*", ffi.from_buffer(out)))
+    return out
+
+
 def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
                  mb_w: int, mb_h: int, first_mb: int, slice_type: int,
                  qp: int, cabac_init_idc: int, nref0: int, nref1: int,

@@ -104,7 +104,9 @@ def main():
           file=sys.stderr)
     s = io.StringIO()
     ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
-    ps.print_stats(45)
+    ps.print_stats(30)
+    ps.sort_stats("tottime")
+    ps.print_stats(25)
     print(s.getvalue())
 
 
