@@ -204,13 +204,14 @@ class H264Decoder(Decoder):
     LONG_NAME = "H.264/AVC (TPU wavefront reconstruction)"
 
     def _init(self):
-        # settle any in-flight entropy job before resetting state
-        fut = getattr(self, "_au_fut", None)
-        if fut is not None:
-            try:
-                fut.result()
-            except Exception:
-                pass
+        # settle any in-flight entropy/recon job before resetting state
+        for name in ("_au_fut", "_recon_fut"):
+            fut = getattr(self, name, None)
+            if fut is not None:
+                try:
+                    fut.result()
+                except Exception:
+                    pass
         self.sps: Dict[int, sets.SPS] = {}
         self.pps: Dict[int, sets.PPS] = {}
         self.active_sps: Optional[sets.SPS] = None
@@ -221,8 +222,9 @@ class H264Decoder(Decoder):
         self._outq = []               # POC output reorder (h264_refs.c
         self._reorder = False         # select_output_frame analogue)
         self._pts_pool = []           # input pts awaiting display order
-        self._exec = None             # entropy worker (frame pipeline)
+        self._exec = None             # entropy/recon worker (pipeline)
         self._au_fut = None           # in-flight AU entropy future
+        self._recon_fut = None        # in-flight AU recon future (1-CPU)
         self._incomplete_field = None  # PAFF: (entry, parity, frame_num)
         self._field_out = None         # PAFF: first field awaiting weave
 
@@ -231,12 +233,14 @@ class H264Decoder(Decoder):
     _cur_field = (0, 0, False)
 
     def _flush(self):
-        if getattr(self, "_au_fut", None) is not None:
-            try:
-                self._au_fut.result()
-            except Exception:
-                pass
-            self._au_fut = None
+        for name in ("_au_fut", "_recon_fut"):
+            fut = getattr(self, name, None)
+            if fut is not None:
+                try:
+                    fut.result()
+                except Exception:
+                    pass
+                setattr(self, name, None)
         self._dpb = []
         self._outq = []
         self._poc_state = (0, 0)
@@ -255,10 +259,11 @@ class H264Decoder(Decoder):
         # releases the GIL, so the stages genuinely overlap. Output is
         # delayed by one AU (codec delay, drained on flush).
         import os as _os
-        # a worker thread only helps when a second core can run it: on a
-        # single-CPU host the GIL handoffs + context switches make the
-        # pipelined path ~2x slower than serial (measured: 19.8 vs 42.5
-        # fps on the 1080p bench GOP), so fall back to in-line decode
+        # on a single-CPU host a pipeline worker only adds GIL handoffs
+        # and thread switches (measured: entropy worker 19.8 fps, recon
+        # worker 42.1 fps, plain serial 44.8 fps on the 1080p bench GOP
+        # — jax holds the GIL through argument upload, so there is
+        # nothing left to overlap), so decode in-line there
         if _os.environ.get("LIBAV_TPU_NO_PIPELINE") or \
                 (_os.cpu_count() or 1) <= 1:
             class _Now:
@@ -289,6 +294,10 @@ class H264Decoder(Decoder):
             # redo the whole access unit on the Python path
             self._force_python = True
             fd, slice_info = self._entropy_nals(pkt)
+        if fd is not None and getattr(fd, "list0", None) is None:
+            # snapshot: the recon may run on a worker while the main
+            # thread's entropy of the next AU mutates the DPB
+            fd.list0 = list(self._dpb)
         return fd, slice_info, pkt
 
     @staticmethod
@@ -370,6 +379,9 @@ class H264Decoder(Decoder):
         if self._au_fut is not None:
             fut, self._au_fut = self._au_fut, None
             out.extend(self._finish_au(fut))
+        if self._recon_fut is not None:
+            fut, self._recon_fut = self._recon_fut, None
+            out.extend(fut.result())
         out.extend(self._pop_all())
         return out
 

@@ -1628,13 +1628,15 @@ int h264_cabac_decode_slice(
         memset(s.nnz_y, 0, (size_t)(24 * nmb) * 4);
         for (i = 0; i < 2 * 16 * nmb; i++)
             s.bref[i] = UNAVAIL;
-        memset(s.bmv, 0, (size_t)(2 * nb * 2) * 4);
-        memset(s.bmvd, 0, (size_t)(2 * nb * 2) * 4);
-        memset(s.bdirect, 0, (size_t)nb * 4);
+        /* bmv/bmvd/bdirect/i4grid carry no frame-start reset (~5MB of
+         * memset): every decoded MB writes all its cells before any
+         * read, and every read path (g_fetch, amvd_at, i4_cell) is
+         * gated on gslice/mcslice matching the current slice.  Python
+         * consumers mask through bref (reset above) and the per-MB
+         * arrays.  Unreached MBs of corrupt streams land in the
+         * concealment path, which keys off mcslice == -1. */
         for (i = 0; i < nmb; i++)
             s.gslice[i] = -1;
-        for (i = 0; i < 16 * nmb; i++)
-            s.i4grid[i] = -1;
         memset(s.t8, 0, (size_t)nmb * 4);
         s.flags[0] = 0;
         s.sctx[0] = 0;

@@ -17,7 +17,8 @@ sys.path.insert(0, REPO)
 
 if "--cpu" in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["LIBAV_TPU_NO_PIPELINE"] = "1"
+if "--pipeline" not in sys.argv:
+    os.environ["LIBAV_TPU_NO_PIPELINE"] = "1"
 
 import numpy as np
 import jax
@@ -85,7 +86,8 @@ def main():
             out = dec._pump()
         return out
 
-    out = run_gop()
+    for _ in range(3):       # cover delayed-AU + cap-bucket variants
+        out = run_gop()
     jax.block_until_ready(out[-1].planes[0])
 
     # stage timers
