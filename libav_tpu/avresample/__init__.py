@@ -107,6 +107,16 @@ class AudioResampler(OptionedObject):
         Option("filter_size", "resampling taps", "int", 16, 1, 64),
         Option("phase_shift", "log2 phase count", "int", 10, 0, 16),
         Option("cutoff", "lowpass cutoff", "float", 0.8, 0.01, 1.0),
+        # reference options.c:60-63,80-85
+        Option("dither_method", "none|rectangular|triangular|"
+               "triangular_hp|triangular_ns", "string", "none"),
+        Option("center_mix_level", "", "float", math.sqrt(0.5), -32., 32.),
+        Option("surround_mix_level", "", "float", math.sqrt(0.5),
+               -32., 32.),
+        Option("lfe_mix_level", "", "float", 0.0, -32.0, 32.0),
+        Option("normalize_mix_level", "", "int", 1, 0, 1),
+        Option("matrix_encoding", "0 none / 1 dolby / 2 dplii", "int",
+               0, 0, 2),
     ]
 
     def __init__(self, **opts):
@@ -134,27 +144,32 @@ class AudioResampler(OptionedObject):
     # ------------------------------------------------------------------ #
 
     def _build_mix_matrix(self) -> Optional[np.ndarray]:
-        """Channel mixing matrix (reference: audio_mix_matrix.c
-        avresample_build_matrix — subset: mono/stereo up/downmix)."""
+        """Channel mixing matrix — the full reference coefficient
+        builder (audio_mix_matrix.c avresample_build_matrix): matched
+        channels route 1:1, unaccounted positions fold with the
+        normative center/surround/LFE levels, optional Dolby/DPL-II
+        phase encoding, max-sum normalization."""
         cin = channel_layout_nb_channels(self.in_channel_layout)
         cout = channel_layout_nb_channels(self.out_channel_layout)
-        if cin == cout:
+        if self.in_channel_layout == self.out_channel_layout:
             return None
-        m = np.zeros((cout, cin))
-        if cin == 2 and cout == 1:
-            m[0, 0] = m[0, 1] = 0.5
-        elif cin == 1 and cout == 2:
-            m[0, 0] = m[1, 0] = 1.0
-        elif cin == 6 and cout == 2:     # 5.1 -> stereo (ATSC downmix)
-            clev, slev = math.sqrt(0.5), math.sqrt(0.5)
-            # order: FL FR FC LFE BL BR
-            m[0] = [1, 0, clev, 0, slev, 0]
-            m[1] = [0, 1, clev, 0, 0, slev]
-            m /= 1 + clev + slev
-        else:
-            # generic: average inputs to each output
-            m[:, :] = 1.0 / cin
-        return m
+        from libav_tpu.avresample.mixmatrix import build_matrix
+        try:
+            return build_matrix(
+                int(self.in_channel_layout), int(self.out_channel_layout),
+                center_mix_level=self.center_mix_level,
+                surround_mix_level=self.surround_mix_level,
+                lfe_mix_level=self.lfe_mix_level,
+                normalize=bool(self.normalize_mix_level),
+                matrix_encoding=int(self.matrix_encoding))
+        except AVError:
+            # layouts outside the reference's sane set (it returns
+            # PATCHWELCOME): fall back to an input average so odd
+            # layouts still convert instead of erroring
+            if cin == cout:
+                return None
+            m = np.full((cout, cin), 1.0 / cin)
+            return m
 
     def _resample_jit(self, n_in: int, channels: int):
         key = (n_in, channels)
@@ -266,7 +281,16 @@ class AudioResampler(OptionedObject):
         fmt = self.out_sample_fmt
         dt = np_dtype(fmt)
         ch, n = x.shape
-        if np.issubdtype(dt, np.integer):
+        if fmt in ("s16", "s16p") and self.dither_method != "none":
+            # dithered quantization (reference dither.c; opt-in like
+            # the reference's dither_method option)
+            dd = getattr(self, "_ditherer", None)
+            if dd is None or dd.channels != ch:
+                from libav_tpu.avresample.dither import Ditherer
+                dd = self._ditherer = Ditherer(
+                    ch, self.dither_method, self.out_sample_rate)
+            y = dd.quantize(x.astype(np.float32))
+        elif np.issubdtype(dt, np.integer):
             if fmt.startswith("u8"):
                 y = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(dt)
             else:

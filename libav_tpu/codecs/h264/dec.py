@@ -13,7 +13,9 @@ frame-pipelined host entropy vs device recon; mid-slice error
 concealment; ref_pic_list_modification (short + long-term); full MMCO
 1-6 + long-term references; High-profile 8x8 transform/I_8x8 + scaling
 matrices; spatial + temporal direct; I_PCM; poc_type 0/1/2;
-gaps_in_frame_num. Not yet: interlaced coding (PAFF/MBAFF).
+gaps_in_frame_num; PAFF field pictures (both directions, CAVLC +
+CABAC, cross-parity chroma MV offset, complementary-pair weave).
+Not yet: MBAFF, High10/4:2:2/4:4:4, FMO/ASO.
 """
 
 from __future__ import annotations
@@ -231,6 +233,24 @@ class H264Decoder(Decoder):
     _cur_col = None
     _cur_lists = ([], [])
     _cur_field = (0, 0, False)
+
+    def close(self):
+        # deterministic worker shutdown: a live pipeline thread during a
+        # later pjit compilation-cache read segfaulted full-suite runs
+        # (round-3 weak #2) — settle + join before releasing the codec
+        for name in ("_au_fut", "_recon_fut"):
+            fut = getattr(self, name, None)
+            if fut is not None:
+                try:
+                    fut.result()
+                except Exception:
+                    pass
+                setattr(self, name, None)
+        ex = getattr(self, "_exec", None)
+        if ex is not None:
+            ex.shutdown(wait=True)
+            self._exec = None
+        super().close()
 
     def _flush(self):
         for name in ("_au_fut", "_recon_fut"):

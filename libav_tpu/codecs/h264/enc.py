@@ -1,14 +1,18 @@
 """H.264 encoder (reference role: there is no H.264 encoder in libav's
-tree either (x264 is external) — this minimal CAVLC encoder exists to
-round-trip-validate the decoder without FATE sample files, mirroring the
-FATE enc_dec strategy).
+tree either (x264 is external) — this encoder exists to stress-validate
+the decoder without FATE sample files, mirroring the FATE enc_dec
+strategy, and doubles as the bench-content generator).
 
-Subset emitted: IDR I slices of I_16x16 (DC luma + DC chroma prediction),
-P slices of P_L0_16x16/P_Skip, CAVLC, qp fixed, deblocking disabled
-(disable_deblocking_filter_idc = 1), poc_type 2, single reference.
+Emits: IDR/I (I_16x16 + optional I_4x4/I_8x8 with 8x8 transform), P
+(16x16..4x4 partitions, P_Skip, multi-ref, weighted), B (L0/L1/Bi,
+B_Skip/B_Direct spatial, implicit/explicit weighting), CAVLC or CABAC
+entropy, in-loop deblocking with slice alpha/beta offsets, multi-slice
+frames, PAFF field pictures (-fieldpic), poc types 0/2, scaling
+matrices.  Every stream it produces is cross-checked byte-identical in
+the reference decoder by the FATE tier.
 
 Device: I-frame wavefront encode scan (pred -> transform -> quant ->
-reconstruct in one pass) and P-frame ME + transform/quant; both reuse the
+reconstruct in one pass) and P/B ME + transform/quant; both reuse the
 decoder's exact dequant/IDCT math so the prediction loop is closed.
 """
 

@@ -9,10 +9,12 @@
  * inter walk) — the equivalence is asserted by tests that decode the
  * same stream with and without LIBAV_TPU_NO_NATIVE.
  *
- * Feature set: I/P/B slices, I_4x4 + I_16x16, all P/B partitions and
- * sub-partitions, P_Skip/B_Skip, spatial direct, multi-reference lists.
- * Unsupported constructs (I_PCM, 8x8 transform) return -3 and the
- * caller redoes the access unit in Python. */
+ * Feature set: I/P/B slices, I_4x4/I_8x8/I_16x16 incl. the 8x8
+ * transform (cat-5 residuals, transform_size_8x8_flag), all P/B
+ * partitions and sub-partitions, P_Skip/B_Skip, spatial direct,
+ * multi-reference lists.  Constructs outside the subset (I_PCM,
+ * temporal direct, field pictures) return -3 and the caller redoes
+ * the access unit on the Python path. */
 
 #include <stdint.h>
 #include <string.h>

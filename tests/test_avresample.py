@@ -105,3 +105,108 @@ class TestResample:
         out = r.convert(f)
         assert out.channels == 2
         np.testing.assert_allclose(out.planes[0], out.planes[1])
+
+
+class TestMixMatrix:
+    """Full coefficient builder vs golden matrices produced by the BUILT
+    reference's avresample_build_matrix (audio_mix_matrix.c:87) — values
+    captured from .refbuild objects with default mix levels."""
+
+    L51B = 0x3F      # FL FR FC LFE BL BR (5POINT1_BACK)
+    L51 = 0x60F      # FL FR FC LFE SL SR (AV_CH_LAYOUT_5POINT1)
+    L71 = 0x63F
+
+    def test_51_to_stereo(self):
+        from libav_tpu.avresample.mixmatrix import build_matrix
+        m = build_matrix(self.L51B, LAYOUT_STEREO)
+        exp = [[0.4142135624, 0, 0.2928932188, 0, 0.2928932188, 0],
+               [0, 0.4142135624, 0.2928932188, 0, 0, 0.2928932188]]
+        np.testing.assert_allclose(m, exp, atol=1e-9)
+
+    def test_51_to_stereo_dplii_lfe(self):
+        from libav_tpu.avresample.mixmatrix import build_matrix, ENC_DPLII
+        m = build_matrix(self.L51B, LAYOUT_STEREO, lfe_mix_level=0.5,
+                         matrix_encoding=ENC_DPLII)
+        exp = [[0.2918271834, 0, 0.2063529803, 0.1031764902,
+                -0.2527297544, -0.1459135917],
+               [0, 0.2918271834, 0.2063529803, 0.1031764902,
+                0.1459135917, 0.2527297544]]
+        np.testing.assert_allclose(m, exp, atol=1e-9)
+
+    def test_71_to_51_side(self):
+        from libav_tpu.avresample.mixmatrix import build_matrix
+        m = build_matrix(self.L71, self.L51)
+        exp = np.zeros((6, 8))
+        d, o = 0.5857864376, 0.4142135624
+        for i in range(4):
+            exp[i][i] = d
+        exp[4][4], exp[4][6] = o, d
+        exp[5][5], exp[5][7] = o, d
+        np.testing.assert_allclose(m, exp, atol=1e-9)
+
+    def test_51_to_mono(self):
+        from libav_tpu.avresample.mixmatrix import build_matrix
+        m = build_matrix(self.L51B, LAYOUT_MONO)
+        exp = [[0.2071067812, 0.2071067812, 0.2928932188, 0,
+                0.1464466094, 0.1464466094]]
+        np.testing.assert_allclose(m, exp, atol=1e-9)
+
+    def test_51_downmix_through_resampler(self):
+        f = sine_frame(440, 8000, 400, channels=1)
+        x = np.asarray(f.planes[0])
+        f.channels = 6
+        f.channel_layout = self.L51B
+        f.planes = [x * 0, x * 0, x.copy(), x * 0, x * 0, x * 0]  # FC only
+        r = AudioResampler(in_sample_rate=8000, out_sample_rate=8000,
+                           in_channel_layout=self.L51B,
+                           out_channel_layout=LAYOUT_STEREO,
+                           in_sample_fmt="fltp", out_sample_fmt="fltp")
+        out = r.convert(f)
+        assert out.channels == 2
+        np.testing.assert_allclose(np.asarray(out.planes[0]),
+                                   x * 0.2928932188, atol=1e-6)
+
+
+class TestDither:
+    def test_lfg_exact(self):
+        """av_lfg bit-parity (golden values from the built reference's
+        lfg.o/md5.o: seeds 0xC0FFEE and 12345)."""
+        from libav_tpu.avresample.dither import LFG
+        g = LFG(0xC0FFEE)
+        assert [g.get() for _ in range(8)] == [1686963069, 261825884, 1423273809, 2253072374, 782051914, 3763861190, 3395184246, 775382381]
+        h = LFG(12345)
+        assert [h.get() for _ in range(4)] == [1094691679, 1921044346, 3067413608, 590768453]
+
+    def test_dither_determinism_and_noise_floor(self):
+        """Dithered s16 quantization: deterministic, unbiased, and the
+        added noise stays within +-1.5 LSB of the undithered rounding
+        (rect/tri/hp); silence stays silent on average."""
+        from libav_tpu.avresample.dither import Ditherer, S16_SCALE
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((2, 4096)) * 0.2).astype(np.float32)
+        for method in ("rectangular", "triangular", "triangular_hp",
+                       "triangular_ns"):
+            d1 = Ditherer(2, method, 48000)
+            d2 = Ditherer(2, method, 48000)
+            y1 = d1.quantize(x.copy())
+            y2 = d2.quantize(x.copy())
+            np.testing.assert_array_equal(y1, y2)
+            plain = np.clip(np.rint(x * float(S16_SCALE)), -32768, 32767)
+            err = y1 - plain
+            # noise bounds: rect +-(0.5+0.5), tri +-(1+0.5), hp
+            # +-(4*sqrt(1/6)+0.5) ~= 2.13, ns feedback loop a few LSB
+            lim = {"rectangular": 1.1, "triangular": 1.6,
+                   "triangular_hp": 2.3, "triangular_ns": 16.0}[method]
+            assert np.abs(err).max() <= lim, method
+            assert abs(err.mean()) < 0.1, method
+
+    def test_dither_through_resampler(self):
+        f = sine_frame(440, 48000, 4800)
+        r = AudioResampler(in_sample_rate=48000, out_sample_rate=48000,
+                           in_sample_fmt="fltp", out_sample_fmt="s16",
+                           dither_method="triangular_hp")
+        out = r.convert(f)
+        y = np.asarray(out.planes[0])
+        assert y.dtype == np.int16
+        # dithered scale is S16_SCALE = 32753 (reference dither.c:82)
+        assert 32600 < y.max() <= 32767
