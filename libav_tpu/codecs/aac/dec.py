@@ -179,11 +179,40 @@ def _apply_tns(spec, tns, info, sample_rate, decode=True):
 
 def _finish_ics(ics, sample_rate):
     """Post-stereo per-channel tools (TNS; spec tool order 4.6:
-    M/S before TNS) -> (seq, shape, spec) as the IMDCT stage expects."""
-    seq, shape, spec, tns, info, _cb = ics
+    M/S and intensity before TNS) -> (seq, shape, spec) as the IMDCT
+    stage expects."""
+    seq, shape, spec, tns, info, _cb, _is = ics
     if tns is not None:
         _apply_tns(spec, tns, info, sample_rate)
     return seq, shape, spec
+
+
+def _apply_intensity(s0, s1, ms_mask, info):
+    """Intensity stereo: right channel bands coded INTENSITY_HCB(2)
+    reuse the left spectrum scaled by 2^(-pos/4), sign from the
+    codebook (in/out of phase) further flipped by an M/S mask bit
+    (reference aacdec.c apply_intensity_stereo :1969)."""
+    band_cb, is_pos = s1[5], s1[6]
+    spec0, spec1 = s0[2], s1[2]
+    offsets = info["offsets"]
+    group_len = info["group_len"]
+    wstart = 0
+    for g, L in enumerate(group_len):
+        for b in range(info["max_sfb"]):
+            cb = int(band_cb[g, b])
+            if cb not in (T.INTENSITY_HCB, T.INTENSITY_HCB2):
+                continue
+            c = -1 + 2 * (cb - 14)       # HCB2(14) -> -1, HCB(15) -> +1
+            if ms_mask is not None:
+                c *= 1 - 2 * int(ms_mask[g, b])
+            scale = c * 2.0 ** (-0.25 * is_pos[g, b])
+            a, e = int(offsets[b]), int(offsets[b + 1])
+            if info["seq"] == EIGHT_SHORT:
+                for w in range(L):
+                    spec1[wstart + w, a:e] = spec0[wstart + w, a:e] * scale
+            else:
+                spec1[a:e] = spec0[a:e] * scale
+        wstart += L
 
 
 def _lcg(state: int) -> int:
@@ -251,9 +280,11 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
     # offset[1], first occurrence as 9-bit PCM)
     sf = np.zeros((num_groups, max_sfb), dtype=np.int32)
     noise_gain = np.zeros((num_groups, max_sfb), dtype=np.int32)
+    is_pos = np.zeros((num_groups, max_sfb), dtype=np.int32)
     sf_vlc = T.scalefactor_vlc()
     cur = global_gain
     noise_off = global_gain - 90            # NOISE_OFFSET
+    is_off = 0                              # intensity positions dpcm
     noise_flag = True
     for g in range(num_groups):
         for b in range(max_sfb):
@@ -261,7 +292,11 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
             if cb == T.ZERO_HCB:
                 continue
             if cb in (T.INTENSITY_HCB, T.INTENSITY_HCB2):
-                raise AVError(INVALIDDATA, "IS not supported yet")
+                # intensity stereo position (reference aacdec.c:1342:
+                # dpcm from 0 on its own running offset, clip -155..100)
+                is_off += sf_vlc.read(gb) - 60
+                is_pos[g, b] = max(-155, min(100, is_off))
+                continue
             if cb == T.NOISE_HCB:
                 if noise_flag:
                     noise_flag = False
@@ -274,8 +309,23 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
             sf[g, b] = cur
 
     # pulse / tns / gain control
+    pulse = None
     if gb.get_bits(1):
-        raise AVError(INVALIDDATA, "pulse data not supported")
+        # pulse_data (spec table 4.7; reference aacdec.c decode_pulses)
+        if window_sequence == EIGHT_SHORT:
+            raise AVError(INVALIDDATA, "pulse in eight-short sequence")
+        num_pulse = gb.get_bits(2) + 1
+        pulse_swb = gb.get_bits(6)
+        if pulse_swb >= len(offsets) - 1:
+            raise AVError(INVALIDDATA, "pulse swb out of range")
+        pos = int(offsets[pulse_swb]) + gb.get_bits(5)
+        pulse = []
+        for i in range(num_pulse):
+            if i:
+                pos += gb.get_bits(5)
+            if pos > 1023:
+                raise AVError(INVALIDDATA, "pulse position out of range")
+            pulse.append((pos, gb.get_bits(4)))
     tns = None
     if gb.get_bits(1):
         tns = _decode_tns(gb, window_sequence == EIGHT_SHORT)
@@ -292,8 +342,8 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
                 cb = int(band_cb[g, b])
                 s0, e0 = int(offsets[b]), int(offsets[b + 1])
                 width = e0 - s0
-                if cb == T.ZERO_HCB:
-                    continue
+                if cb == T.ZERO_HCB or cb >= T.INTENSITY_HCB2:
+                    continue     # zero/intensity bands carry no data
                 if cb == T.NOISE_HCB:
                     # negative: the reference carries sf = -pow2sf for
                     # noise (aacdec.c:1368) and our unit convention is
@@ -313,14 +363,15 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
                 for w in range(L):
                     spec[wstart + w, s0:e0] = vals[w]
             wstart += L
-        return window_sequence, window_shape, spec, tns, info, band_cb
+        return (window_sequence, window_shape, spec, tns, info, band_cb,
+                is_pos)
 
     quant = np.zeros(1024, dtype=np.int32)
     noise_vals = {}
     for b in range(max_sfb):
         cb = int(band_cb[0, b])
-        if cb == T.ZERO_HCB:
-            continue
+        if cb == T.ZERO_HCB or cb >= T.INTENSITY_HCB2:
+            continue             # zero/intensity bands carry no data
         s0, e0 = int(offsets[b]), int(offsets[b + 1])
         if cb == T.NOISE_HCB:
             eg = -(2.0 ** (0.25 * noise_gain[0, b] - 26.0))
@@ -339,8 +390,23 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
     spec_out = np.sign(q) * mag * gains
     for b, v in noise_vals.items():
         spec_out[int(offsets[b]):int(offsets[b + 1])] = v
+    if pulse is not None:
+        # add pulse amplitudes in the quantized domain (reference
+        # aacdec.c decode_spectrum_and_dequant pulse tail): reconstruct
+        # q from the dequantized value, grow |q| by amp, requantize
+        for pos, amp in pulse:
+            b = int(np.searchsorted(offsets, pos, side="right")) - 1
+            if band_cb[0, b] == T.NOISE_HCB or gains[pos] == 0:
+                continue
+            co = spec_out[pos] / gains[pos]      # = sign(q)*|q|^(4/3)
+            if co:
+                qv = co / np.sqrt(np.sqrt(abs(co)))   # back to q
+                ico = qv + (amp if qv > 0 else -amp)
+            else:
+                ico = -float(amp)
+            spec_out[pos] = np.cbrt(abs(ico)) * ico * gains[pos]
     return (window_sequence, window_shape, spec_out,
-            tns, info, band_cb)
+            tns, info, band_cb, is_pos)
 
 
 def _apply_mid_side(mid, side, mask, info):
@@ -439,15 +505,15 @@ class AACDecoder(Decoder):
                         # aacdec.c:1948)
                         ok = (s0[5] < T.NOISE_HCB) & (s1[5] < T.NOISE_HCB)
                         _apply_mid_side(s0[2], s1[2], mask & ok, info)
+                    _apply_intensity(s0, s1, mask, info)
                     specs.append(_finish_ics(s0, sample_rate))
                     specs.append(_finish_ics(s1, sample_rate))
                 else:
-                    specs.append(_finish_ics(
-                        decode_ics(gb, sample_rate, rng=self._rng),
-                        sample_rate))
-                    specs.append(_finish_ics(
-                        decode_ics(gb, sample_rate, rng=self._rng),
-                        sample_rate))
+                    s0 = decode_ics(gb, sample_rate, rng=self._rng)
+                    s1 = decode_ics(gb, sample_rate, rng=self._rng)
+                    _apply_intensity(s0, s1, None, s1[4])
+                    specs.append(_finish_ics(s0, sample_rate))
+                    specs.append(_finish_ics(s1, sample_rate))
             elif ele == FIL:
                 cnt = tag_bits
                 if cnt == 15:

@@ -47,6 +47,10 @@ class AACEncoder(Encoder):
         Option("ps", "emit parametric stereo data in the SBR extension "
                "(HE-AACv2, mono core); 1=20-band HA, 2=fine-quant HB, "
                "3=34-band + IPD/OPD", "int", 0, 0, 3),
+        Option("intensity", "intensity stereo on the upper half of the "
+               "bands (stereo, long windows)", "int", 0, 0, 1),
+        Option("pulse", "emit pulse_data escapes (long windows)", "int",
+               0, 0, 1),
     ]
 
     FRAME_SAMPLES = 1024
@@ -187,7 +191,17 @@ class AACEncoder(Encoder):
                 0.25 * float((mid ** 2).sum()) + 1e-12
             if self.pns:
                 use_ms = False       # M/S never covers noise bands
-            if use_ms:
+            if self.intensity and seq != EIGHT_SHORT:
+                # intensity stereo: common window, ms_present=0, the
+                # right channel's upper bands coded INTENSITY_HCB(2)
+                # with dpcm positions (decoder rebuilds R = c*2^-p/4*L)
+                pb.put_bits(1, 1)
+                self._write_ics_info(pb, seq)
+                pb.put_bits(2, 0)    # ms_present: none
+                self._encode_ics(pb, spec[0], seq, write_info=False)
+                self._encode_ics(pb, spec[1], seq, write_info=False,
+                                 intensity_from=spec[0])
+            elif use_ms:
                 # common_window CPE with all-bands mid/side
                 # (reference: aacenc; decoder reconstructs l=m+s, r=m-s)
                 pb.put_bits(1, 1)
@@ -591,7 +605,8 @@ class AACEncoder(Encoder):
             pb.put_bits(1, 0)        # predictor_data_present
 
     def _encode_ics(self, pb: PutBits, spec: np.ndarray,
-                    seq: int = ONLY_LONG, write_info: bool = True):
+                    seq: int = ONLY_LONG, write_info: bool = True,
+                    intensity_from: np.ndarray = None):
         if seq == EIGHT_SHORT:
             # one group of all 8 windows: band g covers the same sfb of
             # every window, stored window-major (group layout)
@@ -632,6 +647,28 @@ class AACEncoder(Encoder):
                 band_cb[g] = T.ESC_HCB
                 bandq[g] = q.astype(np.int64)
 
+        is_pos = np.zeros(max_sfb, dtype=np.int32)
+        if intensity_from is not None and seq != EIGHT_SHORT:
+            # intensity stereo on the upper half: position quantizes the
+            # level ratio vs the left channel; the codebook (15 / 14)
+            # carries the correlation sign (in / out of phase)
+            offs = self.offsets
+            for g in range(max_sfb // 2, max_sfb):
+                L = intensity_from[offs[g]:offs[g + 1]].astype(np.float64)
+                R = bands[g].astype(np.float64)
+                e0 = float((L ** 2).sum())
+                e1 = float((R ** 2).sum())
+                if e0 < 1e-12:
+                    continue
+                corr = float((L * R).sum())
+                scale = np.sqrt(e1 / e0)
+                pos = int(np.clip(round(-4 * np.log2(max(scale, 2.0 ** -38))),
+                                  -155, 100))
+                band_cb[g] = T.INTENSITY_HCB if corr >= 0 \
+                    else T.INTENSITY_HCB2
+                is_pos[g] = pos
+                bandq[g] = None
+
         noise_sf = np.zeros(max_sfb, dtype=np.int32)
         if self.pns and seq != EIGHT_SHORT:
             # PNS: replace the upper bands with noise at the band's own
@@ -647,7 +684,8 @@ class AACEncoder(Encoder):
                                           -100, 155))
 
         # global_gain = first used sf (or offset)
-        used = np.where((band_cb != 0) & (band_cb != T.NOISE_HCB))[0]
+        used = np.where((band_cb != 0) & (band_cb != T.NOISE_HCB) &
+                        (band_cb < T.INTENSITY_HCB2))[0]
         global_gain = int(sf[used[0]]) if len(used) else SF_OFFSET
         pb.put_bits(8, global_gain)
 
@@ -674,9 +712,17 @@ class AACEncoder(Encoder):
         # run on their own offset chain, first delta as 9-bit PCM)
         prev = global_gain
         prev_noise = global_gain - 90
+        prev_is = 0
         noise_first = True
         for g in range(max_sfb):
             if band_cb[g] == 0:
+                continue
+            if band_cb[g] >= T.INTENSITY_HCB2:
+                d = int(is_pos[g]) - prev_is + 60
+                if not (0 <= d < 121):
+                    raise AVError(EINVAL, "intensity delta out of range")
+                pb.put_bits(SCALEFACTOR_BITS[d], SCALEFACTOR_CODE[d])
+                prev_is = int(is_pos[g])
                 continue
             if band_cb[g] == T.NOISE_HCB:
                 d = int(noise_sf[g]) - prev_noise
@@ -698,7 +744,32 @@ class AACEncoder(Encoder):
             pb.put_bits(SCALEFACTOR_BITS[d], SCALEFACTOR_CODE[d])
             prev = int(sf[g])
 
-        pb.put_bits(1, 0)            # pulse
+        # pulse_data: move part of one coefficient's magnitude into a
+        # pulse escape (decoder adds amp back in the quantized domain —
+        # spec table 4.7; exercises aacdec.c decode_pulses)
+        pulse_hit = None
+        if self.pulse and seq != EIGHT_SHORT:
+            offs = self.offsets
+            for g in range(max_sfb):
+                if bandq[g] is None or band_cb[g] in (0, T.NOISE_HCB):
+                    continue
+                q = bandq[g]
+                w = min(len(q), 32)          # 5-bit offset from band base
+                k = int(np.argmax(np.abs(q[:w])))
+                if abs(int(q[k])) >= 3:
+                    amp = min(15, abs(int(q[k])) - 1)
+                    q[k] -= amp if q[k] > 0 else -amp
+                    pulse_hit = (g, int(offs[g]) + k, amp)
+                    break
+        if pulse_hit is not None:
+            g, pos, amp = pulse_hit
+            pb.put_bits(1, 1)
+            pb.put_bits(2, 0)        # num_pulse - 1 = 0
+            pb.put_bits(6, g)        # pulse_start_sfb
+            pb.put_bits(5, pos - int(self.offsets[g]))
+            pb.put_bits(4, amp)
+        else:
+            pb.put_bits(1, 0)        # pulse
         if self.tns and seq != EIGHT_SHORT:
             pb.put_bits(1, 1)        # tns_data_present
             pb.put_bits(2, 1)        # n_filt
@@ -718,7 +789,8 @@ class AACEncoder(Encoder):
         codes = SPECTRAL_CODES[T.ESC_HCB - 1]
         bits = SPECTRAL_BITS[T.ESC_HCB - 1]
         for g in range(max_sfb):
-            if band_cb[g] in (0, T.NOISE_HCB):
+            if band_cb[g] in (0, T.NOISE_HCB) or \
+                    band_cb[g] >= T.INTENSITY_HCB2:
                 continue
             quant = bandq[g]
             for k in range(0, len(quant), 2):

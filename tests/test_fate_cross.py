@@ -405,6 +405,33 @@ class TestEncodeParity:
         assert a.size == b.size and a.size > 0
         assert np.abs(a - b).max() <= 1
 
+    @pytest.mark.parametrize("opts", [["-intensity", "1"],
+                                      ["-pulse", "1"],
+                                      ["-intensity", "1", "-pulse", "1"]])
+    def test_aac_is_pulse_cross(self, wav48, tmp_path, opts):
+        """Intensity-stereo / pulse streams: reference decode == our
+        decode (+-1 s16 LSB) — exercises aacdec.c:1342 IS positions +
+        apply_intensity_stereo :1969 and decode_pulses :1389."""
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "t.aac")
+        rc = avconv.main(["-y", "-i", wav48, "-c:a", "aac"] + opts +
+                         ["-f", "adts", enc])
+        assert rc == 0
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc, "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-i", enc, "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+        if "-intensity" in opts:
+            # the stream must really carry IS bands: our decoder records
+            # none if the emitter silently skipped them — guard against
+            # a vacuous pass by checking stereo output differs L vs R
+            s = b.reshape(-1, 2)
+            assert np.abs(s[:, 0] - s[:, 1]).max() > 0
+
     def test_aac_ref_decodes_ours(self, wav48, tmp_path):
         """our AAC stream must decode in the reference to audio close to
         the source (level convention interop)."""
