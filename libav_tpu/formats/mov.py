@@ -65,6 +65,7 @@ def _find(data, path, start=0, end=None):
 class _Track:
     stream: Stream = None
     timescale: int = 1000
+    track_id: int = 0
     sample_sizes: List[int] = field(default_factory=list)
     sample_offsets: List[int] = field(default_factory=list)
     sample_dts: List[int] = field(default_factory=list)
@@ -73,6 +74,12 @@ class _Track:
     keyframes: Optional[set] = None
     bsf: Optional[object] = None
     cursor: int = 0
+    # edit list: first entry's media_time, or -segment_duration (in
+    # MOVIE timescale, negated) for an initial empty edit — reference
+    # mov.c:3157 mov_read_elst
+    elst_raw: Optional[Tuple[int, int]] = None   # (time, duration)
+    time_offset: int = 0
+    track_end: int = 0                           # next frag dts (+offset)
 
 
 @register_input
@@ -82,8 +89,9 @@ class MovDemuxer(InputFormat):
 
     @classmethod
     def probe(cls, data: bytes, url: str = "") -> int:
-        if len(data) > 11 and data[4:8] in (b"ftyp", b"moov", b"mdat",
-                                            b"wide", b"free"):
+        if len(data) > 11 and data[4:8] in (b"ftyp", b"styp", b"moov",
+                                            b"moof", b"mdat", b"wide",
+                                            b"free", b"sidx"):
             return 95
         return 0
 
@@ -96,6 +104,12 @@ class MovDemuxer(InputFormat):
             raise AVError(INVALIDDATA, "no moov box")
         self.tracks: List[_Track] = []
         self.streams = []
+        movie_timescale = 1000
+        mvhd = _find(data, "mvhd", *moov)
+        if mvhd:
+            v = data[mvhd[0]]
+            movie_timescale = struct.unpack(
+                ">I", data[mvhd[0] + (20 if v else 12):][:4])[0] or 1000
         for btype, s, e in _boxes(data, *moov):
             if btype == b"trak":
                 t = self._parse_trak(data, s, e)
@@ -105,6 +119,145 @@ class MovDemuxer(InputFormat):
                     self.tracks.append(t)
         if not self.tracks:
             raise AVError(INVALIDDATA, "no usable tracks")
+
+        # edit lists shift the whole dts timeline by -time_offset
+        # (reference mov.c:2304-2307 mov_build_index: an initial empty
+        # edit, stored movie-timescale, rescales to the track timescale)
+        for t in self.tracks:
+            if t.elst_raw is None:
+                continue
+            time, duration = t.elst_raw
+            off = time if time != -1 else -duration
+            if off < 0:
+                off = off * t.timescale // movie_timescale
+            t.time_offset = off
+            if t.sample_dts:
+                t.sample_dts = [d - off for d in t.sample_dts]
+        for t in self.tracks:
+            t.track_end = (t.sample_dts[-1] + t.sample_dur[-1] +
+                           t.time_offset) if t.sample_dts else 0
+
+        # movie fragments (moof/tfhd/tfdt/trun — reference mov.c:2858,
+        # 2925,2955); trex in moov/mvex supplies per-track defaults
+        trex: Dict[int, Tuple[int, int, int]] = {}
+        mvex = _find(data, "mvex", *moov)
+        if mvex:
+            for bt, s, e in _boxes(data, *mvex):
+                if bt == b"trex":
+                    tid, _stsd, dur, size, fl = struct.unpack(
+                        ">5I", data[s + 4:s + 24])
+                    trex[tid] = (dur, size, fl)
+        by_id = {t.track_id: t for t in self.tracks}
+        # snapshot moov-only state before fragments append samples:
+        # cts lists must align by sample index (reference complements
+        # the ctts table at mov.c:2990), and with stss absent every
+        # moov sample is sync (ISO 14496-12 8.6.2)
+        moov_counts = {}
+        stss_absent = {}
+        for t in self.tracks:
+            moov_counts[t.track_id] = len(t.sample_sizes)
+            stss_absent[t.track_id] = t.keyframes is None
+            if len(t.sample_cts) < len(t.sample_sizes):
+                t.sample_cts.extend(
+                    [0] * (len(t.sample_sizes) - len(t.sample_cts)))
+        any_frag = False
+        for btype, s, e in _boxes(data):
+            if btype == b"moof":
+                any_frag = True
+                self._parse_moof(data, s, e, s - 8, trex, by_id)
+        if any_frag:
+            for t in self.tracks:
+                if stss_absent[t.track_id]:
+                    t.keyframes = (t.keyframes or set()) | \
+                        set(range(1, moov_counts[t.track_id] + 1))
+
+    def _parse_moof(self, data, s, e, moof_offset, trex, by_id):
+        implicit = moof_offset          # frag->implicit_offset, mov.c:874
+        for bt, ts_, te in _boxes(data, s, e):
+            if bt != b"traf":
+                continue
+            track = None
+            base = implicit
+            d_dur = d_size = d_flags = 0
+            for bt2, s2, e2 in _boxes(data, ts_, te):
+                if bt2 == b"tfhd":
+                    flags = struct.unpack(">I", data[s2:s2 + 4])[0] \
+                        & 0xFFFFFF
+                    tid = struct.unpack(">I", data[s2 + 4:s2 + 8])[0]
+                    track = by_id.get(tid)
+                    d_dur, d_size, d_flags = trex.get(tid, (0, 0, 0))
+                    p = s2 + 8
+                    if flags & 0x01:            # base-data-offset
+                        base = struct.unpack(">Q", data[p:p + 8])[0]
+                        p += 8
+                    elif flags & 0x20000:       # default-base-is-moof
+                        base = moof_offset
+                    if flags & 0x02:            # stsd id
+                        p += 4
+                    if flags & 0x08:
+                        d_dur = struct.unpack(">I", data[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x10:
+                        d_size = struct.unpack(">I", data[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x20:
+                        d_flags = struct.unpack(">I", data[p:p + 4])[0]
+                elif bt2 == b"tfdt" and track is not None:
+                    v = data[s2]
+                    track.track_end = struct.unpack(
+                        ">Q" if v else ">I",
+                        data[s2 + 4:s2 + (12 if v else 8)])[0]
+                elif bt2 == b"trun" and track is not None:
+                    implicit = self._parse_trun(
+                        data, s2, e2, track, base, d_dur, d_size, d_flags)
+
+    def _parse_trun(self, data, s, e, t: _Track, base, d_dur, d_size,
+                    d_flags) -> int:
+        flags = struct.unpack(">I", data[s:s + 4])[0] & 0xFFFFFF
+        entries = struct.unpack(">I", data[s + 4:s + 8])[0]
+        p = s + 8
+        data_offset = 0
+        first_flags = d_flags
+        if flags & 0x01:
+            data_offset = struct.unpack(">i", data[p:p + 4])[0]
+            p += 4
+        if flags & 0x04:
+            first_flags = struct.unpack(">I", data[p:p + 4])[0]
+            p += 4
+        dts = t.track_end - t.time_offset
+        off = base + data_offset
+        is_audio = t.stream.codecpar.codec_type == MediaType.AUDIO
+        for i in range(entries):
+            dur, size, sf, cts = d_dur, d_size, \
+                (d_flags if i else first_flags), 0
+            if flags & 0x100:
+                dur = struct.unpack(">I", data[p:p + 4])[0]
+                p += 4
+            if flags & 0x200:
+                size = struct.unpack(">I", data[p:p + 4])[0]
+                p += 4
+            if flags & 0x400:
+                sf = struct.unpack(">I", data[p:p + 4])[0]
+                p += 4
+            if flags & 0x800:
+                cts = struct.unpack(">i", data[p:p + 4])[0]
+                p += 4
+            idx = len(t.sample_sizes)
+            t.sample_sizes.append(size)
+            t.sample_offsets.append(off)
+            t.sample_dts.append(dts)
+            t.sample_cts.append(cts)
+            t.sample_dur.append(dur)
+            # MOV_FRAG_SAMPLE_FLAG_IS_NON_SYNC|DEPENDS_YES (mov.c:3034)
+            key = is_audio or not (sf & 0x1010000)
+            if key:
+                if t.keyframes is None:
+                    t.keyframes = set()
+                t.keyframes.add(idx + 1)
+            dts += dur
+            off += size
+        t.track_end = dts + t.time_offset
+        return off
 
     # ------------------------------------------------------------------ #
 
@@ -129,6 +282,25 @@ class MovDemuxer(InputFormat):
         t.bsf = bsf
         st = Stream(codecpar=par, time_base=Rational(1, timescale))
         t.stream = st
+
+        tkhd = _find(data, "tkhd", s, e)
+        if tkhd:
+            v = data[tkhd[0]]
+            t.track_id = struct.unpack(
+                ">I", data[tkhd[0] + (20 if v else 12):][:4])[0]
+
+        elst = _find(data, "edts/elst", s, e)
+        if elst:
+            v = data[elst[0]]
+            n = struct.unpack(">I", data[elst[0] + 4:elst[0] + 8])[0]
+            if n >= 1:
+                p = elst[0] + 8
+                if v == 1:
+                    duration, time = struct.unpack(">Qq", data[p:p + 16])
+                else:
+                    duration, time = struct.unpack(">Ii", data[p:p + 8])
+                if time >= -1:
+                    t.elst_raw = (time, duration)
 
         # sample sizes
         stsz = _find(data, "stsz", *stbl)

@@ -1538,3 +1538,60 @@ class TestSourceParity:
         ours = np.asarray(f.planes[0]).ravel()
         ref = np.fromfile(refout, np.uint8)
         np.testing.assert_array_equal(ours, ref[:ours.size])
+
+
+class TestFragmentedMP4:
+    """Fragmented MP4 (moof/tfhd/trun/tfdt) + edit lists — VERDICT r3
+    missing #4; reference mov.c:872 mov_read_moof, :3129 mov_read_elst.
+    The reference muxes one source both flat and fragmented; our demux
+    of the fmp4 must decode byte-identically to the flat twin."""
+
+    @pytest.mark.parametrize("movflags", [
+        "frag_keyframe+empty_moov",
+        "frag_keyframe+empty_moov+default_base_moof",
+        "frag_keyframe",                       # moov samples + moofs
+    ])
+    def test_fmp4_matches_flat(self, y4m, tmp_path, movflags):
+        flat = str(tmp_path / "flat.mp4")
+        frag = str(tmp_path / "frag.mp4")
+        enc = ["-i", y4m, "-c:v", "mpeg4", "-g", "3", "-q:v", "5"] + \
+            BITEXACT
+        ref_run(enc + [flat])
+        ref_run(enc + ["-movflags", movflags, frag])
+        ours_flat = our_framecrc(flat)
+        ours_frag = our_framecrc(frag)
+        assert ours_frag == ours_flat
+        # and the flat decode is honest vs the reference decoder
+        assert crc_column(ours_flat) == crc_column(ref_framecrc(flat))
+
+    def test_fmp4_h264_avcc(self, y4m, tmp_path):
+        """h264 track: extradata from moov only (empty_moov), samples
+        in moofs, through the mp4toannexb BSF."""
+        import tempfile
+        from libav_tpu.tools import avconv
+        es = str(tmp_path / "t.h264")
+        assert avconv.main(["-y", "-i", y4m, "-c:v", "h264",
+                            "-qp", "22", "-f", "h264", es]) == 0
+        frag = str(tmp_path / "frag.mp4")
+        flat = str(tmp_path / "flat.mp4")
+        ref_run(["-framerate", "25", "-i", es, "-c:v", "copy", flat])
+        ref_run(["-framerate", "25", "-i", es, "-c:v", "copy",
+                 "-movflags", "frag_keyframe+empty_moov", frag])
+        assert crc_column(our_framecrc(frag)) == \
+            crc_column(our_framecrc(flat))
+        assert crc_column(our_framecrc(flat)) == \
+            crc_column(ref_framecrc(flat))
+
+    def test_elst_timestamps(self, y4m, tmp_path):
+        """B-frames in mp4: the reference writes an edts/elst (negative
+        start_dts, movenc.c:1577) — our demux must shift the dts
+        timeline exactly as the reference's own demuxer does (full
+        framecrc line compare incl. dts/pts columns)."""
+        path = str(tmp_path / "b.mp4")
+        ref_run(["-i", y4m, "-c:v", "mpeg4", "-bf", "2", "-g", "6",
+                 "-q:v", "5"] + BITEXACT + [path])
+        assert b"elst" in open(path, "rb").read()
+        ours = our_framecrc(path)
+        ref = ref_framecrc(path)
+        assert ours.strip().splitlines()[1:] == \
+            ref.strip().splitlines()[1:]
