@@ -57,6 +57,14 @@ BLOCK = 0xA1
 BLOCK_DURATION = 0x9B
 REFERENCE_BLOCK = 0xFB
 CUES = 0x1C53BB6B
+CUE_POINT = 0xBB
+CUE_TIME = 0xB3
+CUE_TRACK_POSITIONS = 0xB7
+CUE_TRACK = 0xF7
+CUE_CLUSTER_POSITION = 0xF1
+SEEK = 0x4DBB
+SEEK_ID = 0x53AB
+SEEK_POSITION = 0x53AC
 VOID = 0xEC
 CRC32 = 0xBF
 
@@ -475,33 +483,88 @@ class MatroskaMuxer(OutputFormat):
             tracks_body += _elem(TRACK_ENTRY, entry)
         tracks = _elem(TRACKS, tracks_body)
 
-        clusters = b""
+        # clusters, remembering which holds each video keyframe so the
+        # Cues index can point at it (reference matroskaenc.c:415
+        # mkv_write_cues / mkv_add_cuepoint at each video keyframe)
+        video_tracks = {si for si, st in enumerate(self.streams)
+                        if st.codecpar.codec_type == MediaType.VIDEO}
+        cluster_blobs: List[bytes] = []   # finished cluster elements
+        cue_pts: List[Tuple[int, int, int]] = []  # (ms, track, cluster#)
         cur: List[bytes] = []
         cur_tc = None
+
+        cluster_tcs: List[int] = []
+
+        def flush():
+            if cur:
+                cluster_tcs.append(cur_tc)
+                cluster_blobs.append(_elem(
+                    CLUSTER, _e_uint(CLUSTER_TIMECODE, cur_tc) +
+                    b"".join(cur)))
+
         for pkt in self._packets:
             ms = self._ms(pkt)
-            if cur_tc is None or ms - cur_tc >= self.CLUSTER_MS:
-                if cur:
-                    clusters += _elem(
-                        CLUSTER, _e_uint(CLUSTER_TIMECODE, cur_tc) +
-                        b"".join(cur))
+            si = pkt.stream_index
+            key = bool(pkt.flags & PKT_FLAG_KEY)
+            # new cluster on the time limit, or on a video keyframe once
+            # the cluster holds >4KB (reference matroskaenc.c:1803-1805)
+            # — cue points land on cluster starts so seeks are exact
+            if cur_tc is None or ms - cur_tc >= self.CLUSTER_MS or \
+                    (key and si in video_tracks and
+                     sum(len(b) for b in cur) > 4096):
+                flush()
                 cur, cur_tc = [], ms
             rel = ms - cur_tc
             data = pkt.data
-            si = pkt.stream_index
             if self.streams[si].codecpar.codec_id == "h264" and \
                     data[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
                 data = annexb_to_avcc(data)
-            flags = 0x80 if (pkt.flags & PKT_FLAG_KEY) else 0
+            if key and si in video_tracks:
+                cue_pts.append((ms, si + 1, len(cluster_blobs)))
             body = (_w_size(si + 1) + struct.pack(">h", rel) +
-                    bytes([flags]) + data)
+                    bytes([0x80 if key else 0]) + data)
             cur.append(_elem(SIMPLE_BLOCK, body))
-        if cur:
-            clusters += _elem(CLUSTER,
-                              _e_uint(CLUSTER_TIMECODE, cur_tc) +
-                              b"".join(cur))
+        flush()
 
-        segment = _elem(SEGMENT, info + tracks + clusters)
+        # layout (positions relative to the segment payload start):
+        # SeekHead | Info | Tracks | Cluster* | Cues.  SeekHead uses
+        # fixed 8-byte positions so its own size is layout-independent.
+        def seekhead(pos_info, pos_tracks, pos_cues):
+            body = b""
+            for eid, pos in ((INFO, pos_info), (TRACKS, pos_tracks),
+                             (CUES, pos_cues)):
+                idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+                body += _elem(SEEK, _elem(SEEK_ID, idb) +
+                              _elem(SEEK_POSITION,
+                                    struct.pack(">Q", pos)))
+            return _elem(SEEKHEAD, body)
+
+        sh_len = len(seekhead(0, 0, 0))
+        pos_info = sh_len
+        pos_tracks = pos_info + len(info)
+        cluster_offs = []
+        off = pos_tracks + len(tracks)
+        for blob in cluster_blobs:
+            cluster_offs.append(off)
+            off += len(blob)
+        pos_cues = off
+
+        if not cue_pts:
+            # audio-only: one cue per cluster on the first track
+            cue_pts = [(tc, 1, ci) for ci, tc in enumerate(cluster_tcs)]
+        cues_body = b""
+        for ms, trk, ci in cue_pts:
+            cues_body += _elem(
+                CUE_POINT,
+                _e_uint(CUE_TIME, ms) +
+                _elem(CUE_TRACK_POSITIONS,
+                      _e_uint(CUE_TRACK, trk) +
+                      _e_uint(CUE_CLUSTER_POSITION, cluster_offs[ci])))
+        cues = _elem(CUES, cues_body) if cues_body else b""
+
+        segment = _elem(SEGMENT,
+                        seekhead(pos_info, pos_tracks, pos_cues) +
+                        info + tracks + b"".join(cluster_blobs) + cues)
         pb.write(ebml + segment)
 
     def _avcc_from_stream(self, si: int) -> bytes:
