@@ -61,6 +61,8 @@ class MpegTSDemuxer(InputFormat):
         self._queue: List[Packet] = []
         self._pos = 0
         self._pmt_pids: set = set()
+        self._last_cc: Dict[int, int] = {}
+        self._pes_corrupt: set = set()
         # pre-scan for PAT/PMT so streams exist before read_packet
         save = self._pos
         scanned = 0
@@ -72,6 +74,8 @@ class MpegTSDemuxer(InputFormat):
         self._pos = save
         self._pes_buf.clear()
         self._pes_pts.clear()
+        self._last_cc.clear()
+        self._pes_corrupt.clear()
         if not self.streams:
             raise AVError(INVALIDDATA, "no streams found in TS")
 
@@ -91,10 +95,30 @@ class MpegTSDemuxer(InputFormat):
         pusi = (pkt[1] >> 6) & 1
         pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
         afc = (pkt[3] >> 4) & 3
+        cc = pkt[3] & 0xF
         p = 4
+        is_discont = False
         if afc & 2:
-            p += 1 + pkt[4]
-        if not (afc & 1) or p >= TS_SIZE:
+            aflen = pkt[4]
+            if aflen > 0:
+                is_discont = bool(pkt[5] & 0x80)   # discontinuity flag
+            p += 1 + aflen
+        # continuity check (reference mpegts.c:1838-1853): a gap marks
+        # the in-flight PES corrupt; the packet still flows so the
+        # decoder's error resilience gets a shot at it
+        has_payload = bool(afc & 1)
+        last = self._last_cc.get(pid, -1)
+        expected = ((last + 1) & 0xF) if has_payload else last
+        cc_ok = (pid == 0x1FFF or is_discont or last < 0 or
+                 expected == cc)
+        self._last_cc[pid] = cc
+        if not cc_ok:
+            from libav_tpu.avutil import log
+            log.warning("mpegts", "Continuity check failed for pid "
+                        f"{pid} expected {expected} got {cc}")
+            if pid in self._pid_to_stream:
+                self._pes_corrupt.add(pid)
+        if not has_payload or p >= TS_SIZE:
             return True
         payload = pkt[p:]
 
@@ -179,11 +203,15 @@ class MpegTSDemuxer(InputFormat):
             dts = _parse_pts(buf[14:19])
         body = bytes(buf[9 + hlen:])
         st = self._pid_to_stream[pid]
+        from libav_tpu.avutil.frame import PKT_FLAG_CORRUPT
         from libav_tpu.formats.api import sniff_key
         key = sniff_key(st.codecpar.codec_id, body)
+        flags = PKT_FLAG_KEY if key else 0
+        if pid in self._pes_corrupt:
+            self._pes_corrupt.discard(pid)
+            flags |= PKT_FLAG_CORRUPT
         self._queue.append(Packet(data=body, pts=pts, dts=dts,
-                                  stream_index=st.index,
-                                  flags=PKT_FLAG_KEY if key else 0))
+                                  stream_index=st.index, flags=flags))
         self._pes_pts[pid] = pts
 
     def read_packet(self) -> Packet:
@@ -202,6 +230,8 @@ class MpegTSDemuxer(InputFormat):
         self._queue = []
         self._pes_buf.clear()
         self._pes_pts.clear()
+        self._last_cc.clear()
+        self._pes_corrupt.clear()
 
     def read_seek(self, stream_index: int, timestamp: int, flags: int = 0):
         """Two-pass linear scan to the last keyframe at/before timestamp
@@ -229,8 +259,12 @@ class MpegTSDemuxer(InputFormat):
 
 @register_output
 class MpegTSMuxer(OutputFormat):
-    """Minimal single-program TS muxer (PAT+PMT each GOP-ish interval,
-    PES with PTS, no PCR-accurate timing — players resync on PTS)."""
+    """Single-program TS muxer: PAT+PMT retransmitted periodically and
+    on video keyframes (reference mpegtsenc.c retransmit_si_info, VBR
+    pat_packet_period=40), PCR on the first ES pid (the PMT-declared
+    PCR_PID) at each keyframe and every ~20ms of dts (PCR_RETRANS_TIME,
+    mpegtsenc.c:197,873-895; VBR pcr = dts*300), Random Access
+    indicator on keyframe starts (:905-910)."""
 
     NAME = "mpegts"
     EXTENSIONS = ("ts",)
@@ -239,27 +273,49 @@ class MpegTSMuxer(OutputFormat):
 
     PMT_PID = 0x100
     ES_PID0 = 0x101
+    PCR_RETRANS_90K = 20 * 90            # 20 ms in 90 kHz units
+    PAT_PES_PERIOD = 40                  # PES starts between PSI bursts
 
     def write_header(self, pb):
         self.pb = pb
         self._cc: Dict[int, int] = {}
         self._wrote_psi = False
+        self._last_pcr: Optional[int] = None
+        self._pes_since_psi = 0
 
-    def _ts_packet(self, pid, payload, pusi=False):
+    def _ts_packet(self, pid, payload, pusi=False, af_flags=0, pcr=None):
         cc = self._cc.get(pid, 0)
         self._cc[pid] = (cc + 1) & 0xF
-        needed = TS_SIZE - 4 - len(payload)
-        afc = 0x10               # payload only
-        af = b""
-        if needed > 0:           # stuff with an adaptation field
-            afc = 0x30
+        hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF])
+        # adaptation field: needed for flags/PCR and for stuffing short
+        # payloads up to 188 bytes
+        af_body = b""
+        if pcr is not None:
+            af_flags |= 0x10
+        if af_flags:
+            base, ext = (pcr // 300, pcr % 300) if pcr is not None \
+                else (0, 0)
+            af_body = bytes([af_flags])
+            if pcr is not None:
+                af_body += bytes([
+                    (base >> 25) & 0xFF, (base >> 17) & 0xFF,
+                    (base >> 9) & 0xFF, (base >> 1) & 0xFF,
+                    ((base & 1) << 7) | 0x7E | ((ext >> 8) & 1),
+                    ext & 0xFF])
+        room = TS_SIZE - 4 - (1 + len(af_body) if af_body else 0)
+        payload = payload[:room]
+        needed = room - len(payload)
+        if needed > 0 and not af_body:
             if needed == 1:
                 af = b"\x00"
             else:
                 af = bytes([needed - 1, 0x00]) + b"\xff" * (needed - 2)
-        hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF,
-                     afc | cc])
-        return hdr + af + payload
+            return hdr + bytes([0x30 | cc]) + af + payload
+        if af_body:
+            stuff = b"\xff" * needed
+            af = bytes([len(af_body) + needed]) + af_body + stuff
+            return hdr + bytes([0x30 | cc]) + af + payload
+        return hdr + bytes([0x10 | cc]) + payload
 
     def _psi(self, pid, table):
         sec = table + struct.pack(">I", crc32_mpeg2(table))
@@ -291,24 +347,55 @@ class MpegTSMuxer(OutputFormat):
             ((pts & 0x7F) << 1) | 1])
 
     def write_packet(self, pkt: Packet):
-        if not self._wrote_psi:
-            self._write_psi()
-            self._wrote_psi = True
         st = self.streams[pkt.stream_index]
         pid = self.ES_PID0 + pkt.stream_index
-        # pts in 90 kHz
+        is_video = st.codecpar.codec_type == MediaType.VIDEO
+        key = bool(pkt.flags & PKT_FLAG_KEY)
+        # PSI: at start, every PAT_PES_PERIOD PES, and on video keys
+        if not self._wrote_psi or (is_video and key) or \
+                self._pes_since_psi >= self.PAT_PES_PERIOD:
+            self._write_psi()
+            self._wrote_psi = True
+            self._pes_since_psi = 0
+        self._pes_since_psi += 1
+        # pts/dts in 90 kHz
         from libav_tpu.avutil.rational import rescale_q
         pts = pkt.pts if pkt.pts != NOPTS_VALUE else 0
-        pts90 = rescale_q(pts, st.time_base, Rational(1, 90000)) & ((1 << 33) - 1)
-        sid = 0xE0 if st.codecpar.codec_type == MediaType.VIDEO else 0xC0
-        pes_hdr = (b"\x00\x00\x01" + bytes([sid]) +
-                   struct.pack(">H", 0) +        # unbounded length (video ok)
-                   bytes([0x80, 0x80, 5]) + self._pts_bytes(pts90, 2))
+        dts = pkt.dts if pkt.dts != NOPTS_VALUE else pts
+        tb90 = Rational(1, 90000)
+        pts90 = rescale_q(pts, st.time_base, tb90) & ((1 << 33) - 1)
+        dts90 = rescale_q(dts, st.time_base, tb90) & ((1 << 33) - 1)
+        sid = 0xE0 if is_video else 0xC0
+        if pts90 != dts90:
+            pes_hdr = (b"\x00\x00\x01" + bytes([sid]) +
+                       struct.pack(">H", 0) +
+                       bytes([0x80, 0xC0, 10]) +
+                       self._pts_bytes(pts90, 3) +
+                       self._pts_bytes(dts90, 1))
+        else:
+            pes_hdr = (b"\x00\x00\x01" + bytes([sid]) +
+                       struct.pack(">H", 0) +   # unbounded (video ok)
+                       bytes([0x80, 0x80, 5]) + self._pts_bytes(pts90, 2))
         pes = pes_hdr + pkt.data
+        # PCR rides the first ES pid (= the PMT-declared PCR_PID): on
+        # keyframes and when >=20ms of dts passed since the last one
+        pcr = None
+        if pid == self.ES_PID0:
+            if (key and is_video) or self._last_pcr is None or \
+                    dts90 - self._last_pcr >= self.PCR_RETRANS_90K:
+                pcr = dts90 * 300
+                self._last_pcr = dts90
+        af_flags = 0x40 if (key and is_video) else 0   # random access
         first = True
         pos = 0
         while pos < len(pes):
-            chunk = pes[pos:pos + TS_SIZE - 4]
-            self.pb.write(self._ts_packet(pid, chunk, pusi=first))
+            room = TS_SIZE - 4
+            if first and (pcr is not None or af_flags):
+                room -= 1 + 1 + (6 if pcr is not None else 0)
+            chunk = pes[pos:pos + room]
+            self.pb.write(self._ts_packet(
+                pid, chunk, pusi=first,
+                af_flags=af_flags if first else 0,
+                pcr=pcr if first else None))
             first = False
             pos += len(chunk)
