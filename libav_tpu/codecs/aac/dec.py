@@ -23,7 +23,8 @@ SF_OFFSET = 100
 
 
 def parse_adts_header(data: bytes):
-    """Returns (sample_rate, channels, frame_len, header_len) or None."""
+    """Returns (sample_rate, channels, frame_len, header_len, aot) or
+    None.  aot = profile + 1 (reference adts_header.c:60)."""
     if len(data) < 7 or data[0] != 0xFF or (data[1] & 0xF0) != 0xF0:
         return None
     gb = GetBits(data)
@@ -31,7 +32,7 @@ def parse_adts_header(data: bytes):
     gb.get_bits(1)           # id
     gb.get_bits(2)           # layer
     protection_absent = gb.get_bits(1)
-    gb.get_bits(2)           # profile
+    profile = gb.get_bits(2)
     sr_index = gb.get_bits(4)
     gb.get_bits(1)           # private
     ch_config = gb.get_bits(3)
@@ -42,7 +43,8 @@ def parse_adts_header(data: bytes):
     hdr = 7 if protection_absent else 9
     if sr_index >= len(T.SAMPLE_RATES):
         return None
-    return (T.SAMPLE_RATES[sr_index], ch_config, frame_len, hdr)
+    return (T.SAMPLE_RATES[sr_index], ch_config, frame_len, hdr,
+            profile + 1)
 
 
 def _decode_spectrum(gb, cb, count):
@@ -73,12 +75,30 @@ def _decode_spectrum(gb, cb, count):
     return out
 
 
-def read_ics_info(gb: GetBits, sample_rate: int) -> dict:
+# LTP coefficient codebook (reference aacdectab.h:41)
+LTP_COEF = [0.570829, 0.696616, 0.813004, 0.911304,
+            0.984900, 1.067894, 1.194601, 1.369533]
+MAX_LTP_LONG_SFB = 40
+
+
+def decode_ltp(gb: GetBits, max_sfb: int) -> tuple:
+    """ltp_data() (reference aacdec.c:1156 decode_ltp):
+    (lag, coef, used[sfb]) for long windows."""
+    lag = gb.get_bits(11)
+    coef = LTP_COEF[gb.get_bits(3)]
+    used = [gb.get_bits(1) for _ in range(min(max_sfb,
+                                              MAX_LTP_LONG_SFB))]
+    return (lag, coef, used)
+
+
+def read_ics_info(gb: GetBits, sample_rate: int, aot: int = 2) -> dict:
     """ics_info() (reference: aacdec.c decode_ics_info) -> dict shared
     by both channels of a common_window CPE."""
     gb.get_bits(1)           # ics_reserved
     window_sequence = gb.get_bits(2)
     window_shape = gb.get_bits(1)
+    ltp = None
+    pred_present = False
     if window_sequence == EIGHT_SHORT:
         max_sfb = gb.get_bits(4)
         grouping = gb.get_bits(7)
@@ -93,7 +113,13 @@ def read_ics_info(gb: GetBits, sample_rate: int) -> dict:
     else:
         max_sfb = gb.get_bits(6)
         if gb.get_bits(1):   # predictor_data_present
-            raise AVError(INVALIDDATA, "main-profile prediction unsupported")
+            pred_present = True
+            if aot == 4:     # AOT_AAC_LTP (reference aacdec.c:1252)
+                if gb.get_bits(1):
+                    ltp = decode_ltp(gb, max_sfb)
+            else:
+                raise AVError(INVALIDDATA,
+                              "main-profile prediction unsupported")
         group_len = [1]
         offsets = T.swb_offsets_long(sample_rate)
         sect_bits, sect_esc = 5, 31
@@ -101,7 +127,60 @@ def read_ics_info(gb: GetBits, sample_rate: int) -> dict:
         raise AVError(INVALIDDATA, "max_sfb too large")
     return dict(seq=window_sequence, shape=window_shape, max_sfb=max_sfb,
                 group_len=group_len, offsets=offsets,
-                sect_bits=sect_bits, sect_esc=sect_esc)
+                sect_bits=sect_bits, sect_esc=sect_esc,
+                ltp=ltp, pred_present=pred_present)
+
+
+def _ltp_windows(seq: int, shape: int, prev_shape: int):
+    """The 2048-sample analysis window for LTP's forward MDCT
+    (reference aacdec.c windowing_and_mdct_ltp): left half by the
+    PREVIOUS window shape, right half by the current, with the
+    start/stop shapes collapsing to flat+short segments."""
+    from libav_tpu.ops import fftmdct as F
+
+    def lw(sh):
+        return F.kbd_window(2048) if sh else F.sine_window(2048)
+
+    def sw(sh):
+        return F.kbd_window(256, alpha=6.0) if sh else F.sine_window(256)
+
+    if seq == LONG_STOP:
+        left = np.concatenate([np.zeros(448), sw(prev_shape)[:128],
+                               np.ones(448)])
+    else:
+        left = lw(prev_shape)[:1024]
+    if seq == LONG_START:
+        right = np.concatenate([np.ones(448), sw(shape)[128:],
+                                np.zeros(448)])
+    else:
+        right = lw(shape)[1024:]
+    return np.concatenate([left, right])
+
+
+def ltp_predict(state: np.ndarray, ltp: tuple, seq: int, shape: int,
+                prev_shape: int) -> np.ndarray:
+    """Predicted spectrum from the 3072-sample LTP state (reference
+    aacdec.c:2342 apply_ltp): lagged+scaled history, windowed, forward
+    MDCT back to 1024 spectral lines in the decoder's spec units
+    (mdct_ref/1024 is the exact inverse of our imdct chain)."""
+    from libav_tpu.ops import fftmdct as F
+    lag, coef, _used = ltp
+    num = min(2048, lag + 1024)
+    pt = np.zeros(2048)
+    pt[:num] = state[2048 - lag:2048 - lag + num] * coef
+    pt *= _ltp_windows(seq, shape, prev_shape)
+    return F.mdct_ref(pt) / 1024.0
+
+
+def ltp_update(state: np.ndarray, out: np.ndarray,
+               overlap: np.ndarray) -> np.ndarray:
+    """Roll the LTP state (reference aacdec.c:2374 update_ltp): [t-1
+    output, t output, t's windowed aliasing extension].  With our
+    full-2048 IMDCT the reference's per-window-sequence saved_ltp
+    reconstruction is identically the new overlap buffer (the IMDCT
+    half-output symmetries fold its buf_mdct expressions into
+    comp[1024:2048])."""
+    return np.concatenate([state[1024:2048], out, overlap])
 
 
 def _decode_tns(gb: GetBits, is_short: bool) -> list:
@@ -181,7 +260,7 @@ def _finish_ics(ics, sample_rate):
     """Post-stereo per-channel tools (TNS; spec tool order 4.6:
     M/S and intensity before TNS) -> (seq, shape, spec) as the IMDCT
     stage expects."""
-    seq, shape, spec, tns, info, _cb, _is = ics
+    seq, shape, spec, tns, info, _cb, _is, _ltp = ics
     if tns is not None:
         _apply_tns(spec, tns, info, sample_rate)
     return seq, shape, spec
@@ -240,7 +319,7 @@ def _noise_fill(vals, rng, energy_gain):
 
 
 def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
-               rng=None):
+               rng=None, aot: int = 2, ltp="inherit"):
     """One individual_channel_stream (reference: aacdec.c decode_ics
     :1861). Returns (window_sequence, window_shape, spec) where spec is
     (1024,) for long sequences or (8, 128) for EIGHT_SHORT. `info` is
@@ -249,7 +328,9 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
     if rng is None:
         rng = [0x1F2E3D4C]
     if info is None:
-        info = read_ics_info(gb, sample_rate)
+        info = read_ics_info(gb, sample_rate, aot)
+    if ltp == "inherit":
+        ltp = info.get("ltp")
     window_sequence = info["seq"]
     window_shape = info["shape"]
     max_sfb = info["max_sfb"]
@@ -364,7 +445,7 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
                     spec[wstart + w, s0:e0] = vals[w]
             wstart += L
         return (window_sequence, window_shape, spec, tns, info, band_cb,
-                is_pos)
+                is_pos, ltp)
 
     quant = np.zeros(1024, dtype=np.int32)
     noise_vals = {}
@@ -406,7 +487,7 @@ def decode_ics(gb: GetBits, sample_rate: int, info: dict = None,
                 ico = -float(amp)
             spec_out[pos] = np.cbrt(abs(ico)) * ico * gains[pos]
     return (window_sequence, window_shape, spec_out,
-            tns, info, band_cb, is_pos)
+            tns, info, band_cb, is_pos, ltp)
 
 
 def _apply_mid_side(mid, side, mask, info):
@@ -443,6 +524,9 @@ class AACDecoder(Decoder):
     def _init(self):
         self._overlap = None
         self._prev_shape = []
+        self._aot = 2
+        self._ltp_state = None       # (nch, 3072) float64
+        self.ltp_frames = 0          # streams stats (test visibility)
         # PNS noise generator state (reference aacdec.c:1101
         # random_state init; persists across frames)
         self._rng = [0x1F2E3D4C]
@@ -454,12 +538,13 @@ class AACDecoder(Decoder):
         self._overlap = None
         self._prev_shape = []
         self._sbr = {}
+        self._ltp_state = None
 
     def _decode(self, pkt: Packet) -> List[Frame]:
         data = pkt.data
         hdr = parse_adts_header(data)
         if hdr is not None:
-            sample_rate, ch_config, frame_len, hlen = hdr
+            sample_rate, ch_config, frame_len, hlen, self._aot = hdr
             body = data[hlen:frame_len]
         else:
             sample_rate = self.sample_rate or 44100
@@ -474,16 +559,23 @@ class AACDecoder(Decoder):
             tag_bits = gb.get_bits(4)  # element_instance_tag
             if ele == SCE:
                 elements.append((False, len(specs)))
-                specs.append(_finish_ics(
-                    decode_ics(gb, sample_rate, rng=self._rng),
-                    sample_rate))
+                specs.append(self._ltp_finish(
+                    decode_ics(gb, sample_rate, rng=self._rng,
+                               aot=self._aot),
+                    sample_rate, len(specs)))
             elif ele == CPE:
                 elements.append((True, len(specs)))
                 common = gb.get_bits(1)
                 if common:
                     # shared ics_info + mid/side stereo (reference:
                     # aacdec.c decode_cpe :2020 + decode_mid_side_stereo)
-                    info = read_ics_info(gb, sample_rate)
+                    info = read_ics_info(gb, sample_rate, self._aot)
+                    # second channel's own LTP rides between ics_info
+                    # and ms_present (reference aacdec.c:2023-2026)
+                    ltp1 = None
+                    if info.get("pred_present"):
+                        if gb.get_bits(1):
+                            ltp1 = decode_ltp(gb, info["max_sfb"])
                     ms_present = gb.get_bits(2)
                     if ms_present == 3:
                         raise AVError(INVALIDDATA, "ms_present=3 reserved")
@@ -498,22 +590,35 @@ class AACDecoder(Decoder):
                         mask = np.ones((ng, info["max_sfb"]), dtype=bool)
                     else:
                         mask = None
-                    s0 = decode_ics(gb, sample_rate, info, rng=self._rng)
-                    s1 = decode_ics(gb, sample_rate, info, rng=self._rng)
+                    s0 = decode_ics(gb, sample_rate, info,
+                                    rng=self._rng, aot=self._aot)
+                    s1 = decode_ics(gb, sample_rate, info,
+                                    rng=self._rng, aot=self._aot,
+                                    ltp=ltp1)
                     if mask is not None:
                         # M/S never applies to noise bands (reference
                         # aacdec.c:1948)
                         ok = (s0[5] < T.NOISE_HCB) & (s1[5] < T.NOISE_HCB)
                         _apply_mid_side(s0[2], s1[2], mask & ok, info)
                     _apply_intensity(s0, s1, mask, info)
-                    specs.append(_finish_ics(s0, sample_rate))
-                    specs.append(_finish_ics(s1, sample_rate))
+                    specs.append(self._ltp_finish(s0, sample_rate,
+                                                  len(specs)))
+                    specs.append(self._ltp_finish(s1, sample_rate,
+                                                  len(specs)))
                 else:
-                    s0 = decode_ics(gb, sample_rate, rng=self._rng)
-                    s1 = decode_ics(gb, sample_rate, rng=self._rng)
+                    s0 = decode_ics(gb, sample_rate, rng=self._rng,
+                                    aot=self._aot)
+                    s1 = decode_ics(gb, sample_rate, rng=self._rng,
+                                    aot=self._aot)
+                    # the reference applies ch1 LTP only when ch0's ics
+                    # carried predictor data (aacdec.c:2668-2673)
+                    if not s0[4].get("pred_present"):
+                        s1 = s1[:7] + (None,)
                     _apply_intensity(s0, s1, None, s1[4])
-                    specs.append(_finish_ics(s0, sample_rate))
-                    specs.append(_finish_ics(s1, sample_rate))
+                    specs.append(self._ltp_finish(s0, sample_rate,
+                                                  len(specs)))
+                    specs.append(self._ltp_finish(s1, sample_rate,
+                                                  len(specs)))
             elif ele == FIL:
                 cnt = tag_bits
                 if cnt == 15:
@@ -573,6 +678,29 @@ class AACDecoder(Decoder):
         f.time_base = pkt.time_base
         return [f]
 
+    def _ltp_finish(self, ics, sample_rate: int, ch: int):
+        """apply_ltp (reference aacdec.c:2342) before the TNS decode in
+        _finish_ics — LTP's prediction gets TNS ANALYSIS filtering, the
+        summed spectrum gets the synthesis filter."""
+        seq, shape, spec, tns, info, _cb, _is, ltp = ics
+        if self._aot == 4 and ltp is not None and seq != EIGHT_SHORT \
+                and self._ltp_state is not None \
+                and ch < self._ltp_state.shape[0]:
+            prev = self._prev_shape[ch] if ch < len(self._prev_shape) \
+                else 0
+            pred = ltp_predict(self._ltp_state[ch], ltp, seq, shape,
+                               prev)
+            if tns is not None:
+                _apply_tns(pred, tns, info, sample_rate, decode=False)
+            offsets = info["offsets"]
+            _lag, _coef, used = ltp
+            for sfb, u in enumerate(used):
+                if u:
+                    a, e = int(offsets[sfb]), int(offsets[sfb + 1])
+                    spec[a:e] += pred[a:e]
+            self.ltp_frames += 1
+        return _finish_ics(ics, sample_rate)
+
     def _imdct_channel(self, ch: int, seq: int, shape: int,
                        spec: np.ndarray) -> np.ndarray:
         """IMDCT + window sequence overlap-add (reference: aacdec.c
@@ -616,4 +744,14 @@ class AACDecoder(Decoder):
         out = self._overlap[ch] + comp[:1024]
         self._overlap[ch] = comp[1024:]
         self._prev_shape[ch] = shape
+        if self._aot == 4:
+            if self._ltp_state is None or \
+                    ch >= self._ltp_state.shape[0]:
+                n = self._overlap.shape[0]
+                st = np.zeros((n, 3072), dtype=np.float64)
+                if self._ltp_state is not None:
+                    st[:self._ltp_state.shape[0]] = self._ltp_state
+                self._ltp_state = st
+            self._ltp_state[ch] = ltp_update(self._ltp_state[ch], out,
+                                             self._overlap[ch])
         return out

@@ -51,6 +51,9 @@ class AACEncoder(Encoder):
                "bands (stereo, long windows)", "int", 0, 0, 1),
         Option("pulse", "emit pulse_data escapes (long windows)", "int",
                0, 0, 1),
+        Option("ltp", "long term prediction (AOT 4): code long-window "
+               "residuals against the lagged output history", "int",
+               0, 0, 1),
     ]
 
     FRAME_SAMPLES = 1024
@@ -72,6 +75,19 @@ class AACEncoder(Encoder):
         self._pts = 0
         self._sbr_frame = 0
         self._sbr_bands = None
+        if getattr(self, "ltp", 0):
+            if self.tns or self.sbr or self.pns or \
+                    getattr(self, "intensity", 0):
+                raise AVError(EINVAL,
+                              "aac: -ltp combines only with plain LC "
+                              "coding tools")
+            # decoder replica for the prediction state (open loop: the
+            # unquantized spectrum stands in for the dequantized one;
+            # the mismatch only shaves prediction gain, decode parity
+            # is unaffected because the decoder adds ITS own pred)
+            self._ltp_st = np.zeros((self.channels, 3072))
+            self._ltp_overlap = np.zeros((self.channels, 1024))
+            self._ltp_prev_shape = [0] * self.channels
 
     # ------------------------------------------------------------------ #
 
@@ -177,11 +193,65 @@ class AACEncoder(Encoder):
                 _apply_tns(spec[c], tns, info, self.sample_rate,
                            decode=False)
 
+        ltp_params = [None] * nch
+        orig_spec = None
+        if getattr(self, "ltp", 0):
+            orig_spec = spec.copy()
+            if seq != EIGHT_SHORT:
+                from libav_tpu.codecs.aac.dec import (ltp_predict,
+                                                      LTP_COEF,
+                                                      MAX_LTP_LONG_SFB)
+                lag = 1024
+                nb = min(self.max_sfb, MAX_LTP_LONG_SFB)
+                lim = int(self.offsets[nb])
+                for c in range(nch):
+                    base = ltp_predict(self._ltp_st[c], (lag, 1.0, ()),
+                                       seq, 0, self._ltp_prev_shape[c])
+                    ci = min(range(len(LTP_COEF)), key=lambda i: float(
+                        ((spec[c][:lim] - LTP_COEF[i] * base[:lim]) ** 2)
+                        .sum()))
+                    pred = LTP_COEF[ci] * base
+                    used = []
+                    for g in range(nb):
+                        a, e0 = int(self.offsets[g]), \
+                            int(self.offsets[g + 1])
+                        ores = float((spec[c][a:e0] ** 2).sum())
+                        rres = float(((spec[c][a:e0] -
+                                       pred[a:e0]) ** 2).sum())
+                        used.append(1 if rres < ores else 0)
+                        if used[-1]:
+                            spec[c][a:e0] -= pred[a:e0]
+                    if any(used):
+                        ltp_params[c] = (lag, ci, used)
+                if nch == 2 and ltp_params[0] is None and \
+                        ltp_params[1] is not None:
+                    # the reference decoder skips ch1 LTP when ch0 has
+                    # no predictor data (aacdec.c:2668): add the pred
+                    # back rather than emit data it would ignore
+                    c1 = ltp_params[1]
+                    pred = LTP_COEF[c1[1]] * ltp_predict(
+                        self._ltp_st[1], (c1[0], 1.0, ()), seq, 0,
+                        self._ltp_prev_shape[1])
+                    for g, u in enumerate(c1[2]):
+                        if u:
+                            a, e0 = int(self.offsets[g]), \
+                                int(self.offsets[g + 1])
+                            spec[1][a:e0] += pred[a:e0]
+                    ltp_params[1] = None
+
         pb = PutBits()
         if nch == 1:
             pb.put_bits(3, SCE)
             pb.put_bits(4, 0)
-            self._encode_ics(pb, spec[0], seq)
+            self._encode_ics(pb, spec[0], seq, ltp=ltp_params[0])
+        elif getattr(self, "ltp", 0):
+            # per-channel ics_info carries each channel's own LTP:
+            # plain non-common CPE
+            pb.put_bits(3, CPE)
+            pb.put_bits(4, 0)
+            pb.put_bits(1, 0)        # common_window = 0
+            self._encode_ics(pb, spec[0], seq, ltp=ltp_params[0])
+            self._encode_ics(pb, spec[1], seq, ltp=ltp_params[1])
         else:
             pb.put_bits(3, CPE)
             pb.put_bits(4, 0)
@@ -213,6 +283,16 @@ class AACEncoder(Encoder):
                 pb.put_bits(1, 0)    # common_window = 0
                 self._encode_ics(pb, spec[0], seq)
                 self._encode_ics(pb, spec[1], seq)
+        if getattr(self, "ltp", 0):
+            from libav_tpu.codecs.aac.dec import ltp_update
+            for c in range(nch):
+                comp = self._ltp_compose(seq, self._ltp_prev_shape[c],
+                                         orig_spec[c])
+                out = self._ltp_overlap[c] + comp[:1024]
+                self._ltp_overlap[c] = comp[1024:]
+                self._ltp_st[c] = ltp_update(self._ltp_st[c], out,
+                                             self._ltp_overlap[c])
+                self._ltp_prev_shape[c] = 0
         if self.sbr:
             self._write_sbr_fil(pb)
         pb.put_bits(3, END)
@@ -227,6 +307,34 @@ class AACEncoder(Encoder):
         self._pts += self.FRAME_SAMPLES
         return pkt
 
+    def _ltp_compose(self, seq: int, prev_shape: int,
+                     spec: np.ndarray) -> np.ndarray:
+        """Host mirror of the decoder's windowed full-2048 IMDCT
+        composition (dec._imdct_channel) for the LTP state replica;
+        our bitstreams always use sine shape."""
+        from libav_tpu.ops import fftmdct as F
+        sw = F.sine_window(256)
+        lwf = F.sine_window(2048)
+        comp = np.zeros(2048)
+        if seq == EIGHT_SHORT:
+            frames = F.imdct_ref(spec * 1024.0)
+            for i in range(8):
+                comp[448 + 128 * i:448 + 128 * i + 256] += frames[i] * sw
+        else:
+            frame = F.imdct_ref(spec[None, :] * 1024.0)[0]
+            if seq == LONG_STOP:
+                left = np.concatenate([np.zeros(448), sw[:128],
+                                       np.ones(448)])
+            else:
+                left = lwf[:1024]
+            if seq == LONG_START:
+                right = np.concatenate([np.ones(448), sw[128:],
+                                        np.zeros(448)])
+            else:
+                right = lwf[1024:]
+            comp = frame * np.concatenate([left, right])
+        return comp
+
     def _adts(self, body: bytes) -> bytes:
         pb = PutBits()
         frame_len = len(body) + 7
@@ -234,7 +342,7 @@ class AACEncoder(Encoder):
         pb.put_bits(1, 1)            # MPEG-2 id (plays everywhere)
         pb.put_bits(2, 0)            # layer
         pb.put_bits(1, 1)            # protection absent
-        pb.put_bits(2, 1)            # profile: LC
+        pb.put_bits(2, 3 if getattr(self, "ltp", 0) else 1)  # profile
         pb.put_bits(4, self.sr_index)
         pb.put_bits(1, 0)
         pb.put_bits(3, self.channels)
@@ -593,7 +701,7 @@ class AACEncoder(Encoder):
 
     # ------------------------------------------------------------------ #
 
-    def _write_ics_info(self, pb: PutBits, seq: int):
+    def _write_ics_info(self, pb: PutBits, seq: int, ltp=None):
         pb.put_bits(1, 0)            # reserved
         pb.put_bits(2, seq)
         pb.put_bits(1, 0)            # window_shape: sine
@@ -602,11 +710,20 @@ class AACEncoder(Encoder):
             pb.put_bits(7, 0x7F)     # grouping: one group of 8 windows
         else:
             pb.put_bits(6, self.max_sfb)
-            pb.put_bits(1, 0)        # predictor_data_present
+            if ltp is not None:      # predictor_data_present + ltp_data
+                lag, ci, used = ltp
+                pb.put_bits(1, 1)
+                pb.put_bits(1, 1)    # ltp_data_present
+                pb.put_bits(11, lag)
+                pb.put_bits(3, ci)
+                for u in used:
+                    pb.put_bits(1, u)
+            else:
+                pb.put_bits(1, 0)    # predictor_data_present
 
     def _encode_ics(self, pb: PutBits, spec: np.ndarray,
                     seq: int = ONLY_LONG, write_info: bool = True,
-                    intensity_from: np.ndarray = None):
+                    intensity_from: np.ndarray = None, ltp=None):
         if seq == EIGHT_SHORT:
             # one group of all 8 windows: band g covers the same sfb of
             # every window, stored window-major (group layout)
@@ -683,6 +800,28 @@ class AACEncoder(Encoder):
                 noise_sf[g] = int(np.clip(round(4 * np.log2(l2)),
                                           -100, 155))
 
+        # scalefactor deltas are limited to +-60 by the dpcm codebook:
+        # clamp the chain and re-quantize clamped bands (LTP residuals
+        # especially can swing band energies by orders of magnitude)
+        prev_sf = None
+        for g in range(max_sfb):
+            if bandq[g] is None or band_cb[g] in (0, T.NOISE_HCB) or \
+                    band_cb[g] >= T.INTENSITY_HCB2:
+                continue
+            if prev_sf is not None and abs(int(sf[g]) - prev_sf) > 60:
+                sf[g] = prev_sf + max(-60, min(60, int(sf[g]) - prev_sf))
+                gain = 2.0 ** (-0.25 * (sf[g] - SF_OFFSET))
+                q = np.sign(bands[g]) * np.floor(
+                    np.abs(bands[g] * gain) ** 0.75 + 0.4054)
+                q = np.clip(q, -8191, 8191)
+                if np.any(q):
+                    bandq[g] = q.astype(np.int64)
+                else:
+                    band_cb[g] = 0
+                    bandq[g] = None
+                    continue
+            prev_sf = int(sf[g])
+
         # global_gain = first used sf (or offset)
         used = np.where((band_cb != 0) & (band_cb != T.NOISE_HCB) &
                         (band_cb < T.INTENSITY_HCB2))[0]
@@ -691,7 +830,7 @@ class AACEncoder(Encoder):
 
         # ics_info
         if write_info:
-            self._write_ics_info(pb, seq)
+            self._write_ics_info(pb, seq, ltp)
 
         # section_data: runs of equal codebook
         g = 0

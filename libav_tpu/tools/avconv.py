@@ -293,7 +293,7 @@ _PASSTHRU_VALUE_OPTS = {
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
     "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco", "fgap",
-    "acpred", "mpegq", "bdirect", "qpel", "intensity", "pulse",
+    "acpred", "mpegq", "bdirect", "qpel", "intensity", "pulse", "ltp",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -1654,3 +1654,34 @@ class TestMpegTSInterop:
         # and our decode of our own ts matches the reference's decode
         assert crc_column(our_framecrc(out)) == \
             crc_column(ref_framecrc(out))
+
+
+class TestAacLtp:
+    """AAC LTP (AOT 4) — VERDICT r3 missing #3 tail; reference
+    aacdec.c:1156 decode_ltp, :2342 apply_ltp, :2374 update_ltp.
+    Our -ltp streams must decode identically in the reference."""
+
+    @pytest.mark.parametrize("mono", [True, False])
+    def test_ltp_cross(self, wav48, tmp_path, mono):
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "t.aac")
+        args = ["-y", "-i", wav48, "-c:a", "aac", "-ltp", "1"]
+        if mono:
+            args += ["-af", "channelmap=0"]
+        assert avconv.main(args + ["-f", "adts", enc]) == 0
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc, "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-i", enc, "-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+        # guard against a vacuous pass: the stream must really carry
+        # applied LTP data (decode again and inspect the counter)
+        from libav_tpu.codecs import find_decoder
+        from libav_tpu.formats import FormatContext
+        ic = FormatContext.open_input(enc)
+        dec = find_decoder("aac")(ic.streams[0].codecpar).open()
+        dec.decode_all(list(ic.packets()))
+        assert dec.ltp_frames > 0
