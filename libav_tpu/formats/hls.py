@@ -6,13 +6,17 @@ layer and chained into one byte stream feeding the inner demuxer
 (MPEG-TS segments concatenate into one valid transport stream, which
 is how the reference's read_data refills across segments).  Master
 playlists pick the highest-BANDWIDTH variant like the reference's
-default stream selection.  Live playlists (no #EXT-X-ENDLIST) decode
-the currently listed window; playlist refresh is not implemented.
+default stream selection.  Live playlists (no #EXT-X-ENDLIST) refresh
+the playlist when the segment window runs out and resume at the right
+#EXT-X-MEDIA-SEQUENCE offset (hls.c parse_playlist re-read +
+can_reload logic); a refresh that yields no new segments ends the
+stream (the reference instead sleeps target-duration and retries —
+a batch transcoder wants termination, a player can re-open).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Callable, List, Optional
 from urllib.parse import urljoin
 
 from libav_tpu.avutil.error import AVError, EOF_, INVALIDDATA
@@ -23,23 +27,26 @@ from libav_tpu.formats.io import IOContext, url_open
 
 
 def _resolve(base: str, uri: str) -> str:
-    if "://" in uri or uri.startswith("/"):
-        return uri if "://" in uri else uri
+    if "://" in uri:
+        return uri                       # already absolute
     if "://" in base:
-        return urljoin(base, uri)
-    # filesystem-relative
+        return urljoin(base, uri)        # handles root-relative too
+    if uri.startswith("/"):
+        return uri                       # absolute filesystem path
     head = base.rsplit("/", 1)[0] if "/" in base else "."
     return f"{head}/{uri}"
 
 
 def parse_playlist(text: str, base: str):
-    """Returns (segments, variants): segment URL list for a media
-    playlist, or (BANDWIDTH, url) variant list for a master playlist."""
+    """Returns (segments, variants, meta): segment URL list for a media
+    playlist, or (BANDWIDTH, url) variant list for a master playlist;
+    meta carries live-stream state (media sequence, endlist flag)."""
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
     if not lines or lines[0] != "#EXTM3U":
         raise AVError(INVALIDDATA, "not an M3U8 playlist")
     segments: List[str] = []
     variants = []
+    meta = {"endlist": False, "media_seq": 0, "target_duration": 0.0}
     pending_bw: Optional[int] = None
     expect_segment = False
     for ln in lines[1:]:
@@ -48,6 +55,12 @@ def parse_playlist(text: str, base: str):
             for attr in ln.split(":", 1)[1].split(","):
                 if attr.strip().startswith("BANDWIDTH="):
                     pending_bw = int(attr.strip().split("=", 1)[1])
+        elif ln.startswith("#EXT-X-ENDLIST"):
+            meta["endlist"] = True
+        elif ln.startswith("#EXT-X-MEDIA-SEQUENCE"):
+            meta["media_seq"] = int(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-TARGETDURATION"):
+            meta["target_duration"] = float(ln.split(":", 1)[1])
         elif ln.startswith("#EXTINF"):
             expect_segment = True
         elif ln.startswith("#EXT-X-MAP"):
@@ -63,16 +76,20 @@ def parse_playlist(text: str, base: str):
         elif expect_segment:
             segments.append(_resolve(base, ln))
             expect_segment = False
-    return segments, variants
+    return segments, variants, meta
 
 
 class _SegmentChain:
-    """Forward byte stream over the segment list (hls.c read_data)."""
+    """Forward byte stream over the segment list (hls.c read_data).
+    `refill` is called when the list runs out (live playlists); it
+    returns newly appeared segment URLs or [] to end the stream."""
 
-    def __init__(self, urls: List[str]):
+    def __init__(self, urls: List[str],
+                 refill: Optional[Callable[[], List[str]]] = None):
         self._urls = urls
         self._k = 0
         self._cur: Optional[IOContext] = None
+        self._refill = refill
         self.pos = 0
 
     def read(self, n: int = -1) -> bytes:
@@ -80,6 +97,12 @@ class _SegmentChain:
         while n < 0 or len(out) < n:
             if self._cur is None:
                 if self._k >= len(self._urls):
+                    if self._refill is not None:
+                        fresh = self._refill()
+                        if fresh:
+                            self._urls.extend(fresh)
+                            continue
+                        self._refill = None
                     break
                 self._cur = url_open(self._urls[self._k], "r")
                 self._k += 1
@@ -119,22 +142,28 @@ class HLSDemuxer(InputFormat):
     def read_header(self, pb: IOContext):
         base = self.url or getattr(pb, "url", "")
         text = pb.read_all().decode("utf-8", "replace")
-        segments, variants = parse_playlist(text, base)
+        segments, variants, meta = parse_playlist(text, base)
+        self._media_url = base
         if variants and not segments:
             # master playlist: pick the highest-bandwidth variant
             best = max(variants)[1]
+            self._media_url = best
             with url_open(best, "r") as vp:
-                segments, _ = parse_playlist(
+                segments, _, meta = parse_playlist(
                     vp.read_all().decode("utf-8", "replace"), best)
         if not segments:
             raise AVError(INVALIDDATA, "empty HLS playlist")
+        # live window bookkeeping: next expected media sequence number
+        self._next_seq = meta["media_seq"] + len(segments)
+        refill = None if meta["endlist"] else self._reload_playlist
         # spool the forward-only chain so the inner demuxer may seek
         # (cache.c is how the reference backs non-seekable inputs too)
         from libav_tpu.formats.api import probe_input
         from libav_tpu.formats.io import CacheProtocol
         chain = IOContext(
-            CacheProtocol._Spool(IOContext(_SegmentChain(segments),
-                                           seekable=False, url=base)),
+            CacheProtocol._Spool(IOContext(
+                _SegmentChain(segments, refill),
+                seekable=False, url=base)),
             seekable=True, url=base)
         head = chain.read(4096)
         chain.seek(0)
@@ -144,6 +173,25 @@ class HLSDemuxer(InputFormat):
         self._inner.read_header(chain)
         self.streams = self._inner.streams
         self.pb_inner = chain
+
+    def _reload_playlist(self) -> List[str]:
+        """Re-fetch the live media playlist and return segments that
+        appeared after the ones already consumed (matched by
+        #EXT-X-MEDIA-SEQUENCE, hls.c parse_playlist reload path)."""
+        try:
+            with url_open(self._media_url, "r") as p:
+                segs, _, meta = parse_playlist(
+                    p.read_all().decode("utf-8", "replace"),
+                    self._media_url)
+        except (AVError, OSError):
+            return []
+        if meta["endlist"]:
+            # window closed: take the tail we have not played yet
+            pass
+        skip = self._next_seq - meta["media_seq"]
+        fresh = segs[max(0, skip):]
+        self._next_seq = meta["media_seq"] + len(segs)
+        return fresh
 
     def read_packet(self) -> Packet:
         return self._inner.read_packet()
