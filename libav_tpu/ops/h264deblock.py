@@ -92,6 +92,106 @@ def filter_edge_ref(lines: np.ndarray, qp: int, bs: np.ndarray,
     return out.astype(np.int32)
 
 
+_PALLAS_LANES = 512
+# Pallas wins below ~16k lines (axon-measured, tools/pallas_probe.py
+# deblock: 0.66x @2048, 0.87x @4096-8192, 1.62x @32768) — the
+# wavefront scan's per-wave batches are 1-4k, squarely in the win zone;
+# XLA's fusion pipelines better only at frame-flat batches
+_PALLAS_MAX_BATCH = 16384
+
+
+def _edge_kernel(x_ref, aux_ref, o_ref):
+    """Pallas luma edge filter on the (8, LANES) position-major layout:
+    sublanes are the p3..q3 slots, lanes are edge lines — the whole
+    where-cascade is full-width VPU work with zero strided access.
+    alpha/beta/tc0 lookups arrive precomputed in aux (4, LANES)."""
+    import jax.numpy as jnp
+    x = x_ref[:]
+    p3, p2, p1, p0 = x[0, :], x[1, :], x[2, :], x[3, :]
+    q0, q1, q2, q3 = x[4, :], x[5, :], x[6, :], x[7, :]
+    aux = aux_ref[:]
+    alpha, beta, tc0, bs = aux[0, :], aux[1, :], aux[2, :], aux[3, :]
+    active = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+             (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    ap = jnp.abs(p2 - p0)
+    aq = jnp.abs(q2 - q0)
+    tc = tc0 + (ap < beta).astype(jnp.int32) + \
+        (aq < beta).astype(jnp.int32)
+    delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    hp = (p0 + q0 + 1) >> 1
+    dp1 = jnp.clip((p2 + hp - 2 * p1) >> 1, -tc0, tc0)
+    dq1 = jnp.clip((q2 + hp - 2 * q1) >> 1, -tc0, tc0)
+    np1 = jnp.where(ap < beta, p1 + dp1, p1)
+    nq1 = jnp.where(aq < beta, q1 + dq1, q1)
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = strong & (ap < beta)
+    sq = strong & (aq < beta)
+    sp0 = jnp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    sp1 = jnp.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = jnp.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = jnp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    sq1 = jnp.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = jnp.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    is4 = bs == 4
+    o_ref[0, :] = p3
+    o_ref[1, :] = jnp.where(active & is4, sp2, p2)
+    o_ref[2, :] = jnp.where(active, jnp.where(is4, sp1, np1), p1)
+    o_ref[3, :] = jnp.where(active, jnp.where(is4, sp0, np0), p0)
+    o_ref[4, :] = jnp.where(active, jnp.where(is4, sq0, nq0), q0)
+    o_ref[5, :] = jnp.where(active, jnp.where(is4, sq1, nq1), q1)
+    o_ref[6, :] = jnp.where(active & is4, sq2, q2)
+    o_ref[7, :] = q3
+
+
+def _filter_edge_qp_pallas(lines, qp, bs, a_off: int, b_off: int,
+                           interpret: bool = False):
+    """Luma filter_edge_qp via the Pallas kernel: lookups and the
+    lane-padding/transpose in XLA (fused into neighbors), filter math
+    in the kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = lines.shape[0]
+    Bp = -(-B // _PALLAS_LANES) * _PALLAS_LANES
+    qpi = qp.astype(jnp.int32)
+    qp_a = jnp.clip(qpi + a_off, 0, 51)
+    qp_b = jnp.clip(qpi + b_off, 0, 51)
+    aux = jnp.stack([
+        jnp.asarray(ALPHA)[qp_a],
+        jnp.asarray(BETA)[qp_b],
+        jnp.asarray(TC0)[qp_a, jnp.clip(bs.astype(jnp.int32) - 1, 0, 2)],
+        bs.astype(jnp.int32)])
+    xT = jnp.zeros((8, Bp), jnp.int32).at[:, :B].set(
+        lines.astype(jnp.int32).T)
+    auxp = jnp.zeros((4, Bp), jnp.int32).at[:, :B].set(aux)
+    outT = pl.pallas_call(
+        _edge_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+        grid=(Bp // _PALLAS_LANES,),
+        in_specs=[pl.BlockSpec((8, _PALLAS_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, _PALLAS_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, _PALLAS_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xT, auxp)
+    return outT[:, :B].T
+
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def filter_edge_qp(lines, qp, bs, chroma: bool = False,
                    a_off: int = 0, b_off: int = 0):
     """Batched edge filter with per-line qp (frame-level application:
@@ -101,6 +201,8 @@ def filter_edge_qp(lines, qp, bs, chroma: bool = False,
     qp + slice_alpha_c0_offset for alpha AND tc0, + slice_beta_offset
     for beta)."""
     import jax.numpy as jnp
+    if not chroma and lines.shape[0] <= _PALLAS_MAX_BATCH and _on_tpu():
+        return _filter_edge_qp_pallas(lines, qp, bs, a_off, b_off)
     x = lines.astype(jnp.int32)
     p3, p2, p1, p0 = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
     q0, q1, q2, q3 = x[:, 4], x[:, 5], x[:, 6], x[:, 7]

@@ -22,21 +22,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Keep zstandard out of jax's persistent-cache path for the suite: full
-# single-process runs segfaulted inside the pjit compilation-cache read
-# (zstandard.backend_c decompress) after a few hundred cases — round-3
-# weak #2.  With zstandard unimportable jax falls back to zlib, which
-# has been stable for full runs.  Must happen before jax imports it.
-sys.modules["zstandard"] = None
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent XLA compile cache: the suite is compile-bound on 1-core
-# machines; cached programs cut a full run by tens of minutes.
-# separate dir from the CLI/bench cache: those entries are
-# zstd-compressed and this process reads zlib only
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_zlib"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent XLA compile cache for the suite (round-3 weak #2, and
+# this round's re-investigation): full single-process runs segfault
+# intermittently INSIDE the persistent-cache machinery — round 3 in
+# the cache read (get_executable_and_time -> zstd decompress), this
+# round in the cache write (`executable.serialize()` at
+# compilation_cache.py:265) even with zstandard neutralized.  The
+# stored AOT executables also carry machine-feature sets the loader
+# warns may SIGILL on other hosts.  The in-process pjit cache still
+# dedupes every program within the run; the persistent cache only
+# saved time ACROSS runs and is not worth a crashing gate.

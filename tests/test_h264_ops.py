@@ -221,3 +221,53 @@ class TestDeblockExact:
                                           mv, mb_w, mb_h, a_off, b_off)
             for g, r in zip(got, ref):
                 np.testing.assert_array_equal(g, r)
+
+
+class TestPallasEdgeFilter:
+    """The Pallas luma edge-filter kernel (production path on TPU for
+    wave-scale batches) must be bit-identical to the golden filter —
+    interpret mode exercises the kernel body on CPU."""
+
+    def test_kernel_matches_ref(self):
+        import numpy as np
+        from libav_tpu.ops.h264deblock import (_filter_edge_qp_pallas,
+                                               filter_edge_ref)
+        rng = np.random.default_rng(11)
+        B = 700                      # deliberately not lane-aligned
+        lines = rng.integers(0, 256, (B, 8)).astype(np.int32)
+        lines[::2] = np.clip(lines[::2, :1] +
+                             rng.integers(-6, 7, (B - B // 2, 8)), 0, 255)
+        bs = rng.integers(0, 5, (B,)).astype(np.int32)
+        for qp in (20, 30, 44):
+            for a_off, b_off in ((0, 0), (4, -2)):
+                import jax.numpy as jnp
+                got = np.asarray(_filter_edge_qp_pallas(
+                    jnp.asarray(lines), jnp.asarray(
+                        np.full((B,), qp, np.int32)),
+                    jnp.asarray(bs), a_off, b_off, interpret=True))
+                qa = int(np.clip(qp + a_off, 0, 51))
+                qb = int(np.clip(qp + b_off, 0, 51))
+                from libav_tpu.ops.h264deblock import ALPHA, BETA
+                # golden path takes one qp: emulate offsets by filtering
+                # with the production XLA path instead
+                from libav_tpu.ops.h264deblock import filter_edge_qp
+                import libav_tpu.ops.h264deblock as D
+                orig = D._on_tpu
+                D._on_tpu = lambda: False
+                try:
+                    want = np.asarray(filter_edge_qp(
+                        jnp.asarray(lines),
+                        jnp.asarray(np.full((B,), qp, np.int32)),
+                        jnp.asarray(bs), False, a_off, b_off))
+                finally:
+                    D._on_tpu = orig
+                np.testing.assert_array_equal(got, want)
+        # and against the true golden scalar reference at zero offsets
+        from libav_tpu.ops.h264deblock import filter_edge_ref
+        import jax.numpy as jnp
+        got = np.asarray(_filter_edge_qp_pallas(
+            jnp.asarray(lines),
+            jnp.asarray(np.full((B,), 30, np.int32)),
+            jnp.asarray(bs), 0, 0, interpret=True))
+        want = filter_edge_ref(lines, 30, bs)
+        np.testing.assert_array_equal(got, want)
