@@ -194,6 +194,24 @@ class MPEG4Encoder(Encoder):
         Option("data_partitioning", "partition I/P VOPs into "
                "mcbpc+DC/MV, ac_pred+cbpy, texture with DC/motion "
                "markers", "int", 0, 0, 1),
+        # adaptive quantization (reference: ratecontrol.c:703
+        # adaptive_quantization; mpegvideo_enc.c:341 adaptive_quant =
+        # lumi_masking || ...).  Any nonzero masking enables per-MB
+        # qscale with INTER_Q/INTRA_Q dquant coding on I/P VOPs.
+        Option("lumi_masking", "bright-region masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("dark_masking", "dark-region masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("tcplx_masking", "temporal complexity masking",
+               "float", 0.0, -10.0, 10.0),
+        Option("scplx_masking", "spatial complexity masking",
+               "float", 0.0, -10.0, 10.0),
+        Option("p_masking", "inter-MB masking", "float", 0.0,
+               -10.0, 10.0),
+        Option("border_masking", "frame-border masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("mb_qmin", "per-MB quantizer floor", "int", 2, 1, 31),
+        Option("mb_qmax", "per-MB quantizer ceiling", "int", 31, 1, 31),
     ]
     CAPABILITIES = ("delay",)
 
@@ -262,10 +280,60 @@ class MPEG4Encoder(Encoder):
             pkts.append(self._code_b(bf, bd))
         return pkts
 
+    @property
+    def _adaptive_quant(self) -> bool:
+        return bool((self.lumi_masking or self.dark_masking or
+                     self.tcplx_masking or self.scplx_masking or
+                     self.p_masking or self.border_masking)
+                    and not self.gmc)
+
+    def _frame_qscale(self, y: np.ndarray, is_i: bool) -> np.ndarray:
+        """Per-MB qscale field.  With any masking option set, runs the
+        reference's adaptive_quantization model (ratecontrol.c:703) on
+        per-MB luma stats, then walks the raster clamping each step to
+        +-2 so every transition is expressible as a single MPEG-4
+        dquant (quant_tab {-1,-2,1,2}).  Temporal complexity is the
+        zero-MV residual variance vs the reconstructed reference (a
+        pre-ME proxy for the reference's post-ME mc_mb_var)."""
+        nmb = self.mb_w * self.mb_h
+        if not self._adaptive_quant:
+            return np.full(nmb, self.qscale, dtype=np.int32)
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        mh, mw = self.mb_h, self.mb_w
+        yf = y[:mh * 16, :mw * 16].astype(np.float32)
+        mbs = yf.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
+        mbs = mbs.reshape(nmb, 256)
+        mb_mean = mbs.mean(1)
+        mb_var = mbs.var(1)
+        if is_i or self._refs is None:
+            mc_var = mb_var
+            intra_mask = np.ones(nmb, bool)
+        else:
+            from libav_tpu.ops.mc import EDGE
+            ref = np.asarray(self._refs[0])[EDGE:-EDGE, EDGE:-EDGE]
+            d = yf - ref[:mh * 16, :mw * 16].astype(np.float32)
+            dm = d.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
+            mc_var = dm.reshape(nmb, 256).var(1)
+            intra_mask = mb_var < mc_var
+        qs = adaptive_quantization(
+            self.qscale, mb_mean, mb_var, mc_var, intra_mask, mw, mh,
+            lumi_masking=self.lumi_masking,
+            dark_masking=self.dark_masking,
+            temporal_cplx_masking=self.tcplx_masking,
+            spatial_cplx_masking=self.scplx_masking,
+            p_masking=self.p_masking,
+            border_masking=self.border_masking,
+            qmin=self.mb_qmin, qmax=self.mb_qmax)
+        cur = int(qs[0])
+        for i in range(nmb):
+            cur = int(min(max(int(qs[i]), cur - 2), cur + 2))
+            qs[i] = cur
+        return qs
+
     def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
         nmb = self.mb_w * self.mb_h
-        qscale = np.full(nmb, self.qscale, dtype=np.int32)
         y, u, v = self._padded_input(frame)
+        qscale = self._frame_qscale(y, is_i)
         kind = "mpeg4mq" if self.mpegq else "h263"
         want_tr = bool(self.trellis and not is_i and not self.mpegq)
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, kind,
@@ -537,7 +605,7 @@ class MPEG4Encoder(Encoder):
                     pb.put_bits(ln, raw)
                 pb.put_bits(1, 1)   # marker
     def _vop_header(self, pb: PutBits, pict_type: int, disp: int,
-                    traj=None):
+                    traj=None, q0=None):
         """VOP header with the decoder's exact time bookkeeping
         (ISO 14496-2 §6.2.5: modulo_time_base counts whole seconds —
         non-B relative to time_base, B relative to last_time_base)."""
@@ -562,7 +630,7 @@ class MPEG4Encoder(Encoder):
         pb.put_bits(3, 0)       # intra_dc_vlc_thr: always intra DC VLC
         if pict_type == PICT_S:
             self._write_traj(pb, traj)
-        pb.put_bits(5, self.qscale)
+        pb.put_bits(5, self.qscale if q0 is None else int(q0))
         if pict_type in (PICT_P, PICT_B, PICT_S):
             pb.put_bits(3, self._fcode)
         if pict_type == PICT_B:
@@ -576,7 +644,8 @@ class MPEG4Encoder(Encoder):
         if pict_type == PICT_I:
             out += self._vol_headers()
         pb = PutBits()
-        self._vop_header(pb, pict_type, disp, traj=traj)
+        self._vop_header(pb, pict_type, disp, traj=traj,
+                         q0=int(qscale[0]))
         self._mb_layer(pb, levels, mvs, intra, qscale, pict_type,
                        gmc_mask=gmc_mask)
         self._stuff(pb)
@@ -603,6 +672,8 @@ class MPEG4Encoder(Encoder):
         tex = PutBits() if dp else pb
         dc_pb = pb2 if (dp and pict_type != PICT_I) else pb
         last_gob = 0
+        cur_q = int(qscale[0])      # decoder mirror of its running qs
+        DQUANT_CODE = {-1: 0, -2: 1, 1: 2, 2: 3}    # dec quant_tab order
 
         def merge_partitions():
             nonlocal pb2, tex, dc_pb
@@ -640,6 +711,7 @@ class MPEG4Encoder(Encoder):
                     pb.put_bits(5, q)
                     pb.put_bits(1, 0)            # no HEC
                     pred.resync(mb_x, mb_y)
+                    cur_q = q       # decoder resets qs from the VP header
 
                 acp_blocks = None
                 if use_acp and is_intra:
@@ -659,6 +731,7 @@ class MPEG4Encoder(Encoder):
                 cbpc = cbp & 3
                 cbpy = cbp >> 2
 
+                dq = q - cur_q      # +-2 by the _frame_qscale walk
                 if pict_type in (PICT_P, PICT_S):
                     is_gmc = gmc_mask is not None and bool(gmc_mask[idx])
                     if pict_type == PICT_S:
@@ -666,8 +739,11 @@ class MPEG4Encoder(Encoder):
                         # so only GMC MBs without residual may use it
                         not_coded = is_gmc and cbp == 0
                     else:
+                        # a q transition needs a coded MB to carry the
+                        # dquant, so those MBs are never skipped
                         not_coded = (not is_intra and cbp == 0
-                                     and mv[0] == 0 and mv[1] == 0)
+                                     and mv[0] == 0 and mv[1] == 0
+                                     and dq == 0)
                     if not_coded:
                         pb.put_bits(1, 1)   # not_coded = skip
                         for k in range(4):
@@ -675,17 +751,26 @@ class MPEG4Encoder(Encoder):
                                           int(mv[1]))
                         continue
                     pb.put_bits(1, 0)
-                    group = T.MBT_INTRA if is_intra else T.MBT_INTER
+                    if is_intra:
+                        group = T.MBT_INTRAQ if dq else T.MBT_INTRA
+                    else:
+                        group = T.MBT_INTERQ if dq else T.MBT_INTER
                     i = group * 4 + cbpc
                     pb.put_bits(T.INTER_MCBPC_BITS[i], T.INTER_MCBPC_CODE[i])
                 else:
-                    i = cbpc            # intra group
+                    i = cbpc + (4 if dq else 0)     # intra(+q) group
                     pb.put_bits(T.INTRA_MCBPC[1][i], T.INTRA_MCBPC[0][i])
+                    if dq and dp:
+                        # DP I-VOP partition A: dquant follows mcbpc
+                        # (dec._decode_partitions I branch)
+                        pb.put_bits(2, DQUANT_CODE[dq])
 
                 if is_intra:
                     pb2.put_bits(1, 1 if acp_blocks is not None else 0)
                     code, bits = T.CBPY[cbpy]
                     pb2.put_bits(bits, code)
+                    if dq and not (dp and pict_type == PICT_I):
+                        pb2.put_bits(2, DQUANT_CODE[dq])
                     for k in range(4):
                         pred.grid_put(mb_x, mb_y, k, 0, 0)
                 else:
@@ -693,6 +778,8 @@ class MPEG4Encoder(Encoder):
                         pb.put_bits(1, 1 if is_gmc else 0)   # mcsel
                     code, bits = T.CBPY[15 - cbpy]
                     pb2.put_bits(bits, code)
+                    if dq:
+                        pb2.put_bits(2, DQUANT_CODE[dq])
                     if not (pict_type == PICT_S and is_gmc):
                         # motion vector, median predicted
                         px, py = pred.grid_pred(mb_x, mb_y, 0)
@@ -703,6 +790,8 @@ class MPEG4Encoder(Encoder):
                     for k in range(4):
                         pred.grid_put(mb_x, mb_y, k, int(mv[0]),
                                       int(mv[1]))
+
+                cur_q = q
 
                 for b in range(6):
                     coded = bool(cbp & (0x20 >> b))

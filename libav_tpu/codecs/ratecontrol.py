@@ -156,3 +156,67 @@ class RateControl:
             pict_type=pict_type, qscale=qscale, bits=bits_used,
             tex_bits=tex, mv_bits=0, misc_bits=bits_used - tex))
         self.frame_count += 1
+
+
+# ---------------------------------------------------------------------- #
+# Adaptive (per-macroblock) quantization
+# ---------------------------------------------------------------------- #
+
+def adaptive_quantization(q, mb_mean, mb_var, mc_mb_var, intra_mask,
+                          mb_w, mb_h, *,
+                          lumi_masking=0.0, dark_masking=0.0,
+                          temporal_cplx_masking=0.0,
+                          spatial_cplx_masking=0.0, p_masking=0.0,
+                          border_masking=0.0, qmin=2, qmax=31):
+    """Per-MB qscale field from psychovisual masking models
+    (reference: ratecontrol.c:703 adaptive_quantization, the default
+    non-NAQ path where newq = q * cplx / bits = q / factor).
+
+    Inputs are per-MB raster arrays: mb_mean (luma mean 0..255),
+    mb_var (per-pixel spatial variance, the reference's
+    ``(SSD - sum^2/256) >> 8`` scale), mc_mb_var (motion-compensated
+    residual variance), intra_mask (bool: MB coded intra).  Returns an
+    int32 qscale per MB clipped to [qmin, qmax]; the caller is
+    responsible for any codec-level dquant step constraint.
+    """
+    import numpy as np
+
+    n = mb_w * mb_h
+    lumi_m = lumi_masking / (128.0 * 128.0)
+    dark_m = dark_masking / (128.0 * 128.0)
+    spat = np.maximum(np.sqrt(np.asarray(mb_var, np.float64)), 4.0)
+    temp = np.maximum(np.sqrt(np.asarray(mc_mb_var, np.float64)), 4.0)
+    intra_mask = np.asarray(intra_mask, bool)
+
+    factor = np.where(intra_mask, 1.0 + p_masking,
+                      np.power(temp, -temporal_cplx_masking))
+    factor = factor * np.power(spat, -spatial_cplx_masking)
+
+    d2 = (np.asarray(mb_mean, np.float64) - 128.0) ** 2
+    factor = factor * np.where(np.asarray(mb_mean) > 127,
+                               1.0 - d2 * lumi_m, 1.0 - d2 * dark_m)
+
+    if border_masking:
+        # distance ramp inside the outer width/5 (height/5) band
+        # (reference: ratecontrol.c:751-767)
+        mb_x = np.arange(n) % mb_w
+        mb_y = np.arange(n) // mb_w
+        mbf = np.zeros(n, np.float64)
+        fw, fh = mb_w // 5, mb_h // 5
+        if fw > 0:
+            left = (fw - mb_x) / fw
+            right = (mb_x - 4 * mb_w // 5) / fw
+            mbf = np.maximum(mbf, np.where(mb_x < fw, left, 0.0))
+            mbf = np.maximum(mbf, np.where(mb_x > 4 * mb_w // 5,
+                                           right, 0.0))
+        if fh > 0:
+            top = (fh - mb_y) / fh
+            bot = (mb_y - 4 * mb_h // 5) / fh
+            mbf = np.maximum(mbf, np.where(mb_y < fh, top, 0.0))
+            mbf = np.maximum(mbf, np.where(mb_y > 4 * mb_h // 5,
+                                           bot, 0.0))
+        factor = factor * (1.0 - border_masking * mbf)
+
+    factor = np.maximum(factor, 1e-5)
+    newq = np.rint(float(q) / factor)
+    return np.clip(newq, qmin, qmax).astype(np.int32)

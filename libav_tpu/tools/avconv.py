@@ -294,6 +294,9 @@ _PASSTHRU_VALUE_OPTS = {
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
     "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco", "fgap",
     "acpred", "mpegq", "bdirect", "qpel", "intensity", "pulse", "ltp",
+    "lumi_masking", "dark_masking", "tcplx_masking", "scplx_masking",
+    "p_masking", "border_masking", "mb_qmin", "mb_qmax",
+    "data_partitioning",
 }
 
 # global per-codec option spellings -> encoder Option names

@@ -230,6 +230,15 @@ class TestEncodeParity:
         ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1"]),
         ("mpeg4", "m4v", ["-g", "4", "-mpegq", "1", "-acpred", "1",
                           "-q:v", "4"]),
+        # adaptive quantization: per-MB qscale via INTER_Q/INTRA_Q
+        # dquant chains (ratecontrol.c:703 masking models)
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "6", "-lumi_masking",
+                          "0.4", "-dark_masking", "0.2"]),
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "8", "-scplx_masking",
+                          "0.4", "-p_masking", "0.2",
+                          "-border_masking", "0.5"]),
+        ("mpeg4", "m4v", ["-g", "4", "-q:v", "6", "-data_partitioning",
+                          "1", "-lumi_masking", "0.5"]),
         # MPEG-4 ASP encode: B-VOPs (fwd/bwd/bi + modb direct + skip
         # inheritance), quarter-sample P with fcode 2
         ("mpeg4", "m4v", ["-g", "6", "-bf", "2"]),

@@ -82,3 +82,52 @@ class TestMPEG4RoundTrip:
         assert data.startswith(b"\x00\x00\x01\xB0")       # VOS
         assert b"\x00\x00\x01\x20" in data                # VOL
         assert b"\x00\x00\x01\xB6" in data                # VOP
+
+
+class TestAdaptiveQuant:
+    """Per-MB qscale (ratecontrol.c:703 masking) coded as
+    INTRA_Q/INTER_Q dquant chains that our decoder reconstructs
+    drift-free against the encoder's closed loop."""
+
+    def _roundtrip(self, frames, **opts):
+        w, h = frames[0].width, frames[0].height
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg4", width=w, height=h,
+                              pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = MPEG4Encoder(par)
+        enc.set_opt("qscale", 6)
+        enc.set_opt("gop_size", 4)
+        for k, v in opts.items():
+            enc.set_opt(k, v)
+        pkts = enc.encode_all(frames)
+        dec = MPEG4Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mpeg4"))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        return enc, pkts, [f.to_host() for f in out]
+
+    def test_lumi_masking_roundtrip(self):
+        frames = [vsynth_frame(96, 64, t) for t in range(4)]
+        enc, _, out = self._roundtrip(frames, lumi_masking=0.5,
+                                      dark_masking=0.3)
+        qs = enc._frame_qscale(enc._padded_input(frames[0])[0], True)
+        assert len(set(qs.tolist())) > 1, "masking produced a flat field"
+        assert np.abs(np.diff(qs.astype(int))).max() <= 2
+        for i, (s, o) in enumerate(zip(frames, out)):
+            assert psnr(s.planes[0], o.planes[0]) > 25, f"frame {i}"
+
+    def test_spatial_masking_dp_roundtrip(self):
+        frames = [vsynth_frame(96, 64, t) for t in range(3)]
+        _, _, out = self._roundtrip(frames, scplx_masking=0.4,
+                                    p_masking=0.2, border_masking=0.5,
+                                    data_partitioning=1)
+        for i, (s, o) in enumerate(zip(frames, out)):
+            assert psnr(s.planes[0], o.planes[0]) > 24, f"frame {i}"
+
+    def test_q_transition_never_skipped(self):
+        """A static scene still codes every MB where qscale steps."""
+        frames = [vsynth_frame(96, 64, 0) for _ in range(3)]
+        enc, pkts, out = self._roundtrip(frames, lumi_masking=0.5)
+        for s, o in zip(frames, out):
+            assert psnr(s.planes[0], o.planes[0]) > 25

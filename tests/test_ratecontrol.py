@@ -70,3 +70,62 @@ class TestEncoderIntegration:
         out = dec.decode_all([Packet(data=p.data, pts=i)
                               for i, p in enumerate(pkts)])
         assert len(out) == len(frames)
+
+
+class TestAdaptiveQuantization:
+    """Vectorized mirror of ratecontrol.c:703 adaptive_quantization
+    (default non-NAQ path: newq = q / factor)."""
+
+    def test_flat_stats_flat_field(self):
+        import numpy as np
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        qs = adaptive_quantization(6, np.full(24, 128.0),
+                                   np.full(24, 100.0),
+                                   np.full(24, 100.0),
+                                   np.zeros(24, bool), 6, 4,
+                                   lumi_masking=0.5)
+        assert (qs == 6).all()
+
+    def test_lumi_masking_raises_q_in_bright(self):
+        import numpy as np
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        mean = np.array([128.0, 250.0, 10.0])
+        qs = adaptive_quantization(6, mean, np.full(3, 100.0),
+                                   np.full(3, 100.0),
+                                   np.zeros(3, bool), 3, 1,
+                                   lumi_masking=2.0, dark_masking=2.0)
+        # factor < 1 in bright/dark extremes -> newq = q/factor rises
+        assert qs[1] > qs[0] and qs[2] > qs[0]
+
+    def test_spatial_masking_raises_q_in_texture(self):
+        import numpy as np
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        var = np.array([16.0, 2500.0])
+        qs = adaptive_quantization(6, np.full(2, 128.0), var, var,
+                                   np.zeros(2, bool), 2, 1,
+                                   spatial_cplx_masking=0.3)
+        assert qs[1] > qs[0]
+
+    def test_border_masking_raises_q_at_edges(self):
+        import numpy as np
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        mb_w, mb_h = 10, 10
+        n = mb_w * mb_h
+        qs = adaptive_quantization(6, np.full(n, 128.0),
+                                   np.full(n, 100.0),
+                                   np.full(n, 100.0),
+                                   np.zeros(n, bool), mb_w, mb_h,
+                                   border_masking=0.8)
+        qs = qs.reshape(mb_h, mb_w)
+        assert qs[0, 0] > qs[5, 5]
+        assert qs[5, 5] == 6
+
+    def test_qmin_qmax_clip(self):
+        import numpy as np
+        from libav_tpu.codecs.ratecontrol import adaptive_quantization
+        qs = adaptive_quantization(30, np.full(2, 255.0),
+                                   np.full(2, 100.0),
+                                   np.full(2, 100.0),
+                                   np.zeros(2, bool), 2, 1,
+                                   lumi_masking=5.0, qmin=2, qmax=31)
+        assert qs.max() <= 31 and qs.min() >= 2
