@@ -782,11 +782,9 @@ class MPEG4Decoder(Decoder):
                     v = T.inter_mcbpc_vlc().read(gb)
                     if (v >> 2) == 5:    # stuffing: try again
                         continue
-                    if (v >> 2) == 6:
-                        raise AVError(INVALIDDATA,
-                                      "INTER4V+Q not supported")
+                    # group 6 = INTER4V+Q (mpeg4videodec.c:1327 layout)
                     cbp_t[idx] = (v & 3) | \
-                        (8 if (v >> 2) in (T.MBT_INTERQ, T.MBT_INTRAQ)
+                        (8 if (v >> 2) in (T.MBT_INTERQ, T.MBT_INTRAQ, 6)
                          else 0)
                     if (v >> 2) in (T.MBT_INTRA, T.MBT_INTRAQ):
                         kind[idx] = 'i'
@@ -796,7 +794,7 @@ class MPEG4Decoder(Decoder):
                     else:
                         kind[idx] = 'p'
                         mcsel = 0
-                        four_mv = (v >> 2) == T.MBT_INTER4V
+                        four_mv = (v >> 2) in (T.MBT_INTER4V, 6)
                         if pict_type == PICT_S and not four_mv and \
                                 getattr(self, "sprite_usage", 0) == 2:
                             mcsel = gb.get_bits(1)
@@ -1063,12 +1061,12 @@ class MPEG4Decoder(Decoder):
                     group, cbpc = v >> 2, v & 3
                     if group == 5:          # stuffing: retry same MB
                         continue
-                    if group == 6:
-                        raise AVError(INVALIDDATA,
-                                      "INTER4V+Q not supported")
-                    four_mv = group == T.MBT_INTER4V
+                    # group 6 = INTER4V+Q (reference: 28-entry
+                    # inter MCBPC where bit4=4MV and bit3=dquant,
+                    # mpeg4videodec.c:1327)
+                    four_mv = group in (T.MBT_INTER4V, 6)
                     is_intra = group in (T.MBT_INTRA, T.MBT_INTRAQ)
-                    has_q = group in (T.MBT_INTERQ, T.MBT_INTRAQ)
+                    has_q = group in (T.MBT_INTERQ, T.MBT_INTRAQ, 6)
                 else:
                     v = T.intra_mcbpc_vlc().read(gb)
                     if v == 8:

@@ -297,12 +297,21 @@ _PASSTHRU_VALUE_OPTS = {
     "lumi_masking", "dark_masking", "tcplx_masking", "scplx_masking",
     "p_masking", "border_masking", "mb_qmin", "mb_qmax",
     "data_partitioning",
+    # reference CLI spellings (options_table.h:150-154)
+    "lumi_mask", "dark_mask", "tcplx_mask", "scplx_mask", "p_mask",
+    "border_mask",
 }
 
 # global per-codec option spellings -> encoder Option names
 _EXTRA_OPT_MAP = {"max_b_frames": "b_frames", "bf": "b_frames",
                   "bit_rate": "bit_rate", "gop_size": "gop_size",
-                  "qp": "qp", "flags": "flags"}
+                  "qp": "qp", "flags": "flags",
+                  "lumi_mask": "lumi_masking",
+                  "dark_mask": "dark_masking",
+                  "tcplx_mask": "tcplx_masking",
+                  "scplx_mask": "scplx_masking",
+                  "p_mask": "p_masking",
+                  "border_mask": "border_masking"}
 
 
 def _apply_extra(enc_opts: Dict[str, Any], extra: Dict[str, str]):

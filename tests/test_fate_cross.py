@@ -78,6 +78,18 @@ class TestDecodeParity:
         # MPEG-4 AC prediction (mbd=rd makes the reference encoder set
         # ac_pred adaptively: alternate scans + predictor rescale)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mbd", "rd"]),
+        # MPEG-4 adaptive quant from the reference encoder (dquant
+        # only engages under rate control: ratecontrol.c:975 runs
+        # adaptive_quantization inside ff_rate_estimate_qscale) —
+        # verified to emit INTER_Q/INTRA_Q dquant chains on this
+        # source; the 4MV combination also checks the reference's
+        # dquant-suppression-on-8x8 rule round-trips
+        # (mpegvideo_enc.c:2040 mv_type==MV_TYPE_8X8 -> dquant=0)
+        ("mpeg4", "m4v", ["-g", "4", "-b:v", "400k", "-lumi_mask",
+                          "0.5", "-dark_mask", "0.3"]),
+        ("mpeg4", "m4v", ["-g", "4", "-b:v", "400k", "-flags",
+                          "+bitexact+mv4", "-lumi_mask", "0.5",
+                          "-scplx_mask", "0.4"]),
         # MPEG-4 MPEG quant (quant_type=1 matrix dequant + bitexact
         # parity fix)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mpeg_quant", "1"]),

@@ -131,3 +131,59 @@ class TestAdaptiveQuant:
         enc, pkts, out = self._roundtrip(frames, lumi_masking=0.5)
         for s, o in zip(frames, out):
             assert psnr(s.planes[0], o.planes[0]) > 25
+
+
+class TestInter4VQ:
+    """INTER4V+Q (inter MCBPC group 6): dquant on a 4MV macroblock.
+    The reference decoder accepts it (mpeg4videodec.c:1327 layout:
+    bit4=4MV, bit3=dquant) but its encoder never emits it
+    (mpegvideo_enc.c:2040 zeroes dquant when mv_type is 8x8), so the
+    stream is assembled by hand from our encoder's own headers."""
+
+    def test_group6_decodes_with_dquant(self):
+        import libav_tpu.codecs.mpeg4.tables as T
+        from libav_tpu.bitstream.putbits import PutBits
+        from libav_tpu.codecs.mpeg4.enc import (MPEG4Encoder,
+                                                encode_mv_component)
+        from libav_tpu.codecs.mpeg4.dec import PICT_P
+
+        f = Frame.alloc_video(32, 32, "yuv420p")
+        f.planes[0][:] = 128
+        f.planes[1][:] = 128
+        f.planes[2][:] = 128
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg4", width=32, height=32,
+                              pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc = MPEG4Encoder(par)
+        enc.set_opt("qscale", 6)
+        pkts = enc.encode_all([f, f])
+        assert len(pkts) == 2
+
+        # rebuild the P-VOP: 4 MBs, first is INTER4V+Q with dquant=+2
+        # and zero 8x8 vectors, rest are skips
+        pb = PutBits()
+        enc._frame_idx = 2
+        enc._vop_header(pb, PICT_P, 1)
+        i = 24                          # group 6, cbpc 0
+        pb.put_bits(1, 0)               # not_coded
+        pb.put_bits(T.INTER_MCBPC_BITS[i], T.INTER_MCBPC_CODE[i])
+        code, bits = T.CBPY[15 - 0]     # cbpy 0 (inter: inverted)
+        pb.put_bits(bits, code)
+        pb.put_bits(2, 3)               # dquant +2 (quant_tab idx 3)
+        for _ in range(4):              # four zero-delta 8x8 vectors
+            encode_mv_component(pb, 0)
+            encode_mv_component(pb, 0)
+        for _ in range(3):
+            pb.put_bits(1, 1)           # not_coded skips
+        enc._stuff(pb)
+        data = b"\x00\x00\x01\xB6" + pb.flush()
+
+        dec = MPEG4Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id="mpeg4"))
+        out = dec.decode_all([Packet(data=pkts[0].data, pts=0),
+                              Packet(data=data, pts=1)])
+        assert len(out) == 2
+        o = out[1].to_host()
+        # zero MVs + no residual on a flat frame: identical pixels
+        assert np.abs(o.planes[0].astype(int) - 128).max() <= 2
