@@ -135,10 +135,62 @@ class MPEG1Encoder(Encoder):
                "(Hadamard einsum, ops/mecmp.py)", "string", "sad"),
         Option("trellis_lambda", "trellis RD lambda scale x100", "int",
                25, 1, 400),
+        # adaptive quantization (ratecontrol.c:703): any nonzero
+        # masking enables per-MB qscale coded through the QUANT
+        # macroblock_type variants (tables B.2a/B.2b)
+        Option("lumi_masking", "bright-region masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("dark_masking", "dark-region masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("tcplx_masking", "temporal complexity masking",
+               "float", 0.0, -10.0, 10.0),
+        Option("scplx_masking", "spatial complexity masking",
+               "float", 0.0, -10.0, 10.0),
+        Option("p_masking", "inter-MB masking", "float", 0.0,
+               -10.0, 10.0),
+        Option("border_masking", "frame-border masking strength",
+               "float", 0.0, -10.0, 10.0),
+        Option("mb_qmin", "per-MB quantizer floor", "int", 2, 1, 31),
+        Option("mb_qmax", "per-MB quantizer ceiling", "int", 31, 1, 31),
     ]
 
     F_CODE = 2   # supports +-31.5 pel half-pel vectors (search range 15)
     QUANT_KIND = "mpeg1"
+
+    @property
+    def _adaptive_quant(self) -> bool:
+        return bool((self.lumi_masking or self.dark_masking or
+                     self.tcplx_masking or self.scplx_masking or
+                     self.p_masking or self.border_masking)
+                    and not getattr(self, "fieldpic", 0))
+
+    def _frame_qscale(self, y, q: int, is_i: bool):
+        """Per-MB qscale field.  MPEG-1/2 quantiser_scale_code is an
+        absolute 5-bit value, so no step constraint is needed — any
+        quant-capable MB (intra or coded-pattern) re-anchors the
+        decoder's running qscale; motion-only MBs carry no
+        coefficients, so their field value is moot.  MPEG-2 linear
+        q_scale_type keeps the field even (qscale = 2*code)."""
+        nmb = self.mb_w * self.mb_h
+        if not self._adaptive_quant:
+            return np.full(nmb, q, dtype=np.int32)
+        from libav_tpu.codecs.ratecontrol import adaptive_qscale_field
+        ref_y = None
+        if not is_i and self._refs is not None:
+            from libav_tpu.ops.mc import EDGE
+            ref_y = np.asarray(self._refs[0])[EDGE:-EDGE, EDGE:-EDGE]
+        qs = adaptive_qscale_field(
+            q, y, ref_y, self.mb_w, self.mb_h, force_intra=is_i,
+            lumi_masking=self.lumi_masking,
+            dark_masking=self.dark_masking,
+            temporal_cplx_masking=self.tcplx_masking,
+            spatial_cplx_masking=self.scplx_masking,
+            p_masking=self.p_masking,
+            border_masking=self.border_masking,
+            qmin=self.mb_qmin, qmax=self.mb_qmax)
+        if self.QUANT_KIND == "mpeg2":
+            qs = qs + (qs & 1)
+        return qs
 
     def _qscale_code(self, q: int) -> int:
         return q              # MPEG-1: quantizer_scale_code == qscale
@@ -233,7 +285,7 @@ class MPEG1Encoder(Encoder):
             q = self.rc.qscale_for_frame("I" if is_i else "P")
             if self.QUANT_KIND == "mpeg2":
                 q = max(2, q + (q & 1))
-        qscale = np.full(nmb, q, dtype=np.int32)
+        qscale = self._frame_qscale(y, q, is_i)
 
         want_tr = bool(self.trellis and not is_i)
         enc = encode_jit(self.mb_w, self.mb_h, not is_i, self.QUANT_KIND,
@@ -397,11 +449,13 @@ class MPEG1Encoder(Encoder):
         dc_pred = [128, 128, 128]
         pmv = np.zeros(2, dtype=np.int32)
         pending_skip = 0
+        cur_q = int(qscale[mb_y * mw])   # decoder mirror: slice header q
         for mb_x in range(mw):
             idx = mb_y * mw + mb_x
             lv = levels[idx]
             is_intra = bool(intra[idx])
             mv = mvs[idx]
+            q = int(qscale[idx])
             cbp = 0
             for b in range(6):
                 if np.any(lv[b][1:] if is_intra else lv[b]):
@@ -426,19 +480,38 @@ class MPEG1Encoder(Encoder):
                 inc -= 33
             pb.put_bits(T.MB_ADDR_INC[1][inc - 1], T.MB_ADDR_INC[0][inc - 1])
 
+            # QUANT variants (tables B.2a/B.2b) re-anchor the decoder's
+            # running qscale with an absolute 5-bit code; motion-only
+            # MBs have no quant variant and no coefficients either
+            want_q = q != cur_q
             if pict_type == PICT_I:
-                pb.put_bits(1, 1)    # intra, no quant change
-                flags = T.MB_INTRA
+                if want_q:
+                    pb.put_bits(2, 0b01)        # intra + quant
+                    flags = T.MB_QUANT | T.MB_INTRA
+                else:
+                    pb.put_bits(1, 1)           # intra
+                    flags = T.MB_INTRA
             else:
                 if is_intra:
-                    pb.put_bits(5, 0b00011)     # MB_INTRA ptype code
-                    flags = T.MB_INTRA
+                    if want_q:
+                        pb.put_bits(6, 0b000001)
+                        flags = T.MB_QUANT | T.MB_INTRA
+                    else:
+                        pb.put_bits(5, 0b00011)     # MB_INTRA ptype code
+                        flags = T.MB_INTRA
                 elif cbp:
-                    pb.put_bits(1, 1)           # MB_FOR|MB_PAT
-                    flags = T.MB_FOR | T.MB_PAT
+                    if want_q:
+                        pb.put_bits(5, 0b00010)
+                        flags = T.MB_QUANT | T.MB_FOR | T.MB_PAT
+                    else:
+                        pb.put_bits(1, 1)           # MB_FOR|MB_PAT
+                        flags = T.MB_FOR | T.MB_PAT
                 else:
                     pb.put_bits(3, 0b001)       # MB_FOR only
                     flags = T.MB_FOR
+            if flags & T.MB_QUANT:
+                pb.put_bits(5, self._qscale_code(q))
+                cur_q = q
             if flags & T.MB_INTRA and pict_type == PICT_P:
                 pmv[:] = 0
             if flags & T.MB_FOR:

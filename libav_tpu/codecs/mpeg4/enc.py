@@ -298,25 +298,14 @@ class MPEG4Encoder(Encoder):
         nmb = self.mb_w * self.mb_h
         if not self._adaptive_quant:
             return np.full(nmb, self.qscale, dtype=np.int32)
-        from libav_tpu.codecs.ratecontrol import adaptive_quantization
-        mh, mw = self.mb_h, self.mb_w
-        yf = y[:mh * 16, :mw * 16].astype(np.float32)
-        mbs = yf.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
-        mbs = mbs.reshape(nmb, 256)
-        mb_mean = mbs.mean(1)
-        mb_var = mbs.var(1)
-        if is_i or self._refs is None:
-            mc_var = mb_var
-            intra_mask = np.ones(nmb, bool)
-        else:
+        from libav_tpu.codecs.ratecontrol import adaptive_qscale_field
+        ref_y = None
+        if not is_i and self._refs is not None:
             from libav_tpu.ops.mc import EDGE
-            ref = np.asarray(self._refs[0])[EDGE:-EDGE, EDGE:-EDGE]
-            d = yf - ref[:mh * 16, :mw * 16].astype(np.float32)
-            dm = d.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
-            mc_var = dm.reshape(nmb, 256).var(1)
-            intra_mask = mb_var < mc_var
-        qs = adaptive_quantization(
-            self.qscale, mb_mean, mb_var, mc_var, intra_mask, mw, mh,
+            ref_y = np.asarray(self._refs[0])[EDGE:-EDGE, EDGE:-EDGE]
+        qs = adaptive_qscale_field(
+            self.qscale, y, ref_y, self.mb_w, self.mb_h,
+            force_intra=is_i,
             lumi_masking=self.lumi_masking,
             dark_masking=self.dark_masking,
             temporal_cplx_masking=self.tcplx_masking,

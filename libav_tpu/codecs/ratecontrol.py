@@ -220,3 +220,41 @@ def adaptive_quantization(q, mb_mean, mb_var, mc_mb_var, intra_mask,
     factor = np.maximum(factor, 1e-5)
     newq = np.rint(float(q) / factor)
     return np.clip(newq, qmin, qmax).astype(np.int32)
+
+
+def adaptive_qscale_field(q, y, ref_y, mb_w, mb_h, *, force_intra=False,
+                          lumi_masking=0.0, dark_masking=0.0,
+                          temporal_cplx_masking=0.0,
+                          spatial_cplx_masking=0.0, p_masking=0.0,
+                          border_masking=0.0, qmin=2, qmax=31):
+    """Per-MB qscale field from raw luma planes: computes the per-MB
+    stats (mean, spatial variance, zero-MV residual variance vs the
+    reconstructed reference as a pre-ME temporal proxy for the
+    reference's mc_mb_var) and runs adaptive_quantization.  ``ref_y``
+    is the previous reconstructed luma (unpadded coords) or None for
+    intra pictures.  The intra/inter split mirrors the mpegvideo
+    variance decision (mb_var < mc_mb_var -> intra-leaning)."""
+    import numpy as np
+
+    nmb = mb_w * mb_h
+    yf = np.asarray(y)[:mb_h * 16, :mb_w * 16].astype(np.float32)
+    mbs = yf.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+    mbs = mbs.reshape(nmb, 256)
+    mb_mean = mbs.mean(1)
+    mb_var = mbs.var(1)
+    if force_intra or ref_y is None:
+        mc_var = mb_var
+        intra_mask = np.ones(nmb, bool)
+    else:
+        ref = np.asarray(ref_y)[:mb_h * 16, :mb_w * 16]
+        d = yf - ref.astype(np.float32)
+        dm = d.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+        mc_var = dm.reshape(nmb, 256).var(1)
+        intra_mask = mb_var < mc_var
+    return adaptive_quantization(
+        q, mb_mean, mb_var, mc_var, intra_mask, mb_w, mb_h,
+        lumi_masking=lumi_masking, dark_masking=dark_masking,
+        temporal_cplx_masking=temporal_cplx_masking,
+        spatial_cplx_masking=spatial_cplx_masking,
+        p_masking=p_masking, border_masking=border_masking,
+        qmin=qmin, qmax=qmax)

@@ -382,6 +382,14 @@ class TestEncodeParity:
                           "-i8x8", "1", "-dct8x8", "1", "-scmatrix",
                           "default", "-cqpo", "2", "-deblock", "1",
                           "-bf", "1"]),
+        # adaptive quantization: QUANT macroblock_type variants
+        # (B.2a/B.2b) re-anchoring the slice qscale per MB
+        ("mpeg1video", "mpeg1video", ["-g", "4", "-q:v", "6",
+                                      "-lumi_masking", "0.5",
+                                      "-dark_masking", "0.3"]),
+        ("mpeg2video", "mpeg2video", ["-g", "4", "-q:v", "6",
+                                      "-scplx_masking", "0.4",
+                                      "-border_masking", "0.5"]),
     ])
     def test_video(self, y4m, tmp_path, codec, fmt, args):
         from libav_tpu.tools import avconv

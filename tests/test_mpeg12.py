@@ -459,3 +459,48 @@ class TestInterlacedTools:
         np.testing.assert_array_equal(fld[1::2], blk[8:])
         # and the rest of the frame (inter MBs) is identical
         np.testing.assert_array_equal(frame_org[:, 16:], field_org[:, 16:])
+
+
+class TestAdaptiveQuant:
+    """Per-MB qscale via the QUANT macroblock_type variants (tables
+    B.2a/B.2b; reference ratecontrol.c:703 masking models)."""
+
+    def _roundtrip(self, codec_id, frames, **opts):
+        from libav_tpu.codecs.mpeg12.enc import MPEG1Encoder, MPEG2Encoder
+        from libav_tpu.codecs.mpeg12 import MPEG1Decoder, MPEG2Decoder
+        w, h = frames[0].width, frames[0].height
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id=codec_id, width=w, height=h,
+                              pix_fmt="yuv420p",
+                              framerate=Rational(25, 1))
+        enc_cls = MPEG2Encoder if codec_id == "mpeg2video" \
+            else MPEG1Encoder
+        enc = enc_cls(par)
+        enc.set_opt("qscale", 6)
+        enc.set_opt("gop_size", 4)
+        for k, v in opts.items():
+            enc.set_opt(k, v)
+        pkts = enc.encode_all(frames)
+        dec = MPEG1Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                           codec_id=codec_id))
+        out = dec.decode_all([Packet(data=p.data, pts=i)
+                              for i, p in enumerate(pkts)])
+        return enc, [f.to_host() for f in out]
+
+    def test_mpeg1_lumi_masking(self):
+        frames = [vsynth_frame(96, 64, t) for t in range(4)]
+        enc, out = self._roundtrip("mpeg1video", frames,
+                                   lumi_masking=0.5, dark_masking=0.3)
+        qs = enc._frame_qscale(enc._padded_input(frames[0])[0], 6, True)
+        assert len(set(qs.tolist())) > 1, "masking produced a flat field"
+        for i, (s, o) in enumerate(zip(frames, out)):
+            assert psnr(s.planes[0], o.planes[0]) > 25, f"frame {i}"
+
+    def test_mpeg2_scplx_masking_even_q(self):
+        frames = [vsynth_frame(96, 64, t) for t in range(3)]
+        enc, out = self._roundtrip("mpeg2video", frames,
+                                   scplx_masking=0.4, p_masking=0.2)
+        qs = enc._frame_qscale(enc._padded_input(frames[0])[0], 6, True)
+        assert (qs % 2 == 0).all(), "mpeg2 linear q must stay even"
+        for i, (s, o) in enumerate(zip(frames, out)):
+            assert psnr(s.planes[0], o.planes[0]) > 25, f"frame {i}"
