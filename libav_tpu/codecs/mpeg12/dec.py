@@ -571,16 +571,16 @@ class MPEG1Decoder(Decoder):
         else:
             flags = T.mb_btype_vlc().read(gb)
 
+        # macroblock_modes() tail (ISO 13818-2 6.2.5.1): frame_motion_type
+        # then dct_type, BEFORE quantiser_scale_code and the MVs
+        # (reference mpeg12dec.c:741 intra, :799 zero-MV, :823-825 MC).
         motion_type = 2  # frame MC
         if seq.mpeg2 and pic.picture_structure == 3 and \
-                not pic.frame_pred_frame_dct and \
-                (flags & (T.MB_FOR | T.MB_BACK)):
-            motion_type = gb.get_bits(2)
-        dct_type = 0
-        if seq.mpeg2 and pic.picture_structure == 3 and \
-                not pic.frame_pred_frame_dct and \
-                (flags & (T.MB_PAT | T.MB_INTRA)):
-            pass  # dct_type read later, after MVs
+                not pic.frame_pred_frame_dct:
+            if flags & (T.MB_FOR | T.MB_BACK):
+                motion_type = gb.get_bits(2)
+            if flags & (T.MB_PAT | T.MB_INTRA):
+                mb.dct_field[idx] = bool(gb.get_bits(1))
 
         if flags & T.MB_QUANT:
             qscale = self._qscale(gb.get_bits(5))
@@ -657,11 +657,6 @@ class MPEG1Decoder(Decoder):
             pmv[:] = 0
             mb.use_fwd[idx] = True
             mb.mv_fwd[idx] = 0
-
-        if seq.mpeg2 and pic.picture_structure == 3 and \
-                not pic.frame_pred_frame_dct and \
-                (flags & (T.MB_PAT | T.MB_INTRA)):
-            mb.dct_field[idx] = bool(gb.get_bits(1))
 
         cbp = 0
         if flags & T.MB_PAT:

@@ -93,6 +93,23 @@ class TestDecodeParity:
         # MPEG-4 MPEG quant (quant_type=1 matrix dequant + bitexact
         # parity fix)
         ("mpeg4", "m4v", ["-g", "4", "-q:v", "5", "-mpeg_quant", "1"]),
+        # MPEG-2 interlaced frame pictures (config 2 "1080i"): the
+        # reference encoder's +ildct sets frame_pred_frame_dct=0, so
+        # every coded MB carries frame_motion_type and dct_type in the
+        # macroblock_modes() tail (13818-2 6.2.5.1, mpeg12dec.c:659) —
+        # dct_type sits BEFORE quantiser_scale_code and the MVs; +ilme
+        # additionally emits field MC (frame_motion_type=1) with per-
+        # field vectors + vertical_field_select in frame pictures
+        ("mpeg2video", "m2v", ["-g", "4", "-q:v", "4", "-flags",
+                               "+bitexact+ildct"]),
+        ("mpeg2video", "m2v", ["-g", "4", "-q:v", "4", "-flags",
+                               "+bitexact+ilme"]),
+        ("mpeg2video", "m2v", ["-g", "4", "-q:v", "4", "-flags",
+                               "+bitexact+ildct+ilme"]),
+        ("mpeg2video", "m2v", ["-g", "6", "-bf", "2", "-q:v", "4",
+                               "-flags", "+bitexact+ildct+ilme"]),
+        ("mpeg2video", "m2v", ["-g", "6", "-bf", "2", "-q:v", "4",
+                               "-flags", "+bitexact+ildct"]),
     ])
     def test_video(self, y4m, tmp_path, codec, ext, args):
         enc = str(tmp_path / f"ref.{ext}")
@@ -102,6 +119,19 @@ class TestDecodeParity:
         assert crc_column(ours) == crc_column(ref)
         if ext == "avi":   # container timestamps must also match
             assert ours == ref
+
+    def test_mpeg2_interlaced_hd(self, tmp_path):
+        """Config 2 class: 1440x1080 interlaced MPEG-2 (+ildct+ilme,
+        B-frames) encoded by the reference decodes pixel-identical.
+        Exercises frame_motion_type/field-MV/dct_type parsing at
+        broadcast MB counts (1440x1080 = 6120 MBs/frame)."""
+        src = str(tmp_path / "hd.y4m")
+        write_y4m(src, w=1440, h=1080, n=3)
+        enc = str(tmp_path / "hd.m2v")
+        ref_run(["-i", src] + BITEXACT +
+                ["-c:v", "mpeg2video", "-g", "3", "-bf", "1", "-q:v",
+                 "6", "-flags", "+bitexact+ildct+ilme", enc])
+        assert crc_column(our_framecrc(enc)) == crc_column(ref_framecrc(enc))
 
     @pytest.mark.parametrize("channels,bitrate", [(2, "192k"), (6, "384k")])
     def test_ac3(self, wav48, tmp_path, channels, bitrate):
