@@ -4,93 +4,73 @@ phase_count = 1<<phase_shift banks of windowed-sinc taps, per-sample dot
 product resample_template.c; mixing matrix audio_mix.c/audio_mix_matrix.c;
 conversion audio_convert.c; dithering dither.c).
 
-TPU-first: instead of a per-output-sample scalar dot product, all output
-samples of a chunk are produced in one call — gather the (n_out, taps)
-source windows, one einsum against the per-sample phase filter row.
-Exactly the same filter bank math as the reference (Kaiser/Blackman-Nuttall
-windowed sinc, linear phase interpolation optional).
+The whole chain runs in the reference's auto-selected internal sample
+format (utils.c:70 — s16/s32/flt/dbl) through the reference-exact
+streaming core (refexact.StreamingResampler: same Kaiser bank, mirror
+padding, index/frac walk and per-felem accumulator as
+resample_template.c), with in_convert -> downmix -> resample -> upmix
+-> out_convert ordering like avresample_convert.  Instead of a
+per-output-sample scalar dot product, each chunk's output samples are
+produced as one batched gather + dot.
 """
 
 from __future__ import annotations
 
-import functools
 import math
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from libav_tpu.avutil.error import AVError, EINVAL
+from libav_tpu.avutil.error import AVError
 from libav_tpu.avutil.frame import Frame
 from libav_tpu.avutil.opt import Option, OptionedObject
-from libav_tpu.avutil.samplefmt import (bytes_per_sample, is_planar, np_dtype,
+from libav_tpu.avutil.samplefmt import (is_planar,
                                         channel_layout_nb_channels)
 
 
-def _bessel_i0(x: float) -> float:
-    """Zeroth-order modified Bessel function (for the Kaiser window —
-    reference: resample.c bessel())."""
-    s, t, n = 1.0, 1.0, 0
-    x = x * x / 4.0
-    while t > 1e-21 * s:
-        n += 1
-        t *= x / (n * n)
-        s += t
-    return s
+def _fmt_base(fmt: str) -> str:
+    return fmt[:-1] if fmt.endswith("p") else fmt
 
 
-def build_filter(phase_count: int, tap_count: int, factor: float,
-                 window: str = "kaiser", beta: float = 16.0) -> np.ndarray:
-    """Build the polyphase bank: (phase_count, tap_count) float64
-    (reference: resample.c:67-113 build_filter; Kaiser and
-    Blackman-Nuttall windows)."""
-    bank = np.zeros((phase_count, tap_count), dtype=np.float64)
-    factor = min(factor, 1.0)
-    # integer center — must match the application-side gather offset in
-    # resample_ref/_resample_jit (start = idx - (taps-1)//2)
-    center = (tap_count - 1) // 2
-    for ph in range(phase_count):
-        x0 = -center - ph / phase_count
-        for t in range(tap_count):
-            x = (x0 + t) * factor
-            # sinc
-            y = math.sin(math.pi * x) / (math.pi * x) if x != 0 else 1.0
-            # window over [-1, 1]
-            w = (x0 + t) / (tap_count / 2) if tap_count > 1 else 0.0
-            w = max(-1.0, min(1.0, w))
-            if window == "kaiser":
-                y *= _bessel_i0(beta * math.sqrt(max(0.0, 1 - w * w))) / _bessel_i0(beta)
-            else:  # blackman-nuttall (reference resample.c:89)
-                ww = 2 * math.pi * ((w + 1) / 2)
-                y *= (0.3635819 - 0.4891775 * math.cos(ww) +
-                      0.1365995 * math.cos(2 * ww) - 0.0106411 * math.cos(3 * ww))
-            bank[ph, t] = y * factor
-    # normalize each phase to unity DC gain
-    bank /= bank.sum(axis=1, keepdims=True)
-    return bank
-
-
-def resample_ref(samples: np.ndarray, in_rate: int, out_rate: int,
-                 bank: np.ndarray) -> np.ndarray:
-    """Golden NumPy reference: per-output-sample polyphase dot product
-    (reference: resample_template.c inner loop)."""
-    phase_count, taps = bank.shape
-    n_in = samples.shape[-1]
-    n_out = int(n_in * out_rate / in_rate)
-    center = (taps - 1) // 2
-    out = np.zeros(samples.shape[:-1] + (n_out,), dtype=np.float64)
-    for n in range(n_out):
-        # source position in input samples (fixed-point style)
-        pos_num = n * in_rate
-        idx = pos_num // out_rate
-        frac = (pos_num % out_rate) * phase_count // out_rate
-        start = idx - center
-        acc = 0.0
-        for t in range(taps):
-            s = min(max(start + t, 0), n_in - 1)
-            acc += samples[..., s] * bank[frac, t]
-        out[..., n] = acc
-    return out
+def _convert_fmt(x: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Sample format conversion with the reference's scalar rules
+    (audio_convert.c CONV_FUNC table): int->float scales by the exact
+    power-of-two reciprocal, float->int is lrint (round-half-even) +
+    clip, int widths shift."""
+    if src == dst:
+        return x
+    if src == "u8":
+        if dst == "s16":
+            return (x.astype(np.int16) - 128) << 8
+        if dst == "s32":
+            return (x.astype(np.int32) - 128) << 24
+        v = (x.astype(np.float64) - 128) / 128.0
+        return v.astype(np.float32) if dst == "flt" else v
+    if src == "s16":
+        if dst == "u8":
+            return ((x.astype(np.int16) >> 8) + 128).astype(np.uint8)
+        if dst == "s32":
+            return x.astype(np.int32) << 16
+        v = x.astype(np.float64) / 32768.0
+        return v.astype(np.float32) if dst == "flt" else v
+    if src == "s32":
+        if dst == "u8":
+            return ((x >> 24) + 128).astype(np.uint8)
+        if dst == "s16":
+            return (x >> 16).astype(np.int16)
+        v = x.astype(np.float64) / 2147483648.0
+        return v.astype(np.float32) if dst == "flt" else v
+    # float/double source
+    xd = x.astype(np.float64)
+    if dst == "u8":
+        return np.clip(np.rint(xd * 128.0) + 128, 0, 255).astype(np.uint8)
+    if dst == "s16":
+        return np.clip(np.rint(xd * 32768.0),
+                       -32768, 32767).astype(np.int16)
+    if dst == "s32":
+        return np.clip(np.rint(xd * 2147483648.0), -(1 << 31),
+                       (1 << 31) - 1).astype(np.int64).astype(np.int32)
+    return xd.astype(np.float32) if dst == "flt" else xd
 
 
 class AudioResampler(OptionedObject):
@@ -127,18 +107,8 @@ class AudioResampler(OptionedObject):
 
     def open(self):
         """reference: avresample_open (avresample.h:46)"""
-        ratio = self.out_sample_rate / self.in_sample_rate
-        factor = min(1.0, ratio) * self.cutoff
-        phase_count = 1 << self.phase_shift
-        taps = self.filter_size
-        if ratio < 1.0:
-            taps = int(math.ceil(taps / factor)) & ~1 or taps
-        self.bank = build_filter(phase_count, taps, factor)
-        self.phase_count = phase_count
-        self.taps = taps
         self._mix_matrix = self._build_mix_matrix()
         self._opened = True
-        self._jit: Dict[tuple, object] = {}
         return self
 
     # ------------------------------------------------------------------ #
@@ -198,46 +168,95 @@ class AudioResampler(OptionedObject):
 
     # ------------------------------------------------------------------ #
 
+    # -- the reference's conversion chain (utils.c avresample_convert):
+    #    in_convert -> downmix -> resample -> upmix -> out_convert,
+    #    everything in the auto-selected internal sample format -------- #
+
+    _BPS = {"u8": 1, "s16": 2, "s32": 4, "flt": 4, "dbl": 8}
+
+    def _internal_felem(self) -> str:
+        """Internal sample format selection (utils.c:70-101)."""
+        i = _fmt_base(self.in_sample_fmt)
+        o = _fmt_base(self.out_sample_fmt)
+        mixing = self._mix_matrix is not None
+        max_bps = max(self._BPS[i], self._BPS[o])
+        if max_bps <= 2:
+            return "s16"
+        if mixing:
+            return "flt"
+        if max_bps <= 4:
+            if "s32" in (i, o):
+                return "dbl" if "flt" in (i, o) else "s32"
+            return "flt"
+        return "dbl"
+
+    def _apply_mix(self, x: np.ndarray, felem: str) -> np.ndarray:
+        """Mix in the internal format with FLT coefficients (the
+        default mix_coeff_type, audio_mix.c MIX_FUNC_GENERIC): float
+        sum, int formats round+clip back per sample."""
+        m = self._mix_matrix.astype(np.float32)
+        if felem == "s16":
+            y = m @ x.astype(np.float32)
+            return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+        if felem == "s32":
+            y = m.astype(np.float64) @ x.astype(np.float64)
+            return np.clip(np.rint(y), -(1 << 31),
+                           (1 << 31) - 1).astype(np.int32)
+        if felem == "dbl":
+            return self._mix_matrix @ x
+        return m @ x.astype(np.float32)
+
     def convert(self, frame: Frame) -> Frame:
         """reference: avresample_convert (avresample.h:83)"""
         if not self._opened:
             self.open()
-        # s16 rate-only conversion takes the reference-bit-exact core
-        # (libavresample s16 internal path, streaming): identical output
-        # to the reference's `-ar` chain, asserted by test_fate_cross
-        if (self._mix_matrix is None and
-                self.in_sample_rate != self.out_sample_rate and
-                self.in_sample_fmt in ("s16", "s16p") and
-                self.out_sample_fmt == self.in_sample_fmt):
-            fmt = frame.format
-            ch = frame.channels or len(frame.planes)
-            if is_planar(fmt):
-                x = np.stack([np.asarray(p) for p in frame.planes])
-            else:
-                x = np.asarray(frame.planes[0]).reshape(-1, ch).T.copy()
-            st = getattr(self, "_s16exact", None)
-            if st is None:
-                from libav_tpu.avresample.refexact import \
-                    StreamingResamplerS16
-                st = self._s16exact = StreamingResamplerS16(
-                    ch, self.in_sample_rate, self.out_sample_rate)
-            y = st.feed(x.astype(np.int16))
-            return self._frame_of_s16(y, frame)
-        x = self._to_float_planar(frame)                    # (ch, n)
-        if self._mix_matrix is not None:
-            x = self._mix_matrix @ x
+        fmt = frame.format
+        ch = frame.channels or len(frame.planes)
+        if is_planar(fmt):
+            x = np.stack([np.asarray(p) for p in frame.planes])
+        else:
+            x = np.asarray(frame.planes[0]).reshape(-1, ch).T.copy()
+        felem = self._internal_felem()
+        x = _convert_fmt(x, _fmt_base(fmt), felem)
+        cin = x.shape[0]
+        cout = (self._mix_matrix.shape[0]
+                if self._mix_matrix is not None else cin)
+        if self._mix_matrix is not None and cout < cin:   # downmix first
+            x = self._apply_mix(x, felem)
         if self.in_sample_rate != self.out_sample_rate:
-            fn, n_out = self._resample_jit(x.shape[1], x.shape[0])
-            x = np.asarray(fn(x.astype(np.float32)))
-        out = self._from_float_planar(x, frame)
-        return out
+            st = getattr(self, "_stream", None)
+            if st is None:
+                from libav_tpu.avresample.refexact import StreamingResampler
+                st = self._stream = StreamingResampler(
+                    x.shape[0], self.in_sample_rate, self.out_sample_rate,
+                    felem=felem)
+            x = st.feed(x)
+        if self._mix_matrix is not None and cout >= cin:  # upmix after
+            x = self._apply_mix(x, felem)
+        return self._emit(x, felem, frame)
 
-    def _frame_of_s16(self, y: np.ndarray, like: Frame) -> Frame:
+    def _emit(self, x: np.ndarray, felem: str, like: Frame) -> Frame:
+        """internal -> out_sample_fmt conversion + frame assembly."""
+        out_base = _fmt_base(self.out_sample_fmt)
+        if (out_base == "s16" and felem in ("flt", "dbl")
+                and self.dither_method != "none"):
+            dd = getattr(self, "_ditherer", None)
+            if dd is None or dd.channels != x.shape[0]:
+                from libav_tpu.avresample.dither import Ditherer
+                dd = self._ditherer = Ditherer(
+                    x.shape[0], self.dither_method, self.out_sample_rate)
+            y = dd.quantize(x.astype(np.float32))
+        else:
+            y = _convert_fmt(x, felem, out_base)
+        return self._frame_of(y, like)
+
+    def _frame_of(self, y: np.ndarray, like: Frame) -> Frame:
         ch = y.shape[0]
         out = like.clone_props()
         out.sample_rate = self.out_sample_rate
         out.format = self.out_sample_fmt
         out.channels = ch
+        out.channel_layout = self.out_channel_layout
         if is_planar(self.out_sample_fmt):
             out.planes = [y[c].copy() for c in range(ch)]
         else:
@@ -246,64 +265,21 @@ class AudioResampler(OptionedObject):
         return out
 
     def flush_resampler(self):
-        """Final padding output of the bit-exact streaming path (None
+        """Final padding output of the streaming resample core (None
         when inactive or empty) — the avresample_convert(NULL) drain."""
-        st = getattr(self, "_s16exact", None)
+        st = getattr(self, "_stream", None)
         if st is None:
             return None
-        y = st.flush()
-        if y.shape[1] == 0:
+        x = st.flush()
+        if x.shape[1] == 0:
             return None
+        cin = x.shape[0]
+        if self._mix_matrix is not None and \
+                self._mix_matrix.shape[0] >= cin and \
+                self._mix_matrix.shape[1] == cin:
+            x = self._apply_mix(x, st.felem)      # pending upmix stage
         from libav_tpu.avutil.frame import Frame as _F
         f = _F()
         f.format = self.out_sample_fmt
-        f.channels = y.shape[0]
-        return self._frame_of_s16(y, f)
-
-    def _to_float_planar(self, frame: Frame) -> np.ndarray:
-        fmt = frame.format
-        ch = frame.channels or len(frame.planes)
-        if is_planar(fmt):
-            x = np.stack([np.asarray(p) for p in frame.planes]).astype(np.float64)
-        else:
-            arr = np.asarray(frame.planes[0]).reshape(-1, ch)
-            x = arr.T.astype(np.float64)
-        dt = np_dtype(fmt)
-        if np.issubdtype(dt, np.integer):
-            info = np.iinfo(dt)
-            if fmt.startswith("u8"):
-                x = (x - 128.0) / 128.0
-            else:
-                x = x / (info.max + 1)
-        return x
-
-    def _from_float_planar(self, x: np.ndarray, src: Frame) -> Frame:
-        fmt = self.out_sample_fmt
-        dt = np_dtype(fmt)
-        ch, n = x.shape
-        if fmt in ("s16", "s16p") and self.dither_method != "none":
-            # dithered quantization (reference dither.c; opt-in like
-            # the reference's dither_method option)
-            dd = getattr(self, "_ditherer", None)
-            if dd is None or dd.channels != ch:
-                from libav_tpu.avresample.dither import Ditherer
-                dd = self._ditherer = Ditherer(
-                    ch, self.dither_method, self.out_sample_rate)
-            y = dd.quantize(x.astype(np.float32))
-        elif np.issubdtype(dt, np.integer):
-            if fmt.startswith("u8"):
-                y = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(dt)
-            else:
-                info = np.iinfo(dt)
-                y = np.clip(np.round(x * (info.max + 1)), info.min, info.max).astype(dt)
-        else:
-            y = x.astype(dt)
-        f = Frame(nb_samples=n, sample_rate=self.out_sample_rate, format=fmt,
-                  channels=ch, channel_layout=self.out_channel_layout)
-        f.pts = src.pts
-        f.time_base = src.time_base
-        if is_planar(fmt):
-            f.planes = [y[c].copy() for c in range(ch)]
-        else:
-            f.planes = [np.ascontiguousarray(y.T).reshape(-1)]
-        return f
+        f.channels = x.shape[0]
+        return self._emit(x, st.felem, f)

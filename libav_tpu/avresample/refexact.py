@@ -29,17 +29,18 @@ def _bessel(x: float) -> float:
 
 
 @functools.lru_cache(maxsize=32)
-def build_filter_bank_s16(in_rate: int, out_rate: int,
-                          filter_size: int = 16, phase_shift: int = 10,
-                          cutoff: float = 0.8,
-                          kaiser_beta: int = 9):
-    """(bank int16 (phases, taps), filter_length) — resample.c
-    build_filter with the s16 DBL_TO_FELEM quantization."""
+def _build_filter_bank(in_rate: int, out_rate: int, felem: str,
+                       filter_size: int = 16, phase_shift: int = 10,
+                       cutoff: float = 0.8, kaiser_beta: int = 9):
+    """(bank (phases, taps), filter_length) — resample.c:67
+    build_filter; `felem` picks the set_filter_* quantization:
+    's16' -> av_clip_int16(lrint(v * (1 << 15))), 'flt' -> (float)v,
+    'dbl' -> v."""
     factor = min(out_rate * cutoff / in_rate, 1.0)
     phase_count = 1 << phase_shift
     tap_count = max(int(math.ceil(filter_size / factor)), 1)
     center = (tap_count - 1) // 2
-    bank = np.zeros((phase_count, tap_count), np.int16)
+    tabs = np.zeros((phase_count, tap_count), np.float64)
     for ph in range(phase_count):
         tab = np.zeros(tap_count)
         norm = 0.0
@@ -50,10 +51,25 @@ def build_filter_bank_s16(in_rate: int, out_rate: int,
             y *= _bessel(kaiser_beta * math.sqrt(max(1 - w * w, 0.0)))
             tab[i] = y
             norm += y
-        tab /= norm
-        q = np.round(tab * (1 << 15))
-        bank[ph] = np.clip(q, -32768, 32767).astype(np.int16)
-    return bank, tap_count
+        tabs[ph] = tab / norm
+    if felem == "s16":
+        q = np.round(tabs * (1 << 15))
+        return np.clip(q, -32768, 32767).astype(np.int16), tap_count
+    if felem == "s32":
+        q = np.round(tabs * (1 << 30))
+        return np.clip(q, -(1 << 31), (1 << 31) - 1).astype(np.int64) \
+            .astype(np.int32), tap_count
+    if felem == "flt":
+        return tabs.astype(np.float32), tap_count
+    return tabs, tap_count
+
+
+def build_filter_bank_s16(in_rate: int, out_rate: int,
+                          filter_size: int = 16, phase_shift: int = 10,
+                          cutoff: float = 0.8,
+                          kaiser_beta: int = 9):
+    return _build_filter_bank(in_rate, out_rate, "s16", filter_size,
+                              phase_shift, cutoff, kaiser_beta)
 
 
 def _walk(nsrc: int, in_rate: int, out_rate: int, flen: int,
@@ -121,14 +137,26 @@ def resample_s16_exact(samples: np.ndarray, in_rate: int,
     return np.asarray(fir(buf))
 
 
-class StreamingResamplerS16:
-    """Stateful streaming wrapper with the reference's exact buffer
+class StreamingResampler:
+    """Stateful streaming resampler with the reference's exact buffer
     semantics (ff_audio_resample): prime with the initial mirror
     padding, walk (index, frac) across calls, drop consumed samples,
-    and emit the final mirrored padding on flush."""
+    and emit the final mirrored padding on flush.  `felem` selects the
+    internal element type like the reference's internal_sample_fmt
+    (resample_template.c instantiations): 's16' = int16 bank with the
+    (acc + 2^14) >> 15 accumulator, 'flt' = float32 bank + float32
+    MAC, 'dbl' = float64."""
 
-    def __init__(self, channels: int, in_rate: int, out_rate: int):
-        self.bank, self.flen = build_filter_bank_s16(in_rate, out_rate)
+    FELEM = "s16"
+    _DTYPES = {"s16": np.int16, "s32": np.int32,
+               "flt": np.float32, "dbl": np.float64}
+
+    def __init__(self, channels: int, in_rate: int, out_rate: int,
+                 felem: str = None):
+        self.felem = felem or self.FELEM
+        self.dtype = self._DTYPES[self.felem]
+        self.bank, self.flen = _build_filter_bank(in_rate, out_rate,
+                                                  self.felem)
         self.pad = (self.flen - 1) // 2
         self.in_rate, self.out_rate = in_rate, out_rate
         phase_count = 1 << 10
@@ -140,12 +168,27 @@ class StreamingResamplerS16:
         self.index = 0
         self.frac = 0
         self.primed = False
-        self.buf = np.zeros((channels, 0), np.int16)
+        self.buf = np.zeros((channels, 0), self.dtype)
         self.flushed = False
 
+    def _fir(self, gat: np.ndarray, filt_rows: np.ndarray) -> np.ndarray:
+        """(ch, nout) output block for gather indices + per-output
+        filter rows — resample_one_s16/flt/dbl arithmetic."""
+        if self.felem == "s16":
+            g = self.buf.astype(np.int32)[:, gat]
+            acc = (g * filt_rows.astype(np.int32)[None]).sum(axis=2)
+            return np.clip((acc + (1 << 14)) >> 15,
+                           -32768, 32767).astype(np.int16)
+        if self.felem == "s32":
+            g = self.buf.astype(np.int64)[:, gat]
+            acc = (g * filt_rows.astype(np.int64)[None]).sum(axis=2)
+            return np.clip((acc + (1 << 29)) >> 30,
+                           -(1 << 31), (1 << 31) - 1).astype(np.int32)
+        g = self.buf[:, gat]
+        return (g.astype(self.dtype) *
+                filt_rows[None]).sum(axis=2, dtype=self.dtype)
+
     def _produce(self) -> np.ndarray:
-        import jax
-        import jax.numpy as jnp
         m = self.buf.shape[1]
         idxs, phases = [], []
         index, frac = self.index, self.frac
@@ -161,27 +204,24 @@ class StreamingResamplerS16:
                 frac -= self.src_incr
                 index += 1
         consumed = index >> 10
-        out = np.zeros((self.buf.shape[0], len(idxs)), np.int16)
+        out = np.zeros((self.buf.shape[0], len(idxs)), self.dtype)
         if idxs:
             gat = (np.array(idxs)[:, None] +
                    np.arange(self.flen)[None, :])
-            filt = self.bank[np.array(phases)].astype(np.int32)
-            g = self.buf.astype(np.int32)[:, gat]
-            acc = (g * filt[None]).sum(axis=2)
-            out = np.clip((acc + (1 << 14)) >> 15,
-                          -32768, 32767).astype(np.int16)
+            out = self._fir(gat, self.bank[np.array(phases)])
         self.buf = self.buf[:, consumed:]
         self.index = index - (consumed << 10)
         self.frac = frac
         return out
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
-        """(ch, n) int16 in -> (ch, k) int16 out (k may be 0)."""
+        """(ch, n) in -> (ch, k) out (k may be 0)."""
+        samples = samples.astype(self.dtype, copy=False)
         if not self.primed:
             self.buf = np.concatenate([self.buf, samples], axis=1)
             if self.buf.shape[1] < 2 * self.pad:
-                return np.zeros((self.buf.shape[0], 0), np.int16)
-            head = np.zeros((self.buf.shape[0], self.pad), np.int16)
+                return np.zeros((self.buf.shape[0], 0), self.dtype)
+            head = np.zeros((self.buf.shape[0], self.pad), self.dtype)
             full = np.concatenate([head, self.buf], axis=1)
             for i in range(self.pad):
                 full[:, i] = full[:, 2 * self.pad - i]
@@ -194,12 +234,16 @@ class StreamingResamplerS16:
     def flush(self) -> np.ndarray:
         if self.flushed or not self.primed:
             self.flushed = True
-            return np.zeros((self.buf.shape[0], 0), np.int16)
+            return np.zeros((self.buf.shape[0], 0), self.dtype)
         self.flushed = True
         m = self.buf.shape[1]
-        tail = np.zeros((self.buf.shape[0], self.pad), np.int16)
+        tail = np.zeros((self.buf.shape[0], self.pad), self.dtype)
         for i in range(self.pad):
             if m > i:
                 tail[:, i] = self.buf[:, m - i - 1]
         self.buf = np.concatenate([self.buf, tail], axis=1)
         return self._produce()
+
+
+class StreamingResamplerS16(StreamingResampler):
+    FELEM = "s16"

@@ -103,7 +103,7 @@ def kbd_window(L: int, alpha: float = 4.0) -> np.ndarray:
     §4.6.11.3.2; AAC uses alpha=4 for long, 6 for short windows).
     Kernel = Kaiser window of length L/2+1 (symmetric about L/4), so the
     cumulative sums satisfy Princen-Bradley w[n]^2 + w[n+L/2]^2 = 1."""
-    from libav_tpu.avresample import _bessel_i0
+    from libav_tpu.avresample.refexact import _bessel as _bessel_i0
     beta = math.pi * alpha
     half_len = L // 2
     w = np.array([_bessel_i0(beta * math.sqrt(
