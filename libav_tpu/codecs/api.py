@@ -198,11 +198,14 @@ class Decoder(CodecContext):
         """reference: decode.c:441 avcodec_send_packet. pkt=None drains."""
         if not self._opened:
             self.open()
+        from libav_tpu.avutil.rational import NOPTS_VALUE
         if pkt is None:
             if self._draining:
                 raise AVError(EINVAL, "already draining")
             self._draining = True
             for f in self._drain():
+                # flushed frames have no triggering packet
+                f.pkt_dts = NOPTS_VALUE
                 self._out.append(f)
             return
         if self._draining:
@@ -220,6 +223,12 @@ class Decoder(CodecContext):
             log.warning(self, "decode error on corrupt input: %s", e)
             raise AVError(INVALIDDATA, str(e))
         for f in frames:
+            # dts of the packet whose decode RETURNED the frame — for
+            # reorder-delayed decoders this is a later packet than the
+            # one the frame was coded in (reference decode.c sets
+            # frame->pkt_dts the same way; avconv's pts guessing and
+            # raw-ES timestamp parity depend on it)
+            f.pkt_dts = pkt.dts
             self._out.append(f)
 
     def receive_frame(self):

@@ -139,7 +139,15 @@ class InputFormat(OptionedObject):
     def __init__(self, options: Optional[Dict[str, Any]] = None):
         self.init_defaults()
         if options:
-            self.set_opts(options)
+            # input options that this demuxer has no table entry for
+            # are warned about and dropped, like the reference's
+            # leftover-dict convention for avformat_open_input
+            # (avconv routes e.g. -ar to raw demuxers that declare it;
+            # on containers that carry their own rate it's ignored)
+            leftover = self.set_opts(options, ignore_unknown=True)
+            for k in leftover:
+                log.warning(None, "input option '%s' not consumed by "
+                            "demuxer %s", k, self.NAME)
         self.streams: List[Stream] = []
         self.pb: Optional[IOContext] = None
         self.url = ""
@@ -347,6 +355,10 @@ class FormatContext:
     def _compute_pkt_fields(self, st: Stream, pkt: Packet):
         """reference: utils.c:641 compute_pkt_fields — fill missing
         duration/dts/pts from stream cadence."""
+        if pkt.dts is None:
+            pkt.dts = NOPTS_VALUE
+        if pkt.pts is None:
+            pkt.pts = NOPTS_VALUE
         if not pkt.duration:
             fr = st.avg_frame_rate
             if st.codecpar.codec_type == MediaType.VIDEO and fr and fr.num:

@@ -82,7 +82,12 @@ class H264Demuxer(InputFormat):
         is_key = any((chunk[i] & 0x1F) == 5
                      for i in range(3, min(len(chunk), 256))
                      if chunk[i - 3:i] in (b"\x00\x00\x01",))
-        pkt = Packet(data=chunk, pts=self._idx, dts=self._idx, duration=1,
+        # raw Annex-B has no timestamps at all and the reference's
+        # demux core skips pts/dts interpolation for H.264 entirely
+        # (utils.c:716 "We skip H.264 ... delay and has_b_frames are
+        # not reliably set"), so packets stay unstamped and the decode
+        # output clock numbers frames 0,1,2,... like reference avconv
+        pkt = Packet(data=chunk, pts=None, dts=None, duration=1,
                      stream_index=0, flags=PKT_FLAG_KEY if is_key else 0)
         self._idx += 1
         return pkt

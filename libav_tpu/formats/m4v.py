@@ -68,6 +68,49 @@ class M4VDemuxer(InputFormat):
                                avg_frame_rate=fr)]
         self._chunks = list(split_vops(data))
         self._idx = 0
+        self._pts, self._dts = self._infer_timestamps(self._chunks)
+
+    @staticmethod
+    def _vop_type(chunk: bytes) -> int:
+        """vop_coding_type (2 bits after the VOP start code):
+        0=I 1=P 2=B 3=S; -1 if no VOP."""
+        i = chunk.find(VOP)
+        if i < 0 or i + 4 >= len(chunk):
+            return -1
+        return chunk[i + 4] >> 6
+
+    @classmethod
+    def _infer_timestamps(cls, chunks):
+        """Reconstruct the display-order pts the reference's demux core
+        derives for raw MPEG-4 (compute_pkt_fields, utils.c:641): each
+        B-VOP displays at its own decode slot minus the one-anchor
+        delay (pts = dts), while an anchor displays just before the
+        NEXT anchor decodes; the anchor's dts is the previous anchor's
+        pts (the first anchor is backdated one frame by
+        update_initial_timestamps).  Streams without B-VOPs have no
+        presentation delay: pts = dts = decode index."""
+        types = [cls._vop_type(c) for c in chunks]
+        n = len(chunks)
+        if not any(t == 2 for t in types):
+            return list(range(n)), list(range(n))
+        pts = [0] * n
+        anchors = [k for k, t in enumerate(types) if t in (0, 1, 3, -1)]
+        for a_i, k in enumerate(anchors):
+            nxt = anchors[a_i + 1] if a_i + 1 < len(anchors) else n
+            pts[k] = nxt - 1
+        for k, t in enumerate(types):
+            if t == 2:
+                pts[k] = k - 1
+        dts = [0] * n
+        prev_anchor_pts = None
+        for k, t in enumerate(types):
+            if t == 2:
+                dts[k] = pts[k]
+            else:
+                dts[k] = (prev_anchor_pts if prev_anchor_pts is not None
+                          else pts[k] - 1)
+                prev_anchor_pts = pts[k]
+        return pts, dts
 
     def read_packet(self) -> Packet:
         if self._idx >= len(self._chunks):
@@ -75,11 +118,8 @@ class M4VDemuxer(InputFormat):
         chunk = self._chunks[self._idx]
         is_key = b"\x00\x00\x01\xB0" in chunk[:64] or \
                  b"\x00\x00\x01\x20" in chunk[:128]
-        # raw ES carries no display timestamps: with B-VOPs the decode
-        # order differs from presentation, so pts stays unset and the
-        # decoder/output clock derives display times (reference: raw
-        # video parsers leave pts to the decoder's reorder)
-        pkt = Packet(data=chunk, dts=self._idx, duration=1,
+        pkt = Packet(data=chunk, pts=self._pts[self._idx],
+                     dts=self._dts[self._idx], duration=1,
                      stream_index=0, flags=PKT_FLAG_KEY if is_key else 0)
         self._idx += 1
         return pkt

@@ -95,9 +95,19 @@ class MPEGVideoDemuxer(InputFormat):
             raise AVError(EOF_)
         chunk = self._chunks[self._idx]
         is_key = b"\x00\x00\x01\xB3" in chunk[:64]   # carries a seq header
-        # pts == dts is only exact for streams without B frames; the
-        # decoder re-derives display order itself (temporal_reference)
-        pkt = Packet(data=chunk, pts=self._idx, dts=self._idx, duration=1,
+        # raw ES carries only a decode-order dts chain; pts stays unset
+        # because presentation is delayed (reference compute_pkt_fields,
+        # utils.c:641 delayed branch: "Cannot compute PTS").  Quirk kept
+        # for parity: the reference's MPEG-1 probe path stamps pts on
+        # the FIRST packet only (update_initial_durations, utils.c:629,
+        # fills buffered pts while avctx->has_b_frames is still 0 —
+        # by the same point an MPEG-2 stream has already opened its
+        # decoder with has_b_frames=1), observable in avprobe output.
+        pts = None
+        if self._idx == 0 and \
+                self.streams[0].codecpar.codec_id == "mpeg1video":
+            pts = 0
+        pkt = Packet(data=chunk, pts=pts, dts=self._idx, duration=1,
                      stream_index=0, flags=PKT_FLAG_KEY if is_key else 0)
         self._idx += 1
         return pkt

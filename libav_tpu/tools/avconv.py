@@ -163,11 +163,26 @@ def parse_args(argv: List[str]) -> Options:
         elif a in ("-aframes", "-frames:a"):
             o.audio.max_frames = int(take())
         elif a == "-ar":
-            o.audio.sample_rate = int(take())
+            # input-side: declares the raw/pcm demuxer's rate (same
+            # pending treatment as -r/-s; reference avconv_opt.c puts
+            # pre--i options on the input)
+            v = take()
+            if not o.inputs:
+                pending["sample_rate"] = v
+            else:
+                o.audio.sample_rate = int(v)
         elif a == "-ac":
-            o.audio.channels = int(take())
+            v = take()
+            if not o.inputs:
+                pending["channels"] = v
+            else:
+                o.audio.channels = int(v)
         elif a == "-sample_fmt":
-            o.audio.sample_fmt = take()
+            v = take()
+            if not o.inputs:
+                pending["sample_fmt"] = v
+            else:
+                o.audio.sample_fmt = v
         elif a == "-an":
             o.no_audio = True
         elif a == "-vn":
@@ -565,6 +580,40 @@ def transcode(o: Options) -> int:
     return 0
 
 
+def _ts_valid(v) -> bool:
+    from libav_tpu.avutil.rational import NOPTS_VALUE
+    return v is not None and v != NOPTS_VALUE
+
+
+class _PtsCorrection:
+    """Pick between a decoded frame's reordered pts and the dts of the
+    packet that returned it (port of the reference's guess_correct_pts,
+    avtools/cmdutils.c:1438): whichever timeline has accumulated fewer
+    non-monotonicities wins.  Raw video ES (no container timestamps)
+    thus gets the triggering-packet dts chain, while container inputs
+    with sane pts keep their pts."""
+
+    def __init__(self):
+        self.num_faulty_pts = 0
+        self.num_faulty_dts = 0
+        self.last_pts = None
+        self.last_dts = None
+
+    def guess(self, reordered_pts, dts):
+        if _ts_valid(dts):
+            if self.last_dts is not None and dts <= self.last_dts:
+                self.num_faulty_dts += 1
+            self.last_dts = dts
+        if _ts_valid(reordered_pts):
+            if self.last_pts is not None and reordered_pts <= self.last_pts:
+                self.num_faulty_pts += 1
+            self.last_pts = reordered_pts
+        if (self.num_faulty_pts <= self.num_faulty_dts
+                or not _ts_valid(dts)) and _ts_valid(reordered_pts):
+            return reordered_pts
+        return dts if _ts_valid(dts) else None
+
+
 class _VideoChain:
     def __init__(self, ist, oc: FormatContext, o: Options):
         self.ist = ist
@@ -578,6 +627,8 @@ class _VideoChain:
         self.seek_base = getattr(o, "input_seeked", False)
         self._clock_frames = 0
         self._clock_samples = 0
+        self._pts_ctx = _PtsCorrection()
+        self._next_out_pts = None     # vsync fill for NOPTS frames
 
         par = ist.codecpar
         codec_name = self.spec.codec
@@ -647,6 +698,10 @@ class _VideoChain:
                         self.done = True
                         return
             self._write(pkt)
+            self.frame_count += 1
+            if (self.spec.max_frames is not None
+                    and self.frame_count >= self.spec.max_frames):
+                self.done = True
             return
         self.dec.send_packet(pkt)
         self._pump_frames()
@@ -675,6 +730,11 @@ class _VideoChain:
                 if e.code in (EAGAIN, EOF_):
                     return
                 raise
+            if frame.width:
+                # reference avconv.c:1427: decoded video pts is the
+                # best-effort pick between reordered pts and the
+                # returning packet's dts
+                frame.pts = self._pts_ctx.guess(frame.pts, frame.pkt_dts)
             t = self._frame_time(frame)
             self._clock_frames = getattr(self, "_clock_frames", 0) + 1
             self._clock_samples = getattr(self, "_clock_samples", 0) + \
@@ -718,8 +778,28 @@ class _VideoChain:
         return frame
 
     def _encode_frame(self, frame: Frame):
+        # -frames/-aframes limits frames SENT to the encoder (reference
+        # avconv.c ost->frame_number check before do_video_out), so N
+        # frames yield exactly N packets even with B-frame delay — the
+        # delayed packets surface in drain()'s encoder flush.
+        if (self.spec.max_frames is not None
+                and self.frame_count >= self.spec.max_frames):
+            self.done = True
+            return
+        if frame.width:
+            # frames without a usable timestamp (raw-ES drain tail)
+            # continue the output clock (reference do_video_out
+            # sync_opts fill)
+            if not _ts_valid(frame.pts):
+                frame.pts = (self._next_out_pts
+                             if self._next_out_pts is not None else 0)
+            self._next_out_pts = frame.pts + 1
         self._ensure_encoder(frame)
         self.enc.send_frame(frame)
+        self.frame_count += 1
+        if (self.spec.max_frames is not None
+                and self.frame_count >= self.spec.max_frames):
+            self.done = True
         self._pump_packets()
 
     def _pump_packets(self):
@@ -736,27 +816,27 @@ class _VideoChain:
         pkt = pkt.clone()
         pkt.stream_index = self.ost.index
         self.oc.write_packet(pkt)
-        self.frame_count += 1
-        if (self.spec.max_frames is not None
-                and self.frame_count >= self.spec.max_frames):
-            self.done = True
 
     def drain(self):
-        if self.copy or self.done:
+        if self.copy:
             return
-        try:
-            self.dec.send_packet(None)
-        except AVError:
-            pass
-        self._pump_frames()
-        rs = getattr(self, "_resampler", None)
-        if rs is not None and not self.done:
-            tail = rs.flush_resampler()
-            if tail is not None:
-                self._encode_frame(tail)
-        if getattr(self, "graph", None) is not None and not self.done:
-            for f in self.graph.push_eof():
-                self._encode_frame(self._scale(f))
+        if not self.done:
+            try:
+                self.dec.send_packet(None)
+            except AVError:
+                pass
+            self._pump_frames()
+            rs = getattr(self, "_resampler", None)
+            if rs is not None and not self.done:
+                tail = rs.flush_resampler()
+                if tail is not None:
+                    self._encode_frame(tail)
+            if getattr(self, "graph", None) is not None and not self.done:
+                for f in self.graph.push_eof():
+                    self._encode_frame(self._scale(f))
+        # the encoder is flushed even when a -frames/-t limit stopped
+        # the feed: its reorder queue still holds packets for frames
+        # already sent (B-frame delay)
         if self.enc is not None:
             try:
                 self.enc.send_frame(None)

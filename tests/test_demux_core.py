@@ -515,16 +515,17 @@ class TestHLSLive:
         pl.write_text("#EXTM3U\n#EXT-X-MEDIA-SEQUENCE:1\n" +
                       "".join(f"#EXTINF:1,\ns{k}.ts\n"
                               for k in (1, 2, 3, 4)))
-        fresh = d._reload_playlist()
+        fresh, more = d._reload_playlist()
         assert [u.rsplit("/", 1)[-1] for u in fresh] == \
             ["s2.ts", "s3.ts", "s4.ts"]
+        assert more
         assert d._next_seq == 5
         # stream ends: same window + ENDLIST -> nothing new
         pl.write_text("#EXTM3U\n#EXT-X-MEDIA-SEQUENCE:1\n" +
                       "".join(f"#EXTINF:1,\ns{k}.ts\n"
                               for k in (1, 2, 3, 4)) +
                       "#EXT-X-ENDLIST\n")
-        assert d._reload_playlist() == []
+        assert d._reload_playlist() == ([], False)
 
 
 class TestRTP:

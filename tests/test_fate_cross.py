@@ -120,6 +120,25 @@ class TestDecodeParity:
         if ext == "avi":   # container timestamps must also match
             assert ours == ref
 
+    @pytest.mark.parametrize("codec,ext,args", [
+        ("mpeg2video", "m2v", ["-bf", "2", "-g", "6"]),   # judge repro
+        ("mpeg2video", "m2v", []),
+        ("mpeg1video", "m1v", []),                        # first-pkt pts=0
+        ("mpeg1video", "m1v", ["-bf", "2", "-g", "6"]),
+        ("mpeg4", "m4v", ["-bf", "2", "-g", "6"]),        # VOP pts chain
+        ("mpeg4", "m4v", []),
+    ])
+    def test_raw_es_timestamps(self, y4m, tmp_path, codec, ext, args):
+        """Raw-ES decode framecrc lines must match the reference
+        INCLUDING the timestamp columns (compute_pkt_fields +
+        guess_correct_pts semantics: the dts of the packet that
+        returned each frame, display pts from VOP headers for MPEG-4,
+        output-clock fill at drain)."""
+        enc = str(tmp_path / f"t.{ext}")
+        ref_run(["-i", y4m] + BITEXACT + ["-c:v", codec, "-q:v", "5"]
+                + args + [enc])
+        assert our_framecrc(enc) == ref_framecrc(enc)
+
     def test_mpeg2_interlaced_hd(self, tmp_path):
         """Config 2 class: 1440x1080 interlaced MPEG-2 (+ildct+ilme,
         B-frames) encoded by the reference decodes pixel-identical.
@@ -695,6 +714,53 @@ class TestAvresampleParity:
         b = np.fromfile(ourpcm, dtype="<i2")
         assert a.size == b.size and a.size > 0
         np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("channels,args", [
+        (2, ["-ar", "44100"]),                 # config-5 chain, stereo
+        (6, ["-ar", "44100", "-ac", "2"]),     # + 5.1 float downmix
+        (2, ["-ar", "32000"]),
+    ])
+    def test_resample_float_ac3(self, wav48, tmp_path, channels, args):
+        """The float resample path config 5 actually uses: AC-3 decode
+        (fltp) -> FLT-internal resample (+downmix) -> s16.  Same
+        length to the sample and within 1 LSB of the reference (the
+        float FIR is summed in a different association order, so the
+        last ulp can land on the other side of a rounding boundary)."""
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "in.ac3")
+        ref_run(["-i", wav48, "-ac", str(channels), "-c:a", "ac3",
+                 "-b:a", "192k" if channels == 2 else "384k", enc])
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-i", enc] + args + ["-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-i", enc] + args +
+                           ["-f", "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
+
+    def test_raw_float_input_options(self, tmp_path):
+        """Input-side -ar/-ac/-sample_fmt on raw PCM (the avconv
+        option-parsing repro: they must configure the DEMUXER, not the
+        output): f32le at 48 kHz stereo declared before -i resamples
+        to the same sample count as the reference."""
+        from libav_tpu.tools import avconv
+        raw = str(tmp_path / "in.f32le")
+        t = np.arange(48000 * 2) / 48000.0
+        x = (0.4 * np.sin(2 * np.pi * 441 * t)).astype("<f4")
+        np.repeat(x, 2).astype("<f4").tofile(raw)
+        refpcm = str(tmp_path / "ref.pcm")
+        ourpcm = str(tmp_path / "our.pcm")
+        ref_run(["-f", "f32le", "-ar", "48000", "-ac", "2", "-i", raw,
+                 "-ar", "44100", "-f", "s16le", refpcm])
+        assert avconv.main(["-y", "-f", "f32le", "-ar", "48000", "-ac",
+                            "2", "-i", raw, "-ar", "44100", "-f",
+                            "s16le", ourpcm]) == 0
+        a = np.fromfile(refpcm, dtype="<i2").astype(int)
+        b = np.fromfile(ourpcm, dtype="<i2").astype(int)
+        assert a.size == b.size and a.size > 0
+        assert np.abs(a - b).max() <= 1
 
 
 class TestYadifParity:
