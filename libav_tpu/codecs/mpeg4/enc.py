@@ -10,9 +10,12 @@ prediction, 3D run-level VLC with ESC3 fallback.
 Emits: rectangular VOL; quant_type 0 or 1 (MPEG matrices); intra AC
 prediction; B-VOPs (fwd/bwd/bi + modb direct + colocated-skip
 inheritance, anchor-first reordering); quarter-sample P-VOPs (fcode 2,
-closed loop through the decoder's 8-tap qpel MC); 4MV; GMC/sprite
-warping; resync markers + data partitioning; trellis RD quantization.
-Not yet: qpel B-VOPs (rejected at open), adaptive quantization.
+closed loop through the decoder's 8-tap qpel MC); GMC/sprite
+warping; resync markers + data partitioning; trellis RD quantization;
+adaptive quantization (masking models -> INTER_Q/INTRA_Q dquant
+chains via ratecontrol.adaptive_qscale_field).
+Not yet: qpel B-VOPs (rejected at open); 4MV emission (INTER4V is
+decode-only — the unit tests hand-assemble such VOPs).
 """
 
 from __future__ import annotations

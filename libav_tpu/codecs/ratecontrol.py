@@ -192,8 +192,11 @@ def adaptive_quantization(q, mb_mean, mb_var, mc_mb_var, intra_mask,
                       np.power(temp, -temporal_cplx_masking))
     factor = factor * np.power(spat, -spatial_cplx_masking)
 
-    d2 = (np.asarray(mb_mean, np.float64) - 128.0) ** 2
-    factor = factor * np.where(np.asarray(mb_mean) > 127,
+    # the reference's mb_mean is integer (sum>>8): truncate before the
+    # 127 threshold so boundary MBs pick the same lumi/dark branch
+    mean_i = np.floor(np.asarray(mb_mean, np.float64))
+    d2 = (mean_i - 128.0) ** 2
+    factor = factor * np.where(mean_i > 127,
                                1.0 - d2 * lumi_m, 1.0 - d2 * dark_m)
 
     if border_masking:
@@ -218,7 +221,9 @@ def adaptive_quantization(q, mb_mean, mb_var, mc_mb_var, intra_mask,
         factor = factor * (1.0 - border_masking * mbf)
 
     factor = np.maximum(factor, 1e-5)
-    newq = np.rint(float(q) / factor)
+    # half-up like the reference's (int)(newq + 0.5), not rint's
+    # half-to-even
+    newq = np.floor(float(q) / factor + 0.5)
     return np.clip(newq, qmin, qmax).astype(np.int32)
 
 

@@ -82,10 +82,13 @@ def parse_playlist(text: str, base: str):
 class _SegmentChain:
     """Forward byte stream over the segment list (hls.c read_data).
     `refill` is called when the list runs out (live playlists); it
-    returns newly appeared segment URLs or [] to end the stream."""
+    returns (newly appeared segment URLs, more_expected) — when
+    more_expected is False (ENDLIST seen or fetch failed) the chain
+    drops the callback so the stream terminates without a redundant
+    playlist fetch."""
 
     def __init__(self, urls: List[str],
-                 refill: Optional[Callable[[], List[str]]] = None):
+                 refill: Optional[Callable[[], tuple]] = None):
         self._urls = urls
         self._k = 0
         self._cur: Optional[IOContext] = None
@@ -98,11 +101,14 @@ class _SegmentChain:
             if self._cur is None:
                 if self._k >= len(self._urls):
                     if self._refill is not None:
-                        fresh = self._refill()
+                        fresh, more = self._refill()
+                        if not more:
+                            self._refill = None
                         if fresh:
                             self._urls.extend(fresh)
                             continue
-                        self._refill = None
+                        if self._refill is None:
+                            break
                     break
                 self._cur = url_open(self._urls[self._k], "r")
                 self._k += 1
@@ -174,24 +180,24 @@ class HLSDemuxer(InputFormat):
         self.streams = self._inner.streams
         self.pb_inner = chain
 
-    def _reload_playlist(self) -> List[str]:
-        """Re-fetch the live media playlist and return segments that
-        appeared after the ones already consumed (matched by
-        #EXT-X-MEDIA-SEQUENCE, hls.c parse_playlist reload path)."""
+    def _reload_playlist(self):
+        """Re-fetch the live media playlist and return (segments that
+        appeared after the ones already consumed, more_expected)
+        (matched by #EXT-X-MEDIA-SEQUENCE, hls.c parse_playlist reload
+        path).  more_expected=False once ENDLIST is seen, so the chain
+        plays the remaining tail and terminates without another
+        fetch."""
         try:
             with url_open(self._media_url, "r") as p:
                 segs, _, meta = parse_playlist(
                     p.read_all().decode("utf-8", "replace"),
                     self._media_url)
         except (AVError, OSError):
-            return []
-        if meta["endlist"]:
-            # window closed: take the tail we have not played yet
-            pass
+            return [], False
         skip = self._next_seq - meta["media_seq"]
         fresh = segs[max(0, skip):]
         self._next_seq = meta["media_seq"] + len(segs)
-        return fresh
+        return fresh, not meta["endlist"]
 
     def read_packet(self) -> Packet:
         return self._inner.read_packet()

@@ -74,10 +74,12 @@ class _Track:
     keyframes: Optional[set] = None
     bsf: Optional[object] = None
     cursor: int = 0
-    # edit list: first entry's media_time, or -segment_duration (in
-    # MOVIE timescale, negated) for an initial empty edit — reference
-    # mov.c:3157 mov_read_elst
-    elst_raw: Optional[Tuple[int, int]] = None   # (time, duration)
+    # edit list: up to two (media_time, segment_duration) entries —
+    # entry 0 may be an empty edit (time==-1, duration in MOVIE
+    # timescale = start delay), entry 1 then carries the media_time
+    # shift (track timescale) — reference mov.c:3157 mov_read_elst +
+    # mov_build_index
+    elst_raw: Optional[List[Tuple[int, int]]] = None
     time_offset: int = 0
     track_end: int = 0                           # next frag dts (+offset)
 
@@ -126,10 +128,18 @@ class MovDemuxer(InputFormat):
         for t in self.tracks:
             if t.elst_raw is None:
                 continue
-            time, duration = t.elst_raw
-            off = time if time != -1 else -duration
-            if off < 0:
-                off = off * t.timescale // movie_timescale
+            time, duration = t.elst_raw[0]
+            if time == -1:
+                # entry 0 is an empty edit (start delay, stored in the
+                # MOVIE timescale); the common two-entry pattern puts
+                # the media_time shift (track timescale) in entry 1
+                delay = duration * t.timescale // movie_timescale
+                media = 0
+                if len(t.elst_raw) > 1 and t.elst_raw[1][0] >= 0:
+                    media = t.elst_raw[1][0]
+                off = media - delay
+            else:
+                off = time
             t.time_offset = off
             if t.sample_dts:
                 t.sample_dts = [d - off for d in t.sample_dts]
@@ -293,14 +303,19 @@ class MovDemuxer(InputFormat):
         if elst:
             v = data[elst[0]]
             n = struct.unpack(">I", data[elst[0] + 4:elst[0] + 8])[0]
-            if n >= 1:
-                p = elst[0] + 8
+            entries = []
+            p = elst[0] + 8
+            for _ in range(min(n, 2)):   # empty-edit + media_time pair
                 if v == 1:
                     duration, time = struct.unpack(">Qq", data[p:p + 16])
+                    p += 20
                 else:
                     duration, time = struct.unpack(">Ii", data[p:p + 8])
+                    p += 12
                 if time >= -1:
-                    t.elst_raw = (time, duration)
+                    entries.append((time, duration))
+            if entries:
+                t.elst_raw = entries
 
         # sample sizes
         stsz = _find(data, "stsz", *stbl)

@@ -261,8 +261,9 @@ class MpegTSDemuxer(InputFormat):
 class MpegTSMuxer(OutputFormat):
     """Single-program TS muxer: PAT+PMT retransmitted periodically and
     on video keyframes (reference mpegtsenc.c retransmit_si_info, VBR
-    pat_packet_period=40), PCR on the first ES pid (the PMT-declared
-    PCR_PID) at each keyframe and every ~20ms of dts (PCR_RETRANS_TIME,
+    pat_packet_period=40), PCR on the PMT-declared PCR_PID (the video
+    pid when a video stream exists, else the first ES pid) at each
+    keyframe and every ~20ms of dts (PCR_RETRANS_TIME,
     mpegtsenc.c:197,873-895; VBR pcr = dts*300), Random Access
     indicator on keyframe starts (:905-910)."""
 
@@ -321,6 +322,15 @@ class MpegTSMuxer(OutputFormat):
         sec = table + struct.pack(">I", crc32_mpeg2(table))
         return self._ts_packet(pid, b"\x00" + sec, pusi=True)
 
+    def _pcr_pid(self) -> int:
+        # PCR rides the video pid when there is one (reference
+        # mpegtsenc.c picks the first video stream as pcr_st),
+        # otherwise the first ES pid
+        for si, st in enumerate(self.streams):
+            if st.codecpar.codec_type == MediaType.VIDEO:
+                return self.ES_PID0 + si
+        return self.ES_PID0
+
     def _write_psi(self):
         # PAT
         pat = bytes([0x00, 0xB0, 13, 0, 1, 0xC1, 0, 0,
@@ -332,8 +342,9 @@ class MpegTSMuxer(OutputFormat):
             stype = _CODEC_TO_STREAM_TYPE.get(st.codecpar.codec_id, 0x06)
             pid = self.ES_PID0 + si
             es += bytes([stype, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0])
+        pcr_pid = self._pcr_pid()
         pmt = bytes([0x02, 0xB0, 13 + len(es), 0, 1, 0xC1, 0, 0,
-                     0xE0 | (self.ES_PID0 >> 8), self.ES_PID0 & 0xFF,
+                     0xE0 | (pcr_pid >> 8), pcr_pid & 0xFF,
                      0xF0, 0]) + es
         self.pb.write(self._psi(self.PMT_PID, pmt))
 
@@ -377,11 +388,12 @@ class MpegTSMuxer(OutputFormat):
                        struct.pack(">H", 0) +   # unbounded (video ok)
                        bytes([0x80, 0x80, 5]) + self._pts_bytes(pts90, 2))
         pes = pes_hdr + pkt.data
-        # PCR rides the first ES pid (= the PMT-declared PCR_PID): on
-        # keyframes and when >=20ms of dts passed since the last one
+        # PCR rides the PMT-declared PCR_PID (the video pid when there
+        # is one): on keyframes and when >=20ms of dts passed since
+        # the last one
         pcr = None
-        if pid == self.ES_PID0:
-            if (key and is_video) or self._last_pcr is None or \
+        if pid == self._pcr_pid():
+            if key or self._last_pcr is None or \
                     dts90 - self._last_pcr >= self.PCR_RETRANS_90K:
                 pcr = dts90 * 300
                 self._last_pcr = dts90
