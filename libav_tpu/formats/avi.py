@@ -24,12 +24,13 @@ _FOURCC_TO_CODEC = {
     b"div3": "msmpeg4v3", b"MPG3": "msmpeg4v3", b"DIV4": "msmpeg4v3",
     b"FLV1": "flv1", b"flv1": "flv1",
     b"H263": "h263", b"h263": "h263", b"U263": "h263",
+    b"FFV1": "ffv1", b"ffv1": "ffv1",
 }
 _CODEC_TO_FOURCC = {"mjpeg": b"MJPG", "mpeg4": b"FMP4", "h264": b"H264",
                     "mpeg1video": b"mpg1", "mpeg2video": b"mpg2",
                     "msmpeg4v3": b"MP43", "msmpeg4v2": b"MP42", "wmv1": b"WMV1",
                     "flv1": b"FLV1",
-                    "h263": b"H263",
+                    "h263": b"H263", "ffv1": b"FFV1",
                     "rawvideo": b"\x00\x00\x00\x00"}
 _WFMT_TO_CODEC = {1: "pcm_s16le", 3: "pcm_f32le", 0x2000: "ac3",
                   0xFF: "aac", 0x55: "mp3", 0x50: "mp2"}

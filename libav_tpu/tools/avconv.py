@@ -303,7 +303,7 @@ _PASSTHRU_VALUE_OPTS = {
     "qp", "qmin", "qmax", "qcomp", "qblur", "qdiff", "rc_eq", "pass",
     "passlogfile", "maxrate", "minrate", "bufsize", "profile", "level",
     "me_range", "sc_threshold", "trellis", "aspect", "b_frames",
-    "coder", "refs", "dct", "idct", "mbd", "cmp", "subcmp",
+    "coder", "context", "refs", "dct", "idct", "mbd", "cmp", "subcmp",
     "b_strategy", "compression_level", "channel_layout", "dither",
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
