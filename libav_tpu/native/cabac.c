@@ -25,73 +25,44 @@
 #define UNAVAIL (-2)
 #define NOREF   (-1)
 
-/* ---- arithmetic decoding engine (spec 9.3.3.2; mirrors
- *      cabac.py CabacDecoder exactly, including reads-past-end = 0) --- */
+/* ---- arithmetic decoding engine (spec 9.3.3.2; bit-identical syntax
+ *      output to cabac.py CabacDecoder, including reads-past-end = 0).
+ *
+ * Representation: `low` carries the spec offset at fixed scale 2^49
+ * PLUS a queue of up-to-47 future input bits below it, terminated by a
+ * guard 1-bit.  Renormalization is then just `range <<= sh; low <<= sh`
+ * — queued bits migrate into the offset exactly when they become
+ * significant — and the only memory traffic is a 6-byte refill every
+ * ~47 consumed bits (detected by the guard crossing bit 48).  This is
+ * the classic queue-in-low design (the reference's cabac_functions.h
+ * uses the same idea at 16-bit scale); the 64-bit low makes refills 3x
+ * rarer and frees the per-bin path of all cache bookkeeping. */
+
+#define CB_SCALE 49
+#define CB_QMASK (((uint64_t)1 << 48) - 1)
 
 typedef struct cb_CD {
     const uint8_t *d;
     long long n;                /* bytes */
     long long bytepos;          /* next byte to load (zero past end) */
-    uint64_t cache;             /* low `ncache` bits = unconsumed input */
-    int ncache;
-    int range, offset;
+    uint64_t low;               /* offset<<49 | queued bits | guard */
+    int range;
     uint8_t st[1024];
 } CD;
 
-/* bit fetch with an 8-byte cache; bits past the end read as zero —
- * identical semantics to the Python reference's _bits().
- * Refill grabs 6 bytes with one unaligned load when fully in-bounds
- * (falls back to the byte loop at the tail). */
-static inline void cd_refill(CD *c)
-{
-    if (c->ncache <= 16 && c->bytepos + 8 <= c->n) {
-        uint64_t w;
-        memcpy(&w, c->d + c->bytepos, 8);
-#if defined(__GNUC__)
-        w = __builtin_bswap64(w);
-#else
-        w = ((w & 0xFFULL) << 56) | ((w & 0xFF00ULL) << 40) |
-            ((w & 0xFF0000ULL) << 24) | ((w & 0xFF000000ULL) << 8) |
-            ((w >> 8) & 0xFF000000ULL) | ((w >> 24) & 0xFF0000ULL) |
-            ((w >> 40) & 0xFF00ULL) | (w >> 56);
-#endif
-        c->cache = (c->cache << 48) | (w >> 16);
-        c->bytepos += 6;
-        c->ncache += 48;
-        return;
-    }
-    while (c->ncache <= 48) {
-        uint64_t b = c->bytepos < c->n ? c->d[c->bytepos] : 0;
-        c->bytepos++;
-        c->cache = (c->cache << 8) | b;
-        c->ncache += 8;
-    }
-}
-
-static inline int cd_bits(CD *c, int nb)
-{
-    if (c->ncache < nb)
-        cd_refill(c);
-    c->ncache -= nb;
-    return (int)((c->cache >> c->ncache) & ((1u << nb) - 1));
-}
-
-static inline int cd_bit1(CD *c)
-{
-    return cd_bits(c, 1);
-}
-
-/* packed state-transition tables over s = 2*p + mps, folding the MPS
- * flip at p==0 into the LPS table (reference cabac_functions.h keeps
- * the same packed-state design in ff_h264_cabac_tables).
- * cd_tr2 interleaves both: cd_tr2[2*s + lps] — one load in the
- * branchless decode below. */
-static uint8_t cd_mps_tr[128], cd_lps_tr[128], cd_tr2[256];
+/* packed-state tables over s = 2*p + mps (MPS flip at p==0 folded into
+ * the LPS transition):
+ *   cd_lps8[(range & 0xC0)*2 + s]  — LPS subrange, one byte load
+ *   cd_mlps[128 + s]               — next state; negative index (s
+ *                                    XOR -1 from the branchless select)
+ *                                    = the LPS transition */
+static uint8_t cd_mps_tr[128], cd_lps_tr[128];
+static uint8_t cd_lps8[512], cd_mlps[256];
 static volatile int cd_tr_ready = 0;
 
 static void cd_build_trans(void)
 {
-    int s;
+    int s, q;
     for (s = 0; s < 128; s++) {
         int p = s >> 1, mps = s & 1;
         int pm = p < 62 ? p + 1 : 62;
@@ -99,16 +70,56 @@ static void cd_build_trans(void)
         int ml = p == 0 ? mps ^ 1 : mps;
         cd_mps_tr[s] = (uint8_t)(2 * pm + mps);
         cd_lps_tr[s] = (uint8_t)(2 * pl + ml);
-        cd_tr2[2 * s] = cd_mps_tr[s];
-        cd_tr2[2 * s + 1] = cd_lps_tr[s];
+        cd_mlps[128 + s] = cd_mps_tr[s];
+        cd_mlps[127 - s] = cd_lps_tr[s];    /* index 128 + (s ^ -1) */
+        for (q = 0; q < 4; q++)
+            cd_lps8[q * 128 + s] = cb_lps_range[p][q];
     }
     cd_tr_ready = 1;
+}
+
+/* next 48 input bits, big-endian, zeros past the end */
+static inline uint64_t cd_load48(const uint8_t *d, long long n,
+                                 long long bytepos)
+{
+    if (bytepos + 8 <= n) {
+        uint64_t w;
+        memcpy(&w, d + bytepos, 8);
+#if defined(__GNUC__)
+        return __builtin_bswap64(w) >> 16;
+#else
+        w = ((w & 0xFFULL) << 56) | ((w & 0xFF00ULL) << 40) |
+            ((w & 0xFF0000ULL) << 24) | ((w & 0xFF000000ULL) << 8) |
+            ((w >> 8) & 0xFF000000ULL) | ((w >> 24) & 0xFF0000ULL) |
+            ((w >> 40) & 0xFF00ULL) | (w >> 56);
+        return w >> 16;
+#endif
+    } else {
+        uint64_t w = 0;
+        int i;
+        for (i = 0; i < 6; i++) {
+            uint64_t b = bytepos + i < n ? d[bytepos + i] : 0;
+            w = (w << 8) | b;
+        }
+        return w;
+    }
+}
+
+/* guard (lowest set bit of low) has crossed bit 48 (position 48+i,
+ * i in [0,6] — a renorm shifts by at most 7): insert 48 fresh bits
+ * right below it and drop the guard to bit i */
+static inline void cd_refill(CD *c)
+{
+    int i = __builtin_ctzll(c->low) - 48;
+    c->low += ((cd_load48(c->d, c->n, c->bytepos) << 1) - CB_QMASK) << i;
+    c->bytepos += 6;
 }
 
 static void cd_init(CD *c, const uint8_t *d, long long n,
                     int slice_is_i, int idc, int qp)
 {
     int i;
+    uint64_t v = 0;
     if (!cd_tr_ready)
         cd_build_trans();
     const signed char (*tab)[2] = slice_is_i ? cb_init_i : cb_init_pb[idc];
@@ -124,148 +135,115 @@ static void cd_init(CD *c, const uint8_t *d, long long n,
     }
     c->d = d;
     c->n = n;
-    c->bytepos = 0;
-    c->cache = 0;
-    c->ncache = 0;
     c->range = 510;
-    c->offset = 0;
-    for (i = 0; i < 9; i++)
-        c->offset = (c->offset << 1) | cd_bit1(c);
-}
-
-/* renorm in one step: shift = 9 - bitlength(range) bits pulled at once
- * (the reference's asm does the same via BSR, x86/cabac.h) */
-static inline void cd_renorm(CD *c)
-{
-    if (c->range < 0x100) {
-#if defined(__GNUC__)
-        int sh = __builtin_clz((unsigned)c->range) - 23;
-#else
-        int sh = 0;
-        while ((c->range << sh) < 0x100)
-            sh++;
-#endif
-        c->range <<= sh;
-        c->offset = (c->offset << sh) | cd_bits(c, sh);
-    }
+    /* first 56 bits: the 9 initial offset bits land at 49..57, a
+     * 47-bit queue at 2..48, guard at bit 1 */
+    for (i = 0; i < 7; i++)
+        v = (v << 8) | (i < n ? d[i] : 0);
+    c->bytepos = 7;
+    c->low = (v << 2) | 2;
 }
 
 static inline int cd_dec(CD *c, int ctx)
 {
-    /* branchless MPS/LPS select: m = -1 on the LPS path (the standard
-     * sign-mask formulation the reference's cabac_functions.h get_cabac
-     * also uses), and the renorm shift runs unconditionally (sh = 0 when
-     * range is already >= 0x100) so the only branch left is the rare,
-     * well-predicted refill */
+    /* branchless MPS/LPS select: m = -1 on the LPS path; renorm is two
+     * shifts (sh = 0 when range is already >= 0x100); the only branch
+     * left is the rare guard-crossing refill */
     int s = c->st[ctx];
-    int range = c->range, offset = c->offset;
-    int rlps = cb_lps_range[s >> 1][(range >> 6) & 3];
-    int r2 = range - rlps;
-    int m = (r2 - offset - 1) >> 31;        /* -1: LPS, 0: MPS */
-    int bit = (s ^ m) & 1;
-    int sh;
-    offset -= r2 & m;
-    range = r2 + ((rlps - r2) & m);
-    c->st[ctx] = cd_tr2[2 * s + (m & 1)];
-    sh = __builtin_clz((unsigned)range) - 23;
-    range <<= sh;
-    if (c->ncache < sh)
+    int rlps = cd_lps8[2 * (c->range & 0xC0) + s];
+    uint64_t rs;
+    int m, sh;
+    c->range -= rlps;
+    rs = (uint64_t)c->range << CB_SCALE;
+    m = (int)((int64_t)(rs - c->low - 1) >> 63);    /* -1: LPS, 0: MPS */
+    c->low -= rs & (uint64_t)(int64_t)m;
+    c->range += (rlps - c->range) & m;
+    s ^= m;
+    c->st[ctx] = cd_mlps[128 + s];
+    sh = __builtin_clz((unsigned)c->range) - 23;
+    c->range <<= sh;
+    c->low <<= sh;
+    if (!(c->low & CB_QMASK))
         cd_refill(c);
-    c->ncache -= sh;
-    offset = (offset << sh) |
-        (int)((c->cache >> c->ncache) & (((uint32_t)1 << sh) - 1));
-    c->range = range;
-    c->offset = offset;
-    return bit;
+    return s & 1;
 }
 
 static inline int cd_bypass(CD *c)
 {
+    uint64_t rs;
     int m;
-    c->offset = (c->offset << 1) | cd_bit1(c);
-    m = (c->range - c->offset - 1) >> 31;
-    c->offset -= c->range & m;
+    c->low += c->low;
+    if (!(c->low & CB_QMASK))
+        cd_refill(c);
+    rs = (uint64_t)c->range << CB_SCALE;
+    m = (int)((int64_t)(rs - c->low - 1) >> 63);
+    c->low -= rs & (uint64_t)(int64_t)m;
     return m & 1;
 }
 
 static int cd_term(CD *c)
 {
     c->range -= 2;
-    if (c->offset >= c->range)
+    if (c->low >= (uint64_t)c->range << CB_SCALE)
         return 1;
-    cd_renorm(c);
+    if (c->range < 0x100) {         /* renorm is a single shift here */
+        c->range <<= 1;
+        c->low <<= 1;
+        if (!(c->low & CB_QMASK))
+            cd_refill(c);
+    }
     return 0;
 }
 
 /* ---- register-local engine for the residual hot loops ----
- * Same arithmetic as cd_dec/cd_bypass, but the (range, offset, cache,
- * ncache, bytepos) state lives in locals so the compiler keeps it in
- * registers across bins (the role of the reference's x86/cabac.h asm,
- * which pins low/range in registers through get_cabac chains). */
+ * Same arithmetic as cd_dec/cd_bypass, but the (range, low, bytepos)
+ * state lives in locals so the compiler keeps it in registers across
+ * bins (the role of the reference's x86/cabac.h asm, which pins
+ * low/range in registers through get_cabac chains). */
 #define CD_LOCALS(c) \
-    int l_range = (c)->range, l_offset = (c)->offset; \
-    uint64_t l_cache = (c)->cache; \
-    int l_ncache = (c)->ncache; \
+    int l_range = (c)->range; \
+    uint64_t l_low = (c)->low; \
     long long l_bytepos = (c)->bytepos; \
     const uint8_t *const l_d = (c)->d; \
     const long long l_n = (c)->n; \
     uint8_t *const l_st = (c)->st
 
-#define CD_SAVE(c) ((c)->range = l_range, (c)->offset = l_offset, \
-    (c)->cache = l_cache, (c)->ncache = l_ncache, \
+#define CD_SAVE(c) ((c)->range = l_range, (c)->low = l_low, \
     (c)->bytepos = l_bytepos)
 
 #define M_REFILL() do { \
-    if (l_ncache <= 16 && l_bytepos + 8 <= l_n) { \
-        uint64_t w_; \
-        memcpy(&w_, l_d + l_bytepos, 8); \
-        w_ = __builtin_bswap64(w_); \
-        l_cache = (l_cache << 48) | (w_ >> 16); \
-        l_bytepos += 6; \
-        l_ncache += 48; \
-    } else while (l_ncache <= 48) { \
-        uint64_t b_ = l_bytepos < l_n ? l_d[l_bytepos] : 0; \
-        l_bytepos++; \
-        l_cache = (l_cache << 8) | b_; \
-        l_ncache += 8; \
-    } \
-} while (0)
-
-#define M_BITS(nb, out) do { \
-    if (l_ncache < (nb)) \
-        M_REFILL(); \
-    l_ncache -= (nb); \
-    (out) = (int)((l_cache >> l_ncache) & ((1u << (nb)) - 1)); \
-} while (0)
-
-#define M_RENORM() do { \
-    int sh_ = __builtin_clz((unsigned)l_range) - 23; \
-    l_range <<= sh_; \
-    if (l_ncache < sh_) \
-        M_REFILL(); \
-    l_ncache -= sh_; \
-    l_offset = (l_offset << sh_) | \
-        (int)((l_cache >> l_ncache) & (((uint32_t)1 << sh_) - 1)); \
+    int i_ = __builtin_ctzll(l_low) - 48; \
+    l_low += ((cd_load48(l_d, l_n, l_bytepos) << 1) - CB_QMASK) << i_; \
+    l_bytepos += 6; \
 } while (0)
 
 #define M_DEC(ctx, out) do { \
     int s_ = l_st[ctx]; \
-    int rlps_ = cb_lps_range[s_ >> 1][(l_range >> 6) & 3]; \
-    int r2_ = l_range - rlps_; \
-    int m_ = (r2_ - l_offset - 1) >> 31; \
-    (out) = (s_ ^ m_) & 1; \
-    l_offset -= r2_ & m_; \
-    l_range = r2_ + ((rlps_ - r2_) & m_); \
-    l_st[ctx] = cd_tr2[2 * s_ + (m_ & 1)]; \
-    M_RENORM(); \
+    int rlps_ = cd_lps8[2 * (l_range & 0xC0) + s_]; \
+    uint64_t rs_; int m_, sh_; \
+    l_range -= rlps_; \
+    rs_ = (uint64_t)l_range << CB_SCALE; \
+    m_ = (int)((int64_t)(rs_ - l_low - 1) >> 63); \
+    l_low -= rs_ & (uint64_t)(int64_t)m_; \
+    l_range += (rlps_ - l_range) & m_; \
+    s_ ^= m_; \
+    l_st[ctx] = cd_mlps[128 + s_]; \
+    (out) = s_ & 1; \
+    sh_ = __builtin_clz((unsigned)l_range) - 23; \
+    l_range <<= sh_; \
+    l_low <<= sh_; \
+    if (!(l_low & CB_QMASK)) \
+        M_REFILL(); \
 } while (0)
 
 #define M_BYPASS(out) do { \
-    int b_, m_; \
-    M_BITS(1, b_); \
-    l_offset = (l_offset << 1) | b_; \
-    m_ = (l_range - l_offset - 1) >> 31; \
-    l_offset -= l_range & m_; \
+    uint64_t rs_; int m_; \
+    l_low += l_low; \
+    if (!(l_low & CB_QMASK)) \
+        M_REFILL(); \
+    rs_ = (uint64_t)l_range << CB_SCALE; \
+    m_ = (int)((int64_t)(rs_ - l_low - 1) >> 63); \
+    l_low -= rs_ & (uint64_t)(int64_t)m_; \
     (out) = m_ & 1; \
 } while (0)
 
@@ -439,6 +417,113 @@ static int residual_block8(CD *c, int *levels)
     return nidx;
 }
 
+/* int16 variants decoding straight into the sparse transport rows the
+ * device consumes — same bin sequence as residual_block/_block8, no
+ * intermediate int buffers or copy loops (the per-block glue showed up
+ * right next to the bin loop in the profile) */
+
+/* shared magnitude+sign tail of one coefficient (locals of the
+ * enclosing CD_LOCALS scope; lvl_base/node in scope) */
+#define M_LEVEL(out) do { \
+    int mag_, bit_; \
+    M_DEC(lvl_base + lvl1_ctx[node], bit_); \
+    if (!bit_) { \
+        mag_ = 1; \
+        node = trans_eq1[node]; \
+    } else { \
+        int gctx_ = lvl_base + gt1_ctx[node]; \
+        node = trans_gt1[node]; \
+        mag_ = 2; \
+        for (;;) { \
+            if (mag_ >= 15) \
+                break; \
+            M_DEC(gctx_, bit_); \
+            if (!bit_) \
+                break; \
+            mag_++; \
+        } \
+        if (mag_ == 15) { \
+            int j_ = 0, add_ = 1; \
+            for (;;) { \
+                M_BYPASS(bit_); \
+                if (!bit_ || j_ >= 30) \
+                    break; \
+                j_++; \
+            } \
+            while (j_) { \
+                j_--; \
+                M_BYPASS(bit_); \
+                add_ = add_ * 2 + bit_; \
+            } \
+            mag_ = add_ + 14; \
+        } \
+    } \
+    M_BYPASS(bit_); \
+    (out) = (int16_t)(bit_ ? -mag_ : mag_); \
+} while (0)
+
+/* out[max_coeff] zeroed by caller; returns total_coeff */
+static int residual_block16(CD *c, int cat, int16_t *out, int max_coeff)
+{
+    int idx[16], nidx = 0, i, node = 0, k, bit;
+    int sig_base = sig_base_t[cat], last_base = last_base_t[cat],
+        lvl_base = lvl_base_t[cat];
+    int broke = 0, phase = 0;
+    CD_LOCALS(c);
+    i = 0;
+    for (;;) {
+        M_DEC((phase ? last_base : sig_base) + i, bit);
+        idx[nidx] = i;
+        nidx += bit & (phase ^ 1);
+        if (bit & phase) {
+            broke = 1;
+            break;
+        }
+        i += (bit ^ 1) | phase;
+        phase = bit;
+        if (i >= max_coeff - 1)
+            break;
+    }
+    if (!broke)
+        idx[nidx++] = max_coeff - 1;
+    for (k = nidx - 1; k >= 0; k--)
+        M_LEVEL(out[idx[k]]);
+    CD_SAVE(c);
+    return nidx;
+}
+
+/* cat-5 8x8 block decoded directly into the de-zigzagged raster rows
+ * (out64 = 4 consecutive 16-coeff sparse rows, zeroed by caller) */
+static int residual_block8r(CD *c, int16_t *out64)
+{
+    int idx[64], nidx = 0, i, node = 0, k, bit;
+    const int lvl_base = 426;
+    int broke = 0, phase = 0;
+    CD_LOCALS(c);
+    i = 0;
+    for (;;) {
+        const uint8_t *inc = phase ? last8_inc_t : sig8_inc_t;
+        int base = phase ? 417 : 402;
+        M_DEC(base + inc[i], bit);
+        idx[nidx] = i;
+        nidx += bit & (phase ^ 1);
+        if (bit & phase) {
+            broke = 1;
+            break;
+        }
+        i += (bit ^ 1) | phase;
+        phase = bit;
+        if (i >= 63)
+            break;
+    }
+    if (!broke)
+        idx[nidx++] = 63;
+    for (k = nidx - 1; k >= 0; k--)
+        M_LEVEL(out64[scan8x8_t[idx[k]]]);
+    CD_SAVE(c);
+    return nidx;
+}
+
 /* ---- mvd UEG3 (mirrors code_ueg3_mvd) ---- */
 
 static int decode_mvd(CD *c, int ctx_base, int amvd, int *err)
@@ -529,29 +614,37 @@ static void g_set_part(S *s, int lst, int bx, int by, int w4, int h4,
     int ax = mvdx < 0 ? -mvdx : mvdx, ay = mvdy < 0 ? -mvdy : mvdy;
     if (ax > 127) ax = 127;
     if (ay > 127) ay = 127;
-    for (y = by; y < by + h4; y++)
-        for (x = bx; x < bx + w4; x++) {
-            BREF(s, lst, y, x) = ref;
-            BMV(s, lst, y, x, 0) = mvx;
-            BMV(s, lst, y, x, 1) = mvy;
-            BMVD(s, lst, y, x, 0) = ax;
-            BMVD(s, lst, y, x, 1) = ay;
-            if (dir)
-                BDIR(s, y, x) = 1;
+    for (y = by; y < by + h4; y++) {
+        /* row-pointer form: one address computation per row, and the
+         * flat inner stores vectorize */
+        int *pr = &BREF(s, lst, y, bx);
+        int *pm = &BMV(s, lst, y, bx, 0);
+        int *pd = &BMVD(s, lst, y, bx, 0);
+        for (x = 0; x < w4; x++) {
+            pr[x] = ref;
+            pm[2 * x] = mvx;
+            pm[2 * x + 1] = mvy;
+            pd[2 * x] = ax;
+            pd[2 * x + 1] = ay;
         }
+        if (dir)
+            for (x = 0; x < w4; x++)
+                BDIR(s, y, bx + x) = 1;
+    }
 }
 
 static void g_set_unused(S *s, int lst, int bx, int by, int w4, int h4)
 {
     int x, y;
-    for (y = by; y < by + h4; y++)
-        for (x = bx; x < bx + w4; x++) {
-            BREF(s, lst, y, x) = NOREF;
-            BMV(s, lst, y, x, 0) = 0;
-            BMV(s, lst, y, x, 1) = 0;
-            BMVD(s, lst, y, x, 0) = 0;
-            BMVD(s, lst, y, x, 1) = 0;
-        }
+    for (y = by; y < by + h4; y++) {
+        int *pr = &BREF(s, lst, y, bx);
+        int *pm = &BMV(s, lst, y, bx, 0);
+        int *pd = &BMVD(s, lst, y, bx, 0);
+        for (x = 0; x < w4; x++)
+            pr[x] = NOREF;
+        memset(pm, 0, (size_t)w4 * 8);
+        memset(pd, 0, (size_t)w4 * 8);
+    }
 }
 
 static void g_set_intra(S *s, int mb_x, int mb_y)
@@ -1045,25 +1138,19 @@ static void cb_luma_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma,
         int gy = 4 * mb_y + blk_y_t[b];
         int nnz = 0;
         if (cbp_luma & (1 << (b >> 2))) {
-            int lv[16];
-            memset(lv, 0, sizeof(lv));
-            if (cat == 1)
-                nnz = residual_cbf(s, i, 1, b, lv, 15);
-            else
-                nnz = residual_cbf(s, i, 2, b, lv, 16);
-            if (nnz > 0) {
-                int yc = s->sctx[0], k;
+            /* coded_block_flag = 1 guarantees >= 1 coefficient, so the
+             * sparse row can be reserved up front and the residual
+             * decoded straight into it */
+            if (cd_dec(&s->cd, cbf_ctx(s, i, cat, b))) {
+                int yc = s->sctx[0];
                 int16_t *row;
                 if (yc >= s->ycap) { s->err = ERR_INVALID; return; }
                 row = s->yvals + (long long)yc * 16;
                 memset(row, 0, 16 * sizeof(int16_t));
-                if (cat == 1) {
-                    for (k = 0; k < 15; k++)
-                        row[k + 1] = (int16_t)lv[k];
-                } else {
-                    for (k = 0; k < 16; k++)
-                        row[k] = (int16_t)lv[k];
-                }
+                if (cat == 1)
+                    nnz = residual_block16(&s->cd, 1, row + 1, 15);
+                else
+                    nnz = residual_block16(&s->cd, 2, row, 16);
                 s->sctx[2 + yc] = i * 16 + b;
                 s->sctx[0] = yc + 1;
             }
@@ -1092,18 +1179,14 @@ static void cb_chroma_resid(S *s, int i, int mb_x, int mb_y, int cbp_chroma)
             int gy = 2 * mb_y + (b >> 1);
             int nnz = 0;
             if (cbp_chroma == 2) {
-                int lv[15];
-                memset(lv, 0, sizeof(lv));
-                nnz = residual_cbf(s, i, 4, 4 * cc + b, lv, 15);
-                if (nnz > 0) {
-                    int ccnt = s->sctx[1], k;
+                if (cd_dec(&s->cd, cbf_ctx(s, i, 4, 4 * cc + b))) {
+                    int ccnt = s->sctx[1];
                     int16_t *row;
                     /* chroma arena is ycap/2 rows in both layouts */
                     if (ccnt >= s->ycap / 2) { s->err = ERR_INVALID; return; }
                     row = s->cvals + (long long)ccnt * 16;
                     memset(row, 0, 16 * sizeof(int16_t));
-                    for (k = 0; k < 15; k++)
-                        row[k + 1] = (int16_t)lv[k];
+                    nnz = residual_block16(&s->cd, 4, row + 1, 15);
                     s->sctx[2 + s->ycap + ccnt] = i * 8 + 4 * cc + b;
                     s->sctx[1] = ccnt + 1;
                 }
@@ -1136,22 +1219,17 @@ static void cb_luma8_resid(S *s, int i, int mb_x, int mb_y, int cbp_luma)
         int gy = 4 * mb_y + 2 * (b >> 1);
         int nnz = 0;
         if (cbp_luma & (1 << b)) {
-            int lv[64], raster[64];
-            memset(lv, 0, sizeof(lv));
-            nnz = residual_block8(&s->cd, lv);
-            for (k = 0; k < 64; k++)
-                raster[scan8x8_t[k]] = lv[k];
-            for (k = 0; k < 4; k++) {
-                int yc = s->sctx[0];
-                int16_t *row;
-                int j;
-                if (yc >= s->ycap) { s->err = ERR_INVALID; return; }
-                row = s->yvals + (long long)yc * 16;
-                for (j = 0; j < 16; j++)
-                    row[j] = (int16_t)raster[16 * k + j];
-                s->sctx[2 + yc] = i * 16 + 4 * b + k;
-                s->sctx[0] = yc + 1;
-            }
+            /* 4 consecutive sparse rows = the 64-coeff raster buffer;
+             * the cat-5 decode de-zigzags into it directly */
+            int yc = s->sctx[0];
+            int16_t *rows;
+            if (yc + 4 > s->ycap) { s->err = ERR_INVALID; return; }
+            rows = s->yvals + (long long)yc * 16;
+            memset(rows, 0, 64 * sizeof(int16_t));
+            nnz = residual_block8r(&s->cd, rows);
+            for (k = 0; k < 4; k++)
+                s->sctx[2 + yc + k] = i * 16 + 4 * b + k;
+            s->sctx[0] = yc + 4;
         }
         s->nnz_y[gy * s->bw + gx] = nnz;
         s->nnz_y[gy * s->bw + gx + 1] = nnz;
@@ -1299,7 +1377,12 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type,
     if (nbig > 1 || has_subs)
         s->flags[0] = 1;        /* any_part */
 
-    /* ref pass */
+    /* ref pass.  The rect pre-write (ref visible, MV pending via the
+     * UNAVAIL corner) only exists so LATER partitions of the same MB
+     * see consistent neighbor state during their ref-ctx/MV
+     * prediction; with a single partition per list nothing reads the
+     * MB's own cells before g_set_part fills them, so the double
+     * write is skipped for the dominant 16x16 case */
     for (lst = 0; lst < 2; lst++)
         for (k = 0; k < nbig; k++) {
             int x = big[k][0], y = big[k][1], w = big[k][2],
@@ -1316,6 +1399,8 @@ static int code_inter_mb(S *s, int i, int mb_x, int mb_y, int mb_type,
                 refs[lst][k] = r;
             } else
                 refs[lst][k] = 0;
+            if (nbig == 1 && !has_subs)
+                continue;
             val = refs[lst][k];
             for (yy = by0 + y; yy < by0 + y + h; yy++)
                 for (xx = bx0 + x; xx < bx0 + x + w; xx++) {
@@ -1616,7 +1701,6 @@ int h264_cabac_decode_slice(
     s.cvals = coeffs + (long long)s.ycap * 16;
 
     if (params[9]) {            /* first slice of the frame: reset */
-        long long nb = (long long)16 * nmb;
         memset(s.intra, 0, (size_t)(11 * nmb) * 4);   /* intra..cbp,mcslice */
         for (i = 0; i < nmb; i++)
             s.mcslice[i] = -1;
