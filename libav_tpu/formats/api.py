@@ -364,6 +364,13 @@ class FormatContext:
             if st.codecpar.codec_type == MediaType.VIDEO and fr and fr.num:
                 d = rescale_q(1, fr.inv(), st.time_base)
                 pkt.duration = max(1, d)
+        if st.codecpar.codec_id == "h264":
+            # "We skip H.264 currently because delay and has_b_frames
+            # are not reliably set" (utils.c:715) — missing timestamps
+            # stay missing and the decode output clock numbers frames
+            if pkt.dts != NOPTS_VALUE:
+                st.cur_dts = pkt.dts + (pkt.duration or 0)
+            return
         if pkt.dts == NOPTS_VALUE:
             if pkt.pts != NOPTS_VALUE and not self._may_reorder(st):
                 pkt.dts = pkt.pts

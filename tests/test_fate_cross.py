@@ -139,6 +139,21 @@ class TestDecodeParity:
                 + args + [enc])
         assert our_framecrc(enc) == ref_framecrc(enc)
 
+    def test_raw_es_timestamps_h264(self, y4m, tmp_path):
+        """Raw Annex-B H.264 with B-frames: the reference SKIPS pts/dts
+        interpolation for H.264 (utils.c:715 'delay and has_b_frames
+        are not reliably set'), so frames leave with no timestamps and
+        the output clock numbers them 0,1,2,... — full-line framecrc
+        parity, both decoders, on our own CABAC+B stream (the reference
+        has no H.264 encoder)."""
+        from libav_tpu.tools import avconv
+        enc = str(tmp_path / "t.h264")
+        rc = avconv.main(["-v", "error", "-i", y4m, "-c:v", "h264",
+                          "-qp", "30", "-bf", "2", "-g", "8",
+                          "-entropy", "cabac", "-y", enc])
+        assert rc == 0
+        assert our_framecrc(enc) == ref_framecrc(enc)
+
     def test_mpeg2_interlaced_hd(self, tmp_path):
         """Config 2 class: 1440x1080 interlaced MPEG-2 (+ildct+ilme,
         B-frames) encoded by the reference decodes pixel-identical.
