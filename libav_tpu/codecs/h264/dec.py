@@ -1934,7 +1934,9 @@ class H264Decoder(Decoder):
             kw["t8"] = np.asarray(t8arr).astype(bool)
         if deblock:
             # the loop filter's bS derivation needs the coded-block grid
-            kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
+            # (part_mode defers to the C export pass below when it can)
+            if not part_mode:
+                kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
         if nrefs > 1 and not part_mode:
             kw["ref_idx"] = fd.ref_idx.astype(np.int8)
         if any_i4:
@@ -1945,30 +1947,59 @@ class H264Decoder(Decoder):
             kw["sel"] = fd.sel.astype(np.int8)
             kw["ry1"], kw["ru1"], kw["rv1"] = refs1
         if part_mode:
-            use0 = g.bref[0] >= 0
-            use1 = g.bref[1] >= 0
-            kw["bmv0"] = g.bmv[0].astype(np.int16)
-            kw["bref0"] = np.clip(g.bref[0], 0, nrefs - 1).astype(np.int8)
-            kw["bsel"] = np.where(use0 & use1, 2,
-                                  np.where(use1, 1, 0)).astype(np.int8)
-            if bpred:
-                kw["bmv1"] = g.bmv[1].astype(np.int16)
-                kw["bref1"] = np.clip(g.bref[1], 0,
-                                      nrefs1 - 1).astype(np.int8)
-                kw["ry1"], kw["ru1"], kw["rv1"] = refs1
-            if deblock:
-                # per-block picture ids for the bS reference comparison
-                # (computed against the DPB as this frame saw it)
-                l0p = fd.l0pid
-                l1p = fd.l1pid
-                kw["pid0"] = np.where(
-                    use0, l0p[np.clip(g.bref[0], 0, len(l0p) - 1)],
-                    -1).astype(np.int8)
-                kw["pid1"] = np.where(
-                    use1, l1p[np.clip(g.bref[1], 0, len(l1p) - 1)],
-                    -1).astype(np.int8)
-                if not bpred:
-                    kw["bmv1"] = np.zeros_like(g.bmv[1], dtype=np.int16)
+            exported = None
+            if (g.bref.dtype == np.int32 and g.bref.flags["C_CONTIGUOUS"]
+                    and g.bmv.flags["C_CONTIGUOUS"]):
+                # native arena grids: pack the whole transport (final
+                # dtypes, incl. deblock pids + nnz clip) in one C pass
+                from libav_tpu.native import h264_cabac_host as _CN
+                try:
+                    nnz_src = fd.nnz_y if (
+                        deblock and isinstance(fd.nnz_y, np.ndarray)
+                        and fd.nnz_y.dtype == np.int32
+                        and fd.nnz_y.flags["C_CONTIGUOUS"]) else None
+                    exported = _CN.export_blocks(
+                        g.bref, g.bmv, nnz_src, nrefs, nrefs1,
+                        fd.l0pid if deblock else None,
+                        fd.l1pid if deblock else None,
+                        want_b=bpred, want_pid=deblock,
+                        want_nnz=nnz_src is not None,
+                        zero_bmv1=deblock and not bpred)
+                except Exception:
+                    exported = None
+            if exported is not None:
+                kw.update(exported)
+                if bpred:
+                    kw["ry1"], kw["ru1"], kw["rv1"] = refs1
+            else:
+                use0 = g.bref[0] >= 0
+                use1 = g.bref[1] >= 0
+                kw["bmv0"] = g.bmv[0].astype(np.int16)
+                kw["bref0"] = np.clip(g.bref[0], 0,
+                                      nrefs - 1).astype(np.int8)
+                kw["bsel"] = np.where(use0 & use1, 2,
+                                      np.where(use1, 1, 0)).astype(np.int8)
+                if bpred:
+                    kw["bmv1"] = g.bmv[1].astype(np.int16)
+                    kw["bref1"] = np.clip(g.bref[1], 0,
+                                          nrefs1 - 1).astype(np.int8)
+                    kw["ry1"], kw["ru1"], kw["rv1"] = refs1
+                if deblock:
+                    # per-block picture ids for the bS reference
+                    # comparison (against the DPB as this frame saw it)
+                    l0p = fd.l0pid
+                    l1p = fd.l1pid
+                    kw["pid0"] = np.where(
+                        use0, l0p[np.clip(g.bref[0], 0, len(l0p) - 1)],
+                        -1).astype(np.int8)
+                    kw["pid1"] = np.where(
+                        use1, l1p[np.clip(g.bref[1], 0, len(l1p) - 1)],
+                        -1).astype(np.int8)
+                    if not bpred:
+                        kw["bmv1"] = np.zeros_like(g.bmv[1],
+                                                   dtype=np.int16)
+            if deblock and "nnz" not in kw:
+                kw["nnz"] = np.clip(fd.nnz_y, 0, 127).astype(np.int8)
             if weights == "implicit":
                 w0 = self._implicit_w0(
                     poc if poc is not None else 0, list0[:nrefs],

@@ -65,6 +65,14 @@ void h264_col_pack(
     const int *bref, const int *bmv,
     const int *l0pocs, int n0, const int *l1pocs, int n1,
     long long ncell, int *out);
+void h264_export_blocks(
+    const int *bref, const int *bmv, const int *nnz_y, long long ncell,
+    int nrefs, int nrefs1,
+    const int *l0pid, int nl0, const int *l1pid, int nl1,
+    int want_b, int want_pid, int want_nnz, int zero_bmv1,
+    short *bmv0, signed char *bref0, signed char *bsel,
+    short *bmv1, signed char *bref1,
+    signed char *pid0, signed char *pid1, signed char *nnz8);
 """),
 ]
 

@@ -1839,3 +1839,52 @@ void h264_col_pack(const int *bref, const int *bmv,
         out[4 * i + 3] = poc;
     }
 }
+
+/* Pack the block-granular device transport straight from the arena
+ * grids in one pass (replaces the per-frame numpy where/clip/astype
+ * chain in dec.py _reconstruct — host-glue AND upload bytes both
+ * shrink to the final dtypes).  Layout mirrors the consumer
+ * (device.py recon kw): bmv int16 (bh,bw,2), bref/bsel/pid int8.
+ * want_b: also emit list-1 motion; want_pid: deblock picture ids from
+ * the l0pid/l1pid tables; want_nnz: clip the nnz grid to int8.
+ * bmv1 is zero-filled when deblock needs it without a B slice. */
+void h264_export_blocks(
+    const int *bref, const int *bmv, const int *nnz_y, long long ncell,
+    int nrefs, int nrefs1,
+    const int *l0pid, int nl0, const int *l1pid, int nl1,
+    int want_b, int want_pid, int want_nnz, int zero_bmv1,
+    short *bmv0, signed char *bref0, signed char *bsel,
+    short *bmv1, signed char *bref1,
+    signed char *pid0, signed char *pid1, signed char *nnz8)
+{
+    long long i;
+    for (i = 0; i < ncell; i++) {
+        int r0 = bref[i], r1 = bref[ncell + i];
+        int use0 = r0 >= 0, use1 = r1 >= 0;
+        int c0 = r0 < 0 ? 0 : (r0 >= nrefs ? nrefs - 1 : r0);
+        bmv0[2 * i] = (short)bmv[2 * i];
+        bmv0[2 * i + 1] = (short)bmv[2 * i + 1];
+        bref0[i] = (signed char)c0;
+        bsel[i] = (signed char)(use0 && use1 ? 2 : (use1 ? 1 : 0));
+        if (want_b) {
+            int c1 = r1 < 0 ? 0 : (r1 >= nrefs1 ? nrefs1 - 1 : r1);
+            bmv1[2 * i] = (short)bmv[2 * (ncell + i)];
+            bmv1[2 * i + 1] = (short)bmv[2 * (ncell + i) + 1];
+            bref1[i] = (signed char)c1;
+        } else if (zero_bmv1) {
+            bmv1[2 * i] = 0;
+            bmv1[2 * i + 1] = 0;
+        }
+        if (want_pid) {
+            int k0 = r0 < 0 ? 0 : (r0 >= nl0 ? nl0 - 1 : r0);
+            int k1 = r1 < 0 ? 0 : (r1 >= nl1 ? nl1 - 1 : r1);
+            pid0[i] = (signed char)(use0 ? l0pid[k0] : -1);
+            pid1[i] = (signed char)(use1 ? l1pid[k1] : -1);
+        }
+    }
+    if (want_nnz)
+        for (i = 0; i < ncell; i++) {
+            int v = nnz_y[i];
+            nnz8[i] = (signed char)(v < 0 ? 0 : (v > 127 ? 127 : v));
+        }
+}

@@ -140,3 +140,55 @@ def decode_slice(arena: np.ndarray, coeffs: np.ndarray, data: bytes,
         ffi.cast("short*", ffi.from_buffer(coeffs)),
         ffi.cast("int*", ffi.from_buffer(arena)),
         ffi.NULL, sc)
+
+
+def export_blocks(bref, bmv, nnz_y, nrefs, nrefs1, l0pid, l1pid,
+                  want_b, want_pid, want_nnz, zero_bmv1):
+    """One C pass packing the block-granular device transport from the
+    int32 arena grids (bref (2,bh,bw), bmv (2,bh,bw,2)) into the final
+    dtypes the recon program consumes.  Returns the kw fragment."""
+    import numpy as np
+    from libav_tpu.native.build import get_lib, get_ffi
+    lib = get_lib()
+    ffi = get_ffi()
+    _, bh, bw = bref.shape
+    ncell = bh * bw
+    bmv0 = np.empty((bh, bw, 2), np.int16)
+    bref0 = np.empty((bh, bw), np.int8)
+    bsel = np.empty((bh, bw), np.int8)
+    need_bmv1 = want_b or zero_bmv1
+    bmv1 = np.empty((bh, bw, 2), np.int16) if need_bmv1 else None
+    bref1 = np.empty((bh, bw), np.int8) if want_b else None
+    pid0 = np.empty((bh, bw), np.int8) if want_pid else None
+    pid1 = np.empty((bh, bw), np.int8) if want_pid else None
+    nnz8 = np.empty((bh, bw), np.int8) if want_nnz else None
+    l0 = np.ascontiguousarray(l0pid, np.int32) if l0pid is not None \
+        else np.zeros(1, np.int32)
+    l1 = np.ascontiguousarray(l1pid, np.int32) if l1pid is not None \
+        else np.zeros(1, np.int32)
+
+    def ip(a, t):
+        return ffi.NULL if a is None else ffi.cast(t, ffi.from_buffer(a))
+
+    lib.h264_export_blocks(
+        ip(bref, "const int*"), ip(bmv, "const int*"),
+        ip(nnz_y if want_nnz else None, "const int*"), ncell,
+        int(nrefs), int(nrefs1),
+        ip(l0, "const int*"), len(l0), ip(l1, "const int*"), len(l1),
+        1 if want_b else 0, 1 if want_pid else 0,
+        1 if want_nnz else 0, 1 if zero_bmv1 else 0,
+        ip(bmv0, "short*"), ip(bref0, "signed char*"),
+        ip(bsel, "signed char*"), ip(bmv1, "short*"),
+        ip(bref1, "signed char*"), ip(pid0, "signed char*"),
+        ip(pid1, "signed char*"), ip(nnz8, "signed char*"))
+    out = {"bmv0": bmv0, "bref0": bref0, "bsel": bsel}
+    if need_bmv1:
+        out["bmv1"] = bmv1
+    if want_b:
+        out["bref1"] = bref1
+    if want_pid:
+        out["pid0"] = pid0
+        out["pid1"] = pid1
+    if want_nnz:
+        out["nnz"] = nnz8
+    return out
