@@ -444,6 +444,12 @@ class CabacMbLayer:
             inc += 13
         return self.eng.decision(11 + inc, self._v(value))
 
+    def mb_field_flag(self, inc: int, value=None) -> int:
+        """MBAFF mb_field_decoding_flag (ctx 70..72; 9.3.3.1.1.2 — inc =
+        left-pair-field + above-pair-field condition terms, derived by
+        the pair walk)."""
+        return self.eng.decision(70 + inc, self._v(value))
+
     def mb_type_p_is_intra(self, value=None) -> int:
         """bin0 of P mb_type: 1 = intra suffix follows."""
         return self.eng.decision(14, self._v(value))

@@ -340,13 +340,50 @@ class H264Decoder(Decoder):
         out.key_frame = top.key_frame or bot.key_frame
         return out
 
+    def _recon_mbaff(self, fd: FrameData, slice_info) -> Frame:
+        """All-field MBAFF frame: the stacked entropy layout (MB rows
+        0..H/2-1 = top field image) splits into two per-parity
+        FrameDatas, each reconstructs as a half-height picture, and the
+        fields weave back into the frame."""
+        import dataclasses
+        sps, deblock, ab_offset, weights, pps = fd.recon_ctx
+        hsps = dataclasses.replace(sps, mb_height=sps.mb_height // 2)
+        nmb = sps.mb_width * sps.mb_height
+        n2 = nmb // 2
+        mbh = sps.mb_height
+        halves = []
+        for par in (0, 1):
+            sub = FrameData(n2, sps.mb_width, mbh // 2)
+            sl = slice(par * n2, (par + 1) * n2)
+            for name, v in vars(fd).items():
+                if not isinstance(v, np.ndarray) or v.ndim < 1:
+                    continue
+                if v.shape[0] == nmb:
+                    setattr(sub, name, v[sl])
+                elif v.shape[0] in (4 * mbh, 2 * mbh):
+                    h2 = v.shape[0] // 2
+                    setattr(sub, name, v[par * h2:(par + 1) * h2])
+            sub.recon_ctx = (hsps, deblock, ab_offset, weights, pps)
+            sub.field_info = (0, 0, False)
+            sub.mbaff_field = False
+            sub.list0, sub.list1 = fd.list0, fd.list1
+            sub.l0pid, sub.l1pid = fd.l0pid, fd.l1pid
+            sub.sparse = None
+            sub.tdirect = None
+            sub.slice_starts = [0]
+            halves.append(self._reconstruct(sub, slice_info))
+        return self._weave_fields(halves[0], halves[1])
+
     def _finish_au(self, fut) -> List[Frame]:
         fd, slice_info, pkt = fut.result()
         frames = []
         if fd is not None:
             from libav_tpu.avutil.timer import timer as _t
             with _t("h264.recon"):
-                f = self._reconstruct(fd, slice_info)
+                if getattr(fd, "mbaff_field", False):
+                    f = self._recon_mbaff(fd, slice_info)
+                else:
+                    f = self._reconstruct(fd, slice_info)
             f.pts = pkt.pts
             f.time_base = pkt.time_base
             finfo = getattr(fd, "field_info", (0, 0, False))
@@ -442,7 +479,8 @@ class H264Decoder(Decoder):
                     break
         if fd is not None and getattr(fd, "pending_slices", None):
             self._run_cabac_slices(fd)
-        if fd is not None and getattr(fd, "field_info", (0,))[0]:
+        if fd is not None and (getattr(fd, "field_info", (0,))[0] or
+                               getattr(fd, "mbaff_field", False)):
             # field macroblocks code coefficients in FIELD-scan order
             # (spec 8.5.6; reference h264_cavlc.c:1113) — reorder to the
             # zigzag layout the recon program expects
@@ -615,6 +653,7 @@ class H264Decoder(Decoder):
             import dataclasses
             sps = dataclasses.replace(sps, mb_height=sps.mb_height // 2)
             self.active_sps = sps
+        self._cur_mbaff = bool(sps.mb_aff and not field_pic)
         pend_f = getattr(self, "_incomplete_field", None)
         is_second = bool(field_pic and pend_f is not None and
                          pend_f[2] == frame_num and pend_f[1] != bottom)
@@ -840,7 +879,8 @@ class H264Decoder(Decoder):
             __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
             not pps.entropy_coding_mode and \
             not getattr(self, "_force_python", False) and \
-            slice_type != SLICE_B and not field_pic
+            slice_type != SLICE_B and not field_pic and \
+            not getattr(self, "_cur_mbaff", False)
         if fd is None:
             # pooled FrameData blocks ping-pong between two buffers so
             # the recon of frame N (main thread) never shares storage
@@ -866,7 +906,8 @@ class H264Decoder(Decoder):
                         __import__('os').environ.get(
                             'LIBAV_TPU_NO_NATIVE')) and \
                     not getattr(self, "_force_python", False) and \
-                    not self._cur_field[0]
+                    not self._cur_field[0] and \
+                    not getattr(self, "_cur_mbaff", False)
                 fd = FrameData(nmb, sps.mb_width, sps.mb_height,
                                use_block=use_native, light=light)
                 if use_native and fd.block is not None:
@@ -882,6 +923,10 @@ class H264Decoder(Decoder):
                 fd.nnz_v = np.zeros_like(fd.nnz_u)
         fd.list0, fd.list1 = self._cur_lists
         fd.field_info = self._cur_field
+        fd.mbaff_field = getattr(self, "_cur_mbaff", False)
+        if fd.mbaff_field and first_mb != 0:
+            raise AVError(INVALIDDATA,
+                          "MBAFF multi-slice pictures unsupported")
         fd.tdirect = None
         if slice_type == SLICE_B and \
                 not getattr(self, "_direct_spatial", True) and \
@@ -909,7 +954,8 @@ class H264Decoder(Decoder):
             use_native_cb = CN.available() and not bool(
                 __import__('os').environ.get('LIBAV_TPU_NO_NATIVE')) and \
                 not getattr(self, "_force_python", False) and \
-                not self._cur_field[0]
+                not self._cur_field[0] and \
+                not getattr(self, "_cur_mbaff", False)
             if use_native_cb:
                 fd.t8_params = (int(pps.transform_8x8_mode),
                                 int(sps.direct_8x8_inference))
@@ -1117,11 +1163,12 @@ class H264Decoder(Decoder):
         fd.cabac_slices += 1
         states = cb.init_states(slice_type == SLICE_I, cabac_init_idc, qp)
         eng = cb.CabacDecoder(data, states)
+        mbaff = bool(getattr(fd, "mbaff_field", False))
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
                                 cur_slice, grids=fd.grids,
                                 field=bool(getattr(fd, "field_info",
-                                                   (0,))[0]))
+                                                   (0,))[0]) or mbaff)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
 
@@ -1284,9 +1331,28 @@ class H264Decoder(Decoder):
             return cur_qp
 
         g = fd.grids
+        mbaff_walk = None
+        if mbaff:
+            # all-field MB pairs over the STACKED field layout (virtual
+            # rows 0..H/2-1 = top field image); see the encoder's
+            # _pack_mbs_cabac mbaff walk for the topology argument
+            nmb2 = nmb // 2
+            mbaff_walk = []
+            for py in range(mb_h // 2):
+                for x_ in range(mb_w):
+                    mbaff_walk.append(py * mb_w + x_)
+                    mbaff_walk.append(nmb2 + py * mb_w + x_)
+        step = 0
         i = first_mb
         while i < nmb:
+            if mbaff_walk is not None:
+                i = mbaff_walk[step]
             mb_x, mb_y = i % mb_w, i // mb_w
+            if mbaff_walk is not None and step % 2 == 0:
+                inc = (1 if mb_x > 0 else 0) + (1 if mb_y > 0 else 0)
+                if layer.mb_field_flag(inc) != 1:
+                    raise AVError(INVALIDDATA,
+                                  "MBAFF frame-coded pairs unsupported")
             mc.slice_id[i] = cur_slice
             g.slice_id[i] = cur_slice
             if slice_type == SLICE_B:
@@ -1314,15 +1380,26 @@ class H264Decoder(Decoder):
                                       layer.mb_type_p_inter(), qp)
             else:
                 qp = decode_intra(i, mb_x, mb_y, qp)
-            i += 1
-            if layer.end_of_slice():
-                break
+            step += 1
+            if mbaff_walk is not None:
+                if step >= len(mbaff_walk):
+                    break
+                # end_of_slice only after the pair's bottom MB
+                if step % 2 == 0 and layer.end_of_slice():
+                    break
+            else:
+                i += 1
+                if layer.end_of_slice():
+                    break
 
     # ------------------------------------------------------------------ #
 
     def _nc(self, grid, bx, by):
+        # MBAFF stacked layout: the bottom field image's first block row
+        # has no 'above' (see the encoder's _nc note)
+        cut = getattr(self, "_nc_split", False) and by == grid.shape[0] // 2
         a = grid[by, bx - 1] if bx > 0 else None
-        b = grid[by - 1, bx] if by > 0 else None
+        b = grid[by - 1, bx] if by > 0 and not cut else None
         if a is not None and b is not None:
             return (int(a) + int(b) + 1) >> 1
         if a is not None:
@@ -1379,6 +1456,35 @@ class H264Decoder(Decoder):
         nmb = mb_w * sps.mb_height
         rd = _GolombReader(gb)
         bslice = slice_type == SLICE_B
+        if getattr(fd, "mbaff_field", False):
+            if slice_type != SLICE_I:
+                raise AVError(INVALIDDATA,
+                              "MBAFF CAVLC inter decode unsupported")
+            mb_h = sps.mb_height
+            nmb2 = nmb // 2
+            self._nc_split = True
+            try:
+                step = 0
+                for py_ in range(mb_h // 2):
+                    for x_ in range(mb_w):
+                        for i in (py_ * mb_w + x_, nmb2 + py_ * mb_w + x_):
+                            if gb.bits_left() <= 0:
+                                return
+                            if step % 2 == 0:
+                                if not gb.get_bits(1):
+                                    raise AVError(
+                                        INVALIDDATA, "MBAFF frame-coded "
+                                        "pairs unsupported")
+                            mb_type = gb.get_ue_golomb()
+                            fd.grids.slice_id[i] = cur_slice
+                            qp = self._decode_mb(gb, rd, fd, i, mb_w,
+                                                 slice_type, mb_type, qp,
+                                                 num_ref_l0, num_ref_l1,
+                                                 cur_slice)
+                            step += 1
+            finally:
+                self._nc_split = False
+            return
         i = first_mb
         while i < nmb:
             if gb.bits_left() <= 0:

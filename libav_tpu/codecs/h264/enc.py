@@ -1139,6 +1139,9 @@ class H264Encoder(Encoder):
                "(same-parity chains) or pair (1-frame window: bottom "
                "fields reference the same frame's top field -> "
                "cross-parity chroma offset stress)", "string", "same"),
+        Option("mbaff", "MBAFF interlaced coding: frame pictures of "
+               "MB pairs, every pair field-coded (mb_adaptive_frame_"
+               "field_flag=1, mb_field_decoding_flag=1)", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1163,9 +1166,24 @@ class H264Encoder(Encoder):
                               "with cavlc/cabac i4x4/deblock here")
             self._field_refs = [None, None]
             self._cur_parity = 0
+        if self.mbaff:
+            # MBAFF all-field: the MB pipeline codes per-parity FIELDS
+            # (like fieldpic) but the pack layer interleaves them as MB
+            # pairs of one frame picture
+            if self.width % 16 or self.height % 32:
+                raise AVError(EINVAL, "h264: mbaff needs width%16==0 "
+                                      "and height%32==0")
+            if self.fieldpic or self.b_frames or self.mmco or \
+                    self.fgap or self.refs > 1 or self.parts != "off" or \
+                    self.weightp or self.slices > 1 or self.i8x8 or \
+                    self.dct8x8 or self.ipcm or self.deblock:
+                raise AVError(EINVAL, "h264: mbaff combines only with "
+                              "cavlc/cabac i4x4 here (no deblock)")
+            self._field_refs = [None, None]
+            self._cur_parity = 0
         crop_r = (self.mb_w * 16 - self.width) // 2
         crop_b = (self.mb_h * 16 - self.height) // 2
-        if self.fieldpic:
+        if self.fieldpic or self.mbaff:
             self.mb_h //= 2    # the MB pipeline codes one field
         if (self.mb_w * 16 - self.width) % 2 or \
                 (self.mb_h * 16 - self.height) % 2:
@@ -1174,10 +1192,12 @@ class H264Encoder(Encoder):
         if self.entropy not in ("cavlc", "cabac"):
             raise AVError(EINVAL, f"h264: unknown entropy {self.entropy}")
         self.cabac = self.entropy == "cabac"
+        interlaced = self.fieldpic or self.mbaff
         self.sps = sets.SPS(mb_width=self.mb_w,
-                            mb_height=(2 * self.mb_h if self.fieldpic
+                            mb_height=(2 * self.mb_h if interlaced
                                        else self.mb_h),
-                            frame_mbs_only=0 if self.fieldpic else 1,
+                            frame_mbs_only=0 if interlaced else 1,
+                            mb_aff=1 if self.mbaff else 0,
                             crop=(0, crop_r, 0, crop_b))
         if self.cabac:
             self.sps.profile_idc = 77          # main (CABAC needs >= main)
@@ -1290,6 +1310,10 @@ class H264Encoder(Encoder):
             is_i = (disp % self.gop_size) == 0 or \
                 self._field_refs[0] is None
             return self._code_fields(frame, disp, is_i)
+        if self.mbaff:
+            is_i = (disp % self.gop_size) == 0 or \
+                self._field_refs[0] is None
+            return self._code_mbaff(frame, disp, is_i)
         is_i = (disp % self.gop_size) == 0 or self._refs is None
         if not is_i and self.b_frames and \
                 len(self._pending) < self.b_frames and \
@@ -1377,6 +1401,70 @@ class H264Encoder(Encoder):
                 flags=PKT_FLAG_KEY if is_i and par == 0 else 0,
                 time_base=frame.time_base))
         return pkts
+
+    def _stack_mbaff_fd(self, top: FrameData, bot: FrameData) -> FrameData:
+        """Concatenate two per-field FrameDatas into the STACKED layout
+        (virtual MB rows 0..H/2-1 = top field image, H/2.. = bottom):
+        the MBAFF pair walk interleaves them while every neighbor
+        derivation sees two independent field images — the uniform-
+        field 6.4.4 topology."""
+        mb_w, fh = self.mb_w, self.mb_h       # pipeline = field dims
+        n2 = fh * mb_w
+        full = FrameData(2 * n2, mb_w, 2 * fh)
+        for name, v in list(vars(top).items()):
+            w = getattr(bot, name, None)
+            if (isinstance(v, np.ndarray) and isinstance(w, np.ndarray)
+                    and v.shape == w.shape and v.ndim >= 1
+                    and v.shape[0] in (n2, 4 * fh, 2 * fh)):
+                setattr(full, name, np.concatenate([v, w], axis=0))
+        full.mbaff_field = True
+        return full
+
+    def _code_mbaff(self, frame: Frame, disp: int,
+                    is_i: bool) -> List[Packet]:
+        """MBAFF all-field frame picture: both parities run the normal
+        field intra pipeline, the pack layer interleaves them as MB
+        pairs of ONE frame-coded picture (mb_field_decoding_flag = 1
+        on every pair).  Intra-only for now — each frame is an IDR."""
+        from libav_tpu.avutil.frame import Frame as AVFrame
+        del is_i
+        planes = [np.asarray(p) for p in frame.planes]
+        pts = frame.pts if frame.pts is not None else disp
+        self._idr_disp = disp
+        self._poc = 0
+        fds = []
+        for par in (0, 1):
+            ff = AVFrame(width=frame.width, height=frame.height // 2,
+                         format="yuv420p")
+            ff.planes = [p[par::2] for p in planes]
+            y, u, v = self._padded_input(ff)
+            if self.i4x4:
+                fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
+                outs, recon = fn(y, u, v)
+                fds.append(self._pack_i4(outs, recon, build_only=True))
+            else:
+                fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+                outs, recon = fn(y, u, v)
+                fds.append(self._pack_i(outs, recon, build_only=True))
+        fd = self._stack_mbaff_fd(fds[0], fds[1])
+        out = bytearray()
+        out += nal_mod.make_nal(nal_mod.NAL_SPS,
+                                sets.write_sps(self.sps))
+        out += nal_mod.make_nal(nal_mod.NAL_PPS,
+                                sets.write_pps(self.pps))
+        # emission runs on the stacked full-height geometry
+        field_h = self.mb_h
+        self.mb_h = 2 * field_h
+        try:
+            out += self._emit_slices(fd, SLICE_I, True, 1,
+                                     nal_mod.NAL_IDR)
+        finally:
+            self.mb_h = field_h
+        self._idr_id += 1
+        self._dpb = []
+        return [Packet(data=bytes(out), pts=pts,
+                       dts=self._next_dts(pts), duration=1,
+                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]
 
     def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
         self._b_l0 = self._refs          # forward ref for the B run
@@ -1666,6 +1754,8 @@ class H264Encoder(Encoder):
         if self.fieldpic:
             pb.put_bits(1, 1)                    # field_pic_flag
             pb.put_bits(1, self._cur_parity)     # bottom_field_flag
+        elif self.mbaff:
+            pb.put_bits(1, 0)                    # field_pic_flag (frame)
         if idr:
             pb.put_ue_golomb(self._idr_id & 0xFFFF)
         if self.sps.poc_type == 0:
@@ -1784,7 +1874,8 @@ class H264Encoder(Encoder):
         pb.align(0)
         return nal_mod.make_nal(nal_type, pb.flush())
 
-    def _pack_i(self, outs, recon, idr=True, advance=True) -> bytes:
+    def _pack_i(self, outs, recon, idr=True, advance=True,
+            build_only=False):
         nmb = self.mb_w * self.mb_h
         _, (wave_idx, wave_mask) = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
         ydc_w, yac_w, udc_w, uac_w, vdc_w, vac_w = [np.asarray(o) for o in outs]
@@ -1844,11 +1935,13 @@ class H264Encoder(Encoder):
             fd.chroma_ac[pmask] = 0
             fd.qp[pmask] = 0             # deblock quantiser (spec 8.7)
 
-        if self.fieldpic:
+        if self.fieldpic or self.mbaff:
             # field MBs code coefficients in field-scan order (8.5.6)
             from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
             for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
                 arr[:] = arr[..., FIELD_FROM_ZZ]
+        if build_only:
+            return fd
         out = bytearray()
         if idr:
             out += nal_mod.make_nal(nal_mod.NAL_SPS,
@@ -1870,7 +1963,8 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return bytes(out)
 
-    def _pack_i4(self, outs, recon, idr=True, advance=True) -> bytes:
+    def _pack_i4(self, outs, recon, idr=True, advance=True,
+             build_only=False):
         nmb = self.mb_w * self.mb_h
         _, (wave_idx, wave_mask) = _encode_i4_jit(self.mb_w, self.mb_h,
                                                   self.qp)
@@ -1904,11 +1998,13 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
-        if self.fieldpic:
+        if self.fieldpic or self.mbaff:
             # field MBs code coefficients in field-scan order (8.5.6)
             from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
             for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
                 arr[:] = arr[..., FIELD_FROM_ZZ]
+        if build_only:
+            return fd
         out = bytearray()
         if idr:
             out += nal_mod.make_nal(nal_mod.NAL_SPS,
@@ -1930,7 +2026,8 @@ class H264Encoder(Encoder):
         self._update_ref_from_levels(fd)
         return bytes(out)
 
-    def _pack_i8(self, outs, recon, idr=True, advance=True) -> bytes:
+    def _pack_i8(self, outs, recon, idr=True, advance=True,
+             build_only=False):
         """I_8x8 frame packing: modes per quadrant replicated over the
         quadrant's 4 Z-order 4x4 slots, levels as raster rows (the t8
         transport layout)."""
@@ -1968,11 +2065,13 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
-        if self.fieldpic:
+        if self.fieldpic or self.mbaff:
             # field MBs code coefficients in field-scan order (8.5.6)
             from libav_tpu.codecs.h264.cavlc import FIELD_FROM_ZZ
             for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
                 arr[:] = arr[..., FIELD_FROM_ZZ]
+        if build_only:
+            return fd
         out = bytearray()
         if idr:
             out += nal_mod.make_nal(nal_mod.NAL_SPS,
@@ -2075,6 +2174,7 @@ class H264Encoder(Encoder):
         nmb = mb_w * mb_h
         if end_mb is None:
             end_mb = nmb
+        mbaff = bool(getattr(fd, "mbaff_field", False))
         pb.align(1)                       # cabac_alignment_one_bit
         states = cb.init_states(slice_type == SLICE_I, 0, self.qp)
         eng = cb.CabacEncoder(pb, states)
@@ -2083,7 +2183,7 @@ class H264Encoder(Encoder):
         layer = cb.CabacMbLayer(eng, mc,
                                 {SLICE_I: 2, SLICE_B: 1}.get(slice_type, 0),
                                 cur_slice, grids=fd.grids,
-                                field=bool(self.fieldpic))
+                                field=bool(self.fieldpic) or mbaff)
         blkx = [b[0] for b in _BLK_XY]
         blky = [b[1] for b in _BLK_XY]
         if i4_grid is None:
@@ -2136,8 +2236,38 @@ class H264Encoder(Encoder):
                         nnz = 0
                     grid[gy, gx] = nnz
 
-        for i in range(first_mb, end_mb):
+        if mbaff:
+            # all-field MB pairs over the STACKED field layout: virtual
+            # rows 0..H/2-1 = top field image, H/2.. = bottom; the walk
+            # interleaves pairs (top then bottom MB) while every
+            # neighbor/ctx derivation runs on the stacked geometry —
+            # exactly the reference's uniform-field 6.4.4 topology
+            # (fill_decode_neighbors: top_xy = mb_xy - 2*stride, left =
+            # mb_xy - 1 when flags match)
+            nmb2 = nmb // 2
+            walk = []
+            for py in range(mb_h // 2):
+                for x_ in range(mb_w):
+                    walk.append(py * mb_w + x_)
+                    walk.append(nmb2 + py * mb_w + x_)
+        else:
+            walk = list(range(first_mb, end_mb))
+
+        def _eos(step):
+            # MBAFF: end_of_slice only after the pair's BOTTOM MB
+            # (spec 7.3.4 CurrMbAddr % 2 == 1)
+            if mbaff and step % 2 == 0:
+                return
+            layer.end_of_slice(0 if step < len(walk) - 1 else 1)
+
+        for _step, i in enumerate(walk):
             mb_x, mb_y = i % mb_w, i // mb_w
+            if mbaff and _step % 2 == 0:
+                # mb_field_decoding_flag before the pair's top MB:
+                # ctx 70 + left-pair + above-pair field conditions
+                # (h264_cabac.c decode_cabac_field_decoding_flag)
+                inc = (1 if mb_x > 0 else 0) + (1 if mb_y > 0 else 0)
+                layer.mb_field_flag(inc, 1)
             if slice_type == SLICE_B:
                 cbp_luma = 0
                 for b in range(16):
@@ -2176,7 +2306,7 @@ class H264Encoder(Encoder):
                 fd.coded[i] = True
                 luma_resid(i, mb_x, mb_y, cbp_luma, cat=2)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
-                layer.end_of_slice(0 if i < end_mb - 1 else 1)
+                _eos(_step)
                 continue
             if slice_type == SLICE_P:
                 cbp_luma = 0
@@ -2198,7 +2328,7 @@ class H264Encoder(Encoder):
                     mc.skip[i] = True
                     layer.last_dqp = 0
                     fd.coded[i] = True
-                    layer.end_of_slice(0 if i < end_mb - 1 else 1)
+                    _eos(_step)
                     continue
                 layer.mb_type_p_is_intra(0)
                 if self.parts == "all":
@@ -2300,7 +2430,7 @@ class H264Encoder(Encoder):
                     layer.mb_type_intra(i, (2, 0, 0, 0))
                     layer.pcm_samples(i, self._ipcm_payload(fd, i))
                     fd.coded[i] = True
-                    layer.end_of_slice(0 if i < end_mb - 1 else 1)
+                    _eos(_step)
                     continue
                 cbp_luma15 = 15 if np.any(fd.luma_ac[i]) else 0
                 has_cac = np.any(fd.chroma_ac[i])
@@ -2323,7 +2453,7 @@ class H264Encoder(Encoder):
                 fd.coded[i] = True
                 luma_resid(i, mb_x, mb_y, cbp_luma15, cat=1)
                 chroma_resid(i, mb_x, mb_y, cbp_chroma)
-            layer.end_of_slice(0 if i < end_mb - 1 else 1)
+            _eos(_step)
 
     def _pack_mbs(self, pb: PutBits, fd: FrameData, slice_type: int,
                   nrefs: int = 1):
@@ -2338,8 +2468,23 @@ class H264Encoder(Encoder):
         skip_run = 0
         blk = _BLK_XY
 
-        for i in range(nmb):
+        mbaff = bool(getattr(fd, "mbaff_field", False))
+        if mbaff:
+            if slice_type != SLICE_I:
+                raise AVError(EINVAL, "mbaff CAVLC is intra-only here")
+            nmb2 = nmb // 2
+            walk = []
+            for py_ in range(mb_h // 2):
+                for x_ in range(mb_w):
+                    walk.append(py_ * mb_w + x_)
+                    walk.append(nmb2 + py_ * mb_w + x_)
+            self._nc_split = True
+        else:
+            walk = list(range(nmb))
+        for _step, i in enumerate(walk):
             mb_x, mb_y = i % mb_w, i // mb_w
+            if mbaff and _step % 2 == 0:
+                pb.put_bits(1, 1)          # mb_field_decoding_flag
             if slice_type == SLICE_I and fd.i4[i]:
                 self._pack_i4x4_mb(pb, fd, i, mb_x, mb_y, i4_grid,
                                    nnz_y, nnz_u, nnz_v)
@@ -2441,6 +2586,7 @@ class H264Encoder(Encoder):
                                         nnz_y, nnz_u, nnz_v)
         if slice_type == SLICE_P and skip_run:
             pb.put_ue_golomb(skip_run)
+        self._nc_split = False
 
     def _pack_i4x4_mb(self, pb, fd, i, mb_x, mb_y, i4_grid,
                       nnz_y, nnz_u, nnz_v):
@@ -2479,8 +2625,12 @@ class H264Encoder(Encoder):
         nnz_v[2 * mb_y:2 * mb_y + 2, 2 * mb_x:2 * mb_x + 2] = 0
 
     def _nc(self, grid, bx, by):
+        # MBAFF stacked layout: the bottom field image's first block row
+        # has no 'above' (the adjacent grid row belongs to the top field
+        # image — a different MBAFF neighbor pair)
+        cut = getattr(self, "_nc_split", False) and by == grid.shape[0] // 2
         a = grid[by, bx - 1] if bx > 0 else None
-        b = grid[by - 1, bx] if by > 0 else None
+        b = grid[by - 1, bx] if by > 0 and not cut else None
         if a is not None and b is not None:
             return (int(a) + int(b) + 1) >> 1
         if a is not None:

@@ -121,6 +121,7 @@ class SPS:
     mb_width: int = 0
     mb_height: int = 0
     frame_mbs_only: int = 1
+    mb_aff: int = 0
     direct_8x8_inference: int = 1
     crop: tuple = (0, 0, 0, 0)     # left, right, top, bottom (in units)
     scaling_m4: object = None      # [6] raster 4x4 lists or None (flat)
@@ -193,8 +194,7 @@ def parse_sps(rbsp: bytes) -> SPS:
         # pic_height_in_map_units counts MB PAIRS: frame height doubles
         # (spec 7.4.2.1.1; reference h264_ps.c FrameHeightInMbs)
         s.mb_height *= 2
-        if gb.get_bits(1):     # mb_adaptive_frame_field_flag
-            raise AVError(INVALIDDATA, "MBAFF not supported yet")
+        s.mb_aff = gb.get_bits(1)   # mb_adaptive_frame_field_flag
     s.direct_8x8_inference = gb.get_bits(1)
     if gb.get_bits(1):   # frame_cropping
         s.crop = (gb.get_ue_golomb(), gb.get_ue_golomb(),
@@ -255,7 +255,7 @@ def write_sps(s: SPS) -> bytes:
     pb.put_ue_golomb((s.mb_height // (1 if s.frame_mbs_only else 2)) - 1)
     pb.put_bits(1, s.frame_mbs_only)
     if not s.frame_mbs_only:
-        pb.put_bits(1, 0)      # mb_adaptive_frame_field_flag
+        pb.put_bits(1, s.mb_aff)   # mb_adaptive_frame_field_flag
     pb.put_bits(1, s.direct_8x8_inference)
     has_crop = any(s.crop)
     pb.put_bits(1, 1 if has_crop else 0)

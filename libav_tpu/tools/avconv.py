@@ -307,7 +307,8 @@ _PASSTHRU_VALUE_OPTS = {
     "b_strategy", "compression_level", "channel_layout", "dither",
     "deblock", "entropy", "i4x4", "parts", "weightp", "weightb", "tns",
     "slices", "i8x8", "dct8x8", "scmatrix", "cqpo", "cqpo2",
-    "fieldpic", "fieldstress", "direct", "ipcm", "poc", "mmco", "fgap",
+    "fieldpic", "fieldstress", "mbaff", "direct", "ipcm", "poc", "mmco",
+    "fgap",
     "acpred", "mpegq", "bdirect", "qpel", "intensity", "pulse", "ltp",
     "lumi_masking", "dark_masking", "tcplx_masking", "scplx_masking",
     "p_masking", "border_masking", "mb_qmin", "mb_qmax",

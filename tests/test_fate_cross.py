@@ -1443,6 +1443,54 @@ class TestH264Paff:
         assert a == b
 
 
+class TestH264Mbaff:
+    """H.264 MBAFF (mb_adaptive_frame_field_flag): frame pictures of MB
+    pairs, every pair field-coded — pair-interleaved walk over the
+    stacked field layout, mb_field_decoding_flag (CABAC ctx 70-72 /
+    CAVLC u(1)), per-MB field residual contexts and field coefficient
+    scan, end_of_slice per pair.  Our streams decode byte-identically
+    in the reference decoder and in ours (full-line framecrc)."""
+
+    @pytest.mark.parametrize("opts", [
+        {"mbaff": 1, "entropy": "cabac"},
+        {"mbaff": 1, "entropy": "cabac", "i4x4": 1},
+        {"mbaff": 1, "entropy": "cavlc"},
+        {"mbaff": 1, "entropy": "cavlc", "i4x4": 1},
+    ])
+    def test_mbaff_intra(self, tmp_path, opts):
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.h264 import H264Encoder
+        w, h, n = 96, 64, 3
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(n):
+            # per-line phase: interlace-typical content where field and
+            # frame coding differ
+            y = ((xx * 2 + yy * 5 + t * 6 + (yy % 2) * 31) % 215
+                 + 20).astype(np.uint8)
+            f = Frame(width=w, height=h, format="yuv420p", pts=t)
+            f.planes = [y,
+                        ((xx[:h // 2, :w // 2] + yy[:h // 2, :w // 2]
+                          + t * 2) % 200 + 20).astype(np.uint8),
+                        ((yy[:h // 2, :w // 2] * 2 + t) % 190 + 25)
+                        .astype(np.uint8)]
+            frames.append(f)
+        enc = H264Encoder(CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id="h264",
+            width=w, height=h))
+        enc.set_opt("gop_size", 1)
+        for k, v in opts.items():
+            enc.set_opt(k, v)
+        pkts = enc.encode_all(frames)
+        assert len(pkts) == n
+        path = str(tmp_path / "mbaff.264")
+        open(path, "wb").write(b"".join(p.data for p in pkts))
+        ref = ref_framecrc(path)
+        assert crc_column(ref).__len__() == n
+        assert our_framecrc(path) == ref      # full line incl. stamps
+
+
 class TestFlac:
     """FLAC (codecs/flac): lossless, so cross-validation is exact —
     our decode of a reference-encoded file equals the source PCM
