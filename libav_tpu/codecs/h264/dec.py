@@ -14,8 +14,13 @@ concealment; ref_pic_list_modification (short + long-term); full MMCO
 1-6 + long-term references; High-profile 8x8 transform/I_8x8 + scaling
 matrices; spatial + temporal direct; I_PCM; poc_type 0/1/2;
 gaps_in_frame_num; PAFF field pictures (both directions, CAVLC +
-CABAC, cross-parity chroma MV offset, complementary-pair weave).
-Not yet: MBAFF, High10/4:2:2/4:4:4, FMO/ASO.
+CABAC, cross-parity chroma MV offset, complementary-pair weave);
+MBAFF all-field frame pictures (I + P, both
+coders: pair-interleaved walk over the stacked field layout, 7.3.4
+mb_skip-before-mb_field_decoding_flag ordering, doubled
+MbaffRefPicList ref_idx, per-parity field-view recon).
+Not yet: MBAFF frame-coded/mixed pairs, MBAFF B, High10/4:2:2/4:4:4,
+FMO/ASO.
 """
 
 from __future__ import annotations
@@ -351,6 +356,25 @@ class H264Decoder(Decoder):
         nmb = sps.mb_width * sps.mb_height
         n2 = nmb // 2
         mbh = sps.mb_height
+        ent = getattr(fd, "dpb_entry", None)
+        if ent is not None and ent.field_planes is None:
+            ent.field_planes = {}
+
+        def field_list(frames, par, pids):
+            # field MBs address the MbaffRefPicList (8.2.4.2.5): frame
+            # ref k splits into fields 2k (same parity) / 2k+1
+            # (opposite), so the CODED ref_idx indexes this list as-is
+            views, vpids = [], []
+            for k, e in enumerate(frames or []):
+                for vp in (par, 1 - par):
+                    fv = DPBEntry(e.poc, None, frame_num=e.frame_num)
+                    fv.field_src = (e, vp)
+                    views.append(fv)
+                    base = int(pids[k]) if pids is not None and \
+                        k < len(pids) else -1
+                    vpids.append(-1 if base < 0 else 2 * base + vp)
+            return views, np.array(vpids or [-1], np.int8)
+
         halves = []
         for par in (0, 1):
             sub = FrameData(n2, sps.mb_width, mbh // 2)
@@ -366,8 +390,26 @@ class H264Decoder(Decoder):
             sub.recon_ctx = (hsps, deblock, ab_offset, weights, pps)
             sub.field_info = (0, 0, False)
             sub.mbaff_field = False
-            sub.list0, sub.list1 = fd.list0, fd.list1
-            sub.l0pid, sub.l1pid = fd.l0pid, fd.l1pid
+            sub.list0, sub.l0pid = field_list(fd.list0, par, fd.l0pid)
+            sub.list1, sub.l1pid = field_list(fd.list1, par, fd.l1pid)
+            sub.dpb_entry = ent
+            sub.dpb_parity = par
+            g = fd.grids
+            if g is not None and g.bref is not None:
+                # per-parity views of the stacked block-motion grids so
+                # partitioned MBs reconstruct block-granular too
+                sg = part.MotionGrids(sps.mb_width, mbh // 2,
+                                      alloc=False)
+                r0, r1 = par * (g.bh // 2), (par + 1) * (g.bh // 2)
+                sg.bref = g.bref[:, r0:r1]
+                sg.bmv = g.bmv[:, r0:r1]
+                sg.bmvd = (g.bmvd[:, r0:r1]
+                           if g.bmvd is not None else None)
+                sg.bdirect = (g.bdirect[r0:r1]
+                              if g.bdirect is not None else None)
+                sg.slice_id = g.slice_id[par * n2:(par + 1) * n2]
+                sg.any_part = g.any_part
+                sub.grids = sg
             sub.sparse = None
             sub.tdirect = None
             sub.slice_starts = [0]
@@ -1151,6 +1193,10 @@ class H264Decoder(Decoder):
         from libav_tpu.codecs.h264 import cabac as cb
         mb_w, mb_h = sps.mb_width, sps.mb_height
         nmb = mb_w * mb_h
+        if getattr(fd, "mbaff_field", False):
+            # field MBs address the doubled MbaffRefPicList (7.4.5.1)
+            num_ref_l0 *= 2
+            num_ref_l1 *= 2
         mc = getattr(fd, "cabac_mc", None)
         if mc is None:
             mc = cb.MbCtx(mb_w, mb_h)
@@ -1342,17 +1388,32 @@ class H264Decoder(Decoder):
                 for x_ in range(mb_w):
                     mbaff_walk.append(py * mb_w + x_)
                     mbaff_walk.append(nmb2 + py * mb_w + x_)
+        def read_fflag(step):
+            # mb_field_decoding_flag: ctx 70 + left/above PAIR condition
+            pidx = step // 2
+            inc = (1 if pidx % mb_w > 0 else 0) + \
+                  (1 if pidx // mb_w > 0 else 0)
+            if layer.mb_field_flag(inc) != 1:
+                raise AVError(INVALIDDATA,
+                              "MBAFF frame-coded pairs unsupported")
+
         step = 0
+        pair_flag_pending = False
         i = first_mb
         while i < nmb:
             if mbaff_walk is not None:
                 i = mbaff_walk[step]
+                if step % 2 == 0:
+                    if slice_type == SLICE_I:
+                        read_fflag(step)
+                    else:
+                        # P/B slice_data: mb_skip_flag first; the field
+                        # flag rides the pair's first non-skipped MB
+                        # (7.3.4); all-skipped pairs infer it (7.4.4) —
+                        # our all-field topology needs the inference to
+                        # land on 1, which left/above field pairs give
+                        pair_flag_pending = True
             mb_x, mb_y = i % mb_w, i // mb_w
-            if mbaff_walk is not None and step % 2 == 0:
-                inc = (1 if mb_x > 0 else 0) + (1 if mb_y > 0 else 0)
-                if layer.mb_field_flag(inc) != 1:
-                    raise AVError(INVALIDDATA,
-                                  "MBAFF frame-coded pairs unsupported")
             mc.slice_id[i] = cur_slice
             g.slice_id[i] = cur_slice
             if slice_type == SLICE_B:
@@ -1362,6 +1423,9 @@ class H264Decoder(Decoder):
                     mc.direct[i] = True
                     layer.last_dqp = 0
                 else:
+                    if pair_flag_pending:
+                        read_fflag(step)
+                        pair_flag_pending = False
                     btype = layer.mb_type_b(i)
                     if btype == 23:
                         qp = decode_intra(i, mb_x, mb_y, qp)
@@ -1373,15 +1437,24 @@ class H264Decoder(Decoder):
                     self._skip_mb(fd, i, mb_x, mb_y, qp, cur_slice, False)
                     mc.skip[i] = True
                     layer.last_dqp = 0
-                elif layer.mb_type_p_is_intra():
-                    qp = decode_intra(i, mb_x, mb_y, qp)
                 else:
-                    qp = decode_inter(i, mb_x, mb_y,
-                                      layer.mb_type_p_inter(), qp)
+                    if pair_flag_pending:
+                        read_fflag(step)
+                        pair_flag_pending = False
+                    if layer.mb_type_p_is_intra():
+                        qp = decode_intra(i, mb_x, mb_y, qp)
+                    else:
+                        qp = decode_inter(i, mb_x, mb_y,
+                                          layer.mb_type_p_inter(), qp)
             else:
                 qp = decode_intra(i, mb_x, mb_y, qp)
             step += 1
             if mbaff_walk is not None:
+                if step % 2 == 0 and pair_flag_pending:
+                    # both MBs skipped: inferred flag (7.4.4) — all our
+                    # neighbors are field pairs, so the inference is 1
+                    # (all-field); nothing to read
+                    pair_flag_pending = False
                 if step >= len(mbaff_walk):
                     break
                 # end_of_slice only after the pair's bottom MB
@@ -1457,31 +1530,54 @@ class H264Decoder(Decoder):
         rd = _GolombReader(gb)
         bslice = slice_type == SLICE_B
         if getattr(fd, "mbaff_field", False):
-            if slice_type != SLICE_I:
+            if slice_type == SLICE_B:
                 raise AVError(INVALIDDATA,
-                              "MBAFF CAVLC inter decode unsupported")
+                              "MBAFF CAVLC B decode unsupported")
+            # field MBs address the doubled MbaffRefPicList (7.4.5.1)
+            nref0_f = 2 * num_ref_l0
             mb_h = sps.mb_height
             nmb2 = nmb // 2
+            walk = []
+            for py_ in range(mb_h // 2):
+                for x_ in range(mb_w):
+                    walk.append(py_ * mb_w + x_)
+                    walk.append(nmb2 + py_ * mb_w + x_)
             self._nc_split = True
             try:
-                step = 0
-                for py_ in range(mb_h // 2):
-                    for x_ in range(mb_w):
-                        for i in (py_ * mb_w + x_, nmb2 + py_ * mb_w + x_):
-                            if gb.bits_left() <= 0:
-                                return
-                            if step % 2 == 0:
-                                if not gb.get_bits(1):
-                                    raise AVError(
-                                        INVALIDDATA, "MBAFF frame-coded "
-                                        "pairs unsupported")
-                            mb_type = gb.get_ue_golomb()
-                            fd.grids.slice_id[i] = cur_slice
-                            qp = self._decode_mb(gb, rd, fd, i, mb_w,
-                                                 slice_type, mb_type, qp,
-                                                 num_ref_l0, num_ref_l1,
-                                                 cur_slice)
-                            step += 1
+                skip_left = 0
+                pair_flag_pending = False
+                for step, i in enumerate(walk):
+                    if gb.bits_left() <= 0:
+                        return
+                    if step % 2 == 0:
+                        pair_flag_pending = True
+                    if slice_type == SLICE_P and skip_left == 0:
+                        skip_left = gb.get_ue_golomb()
+                    if skip_left > 0:
+                        skip_left -= 1
+                        fd.grids.slice_id[i] = cur_slice
+                        self._skip_mb(fd, i, i % mb_w, i // mb_w, qp,
+                                      cur_slice, False)
+                        if step % 2 == 1 and pair_flag_pending:
+                            # both MBs skipped: flag inferred (7.4.4) —
+                            # all-field neighbors infer 1; nothing read
+                            pair_flag_pending = False
+                        continue
+                    if gb.bits_left() <= 1:
+                        return
+                    if pair_flag_pending:
+                        if not gb.get_bits(1):
+                            raise AVError(
+                                INVALIDDATA, "MBAFF frame-coded "
+                                "pairs unsupported")
+                        pair_flag_pending = False
+                    mb_type = gb.get_ue_golomb()
+                    fd.grids.slice_id[i] = cur_slice
+                    qp = self._decode_mb(gb, rd, fd, i, mb_w,
+                                         slice_type, mb_type, qp,
+                                         nref0_f if slice_type != SLICE_I
+                                         else num_ref_l0, num_ref_l1,
+                                         cur_slice)
             finally:
                 self._nc_split = False
             return

@@ -1141,7 +1141,8 @@ class H264Encoder(Encoder):
                "cross-parity chroma offset stress)", "string", "same"),
         Option("mbaff", "MBAFF interlaced coding: frame pictures of "
                "MB pairs, every pair field-coded (mb_adaptive_frame_"
-               "field_flag=1, mb_field_decoding_flag=1)", "int", 0, 0, 1),
+               "field_flag=1, mb_field_decoding_flag=1); I and P "
+               "frames (per-parity field P prediction)", "int", 0, 0, 1),
     ]
     CAPABILITIES = ("delay",)
 
@@ -1178,7 +1179,8 @@ class H264Encoder(Encoder):
                     self.weightp or self.slices > 1 or self.i8x8 or \
                     self.dct8x8 or self.ipcm or self.deblock:
                 raise AVError(EINVAL, "h264: mbaff combines only with "
-                              "cavlc/cabac i4x4 here (no deblock)")
+                              "cavlc/cabac i4x4 + P frames here "
+                              "(no deblock)")
             self._field_refs = [None, None]
             self._cur_parity = 0
         crop_r = (self.mb_w * 16 - self.width) // 2
@@ -1423,48 +1425,81 @@ class H264Encoder(Encoder):
     def _code_mbaff(self, frame: Frame, disp: int,
                     is_i: bool) -> List[Packet]:
         """MBAFF all-field frame picture: both parities run the normal
-        field intra pipeline, the pack layer interleaves them as MB
-        pairs of ONE frame-coded picture (mb_field_decoding_flag = 1
-        on every pair).  Intra-only for now — each frame is an IDR."""
+        field pipeline (intra or P, each parity predicting from its own
+        previous same-parity field — MbaffRefPicList index 0), the pack
+        layer interleaves them as MB pairs of ONE frame-coded picture
+        (mb_field_decoding_flag = 1 on every pair)."""
         from libav_tpu.avutil.frame import Frame as AVFrame
-        del is_i
+        from libav_tpu.codecs.h264.cavlc import ZZ_FROM_FIELD
         planes = [np.asarray(p) for p in frame.planes]
         pts = frame.pts if frame.pts is not None else disp
-        self._idr_disp = disp
-        self._poc = 0
+        if is_i:
+            self._idr_disp = disp
+            self._poc = 0
+        else:
+            self._poc = 2 * (disp - self._idr_disp)
         fds = []
         for par in (0, 1):
             ff = AVFrame(width=frame.width, height=frame.height // 2,
                          format="yuv420p")
             ff.planes = [p[par::2] for p in planes]
             y, u, v = self._padded_input(ff)
-            if self.i4x4:
-                fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
-                outs, recon = fn(y, u, v)
-                fds.append(self._pack_i4(outs, recon, build_only=True))
+            if is_i:
+                if self.i4x4:
+                    fn, _ = _encode_i4_jit(self.mb_w, self.mb_h, self.qp)
+                    outs, recon = fn(y, u, v)
+                    fdp = self._pack_i4(outs, recon, build_only=True)
+                else:
+                    fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
+                    outs, recon = fn(y, u, v)
+                    fdp = self._pack_i(outs, recon, build_only=True)
             else:
-                fn, _ = _encode_i_jit(self.mb_w, self.mb_h, self.qp)
-                outs, recon = fn(y, u, v)
-                fds.append(self._pack_i(outs, recon, build_only=True))
+                fn = _encode_p_jit(self.mb_w, self.mb_h, self.qp,
+                                   nrefs=1)
+                mv, luma_lv, udc, uac, vdc, vac, ridx = fn(
+                    y, u, v, *self._field_refs[par])
+                fdp = self._pack_p(np.asarray(mv), np.asarray(luma_lv),
+                                   np.asarray(udc), np.asarray(uac),
+                                   np.asarray(vdc), np.asarray(vac),
+                                   np.asarray(ridx), 1, build_only=True)
+            # closed-loop per-parity reference (decoder-replica recon;
+            # _update_ref_from_levels expects zigzag coefficient order)
+            import copy as _copy
+            f2 = _copy.copy(fdp)
+            f2.luma_dc = fdp.luma_dc[..., ZZ_FROM_FIELD]
+            f2.luma_ac = fdp.luma_ac[..., ZZ_FROM_FIELD]
+            f2.chroma_ac = fdp.chroma_ac[..., ZZ_FROM_FIELD]
+            self._refs = self._field_refs[par]
+            self._dpb = [self._refs] if self._refs is not None else []
+            self._update_ref_from_levels(f2)
+            self._field_refs[par] = self._refs
+            fds.append(fdp)
         fd = self._stack_mbaff_fd(fds[0], fds[1])
         out = bytearray()
-        out += nal_mod.make_nal(nal_mod.NAL_SPS,
-                                sets.write_sps(self.sps))
-        out += nal_mod.make_nal(nal_mod.NAL_PPS,
-                                sets.write_pps(self.pps))
+        if is_i:
+            out += nal_mod.make_nal(nal_mod.NAL_SPS,
+                                    sets.write_sps(self.sps))
+            out += nal_mod.make_nal(nal_mod.NAL_PPS,
+                                    sets.write_pps(self.pps))
         # emission runs on the stacked full-height geometry
         field_h = self.mb_h
         self.mb_h = 2 * field_h
         try:
-            out += self._emit_slices(fd, SLICE_I, True, 1,
-                                     nal_mod.NAL_IDR)
+            if is_i:
+                out += self._emit_slices(fd, SLICE_I, True, 1,
+                                         nal_mod.NAL_IDR)
+            else:
+                out += self._emit_slices(fd, SLICE_P, False, 1,
+                                         nal_mod.NAL_SLICE)
         finally:
             self.mb_h = field_h
-        self._idr_id += 1
+        if is_i:
+            self._idr_id += 1
         self._dpb = []
         return [Packet(data=bytes(out), pts=pts,
                        dts=self._next_dts(pts), duration=1,
-                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]
+                       flags=PKT_FLAG_KEY if is_i else 0,
+                       time_base=frame.time_base)]
 
     def _code_anchor(self, frame: Frame, disp: int, is_i: bool) -> Packet:
         self._b_l0 = self._refs          # forward ref for the B run
@@ -2095,7 +2130,7 @@ class H264Encoder(Encoder):
 
     def _pack_p(self, mv, luma_lv, udc, uac, vdc, vac,
                 ridx=None, nrefs: int = 1, lv8=None,
-                advance=True) -> bytes:
+                advance=True, build_only=False):
         nmb = self.mb_w * self.mb_h
         scan = cavlc.SCAN4x4
         fd = FrameData(nmb, self.mb_w, self.mb_h)
@@ -2121,12 +2156,14 @@ class H264Encoder(Encoder):
         fd.chroma_ac = cac[:, :, scan]
         fd.chroma_ac[:, :, 0] = 0
 
-        if self.fieldpic:
+        if self.fieldpic or (self.mbaff and build_only):
             # field MBs code coefficients in field-scan order (8.5.6)
             from libav_tpu.codecs.h264.cavlc import (FIELD_FROM_ZZ,
                                                      ZZ_FROM_FIELD)
             for arr in (fd.luma_dc, fd.luma_ac, fd.chroma_ac):
                 arr[:] = arr[..., FIELD_FROM_ZZ]
+        if build_only:
+            return fd
         data = self._emit_slices(fd, SLICE_P, False, nrefs,
                                  nal_mod.NAL_SLICE, advance=advance)
         if self.fieldpic:
@@ -2260,14 +2297,27 @@ class H264Encoder(Encoder):
                 return
             layer.end_of_slice(0 if step < len(walk) - 1 else 1)
 
+        def _fflag(step):
+            # mb_field_decoding_flag: ctx 70 + left-pair + above-pair
+            # field condition terms in PAIR coordinates
+            # (h264_cabac.c decode_cabac_field_decoding_flag)
+            pidx = step // 2
+            inc = (1 if pidx % mb_w > 0 else 0) + \
+                  (1 if pidx // mb_w > 0 else 0)
+            layer.mb_field_flag(inc, 1)
+
+        pair_flag_pending = False
         for _step, i in enumerate(walk):
             mb_x, mb_y = i % mb_w, i // mb_w
             if mbaff and _step % 2 == 0:
-                # mb_field_decoding_flag before the pair's top MB:
-                # ctx 70 + left-pair + above-pair field conditions
-                # (h264_cabac.c decode_cabac_field_decoding_flag)
-                inc = (1 if mb_x > 0 else 0) + (1 if mb_y > 0 else 0)
-                layer.mb_field_flag(inc, 1)
+                if slice_type == SLICE_I:
+                    # no skip flags in I slices: the field flag leads
+                    # the pair unconditionally (spec 7.3.4)
+                    _fflag(_step)
+                else:
+                    # P/B: mb_skip_flag comes FIRST; the field flag is
+                    # transmitted with the pair's first NON-skipped MB
+                    pair_flag_pending = True
             if slice_type == SLICE_B:
                 cbp_luma = 0
                 for b in range(16):
@@ -2283,6 +2333,9 @@ class H264Encoder(Encoder):
                     btype, plan = 1 + sel, _UniformPlan(fd.mv[i],
                                                         fd.mv1[i])
                 layer.mb_skip(i, 0)
+                if pair_flag_pending:
+                    _fflag(_step)
+                    pair_flag_pending = False
                 layer.mb_type_b(i, btype)
                 mc.slice_id[i] = cur_slice
                 mc.direct[i] = btype == 0
@@ -2320,7 +2373,15 @@ class H264Encoder(Encoder):
                 is_skip = (cbp_luma == 0 and cbp_chroma == 0 and
                            int(fd.ref_idx[i]) == 0 and
                            tuple(fd.mv[i]) == skip_mv)
+                if mbaff and _step % 2 == 1 and pair_flag_pending:
+                    # never skip BOTH MBs of a pair: an all-skipped pair
+                    # carries no mb_field_decoding_flag and the decoder
+                    # would infer it (7.4.4) — force the bottom coded
+                    is_skip = False
                 layer.mb_skip(i, 1 if is_skip else 0)
+                if not is_skip and pair_flag_pending:
+                    _fflag(_step)
+                    pair_flag_pending = False
                 if is_skip:
                     mc.slice_id[i] = cur_slice
                     fd.grids.slice_id[i] = cur_slice
@@ -2339,10 +2400,13 @@ class H264Encoder(Encoder):
                 layer.mb_type_p_inter(ptype)
                 mc.slice_id[i] = cur_slice
                 fd.grids.slice_id[i] = cur_slice
+                # field MBs address the doubled MbaffRefPicList (8.2.4.2.5
+                # via 7.4.5.1): ref_idx is coded even with one frame ref
+                eff_nrefs = 2 * nrefs if mbaff else nrefs
                 subs = part.code_inter_mb(
                     _CabacWriter(layer, plan),
-                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, cur_slice,
-                    None)
+                    fd, i, mb_x, mb_y, False, ptype, eff_nrefs, 0,
+                    cur_slice, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 layer.cbp(i, cbp)
                 mc.cbp[i] = cbp
@@ -2470,8 +2534,8 @@ class H264Encoder(Encoder):
 
         mbaff = bool(getattr(fd, "mbaff_field", False))
         if mbaff:
-            if slice_type != SLICE_I:
-                raise AVError(EINVAL, "mbaff CAVLC is intra-only here")
+            if slice_type == SLICE_B:
+                raise AVError(EINVAL, "mbaff CAVLC B not supported here")
             nmb2 = nmb // 2
             walk = []
             for py_ in range(mb_h // 2):
@@ -2481,10 +2545,17 @@ class H264Encoder(Encoder):
             self._nc_split = True
         else:
             walk = list(range(nmb))
+        # mbaff: mb_field_decoding_flag rides the pair's first
+        # NON-skipped MB (7.3.4: CurrMbAddr%2==0 || prevMbSkipped);
+        # P_Skip keeps it pending across the skip run
+        pair_flag_pending = False
         for _step, i in enumerate(walk):
             mb_x, mb_y = i % mb_w, i // mb_w
             if mbaff and _step % 2 == 0:
+                pair_flag_pending = True
+            if mbaff and slice_type == SLICE_I and pair_flag_pending:
                 pb.put_bits(1, 1)          # mb_field_decoding_flag
+                pair_flag_pending = False
             if slice_type == SLICE_I and fd.i4[i]:
                 self._pack_i4x4_mb(pb, fd, i, mb_x, mb_y, i4_grid,
                                    nnz_y, nnz_u, nnz_v)
@@ -2530,7 +2601,11 @@ class H264Encoder(Encoder):
                 skip_mv = part.pred_pskip(fd.grids, mb_x, mb_y, 0)
                 if cbp_luma == 0 and cbp_chroma == 0 and \
                         int(fd.ref_idx[i]) == 0 and \
-                        tuple(fd.mv[i]) == skip_mv:
+                        tuple(fd.mv[i]) == skip_mv and \
+                        not (mbaff and _step % 2 == 1 and
+                             pair_flag_pending):
+                    # (an all-skipped mbaff pair would leave the field
+                    # flag to 7.4.4 inference — force the bottom coded)
                     skip_run += 1
                     fd.grids.slice_id[i] = 0
                     part.pskip_mb_motion(fd, i, mb_x, mb_y, 0)
@@ -2539,6 +2614,9 @@ class H264Encoder(Encoder):
                     continue
                 pb.put_ue_golomb(skip_run)
                 skip_run = 0
+                if mbaff and pair_flag_pending:
+                    pb.put_bits(1, 1)      # mb_field_decoding_flag
+                    pair_flag_pending = False
                 if self.parts == "all":
                     ptype, plan = _stress_p(i, fd, nrefs)
                 else:
@@ -2548,7 +2626,8 @@ class H264Encoder(Encoder):
                 fd.grids.slice_id[i] = 0
                 part.code_inter_mb(
                     _CavlcWriter(pb, plan),
-                    fd, i, mb_x, mb_y, False, ptype, nrefs, 0, 0, None)
+                    fd, i, mb_x, mb_y, False, ptype,
+                    2 * nrefs if mbaff else nrefs, 0, 0, None)
                 cbp = cbp_luma | (cbp_chroma << 4)
                 pb.put_ue_golomb(_INTER_CBP_TO_GOLOMB[cbp])
                 if cbp:

@@ -1490,6 +1490,53 @@ class TestH264Mbaff:
         assert crc_column(ref).__len__() == n
         assert our_framecrc(path) == ref      # full line incl. stamps
 
+    @pytest.mark.parametrize("opts", [
+        {"mbaff": 1, "entropy": "cabac"},
+        {"mbaff": 1, "entropy": "cabac", "i4x4": 1},
+        {"mbaff": 1, "entropy": "cavlc"},
+        {"mbaff": 1, "entropy": "cavlc", "i4x4": 1},
+    ])
+    def test_mbaff_inter_p(self, tmp_path, opts):
+        """MBAFF P frames: per-parity field P coding (MbaffRefPicList
+        index 0 = same-parity field of the previous frame, coded
+        ref_idx against the DOUBLED field list per 7.4.5.1), P_Skip
+        with the 7.3.4 mb_skip-before-field-flag ordering, across a
+        GOP boundary (IDR mid-stream)."""
+        from libav_tpu.avutil.frame import Frame
+        from libav_tpu.codecs.api import CodecParameters, MediaType
+        from libav_tpu.codecs.h264 import H264Encoder
+        w, h, n = 96, 64, 7                  # 2 GOPs: IDR at 0 and 4
+        rng = np.random.RandomState(3)
+        noise = rng.randint(0, 40, (h, w)).astype(np.int32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        cyy, cxx = np.mgrid[0:h // 2, 0:w // 2]
+        frames = []
+        for t in range(n):
+            # textured pan: real MVs, residuals AND skippable statics
+            y = np.clip((xx * 2 + yy + 7 * t) % 180 + noise + 10,
+                        0, 255).astype(np.uint8)
+            f = Frame(width=w, height=h, format="yuv420p", pts=t)
+            f.planes = [y,
+                        (110 + 30 * np.sin((cxx + 2 * t) / 5.0))
+                        .astype(np.uint8),
+                        (130 + 30 * np.cos((cyy + 3 * t) / 4.0))
+                        .astype(np.uint8)]
+            frames.append(f)
+        enc = H264Encoder(CodecParameters(
+            codec_type=MediaType.VIDEO, codec_id="h264",
+            width=w, height=h))
+        enc.set_opt("gop_size", 4)
+        enc.set_opt("qp", 26)
+        for k, v in opts.items():
+            enc.set_opt(k, v)
+        pkts = enc.encode_all(frames)
+        assert len(pkts) == n
+        path = str(tmp_path / "mbaff_p.264")
+        open(path, "wb").write(b"".join(p.data for p in pkts))
+        ref = ref_framecrc(path)
+        assert len(crc_column(ref)) == n
+        assert our_framecrc(path) == ref      # full line incl. stamps
+
 
 class TestFlac:
     """FLAC (codecs/flac): lossless, so cross-validation is exact —
