@@ -45,4 +45,23 @@ if _plat.split(",")[0] == "cpu":
     except Exception:
         pass
 
+# Large per-frame host buffers (coefficient transports, block-motion
+# exports — freed only after the device transport drops its reference)
+# default to mmap-backed allocations above glibc's 128KB threshold, so
+# every frame pays fresh-page faults on multi-MB np.empty buffers.
+# Raising M_MMAP_THRESHOLD keeps them on the heap where warm pages
+# recycle across frames (measured ~1.6 ms/frame on the 1080p decode
+# bench).  Safe with the async axon upload: buffers are recycled by
+# malloc only after the LAST reference (held by jax through the
+# upload) is dropped — unlike in-place pooling, which mutates buffers
+# still in flight (see dec.py _reconstruct NOTE).
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL(None)
+    _libc.mallopt(-3, 1 << 30)       # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 30)       # M_TRIM_THRESHOLD
+except Exception:
+    pass
+
 from libav_tpu.avutil.error import AVError  # noqa: F401
