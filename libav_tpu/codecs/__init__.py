@@ -13,4 +13,5 @@ from libav_tpu.codecs.api import (CodecContext, Decoder, Encoder,
 # import for registration side effects
 from libav_tpu.codecs import (mjpeg, mpeg12, mpeg4, h264, ac3,  # noqa: F401
                               aac, mpegaudio, rawvideo,  # noqa: F401
-                              flac, h263dec, msmpeg4dec, ffv1)  # noqa: F401
+                              flac, h263dec, msmpeg4dec, ffv1,  # noqa: F401
+                              prores)  # noqa: F401

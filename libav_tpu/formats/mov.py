@@ -434,6 +434,14 @@ class MovDemuxer(InputFormat):
                 par.width = struct.unpack(">H", data[bs + 24:bs + 26])[0]
                 par.height = struct.unpack(">H", data[bs + 26:bs + 28])[0]
                 return par, None
+            if name in ("apch", "apcn", "apcs", "apco", "ap4h"):
+                # Apple ProRes (reference: isom.c ff_codec_movvideo_tags)
+                par = CodecParameters(codec_type=MediaType.VIDEO,
+                                      codec_id="prores")
+                par.codec_tag = name
+                par.width = struct.unpack(">H", data[bs + 24:bs + 26])[0]
+                par.height = struct.unpack(">H", data[bs + 26:bs + 28])[0]
+                return par, None
             if name == "mp4a":
                 par = CodecParameters(codec_type=MediaType.AUDIO,
                                       codec_id="aac", sample_fmt="fltp")
@@ -689,6 +697,10 @@ class MP4Muxer(OutputFormat):
                 entry = _box(b"mp4v", vhdr + _esds_box(0x6A, b""))
             elif par.codec_id == "mjpeg":
                 entry = _box(b"jpeg", vhdr)
+            elif par.codec_id == "prores":
+                tag = par.codec_tag if isinstance(par.codec_tag, str) and \
+                    par.codec_tag else "apcn"
+                entry = _box(tag.encode("latin1"), vhdr)
             else:
                 raise AVError(INVALIDDATA,
                               f"mp4: no sample entry for {par.codec_id}")
