@@ -195,12 +195,73 @@ def timed_child():
     }))
 
 
+def sustained_child(seconds: float):
+    """Sustained single-process decode for `seconds`: proves the fps holds
+    without per-run process isolation (the round-4 axon argument-upload
+    cliff is gone after the mallopt heap-recycling fix — the multi-MB
+    per-frame transports now recycle warm heap pages instead of faulting
+    fresh mmap pages, which was what degraded the transport).  Prints one
+    JSON line {windows: [fps per 10s window], first, last, drift}."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from libav_tpu.avutil.frame import Packet
+    from libav_tpu.codecs.api import CodecParameters, MediaType
+    from libav_tpu.codecs.h264 import H264Decoder
+
+    datas = ensure_stream()
+    dec = H264Decoder(CodecParameters(codec_type=MediaType.VIDEO,
+                                      codec_id="h264"))
+    dec.open()
+
+    def run_gop():
+        dec._init()
+        out = None
+        for i, d in enumerate(datas):
+            dec.send_packet(Packet(data=d, pts=i))
+            out = dec._pump()
+        return out
+
+    for _ in range(2):
+        out = run_gop()
+    jax.block_until_ready(out[-1].planes[0])
+
+    windows = []
+    wstart = time.perf_counter()
+    wframes = 0
+    t_end = wstart + seconds
+    while time.perf_counter() < t_end:
+        out = run_gop()
+        wframes += NFRAMES
+        now = time.perf_counter()
+        if now - wstart >= 10.0:
+            # sync only at window edges — a per-GOP block stalls the
+            # host/device overlap the decoder is built around
+            jax.block_until_ready(out[-1].planes[0])
+            now = time.perf_counter()
+            windows.append(wframes / (now - wstart))
+            wstart, wframes = now, 0
+    if wframes:
+        now = time.perf_counter()
+        if now - wstart >= 3.0:
+            windows.append(wframes / (now - wstart))
+    first, last = windows[0], windows[-1]
+    print(json.dumps({"windows": [round(w, 2) for w in windows],
+                      "first": round(first, 2), "last": round(last, 2),
+                      "drift": round(last / first, 3)}))
+
+
 def main():
     if len(sys.argv) == 3 and sys.argv[1] == "--encode":
         encode_child(sys.argv[2])
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--timed":
         timed_child()
+        return
+    if sys.argv[1:2] == ["--sustained"]:
+        sustained_child(float(sys.argv[2]) if len(sys.argv) > 2 else 60.0)
         return
 
     datas = ensure_stream()
